@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test run. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  def sf(name: String, dir: String = "/root/testdata/sf0.001") =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-insensitive frame comparison on stringized rows. */
+  def assertSameRows(actual: org.apache.spark.sql.DataFrame,
+      expected: Seq[Seq[Any]]): Unit = {
+    val a = actual.collect().map(_.toSeq.map(v => String.valueOf(v))).toSeq
+      .sortBy(_.mkString("|"))
+    val e = expected.map(_.map(v => String.valueOf(v))).sortBy(_.mkString("|"))
+    assert(a == e, s"\nactual:\n${a.map(_.mkString(", ")).mkString("\n")}" +
+      s"\nexpected:\n${e.map(_.mkString(", ")).mkString("\n")}")
+  }
+}
