@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build sessions with the engine's required configs.
+  *
+  * - `spark.sql.ansi.enabled=false`: Spark 4.x defaults ANSI on, which
+  *   makes `to_date`/casts THROW on unparseable input. The reference's
+  *   semantics (Polars `strptime(strict=false)`, silent-null casts —
+  *   reference `src/util.rs:209-238,244-289`) require null-on-failure;
+  *   the multi-format date vote depends on it (SURVEY.md §4.2).
+  * - `spark.sql.session.timeZone=UTC`: deterministic date/timestamp
+  *   semantics, matches the DuckDB oracle.
+  * - AQE on: runtime re-plan (skew joins, coalesced shuffle reads) —
+  *   the 100 TB posture even though tests run local.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

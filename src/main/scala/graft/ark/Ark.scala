@@ -75,9 +75,11 @@ object Ark {
       case (Source.Ark, _)     => Some(getCsvArk(spark, ticker, fetcher))
       case (Source.ApiIncremental | Source.ArkFundsIoIncremental, true) =>
         // High-water mark: fetch rows with date > max(date) of history
-        // (ref util.rs:62-66). One tiny aggregate action.
-        val lastDay = history.agg(max("date")).head().getDate(0)
-        Some(getApi(spark, ticker, Some(lastDay.toLocalDate), source, fetcher))
+        // (ref util.rs:62-66). One tiny aggregate action. Empty/all-null
+        // history (max = null) falls back to the full-fetch window.
+        val lastDay = Option(history.agg(max("date")).head().get(0))
+          .collect { case d: java.sql.Date => d.toLocalDate }
+        Some(getApi(spark, ticker, lastDay, source, fetcher))
       case _ => Some(getApi(spark, ticker, None, source, fetcher))
     }
 

@@ -24,14 +24,15 @@ object Format {
     regexp_replace(c, Pattern.quote(pat), Matcher.quoteReplacement(repl))
 
   /** Literal replace-FIRST-occurrence: Polars `str.replace(...,
-    * literal=true)`. Spark's `regexp_replace` replaces all matches, so
-    * splice via `locate` + `overlay` — still built-in, codegen-friendly
-    * expressions (SURVEY.md §7.4.2).
+    * literal=true)`. Spark's `regexp_replace` replaces all matches;
+    * [[graft.functions.ReplaceFirst]] is a native codegen'd Catalyst
+    * expression that references its input exactly once, so the ~50-step
+    * company chain stays a linear expression tree (the round-1
+    * `locate`+`overlay`+`when` formulation duplicated the input 4× per
+    * step → exponential tree → OOM at plan time).
     */
-  private[ark] def replaceFirstLit(c: Column, pat: String, repl: String): Column = {
-    val pos = locate(pat, c)
-    when(pos > 0, overlay(c, lit(repl), pos, lit(pat.length))).otherwise(c)
-  }
+  private[ark] def replaceFirstLit(c: Column, pat: String, repl: String): Column =
+    graft.functions.ReplaceFirst(c, pat, repl)
 
   /** Ticker suffix scrub (ref `src/util.rs:292-312`): strip exchange
     * suffixes, fix the DKNN typo (first occurrence only), rtrim.

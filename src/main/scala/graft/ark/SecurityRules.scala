@@ -70,13 +70,20 @@ object SecurityRules {
   /** Apply every rule step in order (ref `format/ticker.rs:25-30`).
     * Each reference rule is wrapped in `if let Ok(x) … { df = x }` —
     * a failing rewrite (missing column) leaves the frame unchanged; we
-    * replicate with a column-presence guard. One `withColumns` per
-    * step = one Catalyst projection per step; Catalyst collapses the
-    * chain into a single projection at optimization time.
+    * replicate per-step: a step applies iff every column it references
+    * (match + target, across all its assigns) exists — so company-only
+    * rules like DKNG/TSM still fire on a frame lacking `ticker`, while
+    * a step touching a missing column is skipped whole, exactly like
+    * the reference's failed `with_columns`. One `withColumns` per step
+    * = one projection per step; Catalyst collapses the chain into a
+    * single projection.
     */
-  def apply(df: DataFrame): DataFrame =
-    if (!df.columns.contains("company") || !df.columns.contains("ticker")) df
-    else steps.foldLeft(df) { (d, step) =>
-      d.withColumns(step.assigns.map(a => a.targetCol -> assignExpr(a)).toMap)
+  def apply(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    steps.foldLeft(df) { (d, step) =>
+      val needed = step.assigns.flatMap(a => Seq(a.matchCol, a.targetCol)).toSet
+      if (!needed.subsetOf(cols)) d
+      else d.withColumns(step.assigns.map(a => a.targetCol -> assignExpr(a)).toMap)
     }
+  }
 }
