@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // the events table carries TIMESTAMP(NANOS) parquet columns,
+      // which Spark only reads as raw nanos-since-epoch longs
+      // (converted back to TIMESTAMP_NTZ in the query layer).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int): SparkSession = {

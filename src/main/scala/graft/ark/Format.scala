@@ -34,11 +34,18 @@ object Format {
   private[ark] def replaceFirstLit(c: Column, pat: String, repl: String): Column =
     graft.functions.ReplaceFirst(c, pat, repl)
 
+  /** Exchange suffixes stripped from tickers (ref `src/util.rs:292-310`).
+    * `private[graft]` so the DuckDB oracle SQL for the scrub queries is
+    * generated from the same table (single source of truth).
+    */
+  private[graft] val tickerSuffixes: Seq[String] =
+    Seq(" FP", " UQ", " UF", " UN", " UW", "/U", " CN")
+
   /** Ticker suffix scrub (ref `src/util.rs:292-312`): strip exchange
     * suffixes, fix the DKNN typo (first occurrence only), rtrim.
     */
-  private[ark] def scrubTicker(c: Column): Column = {
-    val stripped = Seq(" FP", " UQ", " UF", " UN", " UW", "/U", " CN")
+  def scrubTicker(c: Column): Column = {
+    val stripped = tickerSuffixes
       .foldLeft(c)((acc, p) => replaceAllLit(acc, p, ""))
     rtrim(replaceFirstLit(stripped, "DKNN", "DKNG"))
   }
@@ -48,7 +55,7 @@ object Format {
     * before `"CORPORATION"` could ever match; SURVEY.md §7.4.3).
     * `A` = replace all occurrences, `F` = first occurrence only.
     */
-  private val companyChain: Seq[(Char, String, String)] = Seq(
+  private[graft] val companyChain: Seq[(Char, String, String)] = Seq(
     ('A', " PHARMACEUTICALSP", ""), ('A', " INTERNATIONAL", ""),
     ('A', " GLOBAL", ""), ('A', " SOFTWARE", ""), ('A', " Markets", ""),
     ('A', " International", ""), ('A', " AVIATION", ""),
@@ -73,7 +80,7 @@ object Format {
     ('F', "Space Exploration Technologies Corp", "SpaceX"),
     ('F', "Space Exploration Technologies Co", "SpaceX"))
 
-  private[ark] def scrubCompany(c: Column): Column =
+  def scrubCompany(c: Column): Column =
     rtrim(companyChain.foldLeft(c) {
       case (acc, ('A', p, r)) => replaceAllLit(acc, p, r)
       case (acc, (_, p, r))   => replaceFirstLit(acc, p, r)

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * for the 100 TB shape of the problem:
+  *
+  * - exact: one `dropDuplicates`/hash-aggregate shuffle on the key.
+  * - keep-first under a subset key: `row_number` window (deterministic
+  *   keep-first, unlike `dropDuplicates` on a subset which keeps an
+  *   arbitrary row).
+  * - MinHash+LSH: signatures computed with ONE shuffle (shingle
+  *   explode → per-doc groupBy with 16 partial-aggregating `min`s —
+  *   no per-seed row multiplication), then band hashes explode to
+  *   `numBands` rows/doc and bucket-join. At scale the bucket groupBy
+  *   is the only quadratic-risk step and it only groups docs that
+  *   already collide on a band — the whole point of LSH.
+  * - SimHash: pure per-row column expressions, zero shuffles.
+  * - n-gram Jaccard: relational shingle self-join — shuffles on the
+  *   shingle value, so co-occurring docs land in the same partition;
+  *   a `maxShinglesPerKey`-style stop-word guard would be the knob at
+  *   extreme scale (hot shingles ≈ stop-shingles).
+  */
+object Dedup {
+
+  /** Word k-shingles as a distinct array column; empty when the doc
+    * has fewer than k tokens.
+    */
+  def shingles(tok: Column, k: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(tok) - lit(k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(tok, i + lit(j))): _*))
+    when(size(tok) >= k, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-doc MinHash signature columns `h0..h{numHashes-1}`:
+    * hᵢ = min over shingles of md5("i:" ++ shingle). Seeded by prefix
+    * so one md5 family serves all seeds; min() partial-aggregates
+    * map-side, so the shuffle carries one row per (doc, distinct
+    * shingle) and the result is one row per doc.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(shingles(TextOps.tokens(col(textCol)), 3)).as("s"))
+      .distinct()
+    val aggs = (0 until numHashes)
+      .map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a signature frame: `numBands` rows per doc,
+    * each with the md5 of its band's signature slice. Docs sharing a
+    * (band_idx, band_hash) bucket are near-dup candidates.
+    */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int,
+      numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0, "bands must divide hashes")
+    val r = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        md5(concat_ws("|",
+          (b * r until (b + 1) * r).map(i => col(s"h$i")): _*)).as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate near-dup buckets: bands holding >1 doc. */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, numBands: Int = 4): DataFrame =
+    lshBands(minhashSignatures(df, idCol, textCol, numHashes),
+      idCol, numHashes, numBands)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("cnt"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .filter(col("cnt") > 1)
+
+  /** 32-bit SimHash over whitespace tokens: per token, a 32-bit hash
+    * (first 8 hex chars of md5); per bit, a majority vote across
+    * tokens. Output is a 32-char '0'/'1' string (MSB first) — string
+    * form sidesteps unsigned-64 pitfalls and diffs readably. Pure
+    * column expressions, no shuffle.
+    */
+  def simhash32(text: Column): Column = {
+    val tok = TextOps.tokens(text)
+    val vals = transform(tok,
+      x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+    val ntok = size(tok)
+    val bits = (31 to 0 by -1).map { b =>
+      val ones = aggregate(vals, lit(0L),
+        (acc, v) => acc + shiftright(v, b).bitwiseAND(lit(1L)))
+      when(ones * 2 >= ntok, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Deterministic keep-first dedupe on a subset key (SURVEY.md §2.6
+    * U2's scale path): row_number over (keys, orderBy) == 1.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Pairwise n-gram Jaccard over shingle sets, relationally:
+    * inter(d1,d2) via shingle self-join, sizes from per-doc counts,
+    * J = i / (n1 + n2 − i). Emits pairs with J ≥ threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(shingles(TextOps.tokens(col(textCol)), 3)).as("s"))
+      .distinct()
+    val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("n1") + col("n2") - col("i")).cast("double")
+    inter
+      .join(broadcast(n.select(col(idCol).as("d1"), col("n").as("n1"))), "d1")
+      .join(broadcast(n.select(col(idCol).as("d2"), col("n").as("n2"))), "d2")
+      .filter(jac >= threshold)
+      .select(col("d1"), col("d2"), round(jac, 3).as("jaccard"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search. Two tiers:
+  *
+  * - brute-force cosine top-k: broadcast the (small) query set,
+  *   stream the candidate side — no shuffle at all, scales linearly
+  *   in candidates × queries and is the exactness baseline.
+  * - sign-LSH ("IVF-ish") bucketing: an 8-bit sign signature over the
+  *   leading dimensions partitions vectors into 256 coarse cells; the
+  *   join is then bucket-equi + broadcast, touching only same-cell
+  *   candidates. At 100 TB the bucket column becomes the partition /
+  *   cluster key so the probe reads one cell, not the corpus.
+  *
+  * All arithmetic is double-precision element-fold in index order —
+  * deterministic, and exactly reproducible by the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Cast a float embedding to double and attach its L2 norm. */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    val e = col(vecCol).cast("array<double>")
+    df.withColumn("_e", e).withColumn("_nrm",
+      sqrt(aggregate(transform(col("_e"), x => x * x), lit(0.0d),
+        (acc, x) => acc + x)))
+  }
+
+  /** Dot product via zip_with + left fold (index order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Sign signature over the first `bits` dimensions: '1' where the
+    * coordinate is ≥ 0. Cheap coarse quantizer (random-hyperplane LSH
+    * with axis-aligned planes).
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vec, i) >= 0, "1").otherwise("0")): _*)
+
+  /** Brute-force cosine: queries (filtered by `queryPred`) broadcast
+    * against all vectors; emits (qid, vec_id, cos) with cos ≥
+    * threshold, self-pairs excluded, cos rounded to 6.
+    */
+  def cosineBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, threshold: Double): DataFrame = {
+    val base = withNorm(emb, vecCol)
+      .select(col(idCol), col("_e"), col("_nrm"))
+    val q = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("_e").as("qe"), col("_nrm").as("qn"))
+    val cos = round(dot(col("qe"), col("_e")) / (col("qn") * col("_nrm")), 6)
+    base.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Sign-LSH bucketed cosine: same contract as brute force but the
+    * candidate set is restricted to the query's coarse cell.
+    */
+  def cosineBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, threshold: Double, bits: Int = 8): DataFrame = {
+    val base = withNorm(emb, vecCol)
+      .withColumn("_bkt", signBucket(col("_e"), bits))
+      .select(col(idCol), col("_e"), col("_nrm"), col("_bkt"))
+    val q = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("_e").as("qe"),
+        col("_nrm").as("qn"), col("_bkt").as("qbkt"))
+    val cos = round(dot(col("qe"), col("_e")) / (col("qn") * col("_nrm")), 6)
+    base.join(broadcast(q), col("_bkt") === col("qbkt") &&
+        col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

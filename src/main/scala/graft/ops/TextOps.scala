@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * pure codegen'd column expressions — no UDFs, no shuffles; they run
+  * embarrassingly parallel over however many partitions the scan
+  * produced, which is exactly what you want at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of non-overlapping regex hits (codegen'd; used for
+    * stopword / punctuation counting). */
+  def patternHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Language-ID heuristic: count language-marker stopwords, pick the
+    * arg-max with a fixed priority order (en > es > de > fr) and
+    * `unknown` when nothing matches. Deterministic and cheap — the
+    * classic n-gram/stopword trick, good enough for corpus routing.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and)\\b",
+    "es" -> "\\b(el|la|de|los)\\b",
+    "de" -> "\\b(der|die|das|und)\\b",
+    "fr" -> "\\b(le|la|et|les)\\b")
+
+  def langPredict(text: Column): Column = {
+    val scores = langMarkers.map { case (l, p) => l -> patternHits(text, p) }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** Quality score in [0,1]: length saturation × (1 − stopword ratio),
+    * the shape of the usual heuristic pre-filters for LLM corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val stop = patternHits(text, "\\b(the|a|of|and)\\b").cast("double")
+    round(least(toks / 100.0, lit(1.0)) * (lit(1.0) - stop / toks), 4)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase
+    * text — exact-dup detection key that survives cosmetic whitespace
+    * and case drift.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation plus (usually) an
+  * equivalent DuckDB SQL oracle over the same parquet tables. The
+  * driver hash-compares the two at sf0.01; queries without an oracle
+  * get a weaker rows-only check.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column restored to a
+    * timezone-free timestamp (nanos arrive as longs, see
+    * GraftSession; ns → µs is exact for this corpus).
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+  lazy val all: Seq[Q] =
+    Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs
+}
+
+/** Oracle-SQL generation helpers. DuckDB dialect facts relied on:
+  * `replace` is literal replace-ALL (= Spark `regexp_replace` with a
+  * quoted pattern), `regexp_replace` without the 'g' flag replaces the
+  * FIRST match (= our `ReplaceFirst` expression), `md5` is the same
+  * lowercase hex as Spark's.
+  */
+object SqlGen {
+  def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Escape regex metacharacters so a literal lands in RE2 intact. */
+  def reQuote(s: String): String =
+    s.flatMap(c => if ("\\.[]{}()*+?^$|".contains(c)) s"\\$c" else c.toString)
+
+  /** DuckDB SQL mirroring [[graft.ark.Format.scrubCompany]] — the
+    * exact ~50-step chain, all/first-occurrence faithful.
+    */
+  def duckScrubCompany(input: String): String = {
+    val folded = graft.ark.Format.companyChain.foldLeft(input) {
+      case (acc, ('A', p, r)) => s"replace($acc, ${lit(p)}, ${lit(r)})"
+      case (acc, (_, p, r)) =>
+        s"regexp_replace($acc, ${lit(reQuote(p))}, ${lit(r)})"
+    }
+    s"rtrim($folded)"
+  }
+
+  /** DuckDB SQL mirroring [[graft.ark.Format.scrubTicker]]. */
+  def duckScrubTicker(input: String): String = {
+    val stripped = graft.ark.Format.tickerSuffixes
+      .foldLeft(input)((acc, p) => s"replace($acc, ${lit(p)}, '')")
+    s"rtrim(regexp_replace($stripped, 'DKNN', 'DKNG'))"
+  }
+}

@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.ark.Format
+import graft.queries.Registry.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator battery over the TPC-H-ish test tables — one
+  * query per operator family from SURVEY.md §2, each with a DuckDB
+  * oracle. Float discipline: money sums are `round(sum(...), 2)` so
+  * partial-aggregation order can't leak into the hash compare; every
+  * query carries a total ORDER BY for deterministic output.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan + filter + hash agg (map-side partial),
+    * the canonical pricing summary. Plan check: PushedFilters on
+    * l_shipdate, 2-col grouping, WholeStageCodegen end-to-end.
+    */
+  val q01 = Q("q01_pricing_summary",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | count(*) AS cnt
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Selective filter + narrow projection — predicate pushdown and
+    * column pruning must reach the parquet scan.
+    */
+  val q02 = Q("q02_filter_pushdown",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1998-01-01"), lit("1998-03-31"))
+        && col("l_quantity") >= 49 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-03-31'
+      |  AND l_quantity >= 49 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Global sort + limit (TakeOrderedAndProject — no full sort at
+    * scale, a per-partition top-k then merge).
+    */
+  val q03 = Q("q03_topk_orders",
+    (s, dir) => table(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(100),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+
+  /** Union + whole-row distinct (the reference's merge primitive,
+    * SURVEY.md §2.6).
+    */
+  val q04 = Q("q04_union_distinct",
+    (s, dir) => table(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .union(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey"),
+    Some("""SELECT DISTINCT nationkey FROM (
+      | SELECT c_nationkey AS nationkey FROM customer
+      | UNION ALL SELECT s_nationkey FROM supplier)
+      |ORDER BY nationkey""".stripMargin))
+
+  /** Scalar max (the incremental high-water lookup, SURVEY.md §2.4 A1)
+    * + null-count (A2) in one pass.
+    */
+  val q05 = Q("q05_incremental_max",
+    (s, dir) => table(s, dir, "orders")
+      .agg(
+        max(col("o_orderdate").cast("date")).as("last_day"),
+        count(lit(1)).as("n"),
+        count(when(col("o_totalprice").isNull, 1)).as("null_totalprice")),
+    Some("""SELECT CAST(max(o_orderdate) AS DATE) AS last_day,
+      | count(*) AS n,
+      | count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_totalprice
+      |FROM orders""".stripMargin))
+
+  /** Conditional when/otherwise rewriting inside aggregation (the
+    * P14 value-rewrite family as a measurable query).
+    */
+  val q06 = Q("q06_conditional_agg",
+    (s, dir) => table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("open"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0)), 2).as("finished_value"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished,
+      | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open,
+      | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+      |   AS finished_value
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Dimension join — customer is small: broadcast, no shuffle of the
+    * fact side.
+    */
+  val q07 = Q("q07_broadcast_join",
+    (s, dir) => table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** TPC-H Q3 shape: fact-fact shuffle join + agg + top-k. */
+  val q08 = Q("q08_join_topk_revenue",
+    (s, dir) => table(s, dir, "lineitem")
+      .join(table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10),
+    Some("""SELECT l_orderkey, o_orderdate,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q5 shape: snowflake multi-join (two broadcast dims +
+    * shuffle joins) + grouped revenue.
+    */
+  val q09 = Q("q09_region_revenue",
+    (s, dir) => table(s, dir, "region")
+      .join(broadcast(table(s, dir, "nation")),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(table(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM region
+      | JOIN nation ON r_regionkey = n_regionkey
+      | JOIN customer ON n_nationkey = c_nationkey
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin))
+
+  /** Window: latest order per customer (row_number, deterministic
+    * tiebreak).
+    */
+  val q10 = Q("q10_window_latest_order",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+      |QUALIFY row_number() OVER (
+      | PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      |ORDER BY o_custkey""".stripMargin))
+
+  /** Window over aggregate: top-5 users by summed value per event
+    * type.
+    */
+  val q11 = Q("q11_window_top_users",
+    (s, dir) => {
+      val a = Registry.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(round(sum("value"), 2).as("total"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("total").desc, col("user_id").asc)
+      a.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy(col("event_type"), col("total").desc, col("user_id"))
+    },
+    Some("""WITH a AS (
+      | SELECT event_type, user_id, round(sum(value), 2) AS total
+      | FROM events GROUP BY event_type, user_id)
+      |SELECT event_type, user_id, total FROM a
+      |QUALIFY row_number() OVER (
+      | PARTITION BY event_type ORDER BY total DESC, user_id) <= 5
+      |ORDER BY event_type, total DESC, user_id""".stripMargin))
+
+  /** Semi-structured extraction: JSON path into the props column. */
+  val q12 = Q("q12_json_extract",
+    (s, dir) => Registry.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count_distinct(col("k")).as("n_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+      | sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      | count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+      | count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Explode/unnest (SURVEY.md §2.8): word frequency over part names. */
+  val q13 = Q("q13_explode_words",
+    (s, dir) => table(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word"),
+    Some("""SELECT word, count(*) AS cnt FROM (
+      | SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word ORDER BY word""".stripMargin))
+
+  /** The ark company-scrub chain (F6/F7 — ~50 ordered literal
+    * replaces incl. first-occurrence-only steps via the custom
+    * ReplaceFirst expression) applied to synthesized company-like
+    * strings; the oracle SQL is GENERATED from the same chain table.
+    */
+  private val companySuffixes =
+    Seq(" INC", " CORP", " HOLDINGS CLASS A", " PLC", "-CL A, LTD.")
+  val q14 = Q("q14_company_scrub",
+    (s, dir) => {
+      val suffix = companySuffixes.zipWithIndex.tail
+        .foldLeft(when(col("p_partkey") % 5 === 0, companySuffixes.head)) {
+          case (acc, (suf, i)) => acc.when(col("p_partkey") % 5 === i, suf)
+        }
+      val raw = concat(upper(col("p_name")), suffix)
+      table(s, dir, "part")
+        .select(col("p_partkey"), raw.as("raw"),
+          Format.scrubCompany(raw).as("company"))
+        .orderBy("p_partkey")
+    }, {
+      val suffixSql = companySuffixes.zipWithIndex
+        .map { case (suf, i) => s"WHEN ${i} THEN ${SqlGen.lit(suf)}" }
+        .mkString(" ")
+      val raw = s"upper(p_name) || (CASE p_partkey % 5 $suffixSql END)"
+      Some(s"""SELECT p_partkey, $raw AS raw,
+        | ${SqlGen.duckScrubCompany(raw)} AS company
+        |FROM part ORDER BY p_partkey""".stripMargin)
+    })
+
+  /** The ark ticker-scrub chain (F6) — replace-all suffixes plus the
+    * first-occurrence-only DKNN fix (doubled in the fixture so
+    * first-vs-all semantics are actually distinguished).
+    */
+  private val tickerSuffixFixture = Seq(" UW", " FP", "/U CN", " DKNN DKNN")
+  val q15 = Q("q15_ticker_scrub",
+    (s, dir) => {
+      val suffix = tickerSuffixFixture.zipWithIndex.tail
+        .foldLeft(when(col("s_suppkey") % 4 === 0, tickerSuffixFixture.head)) {
+          case (acc, (suf, i)) => acc.when(col("s_suppkey") % 4 === i, suf)
+        }
+      val raw = concat(upper(col("s_name")), suffix)
+      table(s, dir, "supplier")
+        .select(col("s_suppkey"), raw.as("raw"),
+          Format.scrubTicker(raw).as("ticker"))
+        .orderBy("s_suppkey")
+    }, {
+      val suffixSql = tickerSuffixFixture.zipWithIndex
+        .map { case (suf, i) => s"WHEN ${i} THEN ${SqlGen.lit(suf)}" }
+        .mkString(" ")
+      val raw = s"upper(s_name) || (CASE s_suppkey % 4 $suffixSql END)"
+      Some(s"""SELECT s_suppkey, $raw AS raw,
+        | ${SqlGen.duckScrubTicker(raw)} AS ticker
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)
+    })
+
+  /** Derived-column arithmetic + round (the share_price rule F8) as a
+    * grouped unit-price computation.
+    */
+  val q16 = Q("q16_unit_price",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(round(sum("l_extendedprice") / sum("l_quantity"), 2)
+        .as("unit_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_partkey"),
+    Some("""SELECT l_partkey,
+      | round(sum(l_extendedprice) / sum(l_quantity), 2) AS unit_price,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
+
+  /** Tumbling-window aggregation (batch face of the streaming hourly
+    * rollup — the Structured Streaming job computes the same frame).
+    */
+  val q17 = Q("q17_events_hourly",
+    (s, dir) => Registry.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("h", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+      | count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val qs: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+      q14, q15, q16, q17)
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.ops.Similarity
+import graft.queries.Registry.table
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over the `embeddings` table (64-dim
+  * float vectors) plus the multimodal byte-column profile. Oracles
+  * reproduce the exact double-precision fold order (index order,
+  * left-assoc) so results are bit-identical before the final round.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+
+  /** Σᵢ a[i]·b[i] as left-assoc SQL (index order — matches Spark's
+    * `aggregate` fold).
+    */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST(list_extract($a, $i) AS DOUBLE) * CAST(list_extract($b, $i) AS DOUBLE)")
+      .mkString(" + ")
+
+  private def normSql(e: String): String = s"sqrt(${dotSql(e, e)})"
+
+  /** Brute-force cosine similarity: every 100th vector queries the
+    * whole corpus (broadcast query side, shuffle-free).
+    */
+  val q27 = Q("q27_cosine_bruteforce",
+    (s, dir) => Similarity.cosineBruteForce(table(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 100 === 0, threshold = 0.3)
+      .orderBy("qid", "vec_id"),
+    Some(s"""SELECT qid, vec_id, cos FROM (
+      | SELECT q.vec_id AS qid, a.vec_id,
+      |  round((${dotSql("q.embedding", "a.embedding")})
+      |    / (q.nrm * a.nrm), 6) AS cos
+      | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+      |       FROM embeddings) a,
+      |      (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+      |       FROM embeddings WHERE vec_id % 100 = 0) q
+      | WHERE q.vec_id <> a.vec_id)
+      |WHERE cos >= 0.3 ORDER BY qid, vec_id""".stripMargin))
+
+  /** Sign-LSH bucketed ANN: 8-bit sign signature restricts candidates
+    * to the query's coarse cell — the scale path (bucket = cluster
+    * key at 100 TB).
+    */
+  val q28 = Q("q28_cosine_lsh_bucketed",
+    (s, dir) => Similarity.cosineBucketed(table(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 100 === 0,
+        threshold = 0.2, bits = 4)
+      .orderBy("qid", "vec_id"), {
+      val bucket = (1 to 4).map(i =>
+        s"CASE WHEN CAST(list_extract(embedding, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      Some(s"""SELECT qid, vec_id, cos FROM (
+        | SELECT q.vec_id AS qid, a.vec_id,
+        |  round((${dotSql("q.embedding", "a.embedding")})
+        |    / (q.nrm * a.nrm), 6) AS cos
+        | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+        |        $bucket AS bkt FROM embeddings) a,
+        |      (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+        |        $bucket AS bkt FROM embeddings WHERE vec_id % 100 = 0) q
+        | WHERE q.vec_id <> a.vec_id AND q.bkt = a.bkt)
+        |WHERE cos >= 0.2 ORDER BY qid, vec_id""".stripMargin)
+    })
+
+  /** Multimodal byte-column profile: documents as opaque binary
+    * payloads (utf-8 bytes here; images/audio in production), profiled
+    * per source. The decode/feature-extract plumbing lives in
+    * `graft.ops.Multimodal`; this query verifies the byte-level
+    * schema path.
+    */
+  val q29 = Q("q29_multimodal_bytes",
+    (s, dir) => table(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).as("total_bytes"),
+        round(avg(octet_length(col("text"))), 2).as("avg_bytes"))
+      .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+      | sum(strlen(text)) AS total_bytes,
+      | round(avg(strlen(text)), 2) AS avg_bytes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q27, q28, q29)
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.ops.{Dedup, TextOps}
+import graft.queries.Registry.table
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: exact and
+  * near (MinHash-LSH, SimHash, n-gram Jaccard) dedup, token stats,
+  * quality scoring, language ID, fingerprinting. Oracle SQL is
+  * generated from the same constants as the Spark implementations
+  * wherever the computation is parameterized.
+  */
+object TextQueries {
+
+  /** Exact-dup profile per source (corpus has no exact dups — the
+    * point is the operator, counted per group).
+    */
+  val q18 = Q("q18_dedup_exact",
+    (s, dir) => table(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), count_distinct(col("text")).as("n_distinct"))
+      .orderBy("source"),
+    Some("""SELECT source, count(*) AS n, count(DISTINCT text) AS n_distinct
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Deterministic keep-first dedupe on a subset key (row_number
+    * window — `dropDuplicates(subset)` keeps an arbitrary row; this
+    * keeps a defined one).
+    */
+  val q19 = Q("q19_dedup_keyfirst",
+    (s, dir) => Dedup.keepFirst(table(s, dir, "documents"),
+        Seq("lang", "source"), Seq(col("doc_id").asc))
+      .select("lang", "source", "doc_id")
+      .orderBy("lang", "source"),
+    Some("""SELECT lang, source, doc_id FROM documents
+      |QUALIFY row_number() OVER (
+      | PARTITION BY lang, source ORDER BY doc_id) = 1
+      |ORDER BY lang, source""".stripMargin))
+
+  val q20 = Q("q20_token_stats",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("lang"), TextOps.tokenCount(col("text")).as("ntok"))
+      .groupBy("lang")
+      .agg(sum("ntok").as("total_tokens"),
+        round(avg("ntok"), 4).as("avg_tokens"),
+        min("ntok").as("min_tokens"), max("ntok").as("max_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang, sum(ntok) AS total_tokens,
+      | round(avg(ntok), 4) AS avg_tokens,
+      | min(ntok) AS min_tokens, max(ntok) AS max_tokens
+      |FROM (SELECT lang, len(string_split(text, ' ')) AS ntok FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val q21 = Q("q21_quality_score",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("source"), TextOps.qualityScore(col("text")).as("q"))
+      .groupBy("source")
+      .agg(round(avg("q"), 4).as("avg_quality"), count(lit(1)).as("n"))
+      .orderBy("source"),
+    Some("""SELECT source,
+      | round(avg(q), 4) AS avg_quality, count(*) AS n
+      |FROM (SELECT source,
+      |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |   * (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b'))
+      |       AS DOUBLE)
+      |     / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS q
+      | FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin))
+
+  val q22 = Q("q22_lang_id",
+    (s, dir) => table(s, dir, "documents")
+      .groupBy(col("lang"), TextOps.langPredict(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted"), {
+      // CASE generated from the same marker table as langPredict.
+      val Seq(en, es, de, fr) = TextOps.langMarkers.map { case (_, p) =>
+        s"len(regexp_extract_all(text, ${SqlGen.lit(p)}))"
+      }
+      Some(s"""SELECT lang, predicted, count(*) AS n FROM (
+        | SELECT lang, CASE
+        |  WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+        |  WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+        |  WHEN $de >= $fr AND $de > 0 THEN 'de'
+        |  WHEN $fr > 0 THEN 'fr'
+        |  ELSE 'unknown' END AS predicted
+        | FROM documents)
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)
+    })
+
+  val q23 = Q("q23_fingerprint",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count_distinct(col("fp")).as("n_fp"), count(lit(1)).as("n"),
+        min("fp").as("min_fp"))
+      .orderBy("source"),
+    Some("""SELECT source, count(DISTINCT fp) AS n_fp, count(*) AS n,
+      | min(fp) AS min_fp
+      |FROM (SELECT source,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      | FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** MinHash + LSH near-dup candidate buckets: 16 hashes, 4 bands of
+    * 4. The corpus plants near-dup pairs (Jaccard ≈ 0.98) — they
+    * surface here as multi-doc buckets.
+    */
+  val q24 = Q("q24_minhash_lsh",
+    (s, dir) => Dedup.lshBuckets(table(s, dir, "documents"),
+        "doc_id", "text", numHashes = 16, numBands = 4)
+      .orderBy("band_idx", "band_hash"), {
+      val mins = (0 until 16)
+        .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+      }.mkString(" UNION ALL ")
+      Some(s"""WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)
+        |      || ' ' || list_extract(t, i + 2))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3)
+        |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        |band AS ($bandSelects)
+        |SELECT band_idx, band_hash, count(*) AS cnt,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM band GROUP BY band_idx, band_hash HAVING count(*) > 1
+        |ORDER BY band_idx, band_hash""".stripMargin)
+    })
+
+  /** 32-bit SimHash per document (bit-majority over token hashes) —
+    * shuffle-free near-dup signature.
+    */
+  val q25 = Q("q25_simhash",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+      .orderBy("doc_id"), {
+      val bits = (31 to 0 by -1).map { b =>
+        s"""CASE WHEN list_sum(list_transform(vals, v -> (v >> $b) & 1)) * 2
+           | >= ntok THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+      }.mkString(" || ")
+      Some(s"""SELECT doc_id, $bits AS simhash FROM (
+        | SELECT doc_id,
+        |  list_transform(string_split(text, ' '),
+        |   x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS vals,
+        |  len(string_split(text, ' ')) AS ntok
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+    })
+
+  /** Pairwise n-gram Jaccard on LSH-style shingles — the verification
+    * tier above MinHash candidates. Planted near-dups sit at ≈0.98.
+    */
+  val q26 = Q("q26_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy("d1", "d2"),
+    Some("""WITH sh AS (
+      | SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)
+      |      || ' ' || list_extract(t, i + 2))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)
+      |), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      | FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT d1, d2,
+      | round(CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE), 3) AS jaccard
+      |FROM (SELECT d1, d2, i, na.n AS n1, nb.n AS n2
+      |      FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2)
+      |WHERE CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) >= 0.5
+      |ORDER BY d1, d2""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26)
+}
