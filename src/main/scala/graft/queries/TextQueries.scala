@@ -135,8 +135,7 @@ object TextQueries {
     * shuffle-free near-dup signature.
     */
   val q25 = Q("q25_simhash",
-    (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+    (s, dir) => Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id"), {
       val bits = (31 to 0 by -1).map { b =>
         s"""CASE WHEN list_sum(list_transform(vals, v -> (v >> $b) & 1)) * 2
