@@ -64,4 +64,9 @@ object ReplaceFirst {
       Shims.expression(c),
       Literal(UTF8String.fromString(pat), StringType),
       Literal(UTF8String.fromString(repl), StringType)))
+
+  /** Column-argument variant (pattern/replacement per row). */
+  def apply(c: Column, pat: Column, repl: Column): Column =
+    Shims.column(ReplaceFirst(
+      Shims.expression(c), Shims.expression(pat), Shims.expression(repl)))
 }

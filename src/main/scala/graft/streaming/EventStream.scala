@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming face of the engine. The reference is
+  * batch-only (scheduled refresh, SURVEY.md §2.9); these operators are
+  * the streaming upgrades of its merge/rollup semantics:
+  *
+  * - [[hourlyRollup]] — the SAME transformation works on a batch frame
+  *   and a stream (Spark's unified Dataset model); with a stream it
+  *   needs only the watermark for state eviction. Late/duplicate rows
+  *   are handled by watermark + windowed state instead of the
+  *   reference's union+distinct over full history.
+  * - [[sessionize]] — custom state machine via flatMapGroupsWithState
+  *   (gap-based user sessions), the pattern for anything the built-in
+  *   windowed aggs can't express.
+  *
+  * At scale: state is partitioned by group key across executors; the
+  * watermark bounds state size; `spark.sql.shuffle.partitions` sizes
+  * the state store, exactly like a shuffle.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour rollup per event type. Watermark: 2 hours. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"),
+        col("total"))
+
+  /** Gap-based sessionization: a session closes after `gapMinutes` of
+    * inactivity (event-time timeout) and is emitted once, closed.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId: Long, batch: Iterator[Event],
+            state: GroupState[List[Event]]) =>
+          if (state.hasTimedOut) {
+            val evs = state.get
+            state.remove()
+            Iterator.single(toSession(userId, evs))
+          } else {
+            val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
+              .sortBy(_.ts.getTime)
+            // split on gaps: all but the last run are closed sessions
+            val runs = splitOnGaps(all, gapMs)
+            val (closed, open) = (runs.init, runs.last)
+            state.update(open)
+            state.setTimeoutTimestamp(open.last.ts.getTime + gapMs)
+            closed.iterator.map(toSession(userId, _))
+          }
+      }
+  }
+
+  private def splitOnGaps(sorted: List[Event], gapMs: Long): List[List[Event]] =
+    sorted.foldLeft(List.empty[List[Event]]) {
+      case (Nil, e) => List(List(e))
+      case (cur :: done, e) if e.ts.getTime - cur.head.ts.getTime <= gapMs =>
+        (e :: cur) :: done // cur is reversed: head = latest
+      case (acc, e) => List(e) :: acc
+    }.map(_.reverse).reverse
+
+  private def toSession(userId: Long, evs: List[Event]): Session =
+    Session(userId, evs.head.ts, evs.last.ts, evs.length,
+      math.round(evs.map(_.value).sum * 100).toDouble / 100)
+
+  /** Batch-equivalence helper: the rollup applied to a static frame
+    * (what the q17 oracle checks via date_trunc).
+    */
+  def hourlyRollupBatch(spark: SparkSession, dir: String): DataFrame =
+    hourlyRollup(graft.queries.Registry.events(spark, dir))
+}

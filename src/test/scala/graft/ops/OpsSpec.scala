@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the training-data operators, on the sf0.001
+  * corpus (planted near-dups) plus synthetic micro-fixtures.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = sf("documents")
+
+  test("minhash LSH buckets find the planted near-dup pairs") {
+    // ground truth: pairs with word-3gram jaccard ≥ 0.9
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+
+    val buckets = Dedup.lshBuckets(docs, "doc_id", "text", 16, 4)
+      .collect()
+    // every truth pair should share ≥1 band bucket (min/max doc of a
+    // 2-doc bucket IS the pair; larger buckets need the full member
+    // list, so check via bands directly)
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatures(docs, "doc_id", "text", 16), "doc_id", 16, 4)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(0)))
+      .groupBy(t => (t._1, t._2)).values.map(_.map(_._3).toSet)
+    val caught = truth.filter { case (a, b) =>
+      bands.exists(s => s.contains(a) && s.contains(b))
+    }
+    assert(caught == truth,
+      s"LSH missed near-dup pairs: ${truth.diff(caught)}")
+    assert(buckets.forall(_.getLong(2) > 1))
+  }
+
+  test("simhash: near-dup docs get close hashes, distinct docs don't collide much") {
+    val hs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) =
+      a.zip(b).count { case (x, y) => x != y }
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val nearDist = pairs.map { case (a, b) => hamming(hs(a), hs(b)) }
+    assert(nearDist.forall(_ <= 6),
+      s"near-dups should be hamming-close: $nearDist")
+  }
+
+  test("keepFirst keeps exactly the minimum-order row per key") {
+    val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7), (2, "d", 9))
+      .toDF("k", "v", "ord")
+    val kept = Dedup.keepFirst(df, Seq("k"), Seq(col("ord").asc))
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(kept == Set((1, "b"), (2, "c")))
+  }
+
+  test("cosine brute force: self-similarity excluded, symmetry holds") {
+    val emb = sf("embeddings")
+    val out = Similarity.cosineBruteForce(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, threshold = -2.0) // keep all pairs
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val n = emb.count()
+    val nq = emb.filter(col("vec_id") % 100 === 0).count()
+    assert(rows.length == nq * (n - 1))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+  }
+
+  test("bucketed cosine is a subset of brute force with equal scores") {
+    val emb = sf("embeddings")
+    val bf = Similarity.cosineBruteForce(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bk = Similarity.cosineBucketed(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, 0.2, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bk.keySet.subsetOf(bf.keySet))
+    assert(bk.forall { case (k, v) => bf(k) == v })
+  }
+
+  test("multimodal: binary plumbing round-trips and features are deterministic") {
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(f => f.features.forall(v => v >= 0f && v < 1f)))
+    // determinism: second run identical
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f.checksum).toMap
+    assert(feats.forall(f => again(f.id) == f.checksum))
+    // sampling shrinks payloads
+    val sampled = Multimodal.sampleBytes(media, 4)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]]("content").length).toMap
+    val orig = media.collect().map(r => r.getLong(0) ->
+      r.getAs[Array[Byte]]("content").length).toMap
+    assert(sampled.forall { case (id, len) =>
+      len == (orig(id) + 3) / 4
+    })
+  }
+
+  test("text ops: token count and fingerprint invariants") {
+    val df = Seq("the cat sat", "THE  CAT  SAT", "unique words here")
+      .toDF("text")
+    val toks = df.select(TextOps.tokenCount(col("text"))).collect()
+      .map(_.getInt(0)).toSeq
+    assert(toks.head == 3)
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect()
+      .map(_.getString(0))
+    // whitespace-normalized lowercase: rows 0 and 1 collide
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
