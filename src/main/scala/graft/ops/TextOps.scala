@@ -21,6 +21,14 @@ object TextOps {
   def patternHits(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** BPE-style pre-tokenizer shape (GPT-2-ish): letter runs, single
+    * digits, individual punctuation marks. Same regex dialect in Java
+    * and RE2, so the DuckDB oracle reproduces it verbatim.
+    */
+  val bpePattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column = patternHits(text, bpePattern)
+
   /** Language-ID heuristic: count language-marker stopwords, pick the
     * arg-max with a fixed priority order (en > es > de > fr) and
     * `unknown` when nothing matches. Deterministic and cheap — the

@@ -176,5 +176,25 @@ object TextQueries {
       |WHERE CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) >= 0.5
       |ORDER BY d1, d2""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26)
+  /** Whitespace vs BPE-ish token counting side by side (the two
+    * counters an LLM-corpus pipeline actually runs).
+    */
+  val q30 = Q("q30_bpe_tokens",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).as("ws_tok"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tok"))
+      .groupBy("lang")
+      .agg(sum("ws_tok").as("ws_tokens"), sum("bpe_tok").as("bpe_tokens"),
+        round(avg("bpe_tok"), 4).as("avg_bpe"))
+      .orderBy("lang"),
+    Some(s"""SELECT lang, sum(ws_tok) AS ws_tokens, sum(bpe_tok) AS bpe_tokens,
+      | round(avg(bpe_tok), 4) AS avg_bpe
+      |FROM (SELECT lang, len(string_split(text, ' ')) AS ws_tok,
+      |  len(regexp_extract_all(text, ${SqlGen.lit(TextOps.bpePattern)}))
+      |    AS bpe_tok
+      | FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30)
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions — the scale properties the queries claim
+  * (pushdown, pruning, broadcast, top-k, codegen) must actually show
+  * up in the executed plan, not just in comments.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: Q): String = {
+    val df = q.run(spark, dir)
+    df.collect() // execute so AQE finalizes and codegen spans appear
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter pushed to parquet scan + whole-stage codegen") {
+    val p = plan(Relational.q01)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // `*(N)` node prefixes are the WholeStageCodegen span markers
+    assert(p.contains("*(1) HashAggregate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q02: pushdown includes quantity+discount, schema pruned to 4 cols") {
+    val p = plan(Relational.q02)
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_quantity"), p)
+    // ReadSchema must not include unused columns like l_comment-ish ones
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_returnflag"), read)
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q03)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("q07: dimension join broadcasts (no shuffle of the fact side)") {
+    val p = plan(Relational.q07)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q09: snowflake plan keeps broadcast joins for the dims") {
+    val p = plan(Relational.q09)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q27: query side broadcasts; no shuffle in brute-force cosine") {
+    val p = plan(SimilarityQueries.q27)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // candidate side must NOT be exchanged (only the broadcast)
+    assert(!p.contains("ShuffleExchange") || p.contains("AQEShuffleRead") ||
+      !p.split("BroadcastExchange").head.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q24: minhash aggregates partially before the shuffle") {
+    val p = plan(TextQueries.q24)
+    // partial_min markers indicate map-side combine of the 16 signatures
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+}
