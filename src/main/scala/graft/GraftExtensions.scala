@@ -1,0 +1,26 @@
+package graft
+
+import graft.functions.ReplaceFirst
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get them too
+  * (`SELECT replace_first(col, 'PAT', 'REPL')`). Install via
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder.withExtensions` (GraftSession does the
+  * latter).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("replace_first"),
+      new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "replace_first(str, search, replace) takes 3 arguments")
+        ReplaceFirst(args(0), args(1), args(2))
+      }))
+  }
+}

@@ -37,8 +37,13 @@ final case class Ark(df: DataFrame, ticker: Ticker, path: Option[String]) {
   def writeParquet(): Ark = {
     val formatted = format
     val root = path.getOrElse("data/parquet")
-    Ark.writeSingleFile(formatted.df, s"$root/${ticker.name}.parquet")
-    formatted
+    val target = s"$root/${ticker.name}.parquet"
+    Ark.writeSingleFile(formatted.df, target)
+    // Re-point the returned lineage at the file just written: the
+    // incremental path overwrites the SAME file the lazy plan still
+    // scans (the reference materializes eagerly before writing, so it
+    // never sees its own overwrite; a lazy plan would).
+    copy(df = spark.read.parquet(target))
   }
 
   /** Scale-path sink: a directory per ticker, partitioned by date —
@@ -48,10 +53,11 @@ final case class Ark(df: DataFrame, ticker: Ticker, path: Option[String]) {
   def writeParquetPartitioned(): Ark = {
     val formatted = format
     val root = path.getOrElse("data/parquet")
+    val target = s"$root/${ticker.name}"
     formatted.df.write.mode("overwrite")
       .partitionBy("date")
-      .parquet(s"$root/${ticker.name}")
-    formatted
+      .parquet(target)
+    copy(df = spark.read.parquet(target))
   }
 }
 

@@ -198,11 +198,14 @@ object Format {
         round(col("market_value").cast(DoubleType) /
           col("shares").cast(DoubleType), 2))
 
-    // Type-repair casts after union (ref util.rs:452-476).
+    // Type-repair casts after union (ref util.rs:452-476). Also covers
+    // IntegerType: Polars' CSV reader infers small ints as i64, Spark
+    // as int32 — coerce so the canonical schema (LongType) holds
+    // regardless of inference dialect.
     var repairs = Map.empty[String, Column]
-    if (is(df, "market_value", DoubleType))
+    if (is(df, "market_value", DoubleType) || is(df, "market_value", IntegerType))
       repairs += "market_value" -> col("market_value").cast(LongType)
-    if (is(df, "shares", DoubleType))
+    if (is(df, "shares", DoubleType) || is(df, "shares", IntegerType))
       repairs += "shares" -> col("shares").cast(LongType)
     if (is(df, "share_price", LongType))
       repairs += "share_price" -> col("share_price").cast(DoubleType)

@@ -163,6 +163,30 @@ object Dedup {
       .select(col(idCol), concat(bits: _*).as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors whose cosine
+    * similarity meets `threshold` (each pair once, a < b), restricted
+    * to sign-LSH cells. Unlike the query-probe shape (broadcast the
+    * small query set), all-pairs dedup self-JOINS on the bucket —
+    * both sides shuffle-partition by cell, so each task compares only
+    * its own cell's vectors. That is the 100 TB-safe shape; `bits`
+    * trades recall for cell size.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4): DataFrame = {
+    val base = Similarity.withNorm(df, vecCol)
+      .withColumn("_bkt", Similarity.signBucket(col("_e"), bits))
+    val l = base.select(col("_bkt"), col(idCol).as("a"),
+      col("_e").as("_ea"), col("_nrm").as("_na"))
+    val r = base.select(col("_bkt"), col(idCol).as("b"),
+      col("_e").as("_eb"), col("_nrm").as("_nb"))
+    l.join(r, "_bkt")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.dot(col("_ea"), col("_eb")) /
+          (col("_na") * col("_nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic keep-first dedupe on a subset key (SURVEY.md §2.6
     * U2's scale path): row_number over (keys, orderBy) == 1.
     */

@@ -1,0 +1,104 @@
+package graft.ark
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Lifecycle tests for the Ark pipeline object — the reference's own
+  * in-module test layer (`src/util.rs:584-647`) plus the ingest modes
+  * driven offline through stub fetchers.
+  */
+class ArkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-arkspec-").toString
+
+  private val csvDay1 =
+    """date,fund,company,ticker,cusip,shares,"market value ($)","weight (%)",
+      |03/15/2024,ARKK,"TESLA INC",TSLA,88160R101,"100","$1,000.00",9.49%,
+      |03/15/2024,ARKK,"COINBASE GLOBAL INC",COIN,19260Q107,"200","$2,000.00",5.70%,""".stripMargin
+
+  private val jsonDay2 =
+    """[{"company":"TESLA INC","cusip":"88160R101","date":"2024-03-18","market_value":1100,"share_price":11.0,"shares":100,"ticker":"TSLA","weight":9.55,"weight_rank":1}]"""
+
+  test("parquet round-trip: write then Source.Read returns the same frame") {
+    val root = tmpRoot()
+    val ark = Ark(Ark.placeholder(spark), Ticker.ARKK, Some(root))
+      .copy(df = Format.dfFormat(DataReader.csvBytesToDf(spark, csvDay1)))
+      .writeParquet()
+    val back = Ark(spark, Source.Read, Ticker.ARKK, Some(root))
+    assert(back.df.schema == ark.df.schema)
+    assert(back.df.orderBy("ticker").collect().toSeq ==
+      ark.df.orderBy("ticker").collect().toSeq)
+  }
+
+  test("Source.Read without a file throws the reference's error") {
+    val e = intercept[IllegalStateException] {
+      Ark(spark, Source.Read, Ticker.ARKQ, Some(tmpRoot()))
+    }
+    assert(e.getMessage.contains("file is empty, does not exist"))
+  }
+
+  test("incremental refresh merges only newer dates and dedupes") {
+    val root = tmpRoot()
+    Ark(spark, Source.Ark, Ticker.ARKK, Some(root), (_: String) => csvDay1)
+      .writeParquet()
+    var fetchedUrl = ""
+    val merged = Ark(spark, Source.ApiIncremental, Ticker.ARKK, Some(root),
+      (url: String) => { fetchedUrl = url; jsonDay2 }).writeParquet()
+    assert(fetchedUrl.endsWith("start=2024-03-15"), fetchedUrl)
+    val rows = merged.df.orderBy("date", "ticker").collect()
+    assert(rows.length == 3)
+    // re-running the SAME update is a no-op thanks to union+dedupe
+    val again = Ark(spark, Source.ApiIncremental, Ticker.ARKK, Some(root),
+      (_: String) => jsonDay2)
+    assert(again.df.count() == 3)
+  }
+
+  test("csv_merge: glob dir → union → dedupe with history → sorted write") {
+    val root = tmpRoot()
+    val csvDir = s"$root/csv/ARKK"
+    new java.io.File(csvDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/a.csv"), csvDay1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/b.csv"), csvDay1) // duplicate file
+    val ark = Ark.mergeOldCsvToParquet(spark, Ticker.ARKK, Some(root),
+        s"$root/csv")
+      .format.sort.writeParquet()
+    val rows = ark.df.collect()
+    // Reference parity: without existing parquet history, csv_merge
+    // unions the files WITHOUT dedupe (`util.rs:555-572` only dedupes
+    // on the history-merge branch) — duplicate files stay duplicated.
+    assert(rows.length == 4)
+    // sorted: date ASC then weight DESC
+    val weights = ark.df.select("weight").collect().map(_.getDouble(0)).toSeq
+    assert(weights == weights.sortBy(-_))
+  }
+
+  test("sort is date ASC, weight DESC") {
+    val df = Seq(
+      ("2024-03-18", 1.0), ("2024-03-15", 9.0), ("2024-03-15", 2.0),
+      ("2024-03-18", 7.0))
+      .toDF("date", "weight")
+      .withColumn("date", col("date").cast("date"))
+    val got = Ark.dfSort(df).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1))).toSeq
+    assert(got == Seq(("2024-03-15", 9.0), ("2024-03-15", 2.0),
+      ("2024-03-18", 7.0), ("2024-03-18", 1.0)))
+  }
+
+  test("concatDf tolerates missing columns via unionByName") {
+    val a = Seq(("2024-03-15", "TSLA", 1.0)).toDF("date", "ticker", "weight")
+    val b = Seq(("2024-03-16", "COIN")).toDF("date", "ticker")
+    val out = Ark.concatDf(Seq(a, b)).orderBy("date")
+    assert(out.columns.toSeq == Seq("date", "ticker", "weight"))
+    assert(out.count() == 2)
+    assert(out.collect()(1).isNullAt(2))
+  }
+
+  test("replace_first is callable from SQL (extension registration)") {
+    assert(spark.sql("SELECT replace_first('aXbXc', 'X', '-')")
+      .head().getString(0) == "a-bXc")
+  }
+}

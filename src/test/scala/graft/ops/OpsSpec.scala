@@ -79,6 +79,20 @@ class OpsSpec extends SparkSpec {
     assert(bk.forall { case (k, v) => bf(k) == v })
   }
 
+  test("embedding near-dup pairs: bucketed self-join subset of brute force") {
+    val emb = sf("embeddings")
+    val brute = Similarity.cosineBruteForce(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.lit(true), 0.4)
+      .filter(col("qid") < col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.4, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.nonEmpty)
+    assert(bucketed.keySet.subsetOf(brute.keySet))
+    assert(bucketed.forall { case (k, v) => brute(k) == v })
+  }
+
   test("multimodal: binary plumbing round-trips and features are deterministic") {
     val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
     assert(media.schema("content").dataType.typeName == "binary")
