@@ -1,6 +1,5 @@
 package graft.ark
 
-import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -19,9 +18,12 @@ import org.apache.spark.sql.types._
   */
 object Format {
 
-  /** Literal replace-all: Polars `str.replace_all(..., literal=true)`. */
+  /** Literal replace-all: Polars `str.replace_all(..., literal=true)`
+    * — `StringReplace`, a plain substring scan (no regex engine on the
+    * ~30-step scrub hot path).
+    */
   private[ark] def replaceAllLit(c: Column, pat: String, repl: String): Column =
-    regexp_replace(c, Pattern.quote(pat), Matcher.quoteReplacement(repl))
+    replace(c, lit(pat), lit(repl))
 
   /** Literal replace-FIRST-occurrence: Polars `str.replace(...,
     * literal=true)`. Spark's `regexp_replace` replaces all matches;

@@ -22,14 +22,16 @@ object Similarity {
   /** Cast a float embedding to double and attach its L2 norm. */
   def withNorm(df: DataFrame, vecCol: String): DataFrame = {
     val e = col(vecCol).cast("array<double>")
-    df.withColumn("_e", e).withColumn("_nrm",
-      sqrt(aggregate(transform(col("_e"), x => x * x), lit(0.0d),
-        (acc, x) => acc + x)))
+    df.withColumn("_e", e)
+      .withColumn("_nrm", sqrt(dot(col("_e"), col("_e"))))
   }
 
-  /** Dot product via zip_with + left fold (index order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Index-order dot product — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (the `zip_with` +
+    * `aggregate` HOF formulation is CodegenFallback: boxed-Double
+    * interpretation, GC-noisy at corpus scale).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   /** Sign signature over the first `bits` dimensions: '1' where the
     * coordinate is ≥ 0. Cheap coarse quantizer (random-hyperplane LSH

@@ -106,6 +106,38 @@ class FormatSpec extends SparkSpec {
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
+  // ---- property: convergence over randomized near-canonical frames.
+  // dfFormat is NOT 1-pass idempotent (faithfully so): a "ROCKET LAB
+  // USA" row first has company rewritten to "ROCKET LAB"; only the
+  // NEXT pass's RKLB rule sees that value and sets the ticker — the
+  // reference's rules likewise match on in-step values
+  // (format/ticker.rs:294-316), converging on re-format of history
+  // (util.rs:70-79). The invariant is: pass 2 is a fixpoint. ----
+  test("property: dfFormat converges by the second pass on randomized frames") {
+    val rnd = new scala.util.Random(7)
+    val companies = Seq("TESLA INC", "COINBASE GLOBAL INC -CLASS A",
+      "ROCKET LAB USA", "Cash & Other", "DRAFTKINGS INC -CL A",
+      "ASML HOLDING NV", "SpaceX", "INTUITIVE MACHINES",
+      "Space Exploration Technologies Corp", null)
+    val tickers = Seq("TSLA UW", "COIN", "DKNN", "RKLB", "MC FP", null)
+    val rows = (0 until 60).map { i =>
+      (f"03/${1 + rnd.nextInt(28)}%02d/2024",
+        tickers(rnd.nextInt(tickers.length)),
+        s"CUSIP$i",
+        companies(rnd.nextInt(companies.length)),
+        rnd.nextInt(1000000).toLong, rnd.nextInt(10000).toLong + 1,
+        rnd.nextDouble() * 100, rnd.nextDouble() * 10)
+    }
+    val df = rows.toDF("date", "ticker", "cusip", "company",
+      "market_value", "shares", "share_price", "weight")
+    val twice = Format.dfFormat(Format.dfFormat(df))
+    val thrice = Format.dfFormat(twice)
+    assert(twice.schema == thrice.schema)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(sorted(twice) == sorted(thrice))
+  }
+
   // ---- FIXTURES.md §2: ARK US CSV ----
   test("pipeline: ARK US csv shape") {
     val csv =
