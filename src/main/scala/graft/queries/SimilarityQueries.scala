@@ -83,5 +83,30 @@ object SimilarityQueries {
       | round(avg(strlen(text)), 2) AS avg_bytes
       |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q27, q28, q29)
+  /** Embedding-cosine near-duplicate pairs (dedup by vector): all
+    * pairs within a sign-LSH cell at cos ≥ 0.4, emitted once (a < b).
+    * Unlike the probe queries this self-joins shuffle-partitioned by
+    * cell — the all-pairs-at-scale shape.
+    */
+  val q31 = Q("q31_embedding_neardups",
+    (s, dir) => graft.ops.Dedup.embeddingNearDups(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bits = 4)
+      .orderBy("a", "b"), {
+      val bucket = (1 to 4).map(i =>
+        s"CASE WHEN CAST(list_extract(embedding, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      Some(s"""SELECT a, b, cos FROM (
+        | SELECT l.vec_id AS a, r.vec_id AS b,
+        |  round((${dotSql("l.embedding", "r.embedding")})
+        |    / (l.nrm * r.nrm), 6) AS cos
+        | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+        |        $bucket AS bkt FROM embeddings) l
+        |  JOIN (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+        |        $bucket AS bkt FROM embeddings) r
+        |  ON l.bkt = r.bkt AND l.vec_id < r.vec_id)
+        |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin)
+    })
+
+  val qs: Seq[Q] = Seq(q27, q28, q29, q31)
 }
