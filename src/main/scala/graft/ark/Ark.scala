@@ -54,9 +54,20 @@ final case class Ark(df: DataFrame, ticker: Ticker, path: Option[String]) {
     val formatted = format
     val root = path.getOrElse("data/parquet")
     val target = s"$root/${ticker.name}"
+    // Stage to a sibling temp dir then swap: writing mode("overwrite")
+    // straight onto `target` fails with "Cannot overwrite a path that
+    // is also being read from" when this Ark's plan (e.g. after a
+    // previous writeParquetPartitioned) scans the same directory.
+    val tmp = s"$target.tmp-${java.util.UUID.randomUUID()}"
     formatted.df.write.mode("overwrite")
       .partitionBy("date")
-      .parquet(target)
+      .parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(target))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(target))
     copy(df = spark.read.parquet(target))
   }
 }

@@ -29,6 +29,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val ok = children.forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.graft.Shims
@@ -27,6 +28,16 @@ case class ReplaceFirst(str: Expression, search: Expression, replace: Expression
 
   override def dataType: DataType = StringType
   override def prettyName: String = "replace_first"
+
+  // Exposed as a SQL function (GraftExtensions): reject non-string
+  // inputs at analysis time instead of a ClassCastException on the
+  // executor. (ExpectsInputTypes is off-limits — `AbstractDataType`
+  // is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string, string) arguments, got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
 
   override def nullSafeEval(s: Any, p: Any, r: Any): Any =
     ReplaceFirst.replaceFirst(

@@ -64,7 +64,10 @@ object Dedup {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = if (text == null) Array.empty[String] else text.split(' ')
+        // limit -1: keep trailing empty tokens, matching Spark's
+        // split() and DuckDB's string_split (Java's default limit 0
+        // would silently drop them and diverge from the oracles)
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
         if (t.length < k) Iterator.empty
         else {
           val seen = new scala.collection.mutable.HashSet[String]
@@ -206,7 +209,10 @@ object Dedup {
     // (id, shingle) arrives unique per doc. The table feeds three
     // subtrees (both join sides + the size table): persist it instead
     // of recomputing the shingling three times — at scale this is
-    // where you'd checkpoint anyway
+    // where you'd checkpoint anyway. NB the cached blocks outlive the
+    // returned (lazy) frame; long-lived sessions should
+    // `spark.catalog.clearCache()` after consuming the result (Bench
+    // and Verify do).
     val sh = shingleRows(widen(df), idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))

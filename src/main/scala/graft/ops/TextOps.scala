@@ -52,11 +52,14 @@ object TextOps {
 
   /** Quality score in [0,1]: length saturation × (1 − stopword ratio),
     * the shape of the usual heuristic pre-filters for LLM corpora.
+    * Clamped at 0: regex stopword hits can exceed the whitespace token
+    * count (e.g. "state-of-the-art" is 1 token but 2 hits).
     */
   def qualityScore(text: Column): Column = {
     val toks = tokenCount(text).cast("double")
     val stop = patternHits(text, "\\b(the|a|of|and)\\b").cast("double")
-    round(least(toks / 100.0, lit(1.0)) * (lit(1.0) - stop / toks), 4)
+    round(greatest(lit(0.0),
+      least(toks / 100.0, lit(1.0)) * (lit(1.0) - stop / toks)), 4)
   }
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase

@@ -60,4 +60,26 @@ object SqlGen {
       .foldLeft(input)((acc, p) => s"replace($acc, ${lit(p)}, '')")
     s"rtrim(regexp_replace($stripped, 'DKNN', 'DKNG'))"
   }
+
+  /** DuckDB CTE body producing distinct (doc_id, s) word-3-gram
+    * shingle rows — mirrors [[graft.ops.Dedup.shingleRows]] (k=3).
+    * One definition shared by the minhash and jaccard oracles.
+    * Single-line: this gets interpolated into stripMargin'd strings,
+    * where an embedded line starting with `||` would lose a pipe.
+    */
+  val duckShingleCte: String =
+    """SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)
+      |      || ' ' || list_extract(t, i + 2))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin.replaceAll("\\s*\n\\s*", " ")
+
+  /** DuckDB sign-LSH bucket over the first `bits` dims — mirrors
+    * [[graft.ops.Similarity.signBucket]]. Shared by q28/q31.
+    */
+  def duckSignBucket(bits: Int): String =
+    (1 to bits).map(i =>
+      s"CASE WHEN CAST(list_extract(embedding, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
 }

@@ -50,9 +50,7 @@ object SimilarityQueries {
         "vec_id", "embedding", col("vec_id") % 100 === 0,
         threshold = 0.2, bits = 4)
       .orderBy("qid", "vec_id"), {
-      val bucket = (1 to 4).map(i =>
-        s"CASE WHEN CAST(list_extract(embedding, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+      val bucket = SqlGen.duckSignBucket(4)
       Some(s"""SELECT qid, vec_id, cos FROM (
         | SELECT q.vec_id AS qid, a.vec_id,
         |  round((${dotSql("q.embedding", "a.embedding")})
@@ -93,9 +91,7 @@ object SimilarityQueries {
         table(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, bits = 4)
       .orderBy("a", "b"), {
-      val bucket = (1 to 4).map(i =>
-        s"CASE WHEN CAST(list_extract(embedding, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+      val bucket = SqlGen.duckSignBucket(4)
       Some(s"""SELECT a, b, cos FROM (
         | SELECT l.vec_id AS a, r.vec_id AS b,
         |  round((${dotSql("l.embedding", "r.embedding")})

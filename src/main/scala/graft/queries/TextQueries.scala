@@ -60,10 +60,11 @@ object TextQueries {
     Some("""SELECT source,
       | round(avg(q), 4) AS avg_quality, count(*) AS n
       |FROM (SELECT source,
-      |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |  round(greatest(0.0,
+      |   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
       |   * (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b'))
       |       AS DOUBLE)
-      |     / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS q
+      |     / CAST(len(string_split(text, ' ')) AS DOUBLE))), 4) AS q
       | FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin))
 
@@ -117,12 +118,7 @@ object TextQueries {
         s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
       }.mkString(" UNION ALL ")
       Some(s"""WITH sh AS (
-        | SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |    i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)
-        |      || ' ' || list_extract(t, i + 2))) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3)
+        |${SqlGen.duckShingleCte}
         |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
         |band AS ($bandSelects)
         |SELECT band_idx, band_hash, count(*) AS cnt,
@@ -157,13 +153,8 @@ object TextQueries {
     (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5)
       .orderBy("d1", "d2"),
-    Some("""WITH sh AS (
-      | SELECT DISTINCT doc_id, s FROM (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-      |    i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)
-      |      || ' ' || list_extract(t, i + 2))) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |  WHERE len(t) >= 3)
+    Some(s"""WITH sh AS (
+      |${SqlGen.duckShingleCte}
       |), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i

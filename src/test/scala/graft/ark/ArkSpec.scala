@@ -101,4 +101,23 @@ class ArkSpec extends SparkSpec {
     assert(spark.sql("SELECT replace_first('aXbXc', 'X', '-')")
       .head().getString(0) == "a-bXc")
   }
+
+  test("replace_first rejects non-string args at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT replace_first(123, '2', 'x')").collect()
+    }
+    assert(e.getMessage.contains("replace_first requires"), e.getMessage)
+  }
+
+  test("writeParquetPartitioned survives consecutive overwrites of its own input") {
+    val root = tmpRoot()
+    val ark = Ark(Ark.placeholder(spark), Ticker.ARKK, Some(root))
+      .copy(df = Format.dfFormat(DataReader.csvBytesToDf(spark, csvDay1)))
+    val once = ark.writeParquetPartitioned()
+    // the returned lineage scans the directory just written; a second
+    // overwrite must stage-and-swap, not read-while-overwriting
+    val twice = once.writeParquetPartitioned()
+    assert(twice.df.count() == 2)
+    assert(new java.io.File(s"$root/ARKK").isDirectory)
+  }
 }
