@@ -277,6 +277,22 @@ class FormatSpec extends SparkSpec {
       ("COIN", "COINBASE")))
   }
 
+  // ---- 5-column canonical variant (util.rs:489-494). Only reachable
+  // with an explicit non-padding source (DataSource.Ark passes the
+  // frame through): the unknown-source chain always runs the ARKVX
+  // formatter, which pads monetary nulls whenever market_value is
+  // absent (data_source.rs:70-80), so share_price always exists there
+  // and the anySource path always lands on the 8-col shape. ----
+  test("canonical 5-column shape via the non-padding source path") {
+    val in = Seq(("2024-03-15", "TSLA", "88160R101", "TESLA", 9.49))
+      .toDF("date", "ticker", "cusip", "company", "weight")
+    val out = Format.dfFormat(in, Some(DataSource.Ark))
+    assert(out.columns.toSeq == Schema.cols5)
+    assert(out.head().getDouble(4) == 9.49)
+    // unknown-source chain on the same frame: padded 8-col (parity)
+    assert(Format.dfFormat(in).columns.toSeq == Schema.cols8)
+  }
+
   // ---- ticker scrub unit cases (util.rs:292-312) ----
   test("ticker suffix scrub") {
     val in = Seq("TSLA UW", "MC FP", "DKNN", "SHOP/U CN", "ABC  ")

@@ -115,6 +115,22 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("multimodal features feed the ANN operator end-to-end") {
+    // the advertised pipeline: binary payload → decode stub → fixed-
+    // width feature vector → cosine search over the features
+    val media = Multimodal.asMedia(docs.limit(100), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val hits = Similarity.cosineBruteForce(feats, "vec_id", "embedding",
+      col("vec_id") % 20 === 0, threshold = 0.9)
+    val rows = hits.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) <= 1.000001))
+    // stub features are dense positive 8-dim vectors → high cosine is
+    // common; the operator must return a non-trivial result set
+    assert(rows.nonEmpty)
+  }
+
   test("text ops: token count and fingerprint invariants") {
     val df = Seq("the cat sat", "THE  CAT  SAT", "unique words here")
       .toDF("text")
