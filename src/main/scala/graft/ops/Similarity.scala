@@ -58,6 +58,45 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF cell assignment: centroids are the vectors matching
+    * `centroidPred` (a deterministic sample — a k-means fit would slot
+    * in here unchanged); every vector joins the cell of its
+    * max-cosine centroid (rounded, centroid-id tiebreak — exactly
+    * reproducible in SQL). Centroids broadcast; the argmax is a
+    * row_number window partitioned by vector, i.e. one shuffle of the
+    * (vector × centroid) cos pairs. At 100 TB the cell column becomes
+    * the partition key, so a probe reads one cell, not the corpus.
+    */
+  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column): DataFrame = {
+    val base = withNorm(emb, vecCol).select(col(idCol), col("_e"), col("_nrm"))
+    val cents = base.filter(centroidPred)
+      .select(col(idCol).as("cid"), col("_e").as("_ce"), col("_nrm").as("_cn"))
+    val cos = round(dot(col("_e"), col("_ce")) / (col("_nrm") * col("_cn")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("_ccos").desc, col("cid").asc)
+    base.crossJoin(broadcast(cents))
+      .withColumn("_ccos", cos)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_e"), col("_nrm"), col("cid").as("cell"))
+  }
+
+  /** IVF search, nprobe=1: queries scan only their own cell. */
+  def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, centroidPred: Column,
+      threshold: Double): DataFrame = {
+    val cells = ivfCells(emb, idCol, vecCol, centroidPred)
+    val q = cells.filter(queryPred)
+      .select(col(idCol).as("qid"), col("_e").as("_qe"),
+        col("_nrm").as("_qn"), col("cell").as("_qcell"))
+    val cos = round(dot(col("_qe"), col("_e")) / (col("_qn") * col("_nrm")), 6)
+    cells.join(broadcast(q),
+        col("cell") === col("_qcell") && col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Sign-LSH bucketed cosine: same contract as brute force but the
     * candidate set is restricted to the query's coarse cell.
     */

@@ -104,5 +104,38 @@ object SimilarityQueries {
         |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin)
     })
 
-  val qs: Seq[Q] = Seq(q27, q28, q29, q31)
+  /** Centroid-based IVF search (nprobe=1): every 50th(+7) vector is a
+    * centroid, vectors join their max-cosine centroid's cell, queries
+    * probe only their own cell. The argmax (rounded cos, centroid-id
+    * tiebreak) is exactly reproducible in SQL, so the whole index is
+    * oracle-checked.
+    */
+  val q32 = Q("q32_cosine_ivf",
+    (s, dir) => graft.ops.Similarity.ivfSearch(table(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        centroidPred = col("vec_id") % 50 === 7,
+        threshold = 0.2)
+      .orderBy("qid", "vec_id"),
+    Some(s"""WITH base AS (
+      | SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+      | FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+      | FROM base WHERE vec_id % 50 = 7),
+      |asg AS (
+      | SELECT vec_id, embedding, nrm, cid AS cell FROM (
+      |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+      |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |    round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6) DESC,
+      |    c.cid) AS rn
+      |  FROM base b, cents c) WHERE rn = 1)
+      |SELECT qid, vec_id, cos FROM (
+      | SELECT q.vec_id AS qid, a.vec_id,
+      |  round((${dotSql("q.embedding", "a.embedding")})
+      |    / (q.nrm * a.nrm), 6) AS cos
+      | FROM asg a JOIN (SELECT * FROM asg WHERE vec_id % 100 = 0) q
+      |  ON q.cell = a.cell AND q.vec_id <> a.vec_id)
+      |WHERE cos >= 0.2 ORDER BY qid, vec_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32)
 }

@@ -84,6 +84,18 @@ object EventStream {
     Session(userId, evs.head.ts, evs.last.ts, evs.length,
       math.round(evs.map(_.value).sum * 100).toDouble / 100)
 
+  /** Streaming dedupe — the streaming face of the reference's
+    * union+distinct merge (SURVEY.md §2.6): duplicates arriving within
+    * the watermark horizon are dropped exactly once; state for keys
+    * older than the watermark is evicted, which is what makes this
+    * viable over unbounded streams (the reference instead re-reads and
+    * re-dedupes full history every run).
+    */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch-equivalence helper: the rollup applied to a static frame
     * (what the q17 oracle checks via date_trunc).
     */

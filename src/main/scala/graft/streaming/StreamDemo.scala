@@ -49,6 +49,26 @@ object StreamDemo {
     streamed.orderBy(desc("h")).show(3, truncate = false)
     require(mismatched == 0, "streamed rows must be a subset of batch")
     require(nStream > 0, "stream emitted nothing")
+
+    // Streaming dedupe drive: stage the events table duplicated 2×,
+    // stream it through dropDuplicatesWithinWatermark on event_id —
+    // the emitted count must equal the distinct event count.
+    events.unionAll(events).write.mode("overwrite")
+      .parquet(s"$stage/events_dup")
+    val dq = EventStream.dedupeStream(
+        spark.readStream.schema(events.schema).parquet(s"$stage/events_dup"),
+        Seq("event_id"))
+      .writeStream.format("memory").queryName("dedupe")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stage/ckpt-dedupe")
+      .start()
+    dq.awaitTermination()
+    val nDeduped = spark.table("dedupe").count()
+    val nDistinct = events.select("event_id").distinct().count()
+    println(s"[stream-demo] dedupe: in=${2 * events.count()} " +
+      s"out=$nDeduped distinct=$nDistinct")
+    require(nDeduped == nDistinct, "stream dedupe must match distinct count")
     spark.stop()
   }
 }

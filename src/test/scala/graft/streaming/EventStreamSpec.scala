@@ -56,6 +56,24 @@ class EventStreamSpec extends SparkSpec {
     assert(missing.isEmpty, s"batch rows never emitted: $missing")
   }
 
+  test("streaming dedupe drops within-watermark duplicates exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupeStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedupe_sink")
+      .outputMode(OutputMode.Append()).start()
+    // same event delivered three times (at-least-once upstream), plus
+    // two distinct ones
+    mem.addData(evs(0), evs(0), evs(1))
+    q.processAllAvailable()
+    mem.addData(evs(0), evs(2))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedupe_sink").collect()
+      .map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L), s"got $ids")
+  }
+
   test("sessionize splits on inactivity gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
