@@ -54,6 +54,20 @@ object ProfileDev {
     val aggsF = (0 until 16).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
     val sigF = shF.groupBy(col("doc_id")).agg(aggsF.head, aggsF.tail: _*)
     time("flatMap 16 minhash aggs")(sigF.count())
+
+    // salted join vs plain join on real tables (result must agree)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    var plain = 0L
+    time("plain join") {
+      plain = li.join(part, li("l_partkey") === part("p_partkey")).count(); plain
+    }
+    time("salted join (8)") {
+      val n = graft.ops.Skew.saltedJoin(
+        li.withColumnRenamed("l_partkey", "k"),
+        part.withColumnRenamed("p_partkey", "k"), "k", 8).count()
+      require(n == plain, s"salted=$n plain=$plain"); n
+    }
     spark.stop()
   }
 }

@@ -109,6 +109,17 @@ class ArkSpec extends SparkSpec {
     assert(e.getMessage.contains("replace_first requires"), e.getMessage)
   }
 
+  test("partitioned sink enables partition pruning on date filters") {
+    val root = tmpRoot()
+    val ark = Ark(Ark.placeholder(spark), Ticker.ARKK, Some(root))
+      .copy(df = Format.dfFormat(DataReader.csvBytesToDf(spark, csvDay1)))
+      .writeParquetPartitioned()
+    val filtered = ark.df.filter(col("date") === lit("2024-03-15").cast("date"))
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), plan)
+  }
+
   test("writeParquetPartitioned survives consecutive overwrites of its own input") {
     val root = tmpRoot()
     val ark = Ark(Ark.placeholder(spark), Ticker.ARKK, Some(root))

@@ -131,6 +131,28 @@ class OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("salted join and salted sum match their unsalted equivalents") {
+    val rnd = new scala.util.Random(3)
+    // heavily skewed: 90% of rows share key 1
+    val big = (0 until 2000)
+      .map(i => (if (rnd.nextInt(10) < 9) 1 else rnd.nextInt(50), i.toDouble))
+      .toDF("k", "v")
+    val small = (0 until 50).map(k => (k, s"dim$k")).toDF("k", "name")
+
+    val plainJ = big.join(small, "k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).sortBy(_.toString)
+    val saltedJ = Skew.saltedJoin(big, small, "k", salt = 8).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).sortBy(_.toString)
+    assert(saltedJ.toSeq == plainJ.toSeq)
+
+    val plainS = big.groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val saltedS = Skew.saltedSum(big, "k", "v", salt = 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(saltedS.keySet == plainS.keySet)
+    assert(saltedS.forall { case (k, v) => math.abs(v - plainS(k)) < 1e-6 })
+  }
+
   test("text ops: token count and fingerprint invariants") {
     val df = Seq("the cat sat", "THE  CAT  SAT", "unique words here")
       .toDF("text")
