@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the single latest
+  * right row with `rightTime <= leftTime` in the same key group (the
+  * quotes/trades classic; Spark has no built-in).
+  *
+  * Implemented as union + ONE window pass: tag the sides, order within
+  * each key by (time, side) so a right row at exactly the left row's
+  * time is visible, and carry the last non-null right values forward.
+  * One shuffle on the key, cost O(n log n) per key — no range
+  * cross-product, no per-row probe. At 100 TB this is the shape that
+  * survives: the alternative (range join) explodes on dense right
+  * sides, and a broadcast probe dies when the right side outgrows one
+  * executor. Skew is bounded by key-group size (salt via
+  * [[Skew.saltedJoin]] shapes if a single key's history is extreme).
+  */
+object AsOf {
+
+  /** @param right must share `keyCol`+`timeCol` names with `left`;
+    *   its other columns (the payload) must not collide with left's —
+    *   rename before calling.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String): DataFrame = {
+    val payload = right.columns.filterNot(c => c == keyCol || c == timeCol)
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(u)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+}

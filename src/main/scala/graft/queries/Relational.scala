@@ -316,7 +316,46 @@ object Relational {
       | count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** As-of join (custom operator — Spark has no built-in): each
+    * purchase event picks up the user's latest prior-or-simultaneous
+    * click. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val q33 = Q("q33_asof_join",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts")
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+      | c.value AS click_value
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+      |      WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin))
+
+  /** Cardinality sketch: HyperLogLog approximate distinct next to the
+    * exact count. No SQL oracle (DuckDB's HLL differs bit-for-bit) —
+    * the driver records a rows-only check; ApproxSpec bounds the
+    * error.
+    */
+  val q34 = Q("q34_approx_distinct",
+    (s, dir) => table(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts")),
+    None)
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17)
+      q14, q15, q16, q17, q33, q34)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import graft.queries.Relational
 import org.apache.spark.sql.functions._
 
 /** Semantics tests for the training-data operators, on the sf0.001
@@ -129,6 +130,36 @@ class OpsSpec extends SparkSpec {
     // stub features are dense positive 8-dim vectors → high cosine is
     // common; the operator must return a non-trivial result set
     assert(rows.nonEmpty)
+  }
+
+  test("asof join picks the latest right row at-or-before each left time") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:01:00"), "t2"),
+      (2L, ts("2024-01-01 10:00:00"), "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:05"), 101.0), // exactly at t1 → visible
+      (1L, ts("2024-01-01 10:00:30"), 102.0),
+      (2L, ts("2024-01-01 10:00:01"), 50.0)) // after t3 → not visible
+      .toDF("k", "ts", "quote")
+    val out = AsOf.asofJoin(trades, quotes, "k", "ts")
+      .select("trade", "quote").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map("t1" -> Some(101.0), "t2" -> Some(102.0), "t3" -> None))
+  }
+
+  test("approx_count_distinct within 15% of exact on lineitem keys") {
+    // default HLL rsd is 5%; 3σ ≈ 15% is the stable deterministic
+    // bound for this cardinality (observed ~6.4% at sf0.001)
+    val agg = Relational.q34.run(spark, "/root/testdata/sf0.001").head()
+    val (approxO, exactO) = (agg.getLong(0), agg.getLong(1))
+    assert(math.abs(approxO - exactO).toDouble / exactO < 0.15,
+      s"approx=$approxO exact=$exactO")
   }
 
   test("salted join and salted sum match their unsalted equivalents") {
