@@ -68,4 +68,54 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Winnowing fingerprints (the MOSS selection scheme): hash every
+    * k-char-gram, slide a window of w hashes, keep each window's
+    * minimum — any shared substring of length ≥ w+k−1 between two docs
+    * is guaranteed to share a fingerprint. Emits one (id, fp) row per
+    * DISTINCT selected fingerprint.
+    *
+    * Hashes are md5-hex so the DuckDB oracle reproduces the selection
+    * verbatim (a rolling polynomial hash is the O(n) optimization of
+    * the same selection — semantics identical). Typed mapPartitions
+    * per the hot-path rule (see Dedup.shingleRows); char-indexed, so
+    * supplementary-plane text would diverge from DuckDB's
+    * codepoint-indexed substr — fine for this corpus, documented.
+    */
+  def winnowRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .repartition(par) // single-split sources → parallel gram hashing
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val digits = "0123456789abcdef".toCharArray
+        def hex(b: Array[Byte]): String = {
+          val out = new Array[Char](b.length * 2)
+          var i = 0
+          while (i < b.length) {
+            out(2 * i) = digits((b(i) >> 4) & 0xf)
+            out(2 * i + 1) = digits(b(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        rows.flatMap { case (id, text) =>
+          if (text == null || text.length < k) Iterator.empty
+          else {
+            val hs = (0 to text.length - k).map { i =>
+              md.reset()
+              hex(md.digest(text.substring(i, i + k)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+            if (hs.length < w) Iterator.empty
+            else (0 to hs.length - w).iterator
+              .map(j => hs.slice(j, j + w).min)
+              .toSet.iterator.map((fp: String) => (id, fp))
+          }
+        }
+      }.toDF(idCol, "fp")
+  }
 }

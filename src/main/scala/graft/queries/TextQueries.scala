@@ -187,5 +187,25 @@ object TextQueries {
       | FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30)
+  /** Winnowing fingerprint sketch per doc (k=8-char grams, window
+    * w=4): the rolling-hash document-fingerprinting scheme, selection
+    * reproduced verbatim by the oracle.
+    */
+  val q35 = Q("q35_winnow_fingerprint",
+    (s, dir) => TextOps.winnowRows(table(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, len(sel) AS n_fp, list_min(sel) AS min_fp FROM (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+      |   j -> list_min(hs[j:j+3]))) AS sel
+      | FROM (SELECT doc_id, list_transform(range(1, len(text) - 8 + 2),
+      |        i -> md5(substr(text, i, 8))) AS hs
+      |       FROM documents WHERE len(text) >= 8)
+      | WHERE len(hs) >= 4)
+      |ORDER BY doc_id""".stripMargin))
+
+  val qs: Seq[Q] =
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35)
 }

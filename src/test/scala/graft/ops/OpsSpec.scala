@@ -184,6 +184,22 @@ class OpsSpec extends SparkSpec {
     assert(saltedS.forall { case (k, v) => math.abs(v - plainS(k)) < 1e-6 })
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different head $shared and tail"),
+      (3L, "nothing in common with the others at all zzz"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowRows(df, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: shared substring of length >= w+k-1 = 11 → overlap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // sanity: doc 3 shares nothing long with doc 1
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("text ops: token count and fingerprint invariants") {
     val df = Seq("the cat sat", "THE  CAT  SAT", "unique words here")
       .toDF("text")
