@@ -7,18 +7,24 @@ object Bench {
     val spark = GraftSession.local(cpus)
     // noop sink forces FULL materialization of every column (count()
     // would let Catalyst prune the projections away).
-    def runAll(dir: String): Map[String, Double] =
+    // None marks a failed execution — a failure's (fast) elapsed time
+    // must not win the min-of-N below.
+    def runAll(dir: String): Map[String, Option[Double]] =
       graft.queries.Registry.all.map { q =>
         val t0 = System.nanoTime()
-        try q.run(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: $e")
-        }
+        val ok =
+          try {
+            q.run(spark, dir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: $e")
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         // ops may persist intermediates (e.g. the jaccard shingle
         // table); drop them so blocks never accumulate across queries
         spark.catalog.clearCache()
-        q.name -> t
+        q.name -> (if (ok) Some(t) else None)
       }.toMap
 
     // Untimed warmup at the smallest SF: JIT + codegen compilation
@@ -35,11 +41,14 @@ object Bench {
     // estimator and every reported number is still a complete run.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     val passes = (1 to repeat).map(_ => runAll(sfDir))
+    // min over SUCCESSFUL executions; -1 if a query never succeeded
     val results = passes.flatMap(_.toSeq)
-      .groupMapReduce(_._1)(_._2)(math.min)
+      .groupMapReduce(_._1)(_._2.getOrElse(Double.PositiveInfinity))(math.min)
+      .map { case (k, v) => k -> (if (v.isFinite) v else -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total over successful queries only (-1 failure markers excluded)
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,14 +27,22 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String): DataFrame = {
     val payload = right.columns.filterNot(c => c == keyCol || c == timeCol)
+    require(!left.columns.contains("_side") && !payload.contains("_side"),
+      "column name _side is reserved by asofJoin")
     val l = left.withColumn("_side", lit(1))
     val r = right.withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(timeCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(u)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("_side") === 1).drop("_side")
+    // Carry the whole payload as ONE struct so the matched row stays
+    // atomic: per-column last-non-null would mix fields from different
+    // right rows whenever a later right row holds a null field.
+    val packed = when(col("_side") === 0,
+      struct(payload.map(col): _*)).otherwise(lit(null))
+    val carried = u.withColumn("_asof", last(packed, ignoreNulls = true).over(w))
+    payload.foldLeft(carried)((d, c) => d.withColumn(c, col(s"_asof.$c")))
+      .filter(col("_side") === 1)
+      .drop("_side", "_asof")
   }
 }

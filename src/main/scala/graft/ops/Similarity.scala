@@ -72,6 +72,10 @@ object Similarity {
     val base = withNorm(emb, vecCol).select(col(idCol), col("_e"), col("_nrm"))
     val cents = base.filter(centroidPred)
       .select(col(idCol).as("cid"), col("_e").as("_ce"), col("_nrm").as("_cn"))
+    // a predicate matching nothing would silently empty every cell —
+    // fail loudly instead (one tiny job; the centroid set is small)
+    require(!cents.isEmpty,
+      "centroidPred matched no rows — IVF needs at least one centroid")
     val cos = round(dot(col("_e"), col("_ce")) / (col("_nrm") * col("_cn")), 6)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("_ccos").desc, col("cid").asc)
@@ -82,11 +86,17 @@ object Similarity {
       .select(col(idCol), col("_e"), col("_nrm"), col("cid").as("cell"))
   }
 
-  /** IVF search, nprobe=1: queries scan only their own cell. */
+  /** IVF search, nprobe=1: queries scan only their own cell. The
+    * assignment feeds both the probe side and the broadcast query
+    * side, so it's persisted — the vectors×centroids argmax is the
+    * dominant cost and would otherwise run twice (long-lived sessions:
+    * `spark.catalog.clearCache()` after consuming, as Bench/Verify do).
+    */
   def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, centroidPred: Column,
       threshold: Double): DataFrame = {
     val cells = ivfCells(emb, idCol, vecCol, centroidPred)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = cells.filter(queryPred)
       .select(col(idCol).as("qid"), col("_e").as("_qe"),
         col("_nrm").as("_qn"), col("cell").as("_qcell"))

@@ -91,17 +91,8 @@ object TextOps {
       .repartition(par) // single-split sources → parallel gram hashing
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val digits = "0123456789abcdef".toCharArray
-        def hex(b: Array[Byte]): String = {
-          val out = new Array[Char](b.length * 2)
-          var i = 0
-          while (i < b.length) {
-            out(2 * i) = digits((b(i) >> 4) & 0xf)
-            out(2 * i + 1) = digits(b(i) & 0xf)
-            i += 1
-          }
-          new String(out)
-        }
+        val hexFmt = java.util.HexFormat.of()
+        def hex(b: Array[Byte]): String = hexFmt.formatHex(b)
         rows.flatMap { case (id, text) =>
           if (text == null || text.length < k) Iterator.empty
           else {

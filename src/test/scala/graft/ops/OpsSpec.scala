@@ -153,6 +153,22 @@ class OpsSpec extends SparkSpec {
     assert(out == Map("t1" -> Some(101.0), "t2" -> Some(102.0), "t3" -> None))
   }
 
+  test("asof join carries the matched row atomically (no field mixing)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:10"), "L"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:01"), Some(5.0), Option.empty[Double]),
+      (1L, ts("2024-01-01 10:00:02"), Option.empty[Double], Some(7.0)))
+      .toDF("k", "ts", "x", "y")
+    val r = AsOf.asofJoin(left, right, "k", "ts")
+      .select("x", "y").head()
+    // the latest right row is (null, 7.0); per-column carry would
+    // fabricate (5.0, 7.0)
+    assert(r.isNullAt(0) && r.getDouble(1) == 7.0, r.toString)
+  }
+
   test("approx_count_distinct within 15% of exact on lineitem keys") {
     // default HLL rsd is 5%; 3σ ≈ 15% is the stable deterministic
     // bound for this cardinality (observed ~6.4% at sf0.001)
