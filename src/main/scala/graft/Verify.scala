@@ -27,7 +27,13 @@ object Verify {
     // JVM (OOM) must not also destroy the comparison spec for the
     // queries that already dumped successfully.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev iteration knob: run only the named queries (comma-separated).
+    // Unset (the driver's case) → run everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -62,12 +62,18 @@ final case class Ark(df: DataFrame, ticker: Ticker, path: Option[String]) {
     formatted.df.write.mode("overwrite")
       .partitionBy("date")
       .parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(target))
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(target))
+    // Hadoop FileSystem API, not java.io/java.nio: the swap must work
+    // on whatever scheme the path carries (hdfs://, s3a://, file:/) —
+    // local-only File.delete/Files.move would silently no-op / throw
+    // on distributed storage URIs.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hTarget = new org.apache.hadoop.fs.Path(target)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hTarget.getFileSystem(conf)
+    fs.delete(hTarget, true)
+    if (!fs.rename(hTmp, hTarget))
+      throw new java.io.IOException(
+        s"writeParquetPartitioned: rename $tmp -> $target failed")
     copy(df = spark.read.parquet(target))
   }
 }

@@ -104,15 +104,23 @@ object Format {
     * One combined aggregate computes all three candidate null counts
     * in a single pass (the reference runs one eager pass per
     * candidate). At 100 TB this is the one place the format stage
-    * touches data; a sampled vote would be the scale knob (SURVEY.md
-    * §7.4.9) — exact at parity scale.
+    * touches data — `spark.graft.dateVote.sampleFraction` (default
+    * 1.0 = exact) is the scale knob (SURVEY.md §7.4.9): vote on a
+    * seeded row sample instead of the full column. The chosen format
+    * then applies to ALL rows; a 10%-null threshold estimated from a
+    * sample is robust far past the sample error for any real corpus
+    * (the formats are mutually unparseable, so the vote is near 0% or
+    * near 100% per candidate).
     */
   private def parseDate(df: DataFrame): DataFrame = {
     val candidates: Seq[Column] = Seq(
       to_date(col("date"), "MM/dd/yyyy"),
       to_date(col("date"), "yyyy/MM/dd"),
       col("date").cast(DateType))
-    val counts = df.select(
+    val frac = df.sparkSession.conf
+      .get("spark.graft.dateVote.sampleFraction", "1.0").toDouble
+    val voteDf = if (frac < 1.0) df.sample(frac, seed = 42) else df
+    val counts = voteDf.select(
       count(lit(1)) +:
         candidates.map(c => count(when(c.isNull, 1))): _*).head()
     val height = counts.getLong(0)

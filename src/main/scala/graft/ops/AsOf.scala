@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,9 +23,15 @@ object AsOf {
   /** @param right must share `keyCol`+`timeCol` names with `left`;
     *   its other columns (the payload) must not collide with left's —
     *   rename before calling.
+    * @param rightTiebreak deterministic order among right rows TIED on
+    *   (key, time): the row sorting LAST by these columns is the one
+    *   carried. Sorts after (time, side), so it only ever reorders
+    *   tied right rows (left rows hold nulls there, which cannot
+    *   outrank the side ordering). Without it, ties carry an
+    *   arbitrary row.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String): DataFrame = {
+      timeCol: String, rightTiebreak: Seq[Column] = Nil): DataFrame = {
     val payload = right.columns.filterNot(c => c == keyCol || c == timeCol)
     require(!left.columns.contains("_side") && !payload.contains("_side"),
       "column name _side is reserved by asofJoin")
@@ -33,7 +39,8 @@ object AsOf {
     val r = right.withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(timeCol).asc, col("_side").asc)
+      .orderBy(col(timeCol).asc +: col("_side").asc +:
+        rightTiebreak.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Carry the whole payload as ONE struct so the matched row stays
     // atomic: per-column last-non-null would mix fields from different

@@ -145,25 +145,46 @@ object Dedup {
     concat(bits: _*)
   }
 
-  /** SimHash as explode → hash-aggregate: one md5 per token, 32
-    * conditional sums in a single codegen'd HashAggregate (partial
-    * map-side), one row per doc out. ~20× the array-fold variant on
-    * wide corpora; the shuffle carries 33 longs per doc. Identical
-    * result to [[simhash32]].
+  /** SimHash per doc in ONE partition-local pass: hash each token,
+    * accumulate the 32 bit counters in a local array, emit the bit
+    * string — zero shuffles, no token-row explosion (the previous
+    * explode → 33-column HashAggregate shape shuffled one row per
+    * token; this moves the whole reduction inside the task). Typed
+    * mapPartitions per the hot-path rule (see [[shingleRows]]);
+    * identical result to [[simhash32]] (regression-pinned in OpsSpec,
+    * oracle-pinned by q25).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val v = widen(df)
-      .select(col(idCol),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("v", conv(substring(md5(col("tok")), 1, 8), 16, 10)
-        .cast("long"))
-    val aggs = (0 until 32).map(b =>
-      sum(shiftright(col("v"), b).bitwiseAND(lit(1L))).as(s"b$b")) :+
-      count(lit(1)).as("ntok")
-    val bits = (31 to 0 by -1).map(b =>
-      when(col(s"b$b") * 2 >= col("ntok"), "1").otherwise("0"))
-    v.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), concat(bits: _*).as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty // split(null) yields no rows
+          else {
+            // limit -1 keeps trailing empty tokens = Spark split()
+            val toks = text.split(" ", -1)
+            val ones = new Array[Int](32)
+            toks.foreach { t =>
+              md.reset()
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // first 8 hex chars of md5 = first 4 bytes, big-endian
+              val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              var b = 0
+              while (b < 32) { ones(b) += ((v >> b) & 1L).toInt; b += 1 }
+            }
+            val sb = new java.lang.StringBuilder(32)
+            var b = 31
+            while (b >= 0) {
+              sb.append(if (ones(b) * 2 >= toks.length) '1' else '0'); b -= 1
+            }
+            Iterator.single((id, sb.toString))
+          }
+        }
+      }.toDF(idCol, "simhash")
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
@@ -203,21 +224,39 @@ object Dedup {
   /** Pairwise n-gram Jaccard over shingle sets, relationally:
     * inter(d1,d2) via shingle self-join, sizes from per-doc counts,
     * J = i / (n1 + n2 − i). Emits pairs with J ≥ threshold.
+    *
+    * Scale guards on the self-join:
+    * - A shingle appearing in only ONE doc can never intersect — it is
+    *   dropped before the join (pure optimization, no semantic change;
+    *   on natural corpora that is most of the table).
+    * - `maxDocFreq` caps the document frequency of joinable shingles:
+    *   a stop-shingle present in n docs contributes n² join rows — the
+    *   quadratic blowup LSH exists to avoid. Capped shingles leave the
+    *   INTERSECTION only (denominators keep the full per-doc count),
+    *   so J can only drop — a conservative approximation; the q26
+    *   oracle applies the same cap.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     // (id, shingle) arrives unique per doc. The table feeds three
-    // subtrees (both join sides + the size table): persist it instead
-    // of recomputing the shingling three times — at scale this is
-    // where you'd checkpoint anyway. NB the cached blocks outlive the
-    // returned (lazy) frame; long-lived sessions should
+    // subtrees (sizes, doc-frequencies, join input): persist it instead
+    // of recomputing the shingling — at scale this is where you'd
+    // checkpoint anyway. NB the cached blocks outlive the returned
+    // (lazy) frame; long-lived sessions should
     // `spark.catalog.clearCache()` after consuming the result (Bench
     // and Verify do).
     val sh = shingleRows(widen(df), idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
+    // One doc-frequency aggregate (a shuffle on s — the partitioning
+    // the join needs anyway) keeps only co-occurring, non-hot shingles.
+    val joinable = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDocFreq)
+      .select("s")
+    val shJ = sh.join(joinable, "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = shJ.as("a")
+      .join(shJ.as("b"), col("a.s") === col("b.s") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("i"))

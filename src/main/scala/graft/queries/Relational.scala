@@ -220,7 +220,8 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type"),
     Some("""SELECT event_type,
-      | sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+      |   AS sum_k,
       | count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
       | count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
@@ -328,7 +329,10 @@ object Relational {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"),
           col("ts").as("click_ts"), col("value").as("click_value"))
-      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts")
+      // corpus has no tied click timestamps (checked), so the
+      // tiebreak is invisible to the ASOF oracle — it pins determinism
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+        rightTiebreak = Seq(col("click_value")))
         .select("event_id", "user_id", "ts", "click_ts", "click_value")
         .orderBy("event_id")
     },
@@ -341,21 +345,121 @@ object Relational {
       | ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin))
 
-  /** Cardinality sketch: HyperLogLog approximate distinct next to the
-    * exact count. No SQL oracle (DuckDB's HLL differs bit-for-bit) —
-    * the driver records a rows-only check; ApproxSpec bounds the
-    * error.
+  /** Cardinality sketch: HyperLogLog approximate distinct. No SQL
+    * oracle (DuckDB's HLL differs bit-for-bit) — the driver records a
+    * rows-only check; OpsSpec bounds the error against [[q36]]'s exact
+    * counts (the oracled half of the pair).
     */
   val q34 = Q("q34_approx_distinct",
     (s, dir) => table(s, dir, "lineitem")
       .agg(
         approx_count_distinct("l_orderkey").as("approx_orders"),
-        count_distinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct("l_partkey").as("approx_parts"),
-        count_distinct(col("l_partkey")).as("exact_parts")),
+        approx_count_distinct("l_partkey").as("approx_parts")),
     None)
+
+  /** Exact distinct counts over the same keys as [[q34]] — the
+    * SQL-expressible half of the approx/exact pair, oracle-checked
+    * (two count_distincts in one aggregate → a single Expand pass).
+    */
+  val q36 = Q("q36_exact_distinct",
+    (s, dir) => table(s, dir, "lineitem")
+      .agg(
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        count_distinct(col("l_partkey")).as("exact_parts")),
+    Some("""SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      | count(DISTINCT l_partkey) AS exact_parts
+      |FROM lineitem""".stripMargin))
+
+  /** Salted equi-join (skew mitigation): the salt must be INVISIBLE in
+    * the result — the oracle is the plain-join SQL. Same aggregate as
+    * q07, so the two rows of the correctness report also pin
+    * salted ≡ broadcast.
+    */
+  val q37 = Q("q37_salted_join",
+    (s, dir) => {
+      val big = table(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val small = table(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(big, small, "custkey", salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Gap-based sessionization — the flatMapGroupsWithState state
+    * machine (graft.streaming.EventStream.sessionize) run as a REAL
+    * streaming query over the static events table via
+    * Trigger.AvailableNow, memory sink. The oracle reproduces the
+    * state machine's emission rule in pure SQL: a session is emitted
+    * iff a later event of the same user closed it, or its timeout
+    * (last event + gap) fell strictly below the final watermark
+    * (max event time − the 2 h watermark delay) — strict `<` matching
+    * FlatMapGroupsWithStateExec's timeout filter.
+    */
+  val q38 = Q("q38_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // The file stream source wants a DIRECTORY; the corpus is a
+      // single file — stage a symlink in a temp dir.
+      val inDir = java.nio.file.Files.createTempDirectory("graft-q38-in")
+      java.nio.file.Files.createSymbolicLink(
+        inDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      // nanos arrive as longs (see GraftSession); watermarks reject
+      // TIMESTAMP_NTZ, so rebuild a UTC timestamp (session tz = UTC
+      // keeps it equal to the oracle's naive values).
+      val ev = s.readStream.schema(schema).parquet(inDir.toString)
+        .withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStream.Event]
+      val sessions =
+        graft.streaming.EventStream.sessionize(ev, gapMinutes = 30)
+      val name = "q38_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-q38-ckpt").toString
+      sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(name)
+        .select(col("user_id"),
+          col("start").cast("timestamp_ntz").as("start"),
+          col("end").cast("timestamp_ntz").as("end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start")
+    },
+    Some("""WITH e AS (SELECT user_id, ts, value FROM events),
+      |m AS (SELECT user_id, ts, value,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      | FROM e),
+      |x AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM m),
+      |a AS (SELECT user_id, sid, min(ts) AS start, max(ts) AS "end",
+      |   CAST(count(*) AS BIGINT) AS n_events,
+      |   round(sum(value), 2) AS total_value
+      | FROM x GROUP BY user_id, sid),
+      |l AS (SELECT user_id, max(sid) AS last_sid FROM a GROUP BY user_id),
+      |w AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM e)
+      |SELECT a.user_id, start, "end", n_events, total_value
+      |FROM a JOIN l USING (user_id), w
+      |WHERE a.sid < l.last_sid OR ("end" + INTERVAL 30 MINUTE) < w.wm
+      |ORDER BY user_id, start""".stripMargin))
 
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q33, q34)
+      q14, q15, q16, q17, q33, q34, q36, q37, q38)
 }

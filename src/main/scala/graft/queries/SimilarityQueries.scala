@@ -77,7 +77,7 @@ object SimilarityQueries {
         round(avg(octet_length(col("text"))), 2).as("avg_bytes"))
       .orderBy("source"),
     Some("""SELECT source, count(*) AS n_docs,
-      | sum(strlen(text)) AS total_bytes,
+      | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
       | round(avg(strlen(text)), 2) AS avg_bytes
       |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
@@ -137,5 +137,40 @@ object SimilarityQueries {
       |  ON q.cell = a.cell AND q.vec_id <> a.vec_id)
       |WHERE cos >= 0.2 ORDER BY qid, vec_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32)
+  /** Multimodal feature extraction end-to-end: documents wrapped as
+    * binary media rows, decoded + featurized partition-locally
+    * (graft.ops.Multimodal.extractFeatures). The deterministic decode
+    * stub is a pure byte-fold, so the 8-dim feature vector is
+    * oracle-expressible: f_j = ((Σ bytes at positions ≡ j mod 8) mod
+    * 1000) / 1000 — float, recovered exactly by round(..., 3) on both
+    * sides (3 decimal digits sit far above float precision). The
+    * horner checksum stays spec-only (64-bit wraparound has no DuckDB
+    * equivalent — BIGINT overflow errors there).
+    */
+  val q39 = Q("q39_multimodal_features",
+    (s, dir) => {
+      val media = graft.ops.Multimodal.asMedia(
+        table(s, dir, "documents"), "doc_id", "text")
+      val f = graft.ops.Multimodal.extractFeatures(media).toDF()
+      val feat = (0 until 8).map(j =>
+        round(element_at(col("features"), j + 1).cast("double"), 3)
+          .as(s"f$j"))
+      f.select(Seq(col("id"), col("n_bytes"), col("head")) ++ feat: _*)
+        .orderBy("id")
+    }, {
+      val fs = (0 until 8).map { j =>
+        s"""round(CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+           | i -> CASE WHEN (i - 1) % 8 = $j
+           |   THEN ord(substr(text, i, 1)) ELSE 0 END)) % 1000
+           | AS DOUBLE) / 1000.0, 3) AS f$j"""
+          .stripMargin.replaceAll("\\s*\n\\s*", " ")
+      }.mkString(",\n | ")
+      Some(s"""SELECT doc_id AS id, strlen(text) AS n_bytes,
+        | CASE WHEN strlen(text) = 0 THEN -1
+        |   ELSE ord(substr(text, 1, 1)) END AS head,
+        | $fs
+        |FROM documents ORDER BY id""".stripMargin)
+    })
+
+  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39)
 }

@@ -43,9 +43,10 @@ object TextQueries {
       .groupBy("lang")
       .agg(sum("ntok").as("total_tokens"),
         round(avg("ntok"), 4).as("avg_tokens"),
-        min("ntok").as("min_tokens"), max("ntok").as("max_tokens"))
+        min("ntok").cast("long").as("min_tokens"),
+        max("ntok").cast("long").as("max_tokens"))
       .orderBy("lang"),
-    Some("""SELECT lang, sum(ntok) AS total_tokens,
+    Some("""SELECT lang, CAST(sum(ntok) AS BIGINT) AS total_tokens,
       | round(avg(ntok), 4) AS avg_tokens,
       | min(ntok) AS min_tokens, max(ntok) AS max_tokens
       |FROM (SELECT lang, len(string_split(text, ' ')) AS ntok FROM documents)
@@ -148,17 +149,24 @@ object TextQueries {
 
   /** Pairwise n-gram Jaccard on LSH-style shingles — the verification
     * tier above MinHash candidates. Planted near-dups sit at ≈0.98.
+    * The hot-shingle cap (shingles in more than `jaccardMaxDf` docs
+    * leave the intersection) is generated into the oracle from the
+    * same constant, so the capped semantics are what's verified.
     */
+  private val jaccardMaxDf = 64L
   val q26 = Q("q26_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.5)
+        "doc_id", "text", threshold = 0.5, maxDocFreq = jaccardMaxDf)
       .orderBy("d1", "d2"),
     Some(s"""WITH sh AS (
       |${SqlGen.duckShingleCte}
       |), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |ok AS (SELECT s FROM sh GROUP BY s
+      |       HAVING count(*) BETWEEN 2 AND $jaccardMaxDf),
       |inter AS (
       | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-      | FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+      | FROM sh a JOIN ok USING (s) JOIN sh b USING (s)
+      | WHERE a.doc_id < b.doc_id
       | GROUP BY 1, 2)
       |SELECT d1, d2,
       | round(CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE), 3) AS jaccard
@@ -179,7 +187,8 @@ object TextQueries {
       .agg(sum("ws_tok").as("ws_tokens"), sum("bpe_tok").as("bpe_tokens"),
         round(avg("bpe_tok"), 4).as("avg_bpe"))
       .orderBy("lang"),
-    Some(s"""SELECT lang, sum(ws_tok) AS ws_tokens, sum(bpe_tok) AS bpe_tokens,
+    Some(s"""SELECT lang, CAST(sum(ws_tok) AS BIGINT) AS ws_tokens,
+      | CAST(sum(bpe_tok) AS BIGINT) AS bpe_tokens,
       | round(avg(bpe_tok), 4) AS avg_bpe
       |FROM (SELECT lang, len(string_split(text, ' ')) AS ws_tok,
       |  len(regexp_extract_all(text, ${SqlGen.lit(TextOps.bpePattern)}))

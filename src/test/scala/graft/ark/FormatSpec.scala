@@ -323,4 +323,22 @@ class FormatSpec extends SparkSpec {
     val out = Format.dfFormat(DataReader.csvBytesToDf(spark, csv))
     assert(out.count() == 10)
   }
+
+  test("sampled date vote picks the same format as the exact vote") {
+    // 200 MM/dd/yyyy rows; a 25% seeded sample must elect the same
+    // format (the scale knob of SURVEY §7.4.9 — vote on a sample,
+    // parse everything).
+    val csv = "date,ticker,cusip,company,weight\n" +
+      (1 to 200).map(i => f"01/${i % 28 + 1}%02d/2024,T,C,CO,1.0")
+        .mkString("\n")
+    def dates(df: org.apache.spark.sql.DataFrame) =
+      df.select("date").collect().map(_.getDate(0).toString).sorted.toSeq
+    val exact = dates(Format.dfFormat(DataReader.csvBytesToDf(spark, csv)))
+    spark.conf.set("spark.graft.dateVote.sampleFraction", "0.25")
+    try {
+      val sampled =
+        dates(Format.dfFormat(DataReader.csvBytesToDf(spark, csv)))
+      assert(sampled == exact)
+    } finally spark.conf.unset("spark.graft.dateVote.sampleFraction")
+  }
 }

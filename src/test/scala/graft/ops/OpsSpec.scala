@@ -48,6 +48,33 @@ class OpsSpec extends SparkSpec {
       s"near-dups should be hamming-close: $nearDist")
   }
 
+  test("simhash mapPartitions kernel matches the column-expression simhash32") {
+    val viaCols = docs
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaKernel = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaKernel == viaCols)
+  }
+
+  test("ngramJaccardPairs: maxDocFreq drops hot shingles from the intersection") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"), (4L, "a b c y"))
+      .toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.1, maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    // uncapped: "a b c" (df=4) intersects everything
+    assert(pairs(Long.MaxValue) == Set(
+      (1L, 2L, 1.0), (1L, 3L, 0.333), (1L, 4L, 0.333),
+      (2L, 3L, 0.333), (2L, 4L, 0.333), (3L, 4L, 0.333)))
+    // cap 3: the hot shingle leaves the intersection (denominators
+    // keep the full count) — only the true dup pair survives, at the
+    // conservative J = 1/(2+2-1)
+    assert(pairs(3L) == Set((1L, 2L, 0.333)))
+  }
+
   test("keepFirst keeps exactly the minimum-order row per key") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7), (2, "d", 9))
       .toDF("k", "v", "ord")
@@ -171,11 +198,15 @@ class OpsSpec extends SparkSpec {
 
   test("approx_count_distinct within 15% of exact on lineitem keys") {
     // default HLL rsd is 5%; 3σ ≈ 15% is the stable deterministic
-    // bound for this cardinality (observed ~6.4% at sf0.001)
-    val agg = Relational.q34.run(spark, "/root/testdata/sf0.001").head()
-    val (approxO, exactO) = (agg.getLong(0), agg.getLong(1))
-    assert(math.abs(approxO - exactO).toDouble / exactO < 0.15,
-      s"approx=$approxO exact=$exactO")
+    // bound for this cardinality (observed ~6.4% at sf0.001).
+    // q34 = approx (rows-only in the driver gate), q36 = exact
+    // (oracled); this spec is the bridge between the two.
+    val approx = Relational.q34.run(spark, "/root/testdata/sf0.001").head()
+    val exact = Relational.q36.run(spark, "/root/testdata/sf0.001").head()
+    Seq(0, 1).foreach { i =>
+      val (a, e) = (approx.getLong(i), exact.getLong(i))
+      assert(math.abs(a - e).toDouble / e < 0.15, s"col $i: approx=$a exact=$e")
+    }
   }
 
   test("salted join and salted sum match their unsalted equivalents") {
