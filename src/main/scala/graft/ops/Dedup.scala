@@ -124,6 +124,40 @@ object Dedup {
         min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
       .filter(col("cnt") > 1)
 
+  /** The cheap verification tier between LSH candidates and exact
+    * Jaccard: for each candidate pair (docs sharing a band bucket),
+    * estimate J as the fraction of EQUAL signature components — no
+    * shingle re-join, just two equi-joins of the (tiny) candidate
+    * pair list against the one-row-per-doc signature table. At scale
+    * this is the tier that turns "LSH says maybe" into a score
+    * without touching the raw text again.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+    // signatures feed the band explode AND both sides of the score
+    // join — persist the one-row-per-doc table, not the raw shingles
+    val sig = minhashSignatures(df, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBands(sig, idCol, numHashes, numBands)
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct() // a pair may collide on several bands — score once
+    val sa = sig.select(col(idCol).as("a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val sb = sig.select(col(idCol).as("b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: per token, a 32-bit hash
     * (first 8 hex chars of md5); per bit, a majority vote across
     * tokens. Output is a 32-char '0'/'1' string (MSB first) — string

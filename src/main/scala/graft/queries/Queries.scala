@@ -26,7 +26,8 @@ object Registry {
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
 
   lazy val all: Seq[Q] =
-    Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs
+    Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
+      StreamQueries.qs
 }
 
 /** Oracle-SQL generation helpers. DuckDB dialect facts relied on:

@@ -392,74 +392,7 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
-  /** Gap-based sessionization — the flatMapGroupsWithState state
-    * machine (graft.streaming.EventStream.sessionize) run as a REAL
-    * streaming query over the static events table via
-    * Trigger.AvailableNow, memory sink. The oracle reproduces the
-    * state machine's emission rule in pure SQL: a session is emitted
-    * iff a later event of the same user closed it, or its timeout
-    * (last event + gap) fell strictly below the final watermark
-    * (max event time − the 2 h watermark delay) — strict `<` matching
-    * FlatMapGroupsWithStateExec's timeout filter.
-    */
-  val q38 = Q("q38_sessionize",
-    (s, dir) => {
-      import s.implicits._
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // The file stream source wants a DIRECTORY; the corpus is a
-      // single file — stage a symlink in a temp dir.
-      val inDir = java.nio.file.Files.createTempDirectory("graft-q38-in")
-      java.nio.file.Files.createSymbolicLink(
-        inDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      // nanos arrive as longs (see GraftSession); watermarks reject
-      // TIMESTAMP_NTZ, so rebuild a UTC timestamp (session tz = UTC
-      // keeps it equal to the oracle's naive values).
-      val ev = s.readStream.schema(schema).parquet(inDir.toString)
-        .withColumn("ts",
-          expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .as[graft.streaming.EventStream.Event]
-      val sessions =
-        graft.streaming.EventStream.sessionize(ev, gapMinutes = 30)
-      val name = "q38_sessions_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-q38-ckpt").toString
-      sessions.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-      s.table(name)
-        .select(col("user_id"),
-          col("start").cast("timestamp_ntz").as("start"),
-          col("end").cast("timestamp_ntz").as("end"),
-          col("n_events"), col("total_value"))
-        .orderBy("user_id", "start")
-    },
-    Some("""WITH e AS (SELECT user_id, ts, value FROM events),
-      |m AS (SELECT user_id, ts, value,
-      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-      | FROM e),
-      |x AS (SELECT user_id, ts, value,
-      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-      |    ROWS UNBOUNDED PRECEDING) AS sid
-      | FROM m),
-      |a AS (SELECT user_id, sid, min(ts) AS start, max(ts) AS "end",
-      |   CAST(count(*) AS BIGINT) AS n_events,
-      |   round(sum(value), 2) AS total_value
-      | FROM x GROUP BY user_id, sid),
-      |l AS (SELECT user_id, max(sid) AS last_sid FROM a GROUP BY user_id),
-      |w AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM e)
-      |SELECT a.user_id, start, "end", n_events, total_value
-      |FROM a JOIN l USING (user_id), w
-      |WHERE a.sid < l.last_sid OR ("end" + INTERVAL 30 MINUTE) < w.wm
-      |ORDER BY user_id, start""".stripMargin))
-
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q33, q34, q36, q37, q38)
+      q14, q15, q16, q17, q33, q34, q36, q37)
 }

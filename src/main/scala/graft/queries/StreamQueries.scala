@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The streaming operators (graft.streaming.EventStream) run as REAL
+  * streaming queries — Trigger.AvailableNow over the static events
+  * table, memory sink — and hash-compared to pure-SQL oracles that
+  * reproduce the watermark semantics. This is the strongest check the
+  * driver's gate can give a streaming op: not "the batch equivalent
+  * matches", but "the stateful streaming execution itself matches".
+  *
+  * Emission rules reproduced by the oracles (watermark delay = 2 h,
+  * final watermark = max event time − 2 h, single-batch file source):
+  * - windowed agg (append mode): a window emits iff its END is at or
+  *   below the final watermark (StateStoreSaveExec evicts on
+  *   `end <= watermark`).
+  * - flatMapGroupsWithState timeout: state times out iff its timeout
+  *   timestamp is STRICTLY below the watermark.
+  * - dropDuplicatesWithinWatermark: duplicates arriving in the same
+  *   batch are dropped regardless of spacing (state eviction happens
+  *   between batches, input is one batch here).
+  */
+object StreamQueries {
+
+  /** Run a streaming Dataset to completion (AvailableNow) into a
+    * uniquely-named memory sink; return the sink table. Checkpoint
+    * goes to a fresh temp dir — the query is a one-shot verification
+    * run, not a resumable job.
+    */
+  private def runAvailableNow(s: SparkSession,
+      out: org.apache.spark.sql.Dataset[_], prefix: String): DataFrame = {
+    val name = prefix + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-$prefix-ckpt").toString
+    out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming read of the events corpus: the file stream source wants
+    * a DIRECTORY, the corpus is a single file — stage symlink(s) in a
+    * temp dir (`copies` > 1 plants exact duplicate rows, for the
+    * dedupe query). nanos arrive as longs (see GraftSession);
+    * watermarks reject TIMESTAMP_NTZ, so rebuild a UTC timestamp
+    * (session tz = UTC keeps it equal to the oracle's naive values).
+    */
+  private def eventsStream(s: SparkSession, dir: String,
+      copies: Int = 1): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val inDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        inDir.resolve(s"events$i.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    }
+    s.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+  }
+
+  /** Gap-based sessionization — the flatMapGroupsWithState state
+    * machine. Oracle: gap-split sessions in SQL, emitted iff a later
+    * event of the same user closed the session, or its timeout (last
+    * event + gap) fell strictly below the final watermark.
+    */
+  val q38 = Q("q38_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStream.Event]
+      val sessions =
+        graft.streaming.EventStream.sessionize(ev, gapMinutes = 30)
+      runAvailableNow(s, sessions, "q38_sessions")
+        .select(col("user_id"),
+          col("start").cast("timestamp_ntz").as("start"),
+          col("end").cast("timestamp_ntz").as("end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start")
+    },
+    Some("""WITH e AS (SELECT user_id, ts, value FROM events),
+      |m AS (SELECT user_id, ts, value,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      | FROM e),
+      |x AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM m),
+      |a AS (SELECT user_id, sid, min(ts) AS start, max(ts) AS "end",
+      |   CAST(count(*) AS BIGINT) AS n_events,
+      |   round(sum(value), 2) AS total_value
+      | FROM x GROUP BY user_id, sid),
+      |l AS (SELECT user_id, max(sid) AS last_sid FROM a GROUP BY user_id),
+      |w AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM e)
+      |SELECT a.user_id, start, "end", n_events, total_value
+      |FROM a JOIN l USING (user_id), w
+      |WHERE a.sid < l.last_sid OR ("end" + INTERVAL 30 MINUTE) < w.wm
+      |ORDER BY user_id, start""".stripMargin))
+
+  /** The streaming hourly rollup (q17's batch frame, run through the
+    * actual watermark + windowed-agg machinery). Only windows sealed
+    * by the final watermark emit in append mode.
+    */
+  val q40 = Q("q40_stream_rollup",
+    (s, dir) => {
+      val rolled = graft.streaming.EventStream
+        .hourlyRollup(eventsStream(s, dir))
+      runAvailableNow(s, rolled, "q40_rollup")
+        .select(col("h").cast("timestamp_ntz").as("h"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("h", "event_type")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+      | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING h + INTERVAL 1 HOUR <=
+      |  (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+      |ORDER BY 1, 2""".stripMargin))
+
+  /** Streaming dedupe: the corpus planted TWICE (two symlinks → every
+    * event is an exact duplicate), dropDuplicatesWithinWatermark on
+    * event_id halves it back. Oracle: the events table itself —
+    * 2n rows in, n out, kept rows bit-identical to their duplicates,
+    * so the result is order-independent.
+    */
+  val q41 = Q("q41_stream_dedupe",
+    (s, dir) => {
+      val deduped = graft.streaming.EventStream
+        .dedupeStream(eventsStream(s, dir, copies = 2), Seq("event_id"))
+      runAvailableNow(s, deduped, "q41_dedupe")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, ts, value
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q38, q40, q41)
+}

@@ -215,6 +215,67 @@ object TextQueries {
       | WHERE len(hs) >= 4)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Gopher-style repetition signals per doc: share of the most
+    * frequent token and distinct-token ratio — the standard cheap
+    * repetition filters for LLM corpora. All-integer ratios, so the
+    * oracle is exact.
+    */
+  val q42 = Q("q42_repetition",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        round(max("c").cast("double") / sum("c"), 4).as("top_share"),
+        round(count(lit(1)).cast("double") / sum("c"), 4)
+          .as("distinct_ratio"),
+        sum("c").as("ntok"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      | round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
+      |   AS top_share,
+      | round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
+      |   AS distinct_ratio,
+      | CAST(sum(c) AS BIGINT) AS ntok
+      |FROM (SELECT doc_id, tok, count(*) AS c
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents)
+      |      GROUP BY doc_id, tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** MinHash similarity ESTIMATE over the LSH candidate pairs — the
+    * verification tier between q24's buckets and q26's exact Jaccard:
+    * score = matching signature components / 16, no shingle re-join.
+    */
+  val q43 = Q("q43_minhash_estimate",
+    (s, dir) => Dedup.minhashEstimatePairs(table(s, dir, "documents"),
+        "doc_id", "text", numHashes = 16, numBands = 4)
+      .orderBy("a", "b"), {
+      val mins = (0 until 16)
+        .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+      }.mkString(" UNION ALL ")
+      val matches = (0 until 16)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      Some(s"""WITH sh AS (
+        |${SqlGen.duckShingleCte}
+        |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        |band AS ($bandSelects),
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM band x JOIN band y
+        |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+        |   AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        | round(CAST($matches AS DOUBLE) / 16, 4) AS est_jaccard
+        |FROM pairs JOIN sig sa ON sa.doc_id = a
+        | JOIN sig sb ON sb.doc_id = b
+        |ORDER BY a, b""".stripMargin)
+    })
+
   val qs: Seq[Q] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43)
 }

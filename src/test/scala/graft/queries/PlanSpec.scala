@@ -62,4 +62,29 @@ class PlanSpec extends SparkSpec {
     // partial_min markers indicate map-side combine of the 16 signatures
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
+
+  test("q25: simhash runs zero shuffles (partition-local kernel)") {
+    val q = TextQueries.q25
+    val df = graft.ops.Dedup.simhash(
+      Registry.table(spark, dir, "documents"), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the round-robin widen repartition —
+    // no hashpartitioning (i.e. no aggregation shuffle)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(q.name == "q25_simhash")
+  }
+
+  test("q36: two exact distincts share one Expand pass") {
+    val p = plan(Relational.q36)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q39: feature extraction plans no exchange (embarrassingly parallel)") {
+    val p = plan(SimilarityQueries.q39)
+    // orderBy at the tail is a range exchange for output ordering;
+    // nothing upstream of it may shuffle
+    val beforeSort = p.split("rangepartitioning").head
+    assert(!beforeSort.contains("hashpartitioning"), p)
+  }
 }
