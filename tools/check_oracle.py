@@ -44,8 +44,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_bad += 1
             continue
+        # Arrow-level dtype compare: the driver's hash gate sees types,
+        # not just stringized values (DuckDB widens sum(int) to
+        # HUGEINT/decimal128 — identical str(), different hash).
+        try:
+            wtypes = {f.name: str(f.type) for f in con.sql(sql).arrow().schema}
+            gtypes = {f.name: str(f.type)
+                      for f in con.sql(
+                          f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+                      .arrow().schema}
+        except Exception:
+            wtypes = gtypes = {}
+        # ns-vs-us timestamps stringize (and driver-hash) alike; ignore
+        norm_t = lambda t: t.replace("[ns]", "[us]")
+        type_diff = {c: (gtypes[c], wtypes[c]) for c in gtypes
+                     if c in wtypes and norm_t(gtypes[c]) != norm_t(wtypes[c])}
         if gcols != wcols:
             print(f"FAIL {name}: cols spark={gcols} oracle={wcols}")
+            n_bad += 1
+        elif type_diff:
+            print(f"FAIL {name}: dtypes (spark, oracle) differ: {type_diff}")
             n_bad += 1
         elif grows != wrows:
             diff = [(a, b) for a, b in zip(grows, wrows) if a != b][:3]
