@@ -80,20 +80,59 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature columns `h0..h{numHashes-1}`:
-    * hᵢ = min over shingles of md5("i:" ++ shingle). Seeded by prefix
-    * so one md5 family serves all seeds; min() partial-aggregates
-    * map-side, so the shuffle carries one row per (doc, distinct
-    * shingle) and the result is one row per doc.
+    * hᵢ = min over DISTINCT word-3-gram shingles of md5("i:" ++
+    * shingle), as lowercase hex (ASCII — String order ≡ UTF8String ≡
+    * DuckDB order, so the generated oracle reproduces the mins).
+    *
+    * ONE partition-local pass: shingling, the seeded digests, and the
+    * per-seed mins all stay inside the task — zero shuffles, one row
+    * per doc out. (The previous shape exploded one row per shingle
+    * and hash-aggregated 16 partial mins through an exchange; the
+    * mins are associative, so fusing them into the task just removes
+    * the exchange.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame = {
-    // (id, shingle) pairs arrive unique per doc from shingleRows, so
-    // no distinct() shuffle; the only exchange is the one-row-per-doc
-    // signature aggregate (partial min()s combine map-side).
-    val sh = shingleRows(widen(df), idCol, textCol, 3)
-    val aggs = (0 until numHashes)
-      .map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    import org.apache.spark.sql.types._
+    val k = 3
+    val schema = StructType(StructField(idCol, LongType) +:
+      (0 until numHashes).map(i => StructField(s"h$i", StringType)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexFmt = java.util.HexFormat.of()
+        rows.flatMap { case (id, text) =>
+          // limit -1 keeps trailing empty tokens = Spark split()
+          val t = if (text == null) Array.empty[String]
+            else text.split(" ", -1)
+          if (t.length < k) Iterator.empty // no shingles → no signature
+          else {
+            val seen = new scala.collection.mutable.HashSet[String]
+            val mins = new Array[String](numHashes)
+            var i = 0
+            while (i <= t.length - k) {
+              val s = t.slice(i, i + k).mkString(" ")
+              if (seen.add(s)) {
+                var h = 0
+                while (h < numHashes) {
+                  md.reset()
+                  val hex = hexFmt.formatHex(md.digest(
+                    (h.toString + ":" + s)
+                      .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                  if (mins(h) == null || hex.compareTo(mins(h)) < 0)
+                    mins(h) = hex
+                  h += 1
+                }
+              }
+              i += 1
+            }
+            Iterator.single(org.apache.spark.sql.Row.fromSeq(id +: mins.toSeq))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** LSH banding over a signature frame: `numBands` rows per doc,
@@ -282,12 +321,14 @@ object Dedup {
     val sh = shingleRows(widen(df), idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    // One doc-frequency aggregate (a shuffle on s — the partitioning
-    // the join needs anyway) keeps only co-occurring, non-hot shingles.
-    val joinable = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+    // Doc frequency via ONE window pass over the s-partitioned shuffle
+    // (the same partitioning the self-join needs — the cached result
+    // keeps it, so the join adds no exchange). A groupBy+semi-join
+    // would shuffle sh a second time for the same answer.
+    val shJ = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("_df") >= 2 && col("_df") <= maxDocFreq)
-      .select("s")
-    val shJ = sh.join(joinable, "s")
+      .drop("_df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = shJ.as("a")
       .join(shJ.as("b"), col("a.s") === col("b.s") &&
