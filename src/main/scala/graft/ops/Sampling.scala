@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling, splitting, and corpus mixing —
+  * the reproducible alternatives to `rand()`/`sample()` that large
+  * training-data pipelines actually run: membership is a pure function
+  * of the row's id, so re-runs, task retries, and incremental refreshes
+  * select the SAME rows (a rand()-drawn sample is re-drawn per task
+  * attempt — the same retry-instability class as SPARK-23207 salting),
+  * and train/test membership survives pipeline evolution.
+  *
+  * All pure codegen'd column expressions: zero shuffles, filters can
+  * sit directly on the scan. The bucket function is md5-based so any
+  * engine (the DuckDB oracle included) reproduces membership exactly.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets): first 32 bits of md5 of the id's
+    * decimal string. DuckDB equivalent:
+    * `CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+    *  % buckets`.
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep ~pct% of rows, deterministically. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), 100) < pct)
+
+  /** Assign train/val/test by hash bucket (percent sizes; the rest is
+    * train). A row's split never changes across runs or data growth.
+    */
+  def split(df: DataFrame, idCol: String, valPct: Int,
+      testPct: Int): DataFrame = {
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
+  /** Stratified corpus mix: per-stratum keep rates in percent (the
+    * source-weighting step of corpus assembly). Strata missing from
+    * `rates` are dropped — the rate table IS the mix recipe.
+    */
+  def stratifiedMix(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Seq[(String, Int)]): DataFrame = {
+    val b = hashBucket(col(idCol), 100)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (s, r)) =>
+      acc || (col(stratumCol) === s && b < r)
+    }
+    df.filter(keep)
+  }
+}

@@ -276,6 +276,53 @@ object TextQueries {
         |ORDER BY a, b""".stripMargin)
     })
 
+  /** Shared DuckDB rendering of [[graft.ops.Sampling.hashBucket]]. */
+  private def duckBucket(id: String): String =
+    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  /** Deterministic train/val/test split (1/1/98 by md5 bucket of the
+    * doc id): membership is a pure function of the id — reproducible
+    * across runs, retries, engines (the oracle reproduces it exactly),
+    * and stable as the corpus grows.
+    */
+  val q44 = Q("q44_hash_split",
+    (s, dir) => graft.ops.Sampling.split(table(s, dir, "documents"),
+        "doc_id", valPct = 1, testPct = 1)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+      .orderBy("source", "split"),
+    Some(s"""SELECT source, split, count(*) AS n, min(doc_id) AS min_id
+      |FROM (SELECT source, doc_id,
+      |  CASE WHEN b < 1 THEN 'val' WHEN b < 2 THEN 'test'
+      |    ELSE 'train' END AS split
+      | FROM (SELECT source, doc_id, ${duckBucket("doc_id")} AS b
+      |       FROM documents))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Stratified corpus mix: per-source keep rates (the mix recipe),
+    * deterministic by doc id; rates generated into the oracle from the
+    * same table. src0 keeps 100%, each next source 5 points fewer,
+    * src19 keeps 5%.
+    */
+  private val mixRates: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (100 - 5 * i))
+  val q45 = Q("q45_stratified_mix",
+    (s, dir) => graft.ops.Sampling.stratifiedMix(
+        table(s, dir, "documents"), "doc_id", "source", mixRates)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+      .orderBy("source"), {
+      val rateCase = mixRates
+        .map { case (src, r) => s"WHEN ${SqlGen.lit(src)} THEN $r" }
+        .mkString(" ")
+      Some(s"""SELECT source, count(*) AS n, min(doc_id) AS min_id
+        |FROM (SELECT source, doc_id, ${duckBucket("doc_id")} AS b
+        |      FROM documents)
+        |WHERE b < (CASE source $rateCase ELSE 0 END)
+        |GROUP BY source ORDER BY source""".stripMargin)
+    })
+
   val qs: Seq[Q] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
+      q44, q45)
 }

@@ -75,6 +75,31 @@ class OpsSpec extends SparkSpec {
     assert(pairs(3L) == Set((1L, 2L, 0.333)))
   }
 
+  test("hash sampling: deterministic, nested by rate, split covers all rows") {
+    def ids(pct: Int) = Sampling.hashSample(docs, "doc_id", pct)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = ids(10)
+    assert(s10 == ids(10)) // re-run selects the SAME rows
+    val s50 = ids(50)
+    // raising the rate only ADDS rows (bucket < 10 ⊂ bucket < 50) —
+    // the property that makes rate changes incremental, not a reshuffle
+    assert(s10.subsetOf(s50))
+    assert(math.abs(s50.size / 500.0 - 0.5) < 0.15, s"${s50.size}")
+
+    val split = Sampling.split(docs, "doc_id", 10, 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == 500)
+    assert(split.keySet == Set("train", "val", "test"))
+    assert(split("train") > split("val") && split("train") > split("test"))
+
+    // stratified mix at rate 100 keeps everything in that stratum;
+    // rate 0 (absent stratum) keeps nothing
+    val mixed = Sampling.stratifiedMix(docs, "doc_id", "source",
+      Seq("src0" -> 100)).select("source").distinct().collect()
+    assert(mixed.map(_.getString(0)).toSeq == Seq("src0"))
+  }
+
   test("keepFirst keeps exactly the minimum-order row per key") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7), (2, "d", 9))
       .toDF("k", "v", "ord")
