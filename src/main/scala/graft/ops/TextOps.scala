@@ -69,6 +69,23 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** PII redaction patterns (ordered): email then phone. RE2-safe
+    * constructs only, so the DuckDB oracle (RE2) and Spark (java.util
+    * .regex) agree; replace-ALL on both sides (DuckDB needs the 'g'
+    * flag).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9-]{6,}[0-9]" -> "<PHONE>")
+
+  /** Redact PII in order — the corpus-scrubbing pass every published
+    * training pipeline runs before anything else.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
   /** Winnowing fingerprints (the MOSS selection scheme): hash every
     * k-char-gram, slide a window of w hashes, keep each window's
     * minimum — any shared substring of length ≥ w+k−1 between two docs

@@ -322,7 +322,73 @@ object TextQueries {
         |GROUP BY source ORDER BY source""".stripMargin)
     })
 
+  /** PII redaction over planted fixtures (the corpus itself is clean
+    * word salad, so PII is synthesized onto it by doc_id — the q14/q15
+    * pattern): email and phone patterns replaced in order, oracle
+    * generated from the same pattern table.
+    */
+  val q46 = Q("q46_pii_scrub",
+    (s, dir) => {
+      val planted = concat(col("text"), lit(" contact "),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("+1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("nobody")))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.redactPii(planted).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          col("clean").contains("<EMAIL>").cast("int").as("had_email"),
+          col("clean").contains("<PHONE>").cast("int").as("had_phone"))
+        .orderBy("doc_id")
+    }, {
+      val planted = """text || ' contact ' || (CASE doc_id % 3
+        | WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        | WHEN 1 THEN '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        | ELSE 'nobody' END)""".stripMargin.replaceAll("\\s*\n\\s*", " ")
+      val redacted = TextOps.piiPatterns.foldLeft(s"($planted)") {
+        case (acc, (p, r)) =>
+          s"regexp_replace($acc, ${SqlGen.lit(p)}, ${SqlGen.lit(r)}, 'g')"
+      }
+      Some(s"""SELECT doc_id, clean,
+        | CAST(contains(clean, '<EMAIL>') AS INT) AS had_email,
+        | CAST(contains(clean, '<PHONE>') AS INT) AS had_phone
+        |FROM (SELECT doc_id, $redacted AS clean FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+    })
+
+  /** Offset-based sequence packing: docs stream per lang in doc_id
+    * order into fixed token-budget chunks (chunk = floor(start_offset
+    * / budget)) — the packing step that turns a corpus into training
+    * sequences. Pure window arithmetic, deterministic, oracle-exact.
+    */
+  val q47 = Q("q47_sequence_pack",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("chunk",
+          floor((sum("ntok").over(w) - col("ntok")) / 2048.0))
+        .groupBy("lang", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+        .orderBy("lang", "chunk")
+    },
+    Some("""SELECT lang, chunk, count(*) AS n_docs,
+      | CAST(sum(ntok) AS BIGINT) AS tokens
+      |FROM (SELECT lang, doc_id, ntok,
+      |  CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) - ntok) / 2048.0) AS BIGINT) AS chunk
+      | FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok
+      |       FROM documents))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45)
+      q44, q45, q46, q47)
 }

@@ -75,6 +75,19 @@ class OpsSpec extends SparkSpec {
     assert(pairs(3L) == Set((1L, 2L, 0.333)))
   }
 
+  test("redactPii replaces emails and phones, leaves clean text alone") {
+    val in = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "call +1-555-867-5309 or 020-7946-0958 now",
+      "no pii here at all").toDF("t")
+    val out = in.select(TextOps.redactPii(col("t")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "mail me at <EMAIL> today",
+      "call <PHONE> or <PHONE> now",
+      "no pii here at all"), out)
+  }
+
   test("hash sampling: deterministic, nested by rate, split covers all rows") {
     def ids(pct: Int) = Sampling.hashSample(docs, "doc_id", pct)
       .select("doc_id").collect().map(_.getLong(0)).toSet
