@@ -119,10 +119,17 @@ object Format {
       col("date").cast(DateType))
     val frac = df.sparkSession.conf
       .get("spark.graft.dateVote.sampleFraction", "1.0").toDouble
-    val voteDf = if (frac < 1.0) df.sample(frac, seed = 42) else df
-    val counts = voteDf.select(
+    def voteCounts(d: DataFrame) = d.select(
       count(lit(1)) +:
         candidates.map(c => count(when(c.isNull, 1))): _*).head()
+    val sampled = voteCounts(
+      if (frac < 1.0) df.sample(frac, seed = 42) else df)
+    // an empty sample would make the ≤ height/10 threshold 0 ≤ 0 and
+    // elect the first format unconditionally — fall back to the exact
+    // vote instead of voting on nothing
+    val counts =
+      if (frac < 1.0 && sampled.getLong(0) == 0L) voteCounts(df)
+      else sampled
     val height = counts.getLong(0)
     val chosen = candidates.zipWithIndex.find {
       case (_, i) => counts.getLong(i + 1) <= height / 10

@@ -58,24 +58,33 @@ object Dedup {
     * preference (compose > expression > mapPartitions) is overridden
     * by measurement, which is the rule that wins.
     */
+  /** Distinct word-k-gram shingles of one document, in first-seen
+    * order. THE single definition of the shingling contract
+    * (split(" ", -1) trailing-empty semantics, <k-token early-out,
+    * first-occurrence dedup) — shingleRows and the minhash kernel both
+    * call this, and the q24/q26/q43 oracles assume they agree.
+    */
+  private[graft] def distinctShingles(text: String, k: Int): Iterator[String] = {
+    // limit -1: keep trailing empty tokens, matching Spark's split()
+    // and DuckDB's string_split (Java's default limit 0 would silently
+    // drop them and diverge from the oracles)
+    val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+    if (t.length < k) Iterator.empty
+    else {
+      val seen = new scala.collection.mutable.HashSet[String]
+      (0 to t.length - k).iterator
+        .map(i => t.slice(i, i + k).mkString(" "))
+        .filter(seen.add)
+    }
+  }
+
   private[graft] def shingleRows(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        // limit -1: keep trailing empty tokens, matching Spark's
-        // split() and DuckDB's string_split (Java's default limit 0
-        // would silently drop them and diverge from the oracles)
-        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
-        if (t.length < k) Iterator.empty
-        else {
-          val seen = new scala.collection.mutable.HashSet[String]
-          (0 to t.length - k).iterator
-            .map(i => t.slice(i, i + k).mkString(" "))
-            .filter(seen.add)
-            .map(s => (id, s))
-        }
+        distinctShingles(text, k).map(s => (id, s))
       }.toDF(idCol, "s")
   }
 
@@ -104,30 +113,30 @@ object Dedup {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val hexFmt = java.util.HexFormat.of()
+        // seed prefixes ("0:".."15:") encode once per partition; the
+        // shingle encodes once per shingle — md5("i:" ++ s) via two
+        // update() calls, no per-(shingle, seed) string concat
+        val prefixes = (0 until numHashes).map(h =>
+          (h.toString + ":")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
         rows.flatMap { case (id, text) =>
-          // limit -1 keeps trailing empty tokens = Spark split()
-          val t = if (text == null) Array.empty[String]
-            else text.split(" ", -1)
-          if (t.length < k) Iterator.empty // no shingles → no signature
+          val shingles = distinctShingles(text, k)
+          if (shingles.isEmpty) Iterator.empty // no shingles → no row
           else {
-            val seen = new scala.collection.mutable.HashSet[String]
             val mins = new Array[String](numHashes)
-            var i = 0
-            while (i <= t.length - k) {
-              val s = t.slice(i, i + k).mkString(" ")
-              if (seen.add(s)) {
-                var h = 0
-                while (h < numHashes) {
-                  md.reset()
-                  val hex = hexFmt.formatHex(md.digest(
-                    (h.toString + ":" + s)
-                      .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-                  if (mins(h) == null || hex.compareTo(mins(h)) < 0)
-                    mins(h) = hex
-                  h += 1
-                }
+            shingles.foreach { s =>
+              val sBytes =
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              var h = 0
+              while (h < numHashes) {
+                md.reset()
+                md.update(prefixes(h))
+                md.update(sBytes)
+                val hex = hexFmt.formatHex(md.digest())
+                if (mins(h) == null || hex.compareTo(mins(h)) < 0)
+                  mins(h) = hex
+                h += 1
               }
-              i += 1
             }
             Iterator.single(org.apache.spark.sql.Row.fromSeq(id +: mins.toSeq))
           }

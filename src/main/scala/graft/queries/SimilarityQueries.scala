@@ -158,10 +158,13 @@ object SimilarityQueries {
       f.select(Seq(col("id"), col("n_bytes"), col("head")) ++ feat: _*)
         .orderBy("id")
     }, {
+      // coalesce: list_sum of an empty list is NULL in DuckDB, but the
+      // decode stub's accumulators are 0 for empty payloads
       val fs = (0 until 8).map { j =>
-        s"""round(CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+        s"""round(CAST(coalesce(list_sum(list_transform(
+           | range(1, strlen(text) + 1),
            | i -> CASE WHEN (i - 1) % 8 = $j
-           |   THEN ord(substr(text, i, 1)) ELSE 0 END)) % 1000
+           |   THEN ord(substr(text, i, 1)) ELSE 0 END)), 0) % 1000
            | AS DOUBLE) / 1000.0, 3) AS f$j"""
           .stripMargin.replaceAll("\\s*\n\\s*", " ")
       }.mkString(",\n | ")

@@ -12,7 +12,10 @@ import org.apache.spark.sql.streaming.Trigger
   * matches", but "the stateful streaming execution itself matches".
   *
   * Emission rules reproduced by the oracles (watermark delay = 2 h,
-  * final watermark = max event time − 2 h, single-batch file source):
+  * final watermark = max event time − 2 h, single-batch file source;
+  * all boundary comparisons are MILLISECOND-granular — Timestamp
+  * .getTime in the state machine, ms-truncated watermark stats in
+  * Spark — so the oracles compare epoch_ms values, not raw µs):
   * - windowed agg (append mode): a window emits iff its END is at or
   *   below the final watermark (StateStoreSaveExec evicts on
   *   `end <= watermark`).
@@ -25,34 +28,53 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
 
   /** Run a streaming Dataset to completion (AvailableNow) into a
-    * uniquely-named memory sink; return the sink table. Checkpoint
-    * goes to a fresh temp dir — the query is a one-shot verification
-    * run, not a resumable job.
+    * uniquely-named memory sink, SNAPSHOT the result, then drop the
+    * sink and delete the one-shot checkpoint + any staged input dirs —
+    * without the cleanup, every bench iteration would retain a full
+    * result copy in driver memory (memory sinks are never evicted by
+    * clearCache) plus a state-store checkpoint on disk.
     */
   private def runAvailableNow(s: SparkSession,
-      out: org.apache.spark.sql.Dataset[_], prefix: String): DataFrame = {
+      out: org.apache.spark.sql.Dataset[_], prefix: String,
+      cleanupDirs: Seq[java.nio.file.Path] = Nil): DataFrame = {
     val name = prefix + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft-$prefix-ckpt").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory(s"graft-$prefix-ckpt")
     out.writeStream.format("memory").queryName(name)
       .outputMode("append")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckptDir.toString)
       .trigger(Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    s.table(name)
+    val sink = s.table(name)
+    val snapshot = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(name)
+    (ckptDir +: cleanupDirs).foreach(deleteRecursively)
+    snapshot
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Streaming read of the events corpus: the file stream source wants
     * a DIRECTORY, the corpus is a single file — stage symlink(s) in a
     * temp dir (`copies` > 1 plants exact duplicate rows, for the
-    * dedupe query). nanos arrive as longs (see GraftSession);
-    * watermarks reject TIMESTAMP_NTZ, so rebuild a UTC timestamp
-    * (session tz = UTC keeps it equal to the oracle's naive values).
+    * dedupe query); the staging dir is handed back for cleanup after
+    * the run. nanos arrive as longs (see GraftSession); watermarks
+    * reject TIMESTAMP_NTZ, so rebuild a UTC timestamp (session tz =
+    * UTC keeps it equal to the oracle's naive values).
     */
   private def eventsStream(s: SparkSession, dir: String,
-      copies: Int = 1): DataFrame = {
+      copies: Int = 1): (DataFrame, java.nio.file.Path) = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val inDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
     (1 to copies).foreach { i =>
@@ -60,9 +82,10 @@ object StreamQueries {
         inDir.resolve(s"events$i.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     }
-    s.readStream.schema(schema).parquet(inDir.toString)
+    val df = s.readStream.schema(schema).parquet(inDir.toString)
       .withColumn("ts",
         expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    (df, inDir)
   }
 
   /** Gap-based sessionization — the flatMapGroupsWithState state
@@ -73,12 +96,13 @@ object StreamQueries {
   val q38 = Q("q38_sessionize",
     (s, dir) => {
       import s.implicits._
-      val ev = eventsStream(s, dir)
+      val (events, inDir) = eventsStream(s, dir)
+      val ev = events
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[graft.streaming.EventStream.Event]
       val sessions =
         graft.streaming.EventStream.sessionize(ev, gapMinutes = 30)
-      runAvailableNow(s, sessions, "q38_sessions")
+      runAvailableNow(s, sessions, "q38_sessions", Seq(inDir))
         .select(col("user_id"),
           col("start").cast("timestamp_ntz").as("start"),
           col("end").cast("timestamp_ntz").as("end"),
@@ -87,8 +111,9 @@ object StreamQueries {
     },
     Some("""WITH e AS (SELECT user_id, ts, value FROM events),
       |m AS (SELECT user_id, ts, value,
-      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  CASE WHEN epoch_ms(ts) -
+      |    epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |       > 1800000 THEN 1 ELSE 0 END AS new_s
       | FROM e),
       |x AS (SELECT user_id, ts, value,
       |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -99,10 +124,10 @@ object StreamQueries {
       |   round(sum(value), 2) AS total_value
       | FROM x GROUP BY user_id, sid),
       |l AS (SELECT user_id, max(sid) AS last_sid FROM a GROUP BY user_id),
-      |w AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM e)
+      |w AS (SELECT epoch_ms(max(ts)) - 7200000 AS wm FROM e)
       |SELECT a.user_id, start, "end", n_events, total_value
       |FROM a JOIN l USING (user_id), w
-      |WHERE a.sid < l.last_sid OR ("end" + INTERVAL 30 MINUTE) < w.wm
+      |WHERE a.sid < l.last_sid OR (epoch_ms("end") + 1800000) < w.wm
       |ORDER BY user_id, start""".stripMargin))
 
   /** The streaming hourly rollup (q17's batch frame, run through the
@@ -111,9 +136,9 @@ object StreamQueries {
     */
   val q40 = Q("q40_stream_rollup",
     (s, dir) => {
-      val rolled = graft.streaming.EventStream
-        .hourlyRollup(eventsStream(s, dir))
-      runAvailableNow(s, rolled, "q40_rollup")
+      val (events, inDir) = eventsStream(s, dir)
+      val rolled = graft.streaming.EventStream.hourlyRollup(events)
+      runAvailableNow(s, rolled, "q40_rollup", Seq(inDir))
         .select(col("h").cast("timestamp_ntz").as("h"),
           col("event_type"), col("n"), col("total"))
         .orderBy("h", "event_type")
@@ -122,8 +147,8 @@ object StreamQueries {
       | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
       |FROM events
       |GROUP BY 1, 2
-      |HAVING h + INTERVAL 1 HOUR <=
-      |  (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+      |HAVING epoch_ms(h + INTERVAL 1 HOUR) <=
+      |  (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
       |ORDER BY 1, 2""".stripMargin))
 
   /** Streaming dedupe: the corpus planted TWICE (two symlinks → every
@@ -134,9 +159,10 @@ object StreamQueries {
     */
   val q41 = Q("q41_stream_dedupe",
     (s, dir) => {
+      val (events, inDir) = eventsStream(s, dir, copies = 2)
       val deduped = graft.streaming.EventStream
-        .dedupeStream(eventsStream(s, dir, copies = 2), Seq("event_id"))
-      runAvailableNow(s, deduped, "q41_dedupe")
+        .dedupeStream(events, Seq("event_id"))
+      runAvailableNow(s, deduped, "q41_dedupe", Seq(inDir))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts").cast("timestamp_ntz").as("ts"), col("value"))
         .orderBy("event_id")

@@ -60,8 +60,11 @@ object EventStream {
             state.remove()
             Iterator.single(toSession(userId, evs))
           } else {
+            // full-precision order (getTime is ms; getNanos breaks
+            // same-millisecond ties) so session start/end rows are
+            // deterministic and match a µs-ordered SQL oracle
             val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
-              .sortBy(_.ts.getTime)
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos))
             // split on gaps: all but the last run are closed sessions
             val runs = splitOnGaps(all, gapMs)
             val (closed, open) = (runs.init, runs.last)

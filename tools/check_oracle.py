@@ -47,13 +47,17 @@ def main(sf_dir, out_dir):
         # Arrow-level dtype compare: the driver's hash gate sees types,
         # not just stringized values (DuckDB widens sum(int) to
         # HUGEINT/decimal128 — identical str(), different hash).
+        # LIMIT 0: the types are all we need, don't re-run the query.
         try:
-            wtypes = {f.name: str(f.type) for f in con.sql(sql).arrow().schema}
+            wtypes = {f.name: str(f.type)
+                      for f in con.sql(
+                          f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema}
             gtypes = {f.name: str(f.type)
                       for f in con.sql(
-                          f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-                      .arrow().schema}
-        except Exception:
+                          f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                          " LIMIT 0").arrow().schema}
+        except Exception as e:
+            print(f"WARN {name}: dtype check skipped ({e})")
             wtypes = gtypes = {}
         # ns-vs-us timestamps stringize (and driver-hash) alike; ignore
         norm_t = lambda t: t.replace("[ns]", "[us]")
