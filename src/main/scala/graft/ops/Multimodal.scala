@@ -76,6 +76,23 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: normalize every payload to exactly `size` bytes —
+    * truncate long payloads, zero-pad short ones (a real
+    * implementation rescales pixel grids; the Spark-side contract is
+    * the same: variable-size binary in, fixed-size binary out, so
+    * downstream batch kernels can assume uniform shape). Zero shuffle,
+    * partition-local.
+    */
+  def resizeBytes(media: DataFrame, size: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, java.util.Arrays.copyOf(bytes, size))
+      })
+      .toDF("id", "content")
+  }
+
   /** Frame/sample decimation stub: keep every k-th byte (a real
     * implementation samples frames from video / windows from audio).
     * Stays a binary column; zero shuffle, partition-local.

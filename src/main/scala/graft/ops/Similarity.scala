@@ -73,9 +73,14 @@ object Similarity {
     val cents = base.filter(centroidPred)
       .select(col(idCol).as("cid"), col("_e").as("_ce"), col("_nrm").as("_cn"))
     // a predicate matching nothing would silently empty every cell —
-    // fail loudly instead (one tiny job; the centroid set is small)
-    require(!cents.isEmpty,
-      "centroidPred matched no rows — IVF needs at least one centroid")
+    // fail loudly instead. The check is an EXTRA eager job (a take(1)
+    // over the filtered scan): cheap here, but at 100 TB it re-scans
+    // the corpus before the real work — disable via conf and rely on
+    // downstream emptiness monitoring instead.
+    if (emb.sparkSession.conf
+        .get("spark.graft.ivf.validateCentroids", "true").toBoolean)
+      require(!cents.isEmpty,
+        "centroidPred matched no rows — IVF needs at least one centroid")
     val cos = round(dot(col("_e"), col("_ce")) / (col("_nrm") * col("_cn")), 6)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("_ccos").desc, col("cid").asc)

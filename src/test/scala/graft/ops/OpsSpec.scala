@@ -179,6 +179,17 @@ class OpsSpec extends SparkSpec {
     assert(sampled.forall { case (id, len) =>
       len == (orig(id) + 3) / 4
     })
+    // resize: every payload exactly the target size (truncate/pad),
+    // and the preserved prefix is byte-identical to the original
+    val resized = Multimodal.resizeBytes(media, 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content"))
+    val origBytes = media.collect().map(r => r.getLong(0) ->
+      r.getAs[Array[Byte]]("content")).toMap
+    assert(resized.forall(_._2.length == 64))
+    assert(resized.forall { case (id, b) =>
+      val o = origBytes(id)
+      b.take(math.min(64, o.length)).sameElements(o.take(64))
+    })
   }
 
   test("multimodal features feed the ANN operator end-to-end") {
