@@ -388,7 +388,34 @@ object TextQueries {
       |       FROM documents))
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Corpus length distribution: exact per-source token-count
+    * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`, same
+    * (n−1)·p linear interpolation — rounded to absorb last-ulp
+    * arithmetic drift). Exact percentile buffers each group's values;
+    * at 100 TB swap in `approx_percentile` (t-digest, mergeable,
+    * bounded memory) — the exact form here IS the oracle for that
+    * swap.
+    */
+  val q48 = Q("q48_length_quantiles",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("source"), TextOps.tokenCount(col("text")).as("ntok"))
+      .groupBy("source")
+      .agg(
+        round(expr("percentile(ntok, 0.5)"), 4).as("p50"),
+        round(expr("percentile(ntok, 0.9)"), 4).as("p90"),
+        round(expr("percentile(ntok, 0.99)"), 4).as("p99"),
+        max("ntok").cast("long").as("max_tok"))
+      .orderBy("source"),
+    Some("""SELECT source,
+      | round(quantile_cont(ntok, 0.5), 4) AS p50,
+      | round(quantile_cont(ntok, 0.9), 4) AS p90,
+      | round(quantile_cont(ntok, 0.99), 4) AS p99,
+      | max(ntok) AS max_tok
+      |FROM (SELECT source, len(string_split(text, ' ')) AS ntok
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47)
+      q44, q45, q46, q47, q48)
 }
