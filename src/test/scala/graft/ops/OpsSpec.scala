@@ -48,6 +48,23 @@ class OpsSpec extends SparkSpec {
       s"near-dups should be hamming-close: $nearDist")
   }
 
+  test("minhash estimate scores planted near-dups high") {
+    val est = Dedup.minhashEstimatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // every true near-dup pair is a candidate, and its signature
+    // estimate reflects the ≈0.98 true jaccard (16 hashes → generous
+    // tolerance)
+    truth.foreach { p =>
+      assert(est.contains(p), s"pair $p missing from estimates")
+      assert(est(p) >= 0.75, s"pair $p estimated ${est(p)}")
+    }
+  }
+
   test("simhash mapPartitions kernel matches the column-expression simhash32") {
     val viaCols = docs
       .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
