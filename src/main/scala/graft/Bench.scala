@@ -35,21 +35,33 @@ object Bench {
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
       runAll(warmupDir)
 
-    // Timed passes: per-query MINIMUM over `repeat` full executions.
-    // The host is shared (load spikes from co-tenants randomly 3×'d
-    // individual queries); min-of-N is the standard noise-robust
-    // estimator and every reported number is still a complete run.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
+    // Timed passes: `repeat` full INTERLEAVED executions (pass 1 runs
+    // every query, then pass 2, ... — so a co-tenant load spike hits
+    // different queries in different passes, not the same query N
+    // times in a row). Headline per-query number = MINIMUM over
+    // successful executions (the standard noise-robust estimator;
+    // every reported number is still a complete run); the MEDIAN is
+    // reported alongside so the artifact itself shows the noise floor.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
     val passes = (1 to repeat).map(_ => runAll(sfDir))
-    // min over SUCCESSFUL executions; -1 if a query never succeeded
-    val results = passes.flatMap(_.toSeq)
-      .groupMapReduce(_._1)(_._2.getOrElse(Double.PositiveInfinity))(math.min)
-      .map { case (k, v) => k -> (if (v.isFinite) v else -1.0) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // total over successful queries only (-1 failure markers excluded)
+    val byQuery: Map[String, Seq[Double]] = passes.flatMap(_.toSeq)
+      .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.flatten }
+    // min/median over SUCCESSFUL executions; -1 if none succeeded
+    def med(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = byQuery.map { case (k, vs) =>
+      k -> (if (vs.isEmpty) -1.0 else vs.min) }
+    val medians = byQuery.map { case (k, vs) =>
+      k -> (if (vs.isEmpty) -1.0 else med(vs)) }
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // totals over successful queries only (-1 failure markers excluded)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMed = medians.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_median":${js(medians)},"total_median":$totalMed,"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,9 +28,17 @@ object Verify {
     // queries that already dumped successfully.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Dev iteration knob: run only the named queries (comma-separated).
-    // Unset (the driver's case) → run everything.
+    // Unset (the driver's case) → run everything. A partial run must be
+    // VISIBLY partial: oracle_sql.json above still records every oracle,
+    // so log exactly which dumps are being skipped.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet)
+    only.foreach { names =>
+      val skipped = SparkEntry.queries.keySet.diff(names).toSeq.sorted
+      System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY set — SKIPPING ${skipped.size} " +
+          s"queries: ${skipped.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

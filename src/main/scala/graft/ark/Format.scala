@@ -110,7 +110,13 @@ object Format {
     * then applies to ALL rows; a 10%-null threshold estimated from a
     * sample is robust far past the sample error for any real corpus
     * (the formats are mutually unparseable, so the vote is near 0% or
-    * near 100% per candidate).
+    * near 100% per candidate). NB `df.sample(frac, seed)` is
+    * deterministic only for a FIXED partition layout — the same file
+    * read with different splits draws a different sample (same rate,
+    * different rows). The vote's robustness argument above is what
+    * makes that acceptable; a layout-independent sample would hash row
+    * content instead, at the cost of evaluating md5 on every row —
+    * exactly the full-column pass the knob exists to avoid.
     */
   private def parseDate(df: DataFrame): DataFrame = {
     val candidates: Seq[Column] = Seq(

@@ -179,6 +179,11 @@ object Dedup {
     * pair list against the one-row-per-doc signature table. At scale
     * this is the tier that turns "LSH says maybe" into a score
     * without touching the raw text again.
+    *
+    * NB the persisted signature table outlives the returned (lazy)
+    * frame — long-lived sessions should `spark.catalog.clearCache()`
+    * after consuming the result, as Bench and Verify do (same caveat
+    * as [[ngramJaccardPairs]]).
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, numBands: Int = 4): DataFrame = {

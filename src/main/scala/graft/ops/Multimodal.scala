@@ -88,7 +88,10 @@ object Multimodal {
     import spark.implicits._
     media.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        (id, java.util.Arrays.copyOf(bytes, size))
+        // null payload → zero-filled frame (the null-handling
+        // convention of the other partition-local kernels)
+        (id, if (bytes == null) new Array[Byte](size)
+             else java.util.Arrays.copyOf(bytes, size))
       })
       .toDF("id", "content")
   }

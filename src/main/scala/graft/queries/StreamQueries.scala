@@ -41,27 +41,34 @@ object StreamQueries {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckptDir = java.nio.file.Files
       .createTempDirectory(s"graft-$prefix-ckpt")
-    out.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val sink = s.table(name)
-    val snapshot = s.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(name)
-    (ckptDir +: cleanupDirs).foreach(deleteRecursively)
-    snapshot
+    // cleanup in finally: a failed run must not leak the memory-sink
+    // view (never evicted by clearCache), the checkpoint dir, or the
+    // staged symlink dir
+    try {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val sink = s.table(name)
+      s.createDataFrame(
+        java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    } finally {
+      try s.catalog.dropTempView(name) catch { case _: Exception => }
+      (ckptDir +: cleanupDirs).foreach(deleteRecursively)
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p,
         java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 

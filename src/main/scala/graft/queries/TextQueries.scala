@@ -277,8 +277,8 @@ object TextQueries {
     })
 
   /** Shared DuckDB rendering of [[graft.ops.Sampling.hashBucket]]. */
-  private def duckBucket(id: String): String =
-    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  private def duckBucket(id: String, buckets: Int = 100): String =
+    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % $buckets"
 
   /** Deterministic train/val/test split (1/1/98 by md5 bucket of the
     * doc id): membership is a pure function of the id — reproducible
@@ -359,34 +359,48 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin)
     })
 
-  /** Offset-based sequence packing: docs stream per lang in doc_id
-    * order into fixed token-budget chunks (chunk = floor(start_offset
-    * / budget)) — the packing step that turns a corpus into training
-    * sequences. Pure window arithmetic, deterministic, oracle-exact.
+  /** Offset-based sequence packing: docs stream per (lang, shard) in
+    * doc_id order into fixed token-budget chunks (chunk =
+    * floor(start_offset / budget)) — the packing step that turns a
+    * corpus into training sequences. Pure window arithmetic,
+    * deterministic, oracle-exact.
+    *
+    * The shard term is the scale guard: a window partitioned by `lang`
+    * alone funnels ALL docs of one language through ONE task — on an
+    * English-dominant corpus at 100 TB that is a single-task sort of
+    * half the corpus. Sharding by a deterministic hash bucket of the
+    * doc id keeps packing embarrassingly parallel (`packShards` tasks
+    * per language); budget boundaries per shard are exactly as valid —
+    * training sequences only need SOME deterministic grouping, not a
+    * corpus-global one.
     */
+  private val packShards = 8
   val q47 = Q("q47_sequence_pack",
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
+        .partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       table(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("shard",
+          graft.ops.Sampling.hashBucket(col("doc_id"), packShards))
         .withColumn("chunk",
           floor((sum("ntok").over(w) - col("ntok")) / 2048.0))
-        .groupBy("lang", "chunk")
+        .groupBy("lang", "shard", "chunk")
         .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
-        .orderBy("lang", "chunk")
+        .orderBy("lang", "shard", "chunk")
     },
-    Some("""SELECT lang, chunk, count(*) AS n_docs,
+    Some(s"""SELECT lang, shard, chunk, count(*) AS n_docs,
       | CAST(sum(ntok) AS BIGINT) AS tokens
-      |FROM (SELECT lang, doc_id, ntok,
-      |  CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+      |FROM (SELECT lang, shard, doc_id, ntok,
+      |  CAST(floor((sum(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
       |    ROWS UNBOUNDED PRECEDING) - ntok) / 2048.0) AS BIGINT) AS chunk
-      | FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok
+      | FROM (SELECT lang, doc_id, ${duckBucket("doc_id", packShards)} AS shard,
+      |    len(string_split(text, ' ')) AS ntok
       |       FROM documents))
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
   /** Corpus length distribution: exact per-source token-count
     * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`, same
