@@ -298,6 +298,86 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Connected components over a candidate-pair frame — the step that
+    * turns near-dup PAIRS (q24/q26/q43's output) into dedup CLUSTERS.
+    * Returns one (id, cluster) row per doc appearing in any pair,
+    * where cluster = the MINIMUM doc id of the component (so the
+    * canonical survivor of a cluster is the row with id == cluster).
+    *
+    * Algorithm: iterative min-label propagation — every node starts
+    * labeled with itself; each round every node takes the min of its
+    * own label and its neighbors' labels; fixpoint when a round
+    * changes nothing. All data-path work is joins + aggregations (no
+    * driver-side union-find — the driver only runs the convergence
+    * loop and reads ONE count per round); rounds needed = graph
+    * diameter, and near-dup components are dense quasi-cliques from
+    * band collisions, so 2–3 rounds in practice. Each round's label
+    * frame is persisted and the previous round's unpersisted, keeping
+    * lineage depth and storage constant. At extreme diameters the
+    * two-phase large-star/small-star variant (Kiveris et al.) halves
+    * the round count; the per-round dataflow is the same shape.
+    *
+    * The reference's merge loop (`/root/reference/src/util.rs:70-79`,
+    * 133-145: union + whole-row distinct) is the degenerate EXACT-dup
+    * version of this — identical rows collapse without needing
+    * components; near-dups need the transitive closure.
+    */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected: every edge in both directions, so one join per round
+    // propagates labels both ways
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .persist(lvl)
+    labels.count() // materialize round 0 before the loop rewires it
+    var changed = 1L
+    while (changed > 0) {
+      // min label among neighbors (every node has ≥1 neighbor by
+      // construction, so this is an inner-join-complete frame)
+      val nmin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("_ncl")),
+          "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("_ncl").as("_nmin"))
+      val next = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster")))
+            .as("cluster"))
+        .persist(lvl)
+      // one count materializes `next` AND decides convergence
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "_old"), "id")
+        .filter(col("cluster") =!= col("_old"))
+        .count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus-wide near-dedup: keep ONE canonical doc per cluster (the
+    * min-id member) plus every unclustered doc. `pairs` is any
+    * candidate-pair frame (LSH buckets → estimate → threshold is the
+    * scale pipeline); the cluster table is small relative to the
+    * corpus (only docs WITH a duplicate appear), so AQE turns the
+    * left join into a broadcast when it fits.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val cl = clusters(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster").as("_cluster"))
+    df.join(cl, Seq(idCol), "left")
+      .filter(col("_cluster").isNull || col(idCol) === col("_cluster"))
+      .drop("_cluster")
+  }
+
   /** Deterministic keep-first dedupe on a subset key (SURVEY.md §2.6
     * U2's scale path): row_number over (keys, orderBy) == 1.
     */

@@ -243,6 +243,36 @@ object TextQueries {
       |      GROUP BY doc_id, tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Matching-signature-component count for the estimate score —
+    * shared by the q43/q49/q50 oracles (sa/sb alias the sig CTE).
+    */
+  private val duckEstMatches: String = (0 until 16)
+    .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  /** DuckDB CTE chain `sh, sig, band, cand` reproducing
+    * [[graft.ops.Dedup.minhashEstimatePairs]]'s candidate pairs
+    * (16 hashes, 4 bands) — ONE definition shared by the q43 estimate
+    * oracle and the q49/q50 cluster oracles.
+    */
+  private val duckMinhashCandCtes: String = {
+    val mins = (0 until 16)
+      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sh AS (
+      |${SqlGen.duckShingleCte}
+      |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      |band AS ($bandSelects),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      | FROM band x JOIN band y
+      |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+      |   AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   /** MinHash similarity ESTIMATE over the LSH candidate pairs — the
     * verification tier between q24's buckets and q26's exact Jaccard:
     * score = matching signature components / 16, no shingle re-join.
@@ -250,31 +280,13 @@ object TextQueries {
   val q43 = Q("q43_minhash_estimate",
     (s, dir) => Dedup.minhashEstimatePairs(table(s, dir, "documents"),
         "doc_id", "text", numHashes = 16, numBands = 4)
-      .orderBy("a", "b"), {
-      val mins = (0 until 16)
-        .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
-          .mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
-      }.mkString(" UNION ALL ")
-      val matches = (0 until 16)
-        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      Some(s"""WITH sh AS (
-        |${SqlGen.duckShingleCte}
-        |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-        |band AS ($bandSelects),
-        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        | FROM band x JOIN band y
-        |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-        |   AND x.doc_id < y.doc_id)
-        |SELECT a, b,
-        | round(CAST($matches AS DOUBLE) / 16, 4) AS est_jaccard
-        |FROM pairs JOIN sig sa ON sa.doc_id = a
-        | JOIN sig sb ON sb.doc_id = b
-        |ORDER BY a, b""".stripMargin)
-    })
+      .orderBy("a", "b"),
+    Some(s"""WITH $duckMinhashCandCtes
+      |SELECT a, b,
+      | round(CAST($duckEstMatches AS DOUBLE) / 16, 4) AS est_jaccard
+      |FROM cand JOIN sig sa ON sa.doc_id = a
+      | JOIN sig sb ON sb.doc_id = b
+      |ORDER BY a, b""".stripMargin))
 
   /** Shared DuckDB rendering of [[graft.ops.Sampling.hashBucket]]. */
   private def duckBucket(id: String, buckets: Int = 100): String =
@@ -429,7 +441,73 @@ object TextQueries {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** The near-dup pair source for cluster resolution: LSH candidates
+    * scored by signature estimate, thresholded — the scale pipeline
+    * (no shingle re-join, no exact Jaccard pass). Planted near-dups
+    * (true J ≈ 0.98) estimate ≈ 1.0; a single random band collision
+    * estimates ≈ 0.25, far under the cut.
+    */
+  private val clusterMinEst = 0.5
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Dedup.minhashEstimatePairs(table(s, dir, "documents"),
+        "doc_id", "text", numHashes = 16, numBands = 4)
+      .filter(col("est_jaccard") >= clusterMinEst)
+
+  /** DuckDB CTEs `pairs, edges` + recursive `reach` reproducing
+    * [[graft.ops.Dedup.clusters]] over the estimate-thresholded pairs:
+    * label-propagation fixpoint ≡ min over the transitive closure,
+    * which the recursive CTE enumerates directly (min reachable node
+    * of an undirected component = the component's min label).
+    */
+  private val duckClusterCtes: String =
+    s"""$duckMinhashCandCtes,
+      |pairs AS (SELECT a, b FROM (
+      |  SELECT a, b,
+      |   round(CAST($duckEstMatches AS DOUBLE) / 16, 4) AS est
+      |  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
+      | WHERE est >= $clusterMinEst),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (SELECT src, src FROM edges
+      | UNION SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y)"""
+      .stripMargin
+
+  /** Dedup cluster resolution: near-dup candidate PAIRS → connected
+    * components via iterative min-label propagation
+    * ([[graft.ops.Dedup.clusters]]). One row per clustered doc with
+    * its component's canonical (minimum) id. The oracle computes the
+    * same components as the min over a recursive-CTE transitive
+    * closure.
+    */
+  val q49 = Q("q49_dedup_clusters",
+    (s, dir) => Dedup.clusters(nearDupPairs(s, dir), "a", "b")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $duckClusterCtes
+      |SELECT x AS doc_id, min(y) AS cluster
+      |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin))
+
+  /** Corpus-wide near-dedup — the step every near-dedup pipeline ends
+    * with: clusters → keep ONE canonical doc per cluster (min id) plus
+    * every unclustered doc ([[graft.ops.Dedup.dedupCorpus]]). Counted
+    * per source so the planted duplicates' removal is visible.
+    */
+  val q50 = Q("q50_dedup_corpus",
+    (s, dir) => Dedup.dedupCorpus(table(s, dir, "documents"),
+        "doc_id", nearDupPairs(s, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_survivors"), min("doc_id").as("min_id"))
+      .orderBy("source"),
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |cl AS (SELECT x AS doc_id, min(y) AS cluster
+      |       FROM reach GROUP BY x)
+      |SELECT source, count(*) AS n_survivors, min(doc_id) AS min_id
+      |FROM documents LEFT JOIN cl USING (doc_id)
+      |WHERE cluster IS NULL OR doc_id = cluster
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47, q48)
+      q44, q45, q46, q47, q48, q49, q50)
 }

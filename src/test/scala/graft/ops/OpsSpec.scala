@@ -130,6 +130,49 @@ class OpsSpec extends SparkSpec {
     assert(mixed.map(_.getString(0)).toSeq == Seq("src0"))
   }
 
+  test("clusters: min-label propagation resolves transitive components") {
+    // two components: {1,2,3,7} via a chain (needs >1 propagation
+    // round: 7-3, 3-2, 2-1) and {10,11}; 5 stays unclustered
+    val pairs = Seq((2L, 1L), (3L, 2L), (7L, 3L), (10L, 11L))
+      .toDF("a", "b")
+    val cl = Dedup.clusters(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+
+    // empty pair frame → empty cluster frame, correct schema
+    val empty = Dedup.clusters(pairs.filter(col("a") < 0), "a", "b")
+    assert(empty.columns.toSeq == Seq("id", "cluster"))
+    assert(empty.isEmpty)
+  }
+
+  test("dedupCorpus keeps one canonical doc per cluster plus singletons") {
+    val corpus = Seq((1L, "x"), (2L, "x"), (3L, "x"), (5L, "y"),
+      (7L, "x"), (10L, "z"), (11L, "z"))
+      .toDF("doc_id", "payload")
+    val pairs = Seq((2L, 1L), (3L, 2L), (7L, 3L), (10L, 11L))
+      .toDF("a", "b")
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", pairs)
+    assert(kept.columns.toSeq == Seq("doc_id", "payload"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L, 10L))
+  }
+
+  test("dedupCorpus on the real corpus removes exactly the planted near-dups") {
+    val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+    val clustered = Dedup.clusters(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clustered.nonEmpty, "corpus should contain planted near-dups")
+    val survivors = Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val removed = clustered.collect { case (id, cl) if id != cl => id }.toSet
+    val canonical = clustered.map(_._2).toSet
+    assert(survivors.size == docs.count() - removed.size)
+    assert(canonical.subsetOf(survivors))
+    assert(removed.forall(!survivors.contains(_)))
+  }
+
   test("keepFirst keeps exactly the minimum-order row per key") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7), (2, "d", 9))
       .toDF("k", "v", "ord")
