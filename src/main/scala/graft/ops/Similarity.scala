@@ -91,22 +91,47 @@ object Similarity {
       .select(col(idCol), col("_e"), col("_nrm"), col("cid").as("cell"))
   }
 
-  /** IVF search, nprobe=1: queries scan only their own cell. The
-    * assignment feeds both the probe side and the broadcast query
+  /** IVF search: every query probes its `nprobe` NEAREST centroids'
+    * cells (same rounded-cos + centroid-id ranking as the cell
+    * assignment, so nprobe=1 probes exactly the query's own cell).
+    * nprobe=1 has a recall cliff for queries near a cell boundary —
+    * their true neighbors sit just across it; probing the top-2/3
+    * cells is the standard recall/cost dial and only multiplies the
+    * (broadcast) probe list, never the corpus-side scan.
+    *
+    * The assignment feeds both the probe side and the broadcast query
     * side, so it's persisted — the vectors×centroids argmax is the
     * dominant cost and would otherwise run twice (long-lived sessions:
     * `spark.catalog.clearCache()` after consuming, as Bench/Verify do).
     */
   def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, centroidPred: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val cells = ivfCells(emb, idCol, vecCol, centroidPred)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = cells.filter(queryPred)
       .select(col(idCol).as("qid"), col("_e").as("_qe"),
         col("_nrm").as("_qn"), col("cell").as("_qcell"))
+    val probes =
+      if (nprobe == 1) q // own cell — the assignment already ranked it
+      else {
+        val cents = withNorm(emb, vecCol).filter(centroidPred)
+          .select(col(idCol).as("cid"), col("_e").as("_ce"),
+            col("_nrm").as("_cn"))
+        val qcos = round(
+          dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")), 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("_qcos").desc, col("cid").asc)
+        q.drop("_qcell").crossJoin(broadcast(cents))
+          .withColumn("_qcos", qcos)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= nprobe)
+          .select(col("qid"), col("_qe"), col("_qn"),
+            col("cid").as("_qcell"))
+      }
     val cos = round(dot(col("_qe"), col("_e")) / (col("_qn") * col("_nrm")), 6)
-    cells.join(broadcast(q),
+    cells.join(broadcast(probes),
         col("cell") === col("_qcell") && col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol), cos.as("cos"))
       .filter(col("cos") >= threshold)

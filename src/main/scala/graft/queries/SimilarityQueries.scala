@@ -104,6 +104,43 @@ object SimilarityQueries {
         |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin)
     })
 
+  /** DuckDB oracle for [[graft.ops.Similarity.ivfSearch]] at a given
+    * `nprobe` — one definition feeds q32 (nprobe=1) and q51
+    * (nprobe=2). `asg` is the rn=1 cell assignment; `probes` ranks
+    * every query's centroids by the same rounded-cos/centroid-id
+    * order and keeps the top `nprobe` (at nprobe=1 this IS the
+    * query's own cell, so the generator degenerates to the classic
+    * own-cell probe).
+    */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH base AS (
+      | SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+      | FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+      | FROM base WHERE vec_id % 50 = 7),
+      |asg AS (
+      | SELECT vec_id, embedding, nrm, cid AS cell FROM (
+      |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+      |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |    round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6) DESC,
+      |    c.cid) AS rn
+      |  FROM base b, cents c) WHERE rn = 1),
+      |probes AS (
+      | SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cid AS qcell FROM (
+      |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+      |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |    round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6) DESC,
+      |    c.cid) AS rn
+      |  FROM (SELECT * FROM base WHERE vec_id % 100 = 0) b, cents c)
+      | WHERE rn <= $nprobe)
+      |SELECT qid, vec_id, cos FROM (
+      | SELECT p.qid, a.vec_id,
+      |  round((${dotSql("p.qe", "a.embedding")})
+      |    / (p.qn * a.nrm), 6) AS cos
+      | FROM asg a JOIN probes p
+      |  ON p.qcell = a.cell AND p.qid <> a.vec_id)
+      |WHERE cos >= 0.2 ORDER BY qid, vec_id""".stripMargin
+
   /** Centroid-based IVF search (nprobe=1): every 50th(+7) vector is a
     * centroid, vectors join their max-cosine centroid's cell, queries
     * probe only their own cell. The argmax (rounded cos, centroid-id
@@ -117,25 +154,22 @@ object SimilarityQueries {
         centroidPred = col("vec_id") % 50 === 7,
         threshold = 0.2)
       .orderBy("qid", "vec_id"),
-    Some(s"""WITH base AS (
-      | SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-      | FROM embeddings),
-      |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-      | FROM base WHERE vec_id % 50 = 7),
-      |asg AS (
-      | SELECT vec_id, embedding, nrm, cid AS cell FROM (
-      |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
-      |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
-      |    round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6) DESC,
-      |    c.cid) AS rn
-      |  FROM base b, cents c) WHERE rn = 1)
-      |SELECT qid, vec_id, cos FROM (
-      | SELECT q.vec_id AS qid, a.vec_id,
-      |  round((${dotSql("q.embedding", "a.embedding")})
-      |    / (q.nrm * a.nrm), 6) AS cos
-      | FROM asg a JOIN (SELECT * FROM asg WHERE vec_id % 100 = 0) q
-      |  ON q.cell = a.cell AND q.vec_id <> a.vec_id)
-      |WHERE cos >= 0.2 ORDER BY qid, vec_id""".stripMargin))
+    Some(ivfOracleSql(1)))
+
+  /** IVF with nprobe=2: each query probes its two nearest centroids'
+    * cells. nprobe=1 has a recall cliff for queries near a cell
+    * boundary (their true neighbors sit just across it); probing the
+    * top-2 cells is the standard recall/cost dial and only multiplies
+    * the broadcast probe list — the corpus-side scan is unchanged.
+    */
+  val q51 = Q("q51_cosine_ivf_nprobe2",
+    (s, dir) => graft.ops.Similarity.ivfSearch(table(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        centroidPred = col("vec_id") % 50 === 7,
+        threshold = 0.2, nprobe = 2)
+      .orderBy("qid", "vec_id"),
+    Some(ivfOracleSql(2)))
 
   /** Multimodal feature extraction end-to-end: documents wrapped as
     * binary media rows, decoded + featurized partition-locally
@@ -175,5 +209,5 @@ object SimilarityQueries {
         |FROM documents ORDER BY id""".stripMargin)
     })
 
-  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39)
+  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51)
 }

@@ -219,6 +219,35 @@ class OpsSpec extends SparkSpec {
     assert(bucketed.forall { case (k, v) => brute(k) == v })
   }
 
+  test("ivf nprobe=2 recall dominates nprobe=1 and never invents pairs") {
+    val emb = sf("embeddings")
+    def run(np: Int) = {
+      val m = Similarity.ivfSearch(emb, "vec_id", "embedding",
+          col("vec_id") % 100 === 0, col("vec_id") % 50 === 7,
+          threshold = 0.2, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      spark.catalog.clearCache() // ivfSearch persists the cell assignment
+      m
+    }
+    val np1 = run(1)
+    val np2 = run(2)
+    // probing MORE cells can only add pairs — np1 ⊆ np2, scores equal
+    assert(np1.keySet.subsetOf(np2.keySet))
+    assert(np1.forall { case (k, v) => np2(k) == v })
+    // recall vs the exact brute-force truth does not decrease
+    val truth = Similarity.cosineBruteForce(emb, "vec_id", "embedding",
+        col("vec_id") % 100 === 0, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val r1 = np1.keySet.intersect(truth).size.toDouble / truth.size
+    val r2 = np2.keySet.intersect(truth).size.toDouble / truth.size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    // and the IVF tiers only ever surface true-cosine pairs (no
+    // approximation on the score itself, only on the candidate set)
+    assert(np2.keySet.subsetOf(truth))
+  }
+
   test("multimodal: binary plumbing round-trips and features are deterministic") {
     val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
     assert(media.schema("content").dataType.typeName == "binary")
