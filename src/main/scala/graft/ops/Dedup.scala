@@ -274,6 +274,19 @@ object Dedup {
       }.toDF(idCol, "simhash")
   }
 
+  /** Cell-count sizing for [[embeddingNearDups]]: enough sign bits
+    * that the AVERAGE cell holds ~`targetCellSize` vectors —
+    * ceil(log2(n / target)), clamped to [1, 24] (2^24 ≈ 16.8M cells;
+    * past that the leading-dim sign prefix of a 64-dim embedding
+    * stops discriminating). Pure and monotonic: 10× the input adds
+    * ≥3 bits, i.e. ≥8× the cells — the within-cell quadratic term
+    * stays bounded as the corpus grows instead of exploding with it.
+    */
+  def autoBits(n: Long, targetCellSize: Long = 1024L): Int = {
+    val cells = math.max(1.0, n.toDouble / targetCellSize)
+    math.min(24, math.max(1, math.ceil(math.log(cells) / math.log(2)).toInt))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * similarity meets `threshold` (each pair once, a < b), restricted
     * to sign-LSH cells. Unlike the query-probe shape (broadcast the
@@ -281,11 +294,20 @@ object Dedup {
     * both sides shuffle-partition by cell, so each task compares only
     * its own cell's vectors. That is the 100 TB-safe shape; `bits`
     * trades recall for cell size.
+    *
+    * `bits <= 0` (the default) auto-sizes via [[autoBits]] from an
+    * eager `count()` of the input — on a parquet scan that is
+    * metadata-only (row-group counts, no data read), and it makes the
+    * SAFE cell size the default rather than a documented option. Pass
+    * an explicit positive `bits` to pin the cell count (as the
+    * oracled q31 does — an auto default would silently re-bucket when
+    * the SF changes).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 4): DataFrame = {
+      threshold: Double, bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(df.count())
     val base = Similarity.withNorm(df, vecCol)
-      .withColumn("_bkt", Similarity.signBucket(col("_e"), bits))
+      .withColumn("_bkt", Similarity.signBucket(col("_e"), b))
     val l = base.select(col("_bkt"), col(idCol).as("a"),
       col("_e").as("_ea"), col("_nrm").as("_na"))
     val r = base.select(col("_bkt"), col(idCol).as("b"),

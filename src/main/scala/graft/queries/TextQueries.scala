@@ -418,20 +418,34 @@ object TextQueries {
     * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`, same
     * (n−1)·p linear interpolation — rounded to absorb last-ulp
     * arithmetic drift). Exact percentile buffers each group's values;
-    * at 100 TB swap in `approx_percentile` (t-digest, mergeable,
-    * bounded memory) — the exact form here IS the oracle for that
-    * swap.
+    * `spark.graft.quantiles.approx=true` swaps in `approx_percentile`
+    * (Greenwald-Khanna summaries: mergeable, bounded memory — the
+    * 100 TB shape, where buffering a source's every length is a
+    * straight OOM). The exact form IS the oracle for the swap: the
+    * driver gate runs the default (exact) path, and QuantileModeSpec
+    * pins the approx path within tolerance of it. Accuracy knob:
+    * `spark.graft.quantiles.accuracy` (default 10000 ≈ 1e-4 relative
+    * rank error).
     */
-  val q48 = Q("q48_length_quantiles",
-    (s, dir) => table(s, dir, "documents")
+  def lengthQuantiles(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val approx = s.conf.get("spark.graft.quantiles.approx", "false").toBoolean
+    val acc = s.conf.get("spark.graft.quantiles.accuracy", "10000").toInt
+    def pct(p: Double) =
+      if (approx) expr(s"approx_percentile(ntok, $p, $acc)").cast("double")
+      else expr(s"percentile(ntok, $p)")
+    table(s, dir, "documents")
       .select(col("source"), TextOps.tokenCount(col("text")).as("ntok"))
       .groupBy("source")
       .agg(
-        round(expr("percentile(ntok, 0.5)"), 4).as("p50"),
-        round(expr("percentile(ntok, 0.9)"), 4).as("p90"),
-        round(expr("percentile(ntok, 0.99)"), 4).as("p99"),
+        round(pct(0.5), 4).as("p50"),
+        round(pct(0.9), 4).as("p90"),
+        round(pct(0.99), 4).as("p99"),
         max("ntok").cast("long").as("max_tok"))
-      .orderBy("source"),
+      .orderBy("source")
+  }
+
+  val q48 = Q("q48_length_quantiles", lengthQuantiles,
     Some("""SELECT source,
       | round(quantile_cont(ntok, 0.5), 4) AS p50,
       | round(quantile_cont(ntok, 0.9), 4) AS p90,

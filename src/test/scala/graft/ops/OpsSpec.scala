@@ -219,6 +219,26 @@ class OpsSpec extends SparkSpec {
     assert(bucketed.forall { case (k, v) => brute(k) == v })
   }
 
+  test("embeddingNearDups auto-sizes cells: 10x the input, >=8x the cells") {
+    // pure sizing law: +>=3 bits (>=8x cells) per 10x input, monotonic,
+    // clamped to the discriminating range of the sign prefix
+    for (n <- Seq(10L * 1000, 1000L * 1000, 100L * 1000 * 1000)) {
+      val b = Dedup.autoBits(n)
+      val b10 = Dedup.autoBits(10 * n)
+      assert(b10 >= b + 3, s"n=$n: bits $b -> $b10 under 10x growth")
+    }
+    assert(Dedup.autoBits(100) == 1)          // tiny input: one split
+    assert(Dedup.autoBits(Long.MaxValue) == 24) // clamp
+    // the default (auto) path is the explicit path at the auto size
+    val emb = sf("embeddings")
+    val auto = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4,
+        bits = Dedup.autoBits(emb.count()))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == pinned && auto.nonEmpty)
+  }
+
   test("ivf nprobe=2 recall dominates nprobe=1 and never invents pairs") {
     val emb = sf("embeddings")
     def run(np: Int) = {
