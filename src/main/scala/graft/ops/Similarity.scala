@@ -63,9 +63,16 @@ object Similarity {
     * in here unchanged); every vector joins the cell of its
     * max-cosine centroid (rounded, centroid-id tiebreak — exactly
     * reproducible in SQL). Centroids broadcast; the argmax is a
-    * row_number window partitioned by vector, i.e. one shuffle of the
-    * (vector × centroid) cos pairs. At 100 TB the cell column becomes
-    * the partition key, so a probe reads one cell, not the corpus.
+    * PARTIAL AGGREGATE (`max_by` keyed by vector): the max is
+    * associative, so each task reduces its own (vector × centroid)
+    * pairs map-side and the exchange carries ONE row per vector — not
+    * the V×C pair table. (The previous shape ran `row_number` over a
+    * window partitioned by vector, which shuffled every pair through
+    * the exchange before discarding all but one row per vector: a C×
+    * data expansion through the shuffle — with thousands of centroids,
+    * the plan that dies first at 100×.) At 100 TB the cell column
+    * becomes the partition key, so a probe reads one cell, not the
+    * corpus.
     */
   def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
       centroidPred: Column): DataFrame = {
@@ -82,13 +89,19 @@ object Similarity {
       require(!cents.isEmpty,
         "centroidPred matched no rows — IVF needs at least one centroid")
     val cos = round(dot(col("_e"), col("_ce")) / (col("_nrm") * col("_cn")), 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("_ccos").desc, col("cid").asc)
+    // argmax = max of (cos, -cid) lexicographically: highest rounded
+    // cos, centroid-id ascending on ties — identical semantics to a
+    // `row_number() over (order by cos desc, cid asc) = 1` window, but
+    // expressed as an associative aggregate so it partial-aggregates
+    // map-side (the oracle keeps the window formulation; same result)
     base.crossJoin(broadcast(cents))
       .withColumn("_ccos", cos)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("_e"), col("_nrm"), col("cid").as("cell"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("_e"), col("_nrm"), col("cid")),
+        struct(col("_ccos").as("c"), (-col("cid")).as("nc"))).as("_best"))
+      .select(col(idCol), col("_best._e").as("_e"),
+        col("_best._nrm").as("_nrm"), col("_best.cid").as("cell"))
   }
 
   /** IVF search: every query probes its `nprobe` NEAREST centroids'
@@ -99,17 +112,19 @@ object Similarity {
     * cells is the standard recall/cost dial and only multiplies the
     * (broadcast) probe list, never the corpus-side scan.
     *
-    * The assignment feeds both the probe side and the broadcast query
-    * side, so it's persisted — the vectors×centroids argmax is the
-    * dominant cost and would otherwise run twice (long-lived sessions:
-    * `spark.catalog.clearCache()` after consuming, as Bench/Verify do).
+    * The assignment feeds both the corpus join side and the (small)
+    * query side. No persist is needed: `queryPred` references only the
+    * grouping key, so Catalyst pushes it through the argmax aggregate
+    * down to the scan — the query side computes its own assignment
+    * over just the query rows (|Q|×C pairs, trivial) instead of
+    * re-running the corpus-wide V×C argmax. Nothing is cached, so
+    * nothing outlives the query (see UnpersistSpec).
     */
   def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, centroidPred: Column,
       threshold: Double, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val cells = ivfCells(emb, idCol, vecCol, centroidPred)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = cells.filter(queryPred)
       .select(col(idCol).as("qid"), col("_e").as("_qe"),
         col("_nrm").as("_qn"), col("cell").as("_qcell"))

@@ -75,6 +75,19 @@ class PlanSpec extends SparkSpec {
     assert(q.name == "q25_simhash")
   }
 
+  test("q32: IVF cell assignment is a partial aggregate, not a V×C window") {
+    val df = graft.ops.Similarity.ivfCells(
+      Registry.table(spark, dir, "embeddings"), "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") % 50 === 7)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the argmax must partial-aggregate map-side (one row per vector
+    // through the exchange), never shuffle the vector×centroid pair
+    // table through a window exchange
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
+
   test("q36: two exact distincts share one Expand pass") {
     val p = plan(Relational.q36)
     assert(p.contains("Expand"), p)
