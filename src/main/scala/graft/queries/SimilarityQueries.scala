@@ -209,5 +209,45 @@ object SimilarityQueries {
         |FROM documents ORDER BY id""".stripMargin)
     })
 
-  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51)
+  /** Real image decode end-to-end: every doc id becomes a
+    * deterministic 8×8 RGB test-card PNG (JDK encoder), decoded back
+    * through `javax.imageio` ([[graft.ops.Multimodal.imageStats]]) to
+    * exact per-channel pixel sums. The oracle recomputes the sums from
+    * the test-card formula (generated from the SAME
+    * [[graft.ops.Multimodal.channelCoefs]] constants), so a hash match
+    * proves the encode→decode roundtrip recovered every pixel — a real
+    * codec run, not plumbing. Integer sums sidestep float discipline;
+    * the means are one exact power-of-two division away.
+    */
+  private val ImgW = 8
+  private val ImgH = 8
+  val q52 = Q("q52_image_decode",
+    (s, dir) => {
+      val media = graft.ops.Multimodal.syntheticImages(
+        table(s, dir, "documents"), "doc_id", ImgW, ImgH)
+      val n = (ImgW * ImgH).toDouble
+      graft.ops.Multimodal.imageStats(media).toDF()
+        .withColumn("mean_r", round(col("sum_r") / n, 4))
+        .withColumn("mean_g", round(col("sum_g") / n, 4))
+        .withColumn("mean_b", round(col("sum_b") / n, 4))
+        .orderBy("id")
+    }, {
+      val sums = Seq("r", "g", "b")
+        .zip(graft.ops.Multimodal.channelCoefs).map {
+          case (ch, (ic, xc, yc, off)) =>
+            s"CAST(sum(($ic * doc_id + $xc * x + $yc * y + $off) % 256) AS BIGINT) AS sum_$ch"
+        }.mkString(", ")
+      Some(s"""SELECT id, width, height, sum_r, sum_g, sum_b,
+        | round(sum_r / ${ImgW * ImgH}.0, 4) AS mean_r,
+        | round(sum_g / ${ImgW * ImgH}.0, 4) AS mean_g,
+        | round(sum_b / ${ImgW * ImgH}.0, 4) AS mean_b
+        |FROM (SELECT doc_id AS id, $ImgW AS width, $ImgH AS height, $sums
+        | FROM documents
+        |  CROSS JOIN range(0, $ImgW) AS rx(x)
+        |  CROSS JOIN range(0, $ImgH) AS ry(y)
+        | GROUP BY doc_id)
+        |ORDER BY id""".stripMargin)
+    })
+
+  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52)
 }

@@ -317,6 +317,45 @@ class OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("image decode: ImageIO roundtrip recovers the exact test-card pixels") {
+    // encoder-side truth, recomputed directly from the coefficients
+    def expectSums(id: Long, w: Int, h: Int): (Long, Long, Long) = {
+      val s = new Array[Long](3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val (ic, xc, yc, off) = Multimodal.channelCoefs(c)
+        s(c) += ((ic * id + xc * x + yc * y + off) % 256).toInt
+      }
+      (s(0), s(1), s(2))
+    }
+    // pure roundtrip: PNG bytes → javax.imageio decode → exact sums
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val st = Multimodal.decodeImageStats(id,
+        Multimodal.testCardPng(id, 8, 8)).get
+      assert((st.width, st.height) == (8, 8))
+      assert((st.sum_r, st.sum_g, st.sum_b) == expectSums(id, 8, 8), s"id=$id")
+    }
+    // undecodable / null payloads are None, not a crash
+    assert(Multimodal.decodeImageStats(1L, "not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeImageStats(1L, null).isEmpty)
+    // distributed path: syntheticImages → imageStats over a frame
+    val media = Multimodal.syntheticImages(docs.limit(20), "doc_id", 8, 8)
+    val stats = Multimodal.imageStats(media).collect()
+    assert(stats.length == 20)
+    assert(stats.forall(s =>
+      (s.sum_r, s.sum_g, s.sum_b) == expectSums(s.id, 8, 8)))
+    // extractFeatures dispatches kind=image through the real codec:
+    // f = [w, h, meanR, varR, meanG, varG, meanB, varB]
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f.features).toMap
+    assert(feats.values.forall(f => f(0) == 8f && f(1) == 8f))
+    stats.foreach { s =>
+      val f = feats(s.id)
+      assert(math.abs(f(2) - s.sum_r / 64.0) < 1e-3, s"id=${s.id} meanR")
+      assert(math.abs(f(4) - s.sum_g / 64.0) < 1e-3, s"id=${s.id} meanG")
+      assert(math.abs(f(6) - s.sum_b / 64.0) < 1e-3, s"id=${s.id} meanB")
+    }
+  }
+
   test("asof join picks the latest right row at-or-before each left time") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
