@@ -172,43 +172,70 @@ object Dedup {
         min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
       .filter(col("cnt") > 1)
 
+  /** Band rows CARRYING the full signature: one row per (doc, band)
+    * with `h0..h{n-1}` alongside the band hash. A bucket join over
+    * these scores candidate pairs directly from the join output — no
+    * second join against the signature table, hence nothing to
+    * persist (and for a self-join, the two sides' bucket exchanges
+    * are plan-identical, so ReuseExchange runs the signature kernel
+    * ONCE). The shuffle payload grows by the 16 hex columns
+    * (~0.5 KB/row × numBands rows/doc) but drops two corpus-wide
+    * joins and the cached-block footprint — the shape that survives a
+    * long-lived session at 100 TB.
+    */
+  private def sigBandRows(sig: DataFrame, idCol: String, numHashes: Int,
+      numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0, "bands must divide hashes")
+    val r = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        md5(concat_ws("|",
+          (b * r until (b + 1) * r).map(i => col(s"h$i")): _*)).as("band_hash"))
+    }
+    sig.select(col(idCol) +: (0 until numHashes).map(i => col(s"h$i")) :+
+        explode(array(bands: _*)).as("_b"): _*)
+      .withColumn("band_idx", col("_b.band_idx"))
+      .withColumn("band_hash", col("_b.band_hash"))
+      .drop("_b")
+  }
+
+  /** Score every bucket-colliding (x, y) pair as the fraction of
+    * equal signature components, from two [[sigBandRows]] frames.
+    * `pairCond` restricts the pairing (`<` for within-corpus each-
+    * pair-once, none for new-vs-store matching). One row per distinct
+    * pair (a pair may collide on several bands — scored once).
+    */
+  private def scoreBandPairs(x: DataFrame, y: DataFrame, idCol: String,
+      numHashes: Int, pairCond: (Column, Column) => Column): DataFrame = {
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    x.as("x").join(y.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          pairCond(col(s"x.$idCol"), col(s"y.$idCol")))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+      .distinct()
+  }
+
   /** The cheap verification tier between LSH candidates and exact
     * Jaccard: for each candidate pair (docs sharing a band bucket),
     * estimate J as the fraction of EQUAL signature components — no
-    * shingle re-join, just two equi-joins of the (tiny) candidate
-    * pair list against the one-row-per-doc signature table. At scale
-    * this is the tier that turns "LSH says maybe" into a score
-    * without touching the raw text again.
-    *
-    * NB the persisted signature table outlives the returned (lazy)
-    * frame — long-lived sessions should `spark.catalog.clearCache()`
-    * after consuming the result, as Bench and Verify do (same caveat
-    * as [[ngramJaccardPairs]]).
+    * shingle re-join. Signatures ride the band rows into the bucket
+    * self-join ([[sigBandRows]]), so the pipeline is a single
+    * exchange-reused pass: nothing is persisted and nothing outlives
+    * the query (see UnpersistSpec). At scale this is the tier that
+    * turns "LSH says maybe" into a score without touching the raw
+    * text again.
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, numBands: Int = 4): DataFrame = {
-    // signatures feed the band explode AND both sides of the score
-    // join — persist the one-row-per-doc table, not the raw shingles
-    val sig = minhashSignatures(df, idCol, textCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = lshBands(sig, idCol, numHashes, numBands)
-    val pairs = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      .distinct() // a pair may collide on several bands — score once
-    val sa = sig.select(col(idCol).as("a") +:
-      (0 until numHashes).map(i => col(s"h$i").as(s"a_h$i")): _*)
-    val sb = sig.select(col(idCol).as("b") +:
-      (0 until numHashes).map(i => col(s"h$i").as(s"b_h$i")): _*)
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"),
-        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+    val bands = sigBandRows(
+      minhashSignatures(df, idCol, textCol, numHashes),
+      idCol, numHashes, numBands)
+    scoreBandPairs(bands, bands, idCol, numHashes, _ < _)
   }
 
   /** 32-bit SimHash over whitespace tokens: per token, a 32-bit hash
@@ -343,6 +370,15 @@ object Dedup {
     * 133-145: union + whole-row distinct) is the degenerate EXACT-dup
     * version of this — identical rows collapse without needing
     * components; near-dups need the transitive closure.
+    *
+    * The RETURNED label frame stays persisted by design: it is the
+    * fixpoint of the loop, and unpersisting it would make any
+    * downstream action replay the whole iteration through an
+    * exponentially-branching lineage (each round references the
+    * previous labels twice). Consume it, then `unpersist()` — or at
+    * scale, write it out and read it back. This is the only operator
+    * in the module whose result outlives the query (UnpersistSpec
+    * pins that the rest leave zero cached blocks).
     */
   def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -400,6 +436,79 @@ object Dedup {
       .drop("_cluster")
   }
 
+  /** Per-doc decision of one incremental near-dedup batch against a
+    * persisted SIGNATURE STORE (the [[minhashSignatures]] shape: one
+    * row per historical doc, `idCol, h0..h{n-1}`). This is the
+    * reference's high-water pattern (fetch only what's new, merge
+    * against what's kept) lifted to near-dup: at 100 TB you never
+    * re-signature the corpus — the daily operation signatures ONLY the
+    * new batch and LSH-joins it against the store.
+    *
+    * Returns one row per new doc: (idCol, status) where status is
+    * - `hist_dup`  — estimate ≥ `minEst` against ANY store doc
+    *   (history always wins; checked first),
+    * - `batch_dup` — within-batch near-dup cluster member that is not
+    *   the cluster's canonical (minimum-id) doc. The canonical member
+    *   is chosen independently of the history check: a deterministic
+    *   rule that never depends on join order,
+    * - `kept`      — everything else (the survivors).
+    *
+    * Scale shape: the store side shuffles by (band_idx, band_hash) —
+    * at scale the store would be WRITTEN bucketed by band hash, making
+    * the daily join co-located — and the batch side is typically tiny
+    * relative to the store. Nothing is persisted; the batch signature
+    * kernel's band exchange is shared by the history join and the
+    * within-batch self-join via ReuseExchange where plans align.
+    */
+  def incrementalDecisions(newDocs: DataFrame, sigStore: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 16,
+      numBands: Int = 4, minEst: Double = 0.5): DataFrame = {
+    val newBands = sigBandRows(
+      minhashSignatures(newDocs, idCol, textCol, numHashes),
+      idCol, numHashes, numBands)
+    val storeBands = sigBandRows(sigStore, idCol, numHashes, numBands)
+    // history matches: any store doc scoring over the cut
+    val histDup = scoreBandPairs(newBands, storeBands, idCol, numHashes,
+        (_, _) => lit(true))
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("a").as(idCol)).distinct()
+      .withColumn("_hist", lit(1))
+    // within-batch clusters over the same scored-pair machinery
+    val batchPairs = scoreBandPairs(newBands, newBands, idCol, numHashes,
+        _ < _)
+      .filter(col("est_jaccard") >= minEst)
+    val cl = clusters(batchPairs, "a", "b")
+      .select(col("id").as(idCol), col("cluster"))
+    newDocs.select(col(idCol))
+      .join(histDup, Seq(idCol), "left")
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_hist").isNotNull, "hist_dup")
+          .when(col("cluster").isNotNull && col(idCol) =!= col("cluster"),
+            "batch_dup")
+          .otherwise("kept").as("status"))
+  }
+
+  /** Incremental near-dedup: returns (survivors, updatedStore) —
+    * survivor rows of `newDocs` (status `kept` per
+    * [[incrementalDecisions]]) and the store with the survivors'
+    * signatures appended, ready for the next batch. The store only
+    * ever grows by deduped rows, so its size tracks the UNIQUE corpus,
+    * not the raw feed.
+    */
+  def dedupIncremental(newDocs: DataFrame, sigStore: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 16,
+      numBands: Int = 4, minEst: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    val kept = incrementalDecisions(newDocs, sigStore, idCol, textCol,
+        numHashes, numBands, minEst)
+      .filter(col("status") === "kept").select(col(idCol))
+    val survivors = newDocs.join(kept, Seq(idCol), "left_semi")
+    val updatedStore = sigStore.unionByName(
+      minhashSignatures(survivors, idCol, textCol, numHashes))
+    (survivors, updatedStore)
+  }
+
   /** Deterministic keep-first dedupe on a subset key (SURVEY.md §2.6
     * U2's scale path): row_number over (keys, orderBy) == 1.
     */
@@ -427,35 +536,29 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // (id, shingle) arrives unique per doc. The table feeds three
-    // subtrees (sizes, doc-frequencies, join input): persist it instead
-    // of recomputing the shingling — at scale this is where you'd
-    // checkpoint anyway. NB the cached blocks outlive the returned
-    // (lazy) frame; long-lived sessions should
-    // `spark.catalog.clearCache()` after consuming the result (Bench
-    // and Verify do).
+    // (id, shingle) arrives unique per doc. Per-doc set sizes ride the
+    // rows as a window over the id partitioning, doc frequency as a
+    // second window over the s partitioning (the same partitioning the
+    // self-join needs — the join adds no exchange), so the whole
+    // pipeline is ONE linear chain: nothing persisted, nothing cached
+    // beyond the shuffle files themselves (see UnpersistSpec). The
+    // self-join's two sides are plan-identical, so ReuseExchange runs
+    // the shingle kernel and both windows ONCE.
     val sh = shingleRows(widen(df), idCol, textCol, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    // Doc frequency via ONE window pass over the s-partitioned shuffle
-    // (the same partitioning the self-join needs — the cached result
-    // keeps it, so the join adds no exchange). A groupBy+semi-join
-    // would shuffle sh a second time for the same answer.
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
     val shJ = sh
       .withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("_df") >= 2 && col("_df") <= maxDocFreq)
       .drop("_df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = shJ.as("a")
       .join(shJ.as("b"), col("a.s") === col("b.s") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
-      .agg(count(lit(1)).as("i"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
     val jac = col("i").cast("double") /
       (col("n1") + col("n2") - col("i")).cast("double")
     inter
-      .join(broadcast(n.select(col(idCol).as("d1"), col("n").as("n1"))), "d1")
-      .join(broadcast(n.select(col(idCol).as("d2"), col("n").as("n2"))), "d2")
       .filter(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 3).as("jaccard"))
   }

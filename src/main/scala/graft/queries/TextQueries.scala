@@ -521,7 +521,74 @@ object TextQueries {
       |WHERE cluster IS NULL OR doc_id = cluster
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Oracle for q53: the corpus split into history (even ids) and a
+    * new batch (odd ids); signatures/bands from the same fragment
+    * definitions as q24/q43, history matching + within-batch
+    * clustering mirroring [[graft.ops.Dedup.incrementalDecisions]].
+    */
+  private def duckIncrementalSql: String = {
+    val mins = (0 until 16)
+      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    def bandSel(src: String) = (0 until 4).map { b =>
+      val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE sh AS (
+      |${SqlGen.duckShingleCte}
+      |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      |newsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+      |histsig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+      |nband AS (${bandSel("newsig")}),
+      |hband AS (${bandSel("histsig")}),
+      |histm AS (SELECT DISTINCT a AS doc_id FROM (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM nband x JOIN hband y ON x.band_idx = y.band_idx
+      |   AND x.band_hash = y.band_hash) c
+      | JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+      | WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4) >= $clusterMinEst),
+      |bpairs AS (SELECT a, b FROM (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM nband x JOIN nband y ON x.band_idx = y.band_idx
+      |   AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id) c
+      | JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+      | WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4) >= $clusterMinEst),
+      |edges AS (SELECT a AS src, b AS dst FROM bpairs
+      |          UNION SELECT b, a FROM bpairs),
+      |reach(x, y) AS (SELECT src, src FROM edges
+      | UNION SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
+      |cl AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x)
+      |SELECT d.doc_id,
+      | CASE WHEN hm.doc_id IS NOT NULL THEN 'hist_dup'
+      |  WHEN cl.cluster IS NOT NULL AND cl.cluster <> d.doc_id
+      |   THEN 'batch_dup'
+      |  ELSE 'kept' END AS status
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN histm hm ON hm.doc_id = d.doc_id
+      |LEFT JOIN cl ON cl.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Incremental near-dedup against a signature store — the daily
+    * operation at 100 TB: history (even doc ids) is signatured ONCE
+    * into a store; the new batch (odd ids) signatures only itself,
+    * LSH-joins against the store (`hist_dup`), and resolves its own
+    * within-batch clusters (`batch_dup` for non-canonical members).
+    * Every per-doc decision is oracle-checked.
+    */
+  val q53 = Q("q53_dedup_incremental",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16)
+      Dedup.incrementalDecisions(
+          docs.filter(col("doc_id") % 2 === 1), store, "doc_id", "text",
+          numHashes = 16, numBands = 4, minEst = clusterMinEst)
+        .orderBy("doc_id")
+    },
+    Some(duckIncrementalSql))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50)
+      q44, q45, q46, q47, q48, q49, q50, q53)
 }

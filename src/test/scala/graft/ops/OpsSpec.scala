@@ -317,6 +317,46 @@ class OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("incremental dedup: batch vs signature store, survivors update the store") {
+    val docs = sf("documents")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val store = Dedup.minhashSignatures(hist, "doc_id", "text", 16)
+    val decisions = Dedup.incrementalDecisions(batch, store,
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every batch doc gets exactly one decision
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(decisions.keySet == batchIds)
+    assert(decisions.values.forall(
+      Set("kept", "hist_dup", "batch_dup").contains))
+    // docs under 3 tokens have no signature and can never match —
+    // they are correctly always "kept"; exclude them from the
+    // guarantees below
+    def noSig(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(size(split(col("text"), " ", -1)) < 3).count()
+    // a batch doc re-submitted IN the store must be flagged hist_dup:
+    // plant the store's own twin by shifting ids (id+1 keeps the text)
+    val planted = Dedup.incrementalDecisions(
+      hist.withColumn("doc_id", col("doc_id") + 1), store,
+      "doc_id", "text").collect().map(r => r.getString(1))
+    assert(planted.count(_ == "hist_dup") == hist.count() - noSig(hist),
+      s"identical-text batch should be hist_dup: ${planted.toSet}")
+    // dedupIncremental: survivors = kept rows; store grows by survivors
+    val (survivors, updated) = Dedup.dedupIncremental(batch, store,
+      "doc_id", "text")
+    val keptIds = decisions.filter(_._2 == "kept").keySet
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      == keptIds)
+    assert(updated.count() == store.count() + keptIds.size)
+    // idempotence: re-running the SURVIVORS against the updated store
+    // keeps none of them (each now matches its own stored signature)
+    val again = Dedup.incrementalDecisions(survivors, updated,
+      "doc_id", "text").filter(col("status") === "kept").count()
+    assert(again == noSig(survivors),
+      s"$again survivors re-survived against the updated store")
+  }
+
   test("image decode: ImageIO roundtrip recovers the exact test-card pixels") {
     // encoder-side truth, recomputed directly from the coefficients
     def expectSums(id: Long, w: Int, h: Int): (Long, Long, Long) = {

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.{Registry, SimilarityQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Cached-block hygiene: operators must not leave persisted blocks
+  * behind after their result is consumed — a long-lived session (a
+  * notebook, a service) would otherwise accumulate storage until
+  * unrelated queries start spilling. The one documented exception is
+  * [[Dedup.clusters]], whose returned frame IS a persisted fixpoint
+  * (see its scaladoc); everything downstream of it must still clean up
+  * to exactly that one frame.
+  */
+class UnpersistSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def persistedCount: Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  private def assertClean(run: => Unit, what: String): Unit = {
+    spark.catalog.clearCache()
+    assert(persistedCount == 0, s"dirty session before $what")
+    run
+    assert(persistedCount == 0,
+      s"$what left $persistedCount persisted RDD(s) behind")
+  }
+
+  test("estimate tier, jaccard, IVF and incremental leave zero cached blocks") {
+    assertClean(
+      TextQueries.q43.run(spark, dir).collect(), "minhashEstimatePairs")
+    assertClean(
+      TextQueries.q26.run(spark, dir).collect(), "ngramJaccardPairs")
+    assertClean(
+      SimilarityQueries.q32.run(spark, dir).collect(), "ivfSearch nprobe=1")
+    assertClean(
+      SimilarityQueries.q51.run(spark, dir).collect(), "ivfSearch nprobe=2")
+    assertClean({
+      val docs = Registry.table(spark, dir, "documents")
+      val store = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 16)
+      val d = Dedup.incrementalDecisions(
+        docs.filter(col("doc_id") % 2 === 1), store, "doc_id", "text")
+      d.collect()
+      // embeds clusters() → only its fixpoint frame may remain
+      assert(persistedCount <= 1,
+        s"incrementalDecisions left $persistedCount blocks (max 1 allowed)")
+      spark.catalog.clearCache()
+    }, "incrementalDecisions + clearCache")
+  }
+
+  test("clusters: per-round frames are unpersisted, only the fixpoint remains") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cl = Dedup.clusters(pairs, "a", "b")
+    // the loop ran eagerly; everything except the returned frame is gone
+    assert(persistedCount == 1,
+      s"expected exactly the fixpoint frame, got $persistedCount")
+    val got = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    cl.unpersist()
+    assert(persistedCount == 0)
+  }
+}
