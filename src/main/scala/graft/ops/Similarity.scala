@@ -152,6 +152,27 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Top-k nearest neighbors per query — what real ANN callers ask
+    * for (thresholds are corpus-dependent; k isn't). Candidates come
+    * from the sign-LSH cell ([[cosineBucketed]] with the threshold
+    * open), ranked per query by (cos desc, id asc — deterministic tie
+    * break on the rounded score). The ranking window partitions by
+    * QUERY id: per-task state is one query's candidate list, bounded
+    * by its cell size — never corpus-scale (contrast the V×C argmax
+    * this module used to run, fixed in [[ivfCells]]). Emits
+    * (qid, id, cos, rank) with rank ≤ k.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cand = cosineBucketed(emb, idCol, vecCol, queryPred,
+      threshold = -1.0, bits) // cos ≥ -1 always: rank decides, not a cut
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col(idCol).asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-LSH bucketed cosine: same contract as brute force but the
     * candidate set is restricted to the query's coarse cell.
     */

@@ -249,5 +249,29 @@ object SimilarityQueries {
         |ORDER BY id""".stripMargin)
     })
 
-  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52)
+  /** Top-k ANN: 5 nearest neighbors per query over the sign-LSH cell
+    * candidates, deterministic (cos desc, id asc) ranking — the
+    * query shape ANN callers actually use (k, not a threshold).
+    */
+  val q54 = Q("q54_cosine_topk",
+    (s, dir) => Similarity.cosineTopK(table(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5, bits = 4)
+      .orderBy("qid", "rank"), {
+      val bucket = SqlGen.duckSignBucket(4)
+      Some(s"""SELECT qid, vec_id, cos, rank FROM (
+        | SELECT q.vec_id AS qid, a.vec_id,
+        |  round((${dotSql("q.embedding", "a.embedding")})
+        |    / (q.nrm * a.nrm), 6) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY round((${dotSql("q.embedding", "a.embedding")})
+        |    / (q.nrm * a.nrm), 6) DESC, a.vec_id) AS INT) AS rank
+        | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+        |        $bucket AS bkt FROM embeddings) a,
+        |      (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+        |        $bucket AS bkt FROM embeddings WHERE vec_id % 100 = 0) q
+        | WHERE q.vec_id <> a.vec_id AND q.bkt = a.bkt)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+    })
+
+  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54)
 }

@@ -268,6 +268,33 @@ class OpsSpec extends SparkSpec {
     assert(np2.keySet.subsetOf(truth))
   }
 
+  test("cosineTopK: ranks contiguous, scores non-increasing, subset of brute force") {
+    val emb = sf("embeddings")
+    val topk = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 100 === 0, k = 5, bits = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(topk.nonEmpty)
+    val byQ = topk.groupBy(_._1)
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // ranks are 1..n with n <= k
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length), s"qid=$qid")
+      assert(sorted.length <= 5)
+      // scores never increase with rank
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._3 >= y._3
+        case _ => true
+      }, s"qid=$qid")
+    }
+    // every (qid, id, cos) is a true brute-force pair with equal score
+    val truth = Similarity.cosineBruteForce(emb, "vec_id", "embedding",
+        col("vec_id") % 100 === 0, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(topk.forall { case (q, v, c, _) => truth((q, v)) == c })
+  }
+
   test("multimodal: binary plumbing round-trips and features are deterministic") {
     val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
     assert(media.schema("content").dataType.typeName == "binary")
