@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Scaling-evidence generator (dev-run, artifact committed as
+  * SCALING.md): executes the dedup/similarity tier at two scale
+  * factors and records rows read and shuffle volume per query from
+  * task metrics. The point is to replace "linear at scale" prose with
+  * measured growth ratios: a candidate-based operator whose shuffle
+  * grows ≈ linearly with the corpus is scale-safe; anything
+  * super-linear is a quadratic term that 100× would expose.
+  */
+object Scaling {
+
+  private class MetricsListener extends SparkListener {
+    var inputRecords = 0L
+    var shuffleWriteBytes = 0L
+    var shuffleWriteRecords = 0L
+    var shuffleReadBytes = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+      val m = te.taskMetrics
+      if (m != null) {
+        inputRecords += m.inputMetrics.recordsRead
+        shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+        shuffleWriteRecords += m.shuffleWriteMetrics.recordsWritten
+        shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+      }
+    }
+    def reset(): Unit = synchronized {
+      inputRecords = 0; shuffleWriteBytes = 0
+      shuffleWriteRecords = 0; shuffleReadBytes = 0
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val names = Seq("q24_minhash_lsh", "q26_ngram_jaccard",
+      "q43_minhash_estimate", "q49_dedup_clusters", "q50_dedup_corpus",
+      "q53_dedup_incremental", "q31_embedding_neardups", "q32_cosine_ivf",
+      "q54_cosine_topk")
+    val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val out = new StringBuilder
+    for (sf <- Seq("sf0.01", "sf0.1"); name <- names) {
+      val q = byName(name)
+      // warm once so JIT/codegen don't pollute the timing; metrics are
+      // from the measured run only
+      q.run(spark, s"/root/testdata/$sf").write
+        .format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      listener.reset()
+      val t0 = System.nanoTime()
+      q.run(spark, s"/root/testdata/$sf").write
+        .format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      val line =
+        s"""{"sf":"$sf","query":"$name","input_records":${listener.inputRecords},""" +
+        s""""shuffle_write_bytes":${listener.shuffleWriteBytes},""" +
+        s""""shuffle_write_records":${listener.shuffleWriteRecords},""" +
+        s""""shuffle_read_bytes":${listener.shuffleReadBytes},""" +
+        s""""sec":${f"$sec%.3f"}}"""
+      println(s"[scaling] $line")
+      out.append(line).append('\n')
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALING.jsonl"), out.toString)
+    spark.stop()
+  }
+}

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *   shingle value, so co-occurring docs land in the same partition;
   *   a `maxShinglesPerKey`-style stop-word guard would be the knob at
   *   extreme scale (hot shingles ≈ stop-shingles).
+  *
+  * Measured sf0.01→sf0.1 growth ratios for the whole tier (shuffle
+  * bytes/records vs input rows) are committed in SCALING.md: the
+  * LSH pipeline (q24/q43/q49/q50/q53) is linear; the pairwise
+  * Jaccard join is the documented capped-quadratic verification tier.
   */
 object Dedup {
 

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is double-precision element-fold in index order —
   * deterministic, and exactly reproducible by the DuckDB oracle.
+  *
+  * Measured scaling evidence (shuffle growth vs input growth,
+  * sf0.01→sf0.1) for q31/q32/q54 is committed in SCALING.md — the
+  * IVF argmax shuffles one row per vector, measured.
   */
 object Similarity {
 

@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the async listener bus so task metrics collected by a
+    * SparkListener are complete before reading them (`listenerBus` is
+    * `private[spark]`; used by the graft.Scaling artifact generator).
+    */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
