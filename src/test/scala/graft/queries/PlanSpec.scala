@@ -88,6 +88,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max_by"), p)
   }
 
+  test("q43: estimate-tier self-join reuses one exchange (kernel runs once)") {
+    val df = graft.ops.Dedup.minhashEstimatePairs(
+      Registry.table(spark, dir, "documents"), "doc_id", "text", 16, 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both sides of the bucket self-join must consume the SAME
+    // exchange — the signature kernel (one mapPartitions pass) is not
+    // recomputed per side
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q36: two exact distincts share one Expand pass") {
     val p = plan(Relational.q36)
     assert(p.contains("Expand"), p)
