@@ -87,6 +87,24 @@ object EventStream {
     Session(userId, evs.head.ts, evs.last.ts, evs.length,
       math.round(evs.map(_.value).sum * 100).toDouble / 100)
 
+  /** Stream-static enrichment join + windowed rollup: the streaming
+    * side joins a STATIC dimension (broadcast per micro-batch — no
+    * state, no watermark needed for the join itself; Spark re-plans
+    * the static side each batch) and the enriched rows feed the same
+    * watermarked window aggregation as [[hourlyRollup]]. This is the
+    * standard "enrich events with a dim table, then aggregate" shape;
+    * at scale the dim broadcasts exactly like any batch dimension.
+    */
+  def enrichedRollup(events: DataFrame, dim: DataFrame, joinKey: String,
+      dimKey: String, dimCol: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim.select(col(dimKey).as(joinKey), col(dimCol))),
+        joinKey)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(dimCol))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("h"), col(dimCol), col("n"), col("total"))
+
   /** Streaming dedupe — the streaming face of the reference's
     * union+distinct merge (SURVEY.md §2.6): duplicates arriving within
     * the watermark horizon are dropped exactly once; state for keys
