@@ -567,4 +567,35 @@ object Dedup {
       .filter(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 3).as("jaccard"))
   }
+
+  /** Benchmark decontamination — the pipeline step that keeps eval
+    * data out of the training set: a training document is flagged
+    * when it shares at least `minOverlap` distinct word-k-gram
+    * shingles with ANY document of the benchmark/eval slice
+    * (`benchPred`). Overlap is against the UNION of benchmark
+    * shingles (doc identity on the eval side deliberately dropped —
+    * one shared gram is contamination no matter which eval doc it
+    * came from), the standard n-gram-overlap decontamination rule.
+    *
+    * Shape at 100 TB: eval sets are tiny relative to the corpus, so
+    * the distinct benchmark shingle set BROADCASTS and the training
+    * side is one linear shingle pass + one groupBy(doc) — the same
+    * single-shuffle profile as [[minhashSignatures]], no corpus-side
+    * self-join anywhere. Emits one row per training doc that has ≥ 1
+    * shingle: (id, n_shingles, n_contaminated, ratio, flagged).
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, k: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val benchSh = shingleRows(df.filter(benchPred), idCol, textCol, k)
+      .select(col("s")).distinct()
+      .withColumn("_hit", lit(1))
+    shingleRows(widen(df.filter(!benchPred)), idCol, textCol, k)
+      .join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_contaminated"))
+      .withColumn("ratio",
+        round(col("n_contaminated") / col("n_shingles"), 4))
+      .withColumn("flagged", col("n_contaminated") >= minOverlap)
+  }
 }

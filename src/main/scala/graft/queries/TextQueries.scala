@@ -588,7 +588,32 @@ object TextQueries {
     },
     Some(duckIncrementalSql))
 
+  /** Benchmark decontamination ([[graft.ops.Dedup.decontaminate]]):
+    * every 100th doc (id % 100 = 7) is the held-out eval slice; a
+    * training doc is flagged when ≥ 2 of its word-3-grams appear
+    * anywhere in the eval slice. The planted near-dup pairs that
+    * straddle the split make the flags non-trivial. Eval shingle set
+    * broadcasts; training side is one linear pass + one groupBy —
+    * the decontamination shape that holds at 100 TB.
+    */
+  val q55 = Q("q55_decontaminate",
+    (s, dir) => graft.ops.Dedup.decontaminate(
+        table(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 100 === 7, k = 3, minOverlap = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH sh AS (${SqlGen.duckShingleCte}),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 7)
+      |SELECT doc_id, count(*) AS n_shingles,
+      | CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_contaminated,
+      | round(CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+      |   AS DOUBLE) / count(*), 4) AS ratio,
+      | sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) >= 2 AS flagged
+      |FROM (SELECT doc_id, s FROM sh WHERE doc_id % 100 <> 7) t
+      |LEFT JOIN bench b USING (s)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q53)
+      q44, q45, q46, q47, q48, q49, q50, q53, q55)
 }
