@@ -177,6 +177,136 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Lloyd k-means centroid training as pure DataFrame aggregates —
+    * the fit that [[ivfCells]]' scaladoc promises would "slot in
+    * unchanged": train here, then pass the result as the centroid
+    * side of an IVF index. Deterministic end to end, so the whole
+    * trainer is DuckDB-oracle-checkable:
+    *
+    * - init: the vectors matching `seedPred` (k-means++ would add a
+    *   weighted-sampling pass; deterministic seeds keep the trainer
+    *   reproducible and oracle-expressible).
+    * - assign: argmin squared-euclidean, computed as |c|² − 2·a·c
+    *   (the |a|² term is per-vector constant and dropped). Both dot
+    *   products are index-order folds ([[dot]]) — bit-exact against
+    *   the generated SQL — and the argmin is the [[ivfCells]]
+    *   partial-aggregate shape: `min_by` keyed by vector, ONE row
+    *   per vector through the exchange, centroids broadcast.
+    * - recompute: element-wise mean via `posexplode` → ONE
+    *   hash-aggregate over (cid, dim). Map-side partials reduce each
+    *   task's output to ≤ k·d rows before the shuffle, so the
+    *   exchange carries tasks·k·d rows regardless of corpus size.
+    *   The mean is the loop's only cross-row double sum — its
+    *   addition order is engine-dependent, so it is ROUNDED to 6
+    *   decimals immediately; every later iteration consumes the
+    *   rounded values, keeping Spark and the oracle in lockstep.
+    *
+    * A cluster that captures no vectors simply vanishes from the
+    * aggregate (standard Lloyd degeneracy; the oracle mirrors it).
+    * Per iteration: one broadcast join + two linear shuffles; the
+    * driver never materializes vectors. At 100 TB you would
+    * checkpoint `cents` between iterations to cut lineage — here the
+    * plan stays lazy (iters is small and the broadcast side is k·d
+    * doubles).
+    *
+    * Emits the trained centroids as (cluster, dim, val) rows with
+    * `dim` 1-based — the row shape joins/oracles handle better than
+    * nested arrays.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      seedPred: Column, iters: Int): DataFrame =
+    kmeansFit(emb, idCol, vecCol, seedPred, iters)
+      .select(col("cid").as("cluster"), posexplode(col("_ce")).as(Seq("p", "val")))
+      .select(col("cluster"), (col("p") + 1).cast("int").as("dim"), col("val"))
+
+  /** [[kmeansCentroids]] in array form — (cid, _ce: array<double>) —
+    * the shape [[semDedup]] and an IVF build consume directly.
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+      seedPred: Column, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val base = emb.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_e"))
+    var cents = base.filter(seedPred)
+      .select(col(idCol).cast("long").as("cid"), col("_e").as("_ce"))
+    for (_ <- 1 to iters) {
+      val asg = assignEuclid(base, cents)
+      val means = asg
+        .select(col("cid"), posexplode(col("_e")).as(Seq("p", "v")))
+        .groupBy(col("cid"), col("p"))
+        .agg(round(sum("v") / count(lit(1)), 6).as("val"))
+      // rebuild the array form: k·d rows in, k rows out — the
+      // interpreted `transform` lambda touches only this tiny frame
+      cents = means.groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("p"), col("val"))))
+          .as("_pv"))
+        .select(col("cid"),
+          transform(col("_pv"), x => x.getField("val")).as("_ce"))
+    }
+    cents
+  }
+
+  /** Argmin-squared-euclidean assignment of `base` (id, _e) rows to a
+    * broadcast centroid frame (cid, _ce): the [[ivfCells]]
+    * partial-aggregate shape — `min_by` keyed by vector, one row per
+    * vector through the exchange. Keeps `_e` (and its id) on the
+    * output row for downstream recompute/pairing.
+    */
+  private def assignEuclid(base: DataFrame, cents: DataFrame): DataFrame = {
+    val idCol = base.columns.head
+    val score = dot(col("_ce"), col("_ce")) -
+      lit(2.0) * dot(col("_e"), col("_ce"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("_s", score)
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("cid"), col("_e")),
+        struct(col("_s"), col("cid"))).as("_best"))
+      .select(col(idCol), col("_best.cid").as("cid"),
+        col("_best._e").as("_e"))
+  }
+
+  /** SemDedup (semantic dedup over embeddings, Abbas et al. 2023
+    * shape): cluster the corpus, then inside each cluster drop every
+    * vector that has a LOWER-id neighbor at cosine ≥ `threshold`
+    * (keep-lowest-id — the deterministic version of the paper's
+    * keep-one rule). `cents` is an array-form centroid frame
+    * ([[kmeansFit]] output, or any (cid, _ce) frame); assignment is
+    * the same argmin-euclidean partial aggregate the trainer uses.
+    *
+    * Shape at 100 TB: centroids broadcast; the pair scan self-joins
+    * shuffle-partitioned by CELL (the [[graft.ops.Dedup.embeddingNearDups]]
+    * bucketed-not-all-pairs shape — per-task work is bounded by cell
+    * size, k is the dial); the dropped set re-joins broadcast/AQE.
+    * The assignment feeds three plan branches — at production scale
+    * persist it; here the self-join's two sides are plan-identical,
+    * so ReuseExchange computes it once (nothing cached, see
+    * UnpersistSpec).
+    *
+    * Emits one row per vector: (id, cell, kept).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, threshold: Double): DataFrame = {
+    val base = emb.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_e"))
+    val asg = assignEuclid(base, cents)
+      .withColumn("_nrm", sqrt(dot(col("_e"), col("_e"))))
+      .select(col(idCol), col("cid").as("cell"), col("_e"), col("_nrm"))
+    val l = asg.select(col("cell"), col(idCol).as("a"),
+      col("_e").as("_ea"), col("_nrm").as("_na"))
+    val r = asg.select(col("cell"), col(idCol).as("b"),
+      col("_e").as("_eb"), col("_nrm").as("_nb"))
+    val cos = round(dot(col("_ea"), col("_eb")) / (col("_na") * col("_nb")), 6)
+    val dropped = l.join(r, "cell")
+      .filter(col("a") < col("b"))
+      .withColumn("_cos", cos)
+      .filter(col("_cos") >= threshold)
+      .select(col("b").as(idCol)).distinct()
+      .withColumn("_d", lit(1))
+    asg.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("_d").isNull.as("kept"))
+  }
+
   /** Sign-LSH bucketed cosine: same contract as brute force but the
     * candidate set is restricted to the query's coarse cell.
     */

@@ -273,5 +273,97 @@ object SimilarityQueries {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
     })
 
-  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54)
+  private def singleLine(s: String): String =
+    s.stripMargin.replaceAll("\\s*\n\\s*", " ")
+
+  /** Squared-euclidean argmin ORDER key: |c|² − 2·a·c (the |a|² term
+    * is per-vector constant). Index-order folds — bit-exact vs the
+    * Spark [[graft.ops.Similarity.kmeansFit]] score.
+    */
+  private def distOrder(e: String, c: String): String =
+    s"(${dotSql(c, c)}) - 2*(${dotSql(e, c)})"
+
+  /** Argmin-euclidean assignment CTE body: one (vec_id, cid) row per
+    * vector vs the centroid CTE `cprev` (cid, ce) — mirrors
+    * [[graft.ops.Similarity.assignEuclid]]'s min_by (dist asc, cid
+    * asc).
+    */
+  private def kmeansAsg(cprev: String): String = singleLine(
+    s"""SELECT vec_id, cid FROM (
+       | SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
+       |  ORDER BY ${distOrder("b.embedding", "c.ce")}, c.cid) AS rn
+       | FROM embeddings b, $cprev c) WHERE rn = 1""")
+
+  /** Shared Lloyd-iteration CTE chain (one definition feeds q56 and
+    * q57): c0 = seed vectors (vec_id % 50 = 7, the q32 centroid
+    * slice), u = position-zipped unnest, then per iteration i:
+    * aᵢ assignment, mᵢ rounded element-wise means, cᵢ list form.
+    */
+  private def kmeansCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      singleLine(
+        s"""a$i AS (${kmeansAsg(prev)}),
+           |m$i AS (SELECT cid, p, round(sum(v) / count(*), 6) AS val
+           | FROM a$i JOIN u USING (vec_id) GROUP BY cid, p),
+           |c$i AS (SELECT cid, list(val ORDER BY p) AS ce
+           | FROM m$i GROUP BY cid)""")
+    }.mkString(", ")
+    singleLine(
+      s"""c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         | WHERE vec_id % 50 = 7),
+         |u AS (SELECT vec_id, p, CAST(v AS DOUBLE) AS v FROM (
+         | SELECT vec_id, unnest(embedding) AS v,
+         |  unnest(range(1, len(embedding) + 1)) AS p FROM embeddings))""") +
+      ", " + iterCtes
+  }
+
+  /** Lloyd k-means training run entirely as DataFrame aggregates
+    * ([[graft.ops.Similarity.kmeansCentroids]]): seeds = the q32
+    * centroid slice, two iterations, every element-wise mean rounded
+    * to 6 so the oracle's re-run stays in lockstep. Output = trained
+    * centroids as (cluster, dim, val) rows — the full trainer is
+    * hash-checked, iteration by iteration.
+    */
+  val q56 = Q("q56_kmeans_train",
+    (s, dir) => Similarity.kmeansCentroids(table(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 50 === 7, iters = 2)
+      .orderBy("cluster", "dim"),
+    Some(s"""WITH ${kmeansCtes(2)}
+      |SELECT cid AS cluster, CAST(p AS INT) AS dim, val FROM m2
+      |ORDER BY cluster, dim""".stripMargin))
+
+  /** SemDedup over the trained clusters
+    * ([[graft.ops.Similarity.semDedup]]): assign every vector to its
+    * trained (q56) centroid, drop vectors with a lower-id same-cell
+    * neighbor at cosine ≥ 0.4. Per-vector keep/drop decisions
+    * oracle-checked end to end — trainer included.
+    */
+  val q57 = Q("q57_semdedup",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 7, iters = 2)
+      Similarity.semDedup(emb, "vec_id", "embedding", cents,
+          threshold = 0.4)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+      |a3 AS (SELECT vec_id, cid AS cell FROM (
+      | SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
+      |  ORDER BY ${distOrder("b.embedding", "c.ce")}, c.cid) AS rn
+      | FROM embeddings b, c2 c) WHERE rn = 1),
+      |pe AS (SELECT a3.vec_id, cell, embedding,
+      |  ${normSql("embedding")} AS nrm
+      | FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id),
+      |drp AS (SELECT DISTINCT r.vec_id FROM pe l JOIN pe r
+      | ON l.cell = r.cell AND l.vec_id < r.vec_id
+      |  AND round((${dotSql("l.embedding", "r.embedding")})
+      |    / (l.nrm * r.nrm), 6) >= 0.4)
+      |SELECT a3.vec_id, cell, (d.vec_id IS NULL) AS kept
+      |FROM a3 LEFT JOIN drp d ON d.vec_id = a3.vec_id
+      |ORDER BY a3.vec_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
+    q57)
 }

@@ -523,4 +523,69 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("decontaminate flags docs sharing n-grams with the eval slice") {
+    val df = Seq(
+      (7L, "alpha beta gamma delta epsilon"), // eval (pred: id % 100 == 7)
+      (1L, "alpha beta gamma delta zeta"),    // shares 2 3-grams with eval
+      (2L, "one two three four five six"),    // shares nothing
+      (3L, "x alpha beta gamma y"))           // shares exactly 1 3-gram
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(df, "doc_id", "text",
+        col("doc_id") % 100 === 7, k = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(!out.contains(7L), "eval docs must not appear in the output")
+    assert(out(1L) == ((3L, 2L, true)))
+    assert(out(2L) == ((4L, 0L, false)))
+    assert(out(3L) == ((3L, 1L, false)), "below minOverlap must not flag")
+  }
+
+  test("kmeans: two planted blobs converge to their exact means") {
+    val pts = Seq( // blob A around 0, blob B around 10 (2-dim)
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.0f, 1.0f)),
+      (10L, Seq(10.0f, 10.0f)), (11L, Seq(11.0f, 11.0f)),
+      (12L, Seq(10.0f, 11.0f)))
+      .toDF("vec_id", "embedding")
+    // seeds: one per blob (ids 0 and 10)
+    val cents = Similarity.kmeansCentroids(pts, "vec_id", "embedding",
+        col("vec_id") === 0 || col("vec_id") === 10, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cents.keys.map(_._1).toSet == Set(0L, 10L))
+    // exact means, rounded to 6 (HALF_UP) by the trainer
+    assert(cents((0L, 1)) == 0.333333)
+    assert(cents((0L, 2)) == 0.666667)
+    assert(cents((10L, 1)) == 10.333333)
+    assert(cents((10L, 2)) == 10.666667)
+  }
+
+  test("semDedup drops the higher-id near-identical vector, keeps the rest") {
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (5L, Seq(1.0f, 0.001f, 0.0f)), // cos≈1 vs id 0 → dropped
+      (6L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal → kept
+      (20L, Seq(-1.0f, -1.0f, 8.0f)),
+      (21L, Seq(-1.0f, -1.0f, 8.1f))) // cos≈1 vs id 20 → dropped
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(pts, "vec_id", "embedding",
+      col("vec_id") === 0 || col("vec_id") === 20, iters = 1)
+    val out = Similarity.semDedup(pts, "vec_id", "embedding", cents, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 5L -> false, 6L -> true,
+      20L -> true, 21L -> false))
+  }
+
+  test("semDedup on the corpus: every cell's min-id member survives") {
+    val emb = sf("embeddings")
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      col("vec_id") % 50 === 7, iters = 1)
+    val rows = Similarity.semDedup(emb, "vec_id", "embedding", cents, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == emb.count())
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val minId = members.map(_._1).min
+      assert(members.find(_._1 == minId).get._3,
+        s"min-id member of cell $cell must be kept")
+    }
+  }
 }
