@@ -177,5 +177,32 @@ object StreamQueries {
     Some("""SELECT event_id, user_id, event_type, ts, value
       |FROM events ORDER BY event_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q40, q41)
+  /** Stream-static enrichment join + windowed rollup
+    * ([[graft.streaming.EventStream.enrichedRollup]]): the event
+    * stream joins the static customer dim (broadcast per micro-batch,
+    * stateless — only the downstream window carries state) and rolls
+    * up value per (hour, market segment). Oracle: plain SQL join +
+    * the q40 append-mode emission rule (a window emits iff sealed by
+    * the final watermark).
+    */
+  val q58 = Q("q58_stream_enrich",
+    (s, dir) => {
+      val (events, inDir) = eventsStream(s, dir)
+      val dim = Registry.table(s, dir, "customer")
+      val rolled = graft.streaming.EventStream.enrichedRollup(
+        events, dim, "user_id", "c_custkey", "c_mktsegment")
+      runAvailableNow(s, rolled, "q58_enrich", Seq(inDir))
+        .select(col("h").cast("timestamp_ntz").as("h"),
+          col("c_mktsegment"), col("n"), col("total"))
+        .orderBy("h", "c_mktsegment")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS h, c_mktsegment,
+      | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |HAVING epoch_ms(h + INTERVAL 1 HOUR) <=
+      |  (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
+      |ORDER BY 1, 2""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q38, q40, q41, q58)
 }
