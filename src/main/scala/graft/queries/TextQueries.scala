@@ -613,7 +613,36 @@ object TextQueries {
       |LEFT JOIN bench b USING (s)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Per-language vocabulary top-k — the corpus-analysis staple
+    * (stopword lists, tokenizer audits). Two-stage shape that holds
+    * at 100 TB: the token counts partial-aggregate map-side (token
+    * skew never reaches the exchange as raw rows), and the ranking
+    * window runs over the AGGREGATED vocabulary only — per-task state
+    * is one language's distinct tokens, never the corpus. Ties broken
+    * (count desc, token asc) for a deterministic oracle.
+    */
+  val q59 = Q("q59_vocab_topk",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+      table(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 20)
+        .orderBy("lang", "rank")
+    },
+    Some("""SELECT lang, token, n, rank FROM (
+      | SELECT lang, token, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |   ORDER BY count(*) DESC, token) AS INT) AS rank
+      | FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |       FROM documents)
+      | GROUP BY lang, token)
+      |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q53, q55)
+      q44, q45, q46, q47, q48, q49, q50, q53, q55, q59)
 }
