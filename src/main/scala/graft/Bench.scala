@@ -9,8 +9,20 @@ object Bench {
     // would let Catalyst prune the projections away).
     // None marks a failed execution — a failure's (fast) elapsed time
     // must not win the min-of-N below.
+    // Dev iteration knobs (unset in the driver's runs): BENCH_ONLY
+    // restricts to the named queries; BENCH_EXPLAIN dumps each timed
+    // query's formatted physical plan to stderr before running it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val explain = sys.env.contains("SPARK_GRAFT_BENCH_EXPLAIN")
     def runAll(dir: String): Map[String, Option[Double]] =
-      graft.queries.Registry.all.map { q =>
+      graft.queries.Registry.all
+        .filter(q => only.forall(_.contains(q.name))).map { q =>
+        if (explain && dir == sfDir)
+          try System.err.println(s"=== ${q.name}\n" +
+            q.run(spark, dir).queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] explain ${q.name} failed: $e") }
         val t0 = System.nanoTime()
         val ok =
           try {

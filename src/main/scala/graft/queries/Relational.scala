@@ -146,21 +146,35 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
 
-  /** TPC-H Q5 shape: snowflake multi-join (two broadcast dims +
-    * shuffle joins) + grouped revenue.
+  /** TPC-H Q5 shape: snowflake multi-join + grouped revenue, declared
+    * FACT-FIRST: the two fact tables (lineitem ⋈ orders) stream
+    * through the plan and join on their own keys (shuffle join at
+    * scale; AQE may broadcast the orders side locally), while the dim
+    * snowflake (customer ⋈ nation ⋈ region — bounded) folds into ONE
+    * broadcast. The inverted chain (region as the stream side) made
+    * Spark broadcast every RIGHT side including the 600k-row
+    * lineitem — a driver-collect of the fact table that was most of
+    * the query's local wall time and exactly the plan that dies at
+    * 100 TB.
     */
   val q09 = Q("q09_region_revenue",
-    (s, dir) => table(s, dir, "region")
-      .join(broadcast(table(s, dir, "nation")),
-        col("r_regionkey") === col("n_regionkey"))
-      .join(table(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
-      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy("r_name", "n_name"),
+    (s, dir) => {
+      val dims = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")
+            .join(broadcast(table(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("r_name"), col("n_name"))
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
     Some("""SELECT r_name, n_name,
       | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       | count(*) AS n_items

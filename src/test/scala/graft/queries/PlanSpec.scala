@@ -44,9 +44,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("q09: snowflake plan keeps broadcast joins for the dims") {
+  test("q09: fact-first — lineitem streams, dim snowflake broadcasts") {
     val p = plan(Relational.q09)
     assert(p.contains("BroadcastHashJoin"), p)
+    // the streamed (probe) side prints first in the tree: the fact
+    // table must lead the chain, never sit under a BroadcastExchange
+    // (the inverted chain broadcast the 600k-row lineitem build side)
+    val li = p.indexOf("lineitem.parquet")
+    assert(li >= 0, p)
+    assert(li < p.indexOf("customer.parquet"), p)
+    assert(li < p.indexOf("region.parquet"), p)
   }
 
   test("q27: query side broadcasts; no shuffle in brute-force cosine") {
