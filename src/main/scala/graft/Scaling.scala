@@ -38,7 +38,8 @@ object Scaling {
     val names = Seq("q24_minhash_lsh", "q26_ngram_jaccard",
       "q43_minhash_estimate", "q49_dedup_clusters", "q50_dedup_corpus",
       "q53_dedup_incremental", "q31_embedding_neardups", "q32_cosine_ivf",
-      "q54_cosine_topk")
+      "q54_cosine_topk", "q55_decontaminate", "q56_kmeans_train",
+      "q57_semdedup", "q59_vocab_topk")
     val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
