@@ -50,6 +50,15 @@ class UnpersistSpec extends SparkSpec {
     }, "incrementalDecisions + clearCache")
   }
 
+  test("decontaminate, k-means trainer and semDedup leave zero cached blocks") {
+    assertClean(
+      TextQueries.q55.run(spark, dir).collect(), "decontaminate")
+    assertClean(
+      SimilarityQueries.q56.run(spark, dir).collect(), "kmeansCentroids")
+    assertClean(
+      SimilarityQueries.q57.run(spark, dir).collect(), "semDedup")
+  }
+
   test("clusters: per-round frames are unpersisted, only the fixpoint remains") {
     spark.catalog.clearCache()
     import spark.implicits._

@@ -56,6 +56,42 @@ class EventStreamSpec extends SparkSpec {
     assert(missing.isEmpty, s"batch rows never emitted: $missing")
   }
 
+  test("stream-static enrichment: dim joins per batch, rollup equals batch run") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"), (3L, "SEG_A"),
+      (9L, "SEG_Z")).toDF("k", "seg")
+    val mem = MemoryStream[Event]
+    val q = EventStream.enrichedRollup(mem.toDF(), dim, "user_id", "k", "seg")
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append()).start()
+    // user 7 has NO dim row → the inner join must drop it
+    mem.addData(evs :+ Event(7, ts("2024-01-01 10:30:00"), 7, "click", 500.0): _*)
+    q.processAllAvailable()
+    val flush = Event(99, ts("2024-01-05 00:00:00"), 9, "noop", 0.0)
+    mem.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_sink").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(!streamed.exists(_._4 >= 500.0), "dim-less user leaked through")
+    assert(streamed.exists(_._2 == "SEG_A") && streamed.exists(_._2 == "SEG_B"))
+    // batch equivalence: same op on a static frame emits ALL windows;
+    // streamed = batch minus the flush-open windows
+    val batch = EventStream.enrichedRollup(
+      (evs :+ Event(7, ts("2024-01-01 10:30:00"), 7, "click", 500.0) :+ flush)
+        .toDF(), dim, "user_id", "k", "seg")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.intersect(batch) == streamed,
+      s"streamed rows not in batch: ${streamed.diff(batch)}")
+    val missing = batch.filterNot(b => streamed.contains(b) ||
+      b._1.startsWith("2024-01-05") || b._1.startsWith("2024-01-02"))
+    assert(missing.isEmpty, s"batch rows never emitted: $missing")
+    spark.catalog.dropTempView("enrich_sink")
+  }
+
   test("streaming dedupe drops within-watermark duplicates exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
