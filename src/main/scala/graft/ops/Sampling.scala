@@ -54,4 +54,41 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Keep the top `n` rows per group in `order` — the per-source cap
+    * of corpus curation (bound a crawler-heavy source at N docs,
+    * best-quality first). Appends the 1-based `rk` rank. One window
+    * shuffle keyed by the group; per-task state is one group's rows.
+    * With corpus-scale groups and a small `n`, the scale upgrade is a
+    * per-partition pre-cap (any task needs only its local top-n)
+    * before the global window — same move as q47's packing shards.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= n)
+  }
+
+  /** Fill a per-group token budget in priority order: rows are ranked
+    * by `order` (quality-first curriculum) and kept while the running
+    * `tokCol` total — including the current row — stays ≤ `budget`.
+    * Appends `cum_tokens`. The running sum makes the group a total
+    * order, so the window key is the group itself; at corpus-scale
+    * groups the 100 TB shape is two-pass: histogram the order column,
+    * pick the cutoff whose token mass reaches the budget, pre-filter
+    * to ≈budget candidates, THEN run this exact window on the
+    * survivors (semantics unchanged — the cutoff only drops rows the
+    * cumsum would reject anyway).
+    */
+  def budgetFill(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], tokCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokCol).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -307,6 +307,27 @@ object Similarity {
       .select(col(idCol), col("cell"), col("_d").isNull.as("kept"))
   }
 
+  /** Symmetric per-vector int8 quantization — the memory move that
+    * makes a 100 TB ANN index fit (4× smaller than float32, 8× than
+    * the double working form): scale = max|x|/127 per vector,
+    * qᵥ = round(x/scale) ∈ [−127, 127]. Emitted as (id, dim, qv,
+    * scale) rows. One explode + one max-window keyed by vector id —
+    * a single linear shuffle; at rest the quantized column would be
+    * packed back to a binary blob per vector. Zero vectors quantize
+    * to all-zeros (scale 0 sentinel) rather than NaN.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    emb.select(col(idCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "v")))
+      .withColumn("_mx", max(abs(col("v"))).over(w))
+      .select(col(idCol), (col("p") + 1).cast("int").as("dim"),
+        when(col("_mx") === 0, 0)
+          .otherwise(round(col("v") / (col("_mx") / 127.0), 0))
+          .cast("int").as("qv"),
+        round(col("_mx") / 127.0, 6).as("scale"))
+  }
+
   /** Sign-LSH bucketed cosine: same contract as brute force but the
     * candidate set is restricted to the query's coarse cell.
     */

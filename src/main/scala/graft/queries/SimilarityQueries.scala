@@ -364,6 +364,28 @@ object SimilarityQueries {
       |FROM a3 LEFT JOIN drp d ON d.vec_id = a3.vec_id
       |ORDER BY a3.vec_id""".stripMargin))
 
+  /** Per-vector int8 quantization
+    * ([[graft.ops.Similarity.quantizeInt8]]): scale = max|x|/127,
+    * every quantized component oracle-checked (the float→double→
+    * round chain is deterministic on both engines).
+    */
+  val q62 = Q("q62_quantize_int8",
+    (s, dir) => Similarity.quantizeInt8(
+        table(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id", "dim"),
+    Some("""SELECT vec_id, dim, qv, scale FROM (
+      | SELECT vec_id, CAST(p AS INT) AS dim,
+      |  CASE WHEN mx = 0 THEN 0
+      |   ELSE CAST(round(v / (mx / 127.0)) AS INT) END AS qv,
+      |  round(mx / 127.0, 6) AS scale
+      | FROM (SELECT vec_id, p, v,
+      |        max(abs(v)) OVER (PARTITION BY vec_id) AS mx
+      |       FROM (SELECT vec_id,
+      |              unnest(range(1, len(embedding) + 1)) AS p,
+      |              CAST(unnest(embedding) AS DOUBLE) AS v
+      |             FROM embeddings)))
+      |ORDER BY vec_id, dim""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57)
+    q57, q62)
 }

@@ -52,21 +52,26 @@ object TextQueries {
       |FROM (SELECT lang, len(string_split(text, ' ')) AS ntok FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** DuckDB mirror of [[graft.ops.TextOps.qualityScore]] — one
+    * definition shared by q21/q60/q61.
+    */
+  private val duckQualitySql: String =
+    """round(greatest(0.0,
+      | least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      | * (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b'))
+      |     AS DOUBLE)
+      |   / CAST(len(string_split(text, ' ')) AS DOUBLE))), 4)"""
+      .stripMargin.replaceAll("\\s*\n\\s*", " ")
+
   val q21 = Q("q21_quality_score",
     (s, dir) => table(s, dir, "documents")
       .select(col("source"), TextOps.qualityScore(col("text")).as("q"))
       .groupBy("source")
       .agg(round(avg("q"), 4).as("avg_quality"), count(lit(1)).as("n"))
       .orderBy("source"),
-    Some("""SELECT source,
+    Some(s"""SELECT source,
       | round(avg(q), 4) AS avg_quality, count(*) AS n
-      |FROM (SELECT source,
-      |  round(greatest(0.0,
-      |   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-      |   * (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b'))
-      |       AS DOUBLE)
-      |     / CAST(len(string_split(text, ' ')) AS DOUBLE))), 4) AS q
-      | FROM documents)
+      |FROM (SELECT source, $duckQualitySql AS q FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin))
 
   val q22 = Q("q22_lang_id",
@@ -642,7 +647,49 @@ object TextQueries {
       | GROUP BY lang, token)
       |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin))
 
+  /** Per-source cap ([[graft.ops.Sampling.capPerGroup]]): every
+    * source bounded at its 50 best-quality docs (quality desc,
+    * doc_id tiebreak) — the curation step that stops one crawler-
+    * heavy source from dominating the mix.
+    */
+  val q60 = Q("q60_source_cap",
+    (s, dir) => graft.ops.Sampling.capPerGroup(
+        table(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q")),
+        Seq("source"), Seq(col("q").desc, col("doc_id").asc), n = 50)
+      .orderBy("source", "rk"),
+    Some(s"""SELECT source, doc_id, q, rk FROM (
+      | SELECT source, doc_id, q,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |   ORDER BY q DESC, doc_id) AS INT) AS rk
+      | FROM (SELECT source, doc_id, $duckQualitySql AS q
+      |       FROM documents))
+      |WHERE rk <= 50 ORDER BY source, rk""".stripMargin))
+
+  /** Token-budget fill per language
+    * ([[graft.ops.Sampling.budgetFill]]): best-quality docs first
+    * until 5 000 tokens per language — the "fill the curriculum to a
+    * token target" selection, with the running total oracle-checked
+    * row by row.
+    */
+  val q61 = Q("q61_token_budget_fill",
+    (s, dir) => graft.ops.Sampling.budgetFill(
+        table(s, dir, "documents").select(col("lang"), col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok")),
+        Seq("lang"), Seq(col("q").desc, col("doc_id").asc),
+        col("ntok"), budget = 5000L)
+      .orderBy("lang", "cum_tokens"),
+    Some(s"""SELECT lang, doc_id, q, ntok, cum_tokens FROM (
+      | SELECT lang, doc_id, q, ntok,
+      |  CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      | FROM (SELECT lang, doc_id, $duckQualitySql AS q,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |       FROM documents))
+      |WHERE cum_tokens <= 5000 ORDER BY lang, cum_tokens""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q53, q55, q59)
+      q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61)
 }

@@ -575,6 +575,46 @@ class OpsSpec extends SparkSpec {
       20L -> true, 21L -> false))
   }
 
+  test("capPerGroup keeps the top-n per group with deterministic ranks") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 5L, 0.2))
+      .toDF("g", "id", "score")
+    val out = Sampling.capPerGroup(df, Seq("g"),
+        Seq(col("score").desc, col("id").asc), n = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    // ties on score break by id: 1 then 3; 2 and 4 cut; b keeps its one
+    assert(out == Set(("a", 1L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
+
+  test("budgetFill keeps rows while the running token total fits") {
+    val df = Seq(
+      ("en", 1L, 0.9, 40L), ("en", 2L, 0.8, 50L), ("en", 3L, 0.7, 20L),
+      ("de", 4L, 0.1, 99L), ("de", 5L, 0.05, 2L))
+      .toDF("lang", "id", "q", "ntok")
+    val out = Sampling.budgetFill(df, Seq("lang"),
+        Seq(col("q").desc, col("id").asc), col("ntok"), budget = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    // en: 40, 90 fit; +20 would be 110 → cut. de: 99, +2 → cut.
+    assert(out == Map(1L -> 40L, 2L -> 90L, 4L -> 99L))
+  }
+
+  test("quantizeInt8: max component hits ±127, zero vector stays zero") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(pts, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(out((1L, 2)) == ((-127, r6(1.0 / 127))))
+    assert(out((1L, 1))._1 == 64) // 0.5/(1/127) = 63.5 → HALF_UP 64
+    assert(out((1L, 3))._1 == 32) // 0.25/(1/127) = 31.75 → 32
+    assert(out((2L, 1)) == ((0, 0.0)) && out((2L, 3)) == ((0, 0.0)))
+  }
+
   test("semDedup on the corpus: every cell's min-id member survives") {
     val emb = sf("embeddings")
     val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
