@@ -307,6 +307,33 @@ object Similarity {
       .select(col(idCol), col("cell"), col("_d").isNull.as("kept"))
   }
 
+  /** Recall@k of the sign-LSH top-k against the exact brute-force
+    * top-k — the evaluation every ANN deployment runs before turning
+    * a knob: per query, |approx ∩ true| / k. Both rankings use the
+    * same deterministic (rounded cos desc, id asc) order. The exact
+    * side is the brute-force broadcast scan (the baseline you can
+    * afford on a sampled query set, which is how recall is measured
+    * at 100 TB — the query side is small by construction; the corpus
+    * side streams once).
+    */
+  def annRecallAtK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val approx = cosineTopK(emb, idCol, vecCol, queryPred, k, bits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col(idCol).asc)
+    val exact = cosineBruteForce(emb, idCol, vecCol, queryPred,
+        threshold = -1.0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    exact.as("t").join(approx.as("a"),
+        col("t.qid") === col("a.qid") &&
+          col(s"t.$idCol") === col(s"a.$idCol"), "left")
+      .groupBy(col("t.qid").as("qid"))
+      .agg(count(col(s"a.$idCol")).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / lit(k), 4))
+  }
+
   /** Symmetric per-vector int8 quantization — the memory move that
     * makes a 100 TB ANN index fit (4× smaller than float32, 8× than
     * the double working form): scale = max|x|/127 per vector,

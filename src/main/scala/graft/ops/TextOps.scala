@@ -126,4 +126,36 @@ object TextOps {
         }
       }.toDF(idCol, "fp")
   }
+
+  /** Non-overlapping `w`-word chunks with their 0-based index — the
+    * unit of chunk-level (paragraph-style) dedup: (id, idx, md5(chunk
+    * text)). The trailing partial chunk is kept. Typed mapPartitions
+    * per the hot-path rule (Dedup.shingleRows); md5-hex so the DuckDB
+    * oracle reproduces every fingerprint.
+    */
+  def chunkRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(w >= 1, "chunk width must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .repartition(par)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexFmt = java.util.HexFormat.of()
+        rows.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val t = text.split(' ')
+            (0 until (t.length + w - 1) / w).iterator.map { i =>
+              val chunk = t.slice(i * w, (i + 1) * w).mkString(" ")
+              md.reset()
+              (id, i, hexFmt.formatHex(md.digest(
+                chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+            }
+          }
+        }
+      }.toDF(idCol, "idx", "fp")
+  }
 }

@@ -386,6 +386,44 @@ object SimilarityQueries {
       |             FROM embeddings)))
       |ORDER BY vec_id, dim""".stripMargin))
 
+  /** Recall@5 of the sign-LSH top-k vs exact brute force
+    * ([[graft.ops.Similarity.annRecallAtK]]): the ANN quality metric
+    * itself becomes an oracled query — per-query hit counts checked
+    * exactly, so the recall-dominance claims in the specs get a
+    * hash-verified face.
+    */
+  val q64 = Q("q64_ann_recall",
+    (s, dir) => Similarity.annRecallAtK(table(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5, bits = 4)
+      .orderBy("qid"), {
+      val bucket = SqlGen.duckSignBucket(4)
+      Some(s"""WITH a AS (SELECT vec_id, embedding,
+        |  ${normSql("embedding")} AS nrm, $bucket AS bkt FROM embeddings),
+        |q AS (SELECT vec_id, embedding, nrm, bkt FROM a
+        |      WHERE vec_id % 100 = 0),
+        |bf AS (SELECT qid, vec_id FROM (
+        | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, vec_id) AS rk FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id,
+        |   round((${dotSql("q.embedding", "a.embedding")})
+        |     / (q.nrm * a.nrm), 6) AS cos
+        |  FROM a, q WHERE q.vec_id <> a.vec_id))
+        | WHERE rk <= 5),
+        |ap AS (SELECT qid, vec_id FROM (
+        | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, vec_id) AS rk FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id,
+        |   round((${dotSql("q.embedding", "a.embedding")})
+        |     / (q.nrm * a.nrm), 6) AS cos
+        |  FROM a, q WHERE q.vec_id <> a.vec_id AND q.bkt = a.bkt))
+        | WHERE rk <= 5)
+        |SELECT bf.qid, count(ap.vec_id) AS n_hit,
+        | round(CAST(count(ap.vec_id) AS DOUBLE) / 5, 4) AS recall
+        |FROM bf LEFT JOIN ap
+        | ON ap.qid = bf.qid AND ap.vec_id = bf.vec_id
+        |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin)
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62)
+    q57, q62, q64)
 }

@@ -689,7 +689,46 @@ object TextQueries {
       |       FROM documents))
       |WHERE cum_tokens <= 5000 ORDER BY lang, cum_tokens""".stripMargin))
 
+  /** Chunk-level (paragraph-style) dedup profile
+    * ([[graft.ops.TextOps.chunkRows]]): docs split into non-
+    * overlapping 8-word chunks, a chunk is a DUP when the same
+    * fingerprint appeared earlier in (doc_id, idx) order — the CCNet
+    * boilerplate-removal rule at sub-document granularity (exact doc
+    * dedup misses near-dups; this removes their repeated spans).
+    * One shuffle keyed by fingerprint, then one per-doc aggregate —
+    * both linear; per-task window state is one fingerprint's
+    * occurrence list.
+    */
+  val q63 = Q("q63_chunk_dedup",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("doc_id").asc, col("idx").asc)
+      val dup = sum(when(col("rn") > 1, 1).otherwise(0))
+      TextOps.chunkRows(table(s, dir, "documents"), "doc_id", "text", w = 8)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), dup.as("n_dup_chunks"),
+          round(dup / count(lit(1)), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+      |       FROM documents),
+      |idx AS (SELECT doc_id, t,
+      |  unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+      | FROM tok),
+      |ch AS (SELECT doc_id, i,
+      |  md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS fp FROM idx),
+      |rn AS (SELECT doc_id,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+      | FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks,
+      | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_dup_chunks,
+      | round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 4) AS dup_ratio
+      |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61)
+      q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63)
 }

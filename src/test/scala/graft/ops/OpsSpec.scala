@@ -615,6 +615,35 @@ class OpsSpec extends SparkSpec {
     assert(out((2L, 1)) == ((0, 0.0)) && out((2L, 3)) == ((0, 0.0)))
   }
 
+  test("chunkRows: first occurrence wins, repeated span detected across docs") {
+    val shared = "a b c d e f g h" // exactly one 8-word chunk
+    val df = Seq(
+      (1L, s"$shared tail one"),
+      (2L, s"$shared tail two"),
+      (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val ch = TextOps.chunkRows(df, "doc_id", "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: chunks [a..h], [tail one]; doc 2: [a..h], [tail two]
+    assert(ch.count(_._1 == 1L) == 2 && ch.count(_._1 == 3L) == 1)
+    val fp = ch.groupBy(t => (t._1, t._2)).view.mapValues(_.head._3)
+    assert(fp((1L, 0)) == fp((2L, 0)), "shared span must share fingerprint")
+    assert(fp((1L, 1)) != fp((2L, 1)))
+  }
+
+  test("annRecallAtK: one shared cell gives perfect recall") {
+    // first coordinate positive everywhere → 1-bit sign bucket puts
+    // ALL vectors in one cell → LSH candidates = brute-force set
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.1f)), (1L, Seq(1.0f, 0.2f)), (2L, Seq(2.0f, -0.1f)),
+      (3L, Seq(0.5f, 0.9f)), (4L, Seq(0.7f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annRecallAtK(pts, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3, bits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 3L, 1.0)), out.mkString(","))
+  }
+
   test("semDedup on the corpus: every cell's min-id member survives") {
     val emb = sf("embeddings")
     val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
