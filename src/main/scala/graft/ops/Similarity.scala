@@ -42,7 +42,13 @@ object Similarity {
     * with axis-aligned planes).
     */
   def signBucket(vec: Column, bits: Int): Column =
-    concat((1 to bits).map(i =>
+    signBucketAt(vec, 1, bits)
+
+  /** [[signBucket]] over dims [offset, offset+bits) (1-based) — the
+    * slice dial that makes independent LSH tables out of one vector.
+    */
+  def signBucketAt(vec: Column, offset: Int, bits: Int): Column =
+    concat((offset until offset + bits).map(i =>
       when(element_at(vec, i) >= 0, "1").otherwise("0")): _*)
 
   /** Brute-force cosine: queries (filtered by `queryPred`) broadcast
@@ -307,19 +313,54 @@ object Similarity {
       .select(col(idCol), col("cell"), col("_d").isNull.as("kept"))
   }
 
-  /** Recall@k of the sign-LSH top-k against the exact brute-force
-    * top-k — the evaluation every ANN deployment runs before turning
-    * a knob: per query, |approx ∩ true| / k. Both rankings use the
-    * same deterministic (rounded cos desc, id asc) order. The exact
-    * side is the brute-force broadcast scan (the baseline you can
-    * afford on a sampled query set, which is how recall is measured
-    * at 100 TB — the query side is small by construction; the corpus
-    * side streams once).
+  /** Multi-table sign-LSH top-k: each table is an independent
+    * (offset, bits) slice of the vector; candidates are the UNION of
+    * same-cell pairs over all tables — the standard recall dial (a
+    * near neighbor is missed only if it disagrees in EVERY table).
+    * Planned like minhash's LSH bands: each vector explodes into one
+    * (table, bucket) row per table, so the whole candidate pass is
+    * ONE broadcast join regardless of the table count — not r corpus
+    * scans. Pairs colliding in several tables dedupe before ranking.
     */
-  def annRecallAtK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+  def multiTableTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, tables: Seq[(Int, Int)]): DataFrame = {
+    require(k >= 1 && tables.nonEmpty, "need k >= 1 and >= 1 table")
+    val base = withNorm(emb, vecCol)
+      .select(col(idCol), col("_e"), col("_nrm"))
+    def banded(df: DataFrame) = df.withColumn("_b",
+        explode(array(tables.zipWithIndex.map { case ((off, bits), j) =>
+          struct(lit(j).as("tbl"),
+            signBucketAt(col("_e"), off, bits).as("bkt"))
+        }: _*)))
+      .select(col(idCol), col("_e"), col("_nrm"),
+        col("_b.tbl").as("_tbl"), col("_b.bkt").as("_bkt"))
+    val cand = banded(base)
+    val q = banded(base.filter(queryPred))
+      .select(col(idCol).as("qid"), col("_e").as("qe"),
+        col("_nrm").as("qn"), col("_tbl"), col("_bkt"))
+    val cos = round(dot(col("qe"), col("_e")) / (col("qn") * col("_nrm")), 6)
+    val pairs = cand.join(broadcast(q),
+        Seq("_tbl", "_bkt")).filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol), cos.as("cos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col(idCol).asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of an approximate top-k frame (qid, id, cos, rank ≤ k)
+    * against the exact brute-force top-k — the evaluation every ANN
+    * deployment runs before turning a knob: per query,
+    * |approx ∩ true| / k. Both rankings use the same deterministic
+    * (rounded cos desc, id asc) order. The exact side is the
+    * brute-force broadcast scan (the baseline you can afford on a
+    * SAMPLED query set, which is how recall is measured at 100 TB —
+    * the query side is small by construction; the corpus side
+    * streams once).
+    */
+  def recallAgainstExact(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, approx: DataFrame): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val approx = cosineTopK(emb, idCol, vecCol, queryPred, k, bits)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col(idCol).asc)
     val exact = cosineBruteForce(emb, idCol, vecCol, queryPred,
@@ -333,6 +374,12 @@ object Similarity {
       .agg(count(col(s"a.$idCol")).as("n_hit"))
       .withColumn("recall", round(col("n_hit") / lit(k), 4))
   }
+
+  /** [[recallAgainstExact]] of the single-table [[cosineTopK]]. */
+  def annRecallAtK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, bits: Int = 8): DataFrame =
+    recallAgainstExact(emb, idCol, vecCol, queryPred, k,
+      cosineTopK(emb, idCol, vecCol, queryPred, k, bits))
 
   /** Symmetric per-vector int8 quantization — the memory move that
     * makes a 100 TB ANN index fit (4× smaller than float32, 8× than

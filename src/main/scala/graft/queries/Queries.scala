@@ -79,8 +79,13 @@ object SqlGen {
   /** DuckDB sign-LSH bucket over the first `bits` dims — mirrors
     * [[graft.ops.Similarity.signBucket]]. Shared by q28/q31.
     */
-  def duckSignBucket(bits: Int): String =
-    (1 to bits).map(i =>
+  def duckSignBucket(bits: Int): String = duckSignBucketAt(1, bits)
+
+  /** DuckDB sign-LSH bucket over dims [offset, offset+bits) — mirrors
+    * [[graft.ops.Similarity.signBucketAt]] (multi-table LSH slices).
+    */
+  def duckSignBucketAt(offset: Int, bits: Int): String =
+    (offset until offset + bits).map(i =>
       s"CASE WHEN CAST(list_extract(embedding, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
 }

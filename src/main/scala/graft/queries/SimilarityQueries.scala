@@ -424,6 +424,56 @@ object SimilarityQueries {
         |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin)
     })
 
+  /** Recall@5 of MULTI-TABLE sign-LSH (three independent 4-bit
+    * slices, candidates unioned) vs exact brute force — the standard
+    * fix for the single-table recall cliff q64 measures, planned as
+    * ONE banded broadcast join (not 3 corpus scans). The per-query
+    * hit counts are oracle-checked; RecallSpec pins multi ≥ single.
+    */
+  val q65 = Q("q65_ann_recall_multitable", {
+      val tables = Seq((1, 4), (5, 4), (9, 4))
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.recallAgainstExact(emb, "vec_id", "embedding",
+            col("vec_id") % 100 === 0, k = 5,
+            Similarity.multiTableTopK(emb, "vec_id", "embedding",
+              col("vec_id") % 100 === 0, k = 5, tables))
+          .orderBy("qid")
+      }
+    }, {
+      val bkts = Seq((1, 4), (5, 4), (9, 4)).zipWithIndex.map {
+        case ((off, bits), j) =>
+          s"${SqlGen.duckSignBucketAt(off, bits)} AS bkt$j"
+      }.mkString(", ")
+      def tableSel(j: Int) =
+        s"""SELECT q.vec_id AS qid, a.vec_id,
+           |   round((${dotSql("q.embedding", "a.embedding")})
+           |     / (q.nrm * a.nrm), 6) AS cos
+           |  FROM a, q WHERE q.vec_id <> a.vec_id AND q.bkt$j = a.bkt$j"""
+          .stripMargin.replaceAll("\\s*\n\\s*", " ")
+      Some(s"""WITH a AS (SELECT vec_id, embedding,
+        |  ${normSql("embedding")} AS nrm, $bkts FROM embeddings),
+        |q AS (SELECT * FROM a WHERE vec_id % 100 = 0),
+        |bf AS (SELECT qid, vec_id FROM (
+        | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, vec_id) AS rk FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id,
+        |   round((${dotSql("q.embedding", "a.embedding")})
+        |     / (q.nrm * a.nrm), 6) AS cos
+        |  FROM a, q WHERE q.vec_id <> a.vec_id))
+        | WHERE rk <= 5),
+        |pr AS (${tableSel(0)} UNION ${tableSel(1)} UNION ${tableSel(2)}),
+        |ap AS (SELECT qid, vec_id FROM (
+        | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, vec_id) AS rk FROM pr)
+        | WHERE rk <= 5)
+        |SELECT bf.qid, count(ap.vec_id) AS n_hit,
+        | round(CAST(count(ap.vec_id) AS DOUBLE) / 5, 4) AS recall
+        |FROM bf LEFT JOIN ap
+        | ON ap.qid = bf.qid AND ap.vec_id = bf.vec_id
+        |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin)
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64)
+    q57, q62, q64, q65)
 }

@@ -644,6 +644,26 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 1.0)), out.mkString(","))
   }
 
+  test("multi-table LSH recall dominates single-table on every query") {
+    val emb = sf("embeddings")
+    val pred = col("vec_id") % 100 === 0
+    def recalls(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val single = recalls(Similarity.annRecallAtK(
+      emb, "vec_id", "embedding", pred, k = 5, bits = 4))
+    val multi = recalls(Similarity.recallAgainstExact(
+      emb, "vec_id", "embedding", pred, k = 5,
+      Similarity.multiTableTopK(emb, "vec_id", "embedding", pred, k = 5,
+        Seq((1, 4), (5, 4), (9, 4)))))
+    assert(single.keySet == multi.keySet)
+    single.foreach { case (qid, r) =>
+      assert(multi(qid) >= r, s"multi-table recall dropped for qid=$qid")
+    }
+    // ≥ is guaranteed (table 1 of the multi set IS the single-table
+    // slice, so candidates are a superset); strictness is corpus-
+    // dependent and is demonstrated by the oracled q64-vs-q65 pair
+  }
+
   test("semDedup on the corpus: every cell's min-id member survives") {
     val emb = sf("embeddings")
     val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
