@@ -204,5 +204,31 @@ object StreamQueries {
       |  (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
       |ORDER BY 1, 2""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q40, q41, q58)
+  /** Stream-stream interval join
+    * ([[graft.streaming.EventStream.conversionJoin]]): click →
+    * purchase conversions within 30 minutes, run with BOTH sides
+    * streaming (two-sided join state, watermark-bounded). Inner-join
+    * emissions are exactly the matches, so the batch SQL join is the
+    * oracle verbatim.
+    */
+  val q66 = Q("q66_stream_interval_join",
+    (s, dir) => {
+      val (events, inDir) = eventsStream(s, dir)
+      val joined = graft.streaming.EventStream.conversionJoin(
+        events, "click", "purchase", maxGapMinutes = 30)
+      runAvailableNow(s, joined, "q66_conv", Seq(inDir))
+        .select(col("user_id"), col("from_id"),
+          col("from_ts").cast("timestamp_ntz").as("from_ts"),
+          col("to_id"), col("to_ts").cast("timestamp_ntz").as("to_ts"),
+          col("value"))
+        .orderBy("user_id", "from_id", "to_id")
+    },
+    Some("""SELECT a.user_id AS user_id, a.event_id AS from_id, a.ts AS from_ts,
+      | b.event_id AS to_id, b.ts AS to_ts, b.value
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY a.user_id, from_id, to_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66)
 }

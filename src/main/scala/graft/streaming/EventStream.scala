@@ -105,6 +105,36 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(col("w.start").as("h"), col(dimCol), col("n"), col("total"))
 
+  /** Stream-stream interval join (conversion attribution): pair each
+    * `fromType` event with the same user's `toType` events that
+    * follow within `maxGapMinutes`. BOTH sides are streams —
+    * two-sided join state, the class q38/q40/q41's one-sided state
+    * doesn't cover. The watermarks plus the time-range predicate let
+    * Spark evict each side's state once the other side's watermark
+    * passes the gap window — the property that makes stream-stream
+    * joins viable over unbounded streams. INNER join: emissions are
+    * exactly the matched pairs (the watermark governs only state
+    * eviction, never emission), so the plain batch SQL join is the
+    * oracle.
+    */
+  def conversionJoin(events: DataFrame, fromType: String, toType: String,
+      maxGapMinutes: Int): DataFrame = {
+    val l = events.filter(col("event_type") === fromType)
+      .select(col("user_id"), col("event_id").as("from_id"),
+        col("ts").as("from_ts"))
+      .withWatermark("from_ts", "2 hours")
+    val r = events.filter(col("event_type") === toType)
+      .select(col("user_id").as("to_user"), col("event_id").as("to_id"),
+        col("ts").as("to_ts"), col("value"))
+      .withWatermark("to_ts", "2 hours")
+    l.join(r, col("user_id") === col("to_user") &&
+        col("to_ts") > col("from_ts") &&
+        col("to_ts") <= col("from_ts") +
+          expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select(col("user_id"), col("from_id"), col("from_ts"),
+        col("to_id"), col("to_ts"), col("value"))
+  }
+
   /** Streaming dedupe — the streaming face of the reference's
     * union+distinct merge (SURVEY.md §2.6): duplicates arriving within
     * the watermark horizon are dropped exactly once; state for keys

@@ -92,6 +92,29 @@ class EventStreamSpec extends SparkSpec {
     spark.catalog.dropTempView("enrich_sink")
   }
 
+  test("stream-stream conversion join pairs events within the gap only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.conversionJoin(mem.toDF(), "click", "buy",
+        maxGapMinutes = 30)
+      .writeStream.format("memory").queryName("conv_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(0, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(1, ts("2024-01-01 10:10:00"), 1, "buy", 5.0),   // within 30m ✓
+      Event(2, ts("2024-01-01 11:00:00"), 1, "buy", 7.0),   // 60m — out
+      Event(3, ts("2024-01-01 10:20:00"), 2, "buy", 9.0),   // other user
+      Event(4, ts("2024-01-01 09:50:00"), 1, "buy", 3.0),   // BEFORE click
+      Event(9, ts("2024-01-02 00:00:00"), 9, "noop", 0.0))  // watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("conv_sink").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("from_id"),
+        r.getAs[Long]("to_id"), r.getAs[Double]("value"))).toSet
+    assert(got == Set((1L, 0L, 1L, 5.0)), s"got $got")
+    spark.catalog.dropTempView("conv_sink")
+  }
+
   test("streaming dedupe drops within-watermark duplicates exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
