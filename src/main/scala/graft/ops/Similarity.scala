@@ -252,6 +252,20 @@ object Similarity {
     cents
   }
 
+  /** Incremental index maintenance — the reference's high-water
+    * pattern (fetch only what's new) lifted to ANN: train/keep
+    * centroids over HISTORY once, then assign only the NEW batch to
+    * its cells. One broadcast of the (tiny) centroid frame against a
+    * scan of just the batch; the corpus is never re-read, which is
+    * the daily operation for a 100 TB vector index. Emits (id, cell).
+    */
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val base = emb.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_e"))
+    assignEuclid(base, cents).select(col(idCol), col("cid").as("cell"))
+  }
+
   /** Argmin-squared-euclidean assignment of `base` (id, _e) rows to a
     * broadcast centroid frame (cid, _ce): the [[ivfCells]]
     * partial-aggregate shape — `min_by` keyed by vector, one row per

@@ -283,38 +283,42 @@ object SimilarityQueries {
   private def distOrder(e: String, c: String): String =
     s"(${dotSql(c, c)}) - 2*(${dotSql(e, c)})"
 
-  /** Argmin-euclidean assignment CTE body: one (vec_id, cid) row per
-    * vector vs the centroid CTE `cprev` (cid, ce) — mirrors
-    * [[graft.ops.Similarity.assignEuclid]]'s min_by (dist asc, cid
-    * asc).
+  /** Argmin-euclidean assignment CTE body over vector source `src`:
+    * one (vec_id, cid) row per vector vs the centroid CTE `cprev`
+    * (cid, ce) — mirrors [[graft.ops.Similarity.assignEuclid]]'s
+    * min_by (dist asc, cid asc).
     */
-  private def kmeansAsg(cprev: String): String = singleLine(
+  private def kmeansAsg(cprev: String,
+      src: String = "embeddings"): String = singleLine(
     s"""SELECT vec_id, cid FROM (
        | SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
        |  ORDER BY ${distOrder("b.embedding", "c.ce")}, c.cid) AS rn
-       | FROM embeddings b, $cprev c) WHERE rn = 1""")
+       | FROM $src b, $cprev c) WHERE rn = 1""")
 
-  /** Shared Lloyd-iteration CTE chain (one definition feeds q56 and
-    * q57): c0 = seed vectors (vec_id % 50 = 7, the q32 centroid
-    * slice), u = position-zipped unnest, then per iteration i:
-    * aᵢ assignment, mᵢ rounded element-wise means, cᵢ list form.
+  /** Shared Lloyd-iteration CTE chain (one definition feeds q56, q57
+    * and q67): c0 = seed vectors, u = position-zipped unnest, then
+    * per iteration i: aᵢ assignment, mᵢ rounded element-wise means,
+    * cᵢ list form. `src` bounds the training corpus (q67 trains on
+    * history only); defaults reproduce the q32 centroid slice over
+    * the full table.
     */
-  private def kmeansCtes(iters: Int): String = {
+  private def kmeansCtes(iters: Int, src: String = "embeddings",
+      seedWhere: String = "vec_id % 50 = 7"): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       singleLine(
-        s"""a$i AS (${kmeansAsg(prev)}),
+        s"""a$i AS (${kmeansAsg(prev, src)}),
            |m$i AS (SELECT cid, p, round(sum(v) / count(*), 6) AS val
            | FROM a$i JOIN u USING (vec_id) GROUP BY cid, p),
            |c$i AS (SELECT cid, list(val ORDER BY p) AS ce
            | FROM m$i GROUP BY cid)""")
     }.mkString(", ")
     singleLine(
-      s"""c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         | WHERE vec_id % 50 = 7),
+      s"""c0 AS (SELECT vec_id AS cid, embedding AS ce FROM $src
+         | WHERE $seedWhere),
          |u AS (SELECT vec_id, p, CAST(v AS DOUBLE) AS v FROM (
          | SELECT vec_id, unnest(embedding) AS v,
-         |  unnest(range(1, len(embedding) + 1)) AS p FROM embeddings))""") +
+         |  unnest(range(1, len(embedding) + 1)) AS p FROM $src))""") +
       ", " + iterCtes
   }
 
@@ -474,6 +478,36 @@ object SimilarityQueries {
         |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin)
     })
 
+  /** Incremental ANN indexing
+    * ([[graft.ops.Similarity.assignToCentroids]]): centroids trained
+    * (1 Lloyd iteration) over HISTORY only (even vec_ids, seeds
+    * vec_id % 50 = 6), then the NEW batch (odd ids) is assigned to
+    * its cells without re-reading history — the q53 high-water
+    * pattern for a vector index. Every batch assignment
+    * oracle-checked.
+    */
+  val q67 = Q("q67_ann_assign_incremental",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        col("vec_id") % 50 === 6, iters = 1)
+      Similarity.assignToCentroids(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          cents)
+        .orderBy("vec_id")
+    }, {
+      val hist = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+      Some(s"""WITH ${kmeansCtes(1, hist, "vec_id % 50 = 6")},
+        |batch AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1)
+        |SELECT vec_id, cid AS cell FROM (
+        | SELECT b.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY b.vec_id
+        |   ORDER BY ${distOrder("b.embedding", "c.ce")}, c.cid) AS rn
+        | FROM batch b, c1 c) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65)
+    q57, q62, q64, q65, q67)
 }
