@@ -230,5 +230,44 @@ object StreamQueries {
       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY a.user_id, from_id, to_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66)
+  /** Native `session_window` sessionization
+    * ([[graft.streaming.EventStream.sessionWindowRollup]]) — the
+    * built-in operator q38's custom state machine complements. The
+    * emitted window end is last event + gap; append mode emits a
+    * session iff that end is at or below the final watermark (the
+    * q40 eviction rule, merged-session variant).
+    */
+  val q68 = Q("q68_session_window",
+    (s, dir) => {
+      val (events, inDir) = eventsStream(s, dir)
+      val sessions = graft.streaming.EventStream
+        .sessionWindowRollup(events, gapMinutes = 30)
+      runAvailableNow(s, sessions, "q68_swin", Seq(inDir))
+        .select(col("user_id"),
+          col("start").cast("timestamp_ntz").as("start"),
+          col("end").cast("timestamp_ntz").as("end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start")
+    },
+    Some("""WITH e AS (SELECT user_id, ts, value FROM events),
+      |m AS (SELECT user_id, ts, value,
+      |  CASE WHEN epoch_ms(ts) -
+      |    epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |       > 1800000 THEN 1 ELSE 0 END AS new_s
+      | FROM e),
+      |x AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM m),
+      |a AS (SELECT user_id, min(ts) AS start,
+      |   max(ts) + INTERVAL 30 MINUTE AS "end",
+      |   CAST(count(*) AS BIGINT) AS n_events,
+      |   round(sum(value), 2) AS total_value
+      | FROM x GROUP BY user_id, sid),
+      |w AS (SELECT epoch_ms(max(ts)) - 7200000 AS wm FROM e)
+      |SELECT user_id, start, "end", n_events, total_value
+      |FROM a, w WHERE epoch_ms("end") <= wm
+      |ORDER BY user_id, start""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68)
 }

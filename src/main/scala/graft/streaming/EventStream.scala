@@ -40,6 +40,26 @@ object EventStream {
       .select(col("w.start").as("h"), col("event_type"), col("n"),
         col("total"))
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window`
+    * aggregate — the Spark-first counterpart to [[sessionize]]'s
+    * custom state machine (which exists for semantics the built-in
+    * can't express: custom payloads, per-group logic). Same gap-merge
+    * rule; the emitted window's `end` is last event + gap by
+    * definition. Use this one when the session payload is a plain
+    * aggregate — the built-in merges session state inside the
+    * aggregation exec, no typed state API in the path.
+    */
+  def sessionWindowRollup(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("start"),
+        col("w.end").as("end"), col("n_events"), col("total_value"))
+
   /** Gap-based sessionization: a session closes after `gapMinutes` of
     * inactivity (event-time timeout) and is emitted once, closed.
     */

@@ -133,6 +133,41 @@ class EventStreamSpec extends SparkSpec {
     assert(ids == Seq(0L, 1L, 2L), s"got $ids")
   }
 
+  test("native session_window agrees with the custom state machine") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionWindowRollup(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("swin_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    mem.addData(Event(99, ts("2024-01-05 00:00:00"), 9, "noop", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    // compare on (user, start, n, total): the custom machine reports
+    // end = last event, the native window end = last event + gap
+    val native = spark.table("swin_sink").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("start").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val mem2 = MemoryStream[Event]
+    val q2 = EventStream.sessionize(mem2.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("swin_custom_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem2.addData(evs: _*)
+    q2.processAllAvailable()
+    mem2.addData(Event(99, ts("2024-01-05 00:00:00"), 9, "noop", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val custom = spark.table("swin_custom_sink").as[Session].collect()
+      .map(s => (s.user_id, s.start.toString, s.n_events, s.total_value))
+      .toSet
+    assert(native == custom,
+      s"native-only: ${native.diff(custom)}; custom-only: ${custom.diff(native)}")
+    spark.catalog.dropTempView("swin_sink")
+    spark.catalog.dropTempView("swin_custom_sink")
+  }
+
   test("sessionize splits on inactivity gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
