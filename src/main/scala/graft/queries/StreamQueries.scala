@@ -269,5 +269,51 @@ object StreamQueries {
       |FROM a, w WHERE epoch_ms("end") <= wm
       |ORDER BY user_id, start""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68)
+  /** LEFT-OUTER stream-stream interval join — the funnel query
+    * (every click, converted or not). The subtle emission class:
+    * matched pairs emit as matches arrive, but an UNMATCHED click
+    * emits its null row only when join state expires. Two subtleties
+    * the oracle reproduces exactly (both pinned by fixture spec +
+    * corpus hash): the watermark is computed per SIDE after the type
+    * filters — the query watermark is min(max click ts, max purchase
+    * ts) − delay, NOT max over all events — and a click's state is
+    * evicted (null row emitted) when click_ts + gap falls STRICTLY
+    * below that min-side watermark. The matched set is the plain SQL
+    * join (inner matches emit as they arrive, watermark-independent).
+    */
+  val q69 = Q("q69_stream_left_join",
+    (s, dir) => {
+      val (events, inDir) = eventsStream(s, dir)
+      val joined = graft.streaming.EventStream.conversionJoin(
+        events, "click", "purchase", maxGapMinutes = 30, "left_outer")
+      runAvailableNow(s, joined, "q69_funnel", Seq(inDir))
+        .select(col("user_id"), col("from_id"),
+          col("from_ts").cast("timestamp_ntz").as("from_ts"),
+          col("to_id"), col("to_ts").cast("timestamp_ntz").as("to_ts"),
+          col("value"))
+        .orderBy("user_id", "from_id", "to_id")
+    },
+    Some("""WITH w AS (SELECT least(
+      |   epoch_ms(max(CASE WHEN event_type = 'click' THEN ts END)),
+      |   epoch_ms(max(CASE WHEN event_type = 'purchase' THEN ts END)))
+      |     - 7200000 AS wm FROM events),
+      |c AS (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |b AS (SELECT user_id, event_id, ts, value FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id AS user_id, c.event_id AS from_id,
+      | c.ts AS from_ts, b.event_id AS to_id, b.ts AS to_ts, b.value
+      |FROM c JOIN b ON c.user_id = b.user_id
+      | AND b.ts > c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
+      |UNION ALL
+      |SELECT c.user_id, c.event_id, c.ts,
+      | CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+      | CAST(NULL AS DOUBLE)
+      |FROM c, w
+      |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = c.user_id
+      |  AND b.ts > c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE)
+      | AND epoch_ms(c.ts + INTERVAL 30 MINUTE) < wm
+      |ORDER BY user_id, from_id, to_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68, q69)
 }

@@ -138,7 +138,7 @@ object EventStream {
     * oracle.
     */
   def conversionJoin(events: DataFrame, fromType: String, toType: String,
-      maxGapMinutes: Int): DataFrame = {
+      maxGapMinutes: Int, joinType: String = "inner"): DataFrame = {
     val l = events.filter(col("event_type") === fromType)
       .select(col("user_id"), col("event_id").as("from_id"),
         col("ts").as("from_ts"))
@@ -150,7 +150,7 @@ object EventStream {
     l.join(r, col("user_id") === col("to_user") &&
         col("to_ts") > col("from_ts") &&
         col("to_ts") <= col("from_ts") +
-          expr(s"INTERVAL $maxGapMinutes MINUTES"))
+          expr(s"INTERVAL $maxGapMinutes MINUTES"), joinType)
       .select(col("user_id"), col("from_id"), col("from_ts"),
         col("to_id"), col("to_ts"), col("value"))
   }

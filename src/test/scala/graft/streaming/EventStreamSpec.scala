@@ -115,6 +115,45 @@ class EventStreamSpec extends SparkSpec {
     spark.catalog.dropTempView("conv_sink")
   }
 
+  test("left-outer conversion join: null rows emit only past the 2x-gap horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.conversionJoin(mem.toDF(), "click", "buy",
+        maxGapMinutes = 30, "left_outer")
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Append()).start()
+    // The watermark nodes sit AFTER the type filters, so only click/
+    // buy rows advance them; the query watermark is the MIN of the
+    // two sides. Flush pair at 12:00 → both sides' watermark 10:00.
+    // clickA 09:29: ts + gap = 09:59 < 10:00 → null row EMITS
+    // clickB 09:31: ts + gap = 10:01 > 10:00 → state still held
+    // clickC 06:00 with buy 06:10 → matched row emits regardless
+    mem.addData(
+      Event(0, ts("2024-01-01 09:29:00"), 1, "click", 0.0),
+      Event(1, ts("2024-01-01 09:31:00"), 2, "click", 0.0),
+      Event(2, ts("2024-01-01 06:00:00"), 3, "click", 0.0),
+      Event(3, ts("2024-01-01 06:10:00"), 3, "buy", 5.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(8, ts("2024-01-01 12:00:00"), 8, "click", 0.0),
+      Event(9, ts("2024-01-01 12:00:00"), 9, "buy", 0.0))
+    q.processAllAvailable()
+    // join-state eviction uses the watermark computed from the PRIOR
+    // batch — run one more batch so the 10:00 watermark takes effect
+    // (the file-source queries get this from AvailableNow's no-data
+    // final batch)
+    mem.addData(
+      Event(10, ts("2024-01-01 12:00:01"), 8, "click", 0.0),
+      Event(11, ts("2024-01-01 12:00:01"), 9, "buy", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_sink").collect()
+      .map(r => (r.getAs[Long]("from_id"),
+        Option(r.getAs[java.lang.Long]("to_id")).map(_.toLong))).toSet
+    assert(got == Set((0L, None), (2L, Some(3L))), s"got $got")
+    spark.catalog.dropTempView("funnel_sink")
+  }
+
   test("streaming dedupe drops within-watermark duplicates exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
