@@ -425,6 +425,93 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., MapReduce & Beyond) — the extreme-diameter
+    * upgrade [[clusters]]' scaladoc promises. Min-label propagation
+    * runs DIAMETER rounds (right for quasi-clique near-dup graphs);
+    * the star operations contract every component toward its minimum
+    * multiplicatively, converging in O(log n) rounds on ANY graph
+    * shape (paths, grids) — the variant you schedule when the
+    * candidate graph's shape is not yours to assume. Each round is
+    * two groupBy+join passes over the edge frame; per-round
+    * persist/unpersist, ONE driver count per round (the convergence
+    * signature), rounds capped by `maxRounds` (64 ≫ log₂ of any real
+    * corpus).
+    *
+    * large-star: u's neighbors ABOVE u re-point at u's local min m;
+    * small-star: neighbors at-or-below u (and u itself) point at m.
+    * At the fixpoint every edge is (node, component-min) — a star
+    * forest — verified equal to [[clusters]]' labels by spec, and to
+    * the recursive-CTE truth by q70's oracle.
+    * Output contract identical to [[clusters]]: one (id, cluster)
+    * row per node appearing in `pairs`; the RETURNED frame stays
+    * persisted (same documented exception as [[clusters]]).
+    */
+  def clustersStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 64): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def mTable(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(min("v").as("_mv"))
+        .select(col("u"), least(col("_mv"), col("u")).as("m"))
+    // localCheckpoint (not just persist): each round's sym() self-
+    // union DOUBLES the lazy plan, so ~10 rounds of lineage explode
+    // exponentially at plan-build time — the checkpoint truncates the
+    // plan to the materialized RDD every round (at production scale a
+    // reliable `checkpoint()` to durable storage is the same move;
+    // superseded round RDDs are reclaimed by the ContextCleaner).
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val allNodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().persist(lvl)
+    allNodes.count() // materialize before the loop rewires edges
+    var prevSig = (-1L, -1L)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val s1 = sym(edges)
+      val large = s1.join(mTable(s1), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val s2 = sym(large)
+      val m2 = mTable(s2)
+      val small = s2.join(m2, "u")
+        .filter(col("v") <= col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m2.filter(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true) // materializes the round, truncates lineage
+      // order-free signature (count + hash-sum) of the edge set; an
+      // unchanged signature is the fixpoint — at which point every
+      // edge is (node, component-min)
+      val sig = small.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      val cur = (sig.getLong(0), sig.getLong(1))
+      edges = small
+      done = cur == prevSig
+      prevSig = cur
+      round += 1
+    }
+    require(done, s"clustersStar did not converge in $maxRounds rounds")
+    val labels = allNodes
+      .join(edges.select(col("u").as("id"), col("v").as("cluster")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .persist(lvl)
+    labels.count()
+    allNodes.unpersist()
+    labels
+  }
+
   /** Corpus-wide near-dedup: keep ONE canonical doc per cluster (the
     * min-id member) plus every unclustered doc. `pairs` is any
     * candidate-pair frame (LSH buckets → estimate → threshold is the

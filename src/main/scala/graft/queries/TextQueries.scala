@@ -728,7 +728,24 @@ object TextQueries {
       |   / count(*), 4) AS dup_ratio
       |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Same components as q49, computed by the LARGE-STAR/SMALL-STAR
+    * algorithm ([[graft.ops.Dedup.clustersStar]]) instead of
+    * min-label propagation — O(log n) rounds on ANY graph shape,
+    * the variant for candidate graphs whose diameter isn't yours to
+    * assume. Identical oracle: if both hash-match the recursive-CTE
+    * transitive closure, the two engines agree with the truth and
+    * each other.
+    */
+  val q70 = Q("q70_dedup_clusters_star",
+    (s, dir) => Dedup.clustersStar(nearDupPairs(s, dir), "a", "b")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $duckClusterCtes
+      |SELECT x AS doc_id, min(y) AS cluster
+      |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63)
+      q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
+      q70)
 }

@@ -146,6 +146,34 @@ class OpsSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("clustersStar equals clusters on a mixed random component graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),              // path component → 1
+      (10L, 11L), (11L, 12L), (10L, 12L),        // triangle → 10
+      (20L, 21L),                                // pair → 20
+      (30L, 31L), (31L, 32L), (30L, 33L), (33L, 34L)) // tree → 30
+      .toDF("a", "b")
+    def lab(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      df.unpersist(); m
+    }
+    val star = lab(Dedup.clustersStar(pairs, "a", "b"))
+    val prop = lab(Dedup.clusters(pairs, "a", "b"))
+    assert(star == prop, s"star=$star prop=$prop")
+    assert(star(4L) == 1L && star(12L) == 10L && star(34L) == 30L)
+  }
+
+  test("clustersStar resolves a 200-node chain in logarithmic rounds") {
+    // diameter 200: min-label propagation would need ~200 rounds;
+    // the star pair must converge well under the 64-round cap
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.clustersStar(chain, "a", "b")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert(m.size == 200 && m.values.forall(_ == 1L),
+      s"bad labels: ${m.filter(_._2 != 1L).take(5)}")
+  }
+
   test("dedupCorpus keeps one canonical doc per cluster plus singletons") {
     val corpus = Seq((1L, "x"), (2L, "x"), (3L, "x"), (5L, "y"),
       (7L, "x"), (10L, "z"), (11L, "z"))
