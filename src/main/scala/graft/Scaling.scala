@@ -39,7 +39,8 @@ object Scaling {
       "q43_minhash_estimate", "q49_dedup_clusters", "q50_dedup_corpus",
       "q53_dedup_incremental", "q31_embedding_neardups", "q32_cosine_ivf",
       "q54_cosine_topk", "q55_decontaminate", "q56_kmeans_train",
-      "q57_semdedup", "q59_vocab_topk")
+      "q57_semdedup", "q59_vocab_topk", "q63_chunk_dedup",
+      "q70_dedup_clusters_star")
     val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
