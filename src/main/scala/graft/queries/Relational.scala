@@ -406,7 +406,80 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Winsorization — clip a value column at its per-group p05/p95
+    * before aggregating, the standard outlier-robust cleaning step.
+    * Exact percentiles (mergeable-sketch mode is q48's territory)
+    * computed ONCE per group and broadcast back onto the fact scan;
+    * DuckDB `quantile_cont` uses the same (n−1)·p interpolation as
+    * Spark `percentile`, so the bounds — and therefore every clip
+    * decision — reproduce exactly (round(4) on the REPORTED bounds
+    * only; clipping compares against the unrounded values).
+    */
+  val q71 = Q("q71_winsorize",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val bounds = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("_lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("_hi"))
+      val clipped = least(greatest(col("l_extendedprice"), col("_lo")),
+        col("_hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(round(first(col("_lo")), 4).as("lo"),
+          round(first(col("_hi")), 4).as("hi"),
+          sum(when(col("l_extendedprice") < col("_lo") ||
+            col("l_extendedprice") > col("_hi"), 1).otherwise(0))
+            .as("n_clipped"),
+          round(avg(clipped), 4).as("avg_winsorized"),
+          round(avg(col("l_extendedprice")), 4).as("avg_raw"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.05) AS lo,
+      |  quantile_cont(l_extendedprice, 0.95) AS hi
+      | FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, round(lo, 4) AS lo, round(hi, 4) AS hi,
+      | CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      | round(avg(least(greatest(l_extendedprice, lo), hi)), 4)
+      |   AS avg_winsorized,
+      | round(avg(l_extendedprice), 4) AS avg_raw
+      |FROM lineitem JOIN b USING (l_returnflag)
+      |GROUP BY l_returnflag, lo, hi ORDER BY l_returnflag""".stripMargin))
+
+  /** Per-user event-time features — the feature-engineering staple
+    * (gap since previous event, 3-event moving average, sequence
+    * index). All three are one window keyed by user (bounded
+    * partitions), deterministic (ts, event_id) order.
+    */
+  val q72 = Q("q72_user_features",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Registry.events(s, dir)
+        .withColumn("seq", row_number().over(w))
+        .withColumn("prev_gap_us",
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+            .cast("long"))
+        .withColumn("mov_avg3", round(avg(col("value")).over(w3), 4))
+        .select(col("user_id"), col("event_id"), col("seq"),
+          col("prev_gap_us"), col("mov_avg3"))
+        .orderBy("user_id", "seq")
+    },
+    Some("""SELECT user_id, event_id,
+      | CAST(row_number() OVER w AS INT) AS seq,
+      | CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS BIGINT)
+      |   AS prev_gap_us,
+      | round(avg(value) OVER (PARTITION BY user_id
+      |   ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING
+      |   AND CURRENT ROW), 4) AS mov_avg3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, seq""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q33, q34, q36, q37)
+      q14, q15, q16, q17, q33, q34, q36, q37, q71, q72)
 }
