@@ -408,19 +408,32 @@ object Relational {
 
   /** Winsorization — clip a value column at its per-group p05/p95
     * before aggregating, the standard outlier-robust cleaning step.
-    * Exact percentiles (mergeable-sketch mode is q48's territory)
-    * computed ONCE per group and broadcast back onto the fact scan;
-    * DuckDB `quantile_cont` uses the same (n−1)·p interpolation as
-    * Spark `percentile`, so the bounds — and therefore every clip
+    * Bounds computed ONCE per group and broadcast back onto the fact
+    * scan; DuckDB `quantile_cont` uses the same (n−1)·p interpolation
+    * as Spark `percentile`, so the bounds — and therefore every clip
     * decision — reproduce exactly (round(4) on the REPORTED bounds
-    * only; clipping compares against the unrounded values).
+    * only; clipping compares against the unrounded values). Exact
+    * percentile buffers each group's values — the oracle shape, not
+    * the 100 TB one: `spark.graft.winsorize.approx=true` swaps the
+    * bounds to `approx_percentile` (GK summaries, mergeable, bounded
+    * memory — same dial and same spec discipline as q48; clip bounds
+    * are approximate by nature, so a sketch bound is semantically
+    * fine at scale). WinsorizeModeSpec pins the approx bounds within
+    * rank tolerance of exact.
     */
   val q71 = Q("q71_winsorize",
     (s, dir) => {
       val li = table(s, dir, "lineitem")
+      val approx =
+        s.conf.get("spark.graft.winsorize.approx", "false").toBoolean
+      val acc = s.conf.get("spark.graft.quantiles.accuracy", "10000").toInt
+      def pct(p: Double) =
+        if (approx)
+          expr(s"approx_percentile(l_extendedprice, $p, $acc)")
+            .cast("double")
+        else expr(s"percentile(l_extendedprice, $p)")
       val bounds = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.05)").as("_lo"),
-          expr("percentile(l_extendedprice, 0.95)").as("_hi"))
+        .agg(pct(0.05).as("_lo"), pct(0.95).as("_hi"))
       val clipped = least(greatest(col("l_extendedprice"), col("_lo")),
         col("_hi"))
       li.join(broadcast(bounds), "l_returnflag")

@@ -37,4 +37,30 @@ class QuantileModeSpec extends SparkSpec {
       }
     }
   }
+
+  test("approx winsorize mode tracks the exact clip bounds within tolerance") {
+    val dir = "/root/testdata/sf0.001"
+    def run(): Map[String, (Double, Double, Long)] =
+      Relational.q71.run(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toMap
+    val exact = run()
+    assert(exact.nonEmpty)
+    spark.conf.set("spark.graft.winsorize.approx", "true")
+    val approx =
+      try run()
+      finally spark.conf.unset("spark.graft.winsorize.approx")
+    assert(approx.keySet == exact.keySet)
+    for ((flag, (elo, ehi, en)) <- exact) {
+      val (alo, ahi, an) = approx(flag)
+      // sketch bounds land on real elements near the exact rank;
+      // prices span ~[900, 105k] → 2% relative tolerance, and the
+      // clipped-row count moves by at most the rank slack
+      assert(math.abs(alo - elo) <= 0.02 * elo, s"$flag lo: $alo vs $elo")
+      assert(math.abs(ahi - ehi) <= 0.02 * ehi, s"$flag hi: $ahi vs $ehi")
+      assert(math.abs(an - en) <= math.max(4L, (0.02 * en).toLong),
+        s"$flag n_clipped: $an vs $en")
+    }
+  }
 }
