@@ -492,7 +492,31 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, seq""".stripMargin))
 
+  /** Per-group z-score normalization — the feature-scaling staple:
+    * standardize event values within their type. Group moments
+    * partial-aggregate (one tiny exchange), broadcast back onto the
+    * scan; the per-row z is a pure projection. `stddev_samp` both
+    * engines; sums-of-squares addition order differs, so moments AND
+    * z round to 4 (the oracle-discipline double-sum rule).
+    */
+  val q73 = Q("q73_zscore_normalize",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val moments = ev.groupBy("event_type")
+        .agg(avg("value").as("_mu"), stddev_samp(col("value")).as("_sd"))
+      ev.join(broadcast(moments), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("_mu")) / col("_sd"), 4).as("z"))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (SELECT event_type, avg(value) AS mu,
+      |  stddev_samp(value) AS sd FROM events GROUP BY event_type)
+      |SELECT event_id, event_type,
+      | round((value - mu) / sd, 4) AS z
+      |FROM events JOIN m USING (event_type)
+      |ORDER BY event_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q33, q34, q36, q37, q71, q72)
+      q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73)
 }
