@@ -35,12 +35,17 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    val names = Seq("q24_minhash_lsh", "q26_ngram_jaccard",
+    val allNames = Seq("q24_minhash_lsh", "q26_ngram_jaccard",
       "q43_minhash_estimate", "q49_dedup_clusters", "q50_dedup_corpus",
       "q53_dedup_incremental", "q31_embedding_neardups", "q32_cosine_ivf",
       "q54_cosine_topk", "q55_decontaminate", "q56_kmeans_train",
       "q57_semdedup", "q59_vocab_topk", "q63_chunk_dedup",
       "q70_dedup_clusters_star")
+    // arg filter = re-measure a subset (e.g. an anomalous line) without
+    // regenerating the whole battery; partial runs print but do NOT
+    // overwrite SCALING.jsonl — patch the line by hand.
+    val names =
+      if (args.isEmpty) allNames else allNames.filter(args.contains)
     val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -69,8 +74,9 @@ object Scaling {
       println(s"[scaling] $line")
       out.append(line).append('\n')
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALING.jsonl"), out.toString)
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING.jsonl"), out.toString)
     spark.stop()
   }
 }

@@ -471,7 +471,8 @@ object Dedup {
     val allNodes = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id"))).distinct().persist(lvl)
     allNodes.count() // materialize before the loop rewires edges
-    var prevSig = (-1L, -1L)
+    var prev: DataFrame = null
+    var prevCount = -1L
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -489,15 +490,17 @@ object Dedup {
           .select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true) // materializes the round, truncates lineage
-      // order-free signature (count + hash-sum) of the edge set; an
-      // unchanged signature is the fixpoint — at which point every
-      // edge is (node, component-min)
-      val sig = small.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      val cur = (sig.getLong(0), sig.getLong(1))
+      // exact fixpoint test: both rounds' edge sets are distinct, so
+      // equal counts + an empty one-direction difference proves set
+      // equality (no hash-collision escape hatch). Both sides are
+      // already localCheckpointed, so the exceptAll is one shuffle
+      // over the (small) edge set, paid only when counts tie.
+      val curCount = small.count()
       edges = small
-      done = cur == prevSig
-      prevSig = cur
+      done = prev != null && curCount == prevCount &&
+        small.exceptAll(prev).isEmpty
+      prev = small
+      prevCount = curCount
       round += 1
     }
     require(done, s"clustersStar did not converge in $maxRounds rounds")

@@ -496,21 +496,25 @@ object Relational {
     * standardize event values within their type. Group moments
     * partial-aggregate (one tiny exchange), broadcast back onto the
     * scan; the per-row z is a pure projection. `stddev_samp` both
-    * engines; sums-of-squares addition order differs, so moments AND
-    * z round to 4 (the oracle-discipline double-sum rule).
+    * engines; sums-of-squares addition order differs, so the moments
+    * are rounded to 6 before the division AND z rounds to 4 (the
+    * oracle-discipline double-sum rule) — both engines divide the
+    * same literal moments, so a z near a .00005 boundary cannot
+    * straddle it from order-dependent float noise alone.
     */
   val q73 = Q("q73_zscore_normalize",
     (s, dir) => {
       val ev = Registry.events(s, dir)
       val moments = ev.groupBy("event_type")
-        .agg(avg("value").as("_mu"), stddev_samp(col("value")).as("_sd"))
+        .agg(round(avg("value"), 6).as("_mu"),
+          round(stddev_samp(col("value")), 6).as("_sd"))
       ev.join(broadcast(moments), "event_type")
         .select(col("event_id"), col("event_type"),
           round((col("value") - col("_mu")) / col("_sd"), 4).as("z"))
         .orderBy("event_id")
     },
-    Some("""WITH m AS (SELECT event_type, avg(value) AS mu,
-      |  stddev_samp(value) AS sd FROM events GROUP BY event_type)
+    Some("""WITH m AS (SELECT event_type, round(avg(value), 6) AS mu,
+      |  round(stddev_samp(value), 6) AS sd FROM events GROUP BY event_type)
       |SELECT event_id, event_type,
       | round((value - mu) / sd, 4) AS z
       |FROM events JOIN m USING (event_type)

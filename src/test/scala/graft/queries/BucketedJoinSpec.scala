@@ -64,6 +64,11 @@ class BucketedJoinSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      // external-path tables: DROP leaves the files — delete the dir
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(wh)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
     }
   }
 }
