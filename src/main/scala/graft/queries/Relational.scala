@@ -520,7 +520,81 @@ object Relational {
       |FROM events JOIN m USING (event_type)
       |ORDER BY event_id""".stripMargin))
 
+  /** BATCH interval join via time-bucketing — q66's conversion-join
+    * semantics (per click, purchases of the same user within the next
+    * 10 min) without the streaming state machine, and WITHOUT the
+    * nested-loop plan a naive range predicate degenerates to: both
+    * sides bucket to 10-min epochs, the right side duplicates into
+    * the two buckets that can contain a match (bk, bk−1), the join is
+    * pure EQUI on (user_id, bucket) with the range condition left as
+    * a post-join filter. Shuffle is linear in events (×2 on the
+    * probe side), per-task state one (user, bucket) cell — the
+    * interval-join shape that survives 100 TB, vs. the O(n·m) BNLJ.
+    * A left join keeps zero-conversion clicks (count counts matches
+    * only).
+    */
+  val q76 = Q("q76_interval_join_bucketed",
+    (s, dir) => {
+      val gapUs = 600L * 1000000L
+      val ev = Registry.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      // integer `div` (= floor for the always-positive epoch) keeps
+      // bucketing out of double arithmetic entirely
+      val bucket = expr(s"us div ${gapUs}L")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us").as("a_us"),
+          bucket.as("bk"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("b_us"),
+          explode(array(bucket, bucket - 1)).as("bk"))
+      clicks.join(purchases,
+          Seq("user_id", "bk"), "left")
+        .groupBy("event_id")
+        .agg(sum(when(col("b_us") > col("a_us") &&
+            col("b_us") <= col("a_us") + gapUs, 1L).otherwise(0L))
+          .as("n_conversions"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT a.event_id AS event_id,
+      | CAST(count(b.event_id) AS BIGINT) AS n_conversions
+      |FROM events a LEFT JOIN events b
+      | ON a.user_id = b.user_id AND b.event_type = 'purchase'
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      |WHERE a.event_type = 'click'
+      |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin))
+
+  /** Robust (median/IQR) per-group scaling — q73's z-score with
+    * outlier-immune moments: (value − median) / (p75 − p25). Exact
+    * `percentile` (linear interpolation, same formula both engines);
+    * the three quantiles partial-aggregate to one tiny broadcast
+    * table exactly like q73's moments, and the same rounding
+    * discipline applies (moments to 6 before the division, scaled
+    * value to 4). At corpus scale the exact percentile becomes q48's
+    * approx/GK mode; the scaling projection is unchanged.
+    */
+  val q77 = Q("q77_robust_scale",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val m = ev.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("_med"),
+        round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6)
+          .as("_iqr"))
+      ev.join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("_med")) / col("_iqr"), 4).as("rz"))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS med,
+      |  round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+      |    AS iqr
+      | FROM events GROUP BY event_type)
+      |SELECT event_id, event_type,
+      | round((value - med) / iqr, 4) AS rz
+      |FROM events JOIN m USING (event_type)
+      |ORDER BY event_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73)
+      q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77)
 }

@@ -744,8 +744,190 @@ object TextQueries {
       |SELECT x AS doc_id, min(y) AS cluster
       |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin))
 
+  /** TF-IDF top-k terms per document — the keyword-extraction /
+    * retrieval-weighting staple. idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    * strictly positive), score = tf·idf. Scale shape: the tf table is
+    * the token explode's ONE linear shuffle (partial-aggregated
+    * map-side); df derives from tf by a second vocabulary-sized
+    * aggregate; the vocab (df, idf) table broadcasts back onto tf —
+    * vocab ≪ corpus always — and the ranking window partitions by
+    * doc_id (per-task state = one doc's distinct terms). Oracle
+    * discipline: idf rounds to 6 BEFORE the product (both engines
+    * multiply the same literal), score rounds to 4; ties break
+    * (score desc, token asc).
+    */
+  val q74 = Q("q74_tfidf_topk",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("_n"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("token"),
+          round(log((col("_n") + 1) / (col("df") + 1)) + 1, 6).as("idf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(broadcast(idf), "token")
+        .withColumn("score", round(col("tf") * col("idf"), 4))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tf AS (
+      | SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |       FROM documents)
+      | GROUP BY doc_id, token),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |idf AS (SELECT token,
+      |  round(ln((n + 1) / CAST(count(*) + 1 AS DOUBLE)) + 1, 6) AS idf
+      | FROM tf, n GROUP BY token, n),
+      |scored AS (SELECT doc_id, token, tf,
+      |  round(tf * idf, 4) AS score,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY round(tf * idf, 4) DESC, token) AS INT) AS rank
+      | FROM tf JOIN idf USING (token))
+      |SELECT doc_id, rank, token, tf, score FROM scored
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  /** BM25 retrieval scoring of the corpus against a fixed term query
+    * (k1 = 1.2, b = 0.75, Robertson idf with +1 floor) — top-20 docs.
+    * The per-term contributions pivot into COLUMNS and sum in a fixed
+    * order (c1+c2+c3), because a 3-row SUM's addition order is
+    * engine-scheduled; each contribution rounds to 6, the score to 4.
+    * avgdl is exact (integer token counts, one division). Scale: dl
+    * is a projection, the tf-filter explode only keeps query-term
+    * hits (the filter pushes into the explode's consumer), df/avgdl
+    * are scalar broadcasts, and the final top-k is a sort-limit.
+    */
+  val q75 = Q("q75_bm25_search",
+    (s, dir) => {
+      val terms = Seq("join", "vector", "stream")
+      val k1 = 1.2; val b = 0.75
+      val docs = table(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("bigint").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("_n"),
+        (sum("dl") / count(lit(1))).as("_avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("token"),
+          round(log((col("_n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
+            .as("idf"))
+      val contrib = tf.join(broadcast(idf), "token")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          round(col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))), 6)
+            .as("c"))
+      val termCols = terms.map(t =>
+        coalesce(max(when(col("token") === t, col("c"))), lit(0d))
+          .as(s"c_$t"))
+      val byTerm = contrib.groupBy("doc_id")
+        .agg(termCols.head, termCols.tail: _*)
+      byTerm
+        .select(col("doc_id"),
+          round(col(s"c_${terms(0)}") + col(s"c_${terms(1)}") +
+            col(s"c_${terms(2)}"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some("""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' '))
+      |    AS BIGINT) AS dl FROM documents),
+      |st AS (SELECT count(*) AS n,
+      |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |       FROM documents)
+      | WHERE token IN ('join', 'vector', 'stream')
+      | GROUP BY doc_id, token),
+      |idf AS (SELECT token,
+      |  round(ln((n - count(*) + 0.5) / (count(*) + 0.5) + 1), 6) AS idf
+      | FROM tf, st GROUP BY token, n),
+      |c AS (SELECT doc_id, token,
+      |  round(idf * (tf * 2.2) /
+      |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS c
+      | FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), st),
+      |p AS (SELECT doc_id,
+      |  coalesce(max(CASE WHEN token = 'join' THEN c END), 0) AS c1,
+      |  coalesce(max(CASE WHEN token = 'vector' THEN c END), 0) AS c2,
+      |  coalesce(max(CASE WHEN token = 'stream' THEN c END), 0) AS c3
+      | FROM c GROUP BY doc_id)
+      |SELECT doc_id, round(c1 + c2 + c3, 4) AS score FROM p
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
+  /** Temperature-weighted data-mixture plan (T = 0.5): per-language
+    * sampling weight ∝ n^T — the multilingual rebalancing rule
+    * (upweights tail languages). One tiny aggregate; the n^T
+    * normalizer sums over #languages values (broadcast scalar).
+    * Weights round to 6 — the Σ n^T double sum is engine-ordered,
+    * but a last-ulp wobble moves w by ~1e-16 relative, far inside
+    * the rounding guard. expected_docs = the plan's per-epoch draw
+    * at a 10k-doc budget, rounded to an integer off the ROUNDED
+    * weight so both engines round the same literal.
+    */
+  val q78 = Q("q78_mixture_weights",
+    (s, dir) => {
+      val byLang = table(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w_raw", sqrt(col("n")))
+      val z = byLang.agg(sum("w_raw").as("_z"))
+      byLang.crossJoin(broadcast(z))
+        .select(col("lang"), col("n"),
+          round(col("w_raw") / col("_z"), 6).as("weight"))
+        .withColumn("expected_docs",
+          round(col("weight") * 10000, 0).cast("bigint"))
+        .orderBy("lang")
+    },
+    Some("""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  sqrt(count(*)) AS w_raw FROM documents GROUP BY lang),
+      |z AS (SELECT sum(w_raw) AS z FROM g)
+      |SELECT lang, n, round(w_raw / z, 6) AS weight,
+      | CAST(round(round(w_raw / z, 6) * 10000, 0) AS BIGINT)
+      |   AS expected_docs
+      |FROM g, z ORDER BY lang""".stripMargin))
+
+  /** Per-language length ECDF + decile assignment — the curriculum /
+    * length-bucketing primitive. percent_rank = (rank−1)/(rows−1) is
+    * a single division of exact integers (identical in both engines,
+    * no rounding discipline needed — rounded to 6 anyway for the
+    * artifact's stability); decile = ntile(10) with a fully
+    * deterministic (n_chars, doc_id) order. Both windows partition
+    * by language — per-task state is one language's docs; at corpus
+    * scale the same statistic would come from q48's mergeable GK
+    * sketches instead of an exact sort, which is why both shapes
+    * exist in the battery.
+    */
+  val q79 = Q("q79_length_ecdf",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").asc)
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("decile", ntile(10).over(wd).cast("int"))
+        .orderBy("lang", "n_chars", "doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+      | round(percent_rank() OVER (PARTITION BY lang
+      |   ORDER BY n_chars), 6) AS pr,
+      | CAST(ntile(10) OVER (PARTITION BY lang
+      |   ORDER BY n_chars, doc_id) AS INT) AS decile
+      |FROM documents
+      |ORDER BY lang, n_chars, doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
-      q70)
+      q70, q74, q75, q78, q79)
 }
