@@ -594,7 +594,151 @@ object Relational {
       |FROM events JOIN m USING (event_type)
       |ORDER BY event_id""".stripMargin))
 
+  /** CUBE rollup — the OLAP operator the battery was missing: one
+    * pass over lineitem emits all four grouping sets of (returnflag,
+    * linestatus) with `grouping_id` tagging each stratum. Spark
+    * expands the sets BEFORE the hash aggregate, so the plan is still
+    * one scan + one partial-aggregated exchange (4× the group rows,
+    * not 4× the input). NULL grouping keys sort differently by
+    * default in the two engines (Spark NULLS FIRST, DuckDB NULLS
+    * LAST) — the ORDER BY pins NULLS FIRST explicitly on both sides.
+    */
+  val q80 = Q("q80_cube_rollup",
+    (s, dir) => table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("gid").asc,
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      | sum(l_quantity) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_price,
+      | count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST,
+      | l_linestatus NULLS FIRST""".stripMargin))
+
+  /** Blocked fuzzy entity lookup — resolve a probe batch of entity
+    * names against the master dimension by edit distance, the daily
+    * entity-resolution operation. The blocking key (name prefix)
+    * turns the all-pairs O(N·M) into per-block candidates: the join
+    * is pure EQUI on the block, `levenshtein` is a post-join
+    * projection, and the probe side broadcasts (a probe batch is
+    * always ≪ the dimension). At 100 TB the dimension side shuffles
+    * once on the block key; a hot block is a salting candidate, not
+    * a plan change. Both engines ship the same `levenshtein`.
+    */
+  val q81 = Q("q81_fuzzy_match",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+      val block = substring(col("c_name"), 1, 16)
+      val probe = cust.filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey").as("probe_key"),
+          col("c_name").as("probe_name"), block.as("blk"))
+      val master = cust.select(col("c_custkey").as("match_key"),
+        col("c_name").as("match_name"), block.as("blk"))
+      broadcast(probe).join(master, "blk")
+        .filter(col("probe_key") =!= col("match_key"))
+        .withColumn("dist",
+          levenshtein(col("probe_name"), col("match_name")).cast("int"))
+        .filter(col("dist") <= 1)
+        .select("probe_key", "match_key", "dist")
+        .orderBy("probe_key", "match_key")
+    },
+    Some("""SELECT p.c_custkey AS probe_key, m.c_custkey AS match_key,
+      | CAST(levenshtein(p.c_name, m.c_name) AS INT) AS dist
+      |FROM customer p JOIN customer m
+      | ON substr(p.c_name, 1, 16) = substr(m.c_name, 1, 16)
+      | AND p.c_custkey <> m.c_custkey
+      |WHERE p.c_custkey % 50 = 0
+      | AND levenshtein(p.c_name, m.c_name) <= 1
+      |ORDER BY probe_key, match_key""".stripMargin))
+
+  /** SCD type-2 interval build — collapse an event stream into the
+    * versioned dimension shape every warehouse maintains: per user,
+    * each run of consecutive equal `event_type` becomes one row with
+    * [valid_from, valid_to) micros and an is_current flag. Change
+    * detection (lag ≠), versioning (row_number) and interval close
+    * (lead) are three functions over the SAME (user_id → ts) window
+    * spec, so the whole build is one shuffle + one sort; per-task
+    * state is one user's history. Interval bounds ship as epoch
+    * micros — the battery's timestamp-hash discipline.
+    */
+  val q87 = Q("q87_scd2_build",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changes = Registry.events(s, dir)
+        .withColumn("_prev", lag("event_type", 1).over(w))
+        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      val wv = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      changes
+        .withColumn("ver", row_number().over(wv).cast("int"))
+        .withColumn("valid_from",
+          unix_micros(col("ts").cast("timestamp")))
+        .withColumn("valid_to",
+          lead(unix_micros(col("ts").cast("timestamp")), 1).over(wv))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("user_id", "ver", "event_type", "valid_from",
+          "valid_to", "is_current")
+        .orderBy("user_id", "ver")
+    },
+    Some("""WITH ch AS (
+      | SELECT user_id, event_type, ts, event_id,
+      |  lag(event_type, 1) OVER w AS prev
+      | FROM events WINDOW w AS (PARTITION BY user_id
+      |   ORDER BY ts, event_id)),
+      |f AS (SELECT user_id, event_type, ts, event_id FROM ch
+      | WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      | CAST(row_number() OVER w AS INT) AS ver, event_type,
+      | epoch_us(ts) AS valid_from,
+      | lead(epoch_us(ts), 1) OVER w AS valid_to,
+      | lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+      |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ver""".stripMargin))
+
+  /** Join-key skew profile — the advisory that tells you WHETHER to
+    * reach for [[graft.ops.Skew]]: per-key cardinality histogram,
+    * each key's ratio to the mean, and a salt recommendation
+    * (⌈ratio⌉ capped at 16) for keys above 2×. One partial-aggregated
+    * count per key + a scalar broadcast — the profile costs one
+    * linear pass, which is why you run it BEFORE committing a 100 TB
+    * join plan. The ratio divides exact integers by an exact-integer
+    * quotient, then rounds; the salt count ceils the ROUNDED ratio
+    * so both engines ceil the same literal.
+    */
+  val q88 = Q("q88_skew_profile",
+    (s, dir) => {
+      val cnt = table(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val m = cnt.agg((sum("cnt") / count(lit(1))).as("_avg"))
+      cnt.crossJoin(broadcast(m))
+        .withColumn("ratio", round(col("cnt") / col("_avg"), 4))
+        .withColumn("skewed", col("ratio") > 2)
+        .withColumn("salts",
+          least(lit(16), greatest(lit(1), ceil(col("ratio")))).cast("int"))
+        .select("user_id", "cnt", "ratio", "skewed", "salts")
+        .orderBy(col("cnt").desc, col("user_id").asc)
+        .limit(10)
+    },
+    Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT CAST(sum(cnt) AS DOUBLE) / count(*) AS a FROM c)
+      |SELECT user_id, cnt, round(cnt / a, 4) AS ratio,
+      | round(cnt / a, 4) > 2 AS skewed,
+      | CAST(least(16, greatest(1, ceil(round(cnt / a, 4)))) AS INT)
+      |   AS salts
+      |FROM c, m ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77)
+      q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
+      q80, q81, q87, q88)
 }

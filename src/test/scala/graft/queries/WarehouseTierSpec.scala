@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic pins for the warehouse/advisory tier (q80, q81, q87,
+  * q88): each query is recomputed brute-force in plain Scala over
+  * sf0.001 — independent of both the Spark plan under test and the
+  * DuckDB oracle.
+  */
+class WarehouseTierSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def r(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q80 cube emits all four grouping sets, each matching a plain agg") {
+    val rows = sf("lineitem", dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2),
+        x.getDouble(3))).toSeq
+    // gid bit convention: grouping_id() sets the bit when the column
+    // is AGGREGATED AWAY (1 = rolled up), returnflag is the high bit.
+    def agg(keyOf: ((String, String, Double, Double)) => (Option[String],
+        Option[String]), gid: Int) =
+      rows.groupBy(keyOf).map { case ((rf, ls), g) =>
+        Seq[Any](rf.orNull, ls.orNull, gid,
+          g.map(_._3).sum, r(g.map(_._4).sum, 2), g.size.toLong)
+      }.toSeq
+    val expected =
+      agg(t => (Some(t._1), Some(t._2)), 0) ++
+        agg(t => (Some(t._1), None), 1) ++
+        agg(t => (None, Some(t._2)), 2) ++
+        agg(_ => (None, None), 3)
+    assertSameRows(Relational.q80.run(spark, dir), expected)
+  }
+
+  test("q81 finds exactly the lev<=1 in-block pairs for every probe") {
+    val names = sf("customer", dir).select("c_custkey", "c_name")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = for {
+      (pk, pn) <- names if pk % 50 == 0
+      (mk, mn) <- names
+      if mk != pk && pn.take(16) == mn.take(16) && lev(pn, mn) <= 1
+    } yield Seq[Any](pk, mk, lev(pn, mn))
+    assert(expected.nonEmpty, "fixture must yield candidate pairs")
+    assertSameRows(Relational.q81.run(spark, dir), expected)
+  }
+
+  test("q87 SCD2 intervals tile each user's history exactly") {
+    val ev = sf("events", dir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getLong(1) / 1000L, x.getLong(2),
+        x.getString(3))).toSeq
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val sorted = g.sortBy(t => (t._2, t._3))
+      val runs = sorted.foldLeft(Vector.empty[(String, Long)]) {
+        case (acc, (_, us, _, et)) =>
+          if (acc.nonEmpty && acc.last._1 == et) acc else acc :+ (et, us)
+      }
+      runs.zipWithIndex.map { case ((et, from), i) =>
+        val to = if (i + 1 < runs.size) runs(i + 1)._2: java.lang.Long
+          else null
+        Seq[Any](uid, i + 1, et, from, to, to == null)
+      }
+    }
+    val got = Relational.q87.run(spark, dir)
+    // intervals must tile: version k's valid_to == version k+1's
+    // valid_from, exactly one open (current) interval per user
+    assertSameRows(got, expected)
+    val opens = got.collect().filter(_.getBoolean(5))
+    assert(opens.map(_.getLong(0)).distinct.length == opens.length)
+  }
+
+  test("q88 profiles the heaviest keys with ceil-of-rounded salts") {
+    val ev = sf("events", dir).select("user_id").collect()
+      .map(_.getLong(0)).toSeq
+    val cnt = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val avg = cnt.values.sum.toDouble / cnt.size
+    val expected = cnt.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+      .map { case (k, c) =>
+        val ratio = r(c / avg, 4)
+        Seq[Any](k, c, ratio, ratio > 2,
+          math.min(16, math.max(1, math.ceil(ratio).toLong)).toInt)
+      }
+    assertSameRows(Relational.q88.run(spark, dir), expected)
+  }
+}
