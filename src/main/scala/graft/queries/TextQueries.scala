@@ -926,8 +926,145 @@ object TextQueries {
       |FROM documents
       |ORDER BY lang, n_chars, doc_id""".stripMargin))
 
+  /** Corpus-wide chunk dedup as a TRANSFORM, not a profile: q63
+    * counts duplicated 8-word chunks; this query actually removes
+    * them (keep-first by (doc_id, idx) across the whole corpus) and
+    * reassembles the cleaned text — the deduplicate-and-rewrite step
+    * a training pipeline ships, not just measures. One explode
+    * (linear, ×chunks/doc), one window on the chunk fingerprint (the
+    * same shuffle q63 pays), one groupBy doc to reassemble; kept
+    * chunks re-join in idx order via array_sort on (idx, chunk)
+    * structs, so collect_list's arrival order can't leak into the
+    * output. Docs losing every chunk still emit a row with
+    * cleaned_text = ''.
+    */
+  val q82 = Q("q82_chunk_dedup_rewrite",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("doc_id").asc, col("idx").asc)
+      table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0,
+            |  cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
+            |  i -> array_join(slice(split(text, ' '), i*8+1, 8), ' '))"""
+            .stripMargin)).as(Seq("idx", "chunk")))
+        .withColumn("fp", md5(col("chunk")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1).otherwise(0)).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("cleaned_text"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+      |       FROM documents),
+      |idx AS (SELECT doc_id, t,
+      |  unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+      | FROM tok),
+      |ch AS (SELECT doc_id, i,
+      |  array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk,
+      |  md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS fp FROM idx),
+      |rn AS (SELECT doc_id, i, chunk,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+      | FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks,
+      | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_removed,
+      | coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+      |   ORDER BY i), '') AS cleaned_text
+      |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Quality-filter REPORT — q21 scores; this emits the auditable
+    * per-rule verdicts a production filter logs (Gopher/C4-style):
+    * min word count, mean-word-length band, duplicate-word fraction,
+    * top-token share, and the overall keep. All four statistics fall
+    * out of ONE token explode + two partial-aggregated groupBys
+    * (tf → per-doc moments); n_chars rides the grouping key (constant
+    * per doc, free). Every ratio divides exact integers and rounds
+    * before the threshold compare, so both engines threshold the
+    * same literal.
+    */
+  val q83 = Q("q83_quality_report",
+    (s, dir) => {
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "n_chars", "token")
+        .agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id", "n_chars")
+        .agg(sum("c").as("nw"), count(lit(1)).as("ndist"),
+          max("c").as("top"))
+        .select(col("doc_id"), col("nw"),
+          round((col("n_chars") - col("nw") + 1).cast("double") /
+            col("nw"), 4).as("mwl"),
+          round(lit(1) - col("ndist").cast("double") / col("nw"), 4)
+            .as("dup_frac"),
+          round(col("top").cast("double") / col("nw"), 4).as("top_share"))
+        .withColumn("r_min_words", col("nw") >= 50)
+        .withColumn("r_word_len",
+          col("mwl") >= 4.0 && col("mwl") <= 10.0)
+        .withColumn("r_dup", col("dup_frac") <= 0.5)
+        .withColumn("r_top", col("top_share") <= 0.2)
+        .withColumn("keep", col("r_min_words") && col("r_word_len") &&
+          col("r_dup") && col("r_top"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tf AS (SELECT doc_id, n_chars, token,
+      |  CAST(count(*) AS BIGINT) AS c
+      | FROM (SELECT doc_id, n_chars,
+      |        unnest(string_split(text, ' ')) AS token FROM documents)
+      | GROUP BY doc_id, n_chars, token),
+      |m AS (SELECT doc_id, n_chars, CAST(sum(c) AS BIGINT) AS nw,
+      |  CAST(count(*) AS BIGINT) AS ndist, max(c) AS top
+      | FROM tf GROUP BY doc_id, n_chars),
+      |s AS (SELECT doc_id, nw,
+      |  round(CAST(n_chars - nw + 1 AS DOUBLE) / nw, 4) AS mwl,
+      |  round(1 - CAST(ndist AS DOUBLE) / nw, 4) AS dup_frac,
+      |  round(CAST(top AS DOUBLE) / nw, 4) AS top_share FROM m)
+      |SELECT doc_id, nw, mwl, dup_frac, top_share,
+      | nw >= 50 AS r_min_words,
+      | mwl >= 4.0 AND mwl <= 10.0 AS r_word_len,
+      | dup_frac <= 0.5 AS r_dup,
+      | top_share <= 0.2 AS r_top,
+      | nw >= 50 AND mwl >= 4.0 AND mwl <= 10.0 AND dup_frac <= 0.5
+      |   AND top_share <= 0.2 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin))
+
+  /** Count-min-sketch heavy hitters — the q34/q36 pattern for token
+    * counts: the sketch aggregate is mergeable (element-wise matrix
+    * add), so it partial-aggregates map-side and ships one
+    * eps·e⁻¹ × depth counter grid per partition regardless of corpus
+    * size; the exact top-k twin rides the same token explode. The
+    * driver touches only the 20 candidate rows and the serialized
+    * sketch (O(k + grid), never O(corpus)). No oracle — DuckDB has no
+    * CMS; rows-only here, with HeavyHitterSpec pinning the exact
+    * column against brute force and the estimate against the CMS
+    * overestimate bound (exact ≤ est ≤ exact + ε·N, fixed seed 42 so
+    * the artifact is stable).
+    */
+  val q85 = Q("q85_heavy_hitters_cms",
+    (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val top = tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token").asc).limit(20)
+      val skBytes = tok
+        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val rows = top.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), sk.estimateCount(r.getString(0))))
+      s.createDataFrame(rows).toDF("token", "exact_cnt", "est_cnt")
+        .orderBy(col("exact_cnt").desc, col("token").asc)
+    },
+    None)
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
-      q70, q74, q75, q78, q79)
+      q70, q74, q75, q78, q79, q82, q83, q85)
 }

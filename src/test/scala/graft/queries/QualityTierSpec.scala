@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic pins for the corpus-hygiene tier (q82, q83, q85):
+  * brute-force recomputation in plain Scala over sf0.001,
+  * independent of both the Spark plan and the DuckDB oracle.
+  */
+class QualityTierSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: Seq[(Long, String, Long)] =
+    sf("documents", dir).select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q82 rewrite keeps exactly the first occurrence of every chunk") {
+    val chunks = docs.flatMap { case (id, t, _) =>
+      t.split(' ').grouped(8).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong, c.mkString(" ")) }
+    }
+    val firstOwner = chunks.groupBy(_._3).view
+      .mapValues(g => g.map(c => (c._1, c._2)).min).toMap
+    val expected = chunks.groupBy(_._1).toSeq.map { case (id, cs) =>
+      val kept = cs.sortBy(_._2)
+        .filter(c => firstOwner(c._3) == ((c._1, c._2)))
+      Seq[Any](id, cs.size.toLong,
+        (cs.size - kept.size).toLong, kept.map(_._3).mkString(" "))
+    }
+    assertSameRows(TextQueries.q82.run(spark, dir), expected)
+    // the fixture must actually exercise removal
+    assert(expected.exists(_(2).asInstanceOf[Long] > 0))
+  }
+
+  test("q83 rule verdicts match brute force and the keep conjunction") {
+    val expected = docs.map { case (id, t, nc) =>
+      val toks = t.split(' ')
+      val nw = toks.length.toLong
+      val mwl = r4((nc - nw + 1).toDouble / nw)
+      val dup = r4(1.0 - toks.distinct.length.toDouble / nw)
+      val top = r4(toks.groupBy(identity).values.map(_.size).max
+        .toDouble / nw)
+      val (a, b, c, d) =
+        (nw >= 50, mwl >= 4.0 && mwl <= 10.0, dup <= 0.5, top <= 0.2)
+      Seq[Any](id, nw, mwl, dup, top, a, b, c, d, a && b && c && d)
+    }
+    assertSameRows(TextQueries.q83.run(spark, dir), expected)
+  }
+
+  test("q85 exact column is truth; CMS estimate within the eps bound") {
+    val counts = docs.flatMap(_._2.split(' '))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = counts.values.sum
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val got = TextQueries.q85.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toSeq == top)
+    val bound = math.ceil(0.001 * n).toLong
+    got.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"CMS underestimated $t")
+      assert(est - exact <= bound, s"$t: est $est vs exact $exact > $bound")
+    }
+  }
+}
