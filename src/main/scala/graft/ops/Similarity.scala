@@ -416,6 +416,74 @@ object Similarity {
         round(col("_mx") / 127.0, 6).as("scale"))
   }
 
+  /** Product-quantization top-k (Jégou et al. 2011 shape, trained
+    * with [[kmeansFit]]): split every vector into `m` contiguous
+    * `subDim`-wide subspaces, Lloyd-train a codebook per subspace,
+    * encode each vector as `m` small codes, and answer queries by
+    * ASYMMETRIC DISTANCE — the query precomputes one (code →
+    * squared-L2-to-its-slice) table per subspace, and a database
+    * vector's distance is the sum of `m` table lookups.
+    *
+    * Why this is the 100 TB ANN shape: the corpus at rest is m·log₂k
+    * BITS per vector instead of d floats (64 dims of float32 → 2
+    * bytes at m=2, k≤256) — the index FITS, which is the actual
+    * constraint at scale. The scan stays exhaustive but touches only
+    * code columns; composing with [[ivfCells]] (probe then ADC-scan
+    * the cell) is the standard IVFPQ stack, both halves of which now
+    * exist here.
+    *
+    * Plan shape: each codebook trains on a sliced projection (two
+    * linear shuffles per Lloyd iteration, centroids broadcast);
+    * encoding is the same min_by partial aggregate as [[ivfCells]] —
+    * ONE row per vector through each exchange, never V×C; the m code
+    * frames join on id (linear); the per-query distance tables are
+    * (queries × k) rows, broadcast onto the code scan. The ranking
+    * window partitions by query id.
+    *
+    * Oracle discipline: each subspace distance rounds to 6 (its two
+    * dot products are index-order folds), the ADC sum re-rounds the
+    * fixed-order m-term sum, rank ties break (adc asc, id asc).
+    * Emits (qid, id, adc, rank ≤ k), self-pairs excluded.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      seedPred: Column, queryPred: Column, m: Int, subDim: Int,
+      iters: Int, k: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1, "m, subDim, k must be >= 1")
+    val sub = (0 until m).map { j =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
+          .as("_sub"))
+      val cents = kmeansFit(sliced, idCol, "_sub", seedPred, iters)
+      val codes = assignEuclid(
+        sliced.select(col(idCol), col("_sub").as("_e")), cents)
+        .select(col(idCol), col("cid").as(s"_c$j"))
+      val dist = round(dot(col("_q"), col("_q")) -
+        lit(2.0) * dot(col("_q"), col("_ce")) +
+        dot(col("_ce"), col("_ce")), 6)
+      val dt = sliced.filter(queryPred)
+        .select(col(idCol).as(s"_qid$j"), col("_sub").as("_q"))
+        .crossJoin(broadcast(cents))
+        .select(col(s"_qid$j"), col("cid").as(s"_cid$j"),
+          dist.as(s"_d$j"))
+      (codes, dt)
+    }
+    val codes = sub.map(_._1).reduce(_.join(_, idCol))
+    val joined = sub.zipWithIndex.foldLeft(codes) {
+      case (acc, ((_, dt), j)) =>
+        val cond = acc(s"_c$j") === dt(s"_cid$j") &&
+          (if (j == 0) lit(true) else acc("_qid0") === dt(s"_qid$j"))
+        acc.join(broadcast(dt), cond)
+    }
+    val adc = round((0 until m).map(j => col(s"_d$j")).reduce(_ + _), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").asc, col(idCol).asc)
+    joined
+      .select(col("_qid0").as("qid"), col(idCol), adc.as("adc"))
+      .filter(col("qid") =!= col(idCol))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-LSH bucketed cosine: same contract as brute force but the
     * candidate set is restricted to the query's coarse cell.
     */

@@ -16,8 +16,8 @@ object SimilarityQueries {
   /** Σᵢ a[i]·b[i] as left-assoc SQL (index order — matches Spark's
     * `aggregate` fold).
     */
-  private def dotSql(a: String, b: String): String =
-    (1 to Dim).map(i =>
+  private def dotSql(a: String, b: String, dim: Int = Dim): String =
+    (1 to dim).map(i =>
       s"CAST(list_extract($a, $i) AS DOUBLE) * CAST(list_extract($b, $i) AS DOUBLE)")
       .mkString(" + ")
 
@@ -280,19 +280,19 @@ object SimilarityQueries {
     * is per-vector constant). Index-order folds — bit-exact vs the
     * Spark [[graft.ops.Similarity.kmeansFit]] score.
     */
-  private def distOrder(e: String, c: String): String =
-    s"(${dotSql(c, c)}) - 2*(${dotSql(e, c)})"
+  private def distOrder(e: String, c: String, dim: Int = Dim): String =
+    s"(${dotSql(c, c, dim)}) - 2*(${dotSql(e, c, dim)})"
 
   /** Argmin-euclidean assignment CTE body over vector source `src`:
     * one (vec_id, cid) row per vector vs the centroid CTE `cprev`
     * (cid, ce) — mirrors [[graft.ops.Similarity.assignEuclid]]'s
     * min_by (dist asc, cid asc).
     */
-  private def kmeansAsg(cprev: String,
-      src: String = "embeddings"): String = singleLine(
+  private def kmeansAsg(cprev: String, src: String = "embeddings",
+      dim: Int = Dim): String = singleLine(
     s"""SELECT vec_id, cid FROM (
        | SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
-       |  ORDER BY ${distOrder("b.embedding", "c.ce")}, c.cid) AS rn
+       |  ORDER BY ${distOrder("b.embedding", "c.ce", dim)}, c.cid) AS rn
        | FROM $src b, $cprev c) WHERE rn = 1""")
 
   /** Shared Lloyd-iteration CTE chain (one definition feeds q56, q57
@@ -303,20 +303,22 @@ object SimilarityQueries {
     * the full table.
     */
   private def kmeansCtes(iters: Int, src: String = "embeddings",
-      seedWhere: String = "vec_id % 50 = 7"): String = {
+      seedWhere: String = "vec_id % 50 = 7", dim: Int = Dim,
+      prefix: String = ""): String = {
+    val p = prefix
     val iterCtes = (1 to iters).map { i =>
-      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      val prev = if (i == 1) s"${p}c0" else s"${p}c${i - 1}"
       singleLine(
-        s"""a$i AS (${kmeansAsg(prev, src)}),
-           |m$i AS (SELECT cid, p, round(sum(v) / count(*), 6) AS val
-           | FROM a$i JOIN u USING (vec_id) GROUP BY cid, p),
-           |c$i AS (SELECT cid, list(val ORDER BY p) AS ce
-           | FROM m$i GROUP BY cid)""")
+        s"""${p}a$i AS (${kmeansAsg(prev, src, dim)}),
+           |${p}m$i AS (SELECT cid, p, round(sum(v) / count(*), 6) AS val
+           | FROM ${p}a$i JOIN ${p}u USING (vec_id) GROUP BY cid, p),
+           |${p}c$i AS (SELECT cid, list(val ORDER BY p) AS ce
+           | FROM ${p}m$i GROUP BY cid)""")
     }.mkString(", ")
     singleLine(
-      s"""c0 AS (SELECT vec_id AS cid, embedding AS ce FROM $src
+      s"""${p}c0 AS (SELECT vec_id AS cid, embedding AS ce FROM $src
          | WHERE $seedWhere),
-         |u AS (SELECT vec_id, p, CAST(v AS DOUBLE) AS v FROM (
+         |${p}u AS (SELECT vec_id, p, CAST(v AS DOUBLE) AS v FROM (
          | SELECT vec_id, unnest(embedding) AS v,
          |  unnest(range(1, len(embedding) + 1)) AS p FROM $src))""") +
       ", " + iterCtes
@@ -508,6 +510,55 @@ object SimilarityQueries {
         |ORDER BY vec_id""".stripMargin)
     })
 
+  /** Product-quantization ANN ([[graft.ops.Similarity.pqTopK]]):
+    * 2 × 32-dim subspaces, a 2-iteration Lloyd codebook per subspace
+    * (seeds vec_id % 10 = 3), every vector encoded to two codes,
+    * queries (vec_id % 100 = 3) answered by asymmetric distance —
+    * per-subspace lookup tables summed in fixed order. The ENTIRE
+    * stack is hash-checked: both trainers, both encodings, the
+    * distance tables and the final ranking, via the same Lloyd CTE
+    * generator as q56/q57/q67 run twice with sliced sources and
+    * prefixed CTE names.
+    */
+  val q84 = {
+    def src(lo: Int, hi: Int) =
+      s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
+    val (src0, src1) = (src(1, 32), src(33, 64))
+    def enc(srcj: String, last: String) = singleLine(
+      s"""SELECT vec_id, cid FROM (
+         | SELECT b.vec_id, c.cid, row_number() OVER (
+         |  PARTITION BY b.vec_id
+         |  ORDER BY ${distOrder("b.embedding", "c.ce", 32)}, c.cid) AS rn
+         | FROM $srcj b, $last c) WHERE rn = 1""")
+    def dtab(srcj: String, last: String) = singleLine(
+      s"""SELECT q.vec_id AS qid, c.cid,
+         | round(${dotSql("q.embedding", "q.embedding", 32)}
+         |  - 2*(${dotSql("q.embedding", "c.ce", 32)})
+         |  + (${dotSql("c.ce", "c.ce", 32)}), 6) AS d
+         |FROM $srcj q, $last c WHERE q.vec_id % 100 = 3""")
+    Q("q84_pq_ann",
+      (s, dir) => Similarity.pqTopK(table(s, dir, "embeddings"),
+          "vec_id", "embedding", seedPred = col("vec_id") % 10 === 3,
+          queryPred = col("vec_id") % 100 === 3,
+          m = 2, subDim = 32, iters = 2, k = 10)
+        .orderBy("qid", "rank"),
+      Some(s"""WITH ${kmeansCtes(2, src0, "vec_id % 10 = 3", 32, "s0")},
+        |${kmeansCtes(2, src1, "vec_id % 10 = 3", 32, "s1")},
+        |enc0 AS (${enc(src0, "s0c2")}),
+        |enc1 AS (${enc(src1, "s1c2")}),
+        |dt0 AS (${dtab(src0, "s0c2")}),
+        |dt1 AS (${dtab(src1, "s1c2")}),
+        |adc AS (SELECT dt0.qid, e0.vec_id,
+        |  round(dt0.d + dt1.d, 6) AS adc
+        | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        | JOIN dt0 ON dt0.cid = e0.cid
+        | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
+        | WHERE dt0.qid <> e0.vec_id)
+        |SELECT qid, vec_id, adc, CAST(row_number() OVER (
+        |  PARTITION BY qid ORDER BY adc, vec_id) AS INT) AS rank
+        |FROM adc QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+  }
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67)
+    q57, q62, q64, q65, q67, q84)
 }
