@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   *   end-to-end by q52 against an oracle that recomputes the pixel
   *   stats from the (deterministic) source imagery — i.e. the
   *   encode→decode roundtrip itself is hash-verified.
-  * - other kinds (audio/video have no JDK codec) fall back to a
+  * - `kind = "audio"` also runs a REAL codec — `javax.sound.sampled`
+  *   (WAV/AIFF/AU readers ship in the JDK): bytes → PCM frames →
+  *   integer amplitude statistics, header-negotiated format included.
+  *   Exercised end-to-end by q86 the same way q52 checks images: the
+  *   oracle recomputes the stats from the deterministic source tone.
+  * - remaining kinds (video has no JDK codec) fall back to a
   *   deterministic byte-fold signature ([[byteFold]]) standing where
   *   an ffmpeg-style decoder would plug in.
   *
@@ -147,7 +152,111 @@ object Multimodal {
       }
   }
 
-  /** Byte-fold signature for kinds without a JDK codec (audio/video):
+  final case class AudioStats(id: Long, n_samples: Int,
+      sample_rate: Int, sum_amp: Long, sum_abs: Long)
+
+  /** LCG coefficients (a, b, c) of the deterministic 16-bit test
+    * tone: sample `t` of clip `id` = ((a·id + b·t + c) mod 65536) −
+    * 32768. THE single definition of the fixture audio — the WAV
+    * encoder ([[testToneWav]]) and the q86 oracle generator both
+    * read it, so the oracle recomputes exactly the samples the codec
+    * must recover.
+    */
+  val toneCoefs: (Int, Int, Int) = (37, 101, 4096)
+
+  val toneSampleRate: Int = 8000
+
+  def toneSample(id: Long, t: Int): Int =
+    ((toneCoefs._1 * id + toneCoefs._2 * t + toneCoefs._3) % 65536
+      - 32768).toInt
+
+  /** Deterministic `n`-sample mono 16-bit PCM WAV for clip `id` — a
+    * real RIFF/WAVE byte stream produced by the JDK encoder
+    * (lossless PCM, so the decode recovers the exact samples).
+    */
+  def testToneWav(id: Long, n: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      toneSampleRate.toFloat, 16, 1, true, false) // signed 16-bit LE
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = toneSample(id, t)
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One media row per input id: deterministic WAV payload + typed
+    * metadata (`kind = "audio"`). Partition-local encode, zero
+    * shuffle — the audio twin of [[syntheticImages]].
+    */
+  def syntheticAudio(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = testToneWav(id, n)
+        (id, wav, "audio", "wav", wav.length.toLong)
+      })
+      .toDF("id", "content", "kind", "format", "n_bytes")
+      .select(col("id"), col("content"),
+        struct(col("kind"), col("format"), col("n_bytes")).as("meta"))
+  }
+
+  /** Decode an audio payload with `javax.sound.sampled` and return
+    * exact integer amplitude sums (+ header-negotiated sample count
+    * and rate). Integer-exact stats make the decode oracle-checkable
+    * without float discipline. `None` when the payload is null, no
+    * installed reader recognizes it, or the format isn't 16-bit PCM.
+    */
+  def decodeAudioStats(id: Long, bytes: Array[Byte]): Option[AudioStats] = {
+    if (bytes == null) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+      fmt.getEncoding !=
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      return None
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    var (sum, sabs) = (0L, 0L)
+    var t = 0
+    while (t < n) {
+      val (lo, hi) =
+        if (fmt.isBigEndian) (data(2 * t + 1), data(2 * t))
+        else (data(2 * t), data(2 * t + 1))
+      val s = ((hi << 8) | (lo & 0xff)).toShort.toInt
+      sum += s
+      sabs += math.abs(s)
+      t += 1
+    }
+    Some(AudioStats(id, n, fmt.getSampleRate.toInt, sum, sabs))
+  }
+
+  /** Real-codec decode over a media frame: one WAV parse per row,
+    * partition-local (zero shuffle), undecodable payloads dropped —
+    * the audio twin of [[imageStats]].
+    */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeAudioStats(id, bytes) })
+  }
+
+  /** Byte-fold signature for kinds without a JDK codec (video):
     * a deterministic 8-dim fold of the payload, standing where an
     * external decoder (ffmpeg via JNI, or a Python worker) would plug
     * in. Pure function of the bytes.
@@ -194,10 +303,23 @@ object Multimodal {
     (Seq(w.toDouble, h.toDouble) ++ mv).map(_.toFloat).toArray
   }
 
+  /** Audio feature vector from a real decode: [n_samples, rate, mean
+    * amplitude, mean |amplitude|] — the fixed-width shape downstream
+    * ANN consumes. Falls back to [[byteFold]] when no reader
+    * recognizes the bytes.
+    */
+  def audioFeatures(id: Long, bytes: Array[Byte]): Array[Float] =
+    decodeAudioStats(id, bytes) match {
+      case Some(a) if a.n_samples > 0 => Array(a.n_samples.toFloat,
+        a.sample_rate.toFloat, (a.sum_amp.toDouble / a.n_samples).toFloat,
+        (a.sum_abs.toDouble / a.n_samples).toFloat)
+      case _ => byteFold(bytes)
+    }
+
   /** Batched decode + featurize over partitions (the `mapInPandas`
     * shape, JVM-side): one iterator pass per partition, no shuffle,
-    * fixed-width output schema. Kind-dispatched: images decode through
-    * the real codec, everything else byte-folds.
+    * fixed-width output schema. Kind-dispatched: images and audio
+    * decode through their real codecs, everything else byte-folds.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -209,6 +331,7 @@ object Multimodal {
         rows.map { r =>
           val f =
             if (r.kind == "image") imageFeatures(r.content)
+            else if (r.kind == "audio") audioFeatures(r.id, r.content)
             else byteFold(r.content)
           MediaFeatures(
             id = r.id,

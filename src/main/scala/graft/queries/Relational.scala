@@ -737,8 +737,47 @@ object Relational {
       |   AS salts
       |FROM c, m ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin))
 
+  /** Z-order layout profile — the write-time clustering that makes
+    * MULTI-column min/max pruning work at 100 TB
+    * ([[graft.ops.Layout.zValue]]): interleave (user_id,
+    * minute-of-day ÷ 8) bits,
+    * bucket by the TOP z bits (what a file boundary would be in a
+    * z-ordered write), and emit each bucket's (x, y) bounding box.
+    * The payoff is visible in the output: every bucket spans ≤ 2⁵ in
+    * BOTH dimensions, where a lexicographic sort gives tight x and
+    * full-range y. The z-value is a pure codegen'd projection
+    * (shifts + masks); the profile is one partial-aggregated groupBy.
+    * LayoutSpec asserts the rectangle bound; the oracle interleaves
+    * the same bits via the shared generator.
+    */
+  val q89 = {
+    val zsql = graft.ops.Layout.zValueSql("x", "y", 8)
+    Q("q89_zorder_layout",
+      (s, dir) => Registry.events(s, dir)
+        .select((col("user_id") % 256).cast("int").as("x"),
+          shiftright((hour(col("ts")) * 60 + minute(col("ts")))
+            .cast("int"), 3).as("y"))
+        .withColumn("zbucket",
+          shiftright(graft.ops.Layout.zValue(col("x"), col("y"), 8), 10)
+            .cast("int"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("zbucket"),
+      Some(s"""WITH p AS (SELECT CAST(user_id % 256 AS INT) AS x,
+        |  CAST(hour(ts) * 60 + minute(ts) AS INT) >> 3 AS y
+        | FROM events),
+        |z AS (SELECT x, y, CAST(($zsql) AS INT) >> 10 AS zbucket
+        | FROM p)
+        |SELECT zbucket, count(*) AS n,
+        | min(x) AS min_x, max(x) AS max_x,
+        | min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
-      q80, q81, q87, q88)
+      q80, q81, q87, q88, q89)
 }

@@ -559,6 +559,41 @@ object SimilarityQueries {
         |FROM adc QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
   }
 
+  private val ToneN = 1000
+
+  /** Real AUDIO decode — the q52 pattern for the second media kind:
+    * deterministic 16-bit PCM test tones encode to real WAV byte
+    * streams ([[graft.ops.Multimodal.testToneWav]], JDK
+    * `javax.sound.sampled`, no external deps), the decode parses the
+    * RIFF header and PCM frames back and emits exact integer
+    * amplitude sums. The oracle recomputes the stats from the tone
+    * formula (shared constants), so the encode→decode roundtrip is
+    * hash-verified. Encode and decode are partition-local with zero
+    * shuffle — the multimodal scale shape.
+    */
+  val q86 = Q("q86_audio_decode",
+    (s, dir) => {
+      val media = graft.ops.Multimodal.syntheticAudio(
+        table(s, dir, "documents"), "doc_id", ToneN)
+      graft.ops.Multimodal.audioStats(media).toDF()
+        .withColumn("mean_abs",
+          round(col("sum_abs") / lit(ToneN.toDouble), 4))
+        .orderBy("id")
+    }, {
+      val (a, b, c) = graft.ops.Multimodal.toneCoefs
+      val sr = graft.ops.Multimodal.toneSampleRate
+      val sample = s"(($a * doc_id + $b * t + $c) % 65536) - 32768"
+      Some(s"""SELECT id, n_samples, sample_rate, sum_amp, sum_abs,
+        | round(sum_abs / $ToneN.0, 4) AS mean_abs
+        |FROM (SELECT doc_id AS id, $ToneN AS n_samples,
+        |  $sr AS sample_rate,
+        |  CAST(sum($sample) AS BIGINT) AS sum_amp,
+        |  CAST(sum(abs($sample)) AS BIGINT) AS sum_abs
+        | FROM documents CROSS JOIN range(0, $ToneN) AS rt(t)
+        | GROUP BY doc_id)
+        |ORDER BY id""".stripMargin)
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67, q84)
+    q57, q62, q64, q65, q67, q84, q86)
 }
