@@ -449,7 +449,60 @@ object Similarity {
       seedPred: Column, queryPred: Column, m: Int, subDim: Int,
       iters: Int, k: Int): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1, "m, subDim, k must be >= 1")
-    val sub = (0 until m).map { j =>
+    val sub = pqSub(emb, idCol, vecCol, seedPred, queryPred, m, subDim,
+      iters)
+    val codes = sub.map(_._1).reduce(_.join(_, idCol))
+    val joined = sub.zipWithIndex.foldLeft(codes) {
+      case (acc, ((_, dt), j)) =>
+        val cond = acc(s"_c$j") === dt(s"_cid$j") &&
+          (if (j == 0) lit(true) else acc("_qid0") === dt(s"_qid$j"))
+        acc.join(broadcast(dt), cond)
+    }
+    pqRank(joined.withColumn("qid", col("_qid0")), idCol, m, k)
+  }
+
+  /** IVFPQ — the production ANN stack, composed from its two halves:
+    * [[ivfCells]]' coarse quantizer restricts candidates to the
+    * query's cell, [[pqTopK]]'s product codes answer the distance.
+    * The cell restriction happens BEFORE the distance-table joins,
+    * so per-query work is one cell's codes, not the corpus — at
+    * 100 TB the scan reads only the probed cell's (tiny) code rows.
+    * This is the no-residual variant (codes over raw vectors); the
+    * residual refinement changes the codebook input, not the plan.
+    * Emits (qid, id, adc, rank ≤ k) with rank ties broken
+    * (adc asc, id asc), self-pairs excluded.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, seedPred: Column, queryPred: Column,
+      m: Int, subDim: Int, iters: Int, k: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1, "m, subDim, k must be >= 1")
+    val cells = ivfCells(emb, idCol, vecCol, centroidPred)
+      .select(col(idCol), col("cell"))
+    val qcells = cells.filter(queryPred)
+      .select(col(idCol).as("qid"), col("cell").as("_qcell"))
+    val sub = pqSub(emb, idCol, vecCol, seedPred, queryPred, m, subDim,
+      iters)
+    val codes = sub.map(_._1).reduce(_.join(_, idCol))
+    // candidate restriction FIRST: same coarse cell, self excluded
+    val cand = codes.join(cells, idCol)
+      .join(broadcast(qcells),
+        col("cell") === col("_qcell") && col("qid") =!= col(idCol))
+    val joined = sub.zipWithIndex.foldLeft(cand) {
+      case (acc, ((_, dt), j)) =>
+        acc.join(broadcast(dt), acc(s"_c$j") === dt(s"_cid$j") &&
+          acc("qid") === dt(s"_qid$j"))
+    }
+    pqRank(joined, idCol, m, k)
+  }
+
+  /** Per-subspace PQ pieces: (codes (id, _cj), distance table
+    * (_qidj, _cidj, _dj)) for each of the `m` sliced codebooks —
+    * shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqSub(emb: DataFrame, idCol: String, vecCol: String,
+      seedPred: Column, queryPred: Column, m: Int, subDim: Int,
+      iters: Int): Seq[(DataFrame, DataFrame)] =
+    (0 until m).map { j =>
       val sliced = emb.select(col(idCol),
         slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
           .as("_sub"))
@@ -467,18 +520,17 @@ object Similarity {
           dist.as(s"_d$j"))
       (codes, dt)
     }
-    val codes = sub.map(_._1).reduce(_.join(_, idCol))
-    val joined = sub.zipWithIndex.foldLeft(codes) {
-      case (acc, ((_, dt), j)) =>
-        val cond = acc(s"_c$j") === dt(s"_cid$j") &&
-          (if (j == 0) lit(true) else acc("_qid0") === dt(s"_qid$j"))
-        acc.join(broadcast(dt), cond)
-    }
+
+  /** Fixed-order ADC sum + per-query ranking tail shared by the PQ
+    * search variants. Expects `qid`, the id column and `_d0.._dm-1`.
+    */
+  private def pqRank(joined: DataFrame, idCol: String, m: Int,
+      k: Int): DataFrame = {
     val adc = round((0 until m).map(j => col(s"_d$j")).reduce(_ + _), 6)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adc").asc, col(idCol).asc)
     joined
-      .select(col("_qid0").as("qid"), col(idCol), adc.as("adc"))
+      .select(col("qid"), col(idCol), adc.as("adc"))
       .filter(col("qid") =!= col(idCol))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)

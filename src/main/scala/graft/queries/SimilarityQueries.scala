@@ -594,6 +594,70 @@ object SimilarityQueries {
         |ORDER BY id""".stripMargin)
     })
 
+  /** IVFPQ ([[graft.ops.Similarity.ivfPqTopK]]): the q32 coarse
+    * quantizer (max-cosine cell per vector, centroids vec_id % 50
+    * = 7) restricts candidates to the query's cell BEFORE the q84
+    * product codes answer the distance — the composed production ANN
+    * stack, hash-checked end to end: coarse assignment, both PQ
+    * trainers, both encodings, distance tables and the in-cell
+    * ranking. Same PQ dials as q84 (2 × 32-dim, seeds % 10 = 3,
+    * queries % 100 = 3, k = 10).
+    */
+  val q90 = {
+    def src(lo: Int, hi: Int) =
+      s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
+    val (src0, src1) = (src(1, 32), src(33, 64))
+    def enc(srcj: String, last: String) = singleLine(
+      s"""SELECT vec_id, cid FROM (
+         | SELECT b.vec_id, c.cid, row_number() OVER (
+         |  PARTITION BY b.vec_id
+         |  ORDER BY ${distOrder("b.embedding", "c.ce", 32)}, c.cid) AS rn
+         | FROM $srcj b, $last c) WHERE rn = 1""")
+    def dtab(srcj: String, last: String) = singleLine(
+      s"""SELECT q.vec_id AS qid, c.cid,
+         | round(${dotSql("q.embedding", "q.embedding", 32)}
+         |  - 2*(${dotSql("q.embedding", "c.ce", 32)})
+         |  + (${dotSql("c.ce", "c.ce", 32)}), 6) AS d
+         |FROM $srcj q, $last c WHERE q.vec_id % 100 = 3""")
+    val coarse = singleLine(
+      s"""SELECT vec_id, cid AS cell FROM (
+         | SELECT b.vec_id, c.cid, row_number() OVER (
+         |  PARTITION BY b.vec_id ORDER BY
+         |   round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6)
+         |    DESC, c.cid) AS rn
+         | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |       FROM embeddings) b,
+         |  (SELECT vec_id AS cid, embedding AS ce,
+         |    ${normSql("embedding")} AS cn FROM embeddings
+         |   WHERE vec_id % 50 = 7) c) WHERE rn = 1""")
+    Q("q90_ivfpq_ann",
+      (s, dir) => Similarity.ivfPqTopK(table(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          centroidPred = col("vec_id") % 50 === 7,
+          seedPred = col("vec_id") % 10 === 3,
+          queryPred = col("vec_id") % 100 === 3,
+          m = 2, subDim = 32, iters = 2, k = 10)
+        .orderBy("qid", "rank"),
+      Some(s"""WITH ${kmeansCtes(2, src0, "vec_id % 10 = 3", 32, "s0")},
+        |${kmeansCtes(2, src1, "vec_id % 10 = 3", 32, "s1")},
+        |enc0 AS (${enc(src0, "s0c2")}),
+        |enc1 AS (${enc(src1, "s1c2")}),
+        |dt0 AS (${dtab(src0, "s0c2")}),
+        |dt1 AS (${dtab(src1, "s1c2")}),
+        |coarse AS ($coarse),
+        |adc AS (SELECT dt0.qid, e0.vec_id,
+        |  round(dt0.d + dt1.d, 6) AS adc
+        | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        | JOIN coarse a ON a.vec_id = e0.vec_id
+        | JOIN dt0 ON dt0.cid = e0.cid
+        | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
+        | JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell
+        | WHERE dt0.qid <> e0.vec_id)
+        |SELECT qid, vec_id, adc, CAST(row_number() OVER (
+        |  PARTITION BY qid ORDER BY adc, vec_id) AS INT) AS rank
+        |FROM adc QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+  }
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67, q84, q86)
+    q57, q62, q64, q65, q67, q84, q86, q90)
 }

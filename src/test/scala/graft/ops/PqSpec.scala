@@ -77,6 +77,28 @@ class PqSpec extends SparkSpec {
     assertSameRows(got, expected)
   }
 
+  test("IVFPQ = PQ restricted to the query's coarse cell") {
+    // sf0.01: 10 coarse cells, so the restriction actually bites
+    val d01 = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$d01/embeddings.parquet")
+    val cells = Similarity.ivfCells(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") % 50 === 7)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = graft.queries.SimilarityQueries.q84.run(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val ivfpq = graft.queries.SimilarityQueries.q90.run(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (qid, id, adc) =>
+      assert(cells(qid) == cells(id),
+        s"($qid,$id) crossed cells ${cells(qid)} vs ${cells(id)}")
+      // where PQ also ranked the pair, the ADC distances agree
+      pq.get((qid, id)).foreach(d => assert(d == adc, s"($qid,$id)"))
+    }
+  }
+
   test("PQ top-k overlaps the exact euclidean top-k (recall floor)") {
     val all = vecs
     val q = all.find(_._1 % 100 == 3).get

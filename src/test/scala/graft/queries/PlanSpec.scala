@@ -118,4 +118,34 @@ class PlanSpec extends SparkSpec {
     val beforeSort = p.split("rangepartitioning").head
     assert(!beforeSort.contains("hashpartitioning"), p)
   }
+
+  test("q81: probe batch broadcasts, dimension side never shuffles") {
+    val p = plan(Relational.q81)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the ONLY allowed exchange is the output-ordering range exchange
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q84: PQ encodes via partial aggregates, never a V×C window") {
+    val df = graft.ops.Similarity.pqTopK(
+      Registry.table(spark, dir, "embeddings"), "vec_id", "embedding",
+      seedPred = org.apache.spark.sql.functions.col("vec_id") % 10 === 3,
+      queryPred = org.apache.spark.sql.functions.col("vec_id") % 100 === 3,
+      m = 2, subDim = 32, iters = 2, k = 10)
+    df.collect()
+    // AQE prints final + initial plans; count on the final only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("partial_min_by"), p)
+    // exactly ONE window — the per-query rank; the trainer and the
+    // encodes must not smuggle a window in
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q87: three window functions share one shuffle (one window spec)") {
+    val p = plan(Relational.q87).split("== Initial Plan ==").head
+    // lag (change detect), row_number (version), lead (interval
+    // close) all partition by (user_id, ts-order): one exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
 }
