@@ -776,8 +776,61 @@ object Relational {
         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin))
   }
 
+  /** PIVOT — long-to-wide reshaping with a FIXED value list (open
+    * pivots need a discovery pass; production pivots pin the
+    * columns): per-user event values spread across one column per
+    * event type. Spark expands the pivot into conditional aggregates
+    * BEFORE the hash aggregate, so the plan is one partial-aggregated
+    * shuffle regardless of the column count — exactly the CASE
+    * aggregation the oracle writes out longhand.
+    */
+  val q93 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q("q93_pivot",
+      (s, dir) => table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(round(sum("value"), 2))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id,
+        |${types.map(t =>
+             s" round(sum(CASE WHEN event_type = '$t' THEN value END), 2) AS \"$t\"")
+             .mkString(",\n")}
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  }
+
+  /** UNPIVOT/melt — the inverse reshape: a wide per-flag aggregate
+    * melts into (flag, metric, value) rows via Spark's native
+    * `unpivot` (an Expand node: n metrics × rows, zero extra
+    * shuffles beyond the aggregate that built the wide frame). The
+    * oracle re-melts with UNION ALL — column-to-row semantics pinned
+    * on both engines.
+    */
+  val q94 = Q("q94_unpivot",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric"),
+    Some("""WITH w AS (SELECT l_returnflag,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  round(avg(l_discount), 4) AS avg_disc
+      | FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value FROM (
+      | SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      | UNION ALL
+      | SELECT l_returnflag, 'sum_price', sum_price FROM w
+      | UNION ALL
+      | SELECT l_returnflag, 'avg_disc', avg_disc FROM w)
+      |ORDER BY l_returnflag, metric""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
-      q80, q81, q87, q88, q89)
+      q80, q81, q87, q88, q89, q93, q94)
 }

@@ -1063,8 +1063,76 @@ object TextQueries {
     },
     None)
 
+  /** Deterministic k-per-group sampling — reservoir sampling's
+    * retry-stable cousin: rank group members by a hash of their key
+    * and keep the first k. Same sample on every run, every retry,
+    * every executor count (the property `rand()` sampling loses);
+    * mergeable across batches (a new batch re-ranks against the same
+    * hash order). One window per group key — per-task state is one
+    * language's docs; at corpus scale the exact window becomes a
+    * per-group top-k partial aggregate, same numbers.
+    */
+  val q91 = Q("q91_group_sample",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("_h").asc, col("doc_id").asc)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("_h"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 5)
+        .select("lang", "rnk", "doc_id")
+        .orderBy("lang", "rnk")
+    },
+    Some("""SELECT lang, rnk, doc_id FROM (
+      | SELECT lang, doc_id, CAST(row_number() OVER (
+      |  PARTITION BY lang
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+      | FROM documents)
+      |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin))
+
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit statistic:
+    * build the top-100 corpus vocabulary (count desc, token asc —
+    * deterministic), then score every document's fraction of tokens
+    * OUTSIDE it. The vocab is corpus-derived here; swapping in a
+    * fixed tokenizer vocab changes the broadcast literal, not the
+    * plan. Two partial-aggregated passes over one explode + a
+    * broadcast membership join; the rate divides exact integers and
+    * rounds to 4.
+    */
+  val q92 = Q("q92_vocab_coverage",
+    (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("token").asc).limit(100)
+        .select(col("token"), lit(1).as("_in"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in").isNull, 1).otherwise(0)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+      |  unnest(string_split(text, ' ')) AS token FROM documents),
+      |vocab AS (SELECT token FROM (
+      |  SELECT token, count(*) AS c FROM tok GROUP BY token
+      |  ORDER BY c DESC, token LIMIT 100)),
+      |j AS (SELECT doc_id, t.token, v.token AS vt
+      | FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      | CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_oov,
+      | round(CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)
+      |   AS DOUBLE) / count(*), 4) AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
-      q70, q74, q75, q78, q79, q82, q83, q85)
+      q70, q74, q75, q78, q79, q82, q83, q85, q91, q92)
 }

@@ -50,6 +50,36 @@ class QualityTierSpec extends SparkSpec {
     assertSameRows(TextQueries.q83.run(spark, dir), expected)
   }
 
+  test("q91 keeps exactly the 5 hash-least docs per language") {
+    val langs = sf("documents", dir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      md.reset()
+      java.util.HexFormat.of()
+        .formatHex(md.digest(id.toString.getBytes("UTF-8")))
+    }
+    val expected = langs.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      g.map(_._1).sortBy(id => (h(id), id)).take(5).zipWithIndex
+        .map { case (id, i) => Seq[Any](lang, i + 1, id) }
+    }
+    assertSameRows(TextQueries.q91.run(spark, dir), expected)
+  }
+
+  test("q92 OOV rate matches brute force against the top-100 vocab") {
+    val d = docs
+    val counts = d.flatMap(_._2.split(' '))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(100).map(_._1).toSet
+    val expected = d.map { case (id, t, _) =>
+      val toks = t.split(' ')
+      val oov = toks.count(!vocab.contains(_)).toLong
+      Seq[Any](id, toks.length.toLong, oov, r4(oov.toDouble / toks.length))
+    }
+    assertSameRows(TextQueries.q92.run(spark, dir), expected)
+  }
+
   test("q85 exact column is truth; CMS estimate within the eps bound") {
     val counts = docs.flatMap(_._2.split(' '))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap

@@ -82,6 +82,35 @@ class WarehouseTierSpec extends SparkSpec {
     assert(opens.map(_.getLong(0)).distinct.length == opens.length)
   }
 
+  test("q93 pivot equals per-(user, type) conditional sums") {
+    val ev = sf("events", dir)
+      .select("user_id", "event_type", "value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val expected = ev.groupBy(_._1).toSeq.map { case (uid, g) =>
+      Seq[Any](uid) ++ types.map { t =>
+        val vs = g.filter(_._2 == t).map(_._3)
+        if (vs.isEmpty) null else r(vs.sum, 2): java.lang.Double
+      }
+    }
+    assertSameRows(Relational.q93.run(spark, dir), expected)
+  }
+
+  test("q94 unpivot emits one (flag, metric, value) row per wide cell") {
+    val li = sf("lineitem", dir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+        x.getDouble(3))).toSeq
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (f, g) =>
+      Seq(
+        Seq[Any](f, "sum_qty", r(g.map(_._2).sum, 2)),
+        Seq[Any](f, "sum_price", r(g.map(_._3).sum, 2)),
+        Seq[Any](f, "avg_disc", r(g.map(_._4).sum / g.size, 4)))
+    }
+    assertSameRows(Relational.q94.run(spark, dir), expected)
+  }
+
   test("q88 profiles the heaviest keys with ceil-of-rounded salts") {
     val ev = sf("events", dir).select("user_id").collect()
       .map(_.getLong(0)).toSeq
