@@ -1131,8 +1131,63 @@ object TextQueries {
       |   AS DOUBLE) / count(*), 4) AS oov_rate
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Bigram PMI collocations — the corpus-statistics operator behind
+    * phrase mining and tokenizer-merge candidates: for every adjacent
+    * word pair seen ≥ 5 times, pmi = ln(p(w1w2) / (p(w1)·p(w2))),
+    * computed as one double division of exact BIGINT products so both
+    * engines feed `ln` the same literal (then round to 6 — the
+    * battery's ln discipline, q74/q75 precedent). Bigrams explode
+    * per document (no cross-doc pairs); unigram and total counts are
+    * vocabulary-sized broadcasts; ranking uses the ROUNDED pmi with
+    * (w1, w2) tiebreak.
+    */
+  val q95 = Q("q95_bigram_pmi",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bi = docs.select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          | i -> struct(element_at(split(text, ' '), i) AS w1,
+          |   element_at(split(text, ' '), i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val uni = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val n1 = uni.agg(sum("c1").as("_n1"))
+      val n2 = c2.agg(sum("c2").as("_n2"))
+      val pmi = round(log(
+        (col("c2") * col("_n1") * col("_n1")).cast("double") /
+          (col("_n2") * col("a.c1") * col("b.c1"))), 6)
+      c2.filter(col("c2") >= 5)
+        .join(broadcast(uni.as("a")), col("w1") === col("a.w"))
+        .join(broadcast(uni.as("b")), col("w2") === col("b.w"))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("w1"), col("w2"), col("c2"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS w
+      |       FROM documents),
+      |bi AS (SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> struct_pack(w1 := list_extract(w, i),
+      |      w2 := list_extract(w, i + 1)))) AS b FROM t),
+      |c2 AS (SELECT b.w1 AS w1, b.w2 AS w2,
+      |  CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+      |uni AS (SELECT unnest(w) AS tok FROM t),
+      |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM uni
+      | GROUP BY tok),
+      |n1 AS (SELECT sum(c1) AS n1 FROM c1),
+      |n2 AS (SELECT sum(c2) AS n2 FROM c2)
+      |SELECT w1, w2, c2,
+      | round(ln(CAST(c2 * n1 * n1 AS DOUBLE) / (n2 * a.c1 * b.c1)), 6)
+      |   AS pmi
+      |FROM c2 JOIN c1 a ON w1 = a.tok JOIN c1 b ON w2 = b.tok, n1, n2
+      |WHERE c2 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
-      q70, q74, q75, q78, q79, q82, q83, q85, q91, q92)
+      q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95)
 }

@@ -80,6 +80,25 @@ class QualityTierSpec extends SparkSpec {
     assertSameRows(TextQueries.q92.run(spark, dir), expected)
   }
 
+  test("q95 PMI matches brute force (counts, ratio, ln, rounding)") {
+    val texts = docs.map(_._2)
+    val uni = texts.flatMap(_.split(' '))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = texts.flatMap(t => t.split(' ').sliding(2).collect {
+      case Array(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (n1, n2) = (uni.values.sum, bi.values.sum)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bi.toSeq.filter(_._2 >= 5).map { case ((a, b), c2) =>
+      (a, b, c2, r6(math.log(
+        (c2 * n1 * n1).toDouble / (n2 * uni(a) * uni(b)))))
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+      .map { case (a, b, c2, pmi) => Seq[Any](a, b, c2, pmi) }
+    assert(expected.nonEmpty, "fixture must yield collocations")
+    assertSameRows(TextQueries.q95.run(spark, dir), expected)
+  }
+
   test("q85 exact column is truth; CMS estimate within the eps bound") {
     val counts = docs.flatMap(_._2.split(' '))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
