@@ -31,16 +31,39 @@ object AsOf {
     *   arbitrary row.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, rightTiebreak: Seq[Column] = Nil): DataFrame = {
+      timeCol: String, rightTiebreak: Seq[Column] = Nil): DataFrame =
+    asofJoinImpl(left, right, keyCol, timeCol, rightTiebreak,
+      forward = false)
+
+  /** FORWARD as-of: for each left row, the single EARLIEST right row
+    * with `rightTime >= leftTime` (next-event attribution — "first
+    * action after the purchase"). Same union + one-window plan as
+    * the backward join, iterated in descending time; among right
+    * rows tied on (key, time) the SMALLEST tiebreak is carried
+    * (mirror of backward's largest-last convention).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, rightTiebreak: Seq[Column] = Nil): DataFrame =
+    asofJoinImpl(left, right, keyCol, timeCol, rightTiebreak,
+      forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, rightTiebreak: Seq[Column],
+      forward: Boolean): DataFrame = {
     val payload = right.columns.filterNot(c => c == keyCol || c == timeCol)
     require(!left.columns.contains("_side") && !payload.contains("_side"),
       "column name _side is reserved by asofJoin")
     val l = left.withColumn("_side", lit(1))
     val r = right.withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // forward mirrors the iteration: time DESC makes "last non-null
+    // seen" the nearest FUTURE right row; _side stays ASC so a right
+    // row at exactly the left row's time remains visible; tied right
+    // rows sort so the conventional row lands LAST (carried).
+    val timeOrd = if (forward) col(timeCol).desc else col(timeCol).asc
+    val tieOrd = rightTiebreak.map(c => if (forward) c.desc else c.asc)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(timeCol).asc +: col("_side").asc +:
-        rightTiebreak.map(_.asc): _*)
+      .orderBy(timeOrd +: col("_side").asc +: tieOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Carry the whole payload as ONE struct so the matched row stays
     // atomic: per-column last-non-null would mix fields from different

@@ -776,6 +776,39 @@ object Relational {
         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin))
   }
 
+  /** FORWARD as-of join ([[graft.ops.AsOf.asofJoinForward]]): for
+    * each purchase, the user's NEXT click at or after it — the
+    * "first action after conversion" attribution, q33's mirror. Same
+    * union + single-window plan, iterated in descending time; the
+    * oracle ranks candidate future clicks per purchase and keeps
+    * rn = 1 (LEFT join, so unmatched purchases keep their null row).
+    */
+  val q97 = Q("q97_asof_forward",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOf.asofJoinForward(purchases, clicks, "user_id", "ts",
+        rightTiebreak = Seq(col("click_value")))
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+      |       WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value FROM events
+      |       WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, p.user_id, p.ts,
+      |  c.ts AS click_ts, c.value AS click_value,
+      |  row_number() OVER (PARTITION BY p.event_id
+      |    ORDER BY c.ts, c.value) AS rn
+      | FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts)
+      |SELECT event_id, user_id, ts, click_ts, click_value
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
+
   /** PIVOT — long-to-wide reshaping with a FIXED value list (open
     * pivots need a discovery pass; production pivots pin the
     * columns): per-user event values spread across one column per
@@ -832,5 +865,5 @@ object Relational {
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
-      q80, q81, q87, q88, q89, q93, q94)
+      q80, q81, q87, q88, q89, q93, q94, q97)
 }

@@ -99,7 +99,8 @@ object StreamQueries {
     * UTC keeps it equal to the oracle's naive values).
     */
   private def eventsStream(s: SparkSession, dir: String,
-      copies: Int = 1): (DataFrame, java.nio.file.Path) = {
+      copies: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): (DataFrame, java.nio.file.Path) = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val inDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
     (1 to copies).foreach { i =>
@@ -107,7 +108,10 @@ object StreamQueries {
         inDir.resolve(s"events$i.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     }
-    val df = s.readStream.schema(schema).parquet(inDir.toString)
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    val df = reader.parquet(inDir.toString)
       .withColumn("ts",
         expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
     (df, inDir)
@@ -191,6 +195,55 @@ object StreamQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts").cast("timestamp_ntz").as("ts"), col("value"))
         .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, ts, value
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Merge-upsert sink ([[graft.streaming.EventStream.mergeBatch]]):
+    * the doubled corpus arrives as TWO micro-batches
+    * (maxFilesPerTrigger = 1), each `foreachBatch`-merged into a
+    * versioned parquet history — read latest, union, dedupe, write
+    * next version. This is the reference's incremental merge loop
+    * running as a streaming sink, and a different dedup class from
+    * q41: idempotent-sink merge (survives batch replay) vs
+    * watermark-bounded state. Oracle: the single-copy events table —
+    * v1 must equal DISTINCT of the doubled input.
+    */
+  val q96 = Q("q96_stream_merge_history",
+    (s, dir) => {
+      val (events, inDir) =
+        eventsStream(s, dir, copies = 2, maxFilesPerTrigger = Some(1))
+      val histDir = java.nio.file.Files
+        .createTempDirectory("graft-q96-hist")
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-q96-ckpt")
+      val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        try {
+          events.writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                 org.apache.spark.sql.Row], id: Long) =>
+                graft.streaming.EventStream.mergeBatch(
+                  batch.toDF(), id, histDir.toString, Seq("event_id"))
+            }
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val out = graft.streaming.EventStream
+          .latestHistory(s, histDir.toString)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+          .orderBy("event_id")
+        // materialize before the finally deletes the history files
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally
+        Seq(histDir, ckptDir, inDir).foreach(deleteRecursively)
     },
     Some("""SELECT event_id, user_id, event_type, ts, value
       |FROM events ORDER BY event_id""".stripMargin))
@@ -333,5 +386,5 @@ object StreamQueries {
       | AND epoch_ms(c.ts + INTERVAL 30 MINUTE) < wm
       |ORDER BY user_id, from_id, to_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68, q69)
+  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68, q69, q96)
 }

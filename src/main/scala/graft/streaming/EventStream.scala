@@ -162,6 +162,45 @@ object EventStream {
     * viable over unbounded streams (the reference instead re-reads and
     * re-dedupes full history every run).
     */
+  /** Merge-upsert one micro-batch into a versioned parquet history —
+    * the reference's merge loop (read history → union batch → dedupe
+    * → write, `src/util.rs:70-79,133-145` shape) as a `foreachBatch`
+    * streaming sink. Each batch writes `dir/v{batchId}` from the
+    * latest version BELOW it, so a replayed batch (stream restart
+    * after a sink failure) rebuilds exactly the same version instead
+    * of double-appending — the idempotence contract `foreachBatch`
+    * asks of its sink, which a plain parquet `append` breaks. At
+    * scale the same contract is met by a transactional table format;
+    * the plan per batch is one union + one hash-agg dedupe, with
+    * history read back from columnar parquet (never held on the
+    * driver).
+    *
+    * Duplicate rows here are exact duplicates (same key ⇒ same
+    * payload), so `dropDuplicates(keys)`' keep-any is deterministic
+    * in VALUE; a changing-payload upsert would order by a version
+    * column first ([[graft.ops.Dedup.keepFirst]] shape).
+    */
+  def mergeBatch(batch: DataFrame, batchId: Long, dir: String,
+      keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val prev = (batchId - 1 to 0L by -1).iterator
+      .map(i => new java.io.File(s"$dir/v$i"))
+      .find(_.exists())
+    val hist = prev.map(p => spark.read.parquet(p.getPath))
+    val merged = hist.map(_.unionByName(batch)).getOrElse(batch)
+      .dropDuplicates(keys)
+    merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+  }
+
+  /** Latest history version written by [[mergeBatch]] under `dir`. */
+  def latestHistory(spark: SparkSession, dir: String): DataFrame = {
+    val vs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    require(vs.nonEmpty, s"no history versions under $dir")
+    spark.read.parquet(s"$dir/v${vs.max}")
+  }
+
   def dedupeStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")

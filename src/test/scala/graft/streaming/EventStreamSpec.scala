@@ -232,4 +232,28 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.contains((2L, "2024-01-01 10:55:00.0", 1L, 10.0)))
     assert(sessions.contains((2L, "2024-01-01 13:00:00.0", 1L, 20.0)))
   }
+
+  test("mergeBatch versions accumulate and a replayed batch is idempotent") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-merge-hist").toString
+    try {
+      val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      val b1 = Seq((2L, "b"), (3L, "c")).toDF("id", "v") // 2 is a dup
+      EventStream.mergeBatch(b0, 0L, dir, Seq("id"))
+      EventStream.mergeBatch(b1, 1L, dir, Seq("id"))
+      def latest = EventStream.latestHistory(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(latest == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // replay batch 1 (sink failure → restart): v1 rebuilds from v0,
+      // NOT from itself — no double-append, history unchanged
+      EventStream.mergeBatch(b1, 1L, dir, Seq("id"))
+      assert(latest == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(spark.read.parquet(s"$dir/v1").count() == 3)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(dir)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }
