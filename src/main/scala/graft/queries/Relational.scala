@@ -809,6 +809,48 @@ object Relational {
       |SELECT event_id, user_id, ts, click_ts, click_value
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
 
+  /** Time-series gap fill — sparse-to-dense resampling, the feature-
+    * engineering prerequisite for any fixed-step model input: hourly
+    * rollups per event type, with MISSING hours materialized as
+    * zero rows from an hour spine (`sequence` between the corpus
+    * bounds × the type dimension). The spine is generated, not
+    * scanned (bounds are one tiny aggregate broadcast into a
+    * sequence explode); the left join back to the real rollup is the
+    * only shuffle. Zero-filled hours carry n = 0, total = 0.0 —
+    * COALESCE pinned on both engines.
+    */
+  val q98 = Q("q98_gap_fill",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("_n"), round(sum("value"), 2).as("_t"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        .crossJoin(ev.select("event_type").distinct())
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("_n"), lit(0L)).as("n"),
+          coalesce(col("_t"), lit(0.0)).as("total"))
+        .orderBy("event_type", "h")
+    },
+    Some("""WITH hourly AS (SELECT event_type,
+      |  date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS t
+      | FROM events GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |  date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT t.event_type,
+      |  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      | FROM b, (SELECT DISTINCT event_type FROM events) t)
+      |SELECT s.event_type, s.h, coalesce(n, 0) AS n,
+      | coalesce(t, 0.0) AS total
+      |FROM spine s LEFT JOIN hourly USING (event_type, h)
+      |ORDER BY event_type, h""".stripMargin))
+
   /** PIVOT — long-to-wide reshaping with a FIXED value list (open
     * pivots need a discovery pass; production pivots pin the
     * columns): per-user event values spread across one column per
@@ -865,5 +907,5 @@ object Relational {
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
-      q80, q81, q87, q88, q89, q93, q94, q97)
+      q80, q81, q87, q88, q89, q93, q94, q97, q98)
 }

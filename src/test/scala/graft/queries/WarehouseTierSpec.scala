@@ -111,6 +111,60 @@ class WarehouseTierSpec extends SparkSpec {
     assertSameRows(Relational.q94.run(spark, dir), expected)
   }
 
+  test("q97 forward as-of picks each purchase's earliest future click") {
+    val ev = sf("events", dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2) / 1000L,
+        x.getString(3), x.getDouble(4))).toSeq
+    val clicks = ev.filter(_._4 == "click")
+      .groupBy(_._2).view.mapValues(_.map(c => (c._3, c._5))).toMap
+    val expected = ev.filter(_._4 == "purchase").map {
+      case (eid, uid, us, _, _) =>
+        val next = clicks.getOrElse(uid, Nil)
+          .filter(_._1 >= us).sorted.headOption
+        Seq[Any](eid, uid,
+          new java.sql.Timestamp(us / 1000).toLocalDateTime
+            .plusNanos((us % 1000) * 1000),
+          next.map(n => new java.sql.Timestamp(n._1 / 1000)
+            .toLocalDateTime.plusNanos((n._1 % 1000) * 1000)).orNull,
+          next.map(n => n._2: java.lang.Double).orNull)
+    }
+    assertSameRows(Relational.q97.run(spark, dir), expected)
+  }
+
+  test("q98 zero-fills exactly the hours with no events") {
+    // session tz = UTC, so the hour column's epoch seconds are the
+    // tz-safe comparison key
+    val got = Relational.q98.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getDouble(3)))
+    val types = got.map(_._1).distinct.sorted
+    val hours = got.map(_._2).distinct.sorted
+    // dense grid: every (type, hour) appears exactly once, hours are
+    // a contiguous hourly spine
+    assert(got.length == types.length * hours.length)
+    hours.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a == 3600L, s"$a → $b")
+    }
+    // the filled rows agree with a brute-force rollup; absent = (0, 0)
+    val ev = sf("events", dir).select("event_type", "ts", "value")
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSeq
+    val rolled = ev.groupBy { case (t, ns, _) =>
+      (t, ns / 1_000_000_000L / 3600 * 3600)
+    }.map { case ((t, h), g) =>
+      (t, h) -> (g.size.toLong, r(g.map(_._3).sum, 2))
+    }
+    got.foreach { case (t, h, n, total) =>
+      rolled.get((t, h)) match {
+        case Some((en, et)) => assert(n == en && total == et, s"($t,$h)")
+        case None => assert(n == 0L && total == 0.0, s"($t,$h)")
+      }
+    }
+    assert(got.exists(_._3 == 0L), "fixture must have gaps to fill")
+  }
+
   test("q88 profiles the heaviest keys with ceil-of-rounded salts") {
     val ev = sf("events", dir).select("user_id").collect()
       .map(_.getLong(0)).toSeq
