@@ -1186,8 +1186,95 @@ object TextQueries {
       |WHERE c2 >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
 
+  /** EXECUTE the q78 mixture plan — the missing half of
+    * temperature rebalancing: q78 computes per-language weights;
+    * this draws the actual sample (quota_l = round(w_l · 200) docs
+    * per language, chosen by q91's deterministic hash rank). Quotas
+    * round off the ROUNDED weight so both engines draw identical
+    * counts; tail languages can under-fill (quota > n_l never
+    * happens here but min() would be the guard at scale). One tiny
+    * aggregate broadcasts quotas onto the hash-rank window.
+    */
+  val q99 = Q("q99_mixture_sample",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("_wr", sqrt(col("n")))
+      val z = byLang.agg(sum("_wr").as("_z"))
+      val quota = byLang.crossJoin(broadcast(z))
+        .select(col("lang"),
+          round(round(col("_wr") / col("_z"), 6) * 200, 0)
+            .cast("int").as("quota"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("_h").asc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("_h"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .join(broadcast(quota), "lang")
+        .filter(col("rnk") <= col("quota"))
+        .select("lang", "quota", "rnk", "doc_id")
+        .orderBy("lang", "rnk")
+    },
+    Some("""WITH g AS (SELECT lang, count(*) AS n,
+      |  sqrt(count(*)) AS wr FROM documents GROUP BY lang),
+      |z AS (SELECT sum(wr) AS z FROM g),
+      |quota AS (SELECT lang,
+      |  CAST(round(round(wr / z, 6) * 200, 0) AS INT) AS quota
+      | FROM g, z),
+      |r AS (SELECT lang, doc_id, CAST(row_number() OVER (
+      |  PARTITION BY lang
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+      | FROM documents)
+      |SELECT lang, quota, rnk, doc_id
+      |FROM r JOIN quota USING (lang)
+      |WHERE rnk <= quota ORDER BY lang, rnk""".stripMargin))
+
+  /** Train/test split LEAKAGE detection — the eval-hygiene check
+    * every benchmark release runs: near-duplicate pairs (the q43
+    * LSH + estimate tier) that STRADDLE q44's train/val/test split.
+    * A pair with est_jaccard ≥ 0.5 whose sides land in different
+    * splits is contamination (the model sees the test doc's twin in
+    * training). Composition of two already-oracled operators —
+    * candidates come from the bucketed LSH join (never all-pairs),
+    * split labels are a pure hash projection, the label join rides
+    * the pair table's own shuffle.
+    */
+  val q100 = Q("q100_split_leakage",
+    (s, dir) => {
+      val pairs = Dedup.minhashEstimatePairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, numBands = 4)
+        .filter(col("est_jaccard") >= 0.5)
+      val splits = graft.ops.Sampling.split(
+        table(s, dir, "documents"), "doc_id", valPct = 1, testPct = 1)
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("a"),
+          col("split").as("split_a")), "a")
+        .join(splits.select(col("doc_id").as("b"),
+          col("split").as("split_b")), "b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("a", "b", "split_a", "split_b", "est_jaccard")
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $duckMinhashCandCtes,
+      |est AS (SELECT a, b,
+      |  round(CAST($duckEstMatches AS DOUBLE) / 16, 4) AS est_jaccard
+      | FROM cand JOIN sig sa ON sa.doc_id = a
+      |  JOIN sig sb ON sb.doc_id = b),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN b < 1 THEN 'val' WHEN b < 2 THEN 'test'
+      |    ELSE 'train' END AS split
+      | FROM (SELECT doc_id, ${duckBucket("doc_id")} AS b
+      |       FROM documents))
+      |SELECT a, b, pa.split AS split_a, pb.split AS split_b,
+      | est_jaccard
+      |FROM est JOIN sp pa ON pa.doc_id = a JOIN sp pb ON pb.doc_id = b
+      |WHERE est_jaccard >= 0.5 AND pa.split <> pb.split
+      |ORDER BY a, b""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
-      q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95)
+      q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100)
 }

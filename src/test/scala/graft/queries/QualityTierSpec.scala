@@ -99,6 +99,50 @@ class QualityTierSpec extends SparkSpec {
     assertSameRows(TextQueries.q95.run(spark, dir), expected)
   }
 
+  test("q99 draws exactly the rounded quota per language, hash-first") {
+    val langs = sf("documents", dir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      md.reset()
+      java.util.HexFormat.of()
+        .formatHex(md.digest(id.toString.getBytes("UTF-8")))
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLang = langs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val z = byLang.values.map(g => math.sqrt(g.size)).sum
+    val expected = byLang.toSeq.flatMap { case (lang, ids) =>
+      val quota = BigDecimal(r6(math.sqrt(ids.size) / z) * 200)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+      ids.sortBy(id => (h(id), id)).take(quota).zipWithIndex
+        .map { case (id, i) => Seq[Any](lang, quota, i + 1, id) }
+    }
+    assertSameRows(TextQueries.q99.run(spark, dir), expected)
+  }
+
+  test("q100 is exactly q43's strong pairs that straddle q44's split") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001 has no planted near-dups
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def split(id: Long): String = {
+      md.reset()
+      val hex = java.util.HexFormat.of()
+        .formatHex(md.digest(id.toString.getBytes("UTF-8")))
+      java.lang.Long.parseLong(hex.take(8), 16) % 100 match {
+        case 0 => "val"; case 1 => "test"; case _ => "train"
+      }
+    }
+    val strong = TextQueries.q43.run(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.5)
+    val expected = strong
+      .filter { case (a, b, _) => split(a) != split(b) }
+      .map { case (a, b, e) =>
+        Seq[Any](a, b, split(a), split(b), e) }.toSeq
+    assert(strong.nonEmpty, "fixture must have strong near-dup pairs")
+    assertSameRows(TextQueries.q100.run(spark, d01), expected)
+  }
+
   test("q85 exact column is truth; CMS estimate within the eps bound") {
     val counts = docs.flatMap(_._2.split(' '))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
