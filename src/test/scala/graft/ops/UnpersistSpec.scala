@@ -59,6 +59,15 @@ class UnpersistSpec extends SparkSpec {
       SimilarityQueries.q57.run(spark, dir).collect(), "semDedup")
   }
 
+  test("PQ, IVFPQ and the CMS sketch leave zero cached blocks") {
+    assertClean(
+      SimilarityQueries.q84.run(spark, dir).collect(), "pqTopK")
+    assertClean(
+      SimilarityQueries.q90.run(spark, dir).collect(), "ivfPqTopK")
+    assertClean(
+      TextQueries.q85.run(spark, dir).collect(), "heavyHittersCms")
+  }
+
   test("clusters: per-round frames are unpersisted, only the fixpoint remains") {
     spark.catalog.clearCache()
     import spark.implicits._
