@@ -495,6 +495,33 @@ object Similarity {
     pqRank(joined, idCol, m, k)
   }
 
+  /** Nearest-centroid classification — the few-shot probe that
+    * doubles as an embedding-quality check: per-label mean vectors
+    * (element-wise means rounded to 6, the trainer discipline),
+    * every vector assigned to its nearest label centroid by the same
+    * argmin partial aggregate as [[ivfCells]]/[[kmeansFit]]. Labels
+    * are few, so the centroid frame broadcasts; the assignment
+    * shuffles ONE row per vector. Emits (id, label, pred).
+    */
+  def centroidClassify(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol),
+      col(vecCol).cast("array<double>").as("_e"))
+    val cents = base
+      .select(col(labelCol), posexplode(col("_e")).as(Seq("p", "v")))
+      .groupBy(col(labelCol), col("p"))
+      .agg(round(sum("v") / count(lit(1)), 6).as("val"))
+      .groupBy(labelCol)
+      .agg(sort_array(collect_list(struct(col("p"), col("val"))))
+        .as("_pv"))
+      .select(col(labelCol).cast("long").as("cid"),
+        transform(col("_pv"), x => x.getField("val")).as("_ce"))
+    assignEuclid(base.select(col(idCol), col("_e")), cents)
+      .select(col(idCol), col("cid").as("pred"))
+      .join(base.select(col(idCol), col(labelCol)), idCol)
+      .select(col(idCol), col(labelCol), col("pred"))
+  }
+
   /** Per-subspace PQ pieces: (codes (id, _cj), distance table
     * (_qidj, _cidj, _dj)) for each of the `m` sliced codebooks —
     * shared by [[pqTopK]] and [[ivfPqTopK]].

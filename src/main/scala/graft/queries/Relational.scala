@@ -904,8 +904,124 @@ object Relational {
       | SELECT l_returnflag, 'avg_disc', avg_disc FROM w)
       |ORDER BY l_returnflag, metric""".stripMargin))
 
+  /** Linear attribution — split each purchase's credit equally
+    * across the user's clicks in the prior 10 minutes (q76's
+    * conversion join, inverted and weighted): credit = 1/n over the
+    * contributing clicks, rounded off the exact integer count so
+    * both engines divide the same literal. The join is the q76
+    * time-bucket equi-join shape (linear shuffle, range as a
+    * post-filter); the per-purchase count is one window over the
+    * join's own key.
+    */
+  val q103 = Q("q103_attribution",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      val w = Window.partitionBy("p_id")
+      purchases.join(clicks, "user_id")
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+        .withColumn("credit",
+          round(lit(1.0) / count(lit(1)).over(w), 4))
+        .select("p_id", "c_id", "credit")
+        .orderBy("p_id", "c_id")
+    },
+    Some("""WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+      |       FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+      |       WHERE event_type = 'click'),
+      |j AS (SELECT p_id, c_id FROM p JOIN c USING (user_id)
+      | WHERE c_ts <= p_ts AND c_ts > p_ts - INTERVAL 10 MINUTE)
+      |SELECT p_id, c_id,
+      | round(1.0 / count(*) OVER (PARTITION BY p_id), 4) AS credit
+      |FROM j ORDER BY p_id, c_id""".stripMargin))
+
+  /** Conversion funnel — users progressing through click → view →
+    * purchase IN ORDER (each stage's first event must follow the
+    * previous stage's): per-user stage timestamps collapse to one
+    * row via conditional MIN aggregates (one shuffle), the ordering
+    * constraint is a projection, stage counts are a tiny rollup.
+    * The `n_users` column is monotonically non-increasing by
+    * construction — the funnel invariant, spec-asserted.
+    */
+  val q104 = Q("q104_funnel",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val stages = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "click", col("ts"))).as("t1"))
+        .join(ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("_tv")), Seq("user_id"),
+          "left")
+        .groupBy("user_id", "t1")
+        .agg(min(when(col("_tv") > col("t1"), col("_tv"))).as("t2"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("_tp")), Seq("user_id"),
+          "left")
+        .groupBy("user_id", "t1", "t2")
+        .agg(min(when(col("_tp") > col("t2"), col("_tp"))).as("t3"))
+      stages.select(
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("_depth"))
+        .crossJoin(
+          s.range(1, 4).select(col("id").cast("int").as("stage")))
+        .filter(col("_depth") >= col("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |       WHERE event_type = 'click' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      | JOIN s1 ON e.user_id = s1.user_id
+      | WHERE e.event_type = 'view' AND e.ts > s1.t1
+      | GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      | JOIN s2 ON e.user_id = s2.user_id
+      | WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      | GROUP BY e.user_id)
+      |SELECT CAST(stage AS INT) AS stage,
+      | CAST(n_users AS BIGINT) AS n_users FROM (
+      | SELECT 1 AS stage, count(*) AS n_users FROM s1
+      | UNION ALL SELECT 2, count(*) FROM s2
+      | UNION ALL SELECT 3, count(*) FROM s3)
+      |ORDER BY stage""".stripMargin))
+
+  /** Cohort retention — users grouped by first-activity DAY, then
+    * counted by how many days later they return: the (cohort_day,
+    * day_offset, n_users) retention triangle every product-analytics
+    * stack materializes. First-activity day is one aggregate; the
+    * offset join rides the events scan; counts are
+    * COUNT(DISTINCT user) per cell (exact here; the 100 TB variant
+    * swaps in the q34 HLL sketch per cell).
+    */
+  val q105 = Q("q105_cohort_retention",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = ev.groupBy("user_id").agg(min("d").as("c_day"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("c_day"),
+          datediff(col("d"), col("c_day")).as("day_offset"))
+        .groupBy("c_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("c_day", "day_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d
+      |       FROM events),
+      |c AS (SELECT user_id, min(d) AS c_day FROM ev GROUP BY user_id)
+      |SELECT c_day, CAST(datediff('day', c_day, d) AS INT)
+      |   AS day_offset,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
-      q80, q81, q87, q88, q89, q93, q94, q97, q98)
+      q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105)
 }

@@ -658,6 +658,37 @@ object SimilarityQueries {
         |FROM adc QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
   }
 
+  /** Nearest-centroid classification confusion matrix
+    * ([[graft.ops.Similarity.centroidClassify]]): per-label mean
+    * vectors, every vector predicted by argmin distance, confusion
+    * counts (label × pred). The few-shot centroid probe — and an
+    * embedding-quality metric (diagonal mass = separability). The
+    * oracle re-derives the centroids (rounded means), re-runs the
+    * argmin with the same (dist, label) tiebreak, and aggregates the
+    * same matrix.
+    */
+  val q102 = Q("q102_centroid_classify",
+    (s, dir) => Similarity.centroidClassify(
+        table(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred"),
+    Some(s"""WITH u AS (SELECT vec_id, label, p, CAST(v AS DOUBLE) AS v
+      | FROM (SELECT vec_id, label, unnest(embedding) AS v,
+      |   unnest(range(1, len(embedding) + 1)) AS p FROM embeddings)),
+      |m AS (SELECT label, p, round(sum(v) / count(*), 6) AS val
+      | FROM u GROUP BY label, p),
+      |lc AS (SELECT CAST(label AS BIGINT) AS cid,
+      |  list(val ORDER BY p) AS ce FROM m GROUP BY label),
+      |asg AS (SELECT vec_id, cid AS pred FROM (
+      | SELECT b.vec_id, c.cid, row_number() OVER (
+      |  PARTITION BY b.vec_id
+      |  ORDER BY ${distOrder("b.embedding", "c.ce")}, c.cid) AS rn
+      | FROM embeddings b, lc c) WHERE rn = 1)
+      |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+      |FROM embeddings JOIN asg USING (vec_id)
+      |GROUP BY label, pred ORDER BY label, pred""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67, q84, q86, q90)
+    q57, q62, q64, q65, q67, q84, q86, q90, q102)
 }

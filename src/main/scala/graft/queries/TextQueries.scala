@@ -1273,8 +1273,64 @@ object TextQueries {
       |WHERE est_jaccard >= 0.5 AND pa.split <> pb.split
       |ORDER BY a, b""".stripMargin))
 
+  /** Bigram-LM perplexity scoring — THE classic quality filter: fit
+    * an add-1-smoothed bigram model on the corpus itself, score every
+    * document's average negative log-likelihood (low = repetitive /
+    * templated, high = unusual — both tails get filtered in a real
+    * pipeline). P(w₂|w₁) = (c₂+1)/(c₁+V); each term's ln takes ONE
+    * double division of exact BIGINTs (same literal both engines),
+    * the per-doc sum rounds to 4 (double-sum discipline; per-term
+    * libm ulps are 10 orders below the guard). The bigram and
+    * unigram count tables are vocabulary-sized broadcasts (SCALING
+    * shows the bigram vocab SATURATES), so scoring is one linear
+    * pass over the exploded corpus.
+    */
+  val q101 = Q("q101_perplexity",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bi = docs.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          | i -> struct(element_at(split(text, ' '), i) AS w1,
+          |   element_at(split(text, ' '), i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val uni = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val v = uni.agg(count(lit(1)).as("_v"))
+      val nll = log((col("c1") + col("_v")).cast("double") /
+        (col("c2") + 1))
+      bi.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), nll.as("_nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum("_nll") / count(lit(1)), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |       FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> struct_pack(w1 := list_extract(w, i),
+      |      w2 := list_extract(w, i + 1)))) AS b FROM t),
+      |be AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM be
+      | GROUP BY w1, w2),
+      |c1 AS (SELECT unnest(w) AS w1, 1 AS one FROM t),
+      |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM c1
+      | GROUP BY w1),
+      |v AS (SELECT count(*) AS v FROM u)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | round(sum(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1))) / count(*), 4)
+      |   AS avg_nll
+      |FROM be JOIN c2 USING (w1, w2) JOIN u USING (w1), v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
-      q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100)
+      q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
+      q101)
 }

@@ -99,6 +99,26 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("q102 confusion matrix matches brute-force nearest-centroid") {
+    val rows = sf("embeddings", dir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))).toSeq
+    val cents = rows.groupBy(_._3).view.mapValues { g =>
+      Array.tabulate(64)(p => r6(g.map(_._2(p)).sum / g.size))
+    }.toSeq.map { case (l, c) => (l.toLong, c) }
+    val expected = rows
+      .map { case (_, e, label) =>
+        val pred = cents.map { case (cid, c) =>
+          (dot(c, c) - 2 * dot(e, c), cid) }.min._2
+        (label, pred)
+      }
+      .groupBy(identity).toSeq
+      .map { case ((l, p), g) => Seq[Any](l, p, g.size.toLong) }
+    assertSameRows(graft.queries.SimilarityQueries.q102.run(spark, dir),
+      expected)
+  }
+
   test("PQ top-k overlaps the exact euclidean top-k (recall floor)") {
     val all = vecs
     val q = all.find(_._1 % 100 == 3).get

@@ -143,6 +143,24 @@ class QualityTierSpec extends SparkSpec {
     assertSameRows(TextQueries.q100.run(spark, d01), expected)
   }
 
+  test("q101 per-doc NLL matches a brute-force bigram LM") {
+    val d = docs
+    val uni = d.flatMap(_._2.split(' '))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val bi = d.flatMap(_._2.split(' ').sliding(2).collect {
+      case Array(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = d.map { case (id, t, _) =>
+      val toks = t.split(' ')
+      val terms = toks.sliding(2).collect { case Array(a, b) =>
+        math.log((uni(a) + v).toDouble / (bi((a, b)) + 1)) }.toSeq
+      Seq[Any](id, terms.size.toLong,
+        r4(terms.sum / terms.size))
+    }
+    assertSameRows(TextQueries.q101.run(spark, dir), expected)
+  }
+
   test("q85 exact column is truth; CMS estimate within the eps bound") {
     val counts = docs.flatMap(_._2.split(' '))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap

@@ -165,6 +165,63 @@ class WarehouseTierSpec extends SparkSpec {
     assert(got.exists(_._3 == 0L), "fixture must have gaps to fill")
   }
 
+  test("q103 splits credit 1/n over the prior-10-minute clicks") {
+    val ev = sf("events", dir)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2) / 1000L,
+        x.getString(3))).toSeq
+    val clicks = ev.filter(_._4 == "click")
+      .groupBy(_._2).view.mapValues(_.map(c => (c._1, c._3))).toMap
+    val tenMinUs = 10L * 60 * 1000 * 1000
+    val expected = ev.filter(_._4 == "purchase").flatMap {
+      case (pid, uid, pus, _) =>
+        val contrib = clicks.getOrElse(uid, Nil)
+          .filter(c => c._2 <= pus && c._2 > pus - tenMinUs)
+        contrib.map { case (cid, _) =>
+          Seq[Any](pid, cid, r(1.0 / contrib.size, 4)) }
+    }
+    assert(expected.nonEmpty, "fixture must yield attributed clicks")
+    assertSameRows(Relational.q103.run(spark, dir), expected)
+  }
+
+  test("q104 funnel counts are monotone and match brute force") {
+    val ev = sf("events", dir)
+      .select("user_id", "ts", "event_type").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    val byUser = ev.groupBy(_._1)
+    def minAfter(g: Seq[(Long, Long, String)], t: String,
+        after: Option[Long]): Option[Long] = after.flatMap { a =>
+      val c = g.filter(e => e._3 == t && e._2 > a)
+      if (c.isEmpty) None else Some(c.map(_._2).min)
+    }
+    val depths = byUser.values.map { g =>
+      val t1 = { val c = g.filter(_._3 == "click")
+        if (c.isEmpty) None else Some(c.map(_._2).min) }
+      val t2 = minAfter(g, "view", t1)
+      val t3 = minAfter(g, "purchase", t2)
+      Seq(t1, t2, t3).takeWhile(_.isDefined).size
+    }.toSeq
+    val expected = (1 to 3).map(s =>
+      Seq[Any](s, depths.count(_ >= s).toLong))
+    val got = Relational.q104.run(spark, dir)
+    assertSameRows(got, expected)
+    val ns = got.collect().map(_.getLong(1))
+    assert(ns.sliding(2).forall { case Array(a, b) => b <= a })
+  }
+
+  test("q105 retention cells match a brute-force cohort rollup") {
+    val ev = sf("events", dir).select("user_id", "ts").collect()
+      .map(x => (x.getLong(0), x.getLong(1) / 1_000_000_000L / 86400))
+      .toSeq
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = ev.distinct.groupBy { case (u, d) =>
+      (cohort(u), (d - cohort(u)).toInt) }.toSeq
+      .map { case ((cd, off), g) =>
+        Seq[Any](java.time.LocalDate.ofEpochDay(cd), off,
+          g.map(_._1).distinct.size.toLong) }
+    assertSameRows(Relational.q105.run(spark, dir), expected)
+  }
+
   test("q88 profiles the heaviest keys with ceil-of-rounded salts") {
     val ev = sf("events", dir).select("user_id").collect()
       .map(_.getLong(0)).toSeq
