@@ -1328,9 +1328,36 @@ object TextQueries {
       |FROM be JOIN c2 USING (w1, w2) JOIN u USING (w1), v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** q91's sample drawn by the PARTIAL-AGGREGATE top-k
+    * ([[graft.functions.BottomK]]) instead of a window — the shape
+    * the q91 scaladoc promises at corpus scale: each task keeps ≤ k
+    * rows per group, the exchange carries ≤ k·groups rows (a window
+    * shuffles every row). Same oracle as q91 — if both hash-match
+    * it, the window and the aggregator agree with the truth and
+    * each other.
+    */
+  val q106 = Q("q106_group_sample_agg",
+    (s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.BottomK(5).toColumn
+      table(s, dir, "documents")
+        .select(col("lang"),
+          md5(col("doc_id").cast("string")).as("_h"), col("doc_id"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(agg)
+        .flatMap { case (lang, items) =>
+          items.zipWithIndex.map { case ((_, id), i) => (lang, i + 1, id) }
+        }
+        .toDF("lang", "rnk", "doc_id")
+        .orderBy("lang", "rnk")
+    },
+    q91.oracle)
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101)
+      q101, q106)
 }

@@ -142,6 +142,24 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).length == 1, p)
   }
 
+  test("q106: top-k aggregator partial-aggregates, window twin agrees") {
+    val df = TextQueries.q106.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // typed Aggregator → ObjectHashAggregate with a map-side partial
+    // stage: the exchange sees ≤ k·groups rows, never the corpus
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_bottomk") ||
+      "ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    // and no Window anywhere — that is q91's plan, not this one
+    assert(!"\\bWindow\\b".r.findAllIn(p).hasNext, p)
+    // the two plans produce identical rows
+    val a = df.collect().map(_.toSeq).toSet
+    val b = TextQueries.q91.run(spark, dir).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("q87: three window functions share one shuffle (one window spec)") {
     val p = plan(Relational.q87).split("== Initial Plan ==").head
     // lag (change detect), row_number (version), lead (interval
