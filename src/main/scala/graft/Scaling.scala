@@ -41,7 +41,8 @@ object Scaling {
       "q54_cosine_topk", "q55_decontaminate", "q56_kmeans_train",
       "q57_semdedup", "q59_vocab_topk", "q63_chunk_dedup",
       "q70_dedup_clusters_star", "q82_chunk_dedup_rewrite", "q84_pq_ann",
-      "q90_ivfpq_ann", "q95_bigram_pmi", "q100_split_leakage")
+      "q90_ivfpq_ann", "q95_bigram_pmi", "q100_split_leakage",
+      "q101_perplexity")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.

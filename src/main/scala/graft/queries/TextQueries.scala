@@ -943,10 +943,11 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("fp").orderBy(col("doc_id").asc, col("idx").asc)
       table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_w"))
         .select(col("doc_id"), posexplode(expr(
           """transform(sequence(0,
-            |  cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
-            |  i -> array_join(slice(split(text, ' '), i*8+1, 8), ' '))"""
+            |  cast(ceil(size(_w) / 8.0) as int) - 1),
+            |  i -> array_join(slice(_w, i*8+1, 8), ' '))"""
             .stripMargin)).as(Seq("idx", "chunk")))
         .withColumn("fp", md5(col("chunk")))
         .withColumn("rn", row_number().over(w))
@@ -1144,11 +1145,12 @@ object TextQueries {
   val q95 = Q("q95_bigram_pmi",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val bi = docs.select(explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-          | i -> struct(element_at(split(text, ' '), i) AS w1,
-          |   element_at(split(text, ' '), i + 1) AS w2))"""
-          .stripMargin)).as("b"))
+      // token array materialized once per doc (see q101)
+      val bi = docs.select(TextOps.tokens(col("text")).as("_w"))
+        .select(explode(expr(
+          """transform(sequence(1, size(_w) - 1),
+            | i -> struct(element_at(_w, i) AS w1,
+            |   element_at(_w, i + 1) AS w2))""".stripMargin)).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val uni = docs
@@ -1288,11 +1290,14 @@ object TextQueries {
   val q101 = Q("q101_perplexity",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val bi = docs.select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-          | i -> struct(element_at(split(text, ' '), i) AS w1,
-          |   element_at(split(text, ' '), i + 1) AS w2))"""
-          .stripMargin)).as("b"))
+      // materialize the token array ONCE per doc: the transform
+      // lambda otherwise re-runs split() for every element_at
+      val bi = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(_w) - 1),
+            | i -> struct(element_at(_w, i) AS w1,
+            |   element_at(_w, i + 1) AS w2))""".stripMargin)).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val uni = docs
