@@ -36,7 +36,8 @@ object StreamQueries {
     */
   private def runAvailableNow(s: SparkSession,
       out: org.apache.spark.sql.Dataset[_], prefix: String,
-      cleanupDirs: Seq[java.nio.file.Path] = Nil): DataFrame = {
+      cleanupDirs: Seq[java.nio.file.Path] = Nil,
+      outputMode: String = "append"): DataFrame = {
     val name = prefix + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckptDir = java.nio.file.Files
@@ -61,7 +62,7 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", parts)
       try {
         out.writeStream.format("memory").queryName(name)
-          .outputMode("append")
+          .outputMode(outputMode)
           .option("checkpointLocation", ckptDir.toString)
           .trigger(Trigger.AvailableNow())
           .start()
@@ -386,5 +387,30 @@ object StreamQueries {
       | AND epoch_ms(c.ts + INTERVAL 30 MINUTE) < wm
       |ORDER BY user_id, from_id, to_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68, q69, q96)
+  /** COMPLETE-mode rollup — the third emission class (q40 et al. are
+    * append; q96 is a foreachBatch sink): an unwatermarked global
+    * aggregate whose FULL result re-emits every micro-batch, so the
+    * memory sink's final table IS the batch answer — no sealed-window
+    * rule, no watermark arithmetic in the oracle. This is the mode
+    * for small always-current dashboards (state = one row per group,
+    * never evicted — which is exactly why it only works when the
+    * group space is bounded; the append-mode queries carry the
+    * watermark machinery for the unbounded case).
+    */
+  val q107 = Q("q107_stream_complete_rollup",
+    (s, dir) => {
+      val (events, inDir) = eventsStream(s, dir)
+      val rolled = events.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total"))
+      runAvailableNow(s, rolled, "q107_complete", Seq(inDir),
+          outputMode = "complete")
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(value), 2) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
+  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107)
 }

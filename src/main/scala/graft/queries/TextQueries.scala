@@ -1360,9 +1360,65 @@ object TextQueries {
     },
     q91.oracle)
 
+  /** Sketch calibration — measure the estimator you deploy: q43's
+    * minhash estimates joined against the TRUE shingle Jaccard for
+    * the same candidate pairs, per-pair absolute error reported.
+    * The exact side touches only the candidate pairs' shingles (the
+    * pair list broadcasts onto the shingle table — never all-pairs),
+    * so calibration costs one extra shuffle over the candidates, not
+    * the corpus. This is how the 16-hash/4-band dials get justified
+    * with data instead of folklore.
+    */
+  val q108 = Q("q108_estimate_calibration",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val est = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
+        numHashes = 16, numBands = 4)
+      val sh = Dedup.shingleRows(docs, "doc_id", "text", k = 3)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("_n"))
+      val inter = sh.select(col("doc_id").as("a"), col("s"))
+        .join(sh.select(col("doc_id").as("b"), col("s")), "s")
+        .join(broadcast(est.select("a", "b")), Seq("a", "b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("_i"))
+      est
+        .join(inter, Seq("a", "b"), "left")
+        .join(broadcast(sizes.select(col("doc_id").as("a"),
+          col("_n").as("_na"))), "a")
+        .join(broadcast(sizes.select(col("doc_id").as("b"),
+          col("_n").as("_nb"))), "b")
+        .select(col("a"), col("b"), col("est_jaccard"),
+          round(coalesce(col("_i"), lit(0L)).cast("double") /
+            (col("_na") + col("_nb") - coalesce(col("_i"), lit(0L))), 4)
+            .as("true_jaccard"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("true_jaccard")), 4))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $duckMinhashCandCtes,
+      |est AS (SELECT a, b,
+      |  round(CAST($duckEstMatches AS DOUBLE) / 16, 4) AS est_jaccard
+      | FROM cand JOIN sig sa ON sa.doc_id = a
+      |  JOIN sig sb ON sb.doc_id = b),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh
+      | GROUP BY doc_id),
+      |i AS (SELECT x.doc_id AS a, y.doc_id AS b,
+      |  CAST(count(*) AS BIGINT) AS i
+      | FROM sh x JOIN sh y ON x.s = y.s
+      | JOIN est ON x.doc_id = est.a AND y.doc_id = est.b
+      | GROUP BY 1, 2),
+      |j AS (SELECT est.a, est.b, est_jaccard,
+      |  round(CAST(coalesce(i, 0) AS DOUBLE) /
+      |    (za.n + zb.n - coalesce(i, 0)), 4) AS true_jaccard
+      | FROM est LEFT JOIN i ON est.a = i.a AND est.b = i.b
+      |  JOIN sz za ON za.doc_id = est.a
+      |  JOIN sz zb ON zb.doc_id = est.b)
+      |SELECT a, b, est_jaccard, true_jaccard,
+      | round(abs(est_jaccard - true_jaccard), 4) AS abs_err
+      |FROM j ORDER BY a, b""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106)
+      q101, q106, q108)
 }

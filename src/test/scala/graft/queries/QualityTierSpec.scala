@@ -161,6 +161,33 @@ class QualityTierSpec extends SparkSpec {
     assertSameRows(TextQueries.q101.run(spark, dir), expected)
   }
 
+  test("q108 calibration: true jaccard is truth, estimator is unbiased-ish") {
+    // brute-force true jaccard for the candidate pairs at sf0.01
+    // (sf0.001 has no planted near-dups)
+    val d01 = "/root/testdata/sf0.01"
+    val texts = sf("documents", d01).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      t.split(' ').sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val got = TextQueries.q108.run(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, est, tj, err) =>
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val truth = sa.intersect(sb).size.toDouble /
+        sa.union(sb).size
+      assert(r4(truth) == tj, s"($a,$b): $tj vs ${r4(truth)}")
+      assert(r4(math.abs(est - tj)) == err)
+      assert(est >= 0 && est <= 1 && tj >= 0 && tj <= 1)
+    }
+    // 16-hash estimator std ≈ sqrt(j(1−j)/16) ≤ 0.125: the mean
+    // absolute error over candidates must sit well inside it
+    val mean = got.map(_._5).sum / got.length
+    assert(mean <= 0.15, s"mean abs err $mean")
+  }
+
   test("q85 exact column is truth; CMS estimate within the eps bound") {
     val counts = docs.flatMap(_._2.split(' '))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
