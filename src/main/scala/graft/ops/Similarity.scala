@@ -210,10 +210,12 @@ object Similarity {
     * A cluster that captures no vectors simply vanishes from the
     * aggregate (standard Lloyd degeneracy; the oracle mirrors it).
     * Per iteration: one broadcast join + two linear shuffles; the
-    * driver never materializes vectors. At 100 TB you would
-    * checkpoint `cents` between iterations to cut lineage — here the
-    * plan stays lazy (iters is small and the broadcast side is k·d
-    * doubles).
+    * driver never materializes VECTORS — each iteration's k·d-double
+    * centroid table collapses to a local relation
+    * ([[materializeSmall]]), which cuts the lineage the way a
+    * checkpoint would at 100 TB: without the cut, every downstream
+    * consumer (the next iteration, each assignment/distance branch)
+    * re-runs the whole trainer.
     *
     * Emits the trained centroids as (cluster, dim, val) rows with
     * `dim` 1-based — the row shape joins/oracles handle better than
@@ -243,14 +245,29 @@ object Similarity {
         .agg(round(sum("v") / count(lit(1)), 6).as("val"))
       // rebuild the array form: k·d rows in, k rows out — the
       // interpreted `transform` lambda touches only this tiny frame
-      cents = means.groupBy("cid")
+      cents = materializeSmall(means.groupBy("cid")
         .agg(sort_array(collect_list(struct(col("p"), col("val"))))
           .as("_pv"))
         .select(col("cid"),
-          transform(col("_pv"), x => x.getField("val")).as("_ce"))
+          transform(col("_pv"), x => x.getField("val")).as("_ce")))
     }
     cents
   }
+
+  /** Collapse a TINY frame (centroid tables: k·d doubles) to a local
+    * relation. Lazy chains re-execute their lineage once per
+    * consumer — a trainer's centroids feed the next iteration AND
+    * every downstream assignment/distance-table branch, so without a
+    * cut the whole trainer re-runs per branch. `persist()` is the
+    * move when the frame might be large; for k·d doubles the local
+    * relation is strictly better: nothing to unpersist (cache-
+    * hygiene stays trivial, see UnpersistSpec), and downstream
+    * broadcasts read driver-local rows. Values are bit-identical —
+    * collect carries the exact doubles.
+    */
+  private def materializeSmall(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** Incremental index maintenance — the reference's high-water
     * pattern (fetch only what's new) lifted to ANN: train/keep
