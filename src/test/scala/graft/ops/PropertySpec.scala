@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+/** Property-based pins over RANDOM inputs — the fixture specs prove
+  * the operators on the corpus; these prove them on adversarial
+  * shapes (ties, empty sides, single-key pileups) a fixed fixture
+  * can't enumerate. Kept small (Spark round-trips per case are
+  * expensive): few cases, wide generators.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Raw ScalaCheck runner (the scalatest bridge artifact isn't on
+    * the offline classpath): few cases, Spark round-trips are slow.
+    */
+  private def checkProp(p: Prop, cases: Int = 5): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(cases), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // events: (key, time, payload) with DENSE time range so exact ties
+  // across sides and within sides are common
+  private val evGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 9L)
+      p <- Gen.choose(0L, 99L)
+    } yield (k, t, p))
+
+  test("asofJoin == per-row brute force under ties, both directions") {
+    checkProp(Prop.forAllNoShrink(evGen, evGen) { (ls, rs) =>
+      val left = ls.toDF("k", "t", "lp")
+      val right = rs.toDF("k", "t", "rp")
+      // backward: latest right with rt <= lt; ties on (k, t) carry
+      // the LARGEST tiebreak; forward mirrors with smallest
+      def brute(forward: Boolean): Map[(Long, Long, Long), Option[Long]] =
+        ls.map { case (k, t, p) =>
+          val cand = rs.filter(r => r._1 == k &&
+            (if (forward) r._2 >= t else r._2 <= t))
+          val pick =
+            if (cand.isEmpty) None
+            else if (forward)
+              Some(cand.minBy(r => (r._2, r._3))._3)
+            else Some(cand.maxBy(r => (r._2, r._3))._3)
+          (k, t, p) -> pick
+        }.toMap
+      def run(forward: Boolean): Map[(Long, Long, Long), Option[Long]] = {
+        val f = if (forward)
+          AsOf.asofJoinForward(left, right, "k", "t", Seq(col("rp")))
+        else AsOf.asofJoin(left, right, "k", "t", Seq(col("rp")))
+        f.collect().map { r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            Option(r.get(3)).map(_.asInstanceOf[Long])
+        }.toMap
+      }
+      // duplicate LEFT rows collapse to one map key with one answer —
+      // consistent because the join's answer depends only on (k, t)
+      run(forward = false) == brute(forward = false) &&
+        run(forward = true) == brute(forward = true)
+    })
+  }
+
+  test("keepFirst keeps exactly the min-ordered row per key") {
+    checkProp(Prop.forAllNoShrink(evGen) { rows =>
+      val df = rows.toDF("k", "t", "p")
+      val got = Dedup.keepFirst(df, Seq("k"), Seq(col("t"), col("p")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = rows.groupBy(_._1).values
+        .map(g => g.minBy(r => (r._2, r._3))).toSet
+      got == want
+    })
+  }
+
+  test("hash split is a partition: every id in exactly one split") {
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(60, Gen.choose(0L, 1000L))) {
+      ids =>
+        val df = ids.distinct.toDF("id")
+        val s = Sampling.split(df, "id", valPct = 10, testPct = 10)
+          .collect().map(r => r.getLong(0) -> r.getString(1))
+        s.length == ids.distinct.length &&
+          s.forall(x => Set("train", "val", "test").contains(x._2))
+    })
+  }
+}
