@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   *   integer amplitude statistics, header-negotiated format included.
   *   Exercised end-to-end by q86 the same way q52 checks images: the
   *   oracle recomputes the stats from the deterministic source tone.
-  * - remaining kinds (video has no JDK codec) fall back to a
-  *   deterministic byte-fold signature ([[byteFold]]) standing where
-  *   an ffmpeg-style decoder would plug in.
+  * - `kind = "video"` runs a REAL container parse — RIFF/AVI chunk
+  *   walking (pure JVM, the same RIFF family as WAV) with `MPNG`
+  *   (PNG-compressed) frames, each frame decoded through the SAME
+  *   `javax.imageio` path as images. PNG frames are lossless, so
+  *   per-frame pixel statistics are exact and the q109 oracle
+  *   recomputes them from the planted frame formula; fps / dims /
+  *   frame count come from the real `avih` header. (MJPG-fourcc AVIs
+  *   parse through the identical path — ImageIO reads JPEG frames —
+  *   but JPEG's lossy DCT makes planted-formula oracles impossible,
+  *   so the fixture codec is MPNG.)
+  * - kinds with no decoder at all fall back to a deterministic
+  *   byte-fold signature ([[byteFold]]) standing where an external
+  *   (ffmpeg-style) decoder would plug in.
   *
   * At scale the shape is what matters: binary columns ride parquet
   * as-is (no row-group bloat beyond payload bytes), decode runs
@@ -256,10 +266,235 @@ object Multimodal {
         decodeAudioStats(id, bytes) })
   }
 
-  /** Byte-fold signature for kinds without a JDK codec (video):
-    * a deterministic 8-dim fold of the payload, standing where an
-    * external decoder (ffmpeg via JNI, or a Python worker) would plug
-    * in. Pure function of the bytes.
+  // ──────────────────────── video tier ────────────────────────
+
+  final case class VideoFrameStats(id: Long, frame: Int, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Parsed AVI: header metadata + raw per-frame payloads (still
+    * encoded — decode is the caller's move, so metadata-only readers
+    * never pay for pixel decode).
+    */
+  final case class AviVideo(nFrames: Int, fps: Int, width: Int,
+      height: Int, frames: Seq[Array[Byte]])
+
+  /** Frame `f` of video `id` carries the test-card image with
+    * image-id `id · frameStride + f` — THE single definition of the
+    * fixture footage; [[testCardAvi]] and the q109 oracle generator
+    * both read it (the [[channelCoefs]] discipline, one level up).
+    */
+  val frameStride: Long = 100L
+
+  def frameImageId(id: Long, f: Int): Long = id * frameStride + f
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** RIFF chunk: fourcc + LE32 size + payload, padded to even size
+    * (the RIFF alignment rule — readers that skip the pad byte and
+    * writers that emit it must agree, and both live here).
+    */
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if ((payload.length & 1) == 1) Array(0.toByte)
+              else Array.empty[Byte]
+    fcc(id) ++ le32(payload.length) ++ payload ++ pad
+  }
+
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fcc(kind) ++ body)
+
+  /** Deterministic `frames`-frame `w`×`h` AVI for video `id` — a REAL
+    * RIFF/AVI byte stream (`avih` + `strl(strh,strf)` headers, `movi`
+    * frame list, `idx1` index) whose video stream is `MPNG`: each
+    * `00dc` chunk is a whole PNG ([[testCardPng]] of
+    * [[frameImageId]]), so frame decode is lossless and the planted
+    * formula is recoverable exactly. `fps` must divide 1,000,000 (the
+    * `avih` rate field is µs/frame — an exact integer keeps writer
+    * and parser bit-identical on the round trip).
+    */
+  def testCardAvi(id: Long, frames: Int, w: Int, h: Int,
+      fps: Int): Array[Byte] = {
+    require(frames >= 1, "frames >= 1")
+    buildAvi((0 until frames).map(f =>
+      testCardPng(frameImageId(id, f), w, h)), w, h, fps)
+  }
+
+  /** Assemble encoded frame payloads into an AVI byte stream — the
+    * writer half of [[parseAvi]] (shared by the fixture generator and
+    * [[sampleFrames]]'s re-emit).
+    */
+  def buildAvi(pngs: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int): Array[Byte] = {
+    require(pngs.nonEmpty && fps >= 1 && 1000000 % fps == 0,
+      "fps must divide 1e6; at least one frame")
+    val frames = pngs.length
+    val maxLen = pngs.map(_.length).max
+    val avih = Array(
+      1000000 / fps, // dwMicroSecPerFrame
+      0, 0,          // dwMaxBytesPerSec, dwPaddingGranularity
+      0x10,          // dwFlags: AVIF_HASINDEX
+      frames, 0, 1,  // dwTotalFrames, dwInitialFrames, dwStreams
+      maxLen, w, h,  // dwSuggestedBufferSize, dwWidth, dwHeight
+      0, 0, 0, 0     // dwReserved[4]
+    ).flatMap(le32)
+    val strh = fcc("vids") ++ fcc("MPNG") ++ Array(
+      0, 0, 0,       // dwFlags, wPriority+wLanguage, dwInitialFrames
+      1, fps,        // dwScale, dwRate (fps = rate / scale)
+      0, frames,     // dwStart, dwLength (in frames)
+      maxLen, -1, 0  // dwSuggestedBufferSize, dwQuality, dwSampleSize
+    ).flatMap(le32) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h) // rcFrame
+    val strf = Array(
+      40, w, h       // biSize, biWidth, biHeight
+    ).flatMap(le32) ++ le16(1) ++ le16(24) ++ // biPlanes, biBitCount
+      fcc("MPNG") ++ Array(
+      w * h * 3,     // biSizeImage
+      0, 0, 0, 0     // biXPels, biYPels, biClrUsed, biClrImportant
+    ).flatMap(le32)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val moviChunks = pngs.map(p => riffChunk("00dc", p))
+    val movi = riffList("movi", moviChunks.toArray.flatten)
+    // idx1 entries point at each chunk's fourcc, relative to the
+    // 'movi' list-type fourcc (the convention most writers use)
+    val offsets = moviChunks.scanLeft(4)(_ + _.length).init
+    val idx1 = riffChunk("idx1",
+      pngs.indices.flatMap(i => fcc("00dc") ++ le32(0x10) ++
+        le32(offsets(i)) ++ le32(pngs(i).length)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def readLe32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  private def fccAt(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  /** Parse an AVI byte stream: walk the RIFF chunk tree, read fps /
+    * dims / frame count from the `avih` header, collect the encoded
+    * payload of every `##db`/`##dc` frame chunk in the `movi` list.
+    * `None` when the bytes aren't a RIFF/AVI stream or the header is
+    * missing — the undecodable-payload convention of the image/audio
+    * tiers. Pure chunk walking (no pixel decode): safe on payloads of
+    * any codec, including ones ImageIO can't read.
+    */
+  def parseAvi(bytes: Array[Byte]): Option[AviVideo] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (fccAt(bytes, 0) != "RIFF" || fccAt(bytes, 8) != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + readLe32(bytes, 4))
+    var header: Option[(Int, Int, Int, Int)] = None
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(from: Long, to: Long): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fccAt(bytes, p.toInt)
+        val size = readLe32(bytes, p.toInt + 4).toLong & 0xffffffffL
+        val data = p + 8
+        if (data + size > to) return // truncated chunk: stop cleanly
+        if (id == "LIST" && size >= 4) {
+          val kind = fccAt(bytes, data.toInt)
+          if (kind == "hdrl" || kind == "movi" || kind == "strl")
+            walk(data + 4, data + size)
+        } else if (id == "avih" && size >= 40) {
+          val usPerFrame = readLe32(bytes, data.toInt)
+          val fps = if (usPerFrame > 0) 1000000 / usPerFrame else 0
+          header = Some((readLe32(bytes, data.toInt + 16), fps,
+            readLe32(bytes, data.toInt + 32), readLe32(bytes, data.toInt + 36)))
+        } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.substring(2) == "db" || id.substring(2) == "dc")) {
+          frames += java.util.Arrays.copyOfRange(
+            bytes, data.toInt, (data + size).toInt)
+        }
+        p = data + size + (size & 1) // even alignment
+      }
+    }
+    walk(12L, end)
+    header.map { case (n, fps, w, h) =>
+      AviVideo(n, fps, w, h, frames.result())
+    }
+  }
+
+  /** One media row per input id: deterministic AVI payload + typed
+    * metadata (`kind = "video"`). Partition-local encode, zero
+    * shuffle — the video member of the [[syntheticImages]] family.
+    */
+  def syntheticVideos(df: DataFrame, idCol: String, frames: Int, w: Int,
+      h: Int, fps: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val avi = testCardAvi(id, frames, w, h, fps)
+          (id, avi, "video", "avi", avi.length.toLong)
+        }
+      }
+      .toDF("id", "content", "kind", "format", "n_bytes")
+      .select(col("id"), col("content"),
+        struct(col("kind"), col("format"), col("n_bytes")).as("meta"))
+  }
+
+  /** Decode a video payload: RIFF walk ([[parseAvi]]) then the SAME
+    * per-frame ImageIO path as [[decodeImageStats]] — one row of
+    * exact per-channel pixel sums per decodable frame, frame index
+    * preserved. Frames no installed reader recognizes are dropped
+    * (their index gap is the signal).
+    */
+  def decodeVideoFrameStats(id: Long,
+      bytes: Array[Byte]): Seq[VideoFrameStats] =
+    parseAvi(bytes).toSeq.flatMap { v =>
+      v.frames.zipWithIndex.flatMap { case (payload, f) =>
+        decodeImageStats(id, payload).map(s =>
+          VideoFrameStats(id, f, s.width, s.height,
+            s.sum_r, s.sum_g, s.sum_b))
+      }
+    }
+
+  /** Real-codec decode over a video media frame: container walk +
+    * per-frame ImageIO, partition-local (zero shuffle), one output
+    * row per frame — the video twin of [[imageStats]]/[[audioStats]].
+    */
+  def videoFrameStats(media: DataFrame): Dataset[VideoFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) => decodeVideoFrameStats(id, bytes) }
+      }
+  }
+
+  /** Video feature vector from a real parse: [n_frames, fps, w, h,
+    * mean r/g/b over all decoded frames] — 7 dims. Falls back to
+    * [[byteFold]] when the bytes aren't an AVI or no frame decodes.
+    */
+  def videoFeatures(id: Long, bytes: Array[Byte]): Array[Float] = {
+    val stats = decodeVideoFrameStats(id, bytes)
+    if (stats.isEmpty) return byteFold(bytes)
+    val px = stats.map(s => s.width.toLong * s.height).sum.toDouble
+    val meta = parseAvi(bytes).get
+    Array(stats.length.toFloat, meta.fps.toFloat,
+      meta.width.toFloat, meta.height.toFloat,
+      (stats.map(_.sum_r).sum / px).toFloat,
+      (stats.map(_.sum_g).sum / px).toFloat,
+      (stats.map(_.sum_b).sum / px).toFloat)
+  }
+
+  /** Byte-fold signature for kinds with no decoder at all — the
+    * documented FALLBACK tier (image/audio/video all decode for
+    * real above): a deterministic 8-dim fold of the payload,
+    * standing where an external decoder (ffmpeg via JNI, or a
+    * Python worker) would plug in. Pure function of the bytes.
     */
   def byteFold(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Long](8)
@@ -318,8 +553,9 @@ object Multimodal {
 
   /** Batched decode + featurize over partitions (the `mapInPandas`
     * shape, JVM-side): one iterator pass per partition, no shuffle,
-    * fixed-width output schema. Kind-dispatched: images and audio
-    * decode through their real codecs, everything else byte-folds.
+    * fixed-width output schema. Kind-dispatched: images, audio and
+    * video decode through their real codecs, everything else
+    * byte-folds.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -332,6 +568,7 @@ object Multimodal {
           val f =
             if (r.kind == "image") imageFeatures(r.content)
             else if (r.kind == "audio") audioFeatures(r.id, r.content)
+            else if (r.kind == "video") videoFeatures(r.id, r.content)
             else byteFold(r.content)
           MediaFeatures(
             id = r.id,
@@ -363,9 +600,35 @@ object Multimodal {
       .toDF("id", "content")
   }
 
+  /** REAL frame decimation over video payloads: parse the AVI, keep
+    * every `k`-th frame, re-emit a valid AVI (same dims, fps scaled
+    * down by `k` when it stays integral, else kept) — variable-size
+    * binary in, binary out, zero shuffle, partition-local. Non-AVI
+    * payloads pass through untouched (the kind-dispatch convention).
+    */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = parseAvi(bytes) match {
+          case Some(v) if v.frames.nonEmpty =>
+            val kept = v.frames.grouped(k).map(_.head).toSeq
+            val fps = if (v.fps % k == 0 && v.fps / k >= 1 &&
+              1000000 % (v.fps / k) == 0) v.fps / k else v.fps
+            buildAvi(kept, v.width, v.height, fps)
+          case _ => bytes
+        }
+        (id, out)
+      })
+      .toDF("id", "content")
+  }
+
   /** Frame/sample decimation stub: keep every k-th byte (a real
-    * implementation samples frames from video / windows from audio).
-    * Stays a binary column; zero shuffle, partition-local.
+    * implementation samples frames from video / windows from audio —
+    * see [[sampleFrames]] for the real video path). Stays a binary
+    * column; zero shuffle, partition-local.
     */
   def sampleBytes(media: DataFrame, k: Int): DataFrame = {
     val spark = media.sparkSession

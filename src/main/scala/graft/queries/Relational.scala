@@ -947,7 +947,11 @@ object Relational {
     * row via conditional MIN aggregates (one shuffle), the ordering
     * constraint is a projection, stage counts are a tiny rollup.
     * The `n_users` column is monotonically non-increasing by
-    * construction — the funnel invariant, spec-asserted.
+    * construction — the funnel invariant, spec-asserted. Stage counts
+    * left-join a static 3-row stage spine so a stage no user reaches
+    * still emits its zero row (the oracle's UNION ALL shape); the
+    * per-depth rollup happens BEFORE the spine join, so the join is a
+    * broadcast of at most 4 rows, not a per-user cross product.
     */
   val q104 = Q("q104_funnel",
     (s, dir) => {
@@ -964,14 +968,15 @@ object Relational {
           "left")
         .groupBy("user_id", "t1", "t2")
         .agg(min(when(col("_tp") > col("t2"), col("_tp"))).as("t3"))
-      stages.select(
+      val byDepth = stages.select(
           when(col("t3").isNotNull, 3)
             .when(col("t2").isNotNull, 2)
             .when(col("t1").isNotNull, 1).otherwise(0).as("_depth"))
-        .crossJoin(
-          s.range(1, 4).select(col("id").cast("int").as("stage")))
-        .filter(col("_depth") >= col("stage"))
-        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .groupBy("_depth").agg(count(lit(1)).as("_c"))
+      s.range(1, 4).select(col("id").cast("int").as("stage"))
+        .join(broadcast(byDepth), col("_depth") >= col("stage"), "left")
+        .groupBy("stage")
+        .agg(coalesce(sum("_c"), lit(0L)).as("n_users"))
         .orderBy("stage")
     },
     Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -689,6 +689,48 @@ object SimilarityQueries {
       |FROM embeddings JOIN asg USING (vec_id)
       |GROUP BY label, pred ORDER BY label, pred""".stripMargin))
 
+  private val VidW = 8
+  private val VidH = 8
+  private val VidFrames = 3
+  private val VidFps = 10
+
+  /** Real VIDEO decode — the q52/q86 pattern for the third media
+    * kind: deterministic test-card footage encodes to real RIFF/AVI
+    * byte streams with MPNG (PNG) frames
+    * ([[graft.ops.Multimodal.testCardAvi]], JDK-only), the decode
+    * walks the container chunks and runs each frame through the SAME
+    * ImageIO path as q52, emitting one row of exact per-channel pixel
+    * sums PER FRAME. The oracle recomputes the sums from the planted
+    * frame formula (frame f of video id = test card
+    * id·frameStride + f, shared constants), so a hash match proves
+    * container walk + per-frame codec recovered every pixel of every
+    * frame. Encode and decode are partition-local with zero shuffle.
+    */
+  val q109 = Q("q109_video_decode",
+    (s, dir) => {
+      val media = graft.ops.Multimodal.syntheticVideos(
+        table(s, dir, "documents"), "doc_id", VidFrames, VidW, VidH,
+        VidFps)
+      graft.ops.Multimodal.videoFrameStats(media).toDF()
+        .orderBy("id", "frame")
+    }, {
+      val stride = graft.ops.Multimodal.frameStride
+      val sums = Seq("r", "g", "b")
+        .zip(graft.ops.Multimodal.channelCoefs).map {
+          case (ch, (ic, xc, yc, off)) =>
+            s"CAST(sum(($ic * (doc_id * $stride + f) + $xc * x + $yc * y + $off) % 256) AS BIGINT) AS sum_$ch"
+        }.mkString(", ")
+      Some(s"""SELECT id, frame, width, height, sum_r, sum_g, sum_b
+        |FROM (SELECT doc_id AS id, CAST(f AS INT) AS frame,
+        |  $VidW AS width, $VidH AS height, $sums
+        | FROM documents
+        |  CROSS JOIN range(0, $VidFrames) AS rf(f)
+        |  CROSS JOIN range(0, $VidW) AS rx(x)
+        |  CROSS JOIN range(0, $VidH) AS ry(y)
+        | GROUP BY doc_id, f)
+        |ORDER BY id, frame""".stripMargin)
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67, q84, q86, q90, q102)
+    q57, q62, q64, q65, q67, q84, q86, q90, q102, q109)
 }

@@ -1135,10 +1135,14 @@ object TextQueries {
   /** Bigram PMI collocations — the corpus-statistics operator behind
     * phrase mining and tokenizer-merge candidates: for every adjacent
     * word pair seen ≥ 5 times, pmi = ln(p(w1w2) / (p(w1)·p(w2))),
-    * computed as one double division of exact BIGINT products so both
-    * engines feed `ln` the same literal (then round to 6 — the
-    * battery's ln discipline, q74/q75 precedent). Bigrams explode
-    * per document (no cross-doc pairs); unigram and total counts are
+    * computed as a SUM OF LOGS — ln(c2) + 2·ln(n1) − ln(n2) − ln(c1a)
+    * − ln(c1b), left-associated identically in both engines — then
+    * round to 6 (the battery's ln discipline, q74/q75 precedent). The
+    * log-space form matters at corpus scale: the naive c2·n1·n1
+    * BIGINT product overflows Long past n1 ≈ 3e9 tokens, where Spark
+    * (non-ANSI) wraps silently and DuckDB errors; each log operand
+    * here stays an exact BIGINT count. Bigrams explode per document
+    * (no cross-doc pairs); unigram and total counts are
     * vocabulary-sized broadcasts; ranking uses the ROUNDED pmi with
     * (w1, w2) tiebreak.
     */
@@ -1158,9 +1162,9 @@ object TextQueries {
         .groupBy("w").agg(count(lit(1)).as("c1"))
       val n1 = uni.agg(sum("c1").as("_n1"))
       val n2 = c2.agg(sum("c2").as("_n2"))
-      val pmi = round(log(
-        (col("c2") * col("_n1") * col("_n1")).cast("double") /
-          (col("_n2") * col("a.c1") * col("b.c1"))), 6)
+      val pmi = round(
+        log(col("c2")) + lit(2.0) * log(col("_n1")) - log(col("_n2")) -
+          log(col("a.c1")) - log(col("b.c1")), 6)
       c2.filter(col("c2") >= 5)
         .join(broadcast(uni.as("a")), col("w1") === col("a.w"))
         .join(broadcast(uni.as("b")), col("w2") === col("b.w"))
@@ -1182,7 +1186,7 @@ object TextQueries {
       |n1 AS (SELECT sum(c1) AS n1 FROM c1),
       |n2 AS (SELECT sum(c2) AS n2 FROM c2)
       |SELECT w1, w2, c2,
-      | round(ln(CAST(c2 * n1 * n1 AS DOUBLE) / (n2 * a.c1 * b.c1)), 6)
+      | round(ln(c2) + 2.0 * ln(n1) - ln(n2) - ln(a.c1) - ln(b.c1), 6)
       |   AS pmi
       |FROM c2 JOIN c1 a ON w1 = a.tok JOIN c1 b ON w2 = b.tok, n1, n2
       |WHERE c2 >= 5

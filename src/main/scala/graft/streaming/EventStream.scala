@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -175,31 +176,50 @@ object EventStream {
     * history read back from columnar parquet (never held on the
     * driver).
     *
-    * Duplicate rows here are exact duplicates (same key ⇒ same
-    * payload), so `dropDuplicates(keys)`' keep-any is deterministic
-    * in VALUE; a changing-payload upsert would order by a version
-    * column first ([[graft.ops.Dedup.keepFirst]] shape).
+    * Keep-FIRST semantics, matching the reference's `unique_stable`:
+    * when a key recurs, the HISTORY row wins over the batch row (and
+    * within the batch, ties resolve by the key columns themselves via
+    * [[graft.ops.Dedup.keepFirst]] on an origin-precedence column), so
+    * a re-delivered key with a changed payload never silently rewrites
+    * settled history — deterministic in VALUE even without the
+    * exact-duplicate assumption.
+    *
+    * Version directories resolve through the Hadoop [[FileSystem]] of
+    * `dir`'s scheme (not `java.io.File`), so the sink works unchanged
+    * against HDFS/S3 paths instead of silently seeing no history and
+    * rebuilding from the batch alone.
     */
   def mergeBatch(batch: DataFrame, batchId: Long, dir: String,
       keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
+    val fs = hadoopFs(spark, dir)
     val prev = (batchId - 1 to 0L by -1).iterator
-      .map(i => new java.io.File(s"$dir/v$i"))
-      .find(_.exists())
-    val hist = prev.map(p => spark.read.parquet(p.getPath))
-    val merged = hist.map(_.unionByName(batch)).getOrElse(batch)
-      .dropDuplicates(keys)
-    merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+      .map(i => new HPath(s"$dir/v$i"))
+      .find(fs.exists)
+    val tagged = batch.withColumn("_origin", lit(1))
+    val merged = prev
+      .map(p => spark.read.parquet(p.toString)
+        .withColumn("_origin", lit(0)).unionByName(tagged))
+      .getOrElse(tagged)
+    graft.ops.Dedup.keepFirst(merged, keys,
+        col("_origin").asc +: keys.map(k => col(k).asc))
+      .drop("_origin")
+      .write.mode("overwrite").parquet(s"$dir/v$batchId")
   }
 
   /** Latest history version written by [[mergeBatch]] under `dir`. */
   def latestHistory(spark: SparkSession, dir: String): DataFrame = {
-    val vs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .map(_.getName.drop(1).toLong)
+    val fs = hadoopFs(spark, dir)
+    val base = new HPath(dir)
+    val vs = (if (fs.exists(base)) fs.listStatus(base).toSeq else Nil)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .map(_.getPath.getName.drop(1).toLong)
     require(vs.nonEmpty, s"no history versions under $dir")
     spark.read.parquet(s"$dir/v${vs.max}")
   }
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   def dedupeStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events

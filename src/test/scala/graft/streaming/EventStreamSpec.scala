@@ -249,6 +249,12 @@ class EventStreamSpec extends SparkSpec {
       EventStream.mergeBatch(b1, 1L, dir, Seq("id"))
       assert(latest == Set((1L, "a"), (2L, "b"), (3L, "c")))
       assert(spark.read.parquet(s"$dir/v1").count() == 3)
+      // keep-first: a re-delivered key with a CHANGED payload does not
+      // rewrite settled history — the history row wins
+      val b2 = Seq((1L, "a-CHANGED"), (4L, "d")).toDF("id", "v")
+      EventStream.mergeBatch(b2, 2L, dir, Seq("id"))
+      assert(latest ==
+        Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
