@@ -205,18 +205,42 @@ object Dedup {
       .drop("_b")
   }
 
+  /** Drop band rows whose (band_idx, band_hash) bucket exceeds
+    * `maxBucketSize` — the skew guard on the LSH bucket join, one
+    * level up from [[ngramJaccardPairs]]'s `maxDocFreq`: a
+    * pathological band value shared by n docs contributes O(n²) join
+    * rows, and on real corpora such hot buckets are boilerplate
+    * (empty/templated documents), not near-dup signal. Capped buckets
+    * leave candidate GENERATION only, and a true near-dup pair
+    * colliding in several bands survives via its cooler buckets — the
+    * approximation is conservative (never invents a pair). The bucket
+    * size rides a window over the SAME (band_idx, band_hash)
+    * partitioning the join shuffles on, so the guard adds no
+    * exchange.
+    */
+  private def capBuckets(bands: DataFrame, maxBucketSize: Long): DataFrame =
+    if (maxBucketSize == Long.MaxValue) bands
+    else {
+      val w = Window.partitionBy("band_idx", "band_hash")
+      bands.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
+    }
+
   /** Score every bucket-colliding (x, y) pair as the fraction of
     * equal signature components, from two [[sigBandRows]] frames.
     * `pairCond` restricts the pairing (`<` for within-corpus each-
     * pair-once, none for new-vs-store matching). One row per distinct
     * pair (a pair may collide on several bands — scored once).
+    * `maxBucketSize` bounds each side's bucket fan-in ([[capBuckets]]).
     */
   private def scoreBandPairs(x: DataFrame, y: DataFrame, idCol: String,
-      numHashes: Int, pairCond: (Column, Column) => Column): DataFrame = {
+      numHashes: Int, pairCond: (Column, Column) => Column,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val matches = (0 until numHashes)
       .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    x.as("x").join(y.as("y"),
+    capBuckets(x, maxBucketSize).as("x")
+      .join(capBuckets(y, maxBucketSize).as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           pairCond(col(s"x.$idCol"), col(s"y.$idCol")))
@@ -236,11 +260,12 @@ object Dedup {
     * text again.
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+      numHashes: Int = 16, numBands: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val bands = sigBandRows(
       minhashSignatures(df, idCol, textCol, numHashes),
       idCol, numHashes, numBands)
-    scoreBandPairs(bands, bands, idCol, numHashes, _ < _)
+    scoreBandPairs(bands, bands, idCol, numHashes, _ < _, maxBucketSize)
   }
 
   /** 32-bit SimHash over whitespace tokens: per token, a 32-bit hash
@@ -557,20 +582,21 @@ object Dedup {
     */
   def incrementalDecisions(newDocs: DataFrame, sigStore: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 16,
-      numBands: Int = 4, minEst: Double = 0.5): DataFrame = {
+      numBands: Int = 4, minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val newBands = sigBandRows(
       minhashSignatures(newDocs, idCol, textCol, numHashes),
       idCol, numHashes, numBands)
     val storeBands = sigBandRows(sigStore, idCol, numHashes, numBands)
     // history matches: any store doc scoring over the cut
     val histDup = scoreBandPairs(newBands, storeBands, idCol, numHashes,
-        (_, _) => lit(true))
+        (_, _) => lit(true), maxBucketSize)
       .filter(col("est_jaccard") >= minEst)
       .select(col("a").as(idCol)).distinct()
       .withColumn("_hist", lit(1))
     // within-batch clusters over the same scored-pair machinery
     val batchPairs = scoreBandPairs(newBands, newBands, idCol, numHashes,
-        _ < _)
+        _ < _, maxBucketSize)
       .filter(col("est_jaccard") >= minEst)
     val cl = clusters(batchPairs, "a", "b")
       .select(col("id").as(idCol), col("cluster"))
@@ -593,10 +619,11 @@ object Dedup {
     */
   def dedupIncremental(newDocs: DataFrame, sigStore: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 16,
-      numBands: Int = 4, minEst: Double = 0.5)
+      numBands: Int = 4, minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue)
       : (DataFrame, DataFrame) = {
     val kept = incrementalDecisions(newDocs, sigStore, idCol, textCol,
-        numHashes, numBands, minEst)
+        numHashes, numBands, minEst, maxBucketSize)
       .filter(col("status") === "kept").select(col(idCol))
     val survivors = newDocs.join(kept, Seq(idCol), "left_semi")
     val updatedStore = sigStore.unionByName(

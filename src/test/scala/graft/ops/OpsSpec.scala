@@ -65,6 +65,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("maxBucketSize bounds the LSH pair blowup from a planted hot bucket") {
+    // 40 byte-identical docs (one band value shared by all 40 → a
+    // 40-deep bucket in EVERY band) + one planted near-dup pair with
+    // distinct text. Uncapped, the hot bucket alone contributes
+    // C(40,2) = 780 candidate pairs.
+    val boiler = (0L until 40L).map(i => (i, "the same boilerplate row " * 8))
+    val a = (1 to 60).map(i => s"word$i").mkString(" ")
+    val hot = (boiler ++ Seq((100L, a), (101L, a + " iota")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashEstimatePairs(hot, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 780 + 1)
+    val capped = Dedup.minhashEstimatePairs(hot, "doc_id", "text",
+        maxBucketSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot bucket is gone (bounded pair count), the planted pair
+    // survives via its own 2-deep buckets — conservative, never invents
+    assert(capped.contains((100L, 101L)), s"planted pair lost: $capped")
+    assert(capped.size <= 40, s"cap did not bound pairs: ${capped.size}")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("simhash mapPartitions kernel matches the column-expression simhash32") {
     val viaCols = docs
       .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
