@@ -66,6 +66,59 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // right rows (k, t, rp1: NULLABLE, rp2) — rp1 null on ~a third of
+  // rows, so the matched row frequently holds a null field while an
+  // OLDER (or newer, forward) row holds a value: the exact shape
+  // where per-column last-non-null would mix fields across rows
+  private val evNullGen: Gen[List[(Long, Long, Option[Long], Long)]] =
+    Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 9L)
+      p1 <- Gen.option(Gen.choose(0L, 99L))
+    } yield (k, t, p1, 0L))
+      // rp2 = row index: the tiebreak must be TOTAL or the carried
+      // row is genuinely ambiguous (not a defect, just unordered)
+      .map(_.zipWithIndex.map { case ((k, t, p1, _), i) =>
+        (k, t, p1, i.toLong)
+      })
+
+  test("struct-atomic carry: null payload fields never mix rows, both directions") {
+    checkProp(Prop.forAllNoShrink(evGen, evNullGen) { (ls, rs) =>
+      val left = ls.toDF("k", "t", "lp")
+      val right = rs.toDF("k", "t", "rp1", "rp2")
+      // the matched row is chosen by (t, rp2) — its rp1 must arrive
+      // AS IS (null included), never backfilled from another row
+      def brute(forward: Boolean)
+          : Map[(Long, Long, Long), Option[(Option[Long], Long)]] =
+        ls.map { case (k, t, p) =>
+          val cand = rs.filter(r => r._1 == k &&
+            (if (forward) r._2 >= t else r._2 <= t))
+          val pick =
+            if (cand.isEmpty) None
+            else if (forward) Some(cand.minBy(r => (r._2, r._4)))
+            else Some(cand.maxBy(r => (r._2, r._4)))
+          (k, t, p) -> pick.map(r => (r._3, r._4))
+        }.toMap
+      // keyed on rp2 presence: a matched row with null rp1 yields
+      // (None, rp2), an unmatched left row yields None overall
+      def run(forward: Boolean)
+          : Map[(Long, Long, Long), Option[(Option[Long], Long)]] = {
+        val f = if (forward)
+          AsOf.asofJoinForward(left, right, "k", "t", Seq(col("rp2")))
+        else AsOf.asofJoin(left, right, "k", "t", Seq(col("rp2")))
+        f.collect().map { r =>
+          val matched = !r.isNullAt(4) // rp2 is non-null on every right row
+          (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            (if (!matched) None
+             else Some((Option(r.get(3)).map(_.asInstanceOf[Long]),
+               r.getLong(4))))
+        }.toMap
+      }
+      run(forward = false) == brute(forward = false) &&
+        run(forward = true) == brute(forward = true)
+    })
+  }
+
   test("keepFirst keeps exactly the min-ordered row per key") {
     checkProp(Prop.forAllNoShrink(evGen) { rows =>
       val df = rows.toDF("k", "t", "p")

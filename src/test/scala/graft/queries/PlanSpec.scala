@@ -166,4 +166,22 @@ class PlanSpec extends SparkSpec {
     // close) all partition by (user_id, ts-order): one exchange
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
+
+  test("q103: user join broadcasts; ONE shuffle feeds the credit window") {
+    val p = plan(Relational.q103).split("== Initial Plan ==").head
+    // clicks broadcast onto purchases (no fact-side shuffle for the
+    // join); the only hash exchange is the per-purchase count window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q105: cohort join broadcasts; 3-shuffle ceiling holds") {
+    val p = plan(Relational.q105).split("== Initial Plan ==").head
+    // tiny per-user cohort frame broadcasts back onto events; the
+    // hash exchanges are exactly: cohort min-agg, the distinct-user
+    // pre-aggregate, and the final (c_day, day_offset) count
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
+  }
 }
