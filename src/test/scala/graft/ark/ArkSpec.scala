@@ -32,6 +32,19 @@ class ArkSpec extends SparkSpec {
       ark.df.orderBy("ticker").collect().toSeq)
   }
 
+  test("LiveSmoke contract checks pass on the fixture payload (offline)") {
+    // the live main is flag-gated and never runs in CI; this pins its
+    // ASSERTIONS to the fixture JSON so contract drift in the format
+    // layer (renames, dtype changes) still fails the build offline
+    val raw = Ark.getApi(spark, Ticker.ARKK,
+      Some(java.time.LocalDate.of(2024, 3, 15)),
+      Source.ApiIncremental, (_: String) => jsonDay2)
+    val results = LiveSmoke.checkContract(raw)
+    results.foreach { case (what, ok, detail) =>
+      assert(ok, s"$what: $detail")
+    }
+  }
+
   test("Source.Read without a file throws the reference's error") {
     val e = intercept[IllegalStateException] {
       Ark(spark, Source.Read, Ticker.ARKQ, Some(tmpRoot()))
