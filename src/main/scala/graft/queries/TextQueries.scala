@@ -1420,9 +1420,104 @@ object TextQueries {
       | round(abs(est_jaccard - true_jaccard), 4) AS abs_err
       |FROM j ORDER BY a, b""".stripMargin))
 
+  private val BloomM = 8192
+  private val BloomK = 3
+
+  /** Bloom-filter pre-dedup ([[graft.ops.Bloom]]): build the bit set
+    * of the src0/src2 corpus's texts, probe EVERY document map-side
+    * against the broadcast bitmap. `member = false` rows are
+    * guaranteed-new (no false negatives — spec-asserted); the true
+    * hits + false-positive tail fall through to the exact check. At
+    * 100 TB this replaces a per-batch corpus-wide anti-join with a
+    * few-KB broadcast. The oracle rebuilds the SAME bitmap (32-bit
+    * words in BIGINT, md5-slice positions — every value positive, so
+    * no shift/sign dialect edge) and re-derives every decision.
+    */
+  val q110 = Q("q110_bloom_prefilter",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bloom = graft.ops.Bloom.build(
+        docs.filter(col("source") =!= "src1").select("text"),
+        "text", BloomM, BloomK)
+      graft.ops.Bloom.probe(docs, Seq("doc_id"), "text", bloom,
+          BloomM, BloomK)
+        .orderBy("doc_id")
+    }, {
+      def pos(src: String) =
+        (0 until BloomK).map(j =>
+          s"""SELECT ${if (src == "corpus") "" else "doc_id, "}
+             | (CAST('0x' || substr(md5(text), ${1 + 8 * j}, 8) AS BIGINT)
+             |   % $BloomM) AS pos FROM $src"""
+            .stripMargin.replaceAll("\\s*\n\\s*", " "))
+          .mkString(" UNION ALL ")
+      Some(s"""WITH corpus AS (SELECT text FROM documents
+        |       WHERE source <> 'src1'),
+        |cpos AS (SELECT DISTINCT pos FROM (${pos("corpus")})),
+        |words AS (SELECT pos >> 5 AS word,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        | FROM cpos GROUP BY 1),
+        |probe AS (${pos("documents")}),
+        |hits AS (SELECT p.doc_id,
+        |  CASE WHEN w.bits IS NULL THEN FALSE
+        |   ELSE ((w.bits >> CAST(p.pos % 32 AS INT)) & 1) = 1 END AS hit
+        | FROM probe p LEFT JOIN words w ON (p.pos >> 5) = w.word)
+        |SELECT doc_id, bool_and(hit) AS member
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    })
+
+  /** C4-style filter DECISIONS — the curation operator that actually
+    * drops documents (q21/q83 score and report; this one decides):
+    * ordered rule chain, `keep` iff all pass, `reason` = FIRST
+    * failing rule (deterministic triage for the drop log). Rules are
+    * exact-integer comparisons (token counts, distinct counts, one
+    * max-frequency rollup), so no float discipline is needed; the
+    * repetition rule's per-token max rides two partial-aggregated
+    * shuffles and everything else is a projection.
+    */
+  val q111 = Q("q111_c4_filter",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tk"))
+      val rep = tok.groupBy("doc_id", "tk")
+        .agg(count(lit(1)).as("_c"))
+        .groupBy("doc_id")
+        .agg(max(col("_c")).as("max_tok"),
+          sum(col("_c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"))
+      // ordered rule chain: (name, pass-predicate)
+      val rules = Seq(
+        "too_short" -> (col("n_tokens") >= 20),
+        "low_diversity" ->
+          (col("n_distinct") * 10 >= col("n_tokens")),
+        "too_repetitive" ->
+          (col("max_tok") * 5 <= col("n_tokens")))
+      val keep = rules.map(_._2).reduce(_ && _)
+      val reason = coalesce(rules.map { case (n, p) =>
+        when(!p, lit(n)) } :+ lit(null).cast("string"): _*)
+      rep.select(col("doc_id"), col("n_tokens"),
+          keep.as("keep"), reason.as("reason"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+      |  unnest(string_split(text, ' ')) AS tk FROM documents),
+      |tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, max(c) AS max_tok,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_distinct
+      | FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      | (n_tokens >= 20 AND n_distinct * 10 >= n_tokens
+      |   AND max_tok * 5 <= n_tokens) AS keep,
+      | CASE WHEN NOT n_tokens >= 20 THEN 'too_short'
+      |  WHEN NOT n_distinct * 10 >= n_tokens THEN 'low_diversity'
+      |  WHEN NOT max_tok * 5 <= n_tokens THEN 'too_repetitive'
+      |  ELSE NULL END AS reason
+      |FROM rep ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106, q108)
+      q101, q106, q108, q110, q111)
 }

@@ -11,23 +11,36 @@ import org.apache.spark.sql.functions._
   */
 class LayoutSpec extends SparkSpec {
 
-  private def morton(x: Int, y: Int, bits: Int): Int =
+  private def morton(x: Long, y: Long, bits: Int): Long =
     (0 until bits).map { i =>
       (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
     }.sum
 
   test("zValue matches a plain-Scala Morton encode over the full grid") {
     import spark.implicits._
+    // output is LONG (inputs promote so bit positions past 31 fit)
     val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x, y)
     val got = pts.toDF("x", "y")
       .withColumn("z", Layout.zValue(col("x"), col("y"), 8))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     got.foreach { case (x, y, z) => assert(z == morton(x, y, 8)) }
     // and the SQL rendering agrees with itself (same generator)
     val sql = Layout.zValueSql("x", "y", 8)
     val viaSql = pts.toDF("x", "y").selectExpr("x", "y", s"($sql) AS z")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     viaSql.foreach { case (x, y, z) => assert(z == morton(x, y, 8)) }
+  }
+
+  test("zValue agrees with the Scala encode at bits = 31 (long range)") {
+    import spark.implicits._
+    // bit positions reach 61: the pre-fix int math wrapped here
+    val pts = Seq((0x7fffffff, 0x7fffffff), (0x40000001, 0x20000003),
+      (123456789, 987654321)).toDF("x", "y")
+      .withColumn("z", Layout.zValue(col("x"), col("y"), 31))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    pts.foreach { case (x, y, z) =>
+      assert(z == morton(x.toLong, y.toLong, 31), s"($x, $y)")
+    }
   }
 
   test("z is a bijection on the grid (no two points share a z)") {
