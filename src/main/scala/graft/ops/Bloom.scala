@@ -45,6 +45,15 @@ object Bloom {
           .as("_bit"))
       .groupBy("word").agg(bit_or(col("_bit")).as("bits"))
 
+  /** Union two [[build]] bitmaps — the incremental-maintenance move:
+    * yesterday's corpus filter ∪ today's batch filter, without
+    * re-hashing the corpus (same m and k on both sides, the caller's
+    * contract). Bitwise OR distributes over the word rows, so the
+    * merge is one tiny groupBy over ≤ 2·m/32 rows.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("word").agg(bit_or(col("bits")).as("bits"))
+
   /** Probe `probes(keyCol)` against a [[build]] bitmap: one row per
     * input row, `member = true` iff ALL k bits are set. `idCols`
     * ride along (the probe frame's identity). The bitmap broadcasts —

@@ -36,6 +36,17 @@ class BloomSpec extends SparkSpec {
     assert(fp > 0, "suspiciously perfect — probe path likely broken")
   }
 
+  test("merge(A,B) answers like build(A ++ B) — incremental maintenance") {
+    val a = (0 until 100).map(i => s"a-$i").toDF("key")
+    val b = (0 until 100).map(i => s"b-$i").toDF("key")
+    val merged = Bloom.merge(Bloom.build(a, "key", m, k),
+      Bloom.build(b, "key", m, k))
+    val direct = Bloom.build(a.unionByName(b), "key", m, k)
+    // the bitmaps themselves are identical, not just the decisions
+    assert(merged.orderBy("word").collect().toSeq ==
+      direct.orderBy("word").collect().toSeq)
+  }
+
   test("bitmap is at most m/32 rows regardless of corpus size") {
     val corpus = (0 until 5000).map(i => s"key-$i").toDF("key")
     val rows = Bloom.build(corpus, "key", m, k).collect()
