@@ -580,12 +580,54 @@ object Multimodal {
       }
   }
 
-  /** Resize stub: normalize every payload to exactly `size` bytes —
-    * truncate long payloads, zero-pad short ones (a real
-    * implementation rescales pixel grids; the Spark-side contract is
-    * the same: variable-size binary in, fixed-size binary out, so
-    * downstream batch kernels can assume uniform shape). Zero shuffle,
-    * partition-local.
+  /** REAL image resize: decode (ImageIO), nearest-neighbor resample
+    * onto a `dw`×`dh` grid — dst (x, y) reads src (⌊x·sw/dw⌋,
+    * ⌊y·sh/dh⌋), the integer-exact resampling mode — and re-encode
+    * as PNG. A full decode → transform → encode roundtrip through
+    * real codecs, so q112 can oracle the RESIZED pixel sums from the
+    * planted formula evaluated at the source coordinates. Non-image
+    * payloads pass through untouched (the kind-dispatch convention).
+    * Zero shuffle, partition-local.
+    */
+  def resizeImages(media: DataFrame, dw: Int, dh: Int): DataFrame = {
+    require(dw >= 1 && dh >= 1, "target dims >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val src = if (bytes == null) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+          val out = if (src == null) bytes else {
+            val dst = new java.awt.image.BufferedImage(
+              dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val (sw, sh) = (src.getWidth, src.getHeight)
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                dst.setRGB(x, y,
+                  src.getRGB(x * sw / dw, y * sh / dh))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          }
+          (id, out)
+        }
+      }
+      .toDF("id", "content")
+  }
+
+  /** Byte-normalization stub: pad/truncate every payload to exactly
+    * `size` bytes — the fixed-width contract downstream batch kernels
+    * assume; [[resizeImages]] is the real pixel-grid resize. Zero
+    * shuffle, partition-local.
     */
   def resizeBytes(media: DataFrame, size: Int): DataFrame = {
     val spark = media.sparkSession

@@ -731,6 +731,43 @@ object SimilarityQueries {
         |ORDER BY id, frame""".stripMargin)
     })
 
+  private val RszSrcW = 8
+  private val RszSrcH = 8
+  private val RszDstW = 3
+  private val RszDstH = 5
+
+  /** REAL image resize roundtrip — decode → nearest-neighbor
+    * resample (dst (x,y) reads src (⌊x·sw/dw⌋, ⌊y·sh/dh⌋)) →
+    * re-encode PNG → decode again for stats. The oracle evaluates the
+    * planted test-card formula AT THE SOURCE COORDINATES of each
+    * destination pixel, so a hash match proves the whole
+    * decode/transform/encode/decode chain is pixel-exact — closing
+    * the "resize is a byte stub" gap the same way q109 closed video
+    * (resizeBytes remains as the byte-normalization contract for
+    * non-pixel payloads).
+    */
+  val q112 = Q("q112_image_resize",
+    (s, dir) => {
+      val media = graft.ops.Multimodal.syntheticImages(
+        table(s, dir, "documents"), "doc_id", RszSrcW, RszSrcH)
+      val resized = graft.ops.Multimodal.resizeImages(
+        media, RszDstW, RszDstH)
+      graft.ops.Multimodal.imageStats(resized).toDF()
+        .orderBy("id")
+    }, {
+      val sums = Seq("r", "g", "b")
+        .zip(graft.ops.Multimodal.channelCoefs).map {
+          case (ch, (ic, xc, yc, off)) =>
+            s"CAST(sum(($ic * doc_id + $xc * ((x * $RszSrcW) // $RszDstW) + $yc * ((y * $RszSrcH) // $RszDstH) + $off) % 256) AS BIGINT) AS sum_$ch"
+        }.mkString(", ")
+      Some(s"""SELECT doc_id AS id, $RszDstW AS width, $RszDstH AS height,
+        | $sums
+        |FROM documents
+        | CROSS JOIN range(0, $RszDstW) AS rx(x)
+        | CROSS JOIN range(0, $RszDstH) AS ry(y)
+        |GROUP BY doc_id ORDER BY id""".stripMargin)
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67, q84, q86, q90, q102, q109)
+    q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112)
 }

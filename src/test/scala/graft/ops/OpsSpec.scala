@@ -473,6 +473,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages: NN resample is pixel-exact, up and down; non-images pass through") {
+    def expectResized(id: Long, sw: Int, sh: Int, dw: Int,
+        dh: Int): (Long, Long, Long) = {
+      val s = new Array[Long](3)
+      for (y <- 0 until dh; x <- 0 until dw; c <- 0 until 3) {
+        val (ic, xc, yc, off) = Multimodal.channelCoefs(c)
+        s(c) += ((ic * id + xc * (x * sw / dw) + yc * (y * sh / dh)
+          + off) % 256).toInt
+      }
+      (s(0), s(1), s(2))
+    }
+    val media = Multimodal.syntheticImages(docs.limit(10), "doc_id", 8, 8)
+    for ((dw, dh) <- Seq((3, 5), (16, 4))) { // down AND up scale
+      val stats = Multimodal.imageStats(
+        Multimodal.resizeImages(media, dw, dh)).collect()
+      assert(stats.length == 10)
+      stats.foreach { s =>
+        assert((s.width, s.height) == (dw, dh))
+        assert((s.sum_r, s.sum_g, s.sum_b) ==
+          expectResized(s.id, 8, 8, dw, dh), s"id=${s.id} ${dw}x$dh")
+      }
+    }
+    // non-image payloads pass through unmodified
+    import spark.implicits._
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val out = Multimodal.resizeImages(junk, 4, 4).collect()
+    assert(out.head.getAs[Array[Byte]](1).sameElements(
+      "not an image".getBytes("UTF-8")))
+  }
+
   test("asof join picks the latest right row at-or-before each left time") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
