@@ -56,17 +56,25 @@ object Bloom {
 
   /** Probe `probes(keyCol)` against a [[build]] bitmap: one row per
     * input row, `member = true` iff ALL k bits are set. `idCols`
-    * ride along (the probe frame's identity). The bitmap broadcasts —
-    * the probe side never shuffles beyond its own groupBy(id).
+    * ride along (the probe frame's identity). The probe is k chained
+    * BROADCAST lookups of the (tiny) bitmap — no explode, no groupBy:
+    * the probe side runs ZERO shuffles, which is the whole point of
+    * the pre-filter at 100 TB (an explode + re-group would shuffle
+    * the batch it exists to protect).
     */
   def probe(probes: DataFrame, idCols: Seq[String], keyCol: String,
-      bloom: DataFrame, m: Int = 8192, k: Int = 3): DataFrame =
-    probes.select(idCols.map(col) :+
-        explode(array(positions(col(keyCol), m, k): _*)).as("_pos"): _*)
-      .withColumn("word", shiftright(col("_pos"), 5))
-      .join(broadcast(bloom), Seq("word"), "left")
-      .withColumn("_hit", col("bits").isNotNull &&
-        expr("(shiftright(bits, CAST(_pos % 32 AS INT)) & 1) = 1"))
-      .groupBy(idCols.map(col): _*)
-      .agg(bool_and(col("_hit")).as("member"))
+      bloom: DataFrame, m: Int = 8192, k: Int = 3): DataFrame = {
+    val pos = positions(col(keyCol), m, k)
+    val joined = (0 until k).foldLeft(
+      probes.select((idCols :+ keyCol).distinct.map(col): _*)) { (df, j) =>
+      df.withColumn(s"_p$j", pos(j))
+        .withColumn(s"_w$j", shiftright(col(s"_p$j"), 5))
+        .join(broadcast(bloom.select(col("word").as(s"_w$j"),
+          col("bits").as(s"_b$j"))), Seq(s"_w$j"), "left")
+        .withColumn(s"_h$j", col(s"_b$j").isNotNull && expr(
+          s"(shiftright(_b$j, CAST(_p$j % 32 AS INT)) & 1) = 1"))
+    }
+    joined.select(idCols.map(col) :+
+      (0 until k).map(j => col(s"_h$j")).reduce(_ && _).as("member"): _*)
+  }
 }
