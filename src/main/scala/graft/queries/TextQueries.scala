@@ -1515,9 +1515,46 @@ object TextQueries {
       |  ELSE NULL END AS reason
       |FROM rep ORDER BY doc_id""".stripMargin))
 
+  /** Dedup savings report — the number every dedup run is judged by:
+    * near-dup clusters (q49's components) joined back to document
+    * sizes, rolled up into a cluster-size histogram with docs and
+    * chars REMOVED (every member except the canonical min-id doc).
+    * The cluster table is small relative to the corpus (only docs
+    * with a duplicate appear), so the size join broadcasts; the
+    * histogram is a two-level partial aggregate.
+    */
+  val q113 = Q("q113_dedup_report",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cl = Dedup.clusters(nearDupPairs(s, dir), "a", "b")
+        .select(col("id").as("doc_id"), col("cluster"))
+      cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("sz"),
+          sum(when(col("doc_id") =!= col("cluster"), col("n_chars"))
+            .otherwise(0L)).as("_removed"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1).as("docs_removed"),
+          sum("_removed").as("chars_removed"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |cl AS (SELECT x AS doc_id, min(y) AS cluster
+      |       FROM reach GROUP BY x),
+      |per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz,
+      |  CAST(sum(CASE WHEN doc_id = cluster THEN 0 ELSE n_chars END)
+      |    AS BIGINT) AS chars_removed
+      | FROM cl JOIN documents USING (doc_id) GROUP BY cluster)
+      |SELECT sz AS cluster_size,
+      | CAST(count(*) AS BIGINT) AS n_clusters,
+      | CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+      | CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+      |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106, q108, q110, q111)
+      q101, q106, q108, q110, q111, q113)
 }
