@@ -35,4 +35,18 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Session for a `spark-submit`ted app: the same engine invariants,
+    * but master and shuffle-partition sizing come from the submit
+    * conf (DEPLOY.md) — only fill the partitions default if the
+    * submitter didn't.
+    */
+  def submitted(): SparkSession =
+    SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
 }
