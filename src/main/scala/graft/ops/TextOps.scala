@@ -158,4 +158,64 @@ object TextOps {
         }
       }.toDF(idCol, "idx", "fp")
   }
+
+  /** Content-defined chunking (Rabin/FastCDC family): a chunk
+    * boundary falls AFTER character position i whenever the
+    * polynomial hash of the trailing `window` characters —
+    * S(i) = Σⱼ 31^j·c(i−j), j = 0..window−1, kept EXACT in a long
+    * (31^7·127·8 < 2^45, no modulus) — satisfies S(i) % divisor = 0.
+    * Content decides the cuts, so an insertion re-syncs within one
+    * window and every following chunk still dedups, where fixed-size
+    * chunking (chunkRows) shifts every later boundary. Output one row
+    * per chunk: (id, idx, start, length, fp = md5 of the chunk text).
+    *
+    * The hash is recomputable STATELESSLY per position (exact sum, no
+    * rolling state), which is what lets the q115 oracle re-derive
+    * every boundary in SQL. The kernel itself rolls in O(n). A
+    * production variant adds min/max chunk-size guards (stateful,
+    * same partition-local kernel — guards left out here to keep cut
+    * positions a pure function of content).
+    */
+  def cdcChunkRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 8,
+      divisor: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(window >= 2 && window <= 12, "window in [2,12] keeps S exact")
+    require(divisor >= 2, "divisor >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val topCoef = (0 until window - 1).foldLeft(1L)((a, _) => a * 31L)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .repartition(par)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexFmt = java.util.HexFormat.of()
+        rows.flatMap { case (id, text) =>
+          if (text == null || text.isEmpty) Iterator.empty
+          else {
+            val n = text.length
+            val ends = Seq.newBuilder[Int]
+            var s = 0L
+            var p = 0
+            while (p < n) {
+              s = if (p < window) s * 31L + text.charAt(p).toLong
+                  else (s - topCoef * text.charAt(p - window).toLong) *
+                    31L + text.charAt(p).toLong
+              if (p >= window - 1 && s % divisor == 0) ends += (p + 1)
+              p += 1
+            }
+            val e0 = ends.result()
+            val e = if (e0.nonEmpty && e0.last == n) e0 else e0 :+ n
+            val starts = 0 +: e.init
+            starts.zip(e).zipWithIndex.iterator.map {
+              case ((a, b), i) =>
+                md.reset()
+                (id, i, a, b - a, hexFmt.formatHex(md.digest(
+                  text.substring(a, b).getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))))
+            }
+          }
+        }
+      }.toDF(idCol, "idx", "start", "length", "fp")
+  }
 }

@@ -1552,9 +1552,111 @@ object TextQueries {
       | CAST(sum(chars_removed) AS BIGINT) AS chars_removed
       |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin))
 
+  /** Source-overlap contamination matrix — the corpus-sourcing
+    * health check: pairwise shingle-set Jaccard between SOURCES (not
+    * documents), surfacing feeds that are re-crawls or mirrors of
+    * each other before they flood dedup. Shingles collapse to
+    * distinct (source, s) rows first — the matrix join is bounded by
+    * sources² per shingle (≤ 20 here), so no hot-shingle cap is
+    * needed at this granularity; sizes ride a window over the same
+    * source partitioning.
+    */
+  val q114 = Q("q114_source_overlap",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "s").distinct()
+      val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"),
+          col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("source").as("src_a"), col("n").as("_na")),
+          "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("_nb")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("_na") + col("_nb") - col("inter")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH sh AS (${SqlGen.duckShingleCte}),
+      |ss AS (SELECT DISTINCT source, s
+      |       FROM sh JOIN documents USING (doc_id)),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      |       FROM ss GROUP BY source),
+      |ovl AS (SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(count(*) AS BIGINT) AS inter
+      | FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      | GROUP BY 1, 2)
+      |SELECT src_a, src_b, inter,
+      | round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6)
+      |   AS jaccard
+      |FROM ovl JOIN sz za ON za.source = src_a
+      | JOIN sz zb ON zb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin))
+
+  private val CdcW = 8
+  private val CdcDiv = 64
+
+  /** Content-defined chunk dedup ([[graft.ops.TextOps.cdcChunkRows]]):
+    * boundaries fall where the content's windowed polynomial hash
+    * divides out, so an edit re-syncs within one window and every
+    * following chunk still matches — the dedup unit that survives
+    * insertions, where fixed-width chunking (q63) shifts every later
+    * boundary. Per doc: chunk count, longest chunk, and how many of
+    * its chunks appear in MORE THAN ONE document (the cross-doc
+    * sharing CDC exists to expose — the planted near-dups light up).
+    * The oracle re-derives every cut position from the same exact
+    * hash (stateless per-position sum — the kernel's rolling form is
+    * algebraically identical), rebuilds every chunk, and re-counts.
+    */
+  val q115 = Q("q115_cdc_chunks",
+    (s, dir) => {
+      val rows = TextOps.cdcChunkRows(table(s, dir, "documents"),
+        "doc_id", "text", CdcW, CdcDiv)
+      val docsPerFp = rows.groupBy("fp")
+        .agg(count_distinct(col("doc_id")).as("_docs"))
+      rows.join(docsPerFp, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          max("length").as("max_len"),
+          sum(when(col("_docs") > 1, 1).otherwise(0))
+            .as("shared_chunks"))
+        .orderBy("doc_id")
+    }, {
+      val coefs = (0 until CdcW).map(j =>
+        (j, (0 until j).foldLeft(1L)((a, _) => a * 31L)))
+      val hash = coefs.map { case (j, c) =>
+        s"CAST($c AS BIGINT) * ord(substr(text, i - $j, 1))" }
+        .mkString(" + ")
+      Some(s"""WITH cuts AS (SELECT doc_id, text, strlen(text) AS L,
+        |  list_filter(range($CdcW, strlen(text) + 1),
+        |    i -> ($hash) % $CdcDiv = 0) AS c
+        | FROM documents WHERE strlen(text) > 0),
+        |ends AS (SELECT doc_id, text, L,
+        |  CASE WHEN len(c) > 0 AND c[-1] = L THEN c
+        |   ELSE list_append(c, L) END AS e FROM cuts),
+        |ch AS (SELECT doc_id,
+        |  md5(substr(text, st + 1, en - st)) AS fp, en - st AS length
+        | FROM (SELECT doc_id, text, unnest(e) AS en,
+        |   unnest(list_prepend(0, e[1:len(e) - 1])) AS st FROM ends)),
+        |dpf AS (SELECT fp, count(DISTINCT doc_id) AS docs
+        |        FROM ch GROUP BY fp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(max(length) AS INT) AS max_len,
+        | CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS shared_chunks
+        |FROM ch JOIN dpf USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    })
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106, q108, q110, q111, q113)
+      q101, q106, q108, q110, q111, q113, q114, q115)
 }

@@ -114,6 +114,30 @@ class OpsSpec extends SparkSpec {
     assert(pairs(3L) == Set((1L, 2L, 0.333)))
   }
 
+  test("CDC chunks re-sync after an insertion; fixed-width chunks do not") {
+    import spark.implicits._
+    // deterministic ~1.5k-char text; edit = one word inserted near
+    // the front, the worst case for fixed-width chunking
+    val words = (0 until 300).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val edited = (words.take(5) ++ Seq("INSERTED") ++ words.drop(5))
+      .mkString(" ")
+    val df = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    def sharedFrac(rows: org.apache.spark.sql.DataFrame): Double = {
+      val byDoc = rows.select("doc_id", "fp").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getString(1)).toSet).toMap
+      byDoc(0L).intersect(byDoc(1L)).size.toDouble / byDoc(0L).size
+    }
+    val cdc = sharedFrac(TextOps.cdcChunkRows(df, "doc_id", "text"))
+    val fixed = sharedFrac(TextOps.chunkRows(df, "doc_id", "text"))
+    // CDC re-syncs within a window of the edit: most chunks survive.
+    // Fixed-width boundaries all shift after the insertion.
+    assert(cdc >= 0.7, s"cdc shared frac $cdc")
+    assert(fixed <= 0.2, s"fixed-width shared frac $fixed")
+    assert(cdc > fixed)
+  }
+
   test("redactPii replaces emails and phones, leaves clean text alone") {
     val in = Seq(
       "mail me at jane.doe+x@corp.example.org today",
