@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ReplaceFirst
+import graft.functions.{DotProduct, ReplaceFirst}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3,
           "replace_first(str, search, replace) takes 3 arguments")
         ReplaceFirst(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "dot_product(a, b) takes 2 float-array arguments")
+        DotProduct(args(0), args(1))
       }))
   }
 }

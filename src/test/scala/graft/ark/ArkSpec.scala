@@ -115,6 +115,14 @@ class ArkSpec extends SparkSpec {
       .head().getString(0) == "a-bXc")
   }
 
+  test("dot_product is callable from SQL (extension registration)") {
+    assert(spark.sql("""SELECT dot_product(
+        | array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        | array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)))"""
+        .stripMargin)
+      .head().getDouble(0) == 11.0)
+  }
+
   test("replace_first rejects non-string args at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT replace_first(123, '2', 'x')").collect()
