@@ -43,7 +43,8 @@ object Scaling {
       "q70_dedup_clusters_star", "q82_chunk_dedup_rewrite", "q84_pq_ann",
       "q90_ivfpq_ann", "q95_bigram_pmi", "q100_split_leakage",
       "q101_perplexity", "q109_video_decode", "q110_bloom_prefilter",
-      "q111_c4_filter", "q112_image_resize")
+      "q111_c4_filter", "q112_image_resize", "q113_dedup_report",
+      "q114_source_overlap", "q115_cdc_chunks")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.
