@@ -466,11 +466,10 @@ object Similarity {
       seedPred: Column, queryPred: Column, m: Int, subDim: Int,
       iters: Int, k: Int): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1, "m, subDim, k must be >= 1")
-    val sub = pqSub(emb, idCol, vecCol, seedPred, queryPred, m, subDim,
-      iters)
-    val codes = sub.map(_._1).reduce(_.join(_, idCol))
-    val joined = sub.zipWithIndex.foldLeft(codes) {
-      case (acc, ((_, dt), j)) =>
+    val (codes, dts) = pqSub(emb, idCol, vecCol, seedPred, queryPred,
+      m, subDim, iters)
+    val joined = dts.zipWithIndex.foldLeft(codes) {
+      case (acc, (dt, j)) =>
         val cond = acc(s"_c$j") === dt(s"_cid$j") &&
           (if (j == 0) lit(true) else acc("_qid0") === dt(s"_qid$j"))
         acc.join(broadcast(dt), cond)
@@ -497,15 +496,14 @@ object Similarity {
       .select(col(idCol), col("cell"))
     val qcells = cells.filter(queryPred)
       .select(col(idCol).as("qid"), col("cell").as("_qcell"))
-    val sub = pqSub(emb, idCol, vecCol, seedPred, queryPred, m, subDim,
-      iters)
-    val codes = sub.map(_._1).reduce(_.join(_, idCol))
+    val (codes, dts) = pqSub(emb, idCol, vecCol, seedPred, queryPred,
+      m, subDim, iters)
     // candidate restriction FIRST: same coarse cell, self excluded
     val cand = codes.join(cells, idCol)
       .join(broadcast(qcells),
         col("cell") === col("_qcell") && col("qid") =!= col(idCol))
-    val joined = sub.zipWithIndex.foldLeft(cand) {
-      case (acc, ((_, dt), j)) =>
+    val joined = dts.zipWithIndex.foldLeft(cand) {
+      case (acc, (dt, j)) =>
         acc.join(broadcast(dt), acc(s"_c$j") === dt(s"_cid$j") &&
           acc("qid") === dt(s"_qid$j"))
     }
@@ -539,31 +537,82 @@ object Similarity {
       .select(col(idCol), col(labelCol), col("pred"))
   }
 
-  /** Per-subspace PQ pieces: (codes (id, _cj), distance table
-    * (_qidj, _cidj, _dj)) for each of the `m` sliced codebooks —
-    * shared by [[pqTopK]] and [[ivfPqTopK]].
+  /** All `m` PQ sub-codebooks trained in ONE keyed Lloyd loop — the
+    * shape that matters at production m (8–16 subspaces): the
+    * subspace index is a GROUPING KEY (_sj, cid), not a reason to
+    * schedule m separate trainer job chains. Per iteration: one
+    * assignment pass over the exploded (sub, id, slice) rows, one
+    * mean pass, ONE driver materialization of the m·k·subDim-double
+    * codebook table (previously m of each, per iteration). Encoding
+    * is one partial-aggregate pass + one groupBy pivot to the wide
+    * (id, _c0.._c{m-1}) frame — replacing the former m-way self-join
+    * on id. Per-subspace math is identical to m independent
+    * [[kmeansFit]] runs (same seeds, same (dist, cid) tiebreak, same
+    * rounded means), so results stay bit-compatible with the q84/q90
+    * oracles' per-subspace recomputation.
+    * Returns (wide codes frame, per-subspace broadcastable distance
+    * tables (_qidj, _cidj, _dj)).
     */
   private def pqSub(emb: DataFrame, idCol: String, vecCol: String,
       seedPred: Column, queryPred: Column, m: Int, subDim: Int,
-      iters: Int): Seq[(DataFrame, DataFrame)] =
-    (0 until m).map { j =>
-      val sliced = emb.select(col(idCol),
+      iters: Int): (DataFrame, Seq[DataFrame]) = {
+    val slices = (0 until m).map(j =>
+      struct(lit(j).as("_sj"),
         slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
-          .as("_sub"))
-      val cents = kmeansFit(sliced, idCol, "_sub", seedPred, iters)
-      val codes = assignEuclid(
-        sliced.select(col(idCol), col("_sub").as("_e")), cents)
-        .select(col(idCol), col("cid").as(s"_c$j"))
-      val dist = round(dot(col("_q"), col("_q")) -
-        lit(2.0) * dot(col("_q"), col("_ce")) +
-        dot(col("_ce"), col("_ce")), 6)
-      val dt = sliced.filter(queryPred)
-        .select(col(idCol).as(s"_qid$j"), col("_sub").as("_q"))
-        .crossJoin(broadcast(cents))
-        .select(col(s"_qid$j"), col("cid").as(s"_cid$j"),
-          dist.as(s"_d$j"))
-      (codes, dt)
+          .as("_se")))
+    val subRows = emb
+      .select(col(idCol), explode(array(slices: _*)).as("_s"))
+      .select(col(idCol), col("_s._sj").as("_sj"), col("_s._se").as("_e"))
+    var cents = subRows.filter(seedPred)
+      .select(col("_sj"), col(idCol).cast("long").as("cid"),
+        col("_e").as("_ce"))
+    for (_ <- 1 to iters) {
+      val asg = assignEuclidKeyed(subRows, cents, idCol)
+      val means = asg
+        .select(col("_sj"), col("cid"), posexplode(col("_e")).as(Seq("p", "v")))
+        .groupBy(col("_sj"), col("cid"), col("p"))
+        .agg(round(sum("v") / count(lit(1)), 6).as("val"))
+      cents = materializeSmall(means.groupBy("_sj", "cid")
+        .agg(sort_array(collect_list(struct(col("p"), col("val"))))
+          .as("_pv"))
+        .select(col("_sj"), col("cid"),
+          transform(col("_pv"), x => x.getField("val")).as("_ce")))
     }
+    val codes = assignEuclidKeyed(subRows, cents, idCol)
+      .groupBy(col(idCol))
+      .agg(max(when(col("_sj") === 0, col("cid"))).as("_c0"),
+        (1 until m).map(j =>
+          max(when(col("_sj") === j, col("cid"))).as(s"_c$j")): _*)
+    val dist = round(dot(col("_q"), col("_q")) -
+      lit(2.0) * dot(col("_q"), col("_ce")) +
+      dot(col("_ce"), col("_ce")), 6)
+    val dtAll = materializeSmall(subRows.filter(queryPred)
+      .select(col("_sj"), col(idCol).as("_qid"), col("_e").as("_q"))
+      .join(broadcast(cents), "_sj")
+      .select(col("_sj"), col("_qid"), col("cid").as("_cid"),
+        dist.as("_d")))
+    val dts = (0 until m).map(j => dtAll.filter(col("_sj") === j)
+      .select(col("_qid").as(s"_qid$j"), col("_cid").as(s"_cid$j"),
+        col("_d").as(s"_d$j")))
+    (codes, dts)
+  }
+
+  /** [[assignEuclid]] with the subspace index as an extra key: one
+    * broadcast join + one (sub, id)-keyed partial aggregate assigns
+    * EVERY subspace in a single pass.
+    */
+  private def assignEuclidKeyed(base: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame = {
+    val score = dot(col("_ce"), col("_ce")) -
+      lit(2.0) * dot(col("_e"), col("_ce"))
+    base.join(broadcast(cents), "_sj")
+      .withColumn("_s", score)
+      .groupBy(col("_sj"), col(idCol))
+      .agg(min_by(struct(col("cid"), col("_e")),
+        struct(col("_s"), col("cid"))).as("_best"))
+      .select(col("_sj"), col(idCol), col("_best.cid").as("cid"),
+        col("_best._e").as("_e"))
+  }
 
   /** Fixed-order ADC sum + per-query ranking tail shared by the PQ
     * search variants. Expects `qid`, the id column and `_d0.._dm-1`.
