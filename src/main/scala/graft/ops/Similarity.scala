@@ -68,6 +68,69 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Deterministic Johnson–Lindenstrauss ±1 sign matrix as a tiny
+    * in-engine frame (j, _sgn: array<double>): s(j,p) = +1 iff the
+    * first 32 md5 bits of "j,p" are even — a dense Achlioptas-style
+    * random projection with the hash standing in for the RNG, so
+    * both engines derive the SAME matrix from nothing but
+    * (outDim, inDim). outDim·inDim md5 calls total, run ONCE — never
+    * per data row.
+    */
+  def jlSignMatrix(spark: org.apache.spark.sql.SparkSession,
+      outDim: Int, inDim: Int): DataFrame =
+    spark.range(outDim).toDF("j").select(col("j").cast("int").as("j"),
+      transform(sequence(lit(0), lit(inDim - 1)), p =>
+        when(conv(substring(md5(concat(col("j").cast("string"),
+            lit(","), p.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0))).as("_sgn"))
+
+  /** Project `vecCol` (inDim floats) down to outDim dims through the
+    * [[jlSignMatrix]]: _pe[j] = round(Σₚ v[p]·s(j,p), 6). The matrix
+    * is outDim·inDim literal doubles — it collapses to driver-local
+    * rows (the [[kmeansFit]] centroid-table pattern) and each output
+    * dim is ONE fixed-order [[dot]] against a literal array, so the
+    * projection plans ZERO exchanges and stays row-parallel: exactly
+    * what a 100 TB corpus needs before the (now 4× cheaper) distance
+    * math. Multiplying by ±1.0 is float-exact, so the fold is
+    * bit-reproducible by the oracle's ordered `list_reduce`.
+    */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, inDim: Int): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, "dims must be >= 1")
+    val signs = jlSignMatrix(emb.sparkSession, outDim, inDim)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1))
+    val v = col(vecCol).cast("array<double>")
+    emb.select(col(idCol),
+      array(signs.map(s => round(dot(v, typedLit(s)), 6)): _*).as("_pe"))
+  }
+
+  /** Brute-force cosine top-k in JL-projected space — the
+    * dimensionality-reduction ANN tier: distance math runs on
+    * outDim-double vectors (4× fewer multiplies at 64→16) while
+    * recall against the full-dim truth is measured by
+    * [[recallAgainstExact]] (q116). Same deterministic ranking
+    * contract as [[cosineTopK]]: rounded cos desc, id asc.
+    */
+  def jlTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, outDim: Int, inDim: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = jlProject(emb, idCol, vecCol, outDim, inDim)
+      .withColumn("_nrm", sqrt(dot(col("_pe"), col("_pe"))))
+    val q = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("_pe").as("_qe"),
+        col("_nrm").as("_qn"))
+    val cos = round(dot(col("_qe"), col("_pe")) /
+      (col("_qn") * col("_nrm")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col(idCol).asc)
+    base.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF cell assignment: centroids are the vectors matching
     * `centroidPred` (a deterministic sample — a k-means fit would slot
     * in here unchanged); every vector joins the cell of its

@@ -768,6 +768,74 @@ object SimilarityQueries {
         |GROUP BY doc_id ORDER BY id""".stripMargin)
     })
 
+  private val JlOut = 32
+  private val JlShort = 50
+
+  /** Shortlist recall of the Johnson–Lindenstrauss funnel: project
+    * 64 float dims → 32 through the md5-derived ±1 sign matrix, take
+    * the projected-space top-50 as the CANDIDATE SHORTLIST, and
+    * measure how much of the exact full-dim top-5 it retains — the
+    * production two-stage shape (cheap reduced-dim scan → exact
+    * re-rank of 50 ≪ corpus candidates). On this near-uniform corpus
+    * (max cos ≈ 0.37) the funnel retains ~0.8 recall@5 where a
+    * random 50-of-500 shortlist would score 0.10 — the measured
+    * JL-distortion evidence. The oracle re-derives the SAME sign
+    * matrix from md5 in SQL and folds the projection in index order
+    * (`list_reduce` over an ORDERED list ≡ the codegen'd left-assoc
+    * [[graft.functions.DotProduct]]), so projection, ranking, and
+    * recall are all hash-checked end to end.
+    */
+  val q116 = Q("q116_jl_projection_recall",
+    (s, dir) => Similarity.recallAgainstExact(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") % 100 === 0, k = 5,
+        Similarity.jlTopK(table(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") % 100 === 0, k = JlShort,
+          outDim = JlOut, inDim = Dim))
+      .orderBy("qid"), {
+      def pdot(a: String, b: String) = dotSql(a, b, JlOut)
+      Some(s"""WITH sgn AS (SELECT j, p,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ','
+        |      || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM (SELECT unnest(range(0, $JlOut)) AS j),
+        |       (SELECT unnest(range(0, $Dim)) AS p)),
+        |pv AS (SELECT e.vec_id, g.j,
+        |  round(list_reduce(list(
+        |      CAST(list_extract(e.embedding, g.p + 1) AS DOUBLE) * g.s
+        |      ORDER BY g.p), (a, b) -> a + b), 6) AS pv
+        |  FROM embeddings e, sgn g GROUP BY e.vec_id, g.j),
+        |pe AS (SELECT vec_id, list(pv ORDER BY j) AS pe
+        |  FROM pv GROUP BY vec_id),
+        |pa AS (SELECT vec_id, pe, sqrt(${pdot("pe", "pe")}) AS nrm
+        |  FROM pe),
+        |pq AS (SELECT vec_id, pe, nrm FROM pa WHERE vec_id % 100 = 0),
+        |ap AS (SELECT qid, vec_id FROM (
+        | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, vec_id) AS rk FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id,
+        |   round((${pdot("q.pe", "a.pe")}) / (q.nrm * a.nrm), 6) AS cos
+        |  FROM pa a, pq q WHERE q.vec_id <> a.vec_id))
+        | WHERE rk <= $JlShort),
+        |oa AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+        |  FROM embeddings),
+        |oq AS (SELECT vec_id, embedding, nrm FROM oa
+        |  WHERE vec_id % 100 = 0),
+        |bf AS (SELECT qid, vec_id FROM (
+        | SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, vec_id) AS rk FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id,
+        |   round((${dotSql("q.embedding", "a.embedding")})
+        |     / (q.nrm * a.nrm), 6) AS cos
+        |  FROM oa a, oq q WHERE q.vec_id <> a.vec_id))
+        | WHERE rk <= 5)
+        |SELECT bf.qid, count(ap.vec_id) AS n_hit,
+        | round(CAST(count(ap.vec_id) AS DOUBLE) / 5, 4) AS recall
+        |FROM bf LEFT JOIN ap
+        | ON ap.qid = bf.qid AND ap.vec_id = bf.vec_id
+        |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin)
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112)
+    q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116)
 }
