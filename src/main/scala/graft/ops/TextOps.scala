@@ -86,6 +86,64 @@ object TextOps {
       regexp_replace(c, p, r)
     }
 
+  /** Hash a token into [0, buckets) by its first 32 md5 bits —
+    * hashed features (the "hashing trick"): the model stays a
+    * FIXED-SIZE weight vector no matter how large the live
+    * vocabulary grows, which is what makes linear quality models
+    * shippable against a 100 TB corpus.
+    */
+  def tokenBucket(t: Column, buckets: Int): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Deterministic INTEGER weight table for a hashed linear model:
+    * w(b) = first-32-md5-bits("w,b") mod 2001 − 1000 ∈ [−1000, 1000].
+    * The md5 derivation stands in for trained parameters (this
+    * container ships no trainer) so the full scoring path — hashing,
+    * lookup, accumulation, link function, decision — is exactly
+    * reproducible by the DuckDB oracle; swapping in real fasttext
+    * weights changes only this frame. Integer weights keep the
+    * accumulation EXACT (no float-sum order sensitivity).
+    */
+  def hashedModel(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    spark.range(buckets).toDF("b").select(col("b"),
+      (conv(substring(md5(concat(lit("w,"), col("b").cast("string"))),
+        1, 8), 16, 10).cast("long") % 2001 - 1000).as("wv"))
+
+  /** Fasttext-shaped document quality classifier over hashed token
+    * features: tokens bucket MAP-SIDE, the buckets-row weight vector
+    * broadcasts (a real model is a few MB — always broadcastable),
+    * and each doc reduces to ONE exact integer sum through the
+    * single (doc-keyed, map-side-combined) shuffle. The 6-decimal
+    * score is computed ENTIRELY in integer micro-units —
+    * half-away-from-zero of the exact rational sw·1000/n via integer
+    * div — then divided by the exact constant 1e6, because
+    * `round(double, 6)` straddling an exact .5 boundary (e.g.
+    * sw=24042, n=96 → 0.2504375) is where Spark's BigDecimal HALF_UP
+    * and DuckDB's double rounding disagree. prob = sigmoid of that
+    * identical double, rounded to 6 (the one libm call); keep
+    * decided on the EXACT integer sum, never on a float boundary.
+    * Emits (id, n_tokens, score, prob, keep).
+    */
+  def qualityClassify(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val model = hashedModel(docs.sparkSession, buckets)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol), tokenBucket(col("_t"), buckets).as("b"))
+      .join(broadcast(model), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("wv").as("_sw"))
+      .withColumn("_micro", when(col("_sw") >= 0,
+          expr("(_sw * 2000 + n_tokens) div (2 * n_tokens)"))
+        .otherwise(-expr("((-_sw) * 2000 + n_tokens) div (2 * n_tokens)")))
+      .withColumn("score", col("_micro") / 1000000.0)
+      .select(col(idCol), col("n_tokens"), col("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6).as("prob"),
+        (col("_sw") >= 0).as("keep"))
+  }
+
   /** Winnowing fingerprints (the MOSS selection scheme): hash every
     * k-char-gram, slide a window of w hashes, keep each window's
     * minimum — any shared substring of length ≥ w+k−1 between two docs

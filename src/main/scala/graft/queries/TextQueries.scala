@@ -1654,9 +1654,51 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     })
 
+  private val ClfBuckets = 4096
+
+  /** Fasttext-shaped quality classifier over hashed token features
+    * ([[graft.ops.TextOps.qualityClassify]]): tokens hash into a
+    * fixed 4096-bucket model vector (md5-derived integer weights
+    * standing in for trained parameters), each doc reduces to one
+    * EXACT integer sum, and the keep decision is made on that
+    * integer — never on a float boundary. This is the model-scoring
+    * tier the rule-based q21/q111 filters feed at 100 TB: the model
+    * broadcasts, the corpus streams, one doc-keyed shuffle. The
+    * oracle re-derives weights, hashing, scoring and the sigmoid
+    * link in SQL.
+    */
+  val q117 = Q("q117_hashed_classifier",
+    (s, dir) => graft.ops.TextOps.qualityClassify(
+        table(s, dir, "documents"), "doc_id", "text", ClfBuckets)
+      .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT b,
+      |  CAST(('0x' || substr(md5('w,' || CAST(b AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 2001 - 1000 AS wv
+      | FROM (SELECT unnest(range(0, $ClfBuckets)) AS b)),
+      |tok AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)
+      |    % $ClfBuckets AS b
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |       FROM documents)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(w.wv) AS BIGINT) AS sw
+      | FROM tok JOIN w USING (b) GROUP BY doc_id),
+      |mic AS (SELECT doc_id, n_tokens, sw,
+      |  CASE WHEN sw >= 0
+      |   THEN (sw * 2000 + n_tokens) // (2 * n_tokens)
+      |   ELSE -(((-sw) * 2000 + n_tokens) // (2 * n_tokens)) END
+      |    AS micro
+      | FROM agg)
+      |SELECT doc_id, n_tokens,
+      | CAST(micro AS DOUBLE) / 1000000.0 AS score,
+      | round(1 / (1 + exp(-(CAST(micro AS DOUBLE) / 1000000.0))), 6)
+      |   AS prob,
+      | sw >= 0 AS keep
+      |FROM mic ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106, q108, q110, q111, q113, q114, q115)
+      q101, q106, q108, q110, q111, q113, q114, q115, q117)
 }
