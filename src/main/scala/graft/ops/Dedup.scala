@@ -685,6 +685,43 @@ object Dedup {
       .select(col("d1"), col("d2"), round(jac, 3).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT c(src→dst) = |src ∩ dst| / |src|
+    * over the same shingle machinery as [[ngramJaccardPairs]] — the
+    * subset-duplicate detector symmetric Jaccard structurally
+    * misses: a 50-shingle doc quoted whole inside a 1000-shingle doc
+    * scores J ≈ 0.05 but containment 1.0 (the
+    * quote/concatenation/boilerplate-wrapper case every web corpus
+    * has). The intersection join runs ONCE with the `<` dedup
+    * ordering; both directions are then emitted from the (small)
+    * aggregated pair frame, so asymmetry costs nothing at the
+    * corpus-scan tier. Same scale guards (df=1 drop, `maxDocFreq`
+    * hot-shingle cap — capped shingles shrink only the numerator, so
+    * containment can only drop: conservative).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = shingleRows(widen(df), idCol, textCol, 3)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
+    val shJ = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("_df") >= 2 && col("_df") <= maxDocFreq)
+      .drop("_df")
+    val inter = shJ.as("a")
+      .join(shJ.as("b"), col("a.s") === col("b.s") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+    val both = inter
+      .select(col("d1").as("src"), col("d2").as("dst"),
+        col("i"), col("n1").as("ns"))
+      .union(inter.select(col("d2"), col("d1"), col("i"), col("n2")))
+    val c = col("i").cast("double") / col("ns").cast("double")
+    both
+      .filter(c >= threshold)
+      .select(col("src"), col("dst"), round(c, 3).as("containment"))
+  }
+
   /** Benchmark decontamination — the pipeline step that keeps eval
     * data out of the training set: a training document is flagged
     * when it shares at least `minOverlap` distinct word-k-gram

@@ -1696,9 +1696,43 @@ object TextQueries {
       | sw >= 0 AS keep
       |FROM mic ORDER BY doc_id""".stripMargin))
 
+  /** Asymmetric n-gram containment |src∩dst|/|src|
+    * ([[graft.ops.Dedup.containmentPairs]]) — the subset-duplicate
+    * detector q26's symmetric Jaccard structurally misses (a doc
+    * quoted whole inside a bigger doc: J ≈ |small|/|big| but
+    * containment 1.0). The intersection self-join runs once with the
+    * `<` ordering; both directions emit from the small aggregated
+    * pair frame. Same hot-shingle cap as q26.
+    */
+  val q118 = Q("q118_containment_dedup",
+    (s, dir) => graft.ops.Dedup.containmentPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, maxDocFreq = jaccardMaxDf)
+      .orderBy("src", "dst"),
+    Some(s"""WITH sh AS (
+      |${SqlGen.duckShingleCte}
+      |), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |ok AS (SELECT s FROM sh GROUP BY s
+      |       HAVING count(*) BETWEEN 2 AND $jaccardMaxDf),
+      |inter AS (
+      | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      | FROM sh a JOIN ok USING (s) JOIN sh b USING (s)
+      | WHERE a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |wide AS (SELECT d1, d2, i, na.n AS n1, nb.n AS n2
+      |  FROM inter JOIN n na ON na.doc_id = d1
+      |             JOIN n nb ON nb.doc_id = d2),
+      |pairs AS (SELECT d1 AS src, d2 AS dst, i, n1 AS ns FROM wide
+      |  UNION ALL SELECT d2, d1, i, n2 FROM wide)
+      |SELECT src, dst,
+      | round(CAST(i AS DOUBLE) / CAST(ns AS DOUBLE), 3) AS containment
+      |FROM pairs
+      |WHERE CAST(i AS DOUBLE) / CAST(ns AS DOUBLE) >= 0.8
+      |ORDER BY src, dst""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106, q108, q110, q111, q113, q114, q115, q117)
+      q101, q106, q108, q110, q111, q113, q114, q115, q117, q118)
 }

@@ -114,6 +114,25 @@ class OpsSpec extends SparkSpec {
     assert(pairs(3L) == Set((1L, 2L, 0.333)))
   }
 
+  test("containmentPairs: subset doc scores 1.0 where Jaccard misses it") {
+    import spark.implicits._
+    // doc 1 = 10 words fully embedded in doc 2's 40 words
+    val small = (0 until 10).map(i => s"w$i").mkString(" ")
+    val big = ((0 until 10) ++ (100 until 130)).map(i => s"w$i")
+      .mkString(" ")
+    val df = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(df, "doc_id", "text", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // 8 shingles of doc 1 all inside doc 2's 38
+    assert(c((1L, 2L)) == 1.0, s"containment small→big: $c")
+    assert(c((2L, 1L)) == 0.211, s"containment big→small: $c")
+    // symmetric Jaccard on the same pair is far below any dedup cut
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.0)
+      .collect().map(r => r.getDouble(2)).head
+    assert(j == 0.211, s"jaccard: $j")
+  }
+
   test("CDC chunks re-sync after an insertion; fixed-width chunks do not") {
     import spark.implicits._
     // deterministic ~1.5k-char text; edit = one word inserted near
