@@ -1730,9 +1730,63 @@ object TextQueries {
       |WHERE CAST(i AS DOUBLE) / CAST(ns AS DOUBLE) >= 0.8
       |ORDER BY src, dst""".stripMargin))
 
+  /** Cluster-aware train/val/test split — the FIX for the leakage
+    * q100 measures: the split key is the near-dup CLUSTER label
+    * (q49's components; a doc's own id when unclustered), so every
+    * near-dup pair lands on the same side by construction. Emits the
+    * per-split report (docs, distinct keys) with the leaked-pair
+    * count as the headline column — provably 0, and the oracle
+    * re-proves it through the recursive-CTE components and the same
+    * md5 bucket. At 100 TB the label frame is the (small) q49 output
+    * joined once; split membership stays a pure function of
+    * (cluster, percents) — stable across runs and corpus growth.
+    */
+  val q119 = Q("q119_cluster_split",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val labels = Dedup.clusters(nearDupPairs(s, dir), "a", "b")
+        .select(col("id").as("doc_id"), col("cluster"))
+      val keyed = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("skey"))
+      val sp = graft.ops.Sampling.split(keyed, "skey",
+        valPct = 1, testPct = 1)
+      val leaked = nearDupPairs(s, dir)
+        .join(sp.select(col("doc_id").as("a"), col("split").as("_sa")),
+          "a")
+        .join(sp.select(col("doc_id").as("b"), col("split").as("_sb")),
+          "b")
+        .filter(col("_sa") =!= col("_sb"))
+        .agg(count(lit(1)).as("leaked"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("skey").as("n_keys"))
+        .crossJoin(broadcast(leaked))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |keyed AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS skey
+      | FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+      |sp2 AS (SELECT doc_id, skey,
+      |  CASE WHEN ${duckBucket("skey")} < 1 THEN 'val'
+      |   WHEN ${duckBucket("skey")} < 2 THEN 'test'
+      |   ELSE 'train' END AS split
+      | FROM keyed),
+      |leak AS (SELECT count(*) AS leaked FROM pairs p
+      | JOIN sp2 pa ON pa.doc_id = p.a
+      | JOIN sp2 pb ON pb.doc_id = p.b
+      | WHERE pa.split <> pb.split)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(count(DISTINCT skey) AS BIGINT) AS n_keys, leaked
+      |FROM sp2, leak GROUP BY split, leaked
+      |ORDER BY split""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106, q108, q110, q111, q113, q114, q115, q117, q118)
+      q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119)
 }

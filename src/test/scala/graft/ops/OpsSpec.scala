@@ -133,6 +133,44 @@ class OpsSpec extends SparkSpec {
     assert(j == 0.211, s"jaccard: $j")
   }
 
+  test("cluster-keyed split cannot leak a planted near-dup pair") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      v % 100
+    }
+    // two ids the doc-id split sends to DIFFERENT sides
+    val idVal = (0L until 10000L).find(bucket(_) < 1).get
+    val idTrain = (0L until 10000L).find(bucket(_) >= 2).get
+    val text = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(idVal -> text, idTrain -> text).toDF("doc_id", "text")
+    val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
+        numHashes = 16, numBands = 4)
+      .filter(col("est_jaccard") >= 0.5)
+    assert(pairs.count() == 1, "identical docs must pair")
+    // doc-id split: the pair straddles (this IS q100's leak)
+    val byDoc = Sampling.split(docs, "doc_id", 1, 1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc(idVal) != byDoc(idTrain), "planted ids must straddle")
+    // cluster-keyed split: both land on the cluster's side
+    val labels = Dedup.clusters(pairs, "a", "b")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val keyed = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("skey"))
+    val byCluster = Sampling.split(keyed, "skey", 1, 1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byCluster(idVal) == byCluster(idTrain),
+      s"cluster split leaked: $byCluster")
+    labels.unpersist()
+  }
+
   test("CDC chunks re-sync after an insertion; fixed-width chunks do not") {
     import spark.implicits._
     // deterministic ~1.5k-char text; edit = one word inserted near
