@@ -91,4 +91,31 @@ object Sampling {
     df.withColumn("cum_tokens", sum(tokCol).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Weighted sample WITHOUT replacement of size k
+    * (Efraimidis–Spirakis A-ES, exponential form): each row draws
+    * e = −ln(u)/w with u ∈ (0,1] md5-derived from its id, and the k
+    * SMALLEST keys are the sample — inclusion probability
+    * proportional to weight, single pass, no rejection loop. u is
+    * deterministic (first 32 md5 bits + 1, over 2³²), so the sample
+    * is retry-stable and engine-reproducible like every sampler
+    * here; ln is the one libm call and is rounded to 6 before the
+    * division (its argument is ONE division of exact integers — the
+    * ln discipline). The global bottom-k compiles to
+    * TakeOrderedAndProject: per-partition partial top-k, no full
+    * sort — the only all-reduce is k rows. Rows with weight ≤ 0 or
+    * NULL are excluded (they have zero inclusion probability).
+    * Emits the input row + `skey` for the k winners.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val lnu = round(log((u32 + 1) / 4294967296.0), 6)
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", round(-lnu / col(weightCol), 6))
+      .orderBy(col("skey").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

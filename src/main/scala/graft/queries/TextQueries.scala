@@ -1784,9 +1784,59 @@ object TextQueries {
       |FROM sp2, leak GROUP BY split, leaked
       |ORDER BY split""".stripMargin))
 
+  /** Quality-WEIGHTED sample without replacement
+    * ([[graft.ops.Sampling.weightedSample]], Efraimidis–Spirakis
+    * A-ES): inclusion probability proportional to the q117
+    * classifier probability — the curation move between "keep
+    * everything above a cut" (q111) and "uniform sample" (q44):
+    * higher-quality docs are MORE LIKELY in the sample but low
+    * scorers still contribute diversity mass. Deterministic
+    * md5-derived uniforms make the draw retry-stable; the bottom-k
+    * compiles to TakeOrderedAndProject (per-partition partial top-k,
+    * k-row all-reduce). The oracle re-derives model, sigmoid,
+    * uniforms and keys in SQL.
+    */
+  val q120 = Q("q120_weighted_sample",
+    (s, dir) => graft.ops.Sampling.weightedSample(
+        graft.ops.TextOps.qualityClassify(
+            table(s, dir, "documents"), "doc_id", "text", ClfBuckets)
+          .select(col("doc_id"), col("prob")),
+        "doc_id", "prob", k = 100)
+      .orderBy("skey", "doc_id"),
+    Some(s"""WITH w AS (SELECT b,
+      |  CAST(('0x' || substr(md5('w,' || CAST(b AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 2001 - 1000 AS wv
+      | FROM (SELECT unnest(range(0, $ClfBuckets)) AS b)),
+      |tok AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)
+      |    % $ClfBuckets AS b
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |       FROM documents)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(w.wv) AS BIGINT) AS sw
+      | FROM tok JOIN w USING (b) GROUP BY doc_id),
+      |mic AS (SELECT doc_id,
+      |  CASE WHEN sw >= 0
+      |   THEN (sw * 2000 + n_tokens) // (2 * n_tokens)
+      |   ELSE -(((-sw) * 2000 + n_tokens) // (2 * n_tokens)) END
+      |    AS micro
+      | FROM agg),
+      |sc AS (SELECT doc_id,
+      |  round(1 / (1 + exp(-(CAST(micro AS DOUBLE) / 1000000.0))), 6)
+      |    AS prob
+      | FROM mic),
+      |key AS (SELECT doc_id, prob,
+      |  round(-round(ln(
+      |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS BIGINT) + 1) / 4294967296.0), 6) / prob, 6) AS skey
+      | FROM sc WHERE prob > 0)
+      |SELECT doc_id, prob, skey FROM key
+      |ORDER BY skey, doc_id LIMIT 100""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
-      q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119)
+      q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
+      q120)
 }

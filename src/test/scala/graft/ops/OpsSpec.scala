@@ -171,6 +171,37 @@ class OpsSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("weightedSample matches plain Scala and skews toward weight") {
+    import spark.implicits._
+    def md32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 200 rows: even ids weight 9.0, odd ids weight 1.0
+    val rows = (0L until 200L).map(i =>
+      i -> (if (i % 2 == 0) 9.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val k = 40
+    val got = Sampling.weightedSample(df, "id", "w", k)
+    val gotIds = got.select("id").collect().map(_.getLong(0)).toSet
+    // independent reimplementation of the A-ES key
+    val want = rows.map { case (id, w) =>
+      val lnu = r6(math.log((md32(id.toString) + 1) / 4294967296.0))
+      (r6(-lnu / w), id)
+    }.sorted.take(k).map(_._2).toSet
+    assert(gotIds == want)
+    // weight-9 rows must dominate a weight-proportional sample
+    val heavy = gotIds.count(_ % 2 == 0)
+    assert(heavy >= k / 2 + 5, s"heavy rows not favored: $heavy/$k")
+    // the global bottom-k is a TakeOrdered, not a full sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("CDC chunks re-sync after an insertion; fixed-width chunks do not") {
     import spark.implicits._
     // deterministic ~1.5k-char text; edit = one word inserted near
