@@ -556,6 +556,30 @@ object Dedup {
       .drop("_cluster")
   }
 
+  /** [[dedupCorpus]] with a QUALITY keep policy: within each
+    * near-dup cluster keep the member that MAXIMIZES `scoreCol`
+    * (doc-id tiebreak) instead of the min-id member — the dedup that
+    * upgrades the corpus while shrinking it (keep-first discards a
+    * better duplicate whenever the worse copy has the smaller id).
+    * Emits EVERY doc labeled (id, cluster, score, kept) so the
+    * decision table is auditable; filter kept for the survivors.
+    * The ranking window partitions by CLUSTER KEY — bounded
+    * quasi-clique components and singletons, never a corpus-wide
+    * partition.
+    */
+  def dedupCorpusBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val cl = clusters(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster").as("_cl"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.join(cl, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("_cl"), col(idCol)))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col(scoreCol), col("kept"))
+  }
+
   /** Per-doc decision of one incremental near-dedup batch against a
     * persisted SIGNATURE STORE (the [[minhashSignatures]] shape: one
     * row per historical doc, `idCol, h0..h{n-1}`). This is the

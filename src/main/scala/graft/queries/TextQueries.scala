@@ -1833,10 +1833,59 @@ object TextQueries {
       |SELECT doc_id, prob, skey FROM key
       |ORDER BY skey, doc_id LIMIT 100""".stripMargin))
 
+  /** Quality-aware canonical selection
+    * ([[graft.ops.Dedup.dedupCorpusBest]]): within each near-dup
+    * cluster keep the member with the HIGHEST q117 classifier score
+    * (doc-id tiebreak) instead of q50's min-id member — the dedup
+    * that upgrades the corpus while shrinking it. Emits the full
+    * auditable decision table (doc, cluster, score, kept); the
+    * oracle recomputes components (recursive CTE), the classifier
+    * chain, and the per-cluster argmax window in SQL.
+    */
+  val q121 = Q("q121_dedup_best_of_cluster",
+    (s, dir) => graft.ops.Dedup.dedupCorpusBest(
+        graft.ops.TextOps.qualityClassify(
+            table(s, dir, "documents"), "doc_id", "text", ClfBuckets)
+          .select(col("doc_id"), col("prob")),
+        "doc_id", nearDupPairs(s, dir), "prob")
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |wm AS (SELECT b,
+      |  CAST(('0x' || substr(md5('w,' || CAST(b AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 2001 - 1000 AS wv
+      | FROM (SELECT unnest(range(0, $ClfBuckets)) AS b)),
+      |tok AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)
+      |    % $ClfBuckets AS b
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |       FROM documents)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(wm.wv) AS BIGINT) AS sw
+      | FROM tok JOIN wm USING (b) GROUP BY doc_id),
+      |mic AS (SELECT doc_id,
+      |  CASE WHEN sw >= 0
+      |   THEN (sw * 2000 + n_tokens) // (2 * n_tokens)
+      |   ELSE -(((-sw) * 2000 + n_tokens) // (2 * n_tokens)) END
+      |    AS micro
+      | FROM agg),
+      |sc AS (SELECT doc_id,
+      |  round(1 / (1 + exp(-(CAST(micro AS DOUBLE) / 1000000.0))), 6)
+      |    AS prob
+      | FROM mic),
+      |full0 AS (SELECT s.doc_id,
+      |  COALESCE(l.cluster, s.doc_id) AS cluster, s.prob
+      | FROM sc s LEFT JOIN lab l ON l.doc_id = s.doc_id)
+      |SELECT doc_id, cluster, prob,
+      | (row_number() OVER (PARTITION BY cluster
+      |    ORDER BY prob DESC, doc_id) = 1) AS kept
+      |FROM full0 ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120)
+      q120, q121)
 }

@@ -171,6 +171,23 @@ class OpsSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("dedupCorpusBest keeps the best-scored member, not the min id") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 wins (tie→min id)
+      (7L, 0.5)                        // singleton: kept
+    ).toDF("doc_id", "prob")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.dedupCorpusBest(scored, "doc_id", pairs, "prob")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, false)), s"min-id member must LOSE: $out")
+    assert(out(2L) == ((1L, true)), s"best scorer wins (tie → min id): $out")
+    assert(out(3L) == ((1L, false)), out.toString)
+    assert(out(7L) == ((7L, true)), "singleton survives")
+    assert(out.values.count(_._2) == 2, "exactly one kept per cluster")
+  }
+
   test("weightedSample matches plain Scala and skews toward weight") {
     import spark.implicits._
     def md32(s: String): Long = {
