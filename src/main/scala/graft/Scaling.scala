@@ -44,7 +44,10 @@ object Scaling {
       "q90_ivfpq_ann", "q95_bigram_pmi", "q100_split_leakage",
       "q101_perplexity", "q109_video_decode", "q110_bloom_prefilter",
       "q111_c4_filter", "q112_image_resize", "q113_dedup_report",
-      "q114_source_overlap", "q115_cdc_chunks")
+      "q114_source_overlap", "q115_cdc_chunks",
+      "q116_jl_projection_recall", "q117_hashed_classifier",
+      "q118_containment_dedup", "q119_cluster_split",
+      "q120_weighted_sample", "q121_dedup_best_of_cluster")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.

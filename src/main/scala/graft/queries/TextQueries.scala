@@ -1744,7 +1744,13 @@ object TextQueries {
   val q119 = Q("q119_cluster_split",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val labels = Dedup.clusters(nearDupPairs(s, dir), "a", "b")
+      // the pair frame feeds BOTH the component fixpoint (which runs
+      // eager actions) and the leak-proof join — persist it so the
+      // minhash/LSH kernel runs once, not once per consumer. The
+      // battery's harnesses clearCache() between queries.
+      val pairs = nearDupPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = Dedup.clusters(pairs, "a", "b")
         .select(col("id").as("doc_id"), col("cluster"))
       val keyed = docs.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
@@ -1752,7 +1758,7 @@ object TextQueries {
           coalesce(col("cluster"), col("doc_id")).as("skey"))
       val sp = graft.ops.Sampling.split(keyed, "skey",
         valPct = 1, testPct = 1)
-      val leaked = nearDupPairs(s, dir)
+      val leaked = pairs
         .join(sp.select(col("doc_id").as("a"), col("split").as("_sa")),
           "a")
         .join(sp.select(col("doc_id").as("b"), col("split").as("_sb")),

@@ -184,4 +184,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
   }
+
+  test("q117: model vector broadcasts; ONE doc-keyed shuffle") {
+    val p = plan(TextQueries.q117).split("== Initial Plan ==").head
+    // the 4096-row weight table is the build side; the token stream
+    // never shuffles raw — only the per-doc partial aggregates do
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q120: weighted sample is a TakeOrdered, never a global sort") {
+    val p = plan(TextQueries.q120)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
 }
