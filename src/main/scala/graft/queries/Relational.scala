@@ -1025,8 +1025,73 @@ object Relational {
       |FROM ev JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Hilbert vs Z-order layout under REALISTIC file boundaries —
+    * q89 buckets by aligned key prefix, where both curves give tight
+    * power-of-two boxes; real files are row-count bounded, so this
+    * query shifts every bucket boundary by half a bucket and emits
+    * BOTH curves' per-file (x, y) bounding boxes side by side. The
+    * Hilbert curve is CONTINUOUS (consecutive indices grid-adjacent,
+    * proven exhaustively in LayoutSpec), so a straddling file still
+    * spans a bounded box; the Z curve jumps at power-of-two seams
+    * and its worst box is ~5× larger (8192 vs 1536 cells here) —
+    * the number that decides which curve to write 100 TB in.
+    * One scan, two partial-aggregated groupBys; the per-bit
+    * Hilbert walk is a chain of codegen'd projections
+    * ([[graft.ops.Layout.hilbertFrame]]), mirrored CTE-for-CTE by
+    * the oracle.
+    */
+  val q122 = {
+    val bits = 8
+    val zsql = graft.ops.Layout.zValueSql("x", "y", bits)
+    Q("q122_hilbert_layout",
+      (s, dir) => {
+        val p = Registry.events(s, dir).select(
+          (col("user_id") % 256).cast("int").as("x"),
+          shiftright((hour(col("ts")) * 60 + minute(col("ts")))
+            .cast("int"), 3).as("y"))
+        val h = graft.ops.Layout.hilbertFrame(p, col("x"), col("y"), bits)
+          .withColumn("zval",
+            graft.ops.Layout.zValue(col("x"), col("y"), bits))
+          .withColumn("hbucket",
+            shiftright(col("hval") + 512, 10).cast("int"))
+          .withColumn("zbucket",
+            shiftright(col("zval") + 512, 10).cast("int"))
+        def boxes(curve: String, bCol: String) = h
+          .groupBy(lit(curve).as("curve"), col(bCol).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .withColumn("box_area",
+            ((col("max_x") - col("min_x") + 1) *
+              (col("max_y") - col("min_y") + 1)).cast("long"))
+        boxes("hilbert", "hbucket").union(boxes("zorder", "zbucket"))
+          .orderBy("curve", "bucket")
+      },
+      Some(s"""WITH p AS (SELECT CAST(user_id % 256 AS INT) AS x,
+        |  CAST(hour(ts) * 60 + minute(ts) AS INT) >> 3 AS y
+        | FROM events),
+        |${graft.ops.Layout.hilbertSql("p", bits)},
+        |b AS (SELECT x, y, (pd + 512) >> 10 AS hbucket,
+        |  (($zsql) + 512) >> 10 AS zbucket FROM h0)
+        |SELECT curve, CAST(bucket AS INT) AS bucket, n, min_x, max_x,
+        | min_y, max_y,
+        | CAST((max_x - min_x + 1) * (max_y - min_y + 1) AS BIGINT)
+        |   AS box_area
+        |FROM (
+        | SELECT 'hilbert' AS curve, hbucket AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n, min(x) AS min_x,
+        |  max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        | FROM b GROUP BY hbucket
+        | UNION ALL
+        | SELECT 'zorder', zbucket, CAST(count(*) AS BIGINT), min(x),
+        |  max(x), min(y), max(y)
+        | FROM b GROUP BY zbucket)
+        |ORDER BY curve, bucket""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
-      q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105)
+      q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105,
+      q122)
 }
