@@ -433,21 +433,31 @@ object Dedup {
           "dst")
         .groupBy(col("src").as("id"))
         .agg(min("_ncl").as("_nmin"))
+      // the change flag is computed INSIDE the projection that builds
+      // the round's labels — old and new label are both on the row, so
+      // convergence costs a cached-frame filter+count, not the
+      // next⋈labels join (a full extra shuffle of the label frame per
+      // round — the exchange you don't want when labels are billions
+      // of rows at 100 TB)
+      val newCl = least(col("cluster"),
+        coalesce(col("_nmin"), col("cluster")))
       val next = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_nmin"), col("cluster")))
-            .as("cluster"))
+        .select(col("id"), newCl.as("cluster"),
+          (newCl =!= col("cluster")).as("_chg"))
         .persist(lvl)
       // one count materializes `next` AND decides convergence
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "_old"), "id")
-        .filter(col("cluster") =!= col("_old"))
-        .count()
+      changed = next.filter(col("_chg")).count()
       labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    labels
+    // re-persist WITHOUT the flag column: the returned frame must BE
+    // the cached frame (not a projection of it) so a consumer's
+    // unpersist() finds its cache entry — the documented contract
+    val out = labels.select(col("id"), col("cluster")).persist(lvl)
+    out.count()
+    labels.unpersist()
+    out
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
