@@ -719,6 +719,28 @@ object Dedup {
       .select(col("d1"), col("d2"), round(jac, 3).as("jaccard"))
   }
 
+  /** Per-doc n-gram NOVELTY: the fraction of a doc's distinct
+    * word-k-gram shingles that appear in NO other document — the
+    * inverse boilerplate signal (near-zero novelty = template/mirror
+    * body worth dropping or down-weighting before training; the
+    * scores feed [[graft.ops.Sampling.weightedSample]] the same way
+    * q117's classifier does). One shingle pass; document frequency
+    * rides the same s-partitioned window the dedup tier's self-join
+    * uses; then one doc-keyed partial aggregate. Docs with fewer
+    * than k tokens have no shingles and emit no row (mirrored by the
+    * oracle).
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = shingleRows(widen(df), idCol, textCol, k)
+    sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Asymmetric n-gram CONTAINMENT c(src→dst) = |src ∩ dst| / |src|
     * over the same shingle machinery as [[ngramJaccardPairs]] — the
     * subset-duplicate detector symmetric Jaccard structurally

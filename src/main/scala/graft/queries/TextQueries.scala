@@ -1888,10 +1888,31 @@ object TextQueries {
       |    ORDER BY prob DESC, doc_id) = 1) AS kept
       |FROM full0 ORDER BY doc_id""".stripMargin))
 
+  /** Per-doc n-gram novelty ([[graft.ops.Dedup.noveltyScores]]):
+    * fraction of a doc's distinct 3-gram shingles appearing in NO
+    * other doc — the inverse boilerplate signal (near-zero novelty =
+    * template/mirror body). Shares the dedup tier's shingle kernel
+    * and s-partitioning; one doc-keyed partial aggregate out.
+    */
+  val q123 = Q("q123_ngram_novelty",
+    (s, dir) => graft.ops.Dedup.noveltyScores(
+        table(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""WITH sh AS (
+      |${SqlGen.duckShingleCte}
+      |), dfc AS (SELECT s, count(*) AS c FROM sh GROUP BY s)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_novel,
+      | round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 4) AS novelty
+      |FROM sh JOIN dfc USING (s)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121)
+      q120, q121, q123)
 }

@@ -141,4 +141,43 @@ class PropertySpec extends SparkSpec {
           s.forall(x => Set("train", "val", "test").contains(x._2))
     })
   }
+
+  // random small docs over a tiny vocabulary: shared shingles are
+  // common, so jaccard/containment pairs actually fire
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(6, Gen.listOfN(8, Gen.choose(0, 5).map(i => s"w$i")))
+      .map(_.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) })
+
+  test("jaccard never exceeds containment in either direction") {
+    checkProp(Prop.forAllNoShrink(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val c = Dedup.containmentPairs(df, "doc_id", "text", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // J = |∩|/|∪| ≤ |∩|/|A| = c(A→B): within the shared round-3
+      // rendering, allow one ulp of rounding slack
+      j.forall { case ((a, b), jv) =>
+        c.get((a, b)).forall(jv <= _ + 1e-9) &&
+          c.get((b, a)).forall(jv <= _ + 1e-9)
+      }
+    }, cases = 4)
+  }
+
+  test("weighted sample of k is a prefix of the sample of k+m") {
+    val wGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(1, 9)))
+    checkProp(Prop.forAllNoShrink(wGen) { rows =>
+      val df = rows.distinctBy(_._1)
+        .map { case (id, w) => (id, w.toDouble) }.toDF("id", "w")
+      def ids(k: Int) = Sampling.weightedSample(df, "id", "w", k)
+        .collect().map(_.getLong(0)).toSet
+      val small = ids(5)
+      small.subsetOf(ids(12)) && small.size == math.min(5,
+        rows.distinctBy(_._1).size)
+    }, cases = 4)
+  }
 }
