@@ -1909,10 +1909,52 @@ object TextQueries {
       |FROM sh JOIN dfc USING (s)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Cross-source MIRROR report: per source, how many of its docs
+    * are exact duplicates (q23's normalized fingerprint) of docs in
+    * OTHER sources (`n_mirrored`) or repeats within the corpus at
+    * all (`n_dup_docs`) — the doc-level confirmation of what q114's
+    * shingle matrix flags at source granularity, and the number a
+    * curation run reads before deciding which feed to drop. The
+    * per-fingerprint stats frame is small (distinct fingerprints)
+    * and broadcasts back onto the doc scan; both aggregates are
+    * map-side combined. (The synthetic corpus plants its mirrors
+    * only at sf0.1 — the report shape stays informative at every SF
+    * while the mirror columns light up where mirrors exist.)
+    */
+  val q124 = Q("q124_mirror_report",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.fingerprint(col("text")).as("fp"))
+      val fpStats = docs.groupBy("fp")
+        .agg(countDistinct("source").as("_ns"),
+          count(lit(1)).as("_nd"))
+      docs.join(broadcast(fpStats), "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_fp"),
+          sum(when(col("_ns") >= 2, 1L).otherwise(0L)).as("n_mirrored"),
+          sum(when(col("_nd") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      | FROM documents),
+      |fs AS (SELECT fp, count(DISTINCT source) AS ns, count(*) AS nd
+      | FROM d GROUP BY fp)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(count(DISTINCT d.fp) AS BIGINT) AS n_fp,
+      | CAST(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_mirrored,
+      | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_dup_docs
+      |FROM d JOIN fs USING (fp)
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123)
+      q120, q121, q123, q124)
 }

@@ -188,6 +188,18 @@ class OpsSpec extends SparkSpec {
     assert(out.values.count(_._2) == 2, "exactly one kept per cluster")
   }
 
+  test("fingerprint equates mirrors across whitespace/case drift only") {
+    import spark.implicits._
+    val fp = Seq(
+      "Hello  world FOO", // mirror of the next, modulo drift
+      "hello world\tfoo",
+      "hello world bar" // one word differs: distinct
+    ).toDF("text").select(TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1), "whitespace/case drift must not split a mirror")
+    assert(fp(0) != fp(2), "different content must not collide")
+  }
+
   test("weightedSample matches plain Scala and skews toward weight") {
     import spark.implicits._
     def md32(s: String): Long = {
