@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Offline end-to-end drive of the TRAINING-DATA CURATION story —
+  * the analytics-side sibling of `graft.ark.Demo`: one lazy pipeline
+  * per stage, every stage an operator the oracle battery already
+  * hash-checks individually (q117 → q43 → q121 → q119 → q120), with
+  * the cross-stage invariants asserted here because they only exist
+  * in composition. Run:
+  *
+  *   sbt -batch "runMain graft.CurationDemo [sfDir]"
+  *
+  * Greppable markers: `[curate]`.
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    def log(s: String): Unit = println(s"[curate] $s")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    log(s"corpus: ${docs.count()} docs from $dir")
+
+    // 1. model-score every doc (hashed linear classifier, q117)
+    val scored = TextOps.qualityClassify(docs, "doc_id", "text", 4096)
+      .select(col("doc_id"), col("prob"))
+    log(f"scored: mean quality ${scored.agg(avg("prob")).head().getDouble(0)}%.4f")
+
+    // 2. near-dup candidates (minhash LSH estimate tier, q43's dial)
+    val pairs = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
+        numHashes = 16, numBands = 4)
+      .filter(col("est_jaccard") >= 0.5)
+      .persist()
+    log(s"near-dup pairs over the 0.5 estimate cut: ${pairs.count()}")
+
+    // 3. quality-aware canonical selection (q121): keep the BEST
+    //    cluster member, not the min id
+    val decisions = Dedup.dedupCorpusBest(scored, "doc_id", pairs, "prob")
+    val kept = decisions.filter(col("kept"))
+    val perCluster = decisions.groupBy("cluster")
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("k"))
+      .filter(col("k") =!= 1).count()
+    require(perCluster == 0, s"$perCluster clusters without exactly one canonical")
+    log(s"dedup: kept ${kept.count()} canonical docs (exactly one per cluster)")
+
+    // 4. leakage-free split (q119): the split key is the CLUSTER
+    val keyed = decisions.select(col("doc_id"),
+      col("cluster").as("skey"))
+    val sp = Sampling.split(keyed, "skey", valPct = 1, testPct = 1)
+    val leaked = pairs
+      .join(sp.select(col("doc_id").as("a"), col("split").as("_sa")), "a")
+      .join(sp.select(col("doc_id").as("b"), col("split").as("_sb")), "b")
+      .filter(col("_sa") =!= col("_sb")).count()
+    require(leaked == 0, s"$leaked near-dup pairs straddle the split")
+    val splitCounts = sp.groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    log(s"split by cluster key: $splitCounts, leaked pairs: $leaked")
+
+    // 5. quality-weighted sample of the kept TRAIN docs (q120). The
+    //    classifier's probs sit in a narrow band (~0.27–0.73), so the
+    //    sampling weight is the SHARPENED score prob^8 — the
+    //    temperature dial a curation run turns to make quality
+    //    actually move inclusion odds (best/worst odds ratio ~2800:1
+    //    instead of ~2.7:1).
+    val trainKept = kept.join(
+        sp.filter(col("split") === "train").select("doc_id"), "doc_id")
+      .withColumn("w", round(pow(col("prob"), 8), 6))
+    val n = trainKept.count()
+    val k = math.max(1, (n / 5).toInt)
+    val sample = Sampling.weightedSample(
+      trainKept.select(col("doc_id"), col("prob"), col("w")),
+      "doc_id", "w", k)
+    val sampleRows = sample.collect()
+    require(sampleRows.length == math.min(k, n.toInt), "sample size")
+    val meanAll = trainKept.agg(avg("prob")).head().getDouble(0)
+    val meanSample = sampleRows.map(_.getDouble(1)).sum / sampleRows.length
+    require(meanSample > meanAll,
+      f"sharpened weighting must raise sample quality: $meanSample%.4f <= $meanAll%.4f")
+    log(f"weighted sample (w = prob^8): $k of $n train docs, mean " +
+      f"quality $meanSample%.4f vs corpus $meanAll%.4f")
+
+    pairs.unpersist()
+    log("OK — every stage is the oracle-checked operator, composed")
+    spark.stop()
+  }
+}

@@ -69,7 +69,7 @@ object AsOf {
     // atomic: per-column last-non-null would mix fields from different
     // right rows whenever a later right row holds a null field.
     val packed = when(col("_side") === 0,
-      struct(payload.map(col): _*)).otherwise(lit(null))
+      struct(payload.toIndexedSeq.map(col): _*)).otherwise(lit(null))
     val carried = u.withColumn("_asof", last(packed, ignoreNulls = true).over(w))
     payload.foldLeft(carried)((d, c) => d.withColumn(c, col(s"_asof.$c")))
       .filter(col("_side") === 1)

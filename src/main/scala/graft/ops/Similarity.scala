@@ -102,7 +102,8 @@ object Similarity {
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1))
     val v = col(vecCol).cast("array<double>")
     emb.select(col(idCol),
-      array(signs.map(s => round(dot(v, typedLit(s)), 6)): _*).as("_pe"))
+      array(signs.toIndexedSeq
+        .map(s => round(dot(v, typedLit(s)), 6)): _*).as("_pe"))
   }
 
   /** Brute-force cosine top-k in JL-projected space — the

@@ -25,7 +25,7 @@ object Skew {
     * split — acceptable, they aggregate first anyway.
     */
   private def rowSalt(df: DataFrame, salt: Int) =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong))
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt.toLong))
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int): DataFrame = {

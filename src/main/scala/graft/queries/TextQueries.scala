@@ -1054,7 +1054,7 @@ object TextQueries {
         .orderBy(col("exact_cnt").desc, col("token").asc).limit(20)
       val skBytes = tok
         .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val sk = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(skBytes))
       val rows = top.collect().toSeq.map(r =>
