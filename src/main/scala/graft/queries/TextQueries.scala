@@ -1914,27 +1914,36 @@ object TextQueries {
     * OTHER sources (`n_mirrored`) or repeats within the corpus at
     * all (`n_dup_docs`) — the doc-level confirmation of what q114's
     * shingle matrix flags at source granularity, and the number a
-    * curation run reads before deciding which feed to drop. The
-    * per-fingerprint stats frame is small (distinct fingerprints)
-    * and broadcasts back onto the doc scan; both aggregates are
-    * map-side combined. (The synthetic corpus plants its mirrors
-    * only at sf0.1 — the report shape stays informative at every SF
-    * while the mirror columns light up where mirrors exist.)
+    * curation run reads before deciding which feed to drop. NOT a
+    * join: the per-fingerprint stats frame has one row per DISTINCT
+    * fingerprint — corpus-sized, never broadcastable — so the
+    * cross-source counts ride two window aggregates over the
+    * (fp, source) PRE-AGGREGATE instead: the corpus collapses
+    * map-side to ≤ one row per (fp, source), the fp window
+    * partitions are bounded by the SOURCE COUNT (never corpus
+    * scale), and the whole query is two exchanges. (The synthetic
+    * corpus plants its mirrors only at sf0.1 — the report shape
+    * stays informative at every SF while the mirror columns light
+    * up where mirrors exist.)
     */
   val q124 = Q("q124_mirror_report",
     (s, dir) => {
-      val docs = table(s, dir, "documents")
+      val perFpSrc = table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextOps.fingerprint(col("text")).as("fp"))
-      val fpStats = docs.groupBy("fp")
-        .agg(countDistinct("source").as("_ns"),
-          count(lit(1)).as("_nd"))
-      docs.join(broadcast(fpStats), "fp")
+        .groupBy("fp", "source")
+        .agg(count(lit(1)).as("_c"))
+      val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      perFpSrc
+        .withColumn("_ns", count(lit(1)).over(wFp))
+        .withColumn("_nd", sum("_c").over(wFp))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct("fp").as("n_fp"),
-          sum(when(col("_ns") >= 2, 1L).otherwise(0L)).as("n_mirrored"),
-          sum(when(col("_nd") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+        .agg(sum("_c").as("n_docs"),
+          count(lit(1)).as("n_fp"),
+          sum(when(col("_ns") >= 2, col("_c")).otherwise(0L))
+            .as("n_mirrored"),
+          sum(when(col("_nd") >= 2, col("_c")).otherwise(0L))
+            .as("n_dup_docs"))
         .orderBy("source")
     },
     Some("""WITH d AS (SELECT doc_id, source,
