@@ -199,4 +199,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortExec"), p)
   }
+
+  test("q118: containment self-join consumes ONE shingle exchange") {
+    val p = plan(TextQueries.q118)
+    // the two join sides are plan-identical: the shingle kernel and
+    // its windows run once, the second side is a ReusedExchange
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("q121: ranking window partitions by cluster key, exactly one") {
+    val p = plan(TextQueries.q121).split("== Initial Plan ==").head
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 1, s"$windows windows:\n$p")
+    assert(p.contains("windowspecdefinition(cluster"), p)
+  }
+
+  test("q123: novelty is the shingle kernel + two exchanges, no more") {
+    val p = plan(TextQueries.q123).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
 }
