@@ -37,16 +37,27 @@ object GraftSession {
   }
 
   /** Session for a `spark-submit`ted app: the same engine invariants,
-    * but master and shuffle-partition sizing come from the submit
-    * conf (DEPLOY.md) — only fill the partitions default if the
-    * submitter didn't.
+    * with master coming from the submit conf (DEPLOY.md). Sizing
+    * configs are FILLED, not forced: shuffle partitions default to
+    * 2× the cluster's default parallelism and the broadcast
+    * threshold to builder()'s 64 MiB engine invariant, but an
+    * explicit `--conf` from the submitter wins for both.
     */
-  def submitted(): SparkSession =
-    SparkSession.builder()
+  def submitted(): SparkSession = {
+    val s = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    val submitConf = s.sparkContext.getConf
+    if (!submitConf.contains("spark.sql.shuffle.partitions"))
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(s.sparkContext.defaultParallelism * 2, 32).toString)
+    if (!submitConf.contains("spark.sql.autoBroadcastJoinThreshold"))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024 * 1024).toString)
+    s
+  }
 }

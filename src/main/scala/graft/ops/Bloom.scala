@@ -64,17 +64,29 @@ object Bloom {
     */
   def probe(probes: DataFrame, idCols: Seq[String], keyCol: String,
       bloom: DataFrame, m: Int = 8192, k: Int = 3): DataFrame = {
+    // working columns live in a reserved namespace so a probe frame's
+    // own columns can't silently collide with them; `member` is the
+    // one name the OUTPUT claims, so reject id frames that carry it.
+    require(!idCols.contains("member"),
+      "idCols must not include the reserved output column 'member'")
+    val reserved = probes.columns.filter(_.startsWith("_graft_bloom_"))
+    require(reserved.isEmpty,
+      s"probe frame carries reserved columns: ${reserved.mkString(",")}")
+    def p(j: Int) = s"_graft_bloom_p$j"
+    def wd(j: Int) = s"_graft_bloom_w$j"
+    def b(j: Int) = s"_graft_bloom_b$j"
+    def h(j: Int) = s"_graft_bloom_h$j"
     val pos = positions(col(keyCol), m, k)
     val joined = (0 until k).foldLeft(
       probes.select((idCols :+ keyCol).distinct.map(col): _*)) { (df, j) =>
-      df.withColumn(s"_p$j", pos(j))
-        .withColumn(s"_w$j", shiftright(col(s"_p$j"), 5))
-        .join(broadcast(bloom.select(col("word").as(s"_w$j"),
-          col("bits").as(s"_b$j"))), Seq(s"_w$j"), "left")
-        .withColumn(s"_h$j", col(s"_b$j").isNotNull && expr(
-          s"(shiftright(_b$j, CAST(_p$j % 32 AS INT)) & 1) = 1"))
+      df.withColumn(p(j), pos(j))
+        .withColumn(wd(j), shiftright(col(p(j)), 5))
+        .join(broadcast(bloom.select(col("word").as(wd(j)),
+          col("bits").as(b(j)))), Seq(wd(j)), "left")
+        .withColumn(h(j), col(b(j)).isNotNull && expr(
+          s"(shiftright(${b(j)}, CAST(${p(j)} % 32 AS INT)) & 1) = 1"))
     }
     joined.select(idCols.map(col) :+
-      (0 until k).map(j => col(s"_h$j")).reduce(_ && _).as("member"): _*)
+      (0 until k).map(j => col(h(j))).reduce(_ && _).as("member"): _*)
   }
 }

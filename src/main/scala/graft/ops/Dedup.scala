@@ -558,12 +558,40 @@ object Dedup {
     * left join into a broadcast when it fits.
     */
   def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val cl = clusters(pairs, aCol, bCol)
-      .select(col("id").as(idCol), col("cluster").as("_cluster"))
+      aCol: String = "a", bCol: String = "b"): DataFrame =
+    dedupCorpusLabeled(df, idCol, ownedLabels(pairs, aCol, bCol, idCol))
+
+  /** [[dedupCorpus]] fed PRE-COMPUTED cluster labels — the store
+    * path: a pipeline that materialized [[clusters]]' output once
+    * (e.g. [[CurationStore]]) feeds every downstream consumer from
+    * the label table instead of re-running the fixpoint. `labels`
+    * has columns (idCol, cluster); only docs WITH a duplicate appear.
+    */
+  def dedupCorpusLabeled(df: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame = {
+    val cl = labels.select(col(idCol), col("cluster").as("_cluster"))
     df.join(cl, Seq(idCol), "left")
       .filter(col("_cluster").isNull || col(idCol) === col("_cluster"))
       .drop("_cluster")
+  }
+
+  /** Run the [[clusters]] fixpoint and hand back a frame the CALLER
+    * owns outright: the label rows are materialized into a
+    * lineage-cut copy (`localCheckpoint`) and the fixpoint's cached
+    * blocks are released immediately — honoring clusters()'
+    * consume-then-unpersist contract here instead of leaking a
+    * hidden persisted frame to library callers (the checkpoint
+    * blocks are reclaimed by the ContextCleaner when the frame goes
+    * out of scope, unlike a persist, which outlives it).
+    */
+  private def ownedLabels(pairs: DataFrame, aCol: String, bCol: String,
+      idCol: String): DataFrame = {
+    val fixpoint = clusters(pairs, aCol, bCol)
+    val owned = fixpoint
+      .select(col("id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    fixpoint.unpersist()
+    owned
   }
 
   /** [[dedupCorpus]] with a QUALITY keep policy: within each
@@ -579,9 +607,17 @@ object Dedup {
     */
   def dedupCorpusBest(df: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String, aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
-    val cl = clusters(pairs, aCol, bCol)
-      .select(col("id").as(idCol), col("cluster").as("_cl"))
+      bCol: String = "b"): DataFrame =
+    dedupCorpusBestLabeled(df, idCol,
+      ownedLabels(pairs, aCol, bCol, idCol), scoreCol)
+
+  /** [[dedupCorpusBest]] fed PRE-COMPUTED cluster labels (the
+    * [[dedupCorpusLabeled]] store path): same auditable decision
+    * table, no fixpoint run. `labels` has columns (idCol, cluster).
+    */
+  def dedupCorpusBestLabeled(df: DataFrame, idCol: String,
+      labels: DataFrame, scoreCol: String): DataFrame = {
+    val cl = labels.select(col(idCol), col("cluster").as("_cl"))
     val w = Window.partitionBy("cluster")
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     df.join(cl, Seq(idCol), "left")

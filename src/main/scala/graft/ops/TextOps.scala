@@ -221,7 +221,8 @@ object TextOps {
     * boundary falls AFTER character position i whenever the
     * polynomial hash of the trailing `window` characters —
     * S(i) = Σⱼ 31^j·c(i−j), j = 0..window−1, kept EXACT in a long
-    * (31^7·127·8 < 2^45, no modulus) — satisfies S(i) % divisor = 0.
+    * for ANY UTF-16 code unit (c ≤ 0xFFFF: max S = 0xFFFF·(31^w−1)/30
+    * < 2^63 for w ≤ 10, no modulus) — satisfies S(i) % divisor = 0.
     * Content decides the cuts, so an insertion re-syncs within one
     * window and every following chunk still dedups, where fixed-size
     * chunking (chunkRows) shifts every later boundary. Output one row
@@ -233,11 +234,18 @@ object TextOps {
     * production variant adds min/max chunk-size guards (stateful,
     * same partition-local kernel — guards left out here to keep cut
     * positions a pure function of content).
+    *
+    * Unicode contract: the kernel rolls over UTF-16 CODE UNITS
+    * (`charAt`), so cut positions agree with a codepoint-based oracle
+    * (DuckDB `ord`/`substr`, q115) for text in the Basic Multilingual
+    * Plane; supplementary-plane characters hash as two surrogate
+    * units and would shift boundaries relative to a codepoint walk.
     */
   def cdcChunkRows(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, window: Int = 8,
       divisor: Int = 64): org.apache.spark.sql.DataFrame = {
-    require(window >= 2 && window <= 12, "window in [2,12] keeps S exact")
+    // 0xFFFF·(31^10−1)/30 ≈ 1.8e18 < 2^63 — exact for all code units
+    require(window >= 2 && window <= 10, "window in [2,10] keeps S exact")
     require(divisor >= 2, "divisor >= 2")
     val spark = df.sparkSession
     import spark.implicits._

@@ -177,12 +177,15 @@ object EventStream {
     * driver).
     *
     * Keep-FIRST semantics, matching the reference's `unique_stable`:
-    * when a key recurs, the HISTORY row wins over the batch row (and
-    * within the batch, ties resolve by the key columns themselves via
-    * [[graft.ops.Dedup.keepFirst]] on an origin-precedence column), so
-    * a re-delivered key with a changed payload never silently rewrites
-    * settled history — deterministic in VALUE even without the
-    * exact-duplicate assumption.
+    * when a key recurs, the HISTORY row wins over the batch row (the
+    * origin-precedence column leads the [[graft.ops.Dedup.keepFirst]]
+    * ordering), so a re-delivered key with a changed payload never
+    * silently rewrites settled history. WITHIN one origin, ties
+    * between equal-key rows with DIFFERENT payloads resolve by a
+    * deterministic payload hash (`xxhash64` over the non-key
+    * columns) — so the merge is deterministic in VALUE even without
+    * the exact-duplicate assumption, within a batch as well as
+    * across history-vs-batch.
     *
     * Version directories resolve through the Hadoop [[FileSystem]] of
     * `dir`'s scheme (not `java.io.File`), so the sink works unchanged
@@ -201,8 +204,13 @@ object EventStream {
       .map(p => spark.read.parquet(p.toString)
         .withColumn("_origin", lit(0)).unionByName(tagged))
       .getOrElse(tagged)
+    val payload = merged.columns
+      .filterNot(c => keys.contains(c) || c == "_origin")
+    val tieBreak =
+      if (payload.isEmpty) Nil
+      else Seq(xxhash64(payload.map(col): _*).asc)
     graft.ops.Dedup.keepFirst(merged, keys,
-        col("_origin").asc +: keys.map(k => col(k).asc))
+        col("_origin").asc +: tieBreak)
       .drop("_origin")
       .write.mode("overwrite").parquet(s"$dir/v$batchId")
   }
