@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The curation pipeline as STAGED PARQUET ARTIFACTS — the shape a
+  * real 100 TB dedup run takes: the expensive products of the
+  * near-dup machinery (minhash signatures → thresholded candidate
+  * pairs → connected-component cluster labels) are each written ONCE
+  * as a table, and every downstream consumer — corpus rewrite (q50),
+  * savings report (q113), leak-free split (q119), best-of-cluster
+  * selection (q121) — reads the label TABLE instead of re-running
+  * the LSH kernel and the components fixpoint per query. This is the
+  * same high-water discipline the incremental operators already
+  * apply to signatures (q53) and ANN assignments (q67), lifted to
+  * the whole pipeline (reference pattern: `src/util.rs:62-66` —
+  * fetch what's new, reuse what's stored).
+  *
+  * Stage lineage is CUT at every boundary by the parquet round-trip:
+  * stage n+1's plan starts at a columnar scan of stage n's output,
+  * so nothing is persisted, no fixpoint lineage escapes, and a
+  * failed stage re-runs alone. At cluster scale the pairs and labels
+  * tables would be written bucketed by their join keys (labels by
+  * `idCol` — making every consumer's label join co-located with a
+  * bucketed corpus; pairs by `a`) — the mechanics q76 demonstrates;
+  * local stores keep plain parquet.
+  *
+  * Equivalence to the fused (per-query standalone) forms is proven
+  * twice: CurationStoreSpec asserts store-fed q50/q121 results are
+  * frame-identical to the standalone operators, and the four
+  * store-fed queries stay hash-green against DuckDB oracles that
+  * recompute everything from the raw corpus.
+  */
+object CurationStore {
+
+  /** Handle to a built store: three parquet tables under `dir`.
+    * `signatures`: (idCol, h0..h{n-1}) — one row per doc with ≥1
+    * shingle; `pairs`: (a, b, est_jaccard) ≥ the build's `minEst`;
+    * `labels`: (idCol, cluster) for every doc in any pair, cluster =
+    * component-minimum id.
+    */
+  final case class Store(dir: String, idCol: String) {
+    def signatures(s: SparkSession): DataFrame =
+      s.read.parquet(s"$dir/signatures")
+    def pairs(s: SparkSession): DataFrame = s.read.parquet(s"$dir/pairs")
+    def labels(s: SparkSession): DataFrame = s.read.parquet(s"$dir/labels")
+  }
+
+  /** Run the three stages over `docs`, overwriting `storeDir`. Dials
+    * mirror the battery's near-dup defaults (q43/q49): 16 hashes in
+    * 4 bands, estimate cut 0.5.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      storeDir: String, numHashes: Int = 16, numBands: Int = 4,
+      minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): Store = {
+    val spark = docs.sparkSession
+    // stage 1 — signatures: one partition-local pass over the text
+    // (the only stage that touches the corpus)
+    Dedup.minhashSignatures(docs, idCol, textCol, numHashes)
+      .write.mode("overwrite").parquet(s"$storeDir/signatures")
+    // stage 2 — candidate pairs from the STORED signatures: band
+    // bucket self-join + estimate threshold, raw text never re-read
+    Dedup.estimatePairsFromSignatures(
+        spark.read.parquet(s"$storeDir/signatures"),
+        idCol, numHashes, numBands, maxBucketSize)
+      .filter(col("est_jaccard") >= minEst)
+      .write.mode("overwrite").parquet(s"$storeDir/pairs")
+    // stage 3 — cluster labels: the components fixpoint runs ONCE,
+    // its write is its materialization, its cache is released here
+    val fixpoint = Dedup.clusters(
+      spark.read.parquet(s"$storeDir/pairs"), "a", "b")
+    fixpoint.select(col("id").as(idCol), col("cluster"))
+      .write.mode("overwrite").parquet(s"$storeDir/labels")
+    fixpoint.unpersist()
+    Store(storeDir, idCol)
+  }
+
+  // ---- session-lifetime store per corpus directory ----------------
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, Store]()
+
+  private def storeDirFor(dataDir: String): String =
+    "target/curation-store/" +
+      dataDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
+
+  /** The memoized store for the `documents` corpus at `dataDir`:
+    * built (fresh, mode-overwrite) on first access per JVM, then
+    * shared by every consumer query in the session — cluster labels
+    * are computed once per corpus, not once per query. Dials are the
+    * battery's (16/4/0.5), matching q49's `nearDupPairs`.
+    */
+  def forCorpus(s: SparkSession, dataDir: String): Store =
+    built.computeIfAbsent(dataDir, d =>
+      build(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        storeDirFor(d)))
+
+  /** Rebuild `dataDir`'s store unconditionally (the q125 surface:
+    * the build cost stays honestly measured in the bench battery
+    * even when consumers ride the memoized store).
+    */
+  def rebuildForCorpus(s: SparkSession, dataDir: String): Store = {
+    val st = build(s.read.parquet(s"$dataDir/documents.parquet"),
+      "doc_id", "text", storeDirFor(dataDir))
+    built.put(dataDir, st)
+    st
+  }
+}

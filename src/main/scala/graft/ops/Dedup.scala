@@ -261,10 +261,22 @@ object Dedup {
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, numBands: Int = 4,
-      maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    val bands = sigBandRows(
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    estimatePairsFromSignatures(
       minhashSignatures(df, idCol, textCol, numHashes),
-      idCol, numHashes, numBands)
+      idCol, numHashes, numBands, maxBucketSize)
+
+  /** [[minhashEstimatePairs]] starting from an EXISTING signature
+    * frame (the [[minhashSignatures]] shape: idCol, h0..h{n-1}) —
+    * the staged-pipeline entry point: a store that materialized
+    * signatures once (parquet) derives candidate pairs without
+    * touching the raw text again. Identical output to the fused
+    * form by construction (it IS the fused form's tail).
+    */
+  def estimatePairsFromSignatures(sig: DataFrame, idCol: String,
+      numHashes: Int = 16, numBands: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val bands = sigBandRows(sig, idCol, numHashes, numBands)
     scoreBandPairs(bands, bands, idCol, numHashes, _ < _, maxBucketSize)
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{CurationStore, Dedup, TextOps}
 import graft.queries.Registry.table
 import org.apache.spark.sql.functions._
 
@@ -511,10 +511,14 @@ object TextQueries {
     * with: clusters → keep ONE canonical doc per cluster (min id) plus
     * every unclustered doc ([[graft.ops.Dedup.dedupCorpus]]). Counted
     * per source so the planted duplicates' removal is visible.
+    * Labels come from the MATERIALIZED store
+    * ([[graft.ops.CurationStore]]) — the fixpoint runs once per
+    * corpus, not per consumer; the oracle recomputes components from
+    * the raw corpus, so green here proves the store path end-to-end.
     */
   val q50 = Q("q50_dedup_corpus",
-    (s, dir) => Dedup.dedupCorpus(table(s, dir, "documents"),
-        "doc_id", nearDupPairs(s, dir))
+    (s, dir) => Dedup.dedupCorpusLabeled(table(s, dir, "documents"),
+        "doc_id", CurationStore.forCorpus(s, dir).labels(s))
       .groupBy("source")
       .agg(count(lit(1)).as("n_survivors"), min("doc_id").as("min_id"))
       .orderBy("source"),
@@ -1526,8 +1530,7 @@ object TextQueries {
   val q113 = Q("q113_dedup_report",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val cl = Dedup.clusters(nearDupPairs(s, dir), "a", "b")
-        .select(col("id").as("doc_id"), col("cluster"))
+      val cl = CurationStore.forCorpus(s, dir).labels(s)
       cl.join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("cluster")
         .agg(count(lit(1)).as("sz"),
@@ -1744,14 +1747,14 @@ object TextQueries {
   val q119 = Q("q119_cluster_split",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      // the pair frame feeds BOTH the component fixpoint (which runs
-      // eager actions) and the leak-proof join — persist it so the
-      // minhash/LSH kernel runs once, not once per consumer. The
-      // battery's harnesses clearCache() between queries.
-      val pairs = nearDupPairs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = Dedup.clusters(pairs, "a", "b")
-        .select(col("id").as("doc_id"), col("cluster"))
+      // pairs AND labels come from the materialized store — both
+      // consumers read parquet stage outputs, so the minhash/LSH
+      // kernel and the component fixpoint run once per CORPUS (at
+      // store build), not once per consumer, and nothing needs a
+      // persist here.
+      val store = CurationStore.forCorpus(s, dir)
+      val pairs = store.pairs(s)
+      val labels = store.labels(s)
       val keyed = docs.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1849,11 +1852,11 @@ object TextQueries {
     * chain, and the per-cluster argmax window in SQL.
     */
   val q121 = Q("q121_dedup_best_of_cluster",
-    (s, dir) => graft.ops.Dedup.dedupCorpusBest(
+    (s, dir) => graft.ops.Dedup.dedupCorpusBestLabeled(
         graft.ops.TextOps.qualityClassify(
             table(s, dir, "documents"), "doc_id", "text", ClfBuckets)
           .select(col("doc_id"), col("prob")),
-        "doc_id", nearDupPairs(s, dir), "prob")
+        "doc_id", CurationStore.forCorpus(s, dir).labels(s), "prob")
       .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $duckClusterCtes,
       |lab AS (SELECT x AS doc_id, min(y) AS cluster
@@ -1960,10 +1963,52 @@ object TextQueries {
       |FROM d JOIN fs USING (fp)
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** The staged curation pipeline itself
+    * ([[graft.ops.CurationStore.build]]): REBUILDS the three parquet
+    * stages (signatures → thresholded pairs → cluster labels) from
+    * the raw corpus — unconditionally, so the pipeline's full cost
+    * stays honestly measured in the bench battery even though the
+    * consumer queries (q50/q113/q119/q121) ride the memoized store —
+    * then emits one summary row of per-stage cardinalities. The
+    * oracle re-derives every stage from the raw tables in SQL, so a
+    * hash match pins the STORED artifacts (not just a query plan)
+    * against the DuckDB truth.
+    */
+  val q125 = Q("q125_curation_stages",
+    (s, dir) => {
+      val store = CurationStore.rebuildForCorpus(s, dir)
+      val stats = table(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(store.signatures(s)
+          .agg(count(lit(1)).as("n_signed"))))
+        .crossJoin(broadcast(store.pairs(s)
+          .agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(store.labels(s)
+          .agg(count(lit(1)).as("n_labeled"),
+            countDistinct("cluster").as("n_clusters"))))
+      stats.withColumn("n_survivors",
+          col("n_docs") - col("n_labeled") + col("n_clusters"))
+        .select("n_docs", "n_signed", "n_pairs", "n_labeled",
+          "n_clusters", "n_survivors")
+    },
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |c AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_signed,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_labeled,
+      |  (SELECT CAST(count(DISTINCT cluster) AS BIGINT) FROM lab)
+      |    AS n_clusters)
+      |SELECT n_docs, n_signed, n_pairs, n_labeled, n_clusters,
+      | n_docs - n_labeled + n_clusters AS n_survivors
+      |FROM c""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123, q124)
+      q120, q121, q123, q124, q125)
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The staged store must be a pure MATERIALIZATION: feeding a
+  * consumer from the parquet stages yields frames IDENTICAL to the
+  * fused standalone operators (same kernels, same dials), and the
+  * build itself leaves no cached state behind.
+  */
+class CurationStoreSpec extends SparkSpec {
+
+  private lazy val docs = sf("documents")
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("curation-store").toString
+  private lazy val store = CurationStore.build(docs, "doc_id", "text", tmp)
+
+  private def standalonePairs =
+    Dedup.minhashEstimatePairs(docs, "doc_id", "text",
+        numHashes = 16, numBands = 4)
+      .filter(col("est_jaccard") >= 0.5)
+
+  private def assertFrameEqual(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    assert(a.count() == b.count(), s"$what: row counts differ")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what: symmetric difference is non-empty")
+  }
+
+  test("stored pairs equal the fused estimate tier's pairs") {
+    assertFrameEqual(store.pairs(spark), standalonePairs, "pairs")
+  }
+
+  test("stored labels equal the live fixpoint's labels") {
+    val fixpoint = Dedup.clusters(standalonePairs, "a", "b")
+    assertFrameEqual(store.labels(spark),
+      fixpoint.select(col("id").as("doc_id"), col("cluster")), "labels")
+    fixpoint.unpersist()
+  }
+
+  test("store-fed corpus rewrite equals the standalone operator") {
+    assertFrameEqual(
+      Dedup.dedupCorpusLabeled(docs, "doc_id", store.labels(spark)),
+      Dedup.dedupCorpus(docs, "doc_id", standalonePairs),
+      "dedupCorpus")
+  }
+
+  test("store-fed best-of-cluster decisions equal the standalone operator") {
+    val scored = TextOps.qualityClassify(docs, "doc_id", "text", 4096)
+      .select(col("doc_id"), col("prob"))
+    assertFrameEqual(
+      Dedup.dedupCorpusBestLabeled(scored, "doc_id",
+        store.labels(spark), "prob"),
+      Dedup.dedupCorpusBest(scored, "doc_id", standalonePairs, "prob"),
+      "dedupCorpusBest")
+  }
+
+  test("build leaves no persisted blocks behind") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val dir2 =
+      java.nio.file.Files.createTempDirectory("curation-store2").toString
+    CurationStore.build(docs, "doc_id", "text", dir2)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "store build left persisted blocks")
+  }
+
+  test("stage artifacts are mutually consistent") {
+    val sig = store.signatures(spark)
+    val pairs = store.pairs(spark)
+    val labels = store.labels(spark)
+    // every pair id is a signed doc; every labeled doc is in a pair
+    val pairIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    assert(pairIds.join(sig, "doc_id", "left_anti").isEmpty,
+      "pair references an unsigned doc")
+    assertFrameEqual(labels.select("doc_id"), pairIds, "labeled ids")
+    // estimate threshold respected in the stored pairs
+    assert(pairs.filter(col("est_jaccard") < 0.5).isEmpty)
+    // cluster label = component minimum → every cluster id labels itself
+    assert(labels.select(col("cluster").as("doc_id")).distinct()
+      .join(labels.filter(col("doc_id") === col("cluster")), "doc_id",
+        "left_anti").isEmpty,
+      "a cluster's canonical id is missing its own label row")
+  }
+}

@@ -21,6 +21,11 @@ class UnpersistSpec extends SparkSpec {
 
   private def assertClean(run: => Unit, what: String): Unit = {
     spark.catalog.clearCache()
+    // earlier suites may leave lineage-cut label frames behind
+    // (dedupCorpusBest's localCheckpoint — cleaner-managed, but not
+    // deterministically gone yet); reset to a clean slate so the
+    // assertions below measure only what `run` itself leaves.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     assert(persistedCount == 0, s"dirty session before $what")
     run
     assert(persistedCount == 0,
@@ -70,6 +75,7 @@ class UnpersistSpec extends SparkSpec {
 
   test("clusters: per-round frames are unpersisted, only the fixpoint remains") {
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val cl = Dedup.clusters(pairs, "a", "b")
