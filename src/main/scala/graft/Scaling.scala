@@ -82,9 +82,16 @@ object Scaling {
       println(s"[scaling] $line")
       out.append(line).append('\n')
     }
-    if (args.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALING.jsonl"), out.toString)
+    if (args.isEmpty) {
+      // this main owns the UNTIERED batch lines; preserve other
+      // generators' tiered lines (streaming, skew) on a full regen
+      val p = java.nio.file.Paths.get("SCALING.jsonl")
+      val kept = (if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readString(p) else "")
+        .linesIterator.filter(_.contains(""""tier":""")).mkString("\n")
+      val sep = if (kept.isEmpty) "" else kept + "\n"
+      java.nio.file.Files.writeString(p, out.toString + sep)
+    }
     spark.stop()
   }
 }
