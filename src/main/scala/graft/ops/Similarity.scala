@@ -462,7 +462,13 @@ object Similarity {
         threshold = -1.0)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    exact.as("t").join(approx.as("a"),
+    // The approx side is ≤ queries×k rows by contract (rank ≤ k), but
+    // AQE's estimated stats for it sit right at the broadcast threshold
+    // and the join was observed flipping broadcast↔shuffle between
+    // otherwise-identical runs (2 vs 4 shuffles in the audited plan).
+    // Pin it: for a LEFT OUTER join only the right side can build the
+    // broadcast table, and the right side here is the bounded one.
+    exact.as("t").join(broadcast(approx.as("a")),
         col("t.qid") === col("a.qid") &&
           col(s"t.$idCol") === col(s"a.$idCol"), "left")
       .groupBy(col("t.qid").as("qid"))
