@@ -42,8 +42,20 @@ object GraftSession {
     * 2× the cluster's default parallelism and the broadcast
     * threshold to builder()'s 64 MiB engine invariant, but an
     * explicit `--conf` from the submitter wins for both.
+    *
+    * The sizing fill only happens when THIS call creates the session.
+    * If the app already built one, `getOrCreate` returns it — Spark
+    * applies the `.config` pairs above as runtime SQL conf but NOT
+    * the extensions — and overriding conf the app set through
+    * `session.conf` (invisible in the submit `SparkConf`) would
+    * silently undo the app's own sizing. In that case this method
+    * touches nothing and the caller owns the invariants; create the
+    * session through `submitted()` first if you want the full
+    * contract (Main does).
     */
   def submitted(): SparkSession = {
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val s = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -52,12 +64,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     val submitConf = s.sparkContext.getConf
-    if (!submitConf.contains("spark.sql.shuffle.partitions"))
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(s.sparkContext.defaultParallelism * 2, 32).toString)
-    if (!submitConf.contains("spark.sql.autoBroadcastJoinThreshold"))
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
-        (64 * 1024 * 1024).toString)
+    if (!preExisting) {
+      if (!submitConf.contains("spark.sql.shuffle.partitions"))
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.max(s.sparkContext.defaultParallelism * 2, 32).toString)
+      if (!submitConf.contains("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (64 * 1024 * 1024).toString)
+    }
     s
   }
 }

@@ -82,16 +82,11 @@ object Scaling {
       println(s"[scaling] $line")
       out.append(line).append('\n')
     }
-    if (args.isEmpty) {
-      // this main owns the UNTIERED batch lines; preserve other
-      // generators' tiered lines (streaming, skew) on a full regen
-      val p = java.nio.file.Paths.get("SCALING.jsonl")
-      val kept = (if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.readString(p) else "")
-        .linesIterator.filter(_.contains(""""tier":""")).mkString("\n")
-      val sep = if (kept.isEmpty) "" else kept + "\n"
-      java.nio.file.Files.writeString(p, out.toString + sep)
-    }
+    if (args.isEmpty)
+      // this main owns the UNTIERED batch lines at the file head;
+      // other generators' tiered slices survive a full regen
+      ScalingLog.replaceSlice(ScalingLog.untiered, out.toString,
+        prepend = true)
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Shared SCALING.jsonl ownership protocol for the dev-run evidence
+  * generators ([[Scaling]] — untiered batch rows at the file head,
+  * [[StreamScaling]] — `tier:"streaming"`, [[SkewScaling]] —
+  * `tier:"skew"`, [[StreamReplay]] — `tier:"streaming_replay"`).
+  *
+  * Each generator owns ONE slice, selected by an exact-match
+  * predicate; a regeneration keeps every other line byte-identical
+  * and replaces the file via temp-file + atomic rename, so a crashed
+  * run can never leave a half-written artifact. Tier ownership
+  * matches the full `"tier":"name"` token INCLUDING the closing
+  * quote — `streaming` can never capture `streaming_replay`'s rows.
+  *
+  * Generators must still run SERIALLY: read-filter-rewrite is
+  * last-writer-wins, and two concurrent rewrites would drop
+  * whichever slice landed first (ScalingEvidenceSpec turns that
+  * mistake into a red `sbt test` instead of silent evidence loss).
+  */
+object ScalingLog {
+
+  private val path = Paths.get("SCALING.jsonl")
+
+  /** Ownership predicate for a tier's rows. */
+  def tier(name: String): String => Boolean =
+    _.contains(s""""tier":"$name"""")
+
+  /** Ownership predicate for the untiered batch rows. */
+  val untiered: String => Boolean = line => !line.contains("\"tier\":")
+
+  /** Replace the owned slice: drop lines matching `owns`, splice in
+    * `newLines` (a '\n'-terminated block) — appended after the kept
+    * lines, or prepended when the owner holds the file's head.
+    */
+  def replaceSlice(owns: String => Boolean, newLines: String,
+      prepend: Boolean = false): Unit = {
+    val existing =
+      if (Files.exists(path)) Files.readString(path) else ""
+    val kept = existing.linesIterator.filterNot(owns)
+      .mkString("\n")
+    val content =
+      if (kept.isEmpty) newLines
+      else if (prepend) newLines + kept + "\n"
+      else kept + "\n" + newLines
+    val tmp = Files.createTempFile(
+      path.toAbsolutePath.getParent, "SCALING", ".jsonl.tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -171,16 +171,9 @@ object SkewScaling {
           .count())
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    // append: the batch Scaling main owns the file's untiered head;
-    // this main owns the skew lines
-    val p = java.nio.file.Paths.get("SCALING.jsonl")
-    val existing = if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p) else ""
-    val kept = existing.linesIterator
-      .filterNot(_.contains(""""tier":"skew""""))
-      .mkString("\n")
-    val sep = if (kept.isEmpty) "" else "\n"
-    java.nio.file.Files.writeString(p, kept + sep + out.toString)
+    // the batch Scaling main owns the file's untiered head; this
+    // main owns the skew lines
+    ScalingLog.replaceSlice(ScalingLog.tier("skew"), out.toString)
     spark.stop()
   }
 }

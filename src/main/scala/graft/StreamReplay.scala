@@ -131,15 +131,9 @@ object StreamReplay {
       out.append(line).append('\n')
     }
 
-    // append: other generators own their tiers' lines
-    val p = java.nio.file.Paths.get("SCALING.jsonl")
-    val existing = if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p) else ""
-    val kept = existing.linesIterator
-      .filterNot(_.contains(""""tier":"streaming_replay""""))
-      .mkString("\n")
-    val sep = if (kept.isEmpty) "" else "\n"
-    java.nio.file.Files.writeString(p, kept + sep + out.toString)
+    // other generators own their tiers' lines
+    ScalingLog.replaceSlice(
+      ScalingLog.tier("streaming_replay"), out.toString)
     spark.stop()
   }
 }

@@ -68,18 +68,10 @@ object StreamScaling {
       out.append(line).append('\n')
       spark.catalog.clearCache()
     }
-    if (args.isEmpty) {
-      // append: Scaling (batch tier) owns the file's head; this main
-      // owns the streaming lines. Full regen = run Scaling, then this.
-      val p = java.nio.file.Paths.get("SCALING.jsonl")
-      val existing = if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readString(p) else ""
-      val kept = existing.linesIterator
-        .filterNot(_.contains(""""tier":"streaming""""))
-        .mkString("\n")
-      val sep = if (kept.isEmpty) "" else "\n"
-      java.nio.file.Files.writeString(p, kept + sep + out.toString)
-    }
+    if (args.isEmpty)
+      // Scaling (batch tier) owns the file's head; this main owns the
+      // streaming lines. Full regen = run Scaling, then this.
+      ScalingLog.replaceSlice(ScalingLog.tier("streaming"), out.toString)
     spark.stop()
   }
 }

@@ -595,6 +595,17 @@ object Dedup {
     * hidden persisted frame to library callers (the checkpoint
     * blocks are reclaimed by the ContextCleaner when the frame goes
     * out of scope, unlike a persist, which outlives it).
+    *
+    * Two deliberate limits of this ONE-SHOT convenience path:
+    * ContextCleaner reclamation is driver-GC-timed, so a long-lived
+    * session hammering [[dedupCorpus]]/[[dedupCorpusBest]] in a loop
+    * accumulates MEMORY_AND_DISK blocks between GC cycles; and
+    * `localCheckpoint` blocks are NOT fault-tolerant — losing an
+    * executor aborts every job still reading the frame. Long-lived
+    * or cluster-scale callers should materialize labels durably once
+    * ([[CurationStore]] — write-then-read, lineage cut at a parquet
+    * boundary, nothing cached) and feed the `*Labeled` entry points;
+    * that is the battery's own path (q50/q113/q119/q121).
     */
   private def ownedLabels(pairs: DataFrame, aCol: String, bCol: String,
       idCol: String): DataFrame = {

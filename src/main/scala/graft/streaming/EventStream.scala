@@ -206,9 +206,15 @@ object EventStream {
       .getOrElse(tagged)
     val payload = merged.columns
       .filterNot(c => keys.contains(c) || c == "_origin")
+    // xxhash64 SKIPS null inputs (a null column leaves the hash state
+    // unchanged), so (null, 1) and (1, null) over same-typed columns
+    // would collide and the tie-break would go nondeterministic again
+    // — hash a null-discriminating JSON encoding instead
+    // (ignoreNullFields=false keeps explicit `"c":null` entries).
     val tieBreak =
       if (payload.isEmpty) Nil
-      else Seq(xxhash64(payload.map(col): _*).asc)
+      else Seq(xxhash64(to_json(struct(payload.map(col): _*),
+        Map("ignoreNullFields" -> "false"))).asc)
     graft.ops.Dedup.keepFirst(merged, keys,
         col("_origin").asc +: tieBreak)
       .drop("_origin")

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import graft.streaming.EventStream.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{struct, to_json, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Drives the streaming operators through an actual micro-batch
@@ -255,6 +256,41 @@ class EventStreamSpec extends SparkSpec {
       EventStream.mergeBatch(b2, 2L, dir, Seq("id"))
       assert(latest ==
         Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(dir)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("mergeBatch tie-break discriminates which columns are null") {
+    // (null, x) vs (x, null) must NOT collide: a bare xxhash64 over
+    // the payload columns skips null inputs, hashing both rows to the
+    // same value and leaving the within-batch winner to partition
+    // order. The JSON-encoded hash keeps explicit nulls, so the
+    // winner is a pure function of the VALUES.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-merge-nulls").toString
+    try {
+      val batch = Seq((1L, Option.empty[String], Option("x")),
+        (1L, Option("x"), Option.empty[String])).toDF("id", "a", "b")
+      EventStream.mergeBatch(batch, 0L, dir, Seq("id"))
+      // expected winner: min JSON-encoded hash, computed independently
+      val expected = batch
+        .withColumn("_h", xxhash64(to_json(struct($"a", $"b"),
+          Map("ignoreNullFields" -> "false"))))
+        .orderBy($"_h".asc).drop("_h")
+        .collect().head
+      val hashes = batch
+        .select(xxhash64(to_json(struct($"a", $"b"),
+          Map("ignoreNullFields" -> "false"))))
+        .collect().map(_.getLong(0))
+      assert(hashes.distinct.length == 2,
+        "JSON-encoded hashes must differ for null-position twins")
+      val kept = EventStream.latestHistory(spark, dir).collect()
+      assert(kept.length == 1)
+      assert(kept.head.toSeq == expected.toSeq)
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
