@@ -82,6 +82,18 @@ object Multimodal {
     * decode recovers the exact channel values).
     */
   def testCardPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(testCardImage(id, w, h), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The raw [[channelCoefs]] test card as a `BufferedImage` — the
+    * pixel source behind [[testCardPng]], public so fixtures can
+    * re-encode the SAME planted imagery through other codecs (the
+    * MJPG tolerance oracle encodes it as JPEG).
+    */
+  def testCardImage(id: Long, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -96,9 +108,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
 
   /** One media row per input id: deterministic PNG payload + typed
@@ -330,9 +340,10 @@ object Multimodal {
     * [[sampleFrames]]'s re-emit).
     */
   def buildAvi(pngs: Seq[Array[Byte]], w: Int, h: Int,
-      fps: Int): Array[Byte] = {
+      fps: Int, fourcc: String = "MPNG"): Array[Byte] = {
     require(pngs.nonEmpty && fps >= 1 && 1000000 % fps == 0,
       "fps must divide 1e6; at least one frame")
+    require(fourcc.length == 4, "stream fourcc is 4 ASCII chars")
     val frames = pngs.length
     val maxLen = pngs.map(_.length).max
     val avih = Array(
@@ -343,7 +354,7 @@ object Multimodal {
       maxLen, w, h,  // dwSuggestedBufferSize, dwWidth, dwHeight
       0, 0, 0, 0     // dwReserved[4]
     ).flatMap(le32)
-    val strh = fcc("vids") ++ fcc("MPNG") ++ Array(
+    val strh = fcc("vids") ++ fcc(fourcc) ++ Array(
       0, 0, 0,       // dwFlags, wPriority+wLanguage, dwInitialFrames
       1, fps,        // dwScale, dwRate (fps = rate / scale)
       0, frames,     // dwStart, dwLength (in frames)
@@ -353,7 +364,7 @@ object Multimodal {
     val strf = Array(
       40, w, h       // biSize, biWidth, biHeight
     ).flatMap(le32) ++ le16(1) ++ le16(24) ++ // biPlanes, biBitCount
-      fcc("MPNG") ++ Array(
+      fcc(fourcc) ++ Array(
       w * h * 3,     // biSizeImage
       0, 0, 0, 0     // biXPels, biYPels, biClrUsed, biClrImportant
     ).flatMap(le32)

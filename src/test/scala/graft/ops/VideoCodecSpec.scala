@@ -41,6 +41,56 @@ class VideoCodecSpec extends SparkSpec {
     }
   }
 
+  test("MJPG AVI decodes through the same path within JPEG tolerance") {
+    // the scaladoc claim under test: an MJPG-fourcc AVI (JPEG frame
+    // payloads) parses and decodes through the IDENTICAL chunk-walk +
+    // ImageIO path as the MPNG fixtures — only the per-pixel error
+    // model changes (lossy DCT), so the oracle is a mean-error BOUND
+    // against the planted formula instead of an exact sum match.
+    val (frames, w, h, fps) = (4, 16, 12, 25)
+    for (id <- Seq(0L, 11L, 499L)) {
+      val jpegs = (0 until frames).map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(
+          Multimodal.testCardImage(Multimodal.frameImageId(id, f), w, h),
+          "jpg", bos)
+        bos.toByteArray
+      }
+      // real JPEG payloads (SOI marker), not PNGs in disguise
+      jpegs.foreach(j =>
+        assert((j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8))
+      val avi = Multimodal.buildAvi(jpegs, w, h, fps, fourcc = "MJPG")
+      val v = Multimodal.parseAvi(avi).get
+      assert(v.nFrames == frames && v.fps == fps)
+      assert(v.width == w && v.height == h)
+      val stats = Multimodal.decodeVideoFrameStats(id, avi)
+      assert(stats.length == frames, "every JPEG frame must decode")
+      var sawLoss = false
+      stats.zipWithIndex.foreach { case (s, f) =>
+        assert(s.frame == f && s.width == w && s.height == h)
+        val fid = Multimodal.frameImageId(id, f)
+        val want = Multimodal.channelCoefs.map { c =>
+          (for (y <- 0 until h; x <- 0 until w)
+            yield ((c._1 * fid + c._2 * x + c._3 * y + c._4) % 256).toInt)
+            .sum.toLong
+        }
+        // per-frame per-channel MEAN pixel error bound: the planted
+        // card is a wrapping gradient (hard on DCT), so the bound is
+        // loose in absolute terms but far below the signal range —
+        // a swapped/missing/black frame is hundreds off per pixel
+        val got = Seq(s.sum_r, s.sum_g, s.sum_b)
+        got.zip(want).foreach { case (g, e) =>
+          val meanErr = math.abs(g - e).toDouble / (w * h)
+          assert(meanErr <= 24.0,
+            s"id=$id frame=$f mean per-pixel error $meanErr > 24")
+        }
+        if (got != want) sawLoss = true
+      }
+      assert(sawLoss, "JPEG roundtrip should be measurably lossy " +
+        "(exact equality would mean the PNG path was exercised instead)")
+    }
+  }
+
   test("parser handles junk, truncation and non-AVI RIFF cleanly") {
     assert(Multimodal.parseAvi(null).isEmpty)
     assert(Multimodal.parseAvi(Array[Byte](1, 2, 3)).isEmpty)
