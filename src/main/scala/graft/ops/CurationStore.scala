@@ -76,12 +76,105 @@ object CurationStore {
     Store(storeDir, idCol)
   }
 
+  /** Incrementally fold a NEW batch of docs into an existing store —
+    * the daily operation at 100 TB, where a full [[build]] would
+    * re-shingle the whole corpus to absorb a sliver of new documents.
+    * The high-water discipline of the incremental operators (q53's
+    * signature store, q67's ANN assignments) applied to the staged
+    * pipeline itself:
+    *
+    *  - signatures: ONLY `newDocs` is shingled and minhashed; the new
+    *    rows are APPENDED to the signature stage. History text is
+    *    never read.
+    *  - pairs: [[Dedup.estimatePairsForNewBatch]] joins the new
+    *    signatures against the STORED ones (batch-vs-store +
+    *    within-batch, `a < b` normalized) and appends the result —
+    *    exactly the pairs a full rebuild would add.
+    *  - labels: the components fixpoint re-runs over the SMALL edge
+    *    set (stored labels as id→cluster edges ∪ the appended pairs)
+    *    — linear in labeled docs + new pairs, independent of corpus
+    *    text volume. A new doc bridging two old clusters merges them
+    *    correctly because each old cluster id is itself a member
+    *    node. The result replaces the labels stage via
+    *    write-to-temp + rename (a crash never leaves a half-written
+    *    stage; at cluster scale you'd version the directory like
+    *    `EventStream.mergeBatch` and flip a pointer).
+    *
+    * Equivalence `update(build(old), new) == build(old ∪ new)` is
+    * exact at the default unguarded dials and spec-proven
+    * stage-by-stage (CurationStoreSpec); q126 additionally pins it
+    * against the DuckDB oracle, which recomputes the summary from
+    * the FULL raw corpus.
+    *
+    * `newDocs` ids must be disjoint from the stored corpus (the
+    * caller's high-water contract, as in [[Dedup.dedupIncremental]]).
+    */
+  def update(store: Store, newDocs: DataFrame, textCol: String,
+      numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): Store = {
+    val spark = newDocs.sparkSession
+    val idCol = store.idCol
+    val hconf = spark.sessionState.newHadoopConf()
+    def files(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val sigDir = s"${store.dir}/signatures"
+    val pairsDir = s"${store.dir}/pairs"
+    val labelsDir = s"${store.dir}/labels"
+
+    // stage 1 — shingle ONLY the batch, append; the before/after file
+    // diff recovers the appended rows as a COLUMNAR READ so no stage
+    // is ever computed twice (the signature stage is the source of
+    // truth from here on, mirroring build()'s lineage cuts)
+    val sigBefore = files(sigDir)
+    Dedup.minhashSignatures(newDocs, idCol, textCol, numHashes)
+      .write.mode("append").parquet(sigDir)
+    spark.catalog.refreshByPath(sigDir)
+    val sigNewFiles = (files(sigDir) -- sigBefore).toSeq
+    val sigNew = spark.read.parquet(sigNewFiles: _*)
+    val sigOld = spark.read.parquet(sigBefore.toSeq: _*)
+
+    // stage 2 — the pairs the batch adds, from stored signatures only
+    val pairsBefore = files(pairsDir)
+    Dedup.estimatePairsForNewBatch(sigNew, sigOld, idCol, numHashes,
+        numBands, maxBucketSize)
+      .filter(col("est_jaccard") >= minEst)
+      .write.mode("append").parquet(pairsDir)
+    spark.catalog.refreshByPath(pairsDir)
+    val pairsNew =
+      spark.read.parquet((files(pairsDir) -- pairsBefore).toSeq: _*)
+
+    // stage 3 — fixpoint over stored-labels-as-edges + new pairs:
+    // the graph is labeled docs + new pairs, NOT the corpus
+    val edges = spark.read.parquet(labelsDir)
+      .select(col(idCol).as("a"), col("cluster").as("b"))
+      .unionByName(pairsNew.select(col("a"), col("b")))
+    val fixpoint = Dedup.clusters(edges, "a", "b")
+    val tmpDir = s"$labelsDir.next"
+    fixpoint.select(col("id").as(idCol), col("cluster"))
+      .write.mode("overwrite").parquet(tmpDir)
+    fixpoint.unpersist()
+    val lp = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = lp.getFileSystem(hconf)
+    fs.delete(lp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), lp)
+    spark.catalog.refreshByPath(labelsDir)
+    store
+  }
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, Store]()
 
-  private def storeDirFor(dataDir: String): String = {
+  /** Deterministic local store directory for `dataDir` (+ optional
+    * suffix for side-by-side stores, e.g. q126's incremental twin).
+    */
+  def storeDirFor(dataDir: String, suffix: String = ""): String = {
     // sanitizing collapses punctuation runs, so distinct corpora
     // (/data/a-b vs /data/a/b) could alias one subdir and overwrite
     // each other's staged parquet — a short digest of the FULL path
@@ -91,7 +184,7 @@ object CurationStore {
       .take(4).map(b => f"$b%02x").mkString
     "target/curation-store/" +
       dataDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
-      s"-$digest"
+      s"-$digest$suffix"
   }
 
   /** The memoized store for the `documents` corpus at `dataDir`:

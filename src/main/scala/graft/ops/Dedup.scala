@@ -280,6 +280,38 @@ object Dedup {
     scoreBandPairs(bands, bands, idCol, numHashes, _ < _, maxBucketSize)
   }
 
+  /** The candidate pairs a NEW batch ADDS to a signatured corpus —
+    * the incremental complement of [[estimatePairsFromSignatures]]:
+    * within-batch pairs (each-pair-once) plus batch-vs-store pairs,
+    * both normalized to the store convention `a < b`, so
+    *
+    *   pairs(old ∪ new) = pairs(old) ∪ estimatePairsForNewBatch(new, old)
+    *
+    * exactly (the union on the left is what a full rebuild computes;
+    * every pair with ≥1 new member is on the right, every old-old
+    * pair was already stored). The store side joins from its STORED
+    * signatures — the raw history text is never touched. With a
+    * finite `maxBucketSize` the identity is conservative rather than
+    * exact: the cap applies per join side here but corpus-wide in a
+    * full rebuild, so a bucket hot only in combination may keep pairs
+    * a rebuild would drop (never the reverse direction a dedup cares
+    * about — no pair is invented).
+    */
+  def estimatePairsForNewBatch(newSig: DataFrame, storeSig: DataFrame,
+      idCol: String, numHashes: Int = 16, numBands: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val nb = sigBandRows(newSig, idCol, numHashes, numBands)
+    val sb = sigBandRows(storeSig, idCol, numHashes, numBands)
+    val withinBatch =
+      scoreBandPairs(nb, nb, idCol, numHashes, _ < _, maxBucketSize)
+    val againstStore =
+      scoreBandPairs(nb, sb, idCol, numHashes, (_, _) => lit(true),
+          maxBucketSize)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"), col("est_jaccard"))
+    withinBatch.unionByName(againstStore)
+  }
+
   /** 32-bit SimHash over whitespace tokens: per token, a 32-bit hash
     * (first 8 hex chars of md5); per bit, a majority vote across
     * tokens. Output is a 32-char '0'/'1' string (MSB first) — string

@@ -2005,10 +2005,57 @@ object TextQueries {
       | n_docs - n_labeled + n_clusters AS n_survivors
       |FROM c""".stripMargin))
 
+  /** The INCREMENTAL curation pipeline
+    * ([[graft.ops.CurationStore.update]]): builds the store from the
+    * even-id half of the corpus, then folds the odd-id half in as an
+    * incremental batch — history never re-shingled, pairs joined
+    * new-vs-store, the label fixpoint re-run over stored labels +
+    * appended pairs only — and emits the SAME summary row as q125.
+    * The oracle is q125's VERBATIM: DuckDB recomputes every stage
+    * from the FULL raw corpus, so a hash match IS the proof that
+    * `update(build(old), new) == build(old ∪ new)` — the identity a
+    * 100 TB daily ingest stands on.
+    */
+  val q126 = Q("q126_curation_update",
+    (s, dir) => {
+      val storeDir = CurationStore.storeDirFor(dir, "-incr")
+      val docs = table(s, dir, "documents")
+      val old = CurationStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", storeDir)
+      val store = CurationStore.update(
+        old, docs.filter(col("doc_id") % 2 === 1), "text")
+      val stats = docs
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(store.signatures(s)
+          .agg(count(lit(1)).as("n_signed"))))
+        .crossJoin(broadcast(store.pairs(s)
+          .agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(store.labels(s)
+          .agg(count(lit(1)).as("n_labeled"),
+            countDistinct("cluster").as("n_clusters"))))
+      stats.withColumn("n_survivors",
+          col("n_docs") - col("n_labeled") + col("n_clusters"))
+        .select("n_docs", "n_signed", "n_pairs", "n_labeled",
+          "n_clusters", "n_survivors")
+    },
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |c AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_signed,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_labeled,
+      |  (SELECT CAST(count(DISTINCT cluster) AS BIGINT) FROM lab)
+      |    AS n_clusters)
+      |SELECT n_docs, n_signed, n_pairs, n_labeled, n_clusters,
+      | n_docs - n_labeled + n_clusters AS n_survivors
+      |FROM c""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123, q124, q125)
+      q120, q121, q123, q124, q125, q126)
 }

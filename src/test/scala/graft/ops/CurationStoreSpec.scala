@@ -55,6 +55,28 @@ class CurationStoreSpec extends SparkSpec {
       "dedupCorpusBest")
   }
 
+  test("incremental update equals a from-scratch rebuild, stage by stage") {
+    // build(evens) then update(odds) must land byte-equivalent stage
+    // CONTENT to build(all) — the identity the 100 TB daily ingest
+    // stands on (and the one q126 pins against the DuckDB oracle)
+    val dir3 =
+      java.nio.file.Files.createTempDirectory("curation-store-incr").toString
+    val incr = CurationStore.update(
+      CurationStore.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir3),
+      docs.filter(col("doc_id") % 2 === 1), "text")
+    assertFrameEqual(incr.signatures(spark), store.signatures(spark),
+      "incremental signatures")
+    assertFrameEqual(incr.pairs(spark), store.pairs(spark),
+      "incremental pairs")
+    assertFrameEqual(incr.labels(spark), store.labels(spark),
+      "incremental labels")
+    // and the batch-vs-store join really never re-shingled history:
+    // the signature stage gained EXACTLY the odd-id rows
+    assert(incr.signatures(spark).filter(col("doc_id") % 2 === 1).count()
+      == store.signatures(spark).filter(col("doc_id") % 2 === 1).count())
+  }
+
   test("build leaves no persisted blocks behind") {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
