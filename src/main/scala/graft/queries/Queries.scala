@@ -16,14 +16,24 @@ object Registry {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column restored to a
-    * timezone-free timestamp (nanos arrive as longs, see
-    * GraftSession; ns → µs is exact for this corpus).
+  /** `events` with `ts` normalized to a timezone-free timestamp,
+    * whatever the generator wrote: TIMESTAMP(NANOS) arrives as a
+    * nanos-since-epoch long (GraftSession nanosAsLong; ns → µs is
+    * exact for this corpus), TIMESTAMP(MICROS) arrives as a native
+    * timestamp type and only needs the NTZ cast (session tz = UTC,
+    * so the wall-clock values are identical either way).
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case org.apache.spark.sql.types.TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 
   lazy val all: Seq[Q] =
     Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++

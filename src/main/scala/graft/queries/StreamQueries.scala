@@ -95,9 +95,12 @@ object StreamQueries {
     * a DIRECTORY, the corpus is a single file — stage symlink(s) in a
     * temp dir (`copies` > 1 plants exact duplicate rows, for the
     * dedupe query); the staging dir is handed back for cleanup after
-    * the run. nanos arrive as longs (see GraftSession); watermarks
-    * reject TIMESTAMP_NTZ, so rebuild a UTC timestamp (session tz =
-    * UTC keeps it equal to the oracle's naive values).
+    * the run. `ts` lands as a UTC TimestampType either way the
+    * generator wrote it: TIMESTAMP(NANOS) arrives as a nanos long
+    * (see GraftSession) and is rebuilt µs-exact; a native timestamp
+    * type is cast directly (session tz = UTC keeps both equal to the
+    * oracle's naive values). Watermarks reject TIMESTAMP_NTZ, hence
+    * the TimestampType target.
     */
   private def eventsStream(s: SparkSession, dir: String,
       copies: Int = 1,
@@ -112,9 +115,12 @@ object StreamQueries {
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
-    val df = reader.parquet(inDir.toString)
-      .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    val tsFix = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+      case _ => col("ts").cast("timestamp")
+    }
+    val df = reader.parquet(inDir.toString).withColumn("ts", tsFix)
     (df, inDir)
   }
 
