@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Shared SCALING.jsonl ownership protocol for the dev-run evidence
   * generators ([[Scaling]] — untiered batch rows at the file head,
   * [[StreamScaling]] — `tier:"streaming"`, [[SkewScaling]] —
-  * `tier:"skew"`, [[StreamReplay]] — `tier:"streaming_replay"`).
+  * `tier:"skew"`, [[StreamReplay]] — `tier:"streaming_replay"`,
+  * [[IncrementalScaling]] — `tier:"incremental"`).
   *
   * Each generator owns ONE slice, selected by an exact-match
   * predicate; a regeneration keeps every other line byte-identical

@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * PlanBudgetSpec guards batch plan SHAPES; this guards the measured
   * TIERS. Each dev-run generator (graft.Scaling — untiered batch
   * rows, graft.StreamScaling — `tier:"streaming"`, graft.SkewScaling
-  * — `tier:"skew"`, graft.StreamReplay — `tier:"streaming_replay"`)
+  * — `tier:"skew"`, graft.StreamReplay — `tier:"streaming_replay"`,
+  * graft.IncrementalScaling — `tier:"incremental"`)
   * owns a slice of the file and rewrites it with read-filter-rewrite;
   * round 9 silently lost the streaming rows in exactly that dance.
   * If a committed tier's rows vanish from a regeneration, `sbt test`
