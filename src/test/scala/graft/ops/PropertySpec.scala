@@ -167,6 +167,40 @@ class PropertySpec extends SparkSpec {
     }, cases = 4)
   }
 
+  test("incremental batch pairs are EXACTLY the rebuild's new pairs") {
+    // the law CurationStore.update rests on, over random corpora and
+    // random split points (the fixture specs prove it on the battery
+    // corpus only): at unguarded dials,
+    //   pairs(old ∪ new) = pairs(old) ⊎ newBatchPairs(new, old)
+    // as a DISJOINT union of (a, b, est) triples — nothing missing,
+    // nothing invented, estimates identical, no old-old pair leaked
+    // into the increment
+    val splitDocGen: Gen[(List[(Long, String)], Int)] = for {
+      n <- Gen.choose(8, 16)
+      split <- Gen.choose(1, n - 1)
+      texts <- Gen.listOfN(n, Gen.choose(3, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, 7).map(i => s"w$i"))
+          .map(_.mkString(" "))))
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      split)
+    checkProp(Prop.forAllNoShrink(splitDocGen) { case (docs, split) =>
+      val (oldDocs, newDocs) = docs.splitAt(split)
+      def sig(ds: List[(Long, String)]) = Dedup.minhashSignatures(
+        ds.toDF("doc_id", "text"), "doc_id", "text", numHashes = 8)
+      def set(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = set(Dedup.estimatePairsFromSignatures(
+        sig(docs), "doc_id", numHashes = 8, numBands = 4))
+      val old = set(Dedup.estimatePairsFromSignatures(
+        sig(oldDocs), "doc_id", numHashes = 8, numBands = 4))
+      val inc = set(Dedup.estimatePairsForNewBatch(
+        sig(newDocs), sig(oldDocs), "doc_id",
+        numHashes = 8, numBands = 4))
+      full == old ++ inc && old.intersect(inc).isEmpty
+    }, cases = 4)
+  }
+
   test("weighted sample of k is a prefix of the sample of k+m") {
     val wGen = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 500L), Gen.choose(1, 9)))
