@@ -77,6 +77,46 @@ class CurationStoreSpec extends SparkSpec {
       == store.signatures(spark).filter(col("doc_id") % 2 === 1).count())
   }
 
+  test("update survives empty, shingle-less, and pairless batches") {
+    // the quiet-day cases of the daily ingest: a batch with nothing
+    // in it, a batch whose docs are too short to shingle, and a batch
+    // of genuinely novel docs that add no pairs — none may throw, and
+    // none may disturb stages it didn't add to
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("curation-store-edge").toString
+    val base = CurationStore.build(docs.filter(col("doc_id") < 50),
+      "doc_id", "text", dir)
+    val sigN = base.signatures(spark).count()
+    val pairN = base.pairs(spark).count()
+    val labels0 = base.labels(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def labelsNow() = base.labels(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    CurationStore.update(base,
+      docs.filter(org.apache.spark.sql.functions.lit(false)), "text")
+    assert(base.signatures(spark).count() == sigN, "empty batch: sigs")
+    assert(base.pairs(spark).count() == pairN, "empty batch: pairs")
+    assert(labelsNow() == labels0, "empty batch: labels")
+
+    CurationStore.update(base,
+      Seq((9001L, "a b")).toDF("doc_id", "text"), "text")
+    assert(base.signatures(spark).count() == sigN,
+      "shingle-less batch: sigs")
+    assert(base.pairs(spark).count() == pairN,
+      "shingle-less batch: pairs")
+    assert(labelsNow() == labels0, "shingle-less batch: labels")
+
+    CurationStore.update(base,
+      Seq((9002L, "zq1 zq2 zq3 zq4 zq5")).toDF("doc_id", "text"),
+      "text")
+    assert(base.signatures(spark).count() == sigN + 1,
+      "novel batch: its signature row must append")
+    assert(base.pairs(spark).count() == pairN, "novel batch: pairs")
+    assert(labelsNow() == labels0, "novel batch: labels")
+  }
+
   test("build leaves no persisted blocks behind") {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
