@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-source corpus statistics as a MERGEABLE-SKETCH store — the
+  * [[CurationStore]] maintenance discipline applied to monitoring:
+  * the statistics a 100 TB ingest tracks per source (doc counts,
+  * token volume, vocabulary cardinality, length distribution) are
+  * kept as one tiny parquet row per source whose non-additive
+  * members are datasketches (HLL for distinct tokens, KLL for the
+  * length distribution), so a daily batch updates corpus-wide stats
+  * by aggregating the BATCH alone and merging sketches — never by
+  * re-scanning history (the same fetch-what's-new discipline as the
+  * reference's incremental refresh, `/root/reference/src/util.rs:62-66`).
+  *
+  * Why sketches and not exact state: exact distinct-token counts are
+  * not additive (union ≠ sum), so maintaining them incrementally
+  * would mean keeping the full per-source vocabulary — corpus-scale
+  * state for a monitoring row. The sketch versions ARE additive
+  * under their union operators, with known error:
+  *
+  *  - HLL (lgK = [[StatsStore.LgK]]): union is a register-wise max,
+  *    associative and order-independent, so
+  *    `union(sketch(A), sketch(B))` has IDENTICAL registers — and
+  *    therefore an identical estimate — to `sketch(A ∪ B)` at the
+  *    same lgK. The update law is exact on estimates, not merely
+  *    approximate (StatsStoreSpec pins equality); relative error vs
+  *    the TRUE cardinality is ~1.04/√2^lgK ≈ 1.6%.
+  *  - KLL (k = [[StatsStore.KllK]]): merge obeys the same error
+  *    bound as direct aggregation (~1.65% normalized rank error at
+  *    k=200) but compaction is randomized, so merged and
+  *    direct-built sketches are equivalent in GUARANTEE, not in
+  *    value — the spec bounds both against exact ranks rather than
+  *    against each other.
+  *
+  * All sketch work is Spark-native (`hll_sketch_agg`/`hll_union`,
+  * `kll_sketch_agg_bigint`/`kll_sketch_merge_bigint` — codegen'd
+  * datasketches aggregates), the stats table is one row per source
+  * (broadcast-sized by construction), and the only corpus-sized pass
+  * is the token explode over the frame being aggregated — the whole
+  * corpus once at [[build]], the batch alone at [[update]].
+  */
+object StatsStore {
+
+  /** HLL precision, pinned across build and update: `hll_union`
+    * requires both sides at one lgK for the register-max identity
+    * the update law stands on.
+    */
+  val LgK = 12
+
+  /** KLL accuracy parameter (~1.65% normalized rank error). */
+  val KllK = 200
+
+  final case class Store(dir: String) {
+    /** Raw stats stage: (source, docs, token_occurrences, tok_hll,
+      * len_kll) — exact longs + sketch binaries, one row per source.
+      */
+    def stats(s: SparkSession): DataFrame = s.read.parquet(s"$dir/stats")
+
+    /** Human-facing readout: sketches collapsed to estimates. */
+    def report(s: SparkSession): DataFrame =
+      stats(s).select(col("source"), col("docs"),
+        col("token_occurrences"),
+        hll_sketch_estimate(col("tok_hll")).as("distinct_tokens_est"),
+        kll_sketch_get_quantile_bigint(col("len_kll"), lit(0.5))
+          .as("p50_len"),
+        kll_sketch_get_quantile_bigint(col("len_kll"), lit(0.95))
+          .as("p95_len"))
+  }
+
+  /** One stats row per source over `docs`: exact counters plus the
+    * two sketches. Sources whose every text is empty keep a row
+    * (docs/length side) with null token stats — the left join is on
+    * the doc-level frame, which every doc reaches.
+    */
+  private def aggregate(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tokAgg = toks.groupBy("source").agg(
+      count(lit(1)).as("token_occurrences"),
+      hll_sketch_agg(col("tok"), LgK).as("tok_hll"))
+    val docAgg = docs.groupBy(col(sourceCol).as("source")).agg(
+      count(lit(1)).as("docs"),
+      kll_sketch_agg_bigint(length(col(textCol)).cast("long"), KllK)
+        .as("len_kll"))
+    docAgg.join(tokAgg, Seq("source"), "left")
+      .select("source", "docs", "token_occurrences", "tok_hll",
+        "len_kll")
+  }
+
+  /** Aggregate the whole corpus once, overwriting `storeDir`. */
+  def build(docs: DataFrame, textCol: String, sourceCol: String,
+      storeDir: String): Store = {
+    aggregate(docs, textCol, sourceCol)
+      .write.mode("overwrite").parquet(s"$storeDir/stats")
+    Store(storeDir)
+  }
+
+  /** Fold a new batch into the store: aggregate the BATCH alone,
+    * full-outer-merge per source (exact fields add, sketches union,
+    * either side may be absent — a quiet day or a brand-new source),
+    * swap in by write-to-temp + rename (same crash discipline as
+    * [[CurationStore.update]]'s label stage). Unlike CurationStore
+    * there is no id-disjointness contract: stats rows are additive
+    * over MULTISETS, so re-sending a doc double-counts it — the
+    * caller's dedup gate (q110's Bloom filter is the scale tool)
+    * decides what counts as new.
+    */
+  def update(store: Store, batch: DataFrame, textCol: String,
+      sourceCol: String): Store = {
+    val spark = batch.sparkSession
+    val merged = store.stats(spark).alias("o")
+      .join(aggregate(batch, textCol, sourceCol).alias("n"),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("o.docs"), lit(0L)) +
+          coalesce(col("n.docs"), lit(0L))).as("docs"),
+        (coalesce(col("o.token_occurrences"), lit(0L)) +
+          coalesce(col("n.token_occurrences"), lit(0L)))
+          .as("token_occurrences"),
+        when(col("o.tok_hll").isNull, col("n.tok_hll"))
+          .when(col("n.tok_hll").isNull, col("o.tok_hll"))
+          .otherwise(hll_union(col("o.tok_hll"), col("n.tok_hll")))
+          .as("tok_hll"),
+        when(col("o.len_kll").isNull, col("n.len_kll"))
+          .when(col("n.len_kll").isNull, col("o.len_kll"))
+          .otherwise(
+            kll_sketch_merge_bigint(col("o.len_kll"), col("n.len_kll")))
+          .as("len_kll"))
+    val statsDir = s"${store.dir}/stats"
+    val tmpDir = s"$statsDir.next"
+    merged.write.mode("overwrite").parquet(tmpDir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val sp = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = sp.getFileSystem(hconf)
+    fs.delete(sp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), sp)
+    spark.catalog.refreshByPath(statsDir)
+    store
+  }
+}

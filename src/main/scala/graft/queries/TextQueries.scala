@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{CurationStore, Dedup, TextOps}
+import graft.ops.{CurationStore, Dedup, StatsStore, TextOps}
 import graft.queries.Registry.table
 import org.apache.spark.sql.functions._
 
@@ -2052,10 +2052,30 @@ object TextQueries {
       | n_docs - n_labeled + n_clusters AS n_survivors
       |FROM c""".stripMargin))
 
+  /** Per-source corpus stats from the mergeable-sketch store
+    * ([[graft.ops.StatsStore]]): exact doc/token counters plus HLL
+    * distinct-token and KLL length-quantile estimates, one row per
+    * source — the monitoring table a 100 TB ingest maintains by
+    * aggregating each batch alone and unioning sketches. No SQL
+    * oracle (the estimates are datasketches-specific, the q34/q85
+    * convention): the driver records a rows-only check, and
+    * StatsStoreSpec bounds every estimate against brute-force twins
+    * AND pins the update-law (batch aggregate + sketch union ==
+    * rebuild — exact for counters and the HLL estimate, rank-bounded
+    * for the randomized KLL).
+    */
+  val q127 = Q("q127_stats_store",
+    (s, dir) => {
+      val st = StatsStore.build(table(s, dir, "documents"),
+        "text", "source", CurationStore.storeDirFor(dir, "-stats"))
+      st.report(s).orderBy("source")
+    },
+    None)
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123, q124, q125, q126)
+      q120, q121, q123, q124, q125, q126, q127)
 }
