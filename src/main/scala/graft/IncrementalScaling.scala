@@ -112,6 +112,33 @@ object IncrementalScaling {
         ops.CurationStore.build(docs, "doc_id", "text", fullDir)
           .labels(spark).count()
       }
+
+      // the same three measurements for the stats store: its update
+      // law is cheaper still (per-source merge of broadcast-sized
+      // rows; the only corpus-sized pass is the batch's own token
+      // explode), so its rebuild-vs-update gap is the purest form of
+      // the never-rescan-history claim. result = sum of per-source
+      // doc counters (equality across update and rebuild is the law)
+      val docsAll = spark.read
+        .parquet(s"/root/testdata/$sf/documents.parquet")
+        .select("doc_id", "text", "source")
+      val histS = docsAll.filter(col("doc_id") < cut)
+      val batchS = docsAll.filter(col("doc_id") >= cut)
+      var stats: ops.StatsStore.Store = null
+      measure(sf, "stats_build_history", Map("docs" -> nHist)) {
+        stats = ops.StatsStore.build(histS, "text", "source",
+          s"$root/stats-store")
+        stats.stats(spark).agg(sum("docs")).head().getLong(0)
+      }
+      measure(sf, "stats_update_batch100", Map("batch" -> 100)) {
+        ops.StatsStore.update(stats, batchS, "text", "source")
+        stats.stats(spark).agg(sum("docs")).head().getLong(0)
+      }
+      measure(sf, "stats_rebuild_full", Map("docs" -> (nHist + 100))) {
+        ops.StatsStore.build(docsAll, "text", "source",
+            s"$root/stats-rebuild")
+          .stats(spark).agg(sum("docs")).head().getLong(0)
+      }
     }
 
     ScalingLog.replaceSlice(ScalingLog.tier("incremental"), out.toString)

@@ -30,7 +30,7 @@ class ScalingEvidenceSpec extends AnyFunSuite {
   }
 
   for ((tier, minRows) <- Seq("skew" -> 8, "streaming" -> 1,
-      "streaming_replay" -> 8, "incremental" -> 6)) {
+      "streaming_replay" -> 8, "incremental" -> 12)) {
     test(s"""tier "$tier" rows present (>= $minRows)""") {
       val n = lines.count(_.contains(s""""tier":"$tier","""))
       assert(n >= minRows,
