@@ -52,6 +52,20 @@ object StatsStore {
   /** KLL accuracy parameter (~1.65% normalized rank error). */
   val KllK = 200
 
+  /** Theta sketch log₂ nominal entries (k = 4096). Theta is the
+    * sketch that supports INTERSECTION — the cross-source overlap
+    * monitor q128 reads off the store — where HLL only unions.
+    * While a source's distinct fingerprints stay below ~k the sketch
+    * runs in EXACT mode (θ = 1, every hash retained): estimates,
+    * unions and intersections are exact integers, which is what lets
+    * q128 carry a DuckDB oracle at the test SFs (≤ ~250 distinct
+    * docs per source at sf0.1). Past k the guarantees degrade
+    * gracefully to unbiased estimates (~1/√(k−1) ≈ 1.6% RSE) — at
+    * that scale the oracle becomes a tolerance harness, the store
+    * mechanics are unchanged.
+    */
+  val ThetaLgNom = 12
+
   final case class Store(dir: String) {
     /** Raw stats stage: (source, docs, token_occurrences, tok_hll,
       * len_kll) — exact longs + sketch binaries, one row per source.
@@ -63,10 +77,32 @@ object StatsStore {
       stats(s).select(col("source"), col("docs"),
         col("token_occurrences"),
         hll_sketch_estimate(col("tok_hll")).as("distinct_tokens_est"),
+        theta_sketch_estimate(col("fp_theta")).cast("long")
+          .as("distinct_fp_est"),
         kll_sketch_get_quantile_bigint(col("len_kll"), lit(0.5))
           .as("p50_len"),
         kll_sketch_get_quantile_bigint(col("len_kll"), lit(0.95))
           .as("p95_len"))
+
+    /** Cross-source contamination monitor, computed from STORED
+      * sketches alone: every source pair (src_a < src_b) with the
+      * theta-intersection estimate of shared document fingerprints —
+      * the incremental answer to the question q114/q124 re-scan the
+      * corpus for. The stats table is one row per source, so this is
+      * a sources² cross join over a broadcast-sized frame; no
+      * corpus-sized work at any scale.
+      */
+    def overlapMatrix(s: SparkSession): DataFrame = {
+      val a = stats(s).select(col("source").as("src_a"),
+        col("fp_theta").as("_ta"))
+      val b = stats(s).select(col("source").as("src_b"),
+        col("fp_theta").as("_tb"))
+      a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          theta_sketch_estimate(
+            theta_intersection(col("_ta"), col("_tb")))
+            .cast("long").as("overlap_est"))
+    }
   }
 
   /** One stats row per source over `docs`: exact counters plus the
@@ -84,11 +120,13 @@ object StatsStore {
       hll_sketch_agg(col("tok"), LgK).as("tok_hll"))
     val docAgg = docs.groupBy(col(sourceCol).as("source")).agg(
       count(lit(1)).as("docs"),
+      theta_sketch_agg(TextOps.fingerprint(col(textCol)), ThetaLgNom)
+        .as("fp_theta"),
       kll_sketch_agg_bigint(length(col(textCol)).cast("long"), KllK)
         .as("len_kll"))
     docAgg.join(tokAgg, Seq("source"), "left")
       .select("source", "docs", "token_occurrences", "tok_hll",
-        "len_kll")
+        "fp_theta", "len_kll")
   }
 
   /** Aggregate the whole corpus once, overwriting `storeDir`. */
@@ -125,6 +163,11 @@ object StatsStore {
           .when(col("n.tok_hll").isNull, col("o.tok_hll"))
           .otherwise(hll_union(col("o.tok_hll"), col("n.tok_hll")))
           .as("tok_hll"),
+        when(col("o.fp_theta").isNull, col("n.fp_theta"))
+          .when(col("n.fp_theta").isNull, col("o.fp_theta"))
+          .otherwise(theta_union(col("o.fp_theta"), col("n.fp_theta"),
+            ThetaLgNom))
+          .as("fp_theta"),
         when(col("o.len_kll").isNull, col("n.len_kll"))
           .when(col("n.len_kll").isNull, col("o.len_kll"))
           .otherwise(
@@ -140,5 +183,33 @@ object StatsStore {
     fs.rename(new org.apache.hadoop.fs.Path(tmpDir), sp)
     spark.catalog.refreshByPath(statsDir)
     store
+  }
+
+  // ---- session-lifetime store per corpus directory (the
+  // CurationStore consumer pattern: q127 is the build surface and
+  // refreshes the memo, q128 reads the memoized store) -------------
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, Store]()
+
+  def storeDirFor(dataDir: String): String =
+    CurationStore.storeDirFor(dataDir, "-stats")
+
+  /** The memoized stats store for the `documents` corpus at
+    * `dataDir`: built on first access per JVM, shared by consumers.
+    */
+  def forCorpus(s: SparkSession, dataDir: String): Store =
+    built.computeIfAbsent(dataDir, d =>
+      build(s.read.parquet(s"$d/documents.parquet"), "text", "source",
+        storeDirFor(d)))
+
+  /** Fresh build (mode-overwrite) that also refreshes the memo —
+    * q127's entry point, so the build surface stays an honest bench.
+    */
+  def rebuildForCorpus(s: SparkSession, dataDir: String): Store = {
+    val st = build(s.read.parquet(s"$dataDir/documents.parquet"),
+      "text", "source", storeDirFor(dataDir))
+    built.put(dataDir, st)
+    st
   }
 }

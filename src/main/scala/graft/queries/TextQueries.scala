@@ -2065,17 +2065,43 @@ object TextQueries {
     * for the randomized KLL).
     */
   val q127 = Q("q127_stats_store",
-    (s, dir) => {
-      val st = StatsStore.build(table(s, dir, "documents"),
-        "text", "source", CurationStore.storeDirFor(dir, "-stats"))
-      st.report(s).orderBy("source")
-    },
+    (s, dir) => StatsStore.rebuildForCorpus(s, dir)
+      .report(s).orderBy("source"),
     None)
+
+  /** Cross-source contamination monitor off the STORED theta
+    * sketches ([[graft.ops.StatsStore.Store.overlapMatrix]]): every
+    * source pair with its shared-fingerprint estimate, zero cells
+    * included — the incremental, never-rescan answer to what
+    * q114/q124 compute from raw text. Oracled EXACTLY: at the test
+    * SFs every per-source sketch is in theta exact mode (distinct
+    * fingerprints ≪ 2^lgNom = 4096), so intersection estimates are
+    * exact integers and DuckDB recomputes them from the q23
+    * fingerprint kernel; past that cardinality the estimates become
+    * ~1.6%-RSE unbiased and the oracle would need a tolerance
+    * harness (documented at `StatsStore.ThetaLgNom`).
+    */
+  val q128 = Q("q128_source_overlap_sketch",
+    (s, dir) => StatsStore.forCorpus(s, dir)
+      .overlapMatrix(s).orderBy("src_a", "src_b"),
+    Some("""WITH f AS (SELECT DISTINCT source,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      | FROM documents),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |ov AS (SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(count(*) AS BIGINT) AS o
+      | FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      | GROUP BY 1, 2)
+      |SELECT s1.source AS src_a, s2.source AS src_b,
+      | coalesce(ov.o, 0) AS overlap_est
+      |FROM srcs s1 JOIN srcs s2 ON s1.source < s2.source
+      |LEFT JOIN ov ON ov.src_a = s1.source AND ov.src_b = s2.source
+      |ORDER BY 1, 2""".stripMargin))
 
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123, q124, q125, q126, q127)
+      q120, q121, q123, q124, q125, q126, q127, q128)
 }

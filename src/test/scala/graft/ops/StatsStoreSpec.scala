@@ -35,24 +35,46 @@ class StatsStoreSpec extends SparkSpec {
   private def collectReport(st: StatsStore.Store) =
     st.report(spark).collect().map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5))).toMap
+        r.getLong(5), r.getLong(6))).toMap
+
+  private lazy val bruteFp: Map[String, Set[String]] =
+    docs.select(col("source"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
   test("build: exact fields exact, estimates inside their bounds") {
     val st = StatsStore.build(docs, "text", "source", tempStore())
     val rep = collectReport(st)
     assert(rep.keySet == brute.keySet)
     for ((src, (nDocs, nToks, nDistinct, lens)) <- brute) {
-      val (d, t, est, p50, p95) = rep(src)
+      val (d, t, est, fpEst, p50, p95) = rep(src)
       assert(d == nDocs && t == nToks, s"$src: exact fields")
       // HLL lgK=12 → ~1.6% relative error; 5% is the generous pin
       assert(math.abs(est - nDistinct) <= math.max(1, nDistinct / 20),
         s"$src: HLL estimate $est vs exact $nDistinct")
+      // theta in EXACT mode at this cardinality: estimate IS the count
+      assert(fpEst == bruteFp(src).size,
+        s"$src: theta fp estimate $fpEst vs exact ${bruteFp(src).size}")
       // KLL k=200 → ~1.65% rank error; pin to generous rank windows
       assert(rankOf(lens, p50) >= 0.40 && rankOf(lens, p50 - 1) <= 0.60,
         s"$src: p50=$p50 rank ${rankOf(lens, p50)}")
       assert(rankOf(lens, p95) >= 0.90,
         s"$src: p95=$p95 rank ${rankOf(lens, p95)}")
     }
+  }
+
+  test("overlap matrix off stored sketches == brute-force fp intersections") {
+    val st = StatsStore.build(docs, "text", "source", tempStore())
+    val got = st.overlapMatrix(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcs = bruteFp.keySet.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield (a, b) -> bruteFp(a).intersect(bruteFp(b)).size.toLong).toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet -- expected.toSet).take(5)} / " +
+        s"${(expected.toSet -- got.toSet).take(5)}")
   }
 
   test("update(build(evens), odds) == rebuild, to each field's guarantee") {
@@ -66,12 +88,14 @@ class StatsStoreSpec extends SparkSpec {
     val rf = collectReport(full)
     assert(ri.keySet == rf.keySet)
     for (src <- rf.keySet) {
-      val (di, ti, esti, p50i, p95i) = ri(src)
-      val (df, tf, estf, _, _) = rf(src)
+      val (di, ti, esti, fpi, p50i, p95i) = ri(src)
+      val (df, tf, estf, fpf, _, _) = rf(src)
       assert(di == df && ti == tf, s"$src: additive fields must be EXACT")
       // HLL union is a register-wise max at one lgK: estimate equality
       // is the law, not an approximation
       assert(esti == estf, s"$src: HLL union estimate $esti != $estf")
+      // theta union in exact mode is exact set union
+      assert(fpi == fpf, s"$src: theta union estimate $fpi != $fpf")
       // KLL compaction is randomized: merged and rebuilt sketches are
       // equivalent in guarantee, so bound BOTH against exact ranks
       val lens = brute(src)._4
