@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Incremental-maintenance evidence generator (dev-run,
@@ -34,27 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalScaling {
 
-  private class MetricsListener extends SparkListener {
-    var inputRecords = 0L
-    var shuffleWriteRecords = 0L
-    var shuffleReadRecords = 0L
-    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
-      val m = te.taskMetrics
-      if (m != null) {
-        inputRecords += m.inputMetrics.recordsRead
-        shuffleWriteRecords += m.shuffleWriteMetrics.recordsWritten
-        shuffleReadRecords += m.shuffleReadMetrics.recordsRead
-      }
-    }
-    def reset(): Unit = synchronized {
-      inputRecords = 0; shuffleWriteRecords = 0; shuffleReadRecords = 0
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    val listener = new MetricsListener
+    val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val out = new StringBuilder
 

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Scaling-evidence generator (dev-run, artifact committed as
   * SCALING.md): executes the dedup/similarity tier at two scale
@@ -11,26 +10,6 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * super-linear is a quadratic term that 100× would expose.
   */
 object Scaling {
-
-  private class MetricsListener extends SparkListener {
-    var inputRecords = 0L
-    var shuffleWriteBytes = 0L
-    var shuffleWriteRecords = 0L
-    var shuffleReadBytes = 0L
-    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
-      val m = te.taskMetrics
-      if (m != null) {
-        inputRecords += m.inputMetrics.recordsRead
-        shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
-        shuffleWriteRecords += m.shuffleWriteMetrics.recordsWritten
-        shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
-      }
-    }
-    def reset(): Unit = synchronized {
-      inputRecords = 0; shuffleWriteBytes = 0
-      shuffleWriteRecords = 0; shuffleReadBytes = 0
-    }
-  }
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(
@@ -55,7 +34,7 @@ object Scaling {
     val names =
       if (args.isEmpty) allNames else allNames.filter(args.contains)
     val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
-    val listener = new MetricsListener
+    val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val out = new StringBuilder
     for (sf <- Seq("sf0.01", "sf0.1"); name <- names) {

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,25 +24,6 @@ import org.apache.spark.sql.functions._
   * `target/skewdata/documents.parquet`, sf0.1-sized (5 000 docs).
   */
 object SkewScaling {
-
-  private class MetricsListener extends SparkListener {
-    var shuffleWriteRecords = 0L
-    var shuffleReadRecords = 0L
-    var maxTaskShuffleReadRecords = 0L
-    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
-      val m = te.taskMetrics
-      if (m != null) {
-        shuffleWriteRecords += m.shuffleWriteMetrics.recordsWritten
-        shuffleReadRecords += m.shuffleReadMetrics.recordsRead
-        maxTaskShuffleReadRecords = math.max(maxTaskShuffleReadRecords,
-          m.shuffleReadMetrics.recordsRead)
-      }
-    }
-    def reset(): Unit = synchronized {
-      shuffleWriteRecords = 0; shuffleReadRecords = 0
-      maxTaskShuffleReadRecords = 0
-    }
-  }
 
   private val Boiler = (0 until 30).map(i => s"tpl$i").mkString(" ")
 
@@ -89,7 +69,7 @@ object SkewScaling {
     val docs = spark.read.parquet(dir)
     println(s"[skew] corpus written: ${docs.count()} docs")
 
-    val listener = new MetricsListener
+    val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val out = new StringBuilder
     def measure(name: String, extra: Map[String, Any] = Map.empty)(

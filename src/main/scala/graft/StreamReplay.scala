@@ -49,18 +49,11 @@ object StreamReplay {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // slices cut on epoch-nanos longs, the stream rebuilds the
-    // timestamp as the battery's eventsStream does. TIMESTAMP(NANOS)
-    // corpora already ride as longs (GraftSession nanosAsLong); a
-    // native-timestamp corpus is normalized to the same nanos-long
-    // shape up front so the slice writes and downstream rebuild are
-    // generator-independent (session tz = UTC keeps values equal).
-    val raw0 = spark.read.parquet(s"$dir/events.parquet")
-    val raw = raw0.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw0
-      case _ => raw0.withColumn("ts",
-        expr("unix_micros(cast(ts as timestamp)) * 1000"))
-    }
+    // slices cut on epoch-nanos longs (EventTs normalizes whatever
+    // shape the generator wrote); the stream rebuilds the timestamp
+    // as the battery's eventsStream does
+    val raw = graft.queries.EventTs.toNanosLong(
+      spark.read.parquet(s"$dir/events.parquet"))
     val (lo, hi) = raw.agg(min("ts"), max("ts")).as[(Long, Long)].head()
 
     val capture = new ProgressCapture

@@ -154,15 +154,10 @@ object CurationStore {
       .select(col(idCol).as("a"), col("cluster").as("b"))
       .unionByName(pairsNew.select(col("a"), col("b")))
     val fixpoint = Dedup.clusters(edges, "a", "b")
-    val tmpDir = s"$labelsDir.next"
     fixpoint.select(col("id").as(idCol), col("cluster"))
-      .write.mode("overwrite").parquet(tmpDir)
+      .write.mode("overwrite").parquet(s"$labelsDir.next")
     fixpoint.unpersist()
-    val lp = new org.apache.hadoop.fs.Path(labelsDir)
-    val fs = lp.getFileSystem(hconf)
-    fs.delete(lp, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), lp)
-    spark.catalog.refreshByPath(labelsDir)
+    StageSwap.swapIn(spark, labelsDir)
     store
   }
 

@@ -106,27 +106,40 @@ object StatsStore {
   }
 
   /** One stats row per source over `docs`: exact counters plus the
-    * two sketches. Sources whose every text is empty keep a row
-    * (docs/length side) with null token stats — the left join is on
-    * the doc-level frame, which every doc reaches.
+    * three sketches, computed in ONE corpus scan and ONE exchange.
+    * Doc-level members (counters, fingerprint theta, length KLL) and
+    * the token-level HLL need different granularities, but splitting
+    * them into two aggregations would scan the corpus twice — the
+    * dominant cost of a build at the scale the store targets. Instead
+    * `posexplode_outer` flattens each doc to its token rows while the
+    * pos column marks exactly one DOC row per document (pos 0, or
+    * null for token-less docs — `_outer` keeps them), so one grouped
+    * aggregate reads doc-level members off the doc rows (null
+    * elsewhere; the sketch and sum aggregates skip nulls) and the HLL
+    * off every token row. Token-less sources get counter 0 (never
+    * null) and empty sketches — the same values [[update]]'s additive
+    * merge produces, which is what keeps the update law exact.
     */
   private def aggregate(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
-    val toks = docs.select(col(sourceCol).as("source"),
-        explode(split(col(textCol), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val tokAgg = toks.groupBy("source").agg(
-      count(lit(1)).as("token_occurrences"),
-      hll_sketch_agg(col("tok"), LgK).as("tok_hll"))
-    val docAgg = docs.groupBy(col(sourceCol).as("source")).agg(
-      count(lit(1)).as("docs"),
-      theta_sketch_agg(TextOps.fingerprint(col(textCol)), ThetaLgNom)
+    val base = docs.select(col(sourceCol).as("source"),
+      length(col(textCol)).cast("long").as("_len"),
+      TextOps.fingerprint(col(textCol)).as("_fp"),
+      filter(split(col(textCol), "\\s+"),
+        t => length(t) > 0).as("_toks"))
+    val flat = base.select(col("source"), col("_len"), col("_fp"),
+      size(col("_toks")).cast("long").as("_ntok"),
+      posexplode_outer(col("_toks")))
+    val docRow = col("pos").isNull || col("pos") === 0
+    flat.groupBy("source").agg(
+      count(when(docRow, lit(1))).as("docs"),
+      coalesce(sum(when(docRow, col("_ntok"))), lit(0L))
+        .as("token_occurrences"),
+      hll_sketch_agg(col("col"), LgK).as("tok_hll"),
+      theta_sketch_agg(when(docRow, col("_fp")), ThetaLgNom)
         .as("fp_theta"),
-      kll_sketch_agg_bigint(length(col(textCol)).cast("long"), KllK)
+      kll_sketch_agg_bigint(when(docRow, col("_len")), KllK)
         .as("len_kll"))
-    docAgg.join(tokAgg, Seq("source"), "left")
-      .select("source", "docs", "token_occurrences", "tok_hll",
-        "fp_theta", "len_kll")
   }
 
   /** Aggregate the whole corpus once, overwriting `storeDir`. */
@@ -150,10 +163,13 @@ object StatsStore {
   def update(store: Store, batch: DataFrame, textCol: String,
       sourceCol: String): Store = {
     val spark = batch.sparkSession
+    // null-safe join key: a null source is a legal (if unwelcome)
+    // group, and plain equality would never match it to its stored
+    // row — every update would append another forked null row
     val merged = store.stats(spark).alias("o")
       .join(aggregate(batch, textCol, sourceCol).alias("n"),
-        Seq("source"), "full_outer")
-      .select(col("source"),
+        col("o.source") <=> col("n.source"), "full_outer")
+      .select(coalesce(col("o.source"), col("n.source")).as("source"),
         (coalesce(col("o.docs"), lit(0L)) +
           coalesce(col("n.docs"), lit(0L))).as("docs"),
         (coalesce(col("o.token_occurrences"), lit(0L)) +
@@ -174,14 +190,8 @@ object StatsStore {
             kll_sketch_merge_bigint(col("o.len_kll"), col("n.len_kll")))
           .as("len_kll"))
     val statsDir = s"${store.dir}/stats"
-    val tmpDir = s"$statsDir.next"
-    merged.write.mode("overwrite").parquet(tmpDir)
-    val hconf = spark.sessionState.newHadoopConf()
-    val sp = new org.apache.hadoop.fs.Path(statsDir)
-    val fs = sp.getFileSystem(hconf)
-    fs.delete(sp, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), sp)
-    spark.catalog.refreshByPath(statsDir)
+    merged.write.mode("overwrite").parquet(s"$statsDir.next")
+    StageSwap.swapIn(spark, statsDir)
     store
   }
 

@@ -23,21 +23,52 @@ object Registry {
     * timestamp type and only needs the NTZ cast (session tz = UTC,
     * so the wall-clock values are identical either way).
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    val raw = table(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      case org.apache.spark.sql.types.TimestampNTZType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
-    }
-  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    EventTs.toNtz(table(s, dir, "events"))
 
   lazy val all: Seq[Q] =
     Relational.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
       StreamQueries.qs
+}
+
+/** The ONE place that knows how the events generator may have typed
+  * `ts` — TIMESTAMP(NANOS) arriving as epoch-nanos longs (under
+  * GraftSession's nanosAsLong) or a native timestamp type — and how
+  * to normalize it to each shape the engine pins (batch queries:
+  * timezone-free NTZ; streams: UTC TimestampType, because watermarks
+  * reject NTZ; slicers and brute-force specs: epoch-nanos longs).
+  * Session tz = UTC keeps all three shapes value-equal whichever way
+  * the corpus was written. Every reader dispatches through here so a
+  * future generator change is caught once, not in four hand-kept
+  * copies.
+  */
+object EventTs {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  private def isLong(df: DataFrame) =
+    df.schema("ts").dataType == LongType
+
+  /** ts → TIMESTAMP_NTZ (ns → µs is exact for these corpora). */
+  def toNtz(df: DataFrame): DataFrame =
+    if (isLong(df))
+      df.withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else if (df.schema("ts").dataType == TimestampNTZType) df
+    else df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  /** ts → UTC TimestampType (the watermark-capable shape). */
+  def toUtcTimestamp(df: DataFrame): DataFrame =
+    if (isLong(df))
+      df.withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
+
+  /** ts → epoch-nanos long (the raw shape nanos corpora arrive in). */
+  def toNanosLong(df: DataFrame): DataFrame =
+    if (isLong(df)) df
+    else df.withColumn("ts",
+      expr("unix_micros(cast(ts as timestamp)) * 1000"))
 }
 
 /** Oracle-SQL generation helpers. DuckDB dialect facts relied on:

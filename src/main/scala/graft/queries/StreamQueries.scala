@@ -115,12 +115,7 @@ object StreamQueries {
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
-    val tsFix = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        expr("cast(timestamp_micros(ts div 1000) as timestamp)")
-      case _ => col("ts").cast("timestamp")
-    }
-    val df = reader.parquet(inDir.toString).withColumn("ts", tsFix)
+    val df = EventTs.toUtcTimestamp(reader.parquet(inDir.toString))
     (df, inDir)
   }
 

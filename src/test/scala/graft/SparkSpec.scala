@@ -18,19 +18,12 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 
   /** Raw table read. The brute-force specs treat `events.ts` as
-    * epoch-nanos longs (the shape a TIMESTAMP(NANOS) corpus arrives
-    * in under GraftSession's nanosAsLong); if the generator wrote a
-    * native timestamp type instead, normalize to the same nanos-long
-    * shape so every hand-rolled expectation stays generator-
-    * independent (session tz = UTC, so the instant is identical).
+    * epoch-nanos longs; EventTs normalizes whatever shape the
+    * generator wrote to that one (see its scaladoc).
     */
   def sf(name: String, dir: String = "/root/testdata/sf0.001") = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .expr("unix_micros(cast(ts as timestamp)) * 1000"))
-    else df
+    if (name == "events") graft.queries.EventTs.toNanosLong(df) else df
   }
 
   /** Order-insensitive frame comparison on stringized rows. */

@@ -106,6 +106,32 @@ class StatsStoreSpec extends SparkSpec {
     }
   }
 
+  test("token-less sources: zero counters both paths, so the law holds") {
+    // a source whose every text is whitespace must get counter 0 (not
+    // null) from BOTH a direct build and the additive update merge —
+    // the divergence that would silently break update == rebuild
+    import spark.implicits._
+    def mk(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text", "source")
+    val hist = mk((1L, "alpha beta", "s_tok"), (2L, "  ", "s_empty"))
+    val batch = mk((3L, "", "s_empty"), (4L, "gamma", "s_tok"))
+    val inc = StatsStore.update(
+      StatsStore.build(hist, "text", "source", tempStore()),
+      batch, "text", "source")
+    val full = StatsStore.build(hist.unionByName(batch),
+      "text", "source", tempStore())
+    def counters(st: StatsStore.Store) =
+      st.stats(spark).select("source", "docs", "token_occurrences")
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ci = counters(inc)
+    assert(ci == counters(full), "update and rebuild counters differ")
+    assert(ci("s_empty") == (2L, 0L))
+    // the readout must not throw on the token-less source either
+    assert(inc.report(spark).filter(col("source") === "s_empty")
+      .count() == 1)
+  }
+
   test("quiet day and new source: empty batch is a no-op, unseen source appends") {
     import spark.implicits._
     val st = StatsStore.build(docs, "text", "source", tempStore())
