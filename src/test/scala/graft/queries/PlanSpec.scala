@@ -218,4 +218,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(TextQueries.q123).split("== Initial Plan ==").head
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
+
+  test("q128: overlap matrix is a broadcast cross join, ZERO shuffles") {
+    // the whole point of reading contamination off STORED sketches:
+    // a sources² cross join over a broadcast-sized stats frame —
+    // never a corpus-sized exchange
+    val p = plan(TextQueries.q128).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
