@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Ambient-drift control probes: three fixed, DATA-INDEPENDENT
+    * workloads (`spark.range` sources — immune to testdata
+    * regeneration and to every battery code change) timed at the
+    * start, middle and end of each measured pass. Their plans are
+    * frozen by construction, so any cross-round movement in their
+    * times is the ENVIRONMENT, not the engine — the in-artifact
+    * control the r8–r10 drift disputes lacked: a 20% total lift with
+    * flat controls is a real regression; the same lift mirrored by
+    * the controls is ambient (co-tenant load, thermal, cgroup), and
+    * the per-position samples show when in the session it arrived.
+    *
+    *  - `ctl_sched`: 2048 empty tasks — pure task-scheduling round
+    *    trips (the q25-class sub-second tier's bottleneck).
+    *  - `ctl_cpu`: one xxhash64+sum fold over range(120M), no
+    *    exchange — whole-stage-codegen CPU throughput.
+    *  - `ctl_shuffle`: range(16M) hash-aggregated to 1k groups —
+    *    one fixed-size exchange, the shuffle-machinery constant.
+    */
+  private def controls(spark: SparkSession, cpus: Int)
+      : Seq[(String, () => Unit)] = {
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    Seq(
+      "ctl_sched" -> (() =>
+        noop(spark.range(0, 2048, 1, 2048).select(col("id")))),
+      "ctl_cpu" -> (() =>
+        noop(spark.range(0, 120000000L, 1, cpus)
+          .select(sum(xxhash64(col("id"))).as("h")))),
+      "ctl_shuffle" -> (() =>
+        noop(spark.range(0, 16000000L, 1, cpus * 2)
+          .groupBy(pmod(col("id"), lit(1000)).as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("s")))))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -14,9 +50,9 @@ object Bench {
     // query's formatted physical plan to stderr before running it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val explain = sys.env.contains("SPARK_GRAFT_BENCH_EXPLAIN")
-    def runAll(dir: String): Map[String, Option[Double]] =
-      graft.queries.Registry.all
-        .filter(q => only.forall(_.contains(q.name))).map { q =>
+    def runQueries(dir: String, qs: Seq[graft.queries.Q])
+        : Map[String, Option[Double]] =
+      qs.filter(q => only.forall(_.contains(q.name))).map { q =>
         if (explain && dir == sfDir)
           try System.err.println(s"=== ${q.name}\n" +
             q.run(spark, dir).queryExecution.explainString(
@@ -39,13 +75,26 @@ object Bench {
         q.name -> (if (ok) Some(t) else None)
       }.toMap
 
+    val ctl = controls(spark, cpus)
+    // (name, pass, position, seconds) in chronological order
+    val ctlSamples =
+      scala.collection.mutable.Buffer[(String, Int, String, Double)]()
+    def runControls(pass: Int, pos: String): Unit = ctl.foreach {
+      case (name, f) =>
+        val t0 = System.nanoTime()
+        f()
+        ctlSamples += ((name, pass, pos, (System.nanoTime() - t0) / 1e9))
+    }
+
     // Untimed warmup at the smallest SF: JIT + codegen compilation
     // dominate cold single-shot runs; reported numbers are the true
     // wall times of the measured SF only.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
-      runAll(warmupDir)
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+      runQueries(warmupDir, graft.queries.Registry.all)
+      ctl.foreach(_._2()) // JIT the control plans too, untimed
+    }
 
     // Timed passes: `repeat` full INTERLEAVED executions (pass 1 runs
     // every query, then pass 2, ... — so a co-tenant load spike hits
@@ -54,8 +103,19 @@ object Bench {
     // successful executions (the standard noise-robust estimator;
     // every reported number is still a complete run); the MEDIAN is
     // reported alongside so the artifact itself shows the noise floor.
+    // Controls bracket each pass (start / mid / end) so ambient drift
+    // is timestamped inside the artifact, outside the query totals.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
-    val passes = (1 to repeat).map(_ => runAll(sfDir))
+    val all = graft.queries.Registry.all
+    val (half1, half2) = all.splitAt(all.size / 2)
+    val passes = (1 to repeat).map { p =>
+      runControls(p, "start")
+      val r1 = runQueries(sfDir, half1)
+      runControls(p, "mid")
+      val r2 = runQueries(sfDir, half2)
+      runControls(p, "end")
+      r1 ++ r2
+    }
     val byQuery: Map[String, Seq[Double]] = passes.flatMap(_.toSeq)
       .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.flatten }
     // min/median over SUCCESSFUL executions; -1 if none succeeded
@@ -73,7 +133,12 @@ object Bench {
     // totals over successful queries only (-1 failure markers excluded)
     val total = results.values.filter(_ >= 0).sum
     val totalMed = medians.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_median":${js(medians)},"total_median":$totalMed,"repeat":$repeat,"sf":"$sfDir"}""")
+    val ctlRows = ctlSamples.map { case (n, p, pos, s) =>
+      s"""{"name":"$n","pass":$p,"pos":"$pos","sec":${math.rint(s * 1e4) / 1e4}}"""
+    }.mkString("[", ",", "]")
+    val ctlMin = js(ctlSamples.groupBy(_._1).map { case (n, rows) =>
+      n -> math.rint(rows.map(_._4).min * 1e4) / 1e4 })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_median":${js(medians)},"total_median":$totalMed,"repeat":$repeat,"controls":$ctlRows,"controls_min":$ctlMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -125,6 +125,9 @@ object CurationStore {
     val sigDir = s"${store.dir}/signatures"
     val pairsDir = s"${store.dir}/pairs"
     val labelsDir = s"${store.dir}/labels"
+    // a prior update may have died inside its label swap — heal the
+    // stage before reading it, or the re-run fails at the scan below
+    StageSwap.recover(spark, labelsDir)
 
     // stage 1 — shingle ONLY the batch, append; the before/after file
     // diff recovers the appended rows as a COLUMNAR READ so no stage

@@ -163,6 +163,10 @@ object StatsStore {
   def update(store: Store, batch: DataFrame, textCol: String,
       sourceCol: String): Store = {
     val spark = batch.sparkSession
+    val statsDir = s"${store.dir}/stats"
+    // a prior update may have died inside its swap — heal the stage
+    // before store.stats reads it, or the re-run fails at the scan
+    StageSwap.recover(spark, statsDir)
     // null-safe join key: a null source is a legal (if unwelcome)
     // group, and plain equality would never match it to its stored
     // row — every update would append another forked null row
@@ -189,7 +193,6 @@ object StatsStore {
           .otherwise(
             kll_sketch_merge_bigint(col("o.len_kll"), col("n.len_kll")))
           .as("len_kll"))
-    val statsDir = s"${store.dir}/stats"
     merged.write.mode("overwrite").parquet(s"$statsDir.next")
     StageSwap.swapIn(spark, statsDir)
     store

@@ -828,9 +828,14 @@ object Relational {
       val bounds = ev.agg(
         date_trunc("hour", min(col("ts"))).as("lo"),
         date_trunc("hour", max(col("ts"))).as("hi"))
+      // the type dimension is a bounded domain but its distinct is a
+      // post-shuffle frame with no stats — AQE usually broadcasts it,
+      // and the explicit hint removes the threshold bistability (the
+      // q64 fix applied here): the spine build is pinned shuffle-free
+      // on the cross side at every scale
       val spine = bounds
         .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-        .crossJoin(ev.select("event_type").distinct())
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
       spine.join(hourly, Seq("event_type", "h"), "left")
         .select(col("event_type"), col("h"),
           coalesce(col("_n"), lit(0L)).as("n"),

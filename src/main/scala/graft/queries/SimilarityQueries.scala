@@ -301,6 +301,15 @@ object SimilarityQueries {
     * cᵢ list form. `src` bounds the training corpus (q67 trains on
     * history only); defaults reproduce the q32 centroid slice over
     * the full table.
+    *
+    * Every CTE is `AS MATERIALIZED`: DuckDB's default inlining
+    * re-expands the whole chain at each downstream reference, and
+    * with the 64-term unrolled dot products that plan duplication is
+    * what OOM'd the driver's memory-pressured checker on q57 in r10
+    * (untracked allocator memory — a `memory_limit` does not bound
+    * it). Materializing pins each stage to its tiny row count
+    * (≤ n·dim rows) and cut q57's oracle from 6.3 s / ~690 MB RSS to
+    * 0.9 s / ~250 MB locally, bit-identical rows.
     */
   private def kmeansCtes(iters: Int, src: String = "embeddings",
       seedWhere: String = "vec_id % 50 = 7", dim: Int = Dim,
@@ -309,16 +318,19 @@ object SimilarityQueries {
     val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) s"${p}c0" else s"${p}c${i - 1}"
       singleLine(
-        s"""${p}a$i AS (${kmeansAsg(prev, src, dim)}),
-           |${p}m$i AS (SELECT cid, p, round(sum(v) / count(*), 6) AS val
+        s"""${p}a$i AS MATERIALIZED (${kmeansAsg(prev, src, dim)}),
+           |${p}m$i AS MATERIALIZED (
+           | SELECT cid, p, round(sum(v) / count(*), 6) AS val
            | FROM ${p}a$i JOIN ${p}u USING (vec_id) GROUP BY cid, p),
-           |${p}c$i AS (SELECT cid, list(val ORDER BY p) AS ce
+           |${p}c$i AS MATERIALIZED (SELECT cid, list(val ORDER BY p) AS ce
            | FROM ${p}m$i GROUP BY cid)""")
     }.mkString(", ")
     singleLine(
-      s"""${p}c0 AS (SELECT vec_id AS cid, embedding AS ce FROM $src
+      s"""${p}c0 AS MATERIALIZED (
+         | SELECT vec_id AS cid, embedding AS ce FROM $src
          | WHERE $seedWhere),
-         |${p}u AS (SELECT vec_id, p, CAST(v AS DOUBLE) AS v FROM (
+         |${p}u AS MATERIALIZED (
+         | SELECT vec_id, p, CAST(v AS DOUBLE) AS v FROM (
          | SELECT vec_id, unnest(embedding) AS v,
          |  unnest(range(1, len(embedding) + 1)) AS p FROM $src))""") +
       ", " + iterCtes
@@ -355,14 +367,14 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
     Some(s"""WITH ${kmeansCtes(2)},
-      |a3 AS (SELECT vec_id, cid AS cell FROM (
+      |a3 AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
       | SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
       |  ORDER BY ${distOrder("b.embedding", "c.ce")}, c.cid) AS rn
       | FROM embeddings b, c2 c) WHERE rn = 1),
-      |pe AS (SELECT a3.vec_id, cell, embedding,
+      |pe AS MATERIALIZED (SELECT a3.vec_id, cell, embedding,
       |  ${normSql("embedding")} AS nrm
       | FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id),
-      |drp AS (SELECT DISTINCT r.vec_id FROM pe l JOIN pe r
+      |drp AS MATERIALIZED (SELECT DISTINCT r.vec_id FROM pe l JOIN pe r
       | ON l.cell = r.cell AND l.vec_id < r.vec_id
       |  AND round((${dotSql("l.embedding", "r.embedding")})
       |    / (l.nrm * r.nrm), 6) >= 0.4)

@@ -132,6 +132,67 @@ class StatsStoreSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("theta ESTIMATE mode: overlap tolerance + update law past 2^12") {
+    // Every committed overlap check runs theta in exact mode (θ = 1,
+    // estimates are exact integers — the q128 oracle's precondition).
+    // This fixture pushes every source past k = 2^ThetaLgNom = 4096
+    // distinct fingerprints, where θ < 1 and the documented
+    // ~1/√(k−1) ≈ 1.6% RSE takes over — the "degrades gracefully"
+    // claim in the ThetaLgNom scaladoc, as a spec instead of prose.
+    // Intersection error scales with the SET sizes (not the overlap),
+    // so the bound is 5·RSE·max(|A|,|B|) — wide enough for the
+    // order-dependent retention of distributed theta aggregation,
+    // tight enough that a broken intersection (0, or |A|) fails.
+    val n = 12000L // 3× past the exact-mode cliff
+    def src(name: String, lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        concat(lit("doc "), col("id"), lit(" payload")).as("text"),
+        lit(name).as("source"))
+    // A = [0, 12k), B = [6k, 18k), C = [12k, 24k): A∩B = B∩C = 6k,
+    // A∩C = 0 — distinct texts ⇒ distinct md5 fingerprints
+    val corpus = src("sa", 0, n).unionByName(src("sb", n / 2, 3 * n / 2))
+      .unionByName(src("sc", n, 2 * n))
+    val rse = 1.0 / math.sqrt((1 << 12) - 1)
+    val tol = math.ceil(5 * rse * n).toLong
+
+    val st = StatsStore.build(corpus, "text", "source", tempStore())
+    // θ really is < 1: a sketch at or under k entries would make this
+    // whole test silently exact-mode again
+    val ests = st.report(spark).select("source", "distinct_fp_est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, est) <- ests)
+      assert(math.abs(est - n) <= tol, s"$s: fp est $est vs true $n")
+
+    val got = st.overlapMatrix(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = Map(("sa", "sb") -> n / 2, ("sb", "sc") -> n / 2,
+      ("sa", "sc") -> 0L)
+    assert(got.keySet == truth.keySet)
+    for ((pair, t) <- truth)
+      assert(math.abs(got(pair) - t) <= tol,
+        s"$pair: overlap est ${got(pair)} vs true $t (tol $tol)")
+
+    // update law in estimate mode: union-of-sketches and direct build
+    // are BOTH within the estimate guarantee of the truth (unlike
+    // HLL's register-max identity, theta union may trim θ differently
+    // than a direct build, so equality is not the law here — the
+    // shared bound is)
+    val inc = StatsStore.update(
+      StatsStore.build(corpus.filter(col("doc_id") % 2 === 0),
+        "text", "source", tempStore()),
+      corpus.filter(col("doc_id") % 2 === 1), "text", "source")
+    val incEsts = inc.report(spark).select("source", "distinct_fp_est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, est) <- incEsts)
+      assert(math.abs(est - n) <= tol,
+        s"$s: merged fp est $est vs true $n")
+    val gotInc = inc.overlapMatrix(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for ((pair, t) <- truth)
+      assert(math.abs(gotInc(pair) - t) <= tol,
+        s"$pair: merged overlap est ${gotInc(pair)} vs true $t")
+  }
+
   test("quiet day and new source: empty batch is a no-op, unseen source appends") {
     import spark.implicits._
     val st = StatsStore.build(docs, "text", "source", tempStore())

@@ -219,6 +219,14 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("q98: the spine's type-dimension cross join is pinned broadcast") {
+    // the distinct event-type frame is a bounded domain AQE would
+    // USUALLY broadcast — the explicit hint removes the threshold
+    // bistability (q64's fix applied to the last unpinned crossJoin)
+    val p = plan(Relational.q98)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q128: overlap matrix is a broadcast cross join, ZERO shuffles") {
     // the whole point of reading contamination off STORED sketches:
     // a sources² cross join over a broadcast-sized stats frame —
