@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * Stage lineage is CUT at every boundary by the parquet round-trip:
   * stage n+1's plan starts at a columnar scan of stage n's output,
   * so nothing is persisted, no fixpoint lineage escapes, and a
-  * failed stage re-runs alone. At cluster scale the pairs and labels
-  * tables would be written bucketed by their join keys (labels by
-  * `idCol` — making every consumer's label join co-located with a
-  * bucketed corpus; pairs by `a`) — the mechanics q76 demonstrates;
-  * local stores keep plain parquet.
+  * failed stage re-runs alone. At cluster scale the labels table is
+  * written bucketed by `idCol` — [[build]]'s `bucketLabels` dial
+  * wires it: every consumer's label join against a same-bucketed
+  * corpus plans with ZERO exchanges (CurationStoreSpec pins the
+  * shape; q76/BucketedJoinSpec demonstrate the raw mechanics).
+  * The battery's local stores keep plain parquet, which is what the
+  * rename-swap incremental [[update]] maintains.
   *
   * Equivalence to the fused (per-query standalone) forms is proven
   * twice: CurationStoreSpec asserts store-fed q50/q121 results are
@@ -38,22 +40,44 @@ object CurationStore {
     * shingle; `pairs`: (a, b, est_jaccard) ≥ the build's `minEst`;
     * `labels`: (idCol, cluster) for every doc in any pair, cluster =
     * component-minimum id.
+    *
+    * `labelsTable` is set when the labels stage was written BUCKETED
+    * by `idCol` ([[build]]'s `bucketLabels` dial): bucket layout only
+    * survives through the catalog (a plain parquet scan of the same
+    * files forgets the hash distribution), so bucketed labels read as
+    * a table and every consumer joining a corpus bucketed the same
+    * way gets a ZERO-exchange label join — the shuffle is paid once
+    * at store-write time, never again per consumer.
     */
-  final case class Store(dir: String, idCol: String) {
+  final case class Store(dir: String, idCol: String,
+      labelsTable: Option[String] = None) {
     def signatures(s: SparkSession): DataFrame =
       s.read.parquet(s"$dir/signatures")
     def pairs(s: SparkSession): DataFrame = s.read.parquet(s"$dir/pairs")
-    def labels(s: SparkSession): DataFrame = s.read.parquet(s"$dir/labels")
+    def labels(s: SparkSession): DataFrame =
+      labelsTable.map(s.table).getOrElse(s.read.parquet(s"$dir/labels"))
   }
 
   /** Run the three stages over `docs`, overwriting `storeDir`. Dials
     * mirror the battery's near-dup defaults (q43/q49): 16 hashes in
     * 4 bands, estimate cut 0.5.
+    *
+    * `bucketLabels` > 0 writes the labels stage `bucketBy` `idCol`
+    * into that many buckets (registered as an external catalog table
+    * over `storeDir/labels` — bucketing is catalog metadata). This
+    * is the serving layout for the cluster-scale claim above: with
+    * the corpus bucketed by the same key and count, a consumer's
+    * label join plans with NO exchange on either side
+    * (CurationStoreSpec pins the zero-exchange shape). The bucketed
+    * variant is read-optimized: [[update]] folds batches through the
+    * rename-swap discipline plain parquet supports, so an
+    * incrementally-maintained store keeps `bucketLabels = 0`.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       storeDir: String, numHashes: Int = 16, numBands: Int = 4,
       minEst: Double = 0.5,
-      maxBucketSize: Long = Long.MaxValue): Store = {
+      maxBucketSize: Long = Long.MaxValue,
+      bucketLabels: Int = 0): Store = {
     val spark = docs.sparkSession
     // stage 1 — signatures: one partition-local pass over the text
     // (the only stage that touches the corpus)
@@ -70,10 +94,24 @@ object CurationStore {
     // its write is its materialization, its cache is released here
     val fixpoint = Dedup.clusters(
       spark.read.parquet(s"$storeDir/pairs"), "a", "b")
-    fixpoint.select(col("id").as(idCol), col("cluster"))
-      .write.mode("overwrite").parquet(s"$storeDir/labels")
+    val labelRows = fixpoint.select(col("id").as(idCol), col("cluster"))
+    val table =
+      if (bucketLabels > 0) {
+        val name = s"graft_labels_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(storeDir.getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString
+        labelRows.write.format("parquet")
+          .bucketBy(bucketLabels, idCol).sortBy(idCol)
+          .option("path", s"$storeDir/labels")
+          .mode("overwrite").saveAsTable(name)
+        Some(name)
+      } else {
+        labelRows.write.mode("overwrite").parquet(s"$storeDir/labels")
+        None
+      }
     fixpoint.unpersist()
-    Store(storeDir, idCol)
+    Store(storeDir, idCol, table)
   }
 
   /** Incrementally fold a NEW batch of docs into an existing store —
@@ -112,6 +150,10 @@ object CurationStore {
   def update(store: Store, newDocs: DataFrame, textCol: String,
       numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
       maxBucketSize: Long = Long.MaxValue): Store = {
+    require(store.labelsTable.isEmpty,
+      "bucketed stores are the read-optimized serving layout; " +
+        "incremental maintenance uses a plain store (bucketLabels=0) " +
+        "— rebuild to re-bucket")
     val spark = newDocs.sparkSession
     val idCol = store.idCol
     val hconf = spark.sessionState.newHadoopConf()

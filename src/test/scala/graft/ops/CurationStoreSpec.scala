@@ -55,6 +55,52 @@ class CurationStoreSpec extends SparkSpec {
       "dedupCorpusBest")
   }
 
+  test("bucketed labels join a same-bucketed corpus with ZERO exchanges") {
+    // the serving layout the class scaladoc claims for cluster scale:
+    // labels written bucketBy(idCol) THROUGH the store, corpus
+    // bucketed the same way — the consumer's label join must plan
+    // with no exchange on either side (shuffle paid once at write)
+    val wh = java.nio.file.Files
+      .createTempDirectory("curation-bucketed").toString
+    val bStore = CurationStore.build(docs, "doc_id", "text",
+      s"$wh/store", bucketLabels = 8)
+    assert(bStore.labelsTable.isDefined)
+    docs.write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/docs")
+      .mode("overwrite").saveAsTable("docs_bucketed_spec")
+    // forbid broadcast so the claim is about co-location, not size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("docs_bucketed_spec")
+        .join(bStore.labels(spark), "doc_id")
+        .select(col("doc_id"), col("cluster"), col("source"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"label join must be exchange-free:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // same rows as the plain store's labels joined the plain way
+      assertFrameEqual(joined,
+        docs.join(store.labels(spark), "doc_id")
+          .select(col("doc_id"), col("cluster"), col("source")),
+        "bucketed label join")
+      // and the incremental path refuses the read-optimized layout
+      // loudly instead of silently de-bucketing it
+      val e = intercept[IllegalArgumentException] {
+        CurationStore.update(bStore, docs.limit(1), "text")
+      }
+      assert(e.getMessage.contains("bucketLabels"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS docs_bucketed_spec")
+      bStore.labelsTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incremental update equals a from-scratch rebuild, stage by stage") {
     // build(evens) then update(odds) must land byte-equivalent stage
     // CONTENT to build(all) — the identity the 100 TB daily ingest
