@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in AQP: count(DISTINCT x) → HLL sketch estimate, flag-gated
+    // inside the rule itself so registration is unconditional
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

@@ -105,6 +105,52 @@ object StatsStore {
     }
   }
 
+  /** Snapshot-to-snapshot drift report, computed from two stored
+    * stats stages alone — the question a daily 100 TB ingest asks
+    * after every [[update]]: what did the batch change, per source?
+    * Exact counters diff exactly; fingerprint NOVELTY comes from the
+    * theta set difference `a-not-b(new, old)` — distinct fingerprints
+    * present after the update that the old snapshot had never seen —
+    * which is an exact integer while both sketches are in exact mode
+    * (the [[ThetaLgNom]] dial; q129 carries a DuckDB oracle on
+    * exactly that footing, the q128 precedent) and an ~1.6%-RSE
+    * unbiased estimate past it. Sources absent from the old snapshot
+    * are brand-new: counters 0, every fingerprint novel. Both inputs
+    * are one-row-per-source by construction, so this is a
+    * broadcast-joined frame with no corpus-sized work at any scale;
+    * length-distribution drift rides the same stores via
+    * [[Store.report]]'s KLL quantiles (randomized, so spec-bounded
+    * rather than oracled — StatsStoreSpec plants a shift and sees
+    * p95 move).
+    */
+  def driftReport(s: SparkSession, oldStore: Store,
+      newStore: Store): DataFrame = {
+    val o = oldStore.stats(s).select(col("source"),
+      col("docs").as("docs_old"),
+      col("token_occurrences").as("tokens_old"),
+      col("fp_theta").as("_to"))
+    val n = newStore.stats(s).select(col("source"),
+      col("docs").as("docs_new"),
+      col("token_occurrences").as("tokens_new"),
+      col("fp_theta").as("_tn"))
+    n.join(broadcast(o), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+        col("docs_new"),
+        coalesce(col("tokens_old"), lit(0L)).as("tokens_old"),
+        col("tokens_new"),
+        when(col("_to").isNull, theta_sketch_estimate(col("_tn")))
+          .otherwise(theta_sketch_estimate(
+            theta_difference(col("_tn"), col("_to"))))
+          .cast("long").as("novel_fp"),
+        theta_sketch_estimate(col("_tn")).cast("long")
+          .as("distinct_fp"))
+      .withColumn("novelty",
+        round(when(col("distinct_fp") === 0L, lit(0.0))
+          .otherwise(col("novel_fp").cast("double") /
+            col("distinct_fp")), 4))
+  }
+
   /** One stats row per source over `docs`: exact counters plus the
     * three sketches, computed in ONE corpus scan and ONE exchange.
     * Doc-level members (counters, fingerprint theta, length KLL) and
@@ -215,6 +261,21 @@ object StatsStore {
     built.computeIfAbsent(dataDir, d =>
       build(s.read.parquet(s"$d/documents.parquet"), "text", "source",
         storeDirFor(d)))
+
+  private val slices =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Store]()
+
+  /** A memoized store over a SLICE of the corpus — q129's "old
+    * snapshot" side (the store as it stood before a batch landed),
+    * without keeping a second mutable store directory in play:
+    * `where` names the slice, `tag` names its store dir.
+    */
+  def forCorpusSlice(s: SparkSession, dataDir: String, tag: String,
+      where: org.apache.spark.sql.Column): Store =
+    slices.computeIfAbsent((dataDir, tag), { case (d, t) =>
+      build(s.read.parquet(s"$d/documents.parquet").filter(where),
+        "text", "source", CurationStore.storeDirFor(d, s"-stats-$t"))
+    })
 
   /** Fresh build (mode-overwrite) that also refreshes the memo —
     * q127's entry point, so the build surface stays an honest bench.

@@ -1094,9 +1094,49 @@ object Relational {
         |ORDER BY curve, bucket""".stripMargin))
   }
 
+  /** The [[graft.plans.ApproxDistinctRewrite]] optimizer rule run as
+    * a battery query: the same per-event-type distinct-user rollup
+    * executed twice — flag OFF (exact plan, distinct re-shuffle) and
+    * flag ON (one sketch aggregation pass) — with the per-group
+    * relative error in the output. Both runs materialize INSIDE the
+    * query (group count = |event_type| domain, a bounded collect)
+    * because the flag must still be set when the plan optimizes —
+    * lazily returning the flag-on frame would optimize it after the
+    * reset below. No DuckDB oracle (the estimate is
+    * datasketches-specific — the q34/q85/q127 convention);
+    * ApproxDistinctRewriteSpec pins the plan change (sketch agg in,
+    * Expand gone), the exact-regime equality this query's rel_err
+    * column exhibits at test SFs, and the 5·RSE estimate-mode bound.
+    */
+  val q130 = Q("q130_approx_distinct_rewrite",
+    (s, dir) => {
+      import graft.plans.ApproxDistinctRewrite.Flag
+      def usersPerType(): Map[String, Long] =
+        Registry.table(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct("user_id").as("users"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = usersPerType()
+      val prev = s.conf.getOption(Flag)
+      s.conf.set(Flag, "true")
+      val approx =
+        try usersPerType()
+        finally prev match {
+          case Some(v) => s.conf.set(Flag, v)
+          case None => s.conf.unset(Flag)
+        }
+      import s.implicits._
+      exact.keys.toSeq.sorted.map { et =>
+        val (e, a) = (exact(et), approx(et))
+        (et, e, a,
+          math.rint(1e4 * math.abs(a - e).toDouble / e.max(1L)) / 1e4)
+      }.toDF("event_type", "exact_users", "approx_users", "rel_err")
+        .orderBy("event_type")
+    },
+    None)
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
       q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105,
-      q122)
+      q122, q130)
 }

@@ -413,5 +413,82 @@ object StreamQueries {
       |FROM events GROUP BY event_type ORDER BY event_type"""
       .stripMargin))
 
-  val qs: Seq[Q] = Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107)
+  /** The [[graft.ops.StatsStore]] maintenance loop run as a STREAMING
+    * sink: the documents corpus arrives as four disjoint micro-batches
+    * (doc_id mod 4 slices, maxFilesPerTrigger = 1) and each
+    * `foreachBatch` folds its batch into the store — aggregate the
+    * batch alone, union sketches, crash-safe swap — exactly the shape
+    * a 100 TB ingest runs continuously: monitoring state that is one
+    * row per source, updated per micro-batch, never re-scanning
+    * history. The query returns the final store READOUT; no DuckDB
+    * oracle (sketch estimates, the q127 convention) — the driver
+    * records rows-only, and StreamStatsSpec pins the real law: the
+    * stream-maintained store must equal a from-scratch batch rebuild
+    * at every field's guarantee (counters + HLL estimate + exact-mode
+    * theta EXACTLY equal, the randomized KLL rank-bounded), which is
+    * the update law proven per-pair in StatsStoreSpec, compounded
+    * over a multi-batch streaming execution.
+    */
+  val q131 = Q("q131_stream_stats_update",
+    (s, dir) => streamStatsReport(s, dir),
+    None)
+
+  /** q131's body, shared with StreamStatsSpec (which needs the store
+    * dir to compare against a rebuild, not just the readout).
+    */
+  def streamStatsStore(s: SparkSession, dir: String,
+      storeDir: String): graft.ops.StatsStore.Store = {
+    val docs = Registry.table(s, dir, "documents")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-q131-in")
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-q131-ckpt")
+    val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      (0 until 4).foreach { i =>
+        graft.ark.Ark.writeSingleFile(
+          docs.filter(col("doc_id") % 4 === i),
+          s"$inDir/slice$i.parquet")
+      }
+      // an empty-corpus build seeds the store's schema; every row of
+      // state arrives through the streaming update path
+      val store = graft.ops.StatsStore.build(
+        docs.filter(lit(false)), "text", "source", storeDir)
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[
+               org.apache.spark.sql.Row], _: Long) =>
+              graft.ops.StatsStore.update(
+                store, batch.toDF(), "text", "source")
+              ()
+          }
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      store
+    } finally Seq(inDir, ckptDir).foreach(deleteRecursively)
+  }
+
+  private def streamStatsReport(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-q131-store")
+    try {
+      val out = streamStatsStore(s, dir, storeDir.toString)
+        .report(s).orderBy("source")
+      // materialize before the finally deletes the store files; one
+      // row per source by construction
+      s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(storeDir)
+  }
+
+  val qs: Seq[Q] =
+    Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131)
 }

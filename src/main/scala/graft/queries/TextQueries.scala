@@ -2098,10 +2098,157 @@ object TextQueries {
       |LEFT JOIN ov ON ov.src_a = s1.source AND ov.src_b = s2.source
       |ORDER BY 1, 2""".stripMargin))
 
+  /** Snapshot drift monitor off STORED sketches
+    * ([[graft.ops.StatsStore.driftReport]]): per source, what the
+    * last batch changed — exact doc/token counter deltas plus
+    * fingerprint NOVELTY from the theta set difference
+    * `a-not-b(new, old)`, i.e. distinct fingerprints the old
+    * snapshot had never seen. The operational readout a daily
+    * 100 TB ingest pages on: a source whose novelty collapses
+    * toward 0 started re-sending yesterday's crawl; one whose
+    * token ratio spikes changed its extractor. Old snapshot = the
+    * store built from the even half ("yesterday"), new = the full
+    * corpus store the other monitors share; both are one row per
+    * source, so the report is a broadcast join with zero
+    * corpus-sized work. Oracled EXACTLY on the q128 footing: in
+    * theta exact mode (distinct fps per source ≪ 2^12) the
+    * difference estimate is an exact integer and DuckDB recomputes
+    * it with a NOT EXISTS anti-join over the fingerprint kernel;
+    * past that cardinality it degrades to an ~1.6%-RSE unbiased
+    * estimate (`StatsStore.ThetaLgNom`). KLL length drift off the
+    * same stores is randomized and spec-bounded instead
+    * (StatsStoreSpec plants a length shift and watches p95 move).
+    */
+  val q129 = Q("q129_snapshot_drift",
+    (s, dir) => StatsStore.driftReport(s,
+        StatsStore.forCorpusSlice(s, dir, "even",
+          col("doc_id") % 2 === 0),
+        StatsStore.forCorpus(s, dir))
+      .orderBy("source"),
+    Some("""WITH d AS (SELECT doc_id, source,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      |  len(list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0)) AS ntok
+      | FROM documents),
+      |o AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_old,
+      |  CAST(sum(ntok) AS BIGINT) AS tokens_old
+      | FROM d WHERE doc_id % 2 = 0 GROUP BY source),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_new,
+      |  CAST(sum(ntok) AS BIGINT) AS tokens_new,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fp
+      | FROM d GROUP BY source),
+      |nv AS (SELECT source, CAST(count(DISTINCT fp) AS BIGINT)
+      |   AS novel_fp
+      | FROM d x WHERE NOT EXISTS (SELECT 1 FROM d e
+      |    WHERE e.doc_id % 2 = 0
+      |      AND e.source IS NOT DISTINCT FROM x.source
+      |      AND e.fp = x.fp)
+      | GROUP BY source)
+      |SELECT n.source,
+      | CAST(coalesce(o.docs_old, 0) AS BIGINT) AS docs_old,
+      | n.docs_new,
+      | CAST(coalesce(o.tokens_old, 0) AS BIGINT) AS tokens_old,
+      | n.tokens_new,
+      | CAST(coalesce(nv.novel_fp, 0) AS BIGINT) AS novel_fp,
+      | n.distinct_fp,
+      | round(CASE WHEN n.distinct_fp = 0 THEN 0.0
+      |   ELSE CAST(coalesce(nv.novel_fp, 0) AS DOUBLE)
+      |     / n.distinct_fp END, 4) AS novelty
+      |FROM n LEFT JOIN o USING (source) LEFT JOIN nv USING (source)
+      |ORDER BY source""".stripMargin))
+
+  /** The SHIP-IT composition: every curation decision the battery
+    * proves piecemeal, chained into the training-shard manifest a
+    * data release actually publishes. Stored near-dup labels
+    * ([[graft.ops.CurationStore]]) → quality-argmax canonical per
+    * cluster (q121's rule) → model-quality gate (q117's classifier,
+    * prob ≥ 0.5 — an integer-derived boundary, never a float edge) →
+    * per-(lang, shard) token-budget packing (q47's arithmetic) →
+    * manifest rows (lang, shard, chunk, n_docs, tokens). Scale shape:
+    * the classifier broadcasts its model, the label join and the
+    * argmax window shuffle by cluster, the pack window partitions by
+    * the deterministic hash shard q47 introduced — no corpus-global
+    * ordering anywhere, every stage the shape its standalone query
+    * already budget-pins. The oracle recomputes the WHOLE chain in
+    * SQL: recursive-CTE components, classifier chain, argmax window,
+    * quality gate, pack window — one hash compare over the full
+    * pipeline, which is the strongest end-to-end statement the
+    * driver's gate can make.
+    */
+  val q132 = Q("q132_curated_shards",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = TextOps.qualityClassify(docs, "doc_id", "text",
+          ClfBuckets)
+        .select(col("doc_id"), col("prob"))
+      val kept = Dedup.dedupCorpusBestLabeled(scored, "doc_id",
+          CurationStore.forCorpus(s, dir).labels(s), "prob")
+        .filter(col("kept") && col("prob") >= 0.5)
+        .select("doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.join(kept, Seq("doc_id"))
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("shard",
+          graft.ops.Sampling.hashBucket(col("doc_id"), packShards))
+        .withColumn("chunk",
+          floor((sum("ntok").over(w) - col("ntok")) / 2048.0))
+        .groupBy("lang", "shard", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+        .orderBy("lang", "shard", "chunk")
+    },
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |wm AS (SELECT b,
+      |  CAST(('0x' || substr(md5('w,' || CAST(b AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 2001 - 1000 AS wv
+      | FROM (SELECT unnest(range(0, $ClfBuckets)) AS b)),
+      |tok AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)
+      |    % $ClfBuckets AS b
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |       FROM documents)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(wm.wv) AS BIGINT) AS sw
+      | FROM tok JOIN wm USING (b) GROUP BY doc_id),
+      |mic AS (SELECT doc_id,
+      |  CASE WHEN sw >= 0
+      |   THEN (sw * 2000 + n_tokens) // (2 * n_tokens)
+      |   ELSE -(((-sw) * 2000 + n_tokens) // (2 * n_tokens)) END
+      |    AS micro
+      | FROM agg),
+      |sc AS (SELECT doc_id,
+      |  round(1 / (1 + exp(-(CAST(micro AS DOUBLE) / 1000000.0))), 6)
+      |    AS prob
+      | FROM mic),
+      |full0 AS (SELECT s.doc_id,
+      |  COALESCE(l.cluster, s.doc_id) AS cluster, s.prob
+      | FROM sc s LEFT JOIN lab l ON l.doc_id = s.doc_id),
+      |kept AS (SELECT doc_id FROM (SELECT doc_id, prob,
+      |   row_number() OVER (PARTITION BY cluster
+      |     ORDER BY prob DESC, doc_id) AS rn
+      |  FROM full0) WHERE rn = 1 AND prob >= 0.5),
+      |pk AS (SELECT lang, shard, doc_id, ntok,
+      |  CAST(floor((sum(ntok) OVER (PARTITION BY lang, shard
+      |     ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok)
+      |    / 2048.0) AS BIGINT) AS chunk
+      | FROM (SELECT d.lang,
+      |    ${duckBucket("d.doc_id", packShards)} AS shard, d.doc_id,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+      |   FROM documents d JOIN kept k ON k.doc_id = d.doc_id))
+      |SELECT lang, shard, chunk, count(*) AS n_docs,
+      | CAST(sum(ntok) AS BIGINT) AS tokens
+      |FROM pk GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123, q124, q125, q126, q127, q128)
+      q120, q121, q123, q124, q125, q126, q127, q128, q129, q132)
 }

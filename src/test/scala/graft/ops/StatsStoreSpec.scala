@@ -193,6 +193,77 @@ class StatsStoreSpec extends SparkSpec {
         s"$pair: merged overlap est ${gotInc(pair)} vs true $t")
   }
 
+  test("driftReport: exact counter deltas, novelty = theta a-not-b (exact mode)") {
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val oldSt = StatsStore.build(evens, "text", "source", tempStore())
+    val newSt = StatsStore.build(docs, "text", "source", tempStore())
+    val got = StatsStore.driftReport(spark, oldSt, newSt).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toMap
+    val oldFp = evens.select(col("source"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val oldCounts = evens.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(rows => (rows.length.toLong,
+        rows.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum)).toMap
+    assert(got.keySet == brute.keySet)
+    for ((src, (nDocs, nToks, _, _)) <- brute) {
+      val (dOld, dNew, tOld, tNew, novel, distinct, rate) = got(src)
+      val (eDocs, eToks) = oldCounts.getOrElse(src, (0L, 0L))
+      assert(dOld == eDocs && dNew == nDocs, s"$src: doc counters")
+      assert(tOld == eToks && tNew == nToks, s"$src: token counters")
+      // theta difference in exact mode IS the set difference
+      val expectNovel =
+        (bruteFp(src) -- oldFp.getOrElse(src, Set.empty)).size.toLong
+      assert(novel == expectNovel && distinct == bruteFp(src).size,
+        s"$src: novel $novel vs $expectNovel, distinct $distinct")
+      assert(math.abs(rate -
+        math.rint(1e4 * expectNovel.toDouble / distinct) / 1e4) < 1e-9,
+        s"$src: novelty rate $rate")
+    }
+  }
+
+  test("driftReport: brand-new source has zero history and full novelty") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha beta", "s_a"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq((2L, "gamma delta", "s_b"), (3L, "alpha beta", "s_a"))
+      .toDF("doc_id", "text", "source")
+    val oldSt = StatsStore.build(hist, "text", "source", tempStore())
+    val newSt = StatsStore.build(hist.unionByName(batch),
+      "text", "source", tempStore())
+    val got = StatsStore.driftReport(spark, oldSt, newSt).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(5),
+        r.getDouble(7))).toMap
+    // s_b never existed: docs_old 0, every fingerprint novel
+    assert(got("s_b") == ((0L, 1L, 1.0)))
+    // s_a re-sent an exact dup: nothing novel
+    assert(got("s_a") == ((1L, 0L, 0.0)))
+  }
+
+  test("driftReport companion: a planted length shift moves the stored KLL p95") {
+    import spark.implicits._
+    def mk(lo: Long, hi: Long, len: Int) =
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until len).map(i =>
+          concat(lit(s"w$i"), col("id"))): _*).as("text"),
+        lit("s_shift").as("source"))
+    val short = mk(0, 400, 5)
+    val st = StatsStore.build(short, "text", "source", tempStore())
+    val p95Before = st.report(spark).select("p95_len")
+      .collect().head.getLong(0)
+    // the batch is 10× longer docs — the extractor-regression shape a
+    // drift monitor must surface from sketches alone
+    StatsStore.update(st, mk(400, 600, 50), "text", "source")
+    val p95After = st.report(spark).select("p95_len")
+      .collect().head.getLong(0)
+    assert(p95After > p95Before * 3,
+      s"p95 $p95Before -> $p95After: shift not visible in KLL")
+  }
+
   test("quiet day and new source: empty batch is a no-op, unseen source appends") {
     import spark.implicits._
     val st = StatsStore.build(docs, "text", "source", tempStore())

@@ -1,0 +1,120 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, HllSketchAgg}
+import org.apache.spark.sql.functions._
+
+/** The count(DISTINCT) → HLL optimizer rule: OFF must leave plans and
+  * results byte-for-byte exact; ON must actually change the PLAN
+  * (sketch aggregate in the optimized plan, no Expand in the physical
+  * plan for the multi-distinct case) and keep results exact in the
+  * sketch's exact regime / inside ~5·RSE past it. Unsupported child
+  * types must be left alone even when the flag is on.
+  */
+class ApproxDistinctRewriteSpec extends SparkSpec {
+
+  private def withFlag[T](on: Boolean)(body: => T): T = {
+    val prev = spark.conf.getOption(ApproxDistinctRewrite.Flag)
+    spark.conf.set(ApproxDistinctRewrite.Flag, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ApproxDistinctRewrite.Flag, v)
+      case None => spark.conf.unset(ApproxDistinctRewrite.Flag)
+    }
+  }
+
+  private def hasSketchAgg(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions.exists(_.exists {
+      case ae: AggregateExpression =>
+        ae.aggregateFunction.isInstanceOf[HllSketchAgg]
+      case _ => false
+    })
+
+  private def hasDistinctAgg(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions.exists(_.exists {
+      case ae: AggregateExpression => ae.isDistinct
+      case _ => false
+    })
+
+  test("flag off: plan untouched, exact distinct aggregate survives") {
+    val df = sf("events").groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"))
+    assert(hasDistinctAgg(df) && !hasSketchAgg(df))
+  }
+
+  test("flag on: sketch aggregate in plan, exact result in the exact regime") {
+    val exact = sf("events").groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    withFlag(on = true) {
+      val df = sf("events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("users"))
+      assert(hasSketchAgg(df) && !hasDistinctAgg(df),
+        "rewrite did not fire")
+      val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-group distinct users at sf0.001 sit far below the HLL
+      // list/set-mode promotion point: estimates are EXACT counts
+      assert(got == exact, s"exact-regime mismatch: $got vs $exact")
+    }
+  }
+
+  test("flag on: estimate regime stays inside 5·RSE of the truth") {
+    val n = 200000L
+    val ids = spark.range(n).select((col("id") % 50000).as("v"))
+    withFlag(on = true) {
+      val df = ids.agg(countDistinct("v").as("d"))
+      assert(hasSketchAgg(df))
+      val est = df.collect().head.getLong(0)
+      val tol = math.ceil(5 * 1.04 / math.sqrt(1 << 12) * 50000).toLong
+      assert(math.abs(est - 50000L) <= tol, s"est $est vs 50000 ± $tol")
+    }
+  }
+
+  test("flag on: multi-distinct query loses its Expand") {
+    def q = sf("events").groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"),
+        countDistinct("event_id").as("e"))
+    val expandOff = q.queryExecution.executedPlan.toString
+    assert(expandOff.contains("Expand"),
+      "fixture invalid: exact multi-distinct should plan an Expand")
+    withFlag(on = true) {
+      val planOn = q.queryExecution.executedPlan.toString
+      assert(!planOn.contains("Expand"),
+        "rewrite should eliminate the multi-distinct Expand")
+    }
+  }
+
+  test("flag on: zero-row global aggregate returns 0, not null") {
+    withFlag(on = true) {
+      val df = sf("events").filter(lit(false))
+        .agg(countDistinct("user_id").as("d"))
+      assert(hasSketchAgg(df))
+      val row = df.collect().head
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L)
+    }
+  }
+
+  test("flag on: unsupported child type is left exact") {
+    withFlag(on = true) {
+      val df = sf("events").agg(countDistinct("value").as("d"))
+      assert(!hasSketchAgg(df) && hasDistinctAgg(df),
+        "double-typed child must not be rewritten")
+      val exact = sf("events").select("value").distinct().count()
+      assert(df.collect().head.getLong(0) == exact)
+    }
+  }
+
+  test("flag on: FILTER clause rides through the rewrite") {
+    val exact = sf("events")
+      .agg(count_distinct(when(col("value") > 100, col("user_id")))
+        .as("d")).collect().head.getLong(0)
+    withFlag(on = true) {
+      val df = spark.sql(
+        "SELECT count(DISTINCT user_id) FILTER (WHERE value > 100) AS d" +
+          " FROM parquet.`/root/testdata/sf0.001/events.parquet`")
+      assert(hasSketchAgg(df))
+      assert(df.collect().head.getLong(0) == exact)
+    }
+  }
+}
