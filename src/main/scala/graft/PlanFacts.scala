@@ -82,11 +82,16 @@ object PlanFacts {
   val streaming: Set[String] = Set("q38_sessionize", "q40_stream_rollup",
     "q41_stream_dedupe", "q58_stream_enrich", "q66_stream_interval_join",
     "q68_session_window", "q69_stream_left_join",
-    "q96_stream_merge_history", "q107_stream_complete_rollup")
+    "q96_stream_merge_history", "q107_stream_complete_rollup",
+    "q131_stream_stats_update")
 
   /** Queries whose RETURNED frame is driver-composed (LocalTableScan)
     * — the distributed work ran in upstream eager jobs, so the final
-    * plan string carries no signal.
+    * plan string carries no signal. q130 runs its rollup twice (flag
+    * off/on) eagerly so the rewrite flag is still set when each plan
+    * optimizes; its plan evidence lives in
+    * ApproxDistinctRewriteSpec's optimized/physical-plan assertions.
     */
-  val composed: Set[String] = Set("q85_heavy_hitters_cms")
+  val composed: Set[String] = Set("q85_heavy_hitters_cms",
+    "q130_approx_distinct_rewrite")
 }

@@ -848,6 +848,75 @@ object SimilarityQueries {
         |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin)
     })
 
+  /** Hybrid retrieval fusion — the RAG-serving staple: a DENSE
+    * ranking (cosine from a query embedding; vec 0 stands in for the
+    * encoded query) and a SPARSE ranking (q75's BM25 kernel, shared
+    * verbatim via [[TextQueries.bm25Scores]]) fused by Reciprocal
+    * Rank Fusion, `rrf = Σ 1/(60 + rank)` — the zero-tuning fusion
+    * that needs no score normalization across incomparable scales.
+    * Scale shape: each side reduces to its top-50 via
+    * `orderBy().limit()` — planned as TakeOrderedAndProject, a
+    * distributed partial top-k with NO global sort — and only then
+    * takes a rank window (over an ≤50-row frame, bounded by
+    * construction; the same pattern as q54's per-query ranking). The
+    * fusion is a full-outer join of two 50-row frames: docs ranked
+    * by one modality only still surface (rank 0 marks absence).
+    * Oracle recomputes both rankings and the fusion; ties break by
+    * doc_id in both engines.
+    */
+  val q134 = Q("q134_hybrid_rrf",
+    (s, dir) => {
+      val topN = 50
+      val w = org.apache.spark.sql.expressions.Window
+      val dense = Similarity.cosineBruteForce(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") === 0, threshold = -1.0)
+        .select(col("vec_id").as("doc_id"), col("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(topN)
+        .withColumn("rank_dense", row_number().over(
+          w.orderBy(col("cos").desc, col("doc_id").asc)))
+      val sparse = TextQueries.bm25Scores(s, dir)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+        .withColumn("rank_sparse", row_number().over(
+          w.orderBy(col("score").desc, col("doc_id").asc)))
+      dense.select("doc_id", "rank_dense")
+        .join(sparse.select("doc_id", "rank_sparse"),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_dense"), lit(0)).as("rank_dense"),
+          coalesce(col("rank_sparse"), lit(0)).as("rank_sparse"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rank_sparse")),
+                lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH ${TextQueries.duckBm25Ctes},
+      |sp AS (SELECT doc_id, rank_sparse FROM (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |     ORDER BY score DESC, doc_id) AS INT) AS rank_sparse
+      |  FROM spr) WHERE rank_sparse <= 50),
+      |dn0 AS (SELECT a.vec_id AS doc_id,
+      |  round((${dotSql("q.embedding", "a.embedding")})
+      |    / (q.nrm * a.nrm), 6) AS cos
+      | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+      |       FROM embeddings) a,
+      |      (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+      |       FROM embeddings WHERE vec_id = 0) q
+      | WHERE a.vec_id <> 0),
+      |dn AS (SELECT doc_id, rank_dense FROM (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |     ORDER BY cos DESC, doc_id) AS INT) AS rank_dense
+      |  FROM dn0) WHERE rank_dense <= 50)
+      |SELECT doc_id, coalesce(rank_dense, 0) AS rank_dense,
+      | coalesce(rank_sparse, 0) AS rank_sparse,
+      | round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), 0) +
+      |   coalesce(CAST(1 AS DOUBLE) / (60 + rank_sparse), 0), 6) AS rrf
+      |FROM dn FULL JOIN sp USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
-    q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116)
+    q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
+    q134)
 }

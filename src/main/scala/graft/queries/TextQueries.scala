@@ -808,8 +808,11 @@ object TextQueries {
     * hits (the filter pushes into the explode's consumer), df/avgdl
     * are scalar broadcasts, and the final top-k is a sort-limit.
     */
-  val q75 = Q("q75_bm25_search",
-    (s, dir) => {
+  /** q75's scored frame (doc_id, score), shared verbatim by the
+    * hybrid-fusion query q134 so both rankings come from ONE kernel.
+    */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val terms = Seq("join", "vector", "stream")
       val k1 = 1.2; val b = 0.75
       val docs = table(s, dir, "documents")
@@ -841,10 +844,13 @@ object TextQueries {
         .select(col("doc_id"),
           round(col(s"c_${terms(0)}") + col(s"c_${terms(1)}") +
             col(s"c_${terms(2)}"), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(20)
-    },
-    Some("""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' '))
+  }
+
+  /** q75's oracle CTE chain up to the per-doc summed score `spr`
+    * (doc_id, score) — shared with q134's hybrid-fusion oracle.
+    */
+  private[queries] val duckBm25Ctes: String =
+    """dl AS (SELECT doc_id, CAST(len(string_split(text, ' '))
       |    AS BIGINT) AS dl FROM documents),
       |st AS (SELECT count(*) AS n,
       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -864,8 +870,16 @@ object TextQueries {
       |  coalesce(max(CASE WHEN token = 'join' THEN c END), 0) AS c1,
       |  coalesce(max(CASE WHEN token = 'vector' THEN c END), 0) AS c2,
       |  coalesce(max(CASE WHEN token = 'stream' THEN c END), 0) AS c3
-      | FROM c GROUP BY doc_id)
-      |SELECT doc_id, round(c1 + c2 + c3, 4) AS score FROM p
+      | FROM c GROUP BY doc_id),
+      |spr AS (SELECT doc_id, round(c1 + c2 + c3, 4) AS score FROM p)"""
+      .stripMargin
+
+  val q75 = Q("q75_bm25_search",
+    (s, dir) => bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20),
+    Some(s"""WITH $duckBm25Ctes
+      |SELECT doc_id, score FROM spr
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
   /** Temperature-weighted data-mixture plan (T = 0.5): per-language
@@ -2245,10 +2259,69 @@ object TextQueries {
       | CAST(sum(ntok) AS BIGINT) AS tokens
       |FROM pk GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** Concat-and-cut sequence packing with DOCUMENT SPLITTING — the
+    * packing most LLM trainers actually run (q47 keeps docs whole and
+    * bins them; this one concatenates each (lang, shard) token stream
+    * and cuts every 2048 tokens, so a doc straddling a boundary is
+    * SPLIT across sequences). Emits the token-exact cut list a packer
+    * executes: one row per (doc, sequence) overlap with the doc-local
+    * token offsets `[tok_from, tok_to)` to take. Pure window + explode
+    * arithmetic: the same per-(lang, shard) cumulative sum as q47
+    * (deterministic hash shards keep it embarrassingly parallel — no
+    * corpus-global ordering), then each doc explodes to exactly the
+    * `floor(start/B)..floor((end-1)/B)` sequences it overlaps
+    * (`sequence` + `explode`, codegen'd, ≈ ntok/B + 1 output rows per
+    * doc). Integral `div` on the cumulative offsets keeps the
+    * arithmetic exact however large the per-shard token stream gets —
+    * no double rounding at 100 TB offsets. Oracle mirrors it with
+    * DuckDB `//` and `range`.
+    */
+  val q133 = Q("q133_pack_spans",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        .filter(col("ntok") > 0)
+        .withColumn("shard",
+          graft.ops.Sampling.hashBucket(col("doc_id"), packShards))
+        .withColumn("e", sum("ntok").over(w))
+        .withColumn("s0", col("e") - col("ntok"))
+        .select(col("lang"), col("shard"), col("doc_id"), col("s0"),
+          col("e"),
+          explode(sequence(expr("s0 div 2048"),
+            expr("(e - 1) div 2048"))).as("seq"))
+        .select(col("lang"), col("shard"), col("seq"), col("doc_id"),
+          greatest(lit(0L), col("seq") * 2048 - col("s0"))
+            .as("tok_from"),
+          (least(col("e"), (col("seq") + 1) * 2048) - col("s0"))
+            .as("tok_to"))
+        .orderBy("lang", "shard", "seq", "doc_id")
+    },
+    Some(s"""WITH base AS (SELECT lang,
+      |  ${duckBucket("doc_id", packShards)} AS shard, doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      | FROM documents),
+      |cum AS (SELECT lang, shard, doc_id, ntok,
+      |  CAST(sum(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+      | FROM base WHERE ntok > 0),
+      |sp AS (SELECT lang, shard, doc_id, e - ntok AS s0, e,
+      |  unnest(range((e - ntok) // 2048, (e - 1) // 2048 + 1)) AS seq
+      | FROM cum)
+      |SELECT lang, shard, seq, doc_id,
+      | greatest(CAST(0 AS BIGINT), seq * 2048 - s0) AS tok_from,
+      | least(e, (seq + 1) * 2048) - s0 AS tok_to
+      |FROM sp ORDER BY lang, shard, seq, doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123, q124, q125, q126, q127, q128, q129, q132)
+      q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133)
 }

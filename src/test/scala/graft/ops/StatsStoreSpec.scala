@@ -191,6 +191,19 @@ class StatsStoreSpec extends SparkSpec {
     for ((pair, t) <- truth)
       assert(math.abs(gotInc(pair) - t) <= tol,
         s"$pair: merged overlap est ${gotInc(pair)} vs true $t")
+
+    // driftReport novelty (theta a-not-b) degrades on the same terms:
+    // old = first half of each source's id range, so exactly n/2
+    // fingerprints are novel per source
+    val oldSt = StatsStore.build(
+      corpus.filter(col("doc_id") % 2 === 0), "text", "source",
+      tempStore())
+    val novel = StatsStore.driftReport(spark, oldSt, st)
+      .select("source", "novel_fp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, got) <- novel)
+      assert(math.abs(got - n / 2) <= tol,
+        s"$s: novelty est $got vs true ${n / 2} (tol $tol)")
   }
 
   test("driftReport: exact counter deltas, novelty = theta a-not-b (exact mode)") {

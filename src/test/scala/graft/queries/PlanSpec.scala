@@ -235,4 +235,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q129: drift report is a broadcast join of two store scans, ZERO shuffles") {
+    // same footing as q128: both snapshot frames are one row per
+    // source, the old side is explicitly broadcast — the report must
+    // never pay a corpus-sized (or any) exchange
+    val p = plan(TextQueries.q129).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
