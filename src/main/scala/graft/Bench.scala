@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Shared benchmark arithmetic and run plumbing — ONE definition for
+  * [[Bench]] and [[ProbeDev]], so a fix to the median, the rounding
+  * or the materialization pattern can't silently miss one harness.
+  */
+object BenchUtil {
+  def med(vs: Seq[Double]): Double = {
+    val s = vs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+
+  /** Time one FULL materialization of a query through the noop sink
+    * (count() would let Catalyst prune projections away), clearing
+    * any persisted intermediates after.
+    */
+  def timeNoop(spark: SparkSession, q: graft.queries.Q,
+      dir: String): Double = {
+    val t0 = System.nanoTime()
+    q.run(spark, dir).write.format("noop").mode("overwrite").save()
+    val t = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    t
+  }
+}
+
 object Bench {
 
   /** Ambient-drift control probes: three fixed, DATA-INDEPENDENT
@@ -119,25 +147,20 @@ object Bench {
     val byQuery: Map[String, Seq[Double]] = passes.flatMap(_.toSeq)
       .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.flatten }
     // min/median over SUCCESSFUL executions; -1 if none succeeded
-    def med(vs: Seq[Double]): Double = {
-      val s = vs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val results = byQuery.map { case (k, vs) =>
       k -> (if (vs.isEmpty) -1.0 else vs.min) }
     val medians = byQuery.map { case (k, vs) =>
-      k -> (if (vs.isEmpty) -1.0 else med(vs)) }
+      k -> (if (vs.isEmpty) -1.0 else BenchUtil.med(vs)) }
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // totals over successful queries only (-1 failure markers excluded)
     val total = results.values.filter(_ >= 0).sum
     val totalMed = medians.values.filter(_ >= 0).sum
     val ctlRows = ctlSamples.map { case (n, p, pos, s) =>
-      s"""{"name":"$n","pass":$p,"pos":"$pos","sec":${math.rint(s * 1e4) / 1e4}}"""
+      s"""{"name":"$n","pass":$p,"pos":"$pos","sec":${BenchUtil.r4(s)}}"""
     }.mkString("[", ",", "]")
     val ctlMin = js(ctlSamples.groupBy(_._1).map { case (n, rows) =>
-      n -> math.rint(rows.map(_._4).min * 1e4) / 1e4 })
+      n -> BenchUtil.r4(rows.map(_._4).min) })
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_median":${js(medians)},"total_median":$totalMed,"repeat":$repeat,"controls":$ctlRows,"controls_min":$ctlMin,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,34 +34,32 @@ object ProbeDev {
     val spark = GraftSession.local(cpus)
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
-    def runOnce(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      byName(name).run(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      t
-    }
+    def runOnce(name: String, dir: String): Double =
+      BenchUtil.timeNoop(spark, byName(name), dir)
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
       names.foreach(runOnce(_, warmupDir))
 
-    def med(vs: Seq[Double]): Double = {
-      val s = vs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    import BenchUtil.{med, r4}
     names.foreach { name =>
       // interleaving is Bench's job; a probe isolates, so the N
       // repeats run back to back and the MIN is the headline
       val samples = (1 to repeat).map(_ => runOnce(name, sfDir))
-      val f = PlanFacts.of(byName(name).run(spark, sfDir))
-      spark.catalog.clearCache()
+      // streaming queries run a state machine and composed queries
+      // return a driver-built LocalTableScan — tabulating the
+      // returned frame's plan would be signal-free noise (and one
+      // whole extra execution), so those rows carry "plan":null
+      val plan =
+        if (PlanFacts.streaming(name) || PlanFacts.composed(name)) "null"
+        else {
+          val f = PlanFacts.of(byName(name).run(spark, sfDir))
+          spark.catalog.clearCache()
+          s"""{"shuffles":${f.shuffles},"broadcasts":${f.broadcasts}""" +
+            s""","windows":${f.windows},"scans":${f.scans}}"""
+        }
       println(s"""{"probe":"$name","sf":"$sfDir","cpus":$cpus""" +
         s""","samples":${samples.map(r4).mkString("[", ",", "]")}""" +
         s""","min":${r4(samples.min)},"median":${r4(med(samples))}""" +
-        s""","plan":{"shuffles":${f.shuffles},"broadcasts":${f.broadcasts}""" +
-        s""","windows":${f.windows},"scans":${f.scans}}}""")
+        s""","plan":$plan}""")
     }
     spark.stop()
   }

@@ -146,10 +146,22 @@ object CurationStore {
     *
     * `newDocs` ids must be disjoint from the stored corpus (the
     * caller's high-water contract, as in [[Dedup.dedupIncremental]]).
+    *
+    * Crash/re-run discipline: the LABEL swap is the update's commit.
+    * An [[UpdateMarker]] written before stage 1 snapshots every
+    * stage's file listing, so a re-run after a crash first deletes
+    * the crashed attempt's partial signature/pair appends (files not
+    * in the snapshot) and rolls back a half-swapped label stage —
+    * making the re-run exactly-once instead of double-appending the
+    * batch's rows. Passing a `batchId` additionally makes a re-run
+    * of an already-COMMITTED batch a detected no-op (the
+    * committed-but-unacknowledged window); without one, that window
+    * is the caller's re-send risk.
     */
   def update(store: Store, newDocs: DataFrame, textCol: String,
       numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
-      maxBucketSize: Long = Long.MaxValue): Store = {
+      maxBucketSize: Long = Long.MaxValue,
+      batchId: Option[String] = None): Store = {
     require(store.labelsTable.isEmpty,
       "bucketed stores are the read-optimized serving layout; " +
         "incremental maintenance uses a plain store (bucketLabels=0) " +
@@ -157,19 +169,45 @@ object CurationStore {
     val spark = newDocs.sparkSession
     val idCol = store.idCol
     val hconf = spark.sessionState.newHadoopConf()
-    def files(dir: String): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(hconf)
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).toSeq.filter(_.isFile)
-        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
-    }
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(hconf)
+    def files(dir: String): Set[String] =
+      UpdateMarker.listFiles(fs, dir)
     val sigDir = s"${store.dir}/signatures"
     val pairsDir = s"${store.dir}/pairs"
     val labelsDir = s"${store.dir}/labels"
     // a prior update may have died inside its label swap — heal the
     // stage before reading it, or the re-run fails at the scan below
     StageSwap.recover(spark, labelsDir)
+    // settle a crashed predecessor (UpdateMarker protocol): decide
+    // commitment off the label stage's listing — rollback restored
+    // the snapshotted names, a committed swap replaced them
+    val marker = UpdateMarker.markerPath(store.dir)
+    UpdateMarker.read(fs, marker).foreach { prior =>
+      val committed = files(labelsDir) !=
+        prior.listings.getOrElse("labels", Set.empty[String])
+      if (!committed) {
+        // crashed before the commit: drop the partial appends so the
+        // re-run's before/after file diffs start from clean stages
+        (files(sigDir) --
+          prior.listings.getOrElse("sig", Set.empty[String]))
+          .foreach(f => StageSwap.remove(fs,
+            new org.apache.hadoop.fs.Path(f)))
+        (files(pairsDir) --
+          prior.listings.getOrElse("pairs", Set.empty[String]))
+          .foreach(f => StageSwap.remove(fs,
+            new org.apache.hadoop.fs.Path(f)))
+        spark.catalog.refreshByPath(sigDir)
+        spark.catalog.refreshByPath(pairsDir)
+      }
+      UpdateMarker.delete(fs, marker)
+      if (committed && batchId.isDefined && prior.batchId == batchId.get)
+        return store // this very batch already applied — no-op
+    }
+    UpdateMarker.write(fs, marker, UpdateMarker.State(
+      batchId.getOrElse(""),
+      Map("sig" -> files(sigDir), "pairs" -> files(pairsDir),
+        "labels" -> files(labelsDir))))
 
     // stage 1 — shingle ONLY the batch, append; the before/after file
     // diff recovers the appended rows as a COLUMNAR READ so no stage
@@ -203,6 +241,7 @@ object CurationStore {
       .write.mode("overwrite").parquet(s"$labelsDir.next")
     fixpoint.unpersist()
     StageSwap.swapIn(spark, labelsDir)
+    UpdateMarker.delete(fs, marker)
     store
   }
 

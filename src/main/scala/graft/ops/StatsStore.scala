@@ -125,7 +125,7 @@ object StatsStore {
     */
   def driftReport(s: SparkSession, oldStore: Store,
       newStore: Store): DataFrame = {
-    val o = oldStore.stats(s).select(col("source"),
+    val o = oldStore.stats(s).select(col("source").as("_osrc"),
       col("docs").as("docs_old"),
       col("token_occurrences").as("tokens_old"),
       col("fp_theta").as("_to"))
@@ -133,7 +133,10 @@ object StatsStore {
       col("docs").as("docs_new"),
       col("token_occurrences").as("tokens_new"),
       col("fp_theta").as("_tn"))
-    n.join(broadcast(o), Seq("source"), "left")
+    // null-safe join key, same reason as update()'s merge: a null
+    // source is a legal (if unwelcome) group, and plain equality
+    // would report it as brand-new every day
+    n.join(broadcast(o), col("source") <=> col("_osrc"), "left")
       .select(col("source"),
         coalesce(col("docs_old"), lit(0L)).as("docs_old"),
         col("docs_new"),
@@ -205,14 +208,38 @@ object StatsStore {
     * over MULTISETS, so re-sending a doc double-counts it — the
     * caller's dedup gate (q110's Bloom filter is the scale tool)
     * decides what counts as new.
+    *
+    * Crash/re-run discipline: an update that dies before its swap
+    * COMMITS rolls back ([[StageSwap.recover]]) and the re-run is
+    * exactly-once. Passing a `batchId` additionally closes the
+    * committed-but-unacknowledged window via the [[UpdateMarker]]
+    * protocol — a re-run of an already-committed batch is detected
+    * and returns without touching the store. Without a batchId that
+    * one window remains the caller's re-send risk (same as any
+    * at-least-once producer without an idempotence key).
     */
   def update(store: Store, batch: DataFrame, textCol: String,
-      sourceCol: String): Store = {
+      sourceCol: String, batchId: Option[String] = None): Store = {
     val spark = batch.sparkSession
     val statsDir = s"${store.dir}/stats"
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = UpdateMarker.markerPath(store.dir)
     // a prior update may have died inside its swap — heal the stage
     // before store.stats reads it, or the re-run fails at the scan
     StageSwap.recover(spark, statsDir)
+    // settle a crashed predecessor: rollback restored the marker's
+    // exact file names, so listing-equality decides commitment
+    UpdateMarker.read(fs, marker).foreach { prior =>
+      val committed = UpdateMarker.listFiles(fs, statsDir) !=
+        prior.listings.getOrElse("stats", Set.empty[String])
+      UpdateMarker.delete(fs, marker)
+      if (committed && batchId.isDefined && prior.batchId == batchId.get)
+        return store // this very batch already applied — no-op
+    }
+    UpdateMarker.write(fs, marker, UpdateMarker.State(
+      batchId.getOrElse(""),
+      Map("stats" -> UpdateMarker.listFiles(fs, statsDir))))
     // null-safe join key: a null source is a legal (if unwelcome)
     // group, and plain equality would never match it to its stored
     // row — every update would append another forked null row
@@ -241,6 +268,7 @@ object StatsStore {
           .as("len_kll"))
     merged.write.mode("overwrite").parquet(s"$statsDir.next")
     StageSwap.swapIn(spark, statsDir)
+    UpdateMarker.delete(fs, marker)
     store
   }
 
@@ -267,15 +295,23 @@ object StatsStore {
 
   /** A memoized store over a SLICE of the corpus — q129's "old
     * snapshot" side (the store as it stood before a batch landed),
-    * without keeping a second mutable store directory in play:
-    * `where` names the slice, `tag` names its store dir.
+    * without keeping a second mutable store directory in play.
+    * `tag` is a human-readable label; the memo key and the store
+    * directory both incorporate the PREDICATE's canonical SQL, so
+    * two different slices can never alias one cached store (or one
+    * on-disk directory) just because they reused a tag.
     */
   def forCorpusSlice(s: SparkSession, dataDir: String, tag: String,
-      where: org.apache.spark.sql.Column): Store =
-    slices.computeIfAbsent((dataDir, tag), { case (d, t) =>
+      where: org.apache.spark.sql.Column): Store = {
+    val pred = where.toString
+    val predHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(pred.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    slices.computeIfAbsent((dataDir, s"$tag-$predHash"), { case (d, t) =>
       build(s.read.parquet(s"$d/documents.parquet").filter(where),
         "text", "source", CurationStore.storeDirFor(d, s"-stats-$t"))
     })
+  }
 
   /** Fresh build (mode-overwrite) that also refreshes the memo —
     * q127's entry point, so the build surface stays an honest bench.

@@ -51,9 +51,37 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   private val supported: Set[DataType] =
     Set(IntegerType, LongType, StringType, BinaryType)
 
+  /** The rule runs on EVERY plan in the session (registration is
+    * unconditional), so malformed conf values must surface as a
+    * config error naming the conf — not an opaque `.toBoolean`
+    * throw that fails unrelated queries. Truthy spellings 1/0 are
+    * accepted; lgK is bounds-checked here (datasketches' 4..21)
+    * instead of failing at execution time.
+    */
+  private def flagOn: Boolean =
+    conf.getConfString(Flag, "false").trim.toLowerCase match {
+      case "true" | "1" => true
+      case "false" | "0" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"$Flag must be true/false/1/0, got '$other'")
+    }
+
+  private def lgKConf: Int = {
+    val raw = conf.getConfString(LgKConf, "12").trim
+    val v =
+      try raw.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$LgKConf must be an integer in [4, 21], got '$raw'")
+      }
+    require(v >= 4 && v <= 21,
+      s"$LgKConf must be in [4, 21] (datasketches HLL bounds), got $v")
+    v
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(Flag, "false").toBoolean) return plan
-    val lgK = conf.getConfString(LgKConf, "12").toInt
+    if (!flagOn) return plan
+    val lgK = lgKConf
     plan.transform {
       case agg: Aggregate =>
         agg.transformExpressions {

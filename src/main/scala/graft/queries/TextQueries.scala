@@ -2168,8 +2168,10 @@ object TextQueries {
       | round(CASE WHEN n.distinct_fp = 0 THEN 0.0
       |   ELSE CAST(coalesce(nv.novel_fp, 0) AS DOUBLE)
       |     / n.distinct_fp END, 4) AS novelty
-      |FROM n LEFT JOIN o USING (source) LEFT JOIN nv USING (source)
-      |ORDER BY source""".stripMargin))
+      |FROM n
+      |LEFT JOIN o ON o.source IS NOT DISTINCT FROM n.source
+      |LEFT JOIN nv ON nv.source IS NOT DISTINCT FROM n.source
+      |ORDER BY n.source""".stripMargin))
 
   /** The SHIP-IT composition: every curation decision the battery
     * proves piecemeal, chained into the training-shard manifest a

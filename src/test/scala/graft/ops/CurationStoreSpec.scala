@@ -163,6 +163,67 @@ class CurationStoreSpec extends SparkSpec {
     assert(labelsNow() == labels0, "novel batch: labels")
   }
 
+  test("crashed update's partial appends are dropped; re-run is exactly-once") {
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    def tmpDir() =
+      java.nio.file.Files.createTempDirectory("curation-crash").toString
+    // the single-application truth
+    val clean = CurationStore.update(
+      CurationStore.build(evens, "doc_id", "text", tmpDir()),
+      odds, "text")
+
+    // crash simulation: stage 1's signature append LANDED, then the
+    // run died before the label swap — the state the r11 review
+    // flagged: a naive re-run would re-append every signature row
+    val dir = tmpDir()
+    val crashed = CurationStore.build(evens, "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def listing(stage: String) =
+      UpdateMarker.listFiles(fs, s"$dir/$stage")
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("", Map(
+        "sig" -> listing("signatures"), "pairs" -> listing("pairs"),
+        "labels" -> listing("labels"))))
+    Dedup.minhashSignatures(odds, "doc_id", "text", 16)
+      .write.mode("append").parquet(s"$dir/signatures")
+    spark.catalog.refreshByPath(s"$dir/signatures")
+
+    // re-run the whole update — recovery must drop the partial append
+    val rerun = CurationStore.update(crashed, odds, "text")
+    assertFrameEqual(rerun.signatures(spark), clean.signatures(spark),
+      "signatures after crash + re-run")
+    assertFrameEqual(rerun.pairs(spark), clean.pairs(spark),
+      "pairs after crash + re-run")
+    assertFrameEqual(rerun.labels(spark), clean.labels(spark),
+      "labels after crash + re-run")
+    assert(!fs.exists(UpdateMarker.markerPath(dir)),
+      "a completed update must clean its marker up")
+  }
+
+  test("committed label swap with a stale marker: same batchId is a no-op") {
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("curation-acked").toString
+    val store = CurationStore.build(evens, "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def listing(stage: String) =
+      UpdateMarker.listFiles(fs, s"$dir/$stage")
+    val pre = Map("sig" -> listing("signatures"),
+      "pairs" -> listing("pairs"), "labels" -> listing("labels"))
+    CurationStore.update(store, odds, "text", batchId = Some("day-3"))
+    val sigCount = store.signatures(spark).count()
+    // resurrect the marker as if the post-commit delete never ran
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("day-3", pre))
+    CurationStore.update(store, odds, "text", batchId = Some("day-3"))
+    assert(store.signatures(spark).count() == sigCount,
+      "a committed batch's re-run must not re-append signatures")
+  }
+
   test("build leaves no persisted blocks behind") {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

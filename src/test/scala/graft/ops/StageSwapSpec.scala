@@ -2,11 +2,14 @@ package graft.ops
 
 import graft.SparkSpec
 
-/** The swap's crash-state contract: at every interruption point the
-  * stage is recoverable, [[StageSwap.recover]] heals each reachable
-  * state, and the healed directory always holds a COMPLETE stage
-  * (either the old one or the new one, never a hybrid or a nested
-  * mess — the failure the unchecked-rename version risked).
+/** The swap's crash-state contract: at every interruption point a
+  * COMPLETE stage is recoverable, [[StageSwap.recover]] heals each
+  * reachable state, and recovery direction is ROLLBACK — an
+  * interrupted (uncommitted) swap reverts to the prior stage, so a
+  * re-run of the whole store update is exactly-once instead of
+  * silently double-applying the batch (the failure the roll-forward
+  * version had). The commit point is swapIn's final aside-copy
+  * removal.
   */
 class StageSwapSpec extends SparkSpec {
 
@@ -39,23 +42,16 @@ class StageSwapSpec extends SparkSpec {
     assert(!exists(s"$dir.next") && !exists(s"$dir.old"))
   }
 
-  test("swap with a stale .old from a prior crash still succeeds") {
-    val dir = freshDir()
-    write(dir, Seq(1))
-    write(s"$dir.old", Seq(0))
-    write(s"$dir.next", Seq(2))
-    StageSwap.swapIn(spark, dir)
-    assert(readVals(dir) == Set(2))
-    assert(!exists(s"$dir.next") && !exists(s"$dir.old"))
-  }
-
-  test("recover completes a swap that died between the renames") {
-    // state: dir missing, dir.old = previous stage, dir.next = new
+  test("recover rolls BACK a swap that died between the renames") {
+    // state: dir missing, dir.old = previous stage, dir.next = new.
+    // The swap never committed — the previous stage must win, and the
+    // staged dir must be dropped, so the caller's re-run of the whole
+    // update applies its batch exactly once
     val dir = freshDir()
     write(s"$dir.old", Seq(1, 2))
     write(s"$dir.next", Seq(3, 4))
     StageSwap.recover(spark, dir)
-    assert(readVals(dir) == Set(3, 4), "the complete .next wins")
+    assert(readVals(dir) == Set(1, 2), "the prior stage wins")
     assert(!exists(s"$dir.next") && !exists(s"$dir.old"))
   }
 
@@ -67,13 +63,26 @@ class StageSwapSpec extends SparkSpec {
     assert(!exists(s"$dir.old"))
   }
 
-  test("recover drops the aside copy of a completed swap") {
+  test("recover rolls back a swap that died before its commit") {
+    // state: dir = swapped-in new stage, dir.old = previous stage —
+    // the final aside-copy removal (the COMMIT) never ran. Rollback:
+    // the update reverts entirely, and the re-run re-applies it once
     val dir = freshDir()
     write(dir, Seq(3, 4))
     write(s"$dir.old", Seq(1, 2))
     StageSwap.recover(spark, dir)
-    assert(readVals(dir) == Set(3, 4), "current stage untouched")
-    assert(!exists(s"$dir.old"))
+    assert(readVals(dir) == Set(1, 2), "uncommitted swap reverts")
+    assert(!exists(s"$dir.old") && !exists(s"$dir.next"))
+  }
+
+  test("recover completes a FIRST materialization (nothing to restore)") {
+    // dir and dir.old both absent: there is no prior stage, so the
+    // complete .next is the only stage there is — roll forward
+    val dir = freshDir()
+    write(s"$dir.next", Seq(3, 4))
+    StageSwap.recover(spark, dir)
+    assert(readVals(dir) == Set(3, 4))
+    assert(!exists(s"$dir.next") && !exists(s"$dir.old"))
   }
 
   test("recover leaves a healthy stage (and a half-written .next) alone") {
@@ -83,6 +92,26 @@ class StageSwapSpec extends SparkSpec {
     StageSwap.recover(spark, dir)
     assert(readVals(dir) == Set(1))
     assert(exists(s"$dir.next"), "stale .next is the re-run's problem")
+  }
+
+  test("interrupted swap + re-run of the whole update is exactly-once") {
+    // the end-to-end property the rollback direction buys: simulate
+    // an update that crashed between the renames, then RE-RUN it —
+    // the final stage must be single-application, not double
+    val dir = freshDir()
+    write(dir, Seq(1, 2))            // committed stage
+    // crashed update: staged its result, renamed cur aside, died
+    write(s"$dir.next", Seq(1, 2, 3))
+    val f = fs(dir)
+    StageSwap.rename(f, new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.old"))
+    // re-run: recover (heals to pre-update), re-stage, swap
+    StageSwap.recover(spark, dir)
+    assert(readVals(dir) == Set(1, 2))
+    write(s"$dir.next", Seq(1, 2, 3))
+    StageSwap.swapIn(spark, dir)
+    assert(readVals(dir) == Set(1, 2, 3))
+    assert(!exists(s"$dir.next") && !exists(s"$dir.old"))
   }
 
   test("a failed rename is loud, not silent") {

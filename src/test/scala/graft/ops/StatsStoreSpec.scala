@@ -257,6 +257,27 @@ class StatsStoreSpec extends SparkSpec {
     assert(got("s_a") == ((1L, 0L, 0.0)))
   }
 
+  test("driftReport: a null source matches its own history (null-safe join)") {
+    // same reason update() merges with <=>: a null source is a legal
+    // (if unwelcome) group — plain equality would page it as a
+    // brand-new source every single day
+    import spark.implicits._
+    val hist = Seq((1L, "alpha beta", Option.empty[String]),
+        (2L, "gamma", Option("s_a")))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq((3L, "alpha beta", Option.empty[String]))
+      .toDF("doc_id", "text", "source")
+    val oldSt = StatsStore.build(hist, "text", "source", tempStore())
+    val newSt = StatsStore.build(hist.unionByName(batch),
+      "text", "source", tempStore())
+    val row = StatsStore.driftReport(spark, oldSt, newSt)
+      .filter(col("source").isNull).collect()
+    assert(row.length == 1)
+    // docs_old 1 (the null group existed), nothing novel (exact dup)
+    assert(row.head.getLong(1) == 1L && row.head.getLong(5) == 0L,
+      s"null-source row: ${row.head}")
+  }
+
   test("driftReport companion: a planted length shift moves the stored KLL p95") {
     import spark.implicits._
     def mk(lo: Long, hi: Long, len: Int) =
@@ -275,6 +296,72 @@ class StatsStoreSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(p95After > p95Before * 3,
       s"p95 $p95Before -> $p95After: shift not visible in KLL")
+  }
+
+  // ---- crash/re-run discipline (StageSwap rollback + UpdateMarker) --
+
+  private def hfs(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("crashed update rolls back; the re-run applies the batch exactly once") {
+    import spark.implicits._
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val expected = collectReport(StatsStore.update(
+      StatsStore.build(evens, "text", "source", tempStore()),
+      odds, "text", "source"))
+
+    // state A — died between the swap's renames: marker written,
+    // merged result staged at .next, stats renamed aside
+    val dirA = tempStore()
+    val stA = StatsStore.build(evens, "text", "source", dirA)
+    val fsA = hfs(dirA)
+    UpdateMarker.write(fsA, UpdateMarker.markerPath(dirA),
+      UpdateMarker.State("",
+        Map("stats" -> UpdateMarker.listFiles(fsA, s"$dirA/stats"))))
+    // the staged content is discarded by rollback, so a placeholder
+    // stands in for the merged frame the crashed run wrote
+    Seq(1).toDF("v").write.parquet(s"$dirA/stats.next")
+    StageSwap.rename(fsA, new org.apache.hadoop.fs.Path(s"$dirA/stats"),
+      new org.apache.hadoop.fs.Path(s"$dirA/stats.old"))
+    assert(collectReport(StatsStore.update(stA, odds, "text", "source"))
+      == expected, "state A re-run must be single-application")
+
+    // state B — swap completed but died before its commit (aside copy
+    // still present): the whole update must revert, then re-apply once
+    val dirB = tempStore()
+    val stB = StatsStore.build(evens, "text", "source", dirB)
+    val fsB = hfs(dirB)
+    UpdateMarker.write(fsB, UpdateMarker.markerPath(dirB),
+      UpdateMarker.State("",
+        Map("stats" -> UpdateMarker.listFiles(fsB, s"$dirB/stats"))))
+    StageSwap.rename(fsB, new org.apache.hadoop.fs.Path(s"$dirB/stats"),
+      new org.apache.hadoop.fs.Path(s"$dirB/stats.old"))
+    Seq(1).toDF("v").write.parquet(s"$dirB/stats")
+    assert(collectReport(StatsStore.update(stB, odds, "text", "source"))
+      == expected, "state B re-run must be single-application")
+  }
+
+  test("committed-but-unacknowledged batch: same batchId re-run is a no-op") {
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val dir = tempStore()
+    val st = StatsStore.build(evens, "text", "source", dir)
+    val fs = hfs(dir)
+    val preListing = UpdateMarker.listFiles(fs, s"$dir/stats")
+    StatsStore.update(st, odds, "text", "source", Some("batch-7"))
+    val expected = collectReport(st)
+    // resurrect the marker as if the post-commit delete never ran
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("batch-7", Map("stats" -> preListing)))
+    StatsStore.update(st, odds, "text", "source", Some("batch-7"))
+    assert(collectReport(st) == expected,
+      "a committed batch's re-run must not double-count")
+    assert(!fs.exists(UpdateMarker.markerPath(dir)),
+      "the detected no-op must clean the stale marker up")
+    // a DIFFERENT batch after the stale marker still applies normally
+    StatsStore.update(st, odds.limit(0), "text", "source", Some("batch-8"))
+    assert(collectReport(st) == expected)
   }
 
   test("quiet day and new source: empty batch is a no-op, unseen source appends") {

@@ -105,6 +105,43 @@ class ApproxDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  test("conf hardening: truthy spellings accepted, malformed values name the conf") {
+    // the rule runs on EVERY plan — a bad conf value must be a clear
+    // config error, not an opaque toBoolean throw inside optimization
+    val prev = spark.conf.getOption(ApproxDistinctRewrite.Flag)
+    try {
+      spark.conf.set(ApproxDistinctRewrite.Flag, "1")
+      assert(hasSketchAgg(sf("events")
+        .agg(countDistinct("user_id").as("d"))), "'1' must mean on")
+      spark.conf.set(ApproxDistinctRewrite.Flag, "yes")
+      val e = intercept[IllegalArgumentException] {
+        sf("events").agg(countDistinct("user_id").as("d"))
+          .queryExecution.optimizedPlan
+      }
+      assert(e.getMessage.contains(ApproxDistinctRewrite.Flag))
+    } finally prev match {
+      case Some(v) => spark.conf.set(ApproxDistinctRewrite.Flag, v)
+      case None => spark.conf.unset(ApproxDistinctRewrite.Flag)
+    }
+  }
+
+  test("conf hardening: lgK is bounds-checked with the conf named") {
+    withFlag(on = true) {
+      val prev = spark.conf.getOption(ApproxDistinctRewrite.LgKConf)
+      try {
+        spark.conf.set(ApproxDistinctRewrite.LgKConf, "99")
+        val e = intercept[IllegalArgumentException] {
+          sf("events").agg(countDistinct("user_id").as("d"))
+            .queryExecution.optimizedPlan
+        }
+        assert(e.getMessage.contains(ApproxDistinctRewrite.LgKConf))
+      } finally prev match {
+        case Some(v) => spark.conf.set(ApproxDistinctRewrite.LgKConf, v)
+        case None => spark.conf.unset(ApproxDistinctRewrite.LgKConf)
+      }
+    }
+  }
+
   test("flag on: FILTER clause rides through the rewrite") {
     val exact = sf("events")
       .agg(count_distinct(when(col("value") > 100, col("user_id")))
