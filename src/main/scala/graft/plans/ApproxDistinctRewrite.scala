@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Coalesce, HllSketchEstimate, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, HllSketchEstimate, If, IsNull, Literal, Or, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** Opt-in approximate-query rewrite: `count(DISTINCT x)` → an HLL
   * sketch aggregate + estimate, as a Catalyst optimizer rule
@@ -48,6 +48,20 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   /** HLL precision for rewritten aggregates (default 12 ≈ 1.6% RSE). */
   val LgKConf = "spark.graft.rewrite.approxDistinct.lgK"
 
+  /** Separate opt-in for MULTI-column `count(DISTINCT a, b, …)`,
+    * default off: the multi-column form is rewritten through a
+    * null-discriminating 64-bit hash of the tuple
+    * (`xxhash64(a, b, …)` guarded so any-null rows stay excluded,
+    * matching Count's multi-child semantics), so its error is the
+    * HLL RSE PLUS a hash-collision undercount of ≈ n²/2⁶⁵ expected
+    * collisions — negligible against 1.6% RSE below ~10⁸ distinct
+    * tuples, but a different guarantee class than the pure-sketch
+    * single-column rewrite, hence the separate dial. It is also the
+    * bigger win: multi-column distincts are what force the Expand
+    * multiplication in the exact plan.
+    */
+  val MultiColFlag = "spark.graft.rewrite.approxDistinct.multiColumn"
+
   private val supported: Set[DataType] =
     Set(IntegerType, LongType, StringType, BinaryType)
 
@@ -79,19 +93,52 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     v
   }
 
+  private def multiColOn: Boolean =
+    conf.getConfString(MultiColFlag, "false").trim.toLowerCase match {
+      case "true" | "1" => true
+      case "false" | "0" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"$MultiColFlag must be true/false/1/0, got '$other'")
+    }
+
+  /** xxhash64 composes these atomic types deterministically. */
+  private def hashable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | StringType | BinaryType | BooleanType | DateType |
+        TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!flagOn) return plan
     val lgK = lgKConf
+    val multi = multiColOn
+    def sketch(key: org.apache.spark.sql.catalyst.expressions.Expression,
+        mode: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode,
+        filter: Option[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      Coalesce(Seq(
+        HllSketchEstimate(AggregateExpression(
+          new HllSketchAgg(key, Literal(lgK)), mode,
+          isDistinct = false, filter)),
+        Literal(0L)))
     plan.transform {
       case agg: Aggregate =>
         agg.transformExpressions {
           case AggregateExpression(Count(Seq(child)), mode, true, filter, _)
               if supported.contains(child.dataType) =>
-            Coalesce(Seq(
-              HllSketchEstimate(AggregateExpression(
-                new HllSketchAgg(child, Literal(lgK)), mode,
-                isDistinct = false, filter)),
-              Literal(0L)))
+            sketch(child, mode, filter)
+          case AggregateExpression(Count(children), mode, true, filter, _)
+              if multi && children.size > 1 &&
+                children.forall(c => hashable(c.dataType)) =>
+            // Count's multi-child form excludes rows where ANY child
+            // is null — the hash key must reproduce that, so any-null
+            // rows map to a null key the sketch aggregate skips
+            val anyNull = children.map(IsNull).reduce[
+              org.apache.spark.sql.catalyst.expressions.Expression](
+              (a, b) => Or(a, b))
+            sketch(If(anyNull, Literal(null, LongType),
+              new XxHash64(children)), mode, filter)
         }
     }
   }

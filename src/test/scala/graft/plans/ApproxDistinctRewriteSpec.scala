@@ -105,6 +105,55 @@ class ApproxDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  private def withMultiCol[T](body: => T): T = {
+    val prev = spark.conf.getOption(ApproxDistinctRewrite.MultiColFlag)
+    spark.conf.set(ApproxDistinctRewrite.MultiColFlag, "true")
+    try body
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set(ApproxDistinctRewrite.MultiColFlag, v)
+      case None =>
+        spark.conf.unset(ApproxDistinctRewrite.MultiColFlag)
+    }
+  }
+
+  test("multi-column count(DISTINCT a, b) needs its own opt-in") {
+    def q = sf("events")
+      .agg(count_distinct(col("event_type"), col("user_id")).as("d"))
+    val exact = q.collect().head.getLong(0)
+    withFlag(on = true) {
+      // base flag alone: the tuple form keeps its exact plan — its
+      // guarantee class (hash composition) differs from the
+      // pure-sketch single-column rewrite
+      assert(!hasSketchAgg(q) && hasDistinctAgg(q))
+      withMultiCol {
+        val df = q
+        assert(hasSketchAgg(df) && !hasDistinctAgg(df))
+        // tuple cardinality at sf0.001 sits in the sketch's exact
+        // regime and far below any 64-bit collision likelihood
+        assert(df.collect().head.getLong(0) == exact)
+      }
+    }
+  }
+
+  test("multi-column rewrite excludes any-null rows, like Count does") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1), Option("a")), (Option(1), Option("a")),
+      (Option(2), Option("a")), (None: Option[Int], Option("a")),
+      (Option(3), Option.empty[String]))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("nulls_t")
+    def q = spark.sql(
+      "SELECT count(DISTINCT a, b) AS d FROM nulls_t")
+    val exact = q.collect().head.getLong(0)
+    assert(exact == 2L, "fixture: (1,a) and (2,a); null rows excluded")
+    withFlag(on = true) { withMultiCol {
+      assert(hasSketchAgg(q))
+      assert(q.collect().head.getLong(0) == exact)
+    } }
+  }
+
   test("conf hardening: truthy spellings accepted, malformed values name the conf") {
     // the rule runs on EVERY plan — a bad conf value must be a clear
     // config error, not an opaque toBoolean throw inside optimization
