@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Coalesce, HllSketchEstimate, If, IsNull, Literal, Or, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, HllSketchEstimate, If, IsNull, Literal, Or, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateMode, Count, HllSketchAgg}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
@@ -22,18 +22,21 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, 
   * documented ~1.04/√2^lgK relative standard error (~1.6% at the
   * default lgK = 12, dial [[LgKConf]]).
   *
-  * Scope is deliberately conservative — rewritten only when:
-  *  - the aggregate is exactly `Count` over ONE child expression
-  *    (multi-child `count(DISTINCT a, b)` has no sketch twin here);
+  * Scope under the base flag alone is deliberately conservative —
+  * rewritten only when:
+  *  - the aggregate is exactly `Count` over ONE child expression;
   *  - the child's type is one `HllSketchAgg` accepts (int, long,
   *    string, binary) — anything else stays exact;
   *  - the session opted in.
-  * A FILTER clause rides through unchanged (AggregateExpression
-  * carries it orthogonally). The estimate is wrapped in
-  * `coalesce(·, 0)` so a zero-row global aggregate keeps
-  * `count`'s non-null 0, not a null sketch. The rewrite happens
-  * INSIDE the analyzer-made Alias, so downstream references to the
-  * column (HAVING, ORDER BY) keep resolving to the same attribute.
+  * Multi-child `count(DISTINCT a, b, …)` additionally rewrites when
+  * [[MultiColFlag]] is ALSO set (its hash-composed key is a weaker
+  * guarantee class — see that flag's doc). A FILTER clause rides
+  * through unchanged (AggregateExpression carries it orthogonally).
+  * The estimate is wrapped in `coalesce(·, 0)` so a zero-row global
+  * aggregate keeps `count`'s non-null 0, not a null sketch. The
+  * rewrite happens INSIDE the analyzer-made Alias, so downstream
+  * references to the column (HAVING, ORDER BY) keep resolving to
+  * the same attribute.
   *
   * Exactness note a user can lean on: the datasketches HLL stays in
   * exact (list/set) mode for small cardinalities, so low-cardinality
@@ -48,17 +51,18 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   /** HLL precision for rewritten aggregates (default 12 ≈ 1.6% RSE). */
   val LgKConf = "spark.graft.rewrite.approxDistinct.lgK"
 
-  /** Separate opt-in for MULTI-column `count(DISTINCT a, b, …)`,
-    * default off: the multi-column form is rewritten through a
-    * null-discriminating 64-bit hash of the tuple
-    * (`xxhash64(a, b, …)` guarded so any-null rows stay excluded,
-    * matching Count's multi-child semantics), so its error is the
-    * HLL RSE PLUS a hash-collision undercount of ≈ n²/2⁶⁵ expected
-    * collisions — negligible against 1.6% RSE below ~10⁸ distinct
-    * tuples, but a different guarantee class than the pure-sketch
-    * single-column rewrite, hence the separate dial. It is also the
-    * bigger win: multi-column distincts are what force the Expand
-    * multiplication in the exact plan.
+  /** Additional opt-in for MULTI-column `count(DISTINCT a, b, …)`,
+    * default off and only consulted when [[Flag]] is already on
+    * (setting this alone does nothing): the multi-column form is
+    * rewritten through a null-discriminating 64-bit hash of the
+    * tuple (`xxhash64(a, b, …)` guarded so any-null rows stay
+    * excluded, matching Count's multi-child semantics), so its error
+    * is the HLL RSE PLUS a hash-collision undercount of ≈ n²/2⁶⁵
+    * expected collisions — negligible against 1.6% RSE below ~10⁸
+    * distinct tuples, but a different guarantee class than the
+    * pure-sketch single-column rewrite, hence the separate dial. It
+    * is also the bigger win: multi-column distincts are what force
+    * the Expand multiplication in the exact plan.
     */
   val MultiColFlag = "spark.graft.rewrite.approxDistinct.multiColumn"
 
@@ -72,12 +76,12 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     * accepted; lgK is bounds-checked here (datasketches' 4..21)
     * instead of failing at execution time.
     */
-  private def flagOn: Boolean =
-    conf.getConfString(Flag, "false").trim.toLowerCase match {
+  private def boolConf(name: String): Boolean =
+    conf.getConfString(name, "false").trim.toLowerCase match {
       case "true" | "1" => true
       case "false" | "0" | "" => false
       case other => throw new IllegalArgumentException(
-        s"$Flag must be true/false/1/0, got '$other'")
+        s"$name must be true/false/1/0, got '$other'")
     }
 
   private def lgKConf: Int = {
@@ -93,14 +97,6 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     v
   }
 
-  private def multiColOn: Boolean =
-    conf.getConfString(MultiColFlag, "false").trim.toLowerCase match {
-      case "true" | "1" => true
-      case "false" | "0" | "" => false
-      case other => throw new IllegalArgumentException(
-        s"$MultiColFlag must be true/false/1/0, got '$other'")
-    }
-
   /** xxhash64 composes these atomic types deterministically. */
   private def hashable(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -111,12 +107,11 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!flagOn) return plan
+    if (!boolConf(Flag)) return plan
     val lgK = lgKConf
-    val multi = multiColOn
-    def sketch(key: org.apache.spark.sql.catalyst.expressions.Expression,
-        mode: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode,
-        filter: Option[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    val multi = boolConf(MultiColFlag)
+    def sketch(key: Expression, mode: AggregateMode,
+        filter: Option[Expression]) =
       Coalesce(Seq(
         HllSketchEstimate(AggregateExpression(
           new HllSketchAgg(key, Literal(lgK)), mode,
@@ -134,9 +129,7 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
             // Count's multi-child form excludes rows where ANY child
             // is null — the hash key must reproduce that, so any-null
             // rows map to a null key the sketch aggregate skips
-            val anyNull = children.map(IsNull).reduce[
-              org.apache.spark.sql.catalyst.expressions.Expression](
-              (a, b) => Or(a, b))
+            val anyNull: Expression = children.map(IsNull).reduce(Or)
             sketch(If(anyNull, Literal(null, LongType),
               new XxHash64(children)), mode, filter)
         }

@@ -174,6 +174,25 @@ class ApproxDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  test("conf hardening: malformed multiColumn value names the conf too") {
+    withFlag(on = true) {
+      val prev = spark.conf.getOption(ApproxDistinctRewrite.MultiColFlag)
+      try {
+        spark.conf.set(ApproxDistinctRewrite.MultiColFlag, "maybe")
+        val e = intercept[IllegalArgumentException] {
+          sf("events").agg(countDistinct("user_id").as("d"))
+            .queryExecution.optimizedPlan
+        }
+        assert(e.getMessage.contains(ApproxDistinctRewrite.MultiColFlag))
+      } finally prev match {
+        case Some(v) =>
+          spark.conf.set(ApproxDistinctRewrite.MultiColFlag, v)
+        case None =>
+          spark.conf.unset(ApproxDistinctRewrite.MultiColFlag)
+      }
+    }
+  }
+
   test("conf hardening: lgK is bounds-checked with the conf named") {
     withFlag(on = true) {
       val prev = spark.conf.getOption(ApproxDistinctRewrite.LgKConf)
