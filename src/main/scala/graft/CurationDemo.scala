@@ -1,14 +1,14 @@
 package graft
 
-import graft.ops.{Dedup, Sampling, TextOps}
+import graft.ops.{Dedup, Sampling, StatsStore, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Offline end-to-end drive of the TRAINING-DATA CURATION story —
   * the analytics-side sibling of `graft.ark.Demo`: one lazy pipeline
   * per stage, every stage an operator the oracle battery already
-  * hash-checks individually (q117 → q43 → q121 → q119 → q120), with
-  * the cross-stage invariants asserted here because they only exist
-  * in composition. Run:
+  * hash-checks individually (q117 → q43 → q121 → q119 → q120, then
+  * the q127/q129 monitoring arc), with the cross-stage invariants
+  * asserted here because they only exist in composition. Run:
   *
   *   sbt -batch "runMain graft.CurationDemo [sfDir]"
   *
@@ -83,6 +83,42 @@ object CurationDemo {
       f"quality $meanSample%.4f vs corpus $meanAll%.4f")
 
     pairs.unpersist()
+
+    // 6. the monitoring arc (q127/q129): build "yesterday's" stats
+    //    store from half the corpus, fold the other half in as a
+    //    batch (the q131 streaming loop runs this same update per
+    //    micro-batch), and read the drift report a daily ingest pages
+    //    on — all from stored sketches, no corpus re-scan
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("curate-stats").toString
+    val oldDir = java.nio.file.Files
+      .createTempDirectory("curate-stats-old").toString
+    val oldSt = StatsStore.build(
+      docs.filter(col("doc_id") % 2 === 0), "text", "source", oldDir)
+    val newSt = StatsStore.update(
+      StatsStore.build(docs.filter(col("doc_id") % 2 === 0),
+        "text", "source", storeDir),
+      docs.filter(col("doc_id") % 2 === 1), "text", "source",
+      batchId = Some("demo-batch-1"))
+    val drift = StatsStore.driftReport(spark, oldSt, newSt)
+      .orderBy("source").collect()
+    require(drift.nonEmpty, "drift report must cover every source")
+    val worst = drift.maxBy(_.getDouble(7))
+    log(f"stats drift after the batch: ${drift.length} sources; " +
+      f"max novelty ${worst.getDouble(7)}%.4f (${worst.getString(0)})")
+    // counters must agree with a from-scratch rebuild (the update law
+    // the store's whole maintenance discipline stands on)
+    val rebuilt = StatsStore.build(docs, "text", "source",
+      java.nio.file.Files.createTempDirectory("curate-stats-rb").toString)
+    val updTotals = newSt.stats(spark)
+      .agg(sum("docs"), sum("token_occurrences")).head()
+    val rbTotals = rebuilt.stats(spark)
+      .agg(sum("docs"), sum("token_occurrences")).head()
+    require(updTotals == rbTotals,
+      s"update law broken: $updTotals vs rebuild $rbTotals")
+    log("monitoring: drift read from stored sketches; batch-update " +
+      "counters exactly equal a full rebuild")
+
     log("OK — every stage is the oracle-checked operator, composed")
     spark.stop()
   }
