@@ -28,7 +28,8 @@ object Scaling {
       "q118_containment_dedup", "q119_cluster_split",
       "q120_weighted_sample", "q121_dedup_best_of_cluster",
       "q123_ngram_novelty", "q124_mirror_report",
-      "q132_curated_shards", "q133_pack_spans", "q134_hybrid_rrf")
+      "q132_curated_shards", "q133_pack_spans", "q134_hybrid_rrf",
+      "q135_label_churn")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.

@@ -2320,10 +2320,88 @@ object TextQueries {
       | least(e, (seq + 1) * 2048) - s0 AS tok_to
       |FROM sp ORDER BY lang, shard, seq, doc_id""".stripMargin))
 
+  /** Label-CHURN report for an incremental dedup update — q126
+    * proves `update(build(evens), odds) == rebuild`; this answers
+    * the operational question that equivalence leaves open: what did
+    * the batch DO to the cluster structure? One row of exact counts:
+    * how many previously-labeled docs there were, how many distinct
+    * clusters before vs after (their difference = clusters the batch
+    * MERGED by bridging them), how many old docs changed canonical
+    * id, and how many batch docs joined an existing cluster vs
+    * formed new ones. The "old" labels are re-derived from the
+    * stored PAIRS stage filtered to even⨯even — valid because a
+    * doc's band signature depends only on its own shingles, so the
+    * even corpus's LSH candidates are exactly the even⨯even subset
+    * of the full candidate set; at 100 TB the old labels would
+    * simply be READ from the previous store snapshot instead. The
+    * oracle recomputes both component fixpoints as recursive CTEs
+    * (full and even-only) and the same counts.
+    */
+  val q135 = Q("q135_label_churn",
+    (s, dir) => {
+      val store = CurationStore.forCorpus(s, dir)
+      val newLab = store.labels(s)
+        .select(col("doc_id"), col("cluster").as("c_new"))
+      val evenPairs = store.pairs(s)
+        .filter(col("a") % 2 === 0 && col("b") % 2 === 0)
+      val oldLab = Dedup.clusters(evenPairs, "a", "b")
+        .select(col("id").as("doc_id"), col("cluster").as("c_old"))
+      // every even doc in an even⨯even pair is in a full pair too,
+      // so old-labeled docs are always still labeled — inner join
+      val j = oldLab.join(newLab, "doc_id")
+      val oldStats = j.agg(
+        count(lit(1)).as("n_old_labeled"),
+        countDistinct("c_old").as("clusters_old"),
+        countDistinct("c_new").as("clusters_on_old_docs"),
+        coalesce(sum(when(col("c_old") =!= col("c_new"), 1L)
+          .otherwise(0L)), lit(0L)).as("relabeled_docs"))
+        .withColumn("merged_clusters",
+          col("clusters_old") - col("clusters_on_old_docs"))
+      val batch = newLab.filter(col("doc_id") % 2 === 1)
+      val histClusters = newLab.filter(col("doc_id") % 2 === 0)
+        .select(col("c_new")).distinct()
+      val batchStats = batch.agg(count(lit(1)).as("n_batch_labeled"))
+        .crossJoin(broadcast(
+          batch.join(broadcast(histClusters), Seq("c_new"))
+            .agg(count(lit(1)).as("n_batch_joined_history"))))
+      oldStats.crossJoin(broadcast(batchStats))
+        .select("n_old_labeled", "clusters_old", "clusters_on_old_docs",
+          "relabeled_docs", "merged_clusters", "n_batch_labeled",
+          "n_batch_joined_history")
+    },
+    Some(s"""WITH RECURSIVE $duckClusterCtes,
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |ep AS (SELECT a, b FROM pairs WHERE a % 2 = 0 AND b % 2 = 0),
+      |ee AS (SELECT a AS src, b AS dst FROM ep
+      |       UNION SELECT b, a FROM ep),
+      |er(x, y) AS (SELECT src, src FROM ee
+      | UNION SELECT r.x, e.dst FROM er r JOIN ee e ON e.src = r.y),
+      |el AS (SELECT x AS doc_id, min(y) AS c_old FROM er GROUP BY x),
+      |j AS (SELECT el.doc_id, el.c_old, lab.cluster AS c_new
+      | FROM el JOIN lab ON lab.doc_id = el.doc_id),
+      |os AS (SELECT CAST(count(*) AS BIGINT) AS n_old_labeled,
+      |  CAST(count(DISTINCT c_old) AS BIGINT) AS clusters_old,
+      |  CAST(count(DISTINCT c_new) AS BIGINT) AS clusters_on_old_docs,
+      |  CAST(coalesce(sum(CASE WHEN c_old <> c_new THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS relabeled_docs
+      | FROM j),
+      |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_labeled
+      | FROM lab WHERE doc_id % 2 = 1),
+      |hc AS (SELECT DISTINCT cluster FROM lab WHERE doc_id % 2 = 0),
+      |bj AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_joined_history
+      | FROM lab JOIN hc USING (cluster) WHERE lab.doc_id % 2 = 1)
+      |SELECT n_old_labeled, clusters_old, clusters_on_old_docs,
+      | relabeled_docs,
+      | clusters_old - clusters_on_old_docs AS merged_clusters,
+      | n_batch_labeled, n_batch_joined_history
+      |FROM os, bs, bj""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
-      q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133)
+      q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
+      q135)
 }
