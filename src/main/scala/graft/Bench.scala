@@ -87,20 +87,21 @@ object Bench {
               org.apache.spark.sql.execution.FormattedMode))
           catch { case e: Throwable =>
             System.err.println(s"[bench] explain ${q.name} failed: $e") }
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            q.run(spark, dir).write.format("noop").mode("overwrite").save()
-            true
-          } catch { case e: Throwable =>
+        // timing + materialization + cache clearing live in ONE
+        // place (BenchUtil.timeNoop, shared with ProbeDev); this
+        // wrapper only adds the battery's failure policy — a failed
+        // query's (fast) elapsed time must never enter the results
+        val timed =
+          try Some(BenchUtil.timeNoop(spark, q, dir))
+          catch { case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: $e")
-            false
+            // timeNoop clears persisted intermediates only on the
+            // success path; don't let a failure's blocks leak into
+            // the next query's measurement
+            spark.catalog.clearCache()
+            None
           }
-        val t = (System.nanoTime() - t0) / 1e9
-        // ops may persist intermediates (e.g. the jaccard shingle
-        // table); drop them so blocks never accumulate across queries
-        spark.catalog.clearCache()
-        q.name -> (if (ok) Some(t) else None)
+        q.name -> timed
       }.toMap
 
     val ctl = controls(spark, cpus)

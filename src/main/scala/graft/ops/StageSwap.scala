@@ -97,7 +97,14 @@ object StageSwap {
   def swapIn(spark: SparkSession, dir: String): Unit = {
     recover(spark, dir)
     val (fs, cur, next, old) = paths(spark, dir)
-    require(fs.exists(next), s"no staged replacement at $next")
+    if (!fs.exists(next)) {
+      // on a FIRST materialization (no prior stage) recover() itself
+      // promotes `.next` to `dir` — the swap this call was asked to
+      // perform already happened; demanding a staged dir here would
+      // throw on a successful swap
+      require(fs.exists(cur), s"no staged replacement at $next")
+      return
+    }
     if (fs.exists(cur)) rename(fs, cur, old)
     rename(fs, next, cur)
     remove(fs, old)

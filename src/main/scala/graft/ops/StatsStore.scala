@@ -115,7 +115,9 @@ object StatsStore {
     * (the [[ThetaLgNom]] dial; q129 carries a DuckDB oracle on
     * exactly that footing, the q128 precedent) and an ~1.6%-RSE
     * unbiased estimate past it. Sources absent from the old snapshot
-    * are brand-new: counters 0, every fingerprint novel. Both inputs
+    * are brand-new: counters 0, every fingerprint novel. Sources
+    * absent from the NEW snapshot — gone dark — surface as
+    * docs_new=0 rows (full-outer join), not silent omissions. Both inputs
     * are one-row-per-source by construction, so this is a
     * broadcast-joined frame with no corpus-sized work at any scale;
     * length-distribution drift rides the same stores via
@@ -135,19 +137,26 @@ object StatsStore {
       col("fp_theta").as("_tn"))
     // null-safe join key, same reason as update()'s merge: a null
     // source is a legal (if unwelcome) group, and plain equality
-    // would report it as brand-new every day
-    n.join(broadcast(o), col("source") <=> col("_osrc"), "left")
-      .select(col("source"),
+    // would report it as brand-new every day. FULL outer: a source
+    // present only in the OLD snapshot — one that went dark, the
+    // signal a drift monitor most needs — surfaces as a docs_new=0
+    // row (novelty 0) instead of silently dropping out. Under
+    // append-only update() new ⊇ old so the branch is latent, but
+    // the report is also the tool for comparing two UNRELATED stores
+    val novel =
+      when(col("_tn").isNull, lit(0.0)) // vanished: nothing new
+        .when(col("_to").isNull, theta_sketch_estimate(col("_tn")))
+        .otherwise(theta_sketch_estimate(
+          theta_difference(col("_tn"), col("_to"))))
+    n.join(broadcast(o), col("source") <=> col("_osrc"), "full_outer")
+      .select(coalesce(col("source"), col("_osrc")).as("source"),
         coalesce(col("docs_old"), lit(0L)).as("docs_old"),
-        col("docs_new"),
+        coalesce(col("docs_new"), lit(0L)).as("docs_new"),
         coalesce(col("tokens_old"), lit(0L)).as("tokens_old"),
-        col("tokens_new"),
-        when(col("_to").isNull, theta_sketch_estimate(col("_tn")))
-          .otherwise(theta_sketch_estimate(
-            theta_difference(col("_tn"), col("_to"))))
-          .cast("long").as("novel_fp"),
-        theta_sketch_estimate(col("_tn")).cast("long")
-          .as("distinct_fp"))
+        coalesce(col("tokens_new"), lit(0L)).as("tokens_new"),
+        novel.cast("long").as("novel_fp"),
+        coalesce(theta_sketch_estimate(col("_tn")), lit(0.0))
+          .cast("long").as("distinct_fp"))
       .withColumn("novelty",
         round(when(col("distinct_fp") === 0L, lit(0.0))
           .otherwise(col("novel_fp").cast("double") /
@@ -196,6 +205,12 @@ object StatsStore {
       storeDir: String): Store = {
     aggregate(docs, textCol, sourceCol)
       .write.mode("overwrite").parquet(s"$storeDir/stats")
+    // a rebuild resets the store wholesale — a stale _applied record
+    // from the directory's previous life must not alias a fresh
+    // producer's batch ids (streaming epochs restart at 0)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    UpdateMarker.clear(fs, storeDir)
     Store(storeDir)
   }
 
@@ -211,15 +226,26 @@ object StatsStore {
     *
     * Crash/re-run discipline: an update that dies before its swap
     * COMMITS rolls back ([[StageSwap.recover]]) and the re-run is
-    * exactly-once. Passing a `batchId` additionally closes the
+    * exactly-once. Passing a `batchId` (non-empty — the empty string
+    * is the marker's "no key" encoding) additionally closes the
     * committed-but-unacknowledged window via the [[UpdateMarker]]
-    * protocol — a re-run of an already-committed batch is detected
-    * and returns without touching the store. Without a batchId that
-    * one window remains the caller's re-send risk (same as any
-    * at-least-once producer without an idempotence key).
+    * protocol: a re-run of an already-committed batch is detected —
+    * off the in-flight marker if the crash landed before its delete,
+    * off the durable `_applied` record for any later crash (e.g.
+    * between a `foreachBatch` return and the streaming checkpoint's
+    * advance — q131's replay window, fabricated and proven closed in
+    * StreamStatsSpec) — and returns without touching the store.
+    * Without a batchId that window remains the caller's re-send risk
+    * (same as any at-least-once producer without an idempotence key).
+    *
+    * SINGLE WRITER per store directory ([[UpdateMarker]] contract):
+    * a second concurrent update fails loudly at its marker write.
     */
   def update(store: Store, batch: DataFrame, textCol: String,
       sourceCol: String, batchId: Option[String] = None): Store = {
+    require(batchId.forall(_.nonEmpty),
+      "batchId, when defined, must be non-empty (the empty string is " +
+        "the marker's encoding of 'no idempotence key')")
     val spark = batch.sparkSession
     val statsDir = s"${store.dir}/stats"
     val fs = new org.apache.hadoop.fs.Path(store.dir)
@@ -233,10 +259,18 @@ object StatsStore {
     UpdateMarker.read(fs, marker).foreach { prior =>
       val committed = UpdateMarker.listFiles(fs, statsDir) !=
         prior.listings.getOrElse("stats", Set.empty[String])
+      if (committed && prior.batchId.nonEmpty)
+        UpdateMarker.writeApplied(fs, store.dir, prior.batchId)
       UpdateMarker.delete(fs, marker)
       if (committed && batchId.isDefined && prior.batchId == batchId.get)
         return store // this very batch already applied — no-op
     }
+    // the durable applied record catches the replay a deleted marker
+    // cannot: this batch committed, the marker is gone, but the
+    // caller never acknowledged (crash before its checkpoint write)
+    if (batchId.isDefined &&
+        UpdateMarker.readApplied(fs, store.dir) == batchId)
+      return store
     UpdateMarker.write(fs, marker, UpdateMarker.State(
       batchId.getOrElse(""),
       Map("stats" -> UpdateMarker.listFiles(fs, statsDir))))
@@ -268,6 +302,9 @@ object StatsStore {
           .as("len_kll"))
     merged.write.mode("overwrite").parquet(s"$statsDir.next")
     StageSwap.swapIn(spark, statsDir)
+    // record the committed batch BEFORE dropping the in-flight
+    // marker, so at every instant one of the two files names it
+    batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, marker)
     store
   }

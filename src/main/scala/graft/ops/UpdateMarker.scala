@@ -22,11 +22,33 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     update, commit via [[StageSwap.swapIn]], delete the marker.
   *
   * `batchId` is the caller's idempotence key (a date, an offset
-  * range, a manifest hash). Callers that pass none still get partial
-  * appends healed and rollback re-runs deduped; only the
+  * range, a manifest hash — non-empty when defined; the empty string
+  * is the marker's encoding of "no key", so accepting it would alias
+  * a keyless run). Callers that pass none still get partial appends
+  * healed and rollback re-runs deduped; only the
   * committed-but-unacknowledged re-run remains indistinguishable
   * from a genuinely new batch for them — documented at each
   * update's scaladoc.
+  *
+  * The in-flight marker alone leaves one replay window open even
+  * WITH a batchId: a crash after the update deleted its marker but
+  * before the CALLER durably acknowledged (a streaming checkpoint's
+  * advance, an orchestrator's state write) — the re-run finds no
+  * marker and re-folds. [[writeApplied]] closes it: before the
+  * in-flight marker is deleted, the committed batchId is recorded in
+  * a durable `_applied` file, and an update whose batchId matches
+  * `_applied` is a detected no-op however late the crash landed. One
+  * id suffices because an at-least-once producer replays only the
+  * batch it has not yet acknowledged — a NEW batch carries a new id
+  * and overwrites the record at its own commit.
+  *
+  * SINGLE WRITER: the whole protocol assumes at most one in-flight
+  * update per store directory — two concurrent updaters would race
+  * on the marker and the stage swap and corrupt the snapshot
+  * discipline. [[write]] guards it cheaply: the marker is created
+  * with the fail-if-exists flag, so the second concurrent updater
+  * errors loudly at entry instead of silently interleaving.
+  * Serialize updates per store; readers are unaffected.
   *
   * Format: one `id\t<batchId>` line, then one `<stage>\t<path>` line
   * per snapshotted file. Plain text via the Hadoop FS API so it
@@ -48,12 +70,25 @@ object UpdateMarker {
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
   }
 
+  /** Write the in-flight marker, FAILING if one already exists — the
+    * single-writer guard: callers settle a crashed predecessor's
+    * marker before writing their own, so an existing marker here
+    * means another updater is in flight right now.
+    */
   def write(fs: FileSystem, marker: Path, state: State): Unit = {
     val sb = new StringBuilder(s"id\t${state.batchId}\n")
     for ((stage, files) <- state.listings.toSeq.sortBy(_._1);
          f <- files.toSeq.sorted)
       sb.append(s"$stage\t$f\n")
-    val out = fs.create(marker, true)
+    val out =
+      try fs.create(marker, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"concurrent update detected: in-flight marker $marker " +
+              "already exists (stores support one writer at a time; " +
+              "serialize updates per store directory)", e)
+      }
     try out.write(sb.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -82,4 +117,43 @@ object UpdateMarker {
 
   def delete(fs: FileSystem, marker: Path): Unit =
     StageSwap.remove(fs, marker)
+
+  def appliedPath(storeDir: String): Path =
+    new Path(s"$storeDir/_applied")
+
+  /** Durably record `batchId` as committed — called after the stage
+    * swap's commit, BEFORE the in-flight marker is deleted, so at
+    * every instant at least one of the two files names the committed
+    * batch (see the replay-window note in the object scaladoc).
+    * Overwrite is correct here: the record is a single most-recent
+    * id, replaced at each subsequent batch's own commit.
+    */
+  def writeApplied(fs: FileSystem, storeDir: String,
+      batchId: String): Unit = {
+    val out = fs.create(appliedPath(storeDir), true)
+    try out.write(batchId.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop both protocol files — called by the stores' [[build]]
+    * paths: a full rebuild resets the store wholesale, and a stale
+    * `_applied` id from the directory's previous life could alias a
+    * fresh producer's batch ids (streaming epochs restart at 0).
+    */
+  def clear(fs: FileSystem, storeDir: String): Unit = {
+    delete(fs, markerPath(storeDir))
+    delete(fs, appliedPath(storeDir))
+  }
+
+  /** The last durably-committed batchId, if any batch recorded one. */
+  def readApplied(fs: FileSystem, storeDir: String): Option[String] = {
+    val p = appliedPath(storeDir)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try Some(src.mkString) finally src.close()
+    } finally in.close()
+  }
 }

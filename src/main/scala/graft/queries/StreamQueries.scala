@@ -427,7 +427,15 @@ object StreamQueries {
     * at every field's guarantee (counters + HLL estimate + exact-mode
     * theta EXACTLY equal, the randomized KLL rank-bounded), which is
     * the update law proven per-pair in StatsStoreSpec, compounded
-    * over a multi-batch streaming execution.
+    * over a multi-batch streaming execution. The loop is
+    * EXACTLY-ONCE under crash-replay: each epoch id rides into
+    * `StatsStore.update` as the UpdateMarker idempotence key, so a
+    * micro-batch whose store swap committed but whose checkpoint
+    * never advanced is detected on replay (in-flight marker or the
+    * durable `_applied` record) and no-ops instead of double-folding
+    * — StreamStatsSpec fabricates that crash through the real
+    * streaming machinery and proves both directions (keyed store ==
+    * rebuild; an unkeyed control double-counts).
     */
   val q131 = Q("q131_stream_stats_update",
     (s, dir) => streamStatsReport(s, dir),
@@ -461,10 +469,19 @@ object StreamQueries {
           .parquet(inDir.toString)
           .writeStream
           .foreachBatch {
+            // the epoch id is the idempotence key: a crash between
+            // the store swap's commit and the checkpoint's advance
+            // makes Spark REPLAY this micro-batch on restart, and
+            // without the key the re-run would re-fold it — every
+            // additive counter double-counted, permanently (the
+            // committed-but-unacknowledged window UpdateMarker's
+            // batchId protocol exists to close; StreamStatsSpec's
+            // replay test fabricates exactly that crash)
             (batch: org.apache.spark.sql.Dataset[
-               org.apache.spark.sql.Row], _: Long) =>
+               org.apache.spark.sql.Row], epochId: Long) =>
               graft.ops.StatsStore.update(
-                store, batch.toDF(), "text", "source")
+                store, batch.toDF(), "text", "source",
+                batchId = Some(epochId.toString))
               ()
           }
           .option("checkpointLocation", ckptDir.toString)

@@ -2158,20 +2158,20 @@ object TextQueries {
       |      AND e.source IS NOT DISTINCT FROM x.source
       |      AND e.fp = x.fp)
       | GROUP BY source)
-      |SELECT n.source,
+      |SELECT coalesce(n.source, o.source) AS source,
       | CAST(coalesce(o.docs_old, 0) AS BIGINT) AS docs_old,
-      | n.docs_new,
+      | CAST(coalesce(n.docs_new, 0) AS BIGINT) AS docs_new,
       | CAST(coalesce(o.tokens_old, 0) AS BIGINT) AS tokens_old,
-      | n.tokens_new,
+      | CAST(coalesce(n.tokens_new, 0) AS BIGINT) AS tokens_new,
       | CAST(coalesce(nv.novel_fp, 0) AS BIGINT) AS novel_fp,
-      | n.distinct_fp,
-      | round(CASE WHEN n.distinct_fp = 0 THEN 0.0
+      | CAST(coalesce(n.distinct_fp, 0) AS BIGINT) AS distinct_fp,
+      | round(CASE WHEN coalesce(n.distinct_fp, 0) = 0 THEN 0.0
       |   ELSE CAST(coalesce(nv.novel_fp, 0) AS DOUBLE)
       |     / n.distinct_fp END, 4) AS novelty
       |FROM n
-      |LEFT JOIN o ON o.source IS NOT DISTINCT FROM n.source
+      |FULL JOIN o ON o.source IS NOT DISTINCT FROM n.source
       |LEFT JOIN nv ON nv.source IS NOT DISTINCT FROM n.source
-      |ORDER BY n.source""".stripMargin))
+      |ORDER BY 1""".stripMargin))
 
   /** The SHIP-IT composition: every curation decision the battery
     * proves piecemeal, chained into the training-shard manifest a

@@ -85,6 +85,22 @@ class StageSwapSpec extends SparkSpec {
     assert(!exists(s"$dir.next") && !exists(s"$dir.old"))
   }
 
+  test("swapIn on a FIRST materialization succeeds via recover's promotion") {
+    // dir absent, .next staged: swapIn's opening recover() already
+    // promotes .next to dir — the call must then report success, not
+    // demand a staged dir that its own recovery legitimately consumed
+    val dir = freshDir()
+    write(s"$dir.next", Seq(3, 4))
+    StageSwap.swapIn(spark, dir)
+    assert(readVals(dir) == Set(3, 4))
+    assert(!exists(s"$dir.next") && !exists(s"$dir.old"))
+    // but a swapIn with NOTHING anywhere is still a loud error
+    val empty = freshDir()
+    intercept[IllegalArgumentException] {
+      StageSwap.swapIn(spark, empty)
+    }
+  }
+
   test("recover leaves a healthy stage (and a half-written .next) alone") {
     val dir = freshDir()
     write(dir, Seq(1))

@@ -380,4 +380,79 @@ class StatsStoreSpec extends SparkSpec {
     assert(before.forall { case (k, v) => after(k) == v },
       "existing sources must be untouched by a disjoint-source batch")
   }
+
+  test("driftReport: a source gone dark surfaces as a docs_new=0 row") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "alpha beta", "s_a"), (2L, "gamma", "s_gone"))
+      .toDF("doc_id", "text", "source")
+    val newDocs = Seq((1L, "alpha beta", "s_a"))
+      .toDF("doc_id", "text", "source")
+    val oldSt = StatsStore.build(oldDocs, "text", "source", tempStore())
+    val newSt = StatsStore.build(newDocs, "text", "source", tempStore())
+    val got = StatsStore.driftReport(spark, oldSt, newSt).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toMap
+    // the monitor's most important row: history says 1 doc / 1 token,
+    // the new snapshot has nothing — NOT a silent omission
+    assert(got.contains("s_gone"), "vanished source must appear")
+    assert(got("s_gone") == ((1L, 0L, 1L, 0L, 0L, 0L, 0.0)))
+    assert(got("s_a")._2 == 1L)
+  }
+
+  test("replay after the marker's delete: _applied makes it a no-op") {
+    // the window the in-flight marker alone cannot close: the update
+    // returned (marker deleted) but the CALLER never acknowledged —
+    // e.g. a foreachBatch crash before the checkpoint advanced — and
+    // the producer re-sends the identical batch with the same id
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val dir = tempStore()
+    val st = StatsStore.build(evens, "text", "source", dir)
+    StatsStore.update(st, odds, "text", "source", Some("epoch-3"))
+    val expected = collectReport(st)
+    assert(!hfs(dir).exists(UpdateMarker.markerPath(dir)),
+      "precondition: the committed update cleaned its marker up")
+    StatsStore.update(st, odds, "text", "source", Some("epoch-3"))
+    assert(collectReport(st) == expected,
+      "the replayed batch must be a detected no-op, not a re-fold")
+    // the NEXT batch id applies normally and takes over the record
+    StatsStore.update(st, odds.limit(0), "text", "source",
+      Some("epoch-4"))
+    assert(UpdateMarker.readApplied(hfs(dir), dir) == Some("epoch-4"))
+  }
+
+  test("a rebuild clears the applied record (fresh epoch numbering)") {
+    val dir = tempStore()
+    val st = StatsStore.build(docs, "text", "source", dir)
+    StatsStore.update(st, docs.limit(0), "text", "source", Some("0"))
+    assert(UpdateMarker.readApplied(hfs(dir), dir) == Some("0"))
+    // a fresh producer restarts its epochs at 0 — a stale record
+    // would wrongly no-op its first real batch
+    StatsStore.build(docs, "text", "source", dir)
+    assert(UpdateMarker.readApplied(hfs(dir), dir).isEmpty)
+  }
+
+  test("an empty batchId is rejected (it aliases 'no key')") {
+    val st = StatsStore.build(docs, "text", "source", tempStore())
+    intercept[IllegalArgumentException] {
+      StatsStore.update(st, docs.limit(0), "text", "source", Some(""))
+    }
+  }
+
+  test("single-writer guard: a second in-flight marker fails loudly") {
+    val dir = tempStore()
+    val fs = hfs(dir)
+    val marker = UpdateMarker.markerPath(dir)
+    UpdateMarker.write(fs, marker,
+      UpdateMarker.State("a", Map.empty))
+    // a concurrent updater racing past the entry settle would land
+    // here — it must error, not interleave with the first writer
+    intercept[IllegalStateException] {
+      UpdateMarker.write(fs, marker,
+        UpdateMarker.State("b", Map.empty))
+    }
+    assert(UpdateMarker.read(fs, marker).get.batchId == "a",
+      "the first writer's marker must survive the rejected second")
+  }
 }
