@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   * wires it: every consumer's label join against a same-bucketed
   * corpus plans with ZERO exchanges (CurationStoreSpec pins the
   * shape; q76/BucketedJoinSpec demonstrate the raw mechanics).
-  * The battery's local stores keep plain parquet, which is what the
-  * rename-swap incremental [[update]] maintains.
+  * Maintenance and the read-optimized layout COMPOSE: [[update]]
+  * folds batches into a plain delta stage beside the bucketed base,
+  * [[labelJoin]] serves zero-exchange reads over base-plus-delta,
+  * [[compact]] folds the delta back in. The battery's local stores
+  * keep plain parquet throughout.
   *
   * Equivalence to the fused (per-query standalone) forms is proven
   * twice: CurationStoreSpec asserts store-fed q50/q121 results are
@@ -54,9 +57,52 @@ object CurationStore {
     def signatures(s: SparkSession): DataFrame =
       s.read.parquet(s"$dir/signatures")
     def pairs(s: SparkSession): DataFrame = s.read.parquet(s"$dir/pairs")
-    def labels(s: SparkSession): DataFrame =
-      labelsTable.map(s.table).getOrElse(s.read.parquet(s"$dir/labels"))
+
+    /** Plain-parquet DELTA stage beside a bucketed labels table —
+      * how a read-optimized store stays MAINTAINABLE: [[update]]
+      * folds each batch's label changes here (rename-swap, same as
+      * the plain store's whole stage), [[compact]] periodically
+      * folds the delta back into a fresh bucketed base. Small by
+      * construction: one row per label that DIFFERS from the base
+      * (new docs + relabels since the last compaction), so it stays
+      * broadcastable between reasonable compaction intervals.
+      */
+    def deltaDir: String = s"$dir/labels_delta"
+
+    private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(deltaDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p) && UpdateMarker.listFiles(fs, deltaDir).nonEmpty)
+        Some(s.read.parquet(deltaDir))
+      else None
+    }
+
+    /** The store's effective label map. Plain store: the labels
+      * stage. Bucketed store: the base table overridden by the delta
+      * (delta rows win; base rows not in the delta pass through) —
+      * consumers that want the zero-exchange bucketed join shape
+      * should go through [[labelJoin]] instead of joining this
+      * union frame directly.
+      */
+    def labels(s: SparkSession): DataFrame = {
+      val base = labelsTable.map(s.table)
+        .getOrElse(s.read.parquet(s"$dir/labels"))
+      deltaIfAny(s) match {
+        case None => base
+        case Some(delta) =>
+          base.join(broadcast(delta.select(col(idCol))),
+              Seq(idCol), "left_anti")
+            .unionByName(delta)
+      }
+    }
   }
+
+  /** Deterministic catalog name for `storeDir`'s bucketed labels
+    * table (bucketing survives only through the catalog). */
+  private def tableNameFor(storeDir: String): String =
+    "graft_labels_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(storeDir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
 
   /** Run the three stages over `docs`, overwriting `storeDir`. Dials
     * mirror the battery's near-dup defaults (q43/q49): 16 hashes in
@@ -68,10 +114,12 @@ object CurationStore {
     * is the serving layout for the cluster-scale claim above: with
     * the corpus bucketed by the same key and count, a consumer's
     * label join plans with NO exchange on either side
-    * (CurationStoreSpec pins the zero-exchange shape). The bucketed
-    * variant is read-optimized: [[update]] folds batches through the
-    * rename-swap discipline plain parquet supports, so an
-    * incrementally-maintained store keeps `bucketLabels = 0`.
+    * (CurationStoreSpec pins the zero-exchange shape). A bucketed
+    * store stays MAINTAINABLE: [[update]] folds batches into the
+    * plain-parquet delta stage beside the base, [[labelJoin]] keeps
+    * consumers exchange-free while the delta is outstanding, and
+    * [[compact]] periodically folds the delta back into a fresh
+    * bucketed base.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       storeDir: String, numHashes: Int = 16, numBands: Int = 4,
@@ -97,10 +145,7 @@ object CurationStore {
     val labelRows = fixpoint.select(col("id").as(idCol), col("cluster"))
     val table =
       if (bucketLabels > 0) {
-        val name = s"graft_labels_" +
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(storeDir.getBytes("UTF-8"))
-            .take(6).map("%02x".format(_)).mkString
+        val name = tableNameFor(storeDir)
         labelRows.write.format("parquet")
           .bucketBy(bucketLabels, idCol).sortBy(idCol)
           .option("path", s"$storeDir/labels")
@@ -111,6 +156,15 @@ object CurationStore {
         None
       }
     fixpoint.unpersist()
+    // a rebuild resets the store wholesale — clear any protocol
+    // files from the directory's previous life (stale _applied ids
+    // could alias a fresh producer's restarted batch numbering) and
+    // any label delta (the fresh base already holds every label)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    UpdateMarker.clear(fs, storeDir)
+    StageSwap.remove(fs,
+      new org.apache.hadoop.fs.Path(s"$storeDir/labels_delta"))
     Store(storeDir, idCol, table)
   }
 
@@ -133,10 +187,12 @@ object CurationStore {
     *    — linear in labeled docs + new pairs, independent of corpus
     *    text volume. A new doc bridging two old clusters merges them
     *    correctly because each old cluster id is itself a member
-    *    node. The result replaces the labels stage via
-    *    write-to-temp + rename (a crash never leaves a half-written
-    *    stage; at cluster scale you'd version the directory like
-    *    `EventStream.mergeBatch` and flip a pointer).
+    *    node. On a plain store the result replaces the labels stage
+    *    via write-to-temp + rename (a crash never leaves a
+    *    half-written stage); on a BUCKETED store the base table is
+    *    immutable and the result lands as the labels-that-differ
+    *    DELTA beside it (same rename-swap), keeping the serving
+    *    layout intact between [[compact]]s.
     *
     * Equivalence `update(build(old), new) == build(old ∪ new)` is
     * exact at the default unguarded dials and spec-proven
@@ -153,19 +209,24 @@ object CurationStore {
     * the crashed attempt's partial signature/pair appends (files not
     * in the snapshot) and rolls back a half-swapped label stage —
     * making the re-run exactly-once instead of double-appending the
-    * batch's rows. Passing a `batchId` additionally makes a re-run
-    * of an already-COMMITTED batch a detected no-op (the
-    * committed-but-unacknowledged window); without one, that window
-    * is the caller's re-send risk.
+    * batch's rows. Passing a `batchId` (non-empty — the empty string
+    * is the marker's "no key" encoding) additionally makes a re-run
+    * of an already-COMMITTED batch a detected no-op across EVERY
+    * crash window: the in-flight marker catches a crash before its
+    * own delete, the durable `_applied` record catches a crash
+    * between the delete and the caller's acknowledgment. Without
+    * one, that window is the caller's re-send risk.
+    *
+    * SINGLE WRITER per store directory ([[UpdateMarker]] contract):
+    * a second concurrent update fails loudly at its marker write.
     */
   def update(store: Store, newDocs: DataFrame, textCol: String,
       numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
       maxBucketSize: Long = Long.MaxValue,
       batchId: Option[String] = None): Store = {
-    require(store.labelsTable.isEmpty,
-      "bucketed stores are the read-optimized serving layout; " +
-        "incremental maintenance uses a plain store (bucketLabels=0) " +
-        "— rebuild to re-bucket")
+    require(batchId.forall(_.nonEmpty),
+      "batchId, when defined, must be non-empty (the empty string is " +
+        "the marker's encoding of 'no idempotence key')")
     val spark = newDocs.sparkSession
     val idCol = store.idCol
     val hconf = spark.sessionState.newHadoopConf()
@@ -176,15 +237,21 @@ object CurationStore {
     val sigDir = s"${store.dir}/signatures"
     val pairsDir = s"${store.dir}/pairs"
     val labelsDir = s"${store.dir}/labels"
-    // a prior update may have died inside its label swap — heal the
+    // the update's COMMIT stage: the whole labels stage for a plain
+    // store, the delta stage beside the bucketed base for a
+    // read-optimized one (the base table is immutable between
+    // compactions — the delta carries every label that differs)
+    val commitDir =
+      if (store.labelsTable.isDefined) store.deltaDir else labelsDir
+    // a prior update may have died inside its commit swap — heal the
     // stage before reading it, or the re-run fails at the scan below
-    StageSwap.recover(spark, labelsDir)
+    StageSwap.recover(spark, commitDir)
     // settle a crashed predecessor (UpdateMarker protocol): decide
     // commitment off the label stage's listing — rollback restored
     // the snapshotted names, a committed swap replaced them
     val marker = UpdateMarker.markerPath(store.dir)
     UpdateMarker.read(fs, marker).foreach { prior =>
-      val committed = files(labelsDir) !=
+      val committed = files(commitDir) !=
         prior.listings.getOrElse("labels", Set.empty[String])
       if (!committed) {
         // crashed before the commit: drop the partial appends so the
@@ -200,14 +267,21 @@ object CurationStore {
         spark.catalog.refreshByPath(sigDir)
         spark.catalog.refreshByPath(pairsDir)
       }
+      if (committed && prior.batchId.nonEmpty)
+        UpdateMarker.writeApplied(fs, store.dir, prior.batchId)
       UpdateMarker.delete(fs, marker)
       if (committed && batchId.isDefined && prior.batchId == batchId.get)
         return store // this very batch already applied — no-op
     }
+    // the durable applied record catches the replay a deleted marker
+    // cannot: committed, marker gone, caller never acknowledged
+    if (batchId.isDefined &&
+        UpdateMarker.readApplied(fs, store.dir) == batchId)
+      return store
     UpdateMarker.write(fs, marker, UpdateMarker.State(
       batchId.getOrElse(""),
       Map("sig" -> files(sigDir), "pairs" -> files(pairsDir),
-        "labels" -> files(labelsDir))))
+        "labels" -> files(commitDir))))
 
     // stage 1 — shingle ONLY the batch, append; the before/after file
     // diff recovers the appended rows as a COLUMNAR READ so no stage
@@ -232,17 +306,113 @@ object CurationStore {
       spark.read.parquet((files(pairsDir) -- pairsBefore).toSeq: _*)
 
     // stage 3 — fixpoint over stored-labels-as-edges + new pairs:
-    // the graph is labeled docs + new pairs, NOT the corpus
-    val edges = spark.read.parquet(labelsDir)
+    // the graph is labeled docs + new pairs, NOT the corpus. The
+    // stored side is the store's EFFECTIVE label map (plain stage,
+    // or bucketed base overridden by the delta)
+    val edges = store.labels(spark)
       .select(col(idCol).as("a"), col("cluster").as("b"))
       .unionByName(pairsNew.select(col("a"), col("b")))
     val fixpoint = Dedup.clusters(edges, "a", "b")
-    fixpoint.select(col("id").as(idCol), col("cluster"))
-      .write.mode("overwrite").parquet(s"$labelsDir.next")
+    val newLab = fixpoint.select(col("id").as(idCol), col("cluster"))
+    val staged = store.labelsTable match {
+      case Some(t) =>
+        // bucketed store: the base table is immutable — stage only
+        // the labels that DIFFER from it (new docs + relabels); the
+        // delta REPLACES wholesale (it is itself a fixpoint product,
+        // not an append), so its size is bounded by drift since the
+        // last compact(), not by update count
+        val base = spark.table(t)
+          .select(col(idCol), col("cluster").as("_bc"))
+        newLab.join(base, Seq(idCol), "left_outer")
+          .filter(col("_bc").isNull || col("_bc") =!= col("cluster"))
+          .select(col(idCol), col("cluster"))
+      case None => newLab
+    }
+    staged.write.mode("overwrite").parquet(s"$commitDir.next")
     fixpoint.unpersist()
-    StageSwap.swapIn(spark, labelsDir)
+    StageSwap.swapIn(spark, commitDir)
+    // record the committed batch BEFORE dropping the in-flight
+    // marker, so at every instant one of the two files names it
+    batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, marker)
     store
+  }
+
+  /** Fold the label delta into a fresh BUCKETED base — the periodic
+    * maintenance that completes the serving story: [[update]] keeps
+    * a bucketed store current through the plain delta stage,
+    * `compact` pays the one bucketing shuffle to restore the pure
+    * read-optimized layout (delta empty, every consumer join
+    * zero-exchange again). Also the upgrade path: compacting a PLAIN
+    * store buckets it in place.
+    *
+    * Crash discipline: the staged bucketed files commit through the
+    * same [[StageSwap]] rename protocol as every stage write — a
+    * crash mid-compact leaves the old layout readable and a re-run
+    * completes. The CATALOG re-registration after the file commit is
+    * metadata-only and re-runnable (re-invoke `compact` — it is
+    * idempotent on an already-compacted store); at cluster scale
+    * that registration is the metastore update a maintenance window
+    * performs, not part of the data path.
+    */
+  def compact(s: SparkSession, store: Store, buckets: Int): Store = {
+    require(buckets > 0, "buckets must be positive")
+    val labelsDir = s"${store.dir}/labels"
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    StageSwap.recover(s, labelsDir)
+    val name = tableNameFor(store.dir)
+    val staging = s"${name}_staging"
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    // stage the EFFECTIVE labels (base ∪ delta, or the plain stage)
+    // bucketed at labels.next — the read side is untouched while the
+    // write runs, the swap below is the commit
+    store.labels(s).write.format("parquet")
+      .bucketBy(buckets, store.idCol).sortBy(store.idCol)
+      .option("path", s"$labelsDir.next")
+      .mode("overwrite").saveAsTable(staging)
+    s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only; files stay
+    StageSwap.swapIn(s, labelsDir)          // commit point
+    // the delta is folded into the new base — drop it, then point
+    // the store's deterministic table name at the committed files
+    // (bucket layout survives only through catalog metadata; the
+    // bucket ids ride the part-file names the rename preserved)
+    StageSwap.remove(fs, new org.apache.hadoop.fs.Path(store.deltaDir))
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val schema = s.read.parquet(labelsDir).schema.toDDL
+    s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+      s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
+      s"INTO $buckets BUCKETS LOCATION '$labelsDir'")
+    Store(store.dir, store.idCol, Some(name))
+  }
+
+  /** Consumer-side label join that keeps the bucketed store's
+    * ZERO-exchange shape even while a delta is outstanding: the big
+    * corpus-vs-base join stays exchange-free (both sides bucketed by
+    * `idCol`), the delta rides in as two broadcasts — an anti-join
+    * masking base rows the delta supersedes, plus the delta rows
+    * themselves. Semantically identical to
+    * `corpus.join(store.labels(s), idCol)` (CurationStoreSpec pins
+    * both the equality and the exchange count); joining the union
+    * frame directly would forget the base's bucketing and re-shuffle
+    * the corpus.
+    */
+  def labelJoin(corpus: DataFrame, store: Store): DataFrame = {
+    val s = corpus.sparkSession
+    val idCol = store.idCol
+    store.labelsTable match {
+      case None => corpus.join(store.labels(s), idCol)
+      case Some(t) =>
+        val base = s.table(t)
+        store.deltaIfAny(s) match {
+          case None => corpus.join(base, idCol)
+          case Some(delta) =>
+            corpus.join(base, idCol)
+              .join(broadcast(delta.select(col(idCol))),
+                Seq(idCol), "left_anti")
+              .unionByName(corpus.join(broadcast(delta), idCol))
+        }
+    }
   }
 
   // ---- session-lifetime store per corpus directory ----------------

@@ -87,12 +87,6 @@ class CurationStoreSpec extends SparkSpec {
         docs.join(store.labels(spark), "doc_id")
           .select(col("doc_id"), col("cluster"), col("source")),
         "bucketed label join")
-      // and the incremental path refuses the read-optimized layout
-      // loudly instead of silently de-bucketing it
-      val e = intercept[IllegalArgumentException] {
-        CurationStore.update(bStore, docs.limit(1), "text")
-      }
-      assert(e.getMessage.contains("bucketLabels"))
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -121,6 +115,82 @@ class CurationStoreSpec extends SparkSpec {
     // the signature stage gained EXACTLY the odd-id rows
     assert(incr.signatures(spark).filter(col("doc_id") % 2 === 1).count()
       == store.signatures(spark).filter(col("doc_id") % 2 === 1).count())
+  }
+
+  test("bucketed store stays maintainable: delta update, zero-exchange " +
+      "labelJoin, compaction folds the delta back in") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("curation-compact").toString
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    // upgrade path: compact() buckets a PLAIN store in place
+    val plain = CurationStore.build(evens, "doc_id", "text", s"$wh/store")
+    val bucketed = CurationStore.compact(spark, plain, 8)
+    assert(bucketed.labelsTable.isDefined)
+    assertFrameEqual(bucketed.labels(spark), plain.labels(spark),
+      "compaction must not change the label map")
+    // maintenance on the read-optimized layout: the batch lands in
+    // the delta stage, the base table's files are untouched
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val baseFiles = UpdateMarker.listFiles(fs, s"$wh/store/labels")
+    CurationStore.update(bucketed, odds, "text")
+    assert(UpdateMarker.listFiles(fs, s"$wh/store/labels") == baseFiles,
+      "the bucketed base must be immutable under update")
+    assert(bucketed.deltaIfAny(spark).exists(_.count() > 0),
+      "the batch's label changes must land in the delta")
+    // effective labels == the from-scratch rebuild (the same
+    // equivalence the plain store's update law proves)
+    assertFrameEqual(bucketed.labels(spark), store.labels(spark),
+      "bucketed update law")
+    docs.write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/docs")
+      .mode("overwrite").saveAsTable("docs_compact_spec")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined() = CurationStore.labelJoin(
+        spark.table("docs_compact_spec"), bucketed)
+        .select(col("doc_id"), col("cluster"), col("source"))
+      def assertNoExchange(tag: String) = {
+        val j = joined()
+        j.collect()
+        val p = j.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+          s"$tag: label join must stay exchange-free:\n$p")
+      }
+      // (a) WITH the delta outstanding: base join bucketed, delta
+      // rides in as broadcasts — still no shuffle exchange
+      assertNoExchange("delta outstanding")
+      assertFrameEqual(joined(),
+        docs.join(store.labels(spark), "doc_id")
+          .select(col("doc_id"), col("cluster"), col("source")),
+        "labelJoin over base+delta")
+      // (b) compaction folds the delta in: dir gone, joins unchanged
+      val compacted = CurationStore.compact(spark, bucketed, 8)
+      assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(compacted.deltaDir)),
+        "compaction must clear the folded delta")
+      val j2 = CurationStore.labelJoin(
+        spark.table("docs_compact_spec"), compacted)
+        .select(col("doc_id"), col("cluster"), col("source"))
+      j2.collect()
+      val p2 = j2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(p2).isEmpty, p2)
+      assert(p2.contains("Bucketed: true"), p2)
+      assertFrameEqual(j2,
+        docs.join(store.labels(spark), "doc_id")
+          .select(col("doc_id"), col("cluster"), col("source")),
+        "labelJoin post-compaction")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS docs_compact_spec")
+      bucketed.labelsTable
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("update survives empty, shingle-less, and pairless batches") {
