@@ -137,26 +137,38 @@ object StatsStore {
       col("fp_theta").as("_tn"))
     // null-safe join key, same reason as update()'s merge: a null
     // source is a legal (if unwelcome) group, and plain equality
-    // would report it as brand-new every day. FULL outer: a source
-    // present only in the OLD snapshot — one that went dark, the
-    // signal a drift monitor most needs — surfaces as a docs_new=0
-    // row (novelty 0) instead of silently dropping out. Under
-    // append-only update() new ⊇ old so the branch is latent, but
-    // the report is also the tool for comparing two UNRELATED stores
-    val novel =
-      when(col("_tn").isNull, lit(0.0)) // vanished: nothing new
-        .when(col("_to").isNull, theta_sketch_estimate(col("_tn")))
-        .otherwise(theta_sketch_estimate(
-          theta_difference(col("_tn"), col("_to"))))
-    n.join(broadcast(o), col("source") <=> col("_osrc"), "full_outer")
-      .select(coalesce(col("source"), col("_osrc")).as("source"),
+    // would report it as brand-new every day. FULL-outer SEMANTICS,
+    // zero-shuffle SHAPE: a source present only in the OLD snapshot
+    // — one that went dark, the signal a drift monitor most needs —
+    // surfaces as a docs_new=0 row (novelty 0) instead of silently
+    // dropping out. Spark cannot broadcast a full-outer hash join,
+    // so the report is written as broadcast-left-join ∪
+    // broadcast-anti-join over the two one-row-per-source frames —
+    // same rows, still no exchange anywhere (PlanSpec pins it).
+    // Under append-only update() new ⊇ old so the vanished branch is
+    // latent, but the report is also the tool for comparing two
+    // UNRELATED stores
+    val matched = n.join(broadcast(o), col("source") <=> col("_osrc"),
+        "left")
+      .select(col("source"),
         coalesce(col("docs_old"), lit(0L)).as("docs_old"),
-        coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+        col("docs_new"),
         coalesce(col("tokens_old"), lit(0L)).as("tokens_old"),
-        coalesce(col("tokens_new"), lit(0L)).as("tokens_new"),
-        novel.cast("long").as("novel_fp"),
-        coalesce(theta_sketch_estimate(col("_tn")), lit(0.0))
-          .cast("long").as("distinct_fp"))
+        col("tokens_new"),
+        when(col("_to").isNull, theta_sketch_estimate(col("_tn")))
+          .otherwise(theta_sketch_estimate(
+            theta_difference(col("_tn"), col("_to"))))
+          .cast("long").as("novel_fp"),
+        theta_sketch_estimate(col("_tn")).cast("long")
+          .as("distinct_fp"))
+    val vanished = o.join(
+        broadcast(n.select(col("source").as("_nsrc"))),
+        col("_osrc") <=> col("_nsrc"), "left_anti")
+      .select(col("_osrc").as("source"), col("docs_old"),
+        lit(0L).as("docs_new"), col("tokens_old"),
+        lit(0L).as("tokens_new"), lit(0L).as("novel_fp"),
+        lit(0L).as("distinct_fp"))
+    matched.unionByName(vanished)
       .withColumn("novelty",
         round(when(col("distinct_fp") === 0L, lit(0.0))
           .otherwise(col("novel_fp").cast("double") /

@@ -916,7 +916,174 @@ object SimilarityQueries {
       |FROM dn FULL JOIN sp USING (doc_id)
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Hybrid retrieval at SERVING scale — q134's RRF fusion composed
+    * over the ANN index for a BATCH of queries (every 100th vector,
+    * the q64 query set): the dense shortlist per query comes from
+    * the q90 IVFPQ stack (coarse cell restriction → PQ codes →
+    * broadcast distance tables → per-query ADC top-20), the sparse
+    * side is q75's BM25 kernel reduced to its top-50 once and shared
+    * across the batch (the term query is fixed; at serving time each
+    * query's own terms would swap in — the fusion shape is
+    * unchanged), and each query fuses its two rankings with
+    * `rrf = Σ 1/(60 + rank)` inside a per-query rank window bounded
+    * by 70 rows. Reported the q64/q65 way: per query, how much of
+    * the BRUTE-FORCE fusion's top-10 (exact cosine top-20 fused with
+    * the same sparse ranking) the ANN fusion retains — so the oracle
+    * hash-checks the index, both fusions, and the recall arithmetic
+    * end to end. Scale shape: the corpus-sized passes are the shared
+    * PQ trainers/encodes and one BM25 scan ending in
+    * TakeOrderedAndProject; per-query work is one coarse cell's
+    * codes plus bounded windows — no corpus-global sort anywhere
+    * (the brute-force side exists only as the recall yardstick, the
+    * q64 convention).
+    */
+  val q136 = {
+    val topDense = 20; val topSparse = 50; val topK = 10
+    def src(lo: Int, hi: Int) =
+      s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
+    val (src0, src1) = (src(1, 32), src(33, 64))
+    def enc(srcj: String, last: String) = singleLine(
+      s"""SELECT vec_id, cid FROM (
+         | SELECT b.vec_id, c.cid, row_number() OVER (
+         |  PARTITION BY b.vec_id
+         |  ORDER BY ${distOrder("b.embedding", "c.ce", 32)}, c.cid) AS rn
+         | FROM $srcj b, $last c) WHERE rn = 1""")
+    def dtab(srcj: String, last: String) = singleLine(
+      s"""SELECT q.vec_id AS qid, c.cid,
+         | round(${dotSql("q.embedding", "q.embedding", 32)}
+         |  - 2*(${dotSql("q.embedding", "c.ce", 32)})
+         |  + (${dotSql("c.ce", "c.ce", 32)}), 6) AS d
+         |FROM $srcj q, $last c WHERE q.vec_id % 100 = 0""")
+    val coarse = singleLine(
+      s"""SELECT vec_id, cid AS cell FROM (
+         | SELECT b.vec_id, c.cid, row_number() OVER (
+         |  PARTITION BY b.vec_id ORDER BY
+         |   round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6)
+         |    DESC, c.cid) AS rn
+         | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |       FROM embeddings) b,
+         |  (SELECT vec_id AS cid, embedding AS ce,
+         |    ${normSql("embedding")} AS cn FROM embeddings
+         |   WHERE vec_id % 50 = 7) c) WHERE rn = 1""")
+    Q("q136_hybrid_ann_batch",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val qp = col("vec_id") % 100 === 0
+        val w = org.apache.spark.sql.expressions.Window
+        val sparse = TextQueries.bm25Scores(s, dir)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(topSparse)
+          .withColumn("rank_sparse", row_number().over(
+            w.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+          .select("doc_id", "rank_sparse")
+        val spq = emb.filter(qp).select(col("vec_id").as("qid"))
+          .crossJoin(broadcast(sparse))
+        // per-query fusion of a (qid, doc_id, rank_dense) shortlist
+        // with the shared sparse ranking: full outer so docs ranked
+        // by one modality only still surface, then a top-k window
+        // over the ≤ topDense+topSparse rows each query owns
+        def fuse(dense: org.apache.spark.sql.DataFrame) =
+          dense.join(spq, Seq("qid", "doc_id"), "full_outer")
+            .select(col("qid"), col("doc_id"),
+              round(
+                coalesce(lit(1.0) / (lit(60) + col("rank_dense")),
+                  lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("rank_sparse")),
+                  lit(0.0)), 6).as("rrf"))
+            .withColumn("rk", row_number().over(
+              w.partitionBy("qid")
+                .orderBy(col("rrf").desc, col("doc_id").asc)))
+            .filter(col("rk") <= topK)
+            .select("qid", "doc_id")
+        val annTop = fuse(Similarity.ivfPqTopK(emb, "vec_id",
+            "embedding",
+            centroidPred = col("vec_id") % 50 === 7,
+            seedPred = col("vec_id") % 10 === 3,
+            queryPred = qp, m = 2, subDim = 32, iters = 2, k = topDense)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("rank_dense")))
+        val bfTop = fuse(Similarity.cosineBruteForce(emb, "vec_id",
+            "embedding", qp, threshold = -1.0)
+          .withColumn("rank_dense", row_number().over(
+            w.partitionBy("qid")
+              .orderBy(col("cos").desc, col("vec_id").asc)).cast("int"))
+          .filter(col("rank_dense") <= topDense)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank_dense")))
+        bfTop.alias("bf")
+          .join(annTop.alias("ap"),
+            col("bf.qid") === col("ap.qid") &&
+              col("bf.doc_id") === col("ap.doc_id"), "left")
+          .groupBy(col("bf.qid"))
+          .agg(count(col("ap.doc_id")).as("n_hit"),
+            round(count(col("ap.doc_id")).cast("double") / topK, 4)
+              .as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH ${kmeansCtes(2, src0, "vec_id % 10 = 3", 32, "s0")},
+        |${kmeansCtes(2, src1, "vec_id % 10 = 3", 32, "s1")},
+        |enc0 AS (${enc(src0, "s0c2")}),
+        |enc1 AS (${enc(src1, "s1c2")}),
+        |dt0 AS (${dtab(src0, "s0c2")}),
+        |dt1 AS (${dtab(src1, "s1c2")}),
+        |coarse AS ($coarse),
+        |adc AS (SELECT dt0.qid, e0.vec_id AS doc_id,
+        |  round(dt0.d + dt1.d, 6) AS adc
+        | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        | JOIN coarse a ON a.vec_id = e0.vec_id
+        | JOIN dt0 ON dt0.cid = e0.cid
+        | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
+        | JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell
+        | WHERE dt0.qid <> e0.vec_id),
+        |dn AS (SELECT qid, doc_id, rank_dense FROM (
+        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc, doc_id) AS INT) AS rank_dense
+        |  FROM adc) WHERE rank_dense <= $topDense),
+        |${TextQueries.duckBm25Ctes},
+        |sp AS (SELECT doc_id, rank_sparse FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |     ORDER BY score DESC, doc_id) AS INT) AS rank_sparse
+        |  FROM spr) WHERE rank_sparse <= $topSparse),
+        |qids AS (SELECT vec_id AS qid FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |spq AS (SELECT q.qid, s.doc_id, s.rank_sparse FROM qids q, sp s),
+        |fa AS (SELECT qid, doc_id,
+        |  round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), 0) +
+        |    coalesce(CAST(1 AS DOUBLE) / (60 + rank_sparse), 0), 6)
+        |    AS rrf
+        | FROM dn FULL JOIN spq USING (qid, doc_id)),
+        |ta AS (SELECT qid, doc_id FROM (
+        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rk FROM fa)
+        | WHERE rk <= $topK),
+        |oa AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+        | FROM embeddings),
+        |oq AS (SELECT vec_id, embedding, nrm FROM oa
+        | WHERE vec_id % 100 = 0),
+        |bd AS (SELECT qid, doc_id, rank_dense FROM (
+        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, doc_id) AS INT) AS rank_dense FROM (
+        |   SELECT q.vec_id AS qid, a.vec_id AS doc_id,
+        |    round((${dotSql("q.embedding", "a.embedding")})
+        |      / (q.nrm * a.nrm), 6) AS cos
+        |   FROM oa a, oq q WHERE q.vec_id <> a.vec_id))
+        | WHERE rank_dense <= $topDense),
+        |fb AS (SELECT qid, doc_id,
+        |  round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), 0) +
+        |    coalesce(CAST(1 AS DOUBLE) / (60 + rank_sparse), 0), 6)
+        |    AS rrf
+        | FROM bd FULL JOIN spq USING (qid, doc_id)),
+        |tb AS (SELECT qid, doc_id FROM (
+        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rk FROM fb)
+        | WHERE rk <= $topK)
+        |SELECT tb.qid, count(ta.doc_id) AS n_hit,
+        | round(CAST(count(ta.doc_id) AS DOUBLE) / $topK, 4) AS recall
+        |FROM tb LEFT JOIN ta
+        | ON ta.qid = tb.qid AND ta.doc_id = tb.doc_id
+        |GROUP BY tb.qid ORDER BY tb.qid""".stripMargin))
+  }
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134)
+    q134, q136)
 }

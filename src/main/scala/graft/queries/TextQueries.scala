@@ -2173,51 +2173,31 @@ object TextQueries {
       |LEFT JOIN nv ON nv.source IS NOT DISTINCT FROM n.source
       |ORDER BY 1""".stripMargin))
 
-  /** The SHIP-IT composition: every curation decision the battery
-    * proves piecemeal, chained into the training-shard manifest a
-    * data release actually publishes. Stored near-dup labels
-    * ([[graft.ops.CurationStore]]) → quality-argmax canonical per
-    * cluster (q121's rule) → model-quality gate (q117's classifier,
-    * prob ≥ 0.5 — an integer-derived boundary, never a float edge) →
-    * per-(lang, shard) token-budget packing (q47's arithmetic) →
-    * manifest rows (lang, shard, chunk, n_docs, tokens). Scale shape:
-    * the classifier broadcasts its model, the label join and the
-    * argmax window shuffle by cluster, the pack window partitions by
-    * the deterministic hash shard q47 introduced — no corpus-global
-    * ordering anywhere, every stage the shape its standalone query
-    * already budget-pins. The oracle recomputes the WHOLE chain in
-    * SQL: recursive-CTE components, classifier chain, argmax window,
-    * quality gate, pack window — one hash compare over the full
-    * pipeline, which is the strongest end-to-end statement the
-    * driver's gate can make.
+  /** The curation GATE shared by the release compositions (q132's
+    * manifest, q137's cut list): stored near-dup labels → q121's
+    * quality-argmax canonical per cluster → q117's classifier at
+    * prob ≥ 0.5 (an integer-derived boundary, never a float edge).
+    * Emits the kept doc_ids.
     */
-  val q132 = Q("q132_curated_shards",
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val scored = TextOps.qualityClassify(docs, "doc_id", "text",
-          ClfBuckets)
-        .select(col("doc_id"), col("prob"))
-      val kept = Dedup.dedupCorpusBestLabeled(scored, "doc_id",
-          CurationStore.forCorpus(s, dir).labels(s), "prob")
-        .filter(col("kept") && col("prob") >= 0.5)
-        .select("doc_id")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs.join(kept, Seq("doc_id"))
-        .select(col("lang"), col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
-        .withColumn("shard",
-          graft.ops.Sampling.hashBucket(col("doc_id"), packShards))
-        .withColumn("chunk",
-          floor((sum("ntok").over(w) - col("ntok")) / 2048.0))
-        .groupBy("lang", "shard", "chunk")
-        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
-        .orderBy("lang", "shard", "chunk")
-    },
-    Some(s"""WITH RECURSIVE $duckClusterCtes,
+  private def curatedKept(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents")
+    val scored = TextOps.qualityClassify(docs, "doc_id", "text",
+        ClfBuckets)
+      .select(col("doc_id"), col("prob"))
+    Dedup.dedupCorpusBestLabeled(scored, "doc_id",
+        CurationStore.forCorpus(s, dir).labels(s), "prob")
+      .filter(col("kept") && col("prob") >= 0.5)
+      .select("doc_id")
+  }
+
+  /** [[curatedKept]]'s oracle twin: the recursive-CTE chain up to
+    * `kept` (doc_id) — components, classifier, argmax, gate — shared
+    * verbatim by q132 and q137 so both releases stand on ONE oracled
+    * definition of "kept".
+    */
+  private val duckCuratedKeptCtes: String =
+    s"""$duckClusterCtes,
       |lab AS (SELECT x AS doc_id, min(y) AS cluster
       | FROM reach GROUP BY x),
       |wm AS (SELECT b,
@@ -2248,7 +2228,47 @@ object TextQueries {
       |kept AS (SELECT doc_id FROM (SELECT doc_id, prob,
       |   row_number() OVER (PARTITION BY cluster
       |     ORDER BY prob DESC, doc_id) AS rn
-      |  FROM full0) WHERE rn = 1 AND prob >= 0.5),
+      |  FROM full0) WHERE rn = 1 AND prob >= 0.5)""".stripMargin
+
+  /** The SHIP-IT composition: every curation decision the battery
+    * proves piecemeal, chained into the training-shard manifest a
+    * data release actually publishes. Stored near-dup labels
+    * ([[graft.ops.CurationStore]]) → quality-argmax canonical per
+    * cluster (q121's rule) → model-quality gate (q117's classifier,
+    * prob ≥ 0.5 — an integer-derived boundary, never a float edge) →
+    * per-(lang, shard) token-budget packing (q47's arithmetic) →
+    * manifest rows (lang, shard, chunk, n_docs, tokens). Scale shape:
+    * the classifier broadcasts its model, the label join and the
+    * argmax window shuffle by cluster, the pack window partitions by
+    * the deterministic hash shard q47 introduced — no corpus-global
+    * ordering anywhere, every stage the shape its standalone query
+    * already budget-pins. The oracle recomputes the WHOLE chain in
+    * SQL: recursive-CTE components, classifier chain, argmax window,
+    * quality gate, pack window — one hash compare over the full
+    * pipeline, which is the strongest end-to-end statement the
+    * driver's gate can make.
+    */
+  val q132 = Q("q132_curated_shards",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = curatedKept(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.join(kept, Seq("doc_id"))
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("shard",
+          graft.ops.Sampling.hashBucket(col("doc_id"), packShards))
+        .withColumn("chunk",
+          floor((sum("ntok").over(w) - col("ntok")) / 2048.0))
+        .groupBy("lang", "shard", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+        .orderBy("lang", "shard", "chunk")
+    },
+    Some(s"""WITH RECURSIVE $duckCuratedKeptCtes,
       |pk AS (SELECT lang, shard, doc_id, ntok,
       |  CAST(floor((sum(ntok) OVER (PARTITION BY lang, shard
       |     ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok)
@@ -2308,6 +2328,67 @@ object TextQueries {
       |  ${duckBucket("doc_id", packShards)} AS shard, doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
       | FROM documents),
+      |cum AS (SELECT lang, shard, doc_id, ntok,
+      |  CAST(sum(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+      | FROM base WHERE ntok > 0),
+      |sp AS (SELECT lang, shard, doc_id, e - ntok AS s0, e,
+      |  unnest(range((e - ntok) // 2048, (e - 1) // 2048 + 1)) AS seq
+      | FROM cum)
+      |SELECT lang, shard, seq, doc_id,
+      | greatest(CAST(0 AS BIGINT), seq * 2048 - s0) AS tok_from,
+      | least(e, (seq + 1) * 2048) - s0 AS tok_to
+      |FROM sp ORDER BY lang, shard, seq, doc_id""".stripMargin))
+
+  /** The release artifact a packer actually EXECUTES: q133's
+    * split-aware cut list computed over q132's CURATED corpus — the
+    * two ship-it compositions composed. The gate ([[curatedKept]]:
+    * stored labels → quality argmax → classifier ≥ 0.5) decides
+    * which docs exist; the survivors' token streams concatenate per
+    * (lang, shard) and cut every 2048 tokens, docs straddling a
+    * boundary split across sequences with token-exact
+    * `[tok_from, tok_to)` spans. Together with q132's manifest this
+    * is what a training-data release ships. Scale shape: the gate's
+    * stages are each their standalone query's budget-pinned shape,
+    * the packing adds ONE hash-sharded window + a codegen'd explode
+    * — no corpus-global ordering anywhere, integral `div` keeps
+    * offsets exact at 100 TB stream lengths. The oracle recomputes
+    * the WHOLE chain — recursive-CTE components, classifier, argmax,
+    * gate, cumulative spans — as one hash-compared statement, the
+    * strongest end-to-end check the driver's gate can make.
+    */
+  val q137 = Q("q137_curated_pack_spans",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, dir, "documents")
+        .join(curatedKept(s, dir), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        .filter(col("ntok") > 0)
+        .withColumn("shard",
+          graft.ops.Sampling.hashBucket(col("doc_id"), packShards))
+        .withColumn("e", sum("ntok").over(w))
+        .withColumn("s0", col("e") - col("ntok"))
+        .select(col("lang"), col("shard"), col("doc_id"), col("s0"),
+          col("e"),
+          explode(sequence(expr("s0 div 2048"),
+            expr("(e - 1) div 2048"))).as("seq"))
+        .select(col("lang"), col("shard"), col("seq"), col("doc_id"),
+          greatest(lit(0L), col("seq") * 2048 - col("s0"))
+            .as("tok_from"),
+          (least(col("e"), (col("seq") + 1) * 2048) - col("s0"))
+            .as("tok_to"))
+        .orderBy("lang", "shard", "seq", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE $duckCuratedKeptCtes,
+      |base AS (SELECT d.lang,
+      |  ${duckBucket("d.doc_id", packShards)} AS shard, d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+      | FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
       |cum AS (SELECT lang, shard, doc_id, ntok,
       |  CAST(sum(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
@@ -2403,5 +2484,5 @@ object TextQueries {
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135)
+      q135, q137)
 }

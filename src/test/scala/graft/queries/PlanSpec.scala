@@ -236,6 +236,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q136: batch hybrid fusion ranks in bounded windows, no corpus-global sort") {
+    // the serving-scale claim: both corpus-wide reductions are
+    // distributed partial top-k (TakeOrderedAndProject), every
+    // ranking window partitions by query id over <= 70-row frames —
+    // the ONLY range exchange allowed is the final ~|queries|-row
+    // output ordering
+    val p = plan(SimilarityQueries.q136).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1, p)
+  }
+
   test("q129: drift report is a broadcast join of two store scans, ZERO shuffles") {
     // same footing as q128: both snapshot frames are one row per
     // source, the old side is explicitly broadcast — the report must
