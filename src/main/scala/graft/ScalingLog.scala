@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * generators ([[Scaling]] — untiered batch rows at the file head,
   * [[StreamScaling]] — `tier:"streaming"`, [[SkewScaling]] —
   * `tier:"skew"`, [[StreamReplay]] — `tier:"streaming_replay"`,
-  * [[IncrementalScaling]] — `tier:"incremental"`).
+  * [[IncrementalScaling]] — `tier:"incremental"`,
+  * [[RewriteScaling]] — `tier:"rewrite"`).
   *
   * Each generator owns ONE slice, selected by an exact-match
   * predicate; a regeneration keeps every other line byte-identical

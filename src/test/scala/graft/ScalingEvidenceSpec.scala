@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * TIERS. Each dev-run generator (graft.Scaling — untiered batch
   * rows, graft.StreamScaling — `tier:"streaming"`, graft.SkewScaling
   * — `tier:"skew"`, graft.StreamReplay — `tier:"streaming_replay"`,
-  * graft.IncrementalScaling — `tier:"incremental"`)
+  * graft.IncrementalScaling — `tier:"incremental"`,
+  * graft.RewriteScaling — `tier:"rewrite"`)
   * owns a slice of the file and rewrites it with read-filter-rewrite;
   * round 9 silently lost the streaming rows in exactly that dance.
   * If a committed tier's rows vanish from a regeneration, `sbt test`
@@ -30,7 +31,7 @@ class ScalingEvidenceSpec extends AnyFunSuite {
   }
 
   for ((tier, minRows) <- Seq("skew" -> 8, "streaming" -> 1,
-      "streaming_replay" -> 8, "incremental" -> 12)) {
+      "streaming_replay" -> 8, "incremental" -> 12, "rewrite" -> 4)) {
     test(s"""tier "$tier" rows present (>= $minRows)""") {
       val n = lines.count(_.contains(s""""tier":"$tier","""))
       assert(n >= minRows,
