@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * the analytics-side sibling of `graft.ark.Demo`: one lazy pipeline
   * per stage, every stage an operator the oracle battery already
   * hash-checks individually (q117 → q43 → q121 → q119 → q120, then
-  * the q127/q129 monitoring arc), with the cross-stage invariants
-  * asserted here because they only exist in composition. Run:
+  * the q127/q129 monitoring arc and the q125/q126 serving-layout arc
+  * with its delta-update + compaction loop), with the cross-stage
+  * invariants asserted here because they only exist in composition.
+  * Run:
   *
   *   sbt -batch "runMain graft.CurationDemo [sfDir]"
   *
@@ -118,6 +120,33 @@ object CurationDemo {
       s"update law broken: $updTotals vs rebuild $rbTotals")
     log("monitoring: drift read from stored sketches; batch-update " +
       "counters exactly equal a full rebuild")
+
+    // 7. the serving-layout arc (q125/q126 + the compaction path):
+    //    build the label store on "yesterday's" half, compact it to
+    //    the bucketed serving layout, fold today's batch in as a
+    //    DELTA (the base stays immutable), serve a zero-exchange-
+    //    shaped label join through labelJoin, then compact the delta
+    //    back in — the full maintain-while-serving loop
+    val curDir = java.nio.file.Files
+      .createTempDirectory("curate-labels").toString
+    val plainStore = ops.CurationStore.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", curDir)
+    val served = ops.CurationStore.compact(spark, plainStore, 8)
+    ops.CurationStore.update(served,
+      docs.filter(col("doc_id") % 2 === 1), "text",
+      batchId = Some("demo-batch-1"))
+    val viaJoin = ops.CurationStore.labelJoin(
+      docs.select("doc_id"), served).count()
+    val viaLabels = served.labels(spark).count()
+    require(viaJoin == viaLabels,
+      s"labelJoin rows $viaJoin != effective labels $viaLabels")
+    val compacted = ops.CurationStore.compact(spark, served, 8)
+    require(compacted.labels(spark).count() == viaLabels,
+      "compaction must not change the label map")
+    log(s"serving layout: bucketed base + $viaLabels labels maintained " +
+      "through a delta update and re-compaction, joins base-bucketed")
+    compacted.labelsTable.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     log("OK — every stage is the oracle-checked operator, composed")
     spark.stop()
