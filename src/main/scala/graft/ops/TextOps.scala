@@ -185,6 +185,52 @@ object TextOps {
       }.toDF(idCol, "fp")
   }
 
+  /** Gopher-style n-gram repetition stats, one row per doc:
+    * (id, group, n_chars, top2_chars, dup3_chars) where
+    * `top2_chars` = max over word-2-grams of count·len(gram) (the
+    * "characters in the most frequent n-gram" signal) and
+    * `dup3_chars` = Σ over word-3-grams with count>1 of
+    * count·len(gram) (the "characters in duplicated n-grams"
+    * signal). Both numerators are EXACT integers — downstream flags
+    * compare `k·numerator > n_chars` so no float boundary ever
+    * decides a flag. Counting each doc's gram multiset is
+    * partition-local (the doc is the unit); one typed pass emits a
+    * single row per doc, the same hot-path shape as
+    * [[Dedup.shingleRows]] and minhashSignatures — zero shuffles
+    * here, the caller's per-group rollup is the only exchange.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(groupCol), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, grp, text) =>
+          val t = if (text == null) Array.empty[String]
+                  else text.split(" ", -1)
+          def gramChars(k: Int): scala.collection.mutable.HashMap[String, Long] = {
+            val m = new scala.collection.mutable.HashMap[String, Long]
+            var i = 0
+            while (i <= t.length - k) {
+              val g = t.slice(i, i + k).mkString(" ")
+              m.update(g, m.getOrElse(g, 0L) + 1L)
+              i += 1
+            }
+            m
+          }
+          val top2 = if (t.length < 2) 0L
+            else gramChars(2).iterator
+              .map { case (g, c) => c * g.length }.max
+          val dup3 = if (t.length < 3) 0L
+            else gramChars(3).iterator
+              .collect { case (g, c) if c > 1 => c * g.length }.sum
+          (id, grp, if (text == null) 0L else text.length.toLong,
+            top2, dup3)
+        }
+      }.toDF(idCol, groupCol, "n_chars", "top2_chars", "dup3_chars")
+  }
+
   /** Non-overlapping `w`-word chunks with their 0-based index — the
     * unit of chunk-level (paragraph-style) dedup: (id, idx, md5(chunk
     * text)). The trailing partial chunk is kept. Typed mapPartitions

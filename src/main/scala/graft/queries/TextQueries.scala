@@ -2478,11 +2478,189 @@ object TextQueries {
       | n_batch_labeled, n_batch_joined_history
       |FROM os, bs, bj""".stripMargin))
 
+  /** Gopher-style n-gram repetition profile — the n-GRAM half of the
+    * repetition rules (q111's C4 chain covers the token-level half:
+    * max-token fraction and type/token diversity). Per doc, two exact
+    * integer signals from [[graft.ops.TextOps.repetitionStats]]'s
+    * single partition-local pass: characters in the most frequent
+    * word-2-gram (count·len, maximized over grams) and characters in
+    * duplicated word-3-grams (Σ count·len over grams with count>1).
+    * Rolled up per source: flag counts at the Gopher-shaped cuts
+    * (top-2-gram > 10% of chars; duplicated 3-grams > 5% of chars),
+    * decided by INTEGER cross-multiplication (`top2·10 > n_chars`) so
+    * no float boundary ever flips a flag between engines, plus the
+    * corpus-level char-weighted fractions (ratios of exact BIGINT
+    * sums, rounded once). Scale shape: the gram multisets never
+    * leave their task — one row per doc out, ONE source-keyed
+    * exchange total; at 100 TB this is a map-side pass like q21.
+    */
+  val q138 = Q("q138_gopher_repetition",
+    (s, dir) => TextOps.repetitionStats(
+        table(s, dir, "documents"), "doc_id", "source", "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top2_chars") * 10 > col("n_chars"), 1L)
+          .otherwise(0L)).as("flagged_top2"),
+        sum(when(col("dup3_chars") * 20 > col("n_chars"), 1L)
+          .otherwise(0L)).as("flagged_dup3"),
+        round(sum("top2_chars").cast("double") / sum("n_chars"), 6)
+          .as("top2_frac"),
+        round(sum("dup3_chars").cast("double") / sum("n_chars"), 6)
+          .as("dup3_frac"))
+      .orderBy("source"),
+    Some("""WITH t AS (SELECT doc_id, source, length(text) AS nc,
+      |  string_split(text, ' ') AS tk FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |  i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)))
+      |  AS g FROM t WHERE len(tk) >= 2),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id, max(c * length(g)) AS top2 FROM c2
+      | GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |  i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)
+      |    || ' ' || list_extract(tk, i + 2)))
+      |  AS g FROM t WHERE len(tk) >= 3),
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |m3 AS (SELECT doc_id,
+      |  coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0)
+      |    AS dup3 FROM c3 GROUP BY doc_id),
+      |d AS (SELECT t.doc_id, t.source, t.nc,
+      |  coalesce(m2.top2, 0) AS top2, coalesce(m3.dup3, 0) AS dup3
+      | FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN top2 * 10 > nc THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS flagged_top2,
+      | CAST(sum(CASE WHEN dup3 * 20 > nc THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS flagged_dup3,
+      | round(CAST(sum(top2) AS DOUBLE) / sum(nc), 6) AS top2_frac,
+      | round(CAST(sum(dup3) AS DOUBLE) / sum(nc), 6) AS dup3_frac
+      |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Benchmark decontamination ATTRIBUTION at the 13-gram standard —
+    * the companion to q55's flagging pass: q55 answers "is this
+    * training doc contaminated?" (3-gram overlap count vs a
+    * threshold); this answers the question an eval-integrity
+    * postmortem asks next — WHICH eval docs leaked into it, at the
+    * n = 13 the published decontamination recipes use (3-grams
+    * collide naturally in prose; 13-grams only on real leakage).
+    * The corpus is clean word salad, so contamination is PLANTED
+    * by doc id (the q46/q109 fixture convention): eval docs
+    * (doc_id % 97 = 0) and flagged train docs (doc_id % 31 = 0) get
+    * a 14-token canary sentence appended whose variant is
+    * doc_id % 5 — each canary contributes exactly two 13-grams, and
+    * only same-variant train/eval pairs collide (grams straddling
+    * the doc/canary boundary carry the doc's own unique suffix).
+    * Emits one row per CONTAMINATED train doc: how many eval docs it
+    * hits and how many distinct shingles collide. Scale shape: the
+    * eval side is tiny by construction (real benchmarks are a few
+    * hundred k docs), so its shingles BROADCAST — the 100 TB corpus
+    * side is one partition-local shingling pass ([[
+    * graft.ops.Dedup.shingleRows]]) into a map-side hash join, then
+    * one doc-keyed aggregation; no corpus-keyed shuffle of the
+    * shingle stream. A production run would hash each gram to 8
+    * bytes (xxhash64) before the join; strings are kept here so the
+    * oracle reproduces the grams verbatim.
+    */
+  val q139 = {
+    val canaryTail =
+      " alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    Q("q139_decontamination",
+      (s, dir) => {
+        val canary = concat(lit(" benchmark canary v"),
+          (col("doc_id") % 5).cast("string"), lit(canaryTail))
+        val aug = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 97 === 0 || col("doc_id") % 31 === 0,
+              canary).otherwise(lit(""))).as("ptext"))
+        val sh = Dedup.shingleRows(aug, "doc_id", "ptext", 13)
+        val ev = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eid"), col("s"))
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ev), "s")
+          .groupBy("doc_id")
+          .agg(countDistinct("eid").as("eval_docs"),
+            countDistinct("s").as("shingles_hit"))
+          .orderBy("doc_id")
+      }, {
+        val g13 = (0 until 13).map {
+          case 0 => "list_extract(t, i)"
+          case j => s"list_extract(t, i + $j)"
+        }.mkString(" || ' ' || ")
+        Some(s"""WITH a AS (SELECT doc_id, text || CASE
+          |  WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+          |  THEN ' benchmark canary v' || CAST(doc_id % 5 AS VARCHAR)
+          |    || '$canaryTail'
+          |  ELSE '' END AS ptext FROM documents),
+          |tt AS (SELECT doc_id, string_split(ptext, ' ') AS t FROM a),
+          |sh AS (SELECT DISTINCT doc_id, s FROM (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
+          |    i -> $g13)) AS s FROM tt WHERE len(t) >= 13)),
+          |ev AS (SELECT doc_id AS eid, s FROM sh WHERE doc_id % 97 = 0),
+          |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+          |SELECT tr.doc_id,
+          | CAST(count(DISTINCT ev.eid) AS BIGINT) AS eval_docs,
+          | CAST(count(DISTINCT tr.s) AS BIGINT) AS shingles_hit
+          |FROM tr JOIN ev ON ev.s = tr.s
+          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)
+      })
+  }
+
+  /** Temperature-based source mixture reweighting — the SHIPPING
+    * variant of q78's recipe: q78 reweights per-language DOC counts
+    * (and normalizes through a float sum whose 6-decimal rounding
+    * absorbs partial-agg order); this one is denominated in TOKENS
+    * (the unit a training budget is actually written in), emits the
+    * budget slice and epoch factor a dataloader consumes, and keeps
+    * every step exact. Per-source sampling weight ∝ tokens^α with
+    * α = 1/2, which upweights small sources toward uniform without
+    * drowning the head. α = 1/2 specifically because it makes the
+    * WHOLE schedule exact: sw = ⌊√tokens⌋ is an exact
+    * integer for any corpus size (IEEE sqrt is correctly rounded and
+    * token counts sit far below 2^52), the normalizer Σsw is an
+    * exact BIGINT sum — no float-sum order sensitivity between
+    * engines — and the per-source token budget is integer arithmetic
+    * (`sw·B div Σsw`). Emits per source: exact token count, weight,
+    * the slice of a 1M-token budget, and the implied epochs over the
+    * source (oversampling factor — > 1 means the schedule repeats
+    * the source). One aggregation + a broadcast of the 1-row total:
+    * at 100 TB this is the q20 token-stats pass with 20 more rows of
+    * arithmetic on top.
+    */
+  val q140 = Q("q140_mixture_temperature",
+    (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+          .as("toks"))
+        .withColumn("sw", floor(sqrt(col("toks"))).cast("long"))
+      val tot = tok.agg(sum("sw").as("tot_sw"))
+      tok.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"),
+          round(col("sw").cast("double") / col("tot_sw"), 6)
+            .as("weight"),
+          expr("(sw * 1000000) div tot_sw").as("budget_tokens"),
+          round(expr("(sw * 1000000) div tot_sw").cast("double")
+            / col("toks"), 4).as("epochs"))
+        .orderBy("source")
+    },
+    Some("""WITH tok AS (SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      | FROM documents GROUP BY source),
+      |w AS (SELECT source, toks,
+      |  CAST(floor(sqrt(toks)) AS BIGINT) AS sw FROM tok),
+      |tot AS (SELECT CAST(sum(sw) AS BIGINT) AS tot_sw FROM w)
+      |SELECT source, toks,
+      | round(CAST(sw AS DOUBLE) / tot_sw, 6) AS weight,
+      | (sw * 1000000) // tot_sw AS budget_tokens,
+      | round(CAST((sw * 1000000) // tot_sw AS DOUBLE) / toks, 4)
+      |   AS epochs
+      |FROM w, tot ORDER BY source""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135, q137)
+      q135, q137, q138, q139, q140)
 }

@@ -746,6 +746,44 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("repetitionStats: exact gram-char arithmetic on hand-checked docs") {
+    val df = Seq(
+      (0L, "g", "a b a b a b"),   // "a b"×3,"b a"×2 → top2 = 3·3 = 9;
+                                  // "a b a"×2 + "b a b"×2 → dup3 = 20
+      (1L, "g", "x y z"),         // no repeats: top2 = 3, dup3 = 0
+      (2L, "g", "hello"),         // < 2 tokens → both 0
+      (3L, "g", ""))              // split("", -1) = [""] → both 0
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((11L, 9L, 20L)))
+    assert(out(1L) == ((5L, 3L, 0L)))
+    assert(out(2L) == ((5L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("repetitionStats matches a plain-Scala recompute on the corpus") {
+    def brute(text: String): (Long, Long, Long) = {
+      val t = text.split(" ", -1)
+      def counts(k: Int) = (0 to t.length - k)
+        .map(i => t.slice(i, i + k).mkString(" "))
+        .groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+      val top2 = if (t.length < 2) 0L
+        else counts(2).map { case (g, c) => c * g.length }.max
+      val dup3 = if (t.length < 3) 0L
+        else counts(3).collect { case (g, c) if c > 1 => c * g.length }.sum
+      (text.length.toLong, top2, dup3)
+    }
+    val expect = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> brute(r.getString(1))).toMap
+    val got = TextOps.repetitionStats(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    assert(got.values.exists(_._3 > 0), "corpus should contain repeats")
+  }
+
   test("decontaminate flags docs sharing n-grams with the eval slice") {
     val df = Seq(
       (7L, "alpha beta gamma delta epsilon"), // eval (pred: id % 100 == 7)
