@@ -29,7 +29,10 @@ object Scaling {
       "q120_weighted_sample", "q121_dedup_best_of_cluster",
       "q123_ngram_novelty", "q124_mirror_report",
       "q132_curated_shards", "q133_pack_spans", "q134_hybrid_rrf",
-      "q135_label_churn")
+      "q135_label_churn", "q136_hybrid_ann_batch",
+      "q137_curated_pack_spans", "q138_gopher_repetition",
+      "q139_decontamination", "q140_mixture_temperature",
+      "q141_multimodal_pack")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.

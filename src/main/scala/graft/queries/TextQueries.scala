@@ -2656,11 +2656,96 @@ object TextQueries {
       |   AS epochs
       |FROM w, tot ORDER BY source""".stripMargin))
 
+  /** Sequence packing under a MULTIMODAL cost model — what a
+    * vision-language trainer's packer runs: each example's stream is
+    * its images' patch tokens (a FIXED 64 per image, the ViT
+    * convention of charging images a constant token budget) followed
+    * by its text tokens, streams concatenate per (lang, shard) and
+    * cut every 2048 exactly as q133. Image attachment is planted by
+    * doc id (the fixture convention): doc_id % 4 = 0 carries two
+    * images, % 4 = 2 one, else text-only. Emits per (doc, sequence)
+    * overlap: how many IMAGE tokens the sequence takes, the doc-local
+    * TEXT span `[tok_from, tok_to)`, and `img_cut` — whether the
+    * sequence's start boundary lands strictly inside an image's
+    * token block. Images are atomic at training time, so img_cut is
+    * the packer's QA signal: its count is what tells you to pad or
+    * pick a budget divisible by the image cost. Every quantity is
+    * integer arithmetic on the cumulative offsets (same integral-div
+    * discipline as q133 — exact at 100 TB stream lengths); the plan
+    * is the identical 1-window + codegen'd explode shape.
+    */
+  val q141 = {
+    val imgTok = 64L; val budget = 2048L
+    Q("q141_multimodal_pack",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        table(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("ntok"),
+            when(col("doc_id") % 4 === 0, 2L)
+              .when(col("doc_id") % 4 === 2, 1L)
+              .otherwise(0L).as("nimg"))
+          .withColumn("cost", col("ntok") + col("nimg") * imgTok)
+          .filter(col("cost") > 0)
+          .withColumn("shard",
+            graft.ops.Sampling.hashBucket(col("doc_id"), packShards))
+          .withColumn("e", sum("cost").over(w))
+          .withColumn("s0", col("e") - col("cost"))
+          .withColumn("t0", col("s0") + col("nimg") * imgTok)
+          .select(col("lang"), col("shard"), col("doc_id"), col("s0"),
+            col("e"), col("t0"),
+            explode(sequence(expr(s"s0 div $budget"),
+              expr(s"(e - 1) div $budget"))).as("seq"))
+          .withColumn("tf", greatest(col("s0"), col("seq") * budget))
+          .withColumn("tt", least(col("e"), (col("seq") + 1) * budget))
+          .select(col("lang"), col("shard"), col("seq"), col("doc_id"),
+            greatest(lit(0L), least(col("tt"), col("t0")) - col("tf"))
+              .as("img_tokens"),
+            (greatest(col("tf"), col("t0")) - col("t0")).as("tok_from"),
+            (greatest(col("tt"), col("t0")) - col("t0")).as("tok_to"),
+            (col("tf") > col("s0") && col("tf") < col("t0") &&
+              (col("tf") - col("s0")) % imgTok =!= 0).cast("int")
+              .as("img_cut"))
+          .orderBy("lang", "shard", "seq", "doc_id")
+      },
+      Some(s"""WITH base AS (SELECT lang,
+        |  ${duckBucket("doc_id", packShards)} AS shard, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2
+        |    WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS BIGINT) AS nimg
+        | FROM documents),
+        |cum AS (SELECT lang, shard, doc_id, nimg,
+        |  ntok + nimg * $imgTok AS cost,
+        |  CAST(sum(ntok + nimg * $imgTok) OVER (
+        |    PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        | FROM base WHERE ntok + nimg * $imgTok > 0),
+        |sp AS (SELECT lang, shard, doc_id, e - cost AS s0, e,
+        |  e - cost + nimg * $imgTok AS t0,
+        |  unnest(range((e - cost) // $budget, (e - 1) // $budget + 1))
+        |    AS seq
+        | FROM cum),
+        |ov AS (SELECT lang, shard, seq, doc_id, s0, e, t0,
+        |  greatest(s0, seq * $budget) AS tf,
+        |  least(e, (seq + 1) * $budget) AS tt FROM sp)
+        |SELECT lang, shard, seq, doc_id,
+        | greatest(CAST(0 AS BIGINT), least(tt, t0) - tf) AS img_tokens,
+        | greatest(tf, t0) - t0 AS tok_from,
+        | greatest(tt, t0) - t0 AS tok_to,
+        | CAST(tf > s0 AND tf < t0 AND (tf - s0) % $imgTok <> 0 AS INT)
+        |   AS img_cut
+        |FROM ov ORDER BY lang, shard, seq, doc_id""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135, q137, q138, q139, q140)
+      q135, q137, q138, q139, q140, q141)
 }
