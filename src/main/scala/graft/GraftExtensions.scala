@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in AQP: count(DISTINCT x) → HLL sketch estimate, flag-gated
     // inside the rule itself so registration is unconditional
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // whole-operator extension: plans AsOfJoinPlan (ops.AsOf
+    // .asofJoinNative) into the merge-walk AsOfJoinExec; a no-op on
+    // every other plan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

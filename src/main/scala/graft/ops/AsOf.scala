@@ -47,6 +47,25 @@ object AsOf {
     asofJoinImpl(left, right, keyCol, timeCol, rightTiebreak,
       forward = true)
 
+  /** NATIVE backward as-of join — same semantics as [[asofJoin]] on
+    * non-null keys/times, executed by the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]: key-clustered, time-sorted
+    * merge walk, O(1) state per key) instead of the union + window
+    * composition. Prefer this form at scale — the window buffers a
+    * hot key's whole frame, the merge walk never holds more than one
+    * candidate row; see AsOfJoinPlan's scaladoc for the one
+    * null-time divergence. `tiebreak` names right-side columns (must
+    * exist on `right`) ordering ties on (key, time); the LAST in
+    * ascending tiebreak order is carried, matching [[asofJoin]].
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tiebreak: Seq[String] = Nil): DataFrame = {
+    val shims = org.apache.spark.sql.graft.Shims
+    shims.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(shims.logicalPlan(left),
+        shims.logicalPlan(right), keyCol, timeCol, tiebreak))
+  }
+
   private def asofJoinImpl(left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String, rightTiebreak: Seq[Column],
       forward: Boolean): DataFrame = {

@@ -1,0 +1,202 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+
+/** Native backward AS-OF join — the whole-operator extension point
+  * exercised end to end: a custom logical node ([[AsOfJoinPlan]]), a
+  * planner [[SparkStrategy]] ([[AsOfJoinStrategy]], injected via
+  * `GraftExtensions`) and a physical [[AsOfJoinExec]] that
+  * merge-walks the two key-clustered, time-sorted children — the
+  * execution shape native time-series engines (kdb, QuestDB, Flink's
+  * temporal join) give this operator.
+  *
+  * The composed alternative ([[graft.ops.AsOf.asofJoin]], q33) is
+  * union → one window over (key, time, side) → struct-carry →
+  * filter: semantically identical, but it materializes the union,
+  * sorts BOTH sides together in each key partition's window buffer
+  * and carries a payload struct per row. The native operator sorts
+  * each side separately (smaller runs), streams both sorted
+  * iterators once with O(1) state per key (the latest matching right
+  * row), and emits left ⋈ payload directly — no union row growth, no
+  * window state, no struct churn. Shuffle volume is the same (both
+  * plans cluster both sides by key once); the win is the sort/window
+  * memory profile and the per-row work, which is what matters when
+  * the window buffer for a hot key stops fitting at 100 TB.
+  *
+  * Semantics (deliberately SQL-flavored, matching DuckDB `ASOF LEFT
+  * JOIN` and the q33 oracle): for each left row, the LAST right row
+  * in (time, tiebreak) order with equal key and `rightTime <=
+  * leftTime`; unmatched lefts keep null payloads. A NULL key or NULL
+  * left time never matches; a NULL right time never matches either —
+  * note this last point is where the operator is STRICTER than the
+  * window composition (whose nulls-first carry would match a
+  * null-time right row); AsOfPlanSpec pins both the equality on
+  * non-null times and this divergence explicitly.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    keyCol: String, timeCol: String,
+    tiebreakCols: Seq[String] = Nil) extends BinaryNode {
+
+  private def find(side: LogicalPlan, name: String): Attribute = {
+    val hits = side.output.filter(_.name == name)
+    require(hits.length == 1,
+      s"asof join: expected exactly one column named '$name', " +
+        s"found ${hits.length}")
+    hits.head
+  }
+
+  lazy val leftKey: Attribute = find(left, keyCol)
+  lazy val leftTime: Attribute = find(left, timeCol)
+  lazy val rightKey: Attribute = find(right, keyCol)
+  lazy val rightTime: Attribute = find(right, timeCol)
+
+  /** Right rows tied on (key, time) resolve to the LAST in tiebreak
+    * ASC order — the window composition's largest-last convention.
+    */
+  lazy val rightTiebreak: Seq[Attribute] = tiebreakCols.map(find(right, _))
+
+  /** Right payload = everything but the join key and time. */
+  lazy val rightPayload: Seq[Attribute] = right.output
+    .filterNot(a => a.exprId == rightKey.exprId ||
+      a.exprId == rightTime.exprId)
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  /** The node consumes EVERY child column (key, time and the whole
+    * payload), and says so: with the default (expression-derived,
+    * here empty) references, column pruning is free to strip child
+    * columns this operator reads positionally at execution —
+    * observed as the optimizer pruning the right key out from under
+    * the planner. Conservative by design: project before the join
+    * if the payload should narrow.
+    */
+  override def references: org.apache.spark.sql.catalyst.expressions
+      .AttributeSet =
+    org.apache.spark.sql.catalyst.expressions
+      .AttributeSet(left.output ++ right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; a no-op for every
+  * other node, so unconditional injection is safe.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKey, p.leftTime, p.rightKey, p.rightTime,
+        p.rightTiebreak, p.output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Merge-walk backward as-of join. Children arrive clustered by key
+  * (EnsureRequirements co-partitions the two ClusteredDistributions)
+  * and sorted by (key ASC, time ASC) — right-side ties on (key,
+  * time) stay in their sorted order, so "last wins" reproduces the
+  * window composition's largest-tiebreak convention when the caller
+  * pre-sorts ties. Per partition both iterators are consumed ONCE;
+  * per-key state is a single copied right row (the current best
+  * match), so memory is O(1) regardless of key skew — the window
+  * alternative buffers the hot key's whole frame.
+  */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute,
+    rightTiebreak: Seq[Attribute], output: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending))
+      ++ rightTiebreak.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val out = output
+    val (lk, lt, rk, rt) = (leftKey, leftTime, rightKey, rightTime)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val keyOrd = RowOrdering
+        .createNaturalAscendingOrdering(Seq(lk.dataType))
+      val timeOrd = RowOrdering
+        .createNaturalAscendingOrdering(Seq(lt.dataType))
+      // bind against NULLABLE right attrs: unmatched lefts join an
+      // all-null right row, and a non-nullable binding would read
+      // primitive slots as 0 instead of null
+      val proj = UnsafeProjection.create(out,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      var cur: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var best: InternalRow = null
+      var bestKey: InternalRow = null
+      lIter.map { l =>
+        val lkRow = lKeyProj(l)
+        if (lkRow.isNullAt(0)) {
+          joined(l, nullRight) // null key never matches
+        } else {
+          // a best carried from a previous (smaller) key is stale
+          if (best != null && keyOrd.compare(bestKey, lkRow) != 0) {
+            best = null; bestKey = null
+          }
+          val ltRow = lTimeProj(l)
+          var done = ltRow.isNullAt(0) // null left time never matches
+          while (!done && cur != null) {
+            val rkRow = rKeyProj(cur)
+            val c =
+              if (rkRow.isNullAt(0)) -1 // null right keys sort first
+              else keyOrd.compare(rkRow, lkRow)
+            if (c < 0) {
+              cur = if (rIter.hasNext) rIter.next() else null
+            } else if (c == 0) {
+              val rtRow = rTimeProj(cur)
+              if (rtRow.isNullAt(0)) {
+                // null right time: sorted first, never a match
+                cur = if (rIter.hasNext) rIter.next() else null
+              } else if (timeOrd.compare(rtRow, ltRow) <= 0) {
+                best = cur.copy(); bestKey = rkRow.copy()
+                cur = if (rIter.hasNext) rIter.next() else null
+              } else done = true
+            } else done = true
+          }
+          joined(l,
+            if (best != null && !ltRow.isNullAt(0)) best else nullRight)
+        }
+        numOutputRows += 1
+        proj(joined)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

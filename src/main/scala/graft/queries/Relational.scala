@@ -1134,9 +1134,43 @@ object Relational {
     },
     None)
 
+  /** q33's as-of join through the NATIVE operator
+    * ([[graft.ops.AsOf.asofJoinNative]]: custom logical node →
+    * injected SparkStrategy → merge-walk AsOfJoinExec) instead of
+    * the union + window composition — the same join, the same DuckDB
+    * `ASOF LEFT JOIN` oracle, a different physical engine. The exec
+    * consumes both key-clustered time-sorted sides ONCE with O(1)
+    * state per key (the window alternative buffers each key's whole
+    * frame), so this is the shape that survives a hot key at 100 TB;
+    * AsOfPlanSpec pins value equality with q33's operator, the
+    * null-semantics contract, and the plan (AsOfJoinExec, two
+    * clustered exchanges, no window).
+    */
+  val q142 = Q("q142_asof_native",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOf.asofJoinNative(purchases, clicks, "user_id", "ts",
+        tiebreak = Seq("click_value"))
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+      | c.value AS click_value
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+      |      WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
       q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105,
-      q122, q130)
+      q122, q130, q142)
 }

@@ -14,6 +14,24 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — how a custom logical node like
+    * `graft.plans.AsOfJoinPlan` enters the public Dataset API.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame — the child a
+    * custom logical node composes over.
+    */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
   /** Drain the async listener bus so task metrics collected by a
     * SparkListener are complete before reading them (`listenerBus` is
     * `private[spark]`; used by the graft.Scaling artifact generator).
