@@ -61,9 +61,10 @@ object AsOf {
   def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, tiebreak: Seq[String] = Nil): DataFrame = {
     val shims = org.apache.spark.sql.graft.Shims
-    shims.ofRows(left.sparkSession,
-      graft.plans.AsOfJoinPlan(shims.logicalPlan(left),
-        shims.logicalPlan(right), keyCol, timeCol, tiebreak))
+    val node = graft.plans.AsOfJoinPlan(shims.logicalPlan(left),
+      shims.logicalPlan(right), keyCol, timeCol, tiebreak)
+    node.validateTypes() // fail-fast; the strategy re-checks
+    shims.ofRows(left.sparkSession, node)
   }
 
   private def asofJoinImpl(left: DataFrame, right: DataFrame,

@@ -85,7 +85,12 @@ object CurationStore {
       * union frame directly.
       */
     def labels(s: SparkSession): DataFrame = {
-      val base = labelsTable.map(s.table)
+      // catalog fallback: inside compact()'s re-registration window
+      // the table is deliberately absent (dropped BEFORE the file
+      // commit so stale bucket metadata can never describe new
+      // files) — reading the files directly loses only the bucket
+      // DISTRIBUTION (a plan property), never rows
+      val base = labelsTable.filter(s.catalog.tableExists).map(s.table)
         .getOrElse(s.read.parquet(s"$dir/labels"))
       deltaIfAny(s) match {
         case None => base
@@ -224,9 +229,6 @@ object CurationStore {
       numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
       maxBucketSize: Long = Long.MaxValue,
       batchId: Option[String] = None): Store = {
-    require(batchId.forall(_.nonEmpty),
-      "batchId, when defined, must be non-empty (the empty string is " +
-        "the marker's encoding of 'no idempotence key')")
     val spark = newDocs.sparkSession
     val idCol = store.idCol
     val hconf = spark.sessionState.newHadoopConf()
@@ -243,45 +245,14 @@ object CurationStore {
     // compactions — the delta carries every label that differs)
     val commitDir =
       if (store.labelsTable.isDefined) store.deltaDir else labelsDir
-    // a prior update may have died inside its commit swap — heal the
-    // stage before reading it, or the re-run fails at the scan below
-    StageSwap.recover(spark, commitDir)
-    // settle a crashed predecessor (UpdateMarker protocol): decide
-    // commitment off the label stage's listing — rollback restored
-    // the snapshotted names, a committed swap replaced them
-    val marker = UpdateMarker.markerPath(store.dir)
-    UpdateMarker.read(fs, marker).foreach { prior =>
-      val committed = files(commitDir) !=
-        prior.listings.getOrElse("labels", Set.empty[String])
-      if (!committed) {
-        // crashed before the commit: drop the partial appends so the
-        // re-run's before/after file diffs start from clean stages
-        (files(sigDir) --
-          prior.listings.getOrElse("sig", Set.empty[String]))
-          .foreach(f => StageSwap.remove(fs,
-            new org.apache.hadoop.fs.Path(f)))
-        (files(pairsDir) --
-          prior.listings.getOrElse("pairs", Set.empty[String]))
-          .foreach(f => StageSwap.remove(fs,
-            new org.apache.hadoop.fs.Path(f)))
-        spark.catalog.refreshByPath(sigDir)
-        spark.catalog.refreshByPath(pairsDir)
-      }
-      if (committed && prior.batchId.nonEmpty)
-        UpdateMarker.writeApplied(fs, store.dir, prior.batchId)
-      UpdateMarker.delete(fs, marker)
-      if (committed && batchId.isDefined && prior.batchId == batchId.get)
-        return store // this very batch already applied — no-op
-    }
-    // the durable applied record catches the replay a deleted marker
-    // cannot: committed, marker gone, caller never acknowledged
-    if (batchId.isDefined &&
-        UpdateMarker.readApplied(fs, store.dir) == batchId)
-      return store
-    UpdateMarker.write(fs, marker, UpdateMarker.State(
-      batchId.getOrElse(""),
-      Map("sig" -> files(sigDir), "pairs" -> files(pairsDir),
-        "labels" -> files(commitDir))))
+    // heal + settle + replay-check + fresh marker: the ONE shared
+    // protocol definition ([[UpdateMarker.settle]]); `labels` is the
+    // commit stage, sig/pairs are the append-only sides whose
+    // partial files a pre-commit crash leaves behind
+    if (UpdateMarker.settle(spark, fs, store.dir, "labels",
+        Map("sig" -> sigDir, "pairs" -> pairsDir,
+          "labels" -> commitDir), batchId))
+      return store // this very batch already applied — no-op
 
     // stage 1 — shingle ONLY the batch, append; the before/after file
     // diff recovers the appended rows as a COLUMNAR READ so no stage
@@ -334,7 +305,7 @@ object CurationStore {
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
-    UpdateMarker.delete(fs, marker)
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store
   }
 
@@ -349,11 +320,15 @@ object CurationStore {
     * Crash discipline: the staged bucketed files commit through the
     * same [[StageSwap]] rename protocol as every stage write — a
     * crash mid-compact leaves the old layout readable and a re-run
-    * completes. The CATALOG re-registration after the file commit is
-    * metadata-only and re-runnable (re-invoke `compact` — it is
-    * idempotent on an already-compacted store); at cluster scale
-    * that registration is the metastore update a maintenance window
-    * performs, not part of the data path.
+    * completes. The catalog entry is dropped BEFORE the file commit
+    * and re-created after it, so no crash point leaves bucket
+    * metadata describing files of a different layout; inside that
+    * window (and after any crash in it) `labels()`/`labelJoin()`
+    * fall back to scanning the files — correct rows, one extra
+    * exchange — and re-invoking `compact` completes the
+    * registration. At cluster scale that registration is the
+    * metastore update a maintenance window performs, not part of
+    * the data path.
     */
   def compact(s: SparkSession, store: Store, buckets: Int): Store = {
     require(buckets > 0, "buckets must be positive")
@@ -372,13 +347,20 @@ object CurationStore {
       .option("path", s"$labelsDir.next")
       .mode("overwrite").saveAsTable(staging)
     s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only; files stay
+    // drop the catalog entry BEFORE the file commit: between here
+    // and the CREATE below no table exists, so stale bucket
+    // metadata can never describe the new files (a crash after the
+    // swap with a CHANGED bucket count would otherwise hand
+    // consumers a false co-partitioning assumption); readers degrade
+    // to the labels()/labelJoin() file-scan fallback — correct rows,
+    // one extra exchange — until the re-registration lands
+    s.sql(s"DROP TABLE IF EXISTS $name")
     StageSwap.swapIn(s, labelsDir)          // commit point
     // the delta is folded into the new base — drop it, then point
     // the store's deterministic table name at the committed files
     // (bucket layout survives only through catalog metadata; the
     // bucket ids ride the part-file names the rename preserved)
     StageSwap.remove(fs, new org.apache.hadoop.fs.Path(store.deltaDir))
-    s.sql(s"DROP TABLE IF EXISTS $name")
     val schema = s.read.parquet(labelsDir).schema.toDDL
     s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
       s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
@@ -401,7 +383,11 @@ object CurationStore {
     val s = corpus.sparkSession
     val idCol = store.idCol
     store.labelsTable match {
-      case None => corpus.join(store.labels(s), idCol)
+      // the tableExists guard mirrors labels(): inside compact()'s
+      // re-registration window the join degrades to the plain-scan
+      // shape (one exchange) instead of failing
+      case t if t.filter(s.catalog.tableExists).isEmpty =>
+        corpus.join(store.labels(s), idCol)
       case Some(t) =>
         val base = s.table(t)
         store.deltaIfAny(s) match {

@@ -66,10 +66,18 @@ object StageSwap {
     *    roll BACK. The aside copy is restored as `dir`, the
     *    swapped-in or staged new stage is dropped. A re-run of the
     *    interrupted update is then exactly-once.
-    *  - `dir` and `dir.old` both missing, `dir.next` present: a first
-    *    materialization died between the renames; `.next` was fully
-    *    written before the swap started and there is no prior stage
-    *    to restore — finish the swap.
+    *  - `dir` and `dir.old` both missing, `dir.next` present WITH its
+    *    `_SUCCESS` marker: a first materialization died between the
+    *    renames; `.next` was fully written (every `.next` in this
+    *    repo comes from a Spark writer, whose job commit writes
+    *    `_SUCCESS` last) and there is no prior stage to restore —
+    *    finish the swap. WITHOUT `_SUCCESS` the `.next` is a write
+    *    that died MID-JOB-COMMIT (some part files moved, marker
+    *    never written) — promoting it would install a partial stage
+    *    and, worse, make the store-level marker settlement read the
+    *    partial listing as "committed"; it is dropped instead, so
+    *    the crashed first write heals to a no-op and the re-run is
+    *    exactly-once.
     *  - `dir` present alone (with or without a stale `dir.next` from
     *    a write that never reached its swap): nothing to do; a
     *    re-run overwrites `.next` anyway.
@@ -85,7 +93,12 @@ object StageSwap {
       remove(fs, next)
       spark.catalog.refreshByPath(dir)
     } else if (!fs.exists(cur) && fs.exists(next)) {
-      rename(fs, next, cur)
+      if (fs.exists(new Path(next, "_SUCCESS"))) {
+        rename(fs, next, cur)
+      } else {
+        // partial write (died mid-job-commit): drop, don't promote
+        remove(fs, next)
+      }
       spark.catalog.refreshByPath(dir)
     }
   }

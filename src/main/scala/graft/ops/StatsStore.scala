@@ -255,37 +255,16 @@ object StatsStore {
     */
   def update(store: Store, batch: DataFrame, textCol: String,
       sourceCol: String, batchId: Option[String] = None): Store = {
-    require(batchId.forall(_.nonEmpty),
-      "batchId, when defined, must be non-empty (the empty string is " +
-        "the marker's encoding of 'no idempotence key')")
     val spark = batch.sparkSession
     val statsDir = s"${store.dir}/stats"
     val fs = new org.apache.hadoop.fs.Path(store.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = UpdateMarker.markerPath(store.dir)
-    // a prior update may have died inside its swap — heal the stage
-    // before store.stats reads it, or the re-run fails at the scan
-    StageSwap.recover(spark, statsDir)
-    // settle a crashed predecessor: rollback restored the marker's
-    // exact file names, so listing-equality decides commitment
-    UpdateMarker.read(fs, marker).foreach { prior =>
-      val committed = UpdateMarker.listFiles(fs, statsDir) !=
-        prior.listings.getOrElse("stats", Set.empty[String])
-      if (committed && prior.batchId.nonEmpty)
-        UpdateMarker.writeApplied(fs, store.dir, prior.batchId)
-      UpdateMarker.delete(fs, marker)
-      if (committed && batchId.isDefined && prior.batchId == batchId.get)
-        return store // this very batch already applied — no-op
-    }
-    // the durable applied record catches the replay a deleted marker
-    // cannot: this batch committed, the marker is gone, but the
-    // caller never acknowledged (crash before its checkpoint write)
-    if (batchId.isDefined &&
-        UpdateMarker.readApplied(fs, store.dir) == batchId)
-      return store
-    UpdateMarker.write(fs, marker, UpdateMarker.State(
-      batchId.getOrElse(""),
-      Map("stats" -> UpdateMarker.listFiles(fs, statsDir))))
+    // heal + settle + replay-check + fresh marker: the ONE shared
+    // protocol definition ([[UpdateMarker.settle]]); `stats` is this
+    // store's only (and therefore commit) stage
+    if (UpdateMarker.settle(spark, fs, store.dir, "stats",
+        Map("stats" -> statsDir), batchId))
+      return store // this very batch already applied — no-op
     // null-safe join key: a null source is a legal (if unwelcome)
     // group, and plain equality would never match it to its stored
     // row — every update would append another forked null row
@@ -317,7 +296,7 @@ object StatsStore {
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
-    UpdateMarker.delete(fs, marker)
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store
   }
 

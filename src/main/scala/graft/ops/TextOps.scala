@@ -187,8 +187,11 @@ object TextOps {
 
   /** Gopher-style n-gram repetition stats, one row per doc:
     * (id, group, n_chars, top2_chars, dup3_chars) where
-    * `top2_chars` = max over word-2-grams of count·len(gram) (the
-    * "characters in the most frequent n-gram" signal) and
+    * `top2_chars` = count·len of the MOST FREQUENT word-2-gram (the
+    * "characters in the most frequent n-gram" signal; ties on count
+    * resolve to the longest tied gram, so the value is
+    * max(count)·max(len among top-count grams) — deterministic in
+    * both engines) and
     * `dup3_chars` = Σ over word-3-grams with count>1 of
     * count·len(gram) (the "characters in duplicated n-grams"
     * signal). Both numerators are EXACT integers — downstream flags
@@ -220,8 +223,13 @@ object TextOps {
             m
           }
           val top2 = if (t.length < 2) 0L
-            else gramChars(2).iterator
-              .map { case (g, c) => c * g.length }.max
+            else {
+              val m = gramChars(2)
+              val c = m.valuesIterator.max
+              c * m.iterator
+                .collect { case (g, cc) if cc == c => g.length.toLong }
+                .max
+            }
           val dup3 = if (t.length < 3) 0L
             else gramChars(3).iterator
               .collect { case (g, c) if c > 1 => c * g.length }.sum

@@ -70,6 +70,64 @@ object UpdateMarker {
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
   }
 
+  /** ONE definition of the entry-point settlement both stores run —
+    * the whole pre-update protocol (heal the commit stage, settle a
+    * crashed predecessor's marker, durable `_applied` replay check,
+    * fresh marker write) in a single place, because its correctness
+    * depends on [[StatsStore.update]] and [[CurationStore.update]]
+    * staying in exact lockstep (this file's `_applied` record had to
+    * be patched into both in parallel once already).
+    *
+    * `stages` maps marker stage names to their directories;
+    * `commitStage` names the one whose listing decides commitment
+    * (the stage the update's [[StageSwap.swapIn]] replaces); the
+    * remaining stages are append-only sides whose partial files from
+    * an uncommitted crash are dropped. Returns TRUE when `batchId`
+    * is already applied — the caller must return its store untouched
+    * — and FALSE when a fresh marker has been written and the update
+    * should proceed.
+    */
+  def settle(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      storeDir: String, commitStage: String,
+      stages: Map[String, String], batchId: Option[String]): Boolean = {
+    require(batchId.forall(_.nonEmpty),
+      "batchId, when defined, must be non-empty (the empty string is " +
+        "the marker's encoding of 'no idempotence key')")
+    // a prior update may have died inside its commit swap — heal the
+    // stage before reading it, or the listings below see a half-swap
+    StageSwap.recover(spark, stages(commitStage))
+    val marker = markerPath(storeDir)
+    def files(dir: String): Set[String] = listFiles(fs, dir)
+    val sameBatchApplied = read(fs, marker).map { prior =>
+      // rollback restored the snapshotted names, a committed swap
+      // replaced them — listing equality decides commitment
+      val committed = files(stages(commitStage)) !=
+        prior.listings.getOrElse(commitStage, Set.empty[String])
+      if (!committed) {
+        // crashed before the commit: drop the partial side-stage
+        // appends so the re-run's before/after diffs start clean
+        (stages - commitStage).foreach { case (name, dir) =>
+          (files(dir) -- prior.listings.getOrElse(name,
+              Set.empty[String]))
+            .foreach(f => StageSwap.remove(fs, new Path(f)))
+          spark.catalog.refreshByPath(dir)
+        }
+      }
+      if (committed && prior.batchId.nonEmpty)
+        writeApplied(fs, storeDir, prior.batchId)
+      delete(fs, marker)
+      committed && batchId.isDefined && prior.batchId == batchId.get
+    }.getOrElse(false)
+    // the durable applied record catches the replay a deleted marker
+    // cannot: committed, marker gone, caller never acknowledged
+    if (sameBatchApplied ||
+        (batchId.isDefined && readApplied(fs, storeDir) == batchId))
+      return true
+    write(fs, marker, State(batchId.getOrElse(""),
+      stages.map { case (n, d) => n -> files(d) }))
+    false
+  }
+
   /** Write the in-flight marker, FAILING if one already exists — the
     * single-writer guard: callers settle a crashed predecessor's
     * marker before writing their own, so an existing marker here

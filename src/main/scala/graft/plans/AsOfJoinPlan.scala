@@ -66,6 +66,29 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     .filterNot(a => a.exprId == rightKey.exprId ||
       a.exprId == rightTime.exprId)
 
+  /** Key/time types must MATCH across sides: the two
+    * ClusteredDistributions hash their own side's type (int 5 and
+    * long 5 hash differently — equal keys would land in different
+    * partitions) and the exec's orderings are built from the left
+    * types. A mismatch must be an error, not silently empty results —
+    * cast before joining. NOT a constructor require: plan
+    * CANONICALIZATION rebuilds the node over children whose attribute
+    * names are normalized away (observed via the cache manager's
+    * sameResult checks once other plans are cached), and an eager
+    * check would throw on that internal copy. Called by
+    * [[graft.ops.AsOf.asofJoinNative]] (fail-fast for the user) and
+    * by [[AsOfJoinStrategy]] (the safety net on the real plan).
+    */
+  def validateTypes(): Unit = {
+    val dtu = org.apache.spark.sql.catalyst.types.DataTypeUtils
+    require(dtu.sameType(leftKey.dataType, rightKey.dataType),
+      s"asof join: key '$keyCol' type mismatch — " +
+        s"left ${leftKey.dataType.sql} vs right ${rightKey.dataType.sql}")
+    require(dtu.sameType(leftTime.dataType, rightTime.dataType),
+      s"asof join: time '$timeCol' type mismatch — " +
+        s"left ${leftTime.dataType.sql} vs right ${rightTime.dataType.sql}")
+  }
+
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
 
@@ -93,6 +116,7 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
+      p.validateTypes()
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.leftTime, p.rightKey, p.rightTime,
         p.rightTiebreak, p.output) :: Nil

@@ -2170,7 +2170,8 @@ object TextQueries {
       |     / n.distinct_fp END, 4) AS novelty
       |FROM n
       |FULL JOIN o ON o.source IS NOT DISTINCT FROM n.source
-      |LEFT JOIN nv ON nv.source IS NOT DISTINCT FROM n.source
+      |LEFT JOIN nv ON n.docs_new IS NOT NULL
+      | AND nv.source IS NOT DISTINCT FROM n.source
       |ORDER BY 1""".stripMargin))
 
   /** The curation GATE shared by the release compositions (q132's
@@ -2483,7 +2484,8 @@ object TextQueries {
     * max-token fraction and type/token diversity). Per doc, two exact
     * integer signals from [[graft.ops.TextOps.repetitionStats]]'s
     * single partition-local pass: characters in the most frequent
-    * word-2-gram (count·len, maximized over grams) and characters in
+    * word-2-gram (count·len of the top-count gram, longest tied gram
+    * on ties) and characters in
     * duplicated word-3-grams (Σ count·len over grams with count>1).
     * Rolled up per source: flag counts at the Gopher-shaped cuts
     * (top-2-gram > 10% of chars; duplicated 3-grams > 5% of chars),
@@ -2514,8 +2516,10 @@ object TextQueries {
       |  i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)))
       |  AS g FROM t WHERE len(tk) >= 2),
       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-      |m2 AS (SELECT doc_id, max(c * length(g)) AS top2 FROM c2
-      | GROUP BY doc_id),
+      |t2 AS (SELECT doc_id, c, length(g) AS lg,
+      |  max(c) OVER (PARTITION BY doc_id) AS mc FROM c2),
+      |m2 AS (SELECT doc_id, max(c * lg) AS top2 FROM t2
+      | WHERE c = mc GROUP BY doc_id),
       |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
       |  i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)
       |    || ' ' || list_extract(tk, i + 2)))

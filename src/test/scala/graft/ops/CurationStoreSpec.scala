@@ -193,6 +193,29 @@ class CurationStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact's catalog window: with the table dropped, labels and " +
+      "labelJoin degrade to correct file scans and compact re-runs") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("curation-catalog-window").toString
+    val plain = CurationStore.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      s"$wh/store")
+    val bucketed = CurationStore.compact(spark, plain, 8)
+    val expect = bucketed.labels(spark).collect().map(_.toString).toSet
+    // fabricate a crash inside the DROP..CREATE re-registration
+    // window: the table is gone, the files are committed
+    spark.sql(s"DROP TABLE ${bucketed.labelsTable.get}")
+    assert(bucketed.labels(spark).collect().map(_.toString).toSet
+      == expect, "labels() must fall back to the files")
+    assert(CurationStore.labelJoin(docs.select("doc_id"), bucketed)
+      .count() == expect.size, "labelJoin must fall back too")
+    // the scaladoc's prescribed recovery: re-invoke compact
+    val healed = CurationStore.compact(spark, bucketed, 8)
+    assert(spark.catalog.tableExists(healed.labelsTable.get))
+    assert(healed.labels(spark).collect().map(_.toString).toSet
+      == expect, "re-compaction restores the registered layout")
+  }
+
   test("update survives empty, shingle-less, and pairless batches") {
     // the quiet-day cases of the daily ingest: a batch with nothing
     // in it, a batch whose docs are too short to shingle, and a batch

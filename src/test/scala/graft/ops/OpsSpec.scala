@@ -752,7 +752,11 @@ class OpsSpec extends SparkSpec {
                                   // "a b a"×2 + "b a b"×2 → dup3 = 20
       (1L, "g", "x y z"),         // no repeats: top2 = 3, dup3 = 0
       (2L, "g", "hello"),         // < 2 tokens → both 0
-      (3L, "g", ""))              // split("", -1) = [""] → both 0
+      (3L, "g", ""),              // split("", -1) = [""] → both 0
+      // top2 follows the most FREQUENT gram ("a b"×3 → 9), not the
+      // long rare one ("interdisciplinary interdepartmental"×2 → 70)
+      (4L, "g", "a b a b a b interdisciplinary interdepartmental " +
+        "interdisciplinary interdepartmental"))
       .toDF("doc_id", "source", "text")
     val out = TextOps.repetitionStats(df, "doc_id", "source", "text")
       .collect().map(r => r.getLong(0) ->
@@ -761,6 +765,7 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((5L, 3L, 0L)))
     assert(out(2L) == ((5L, 0L, 0L)))
     assert(out(3L) == ((0L, 0L, 0L)))
+    assert(out(4L) == ((83L, 9L, 20L)))
   }
 
   test("repetitionStats matches a plain-Scala recompute on the corpus") {
@@ -770,7 +775,11 @@ class OpsSpec extends SparkSpec {
         .map(i => t.slice(i, i + k).mkString(" "))
         .groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
       val top2 = if (t.length < 2) 0L
-        else counts(2).map { case (g, c) => c * g.length }.max
+        else {
+          val m = counts(2)
+          val c = m.values.max
+          c * m.collect { case (g, cc) if cc == c => g.length.toLong }.max
+        }
       val dup3 = if (t.length < 3) 0L
         else counts(3).collect { case (g, c) if c > 1 => c * g.length }.sum
       (text.length.toLong, top2, dup3)

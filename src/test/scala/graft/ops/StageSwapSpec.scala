@@ -101,6 +101,24 @@ class StageSwapSpec extends SparkSpec {
     }
   }
 
+  test("recover DROPS a first materialization that died mid-write " +
+      "(no _SUCCESS) instead of promoting the partial stage") {
+    // fabricate a write that crashed during job commit: some part
+    // files landed at the .next top level, the _SUCCESS marker (the
+    // committer's last act) never did. dir and dir.old absent — the
+    // old roll-forward would install this PARTIAL stage as the
+    // committed one, and the store-level marker settlement would
+    // then read its listing as a committed batch
+    val dir = freshDir()
+    write(s"$dir.next", Seq(3, 4))
+    val f = fs(dir)
+    assert(f.delete(
+      new org.apache.hadoop.fs.Path(s"$dir.next/_SUCCESS"), false))
+    StageSwap.recover(spark, dir)
+    assert(!exists(dir), "partial stage must not be promoted")
+    assert(!exists(s"$dir.next"), "crashed write heals to a no-op")
+  }
+
   test("recover leaves a healthy stage (and a half-written .next) alone") {
     val dir = freshDir()
     write(dir, Seq(1))

@@ -93,6 +93,21 @@ class AsOfPlanSpec extends SparkSpec {
     assert(rows(nat) == rows(win))
   }
 
+  test("key/time type mismatch across sides is an immediate error, " +
+      "not silently empty results") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val rIntKey = Seq((1, 5L, "r")).toDF("k", "t", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.asofJoinNative(left, rIntKey, "k", "t")
+    }
+    assert(e1.getMessage.contains("key 'k' type mismatch"))
+    val rIntTime = Seq((1L, 5, "r")).toDF("k", "t", "rv")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asofJoinNative(left, rIntTime, "k", "t")
+    }
+    assert(e2.getMessage.contains("time 't' type mismatch"))
+  }
+
   test("physical plan: custom exec, clustered exchanges, no window") {
     val nat = AsOf.asofJoinNative(purchases, clicks, "user_id", "ts")
     nat.write.format("noop").mode("overwrite").save()
