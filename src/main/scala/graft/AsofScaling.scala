@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hot-key evidence for the native as-of join (`tier:"asof_hotkey"`
+  * rows in SCALING.jsonl): the operator's 100 TB claim is O(1)
+  * per-key state where the window composition buffers each key's
+  * whole frame — so the adversarial case is ONE key owning the whole
+  * table (the single-task pathology salting cannot fix for an as-of,
+  * because the match depends on every earlier row of the key).
+  *
+  * Fixture: all rows share key 0; right times are a deterministic
+  * permutation of [0, n) (coprime multiplier — unique, so both
+  * implementations are tie-free and return identical sums), left =
+  * n/4 probes. Both plans shuffle everything to one task; the
+  * difference measured is what happens INSIDE it: the window sorts
+  * the union and runs last-non-null over an n+n/4-row buffered
+  * frame; the native exec sorts each side separately and streams
+  * with one candidate row of state.
+  */
+object AsofScaling {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val out = new StringBuilder
+    def measure(name: String, extra: Map[String, Any])(
+        run: => Long): Unit = {
+      run // warm
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      listener.reset()
+      val t0 = System.nanoTime()
+      val result = run
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+      val line =
+        s"""{"tier":"asof_hotkey","case":"$name","result":$result,""" +
+        s""""shuffle_write_records":${listener.shuffleWriteRecords},""" +
+        s""""max_task_shuffle_read_records":${listener.maxTaskShuffleReadRecords},""" +
+        s""""sec":${f"$sec%.3f"}$extras}"""
+      println(s"[asof] $line")
+      out.append(line).append('\n')
+    }
+
+    def sides(n: Long) = {
+      // coprime multipliers → unique times per side (tie-free)
+      val right = spark.range(n).select(lit(0L).as("k"),
+        ((col("id") * 2654435761L) % n).as("t"), col("id").as("rid"))
+      val left = spark.range(n / 4).select(lit(0L).as("k"),
+        ((col("id") * 40503L) % n).as("t"), col("id").as("lid"))
+      (left, right)
+    }
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("rid")).collect()(0).getLong(0)
+
+    for (n <- Seq(200000L, 2000000L)) {
+      val (l, r) = sides(n)
+      measure(s"window_n$n", Map("rows" -> n))(
+        total(graft.ops.AsOf.asofJoin(l, r, "k", "t")))
+      measure(s"native_n$n", Map("rows" -> n))(
+        total(graft.ops.AsOf.asofJoinNative(l, r, "k", "t")))
+    }
+    ScalingLog.replaceSlice(ScalingLog.tier("asof_hotkey"), out.toString)
+    spark.stop()
+  }
+}

@@ -32,7 +32,8 @@ object Scaling {
       "q135_label_churn", "q136_hybrid_ann_batch",
       "q137_curated_pack_spans", "q138_gopher_repetition",
       "q139_decontamination", "q140_mixture_temperature",
-      "q141_multimodal_pack", "q142_asof_native", "q33_asof_join")
+      "q141_multimodal_pack", "q142_asof_native", "q33_asof_join",
+      "q143_asof_native_forward")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.

@@ -59,10 +59,26 @@ object AsOf {
     * ascending tiebreak order is carried, matching [[asofJoin]].
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, tiebreak: Seq[String] = Nil): DataFrame = {
+      timeCol: String, tiebreak: Seq[String] = Nil): DataFrame =
+    native(left, right, keyCol, timeCol, tiebreak, forward = false)
+
+  /** NATIVE forward as-of — [[asofJoinForward]]'s semantics (earliest
+    * right row with `rightTime >= leftTime`; smallest tiebreak among
+    * ties) through the same merge-walk exec, time-mirrored: both
+    * sides sort time-DESCENDING and the identical last-wins walk
+    * lands on the earliest matching row.
+    */
+  def asofJoinNativeForward(left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      tiebreak: Seq[String] = Nil): DataFrame =
+    native(left, right, keyCol, timeCol, tiebreak, forward = true)
+
+  private def native(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tiebreak: Seq[String],
+      forward: Boolean): DataFrame = {
     val shims = org.apache.spark.sql.graft.Shims
     val node = graft.plans.AsOfJoinPlan(shims.logicalPlan(left),
-      shims.logicalPlan(right), keyCol, timeCol, tiebreak)
+      shims.logicalPlan(right), keyCol, timeCol, tiebreak, forward)
     node.validateTypes() // fail-fast; the strategy re-checks
     shims.ofRows(left.sparkSession, node)
   }

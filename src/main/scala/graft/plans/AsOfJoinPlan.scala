@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -41,7 +41,8 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     keyCol: String, timeCol: String,
-    tiebreakCols: Seq[String] = Nil) extends BinaryNode {
+    tiebreakCols: Seq[String] = Nil,
+    forward: Boolean = false) extends BinaryNode {
 
   private def find(side: LogicalPlan, name: String): Attribute = {
     val hits = side.output.filter(_.name == name)
@@ -119,7 +120,7 @@ object AsOfJoinStrategy extends SparkStrategy {
       p.validateTypes()
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.leftTime, p.rightKey, p.rightTime,
-        p.rightTiebreak, p.output) :: Nil
+        p.rightTiebreak, p.output, p.forward) :: Nil
     case _ => Nil
   }
 }
@@ -137,8 +138,19 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    rightTiebreak: Seq[Attribute], output: Seq[Attribute])
+    rightTiebreak: Seq[Attribute], output: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryExecNode {
+
+  /** FORWARD mode is the time-mirrored walk: sorting both sides by
+    * time (and tiebreak) DESCENDING and negating the time comparison
+    * turns "last right row with rt <= lt" into "earliest right row
+    * with rt >= lt, smallest tiebreak among ties" — the exact
+    * last-wins algorithm runs unchanged. Nulls still never match:
+    * descending order moves null times/keys to the END of each run,
+    * where the same guards skip them.
+    */
+  private def timeDir = if (forward) Descending else Ascending
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
@@ -149,9 +161,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending))
-      ++ rightTiebreak.map(SortOrder(_, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, timeDir))
+      ++ rightTiebreak.map(SortOrder(_, timeDir)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -163,6 +175,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rOut = right.output
     val out = output
     val (lk, lt, rk, rt) = (leftKey, leftTime, rightKey, rightTime)
+    val sign = if (forward) -1 else 1
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
@@ -205,7 +218,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (rtRow.isNullAt(0)) {
                 // null right time: sorted first, never a match
                 cur = if (rIter.hasNext) rIter.next() else null
-              } else if (timeOrd.compare(rtRow, ltRow) <= 0) {
+              } else if (sign * timeOrd.compare(rtRow, ltRow) <= 0) {
                 best = cur.copy(); bestKey = rkRow.copy()
                 cur = if (rIter.hasNext) rIter.next() else null
               } else done = true

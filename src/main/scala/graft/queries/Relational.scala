@@ -1168,9 +1168,42 @@ object Relational {
       | ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin))
 
+  /** q97's FORWARD as-of through the native operator — the
+    * time-mirrored walk ([[graft.ops.AsOf.asofJoinNativeForward]]:
+    * both sides sort time-descending, the identical last-wins merge
+    * lands on the earliest right row ≥ each left time, smallest
+    * tiebreak among ties). Same oracle as q97; AsOfPlanSpec pins
+    * equality with the window composition and the tie convention.
+    */
+  val q143 = Q("q143_asof_native_forward",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOf.asofJoinNativeForward(purchases, clicks,
+        "user_id", "ts", tiebreak = Seq("click_value"))
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+      |       WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value FROM events
+      |       WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, p.user_id, p.ts,
+      |  c.ts AS click_ts, c.value AS click_value,
+      |  row_number() OVER (PARTITION BY p.event_id
+      |    ORDER BY c.ts, c.value) AS rn
+      | FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts)
+      |SELECT event_id, user_id, ts, click_ts, click_value
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
       q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105,
-      q122, q130, q142)
+      q122, q130, q142, q143)
 }

@@ -93,6 +93,37 @@ class AsOfPlanSpec extends SparkSpec {
     assert(rows(nat) == rows(win))
   }
 
+  test("native FORWARD == window forward composition on the events " +
+      "fixture and a random fixture") {
+    val win = AsOf.asofJoinForward(purchases, clicks, "user_id", "ts",
+      rightTiebreak = Seq(col("click_value")))
+      .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    val nat = AsOf.asofJoinNativeForward(purchases, clicks, "user_id",
+      "ts", tiebreak = Seq("click_value"))
+      .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    assert(rows(nat) == rows(win))
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(400)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(300)(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "t", "rid")
+    val winR = AsOf.asofJoinForward(left, right, "k", "t",
+      rightTiebreak = Seq(col("rid"))).select("k", "t", "lid", "rid")
+    val natR = AsOf.asofJoinNativeForward(left, right, "k", "t",
+      tiebreak = Seq("rid")).select("k", "t", "lid", "rid")
+    assert(rows(natR) == rows(winR))
+    // forward tie semantics pinned directly: earliest right at-or-
+    // after, SMALLEST tiebreak among (key, time) ties
+    val l2 = Seq((1L, 5L, "l")).toDF("k", "t", "lv")
+    val r2 = Seq((1L, 5L, "b"), (1L, 5L, "a"), (1L, 9L, "c"))
+      .toDF("k", "t", "rv")
+    val out = AsOf.asofJoinNativeForward(l2, r2, "k", "t",
+      tiebreak = Seq("rv")).select("rv").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a"))
+  }
+
   test("key/time type mismatch across sides is an immediate error, " +
       "not silently empty results") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
