@@ -28,15 +28,7 @@ object AsofScaling {
     val out = new StringBuilder
     def measure(name: String, extra: Map[String, Any])(
         run: => Long): Unit = {
-      run // warm
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
-      listener.reset()
-      val t0 = System.nanoTime()
-      val result = run
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      val (result, sec) = ScalingLog.measured(spark, listener)(run)
       val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
       val line =
         s"""{"tier":"asof_hotkey","case":"$name","result":$result,""" +

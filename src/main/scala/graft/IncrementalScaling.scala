@@ -42,14 +42,9 @@ object IncrementalScaling {
 
     def measure(sf: String, name: String, extra: Map[String, Any])(
         run: => Long): Unit = {
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
-      listener.reset()
-      val t0 = System.nanoTime()
-      val result = run
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      // warm = false: the run mutates store state (see measured())
+      val (result, sec) =
+        ScalingLog.measured(spark, listener, warm = false)(run)
       val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
       val line =
         s"""{"tier":"incremental","sf":"$sf","case":"$name",""" +

@@ -36,14 +36,9 @@ object RewriteScaling {
 
     def measure(sf: String, name: String, events: Long)(
         run: => Long): Unit = {
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
-      listener.reset()
-      val t0 = System.nanoTime()
-      val result = run
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      // warm = false: the run mutates store state (see measured())
+      val (result, sec) =
+        ScalingLog.measured(spark, listener, warm = false)(run)
       val line =
         s"""{"tier":"rewrite","sf":"$sf","case":"$name",""" +
           s""""result":$result,"events":$events,""" +

@@ -45,19 +45,12 @@ object Scaling {
     val out = new StringBuilder
     for (sf <- Seq("sf0.01", "sf0.1"); name <- names) {
       val q = byName(name)
-      // warm once so JIT/codegen don't pollute the timing; metrics are
-      // from the measured run only
-      q.run(spark, s"/root/testdata/$sf").write
-        .format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
-      listener.reset()
-      val t0 = System.nanoTime()
-      q.run(spark, s"/root/testdata/$sf").write
-        .format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      // shared warm/flush/reset/time discipline (ScalingLog.measured)
+      val (_, sec) = ScalingLog.measured(spark, listener) {
+        q.run(spark, s"/root/testdata/$sf").write
+          .format("noop").mode("overwrite").save()
+        0L
+      }
       val line =
         s"""{"sf":"$sf","query":"$name","input_records":${listener.inputRecords},""" +
         s""""shuffle_write_bytes":${listener.shuffleWriteBytes},""" +

@@ -7,7 +7,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * [[StreamScaling]] — `tier:"streaming"`, [[SkewScaling]] —
   * `tier:"skew"`, [[StreamReplay]] — `tier:"streaming_replay"`,
   * [[IncrementalScaling]] — `tier:"incremental"`,
-  * [[RewriteScaling]] — `tier:"rewrite"`).
+  * [[RewriteScaling]] — `tier:"rewrite"`,
+  * [[AsofScaling]] — `tier:"asof_hotkey"`).
   *
   * Each generator owns ONE slice, selected by an exact-match
   * predicate; a regeneration keeps every other line byte-identical
@@ -24,6 +25,37 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object ScalingLog {
 
   private val path = Paths.get("SCALING.jsonl")
+
+  /** ONE definition of the measured-run discipline every generator
+    * shares (Scaling, SkewScaling, IncrementalScaling,
+    * RewriteScaling, AsofScaling): warm once (JIT/codegen), clear
+    * cached intermediates, drain the listener bus, reset the
+    * listener, time ONE run, then clear + drain again so the
+    * listener's counters cover exactly the measured run. Returns
+    * (result, seconds); each generator formats its own tier-specific
+    * JSON fields from the listener. Consolidated for the same reason
+    * as UpdateMarker.settle: a fix to the flush ordering must not
+    * have five copies to miss.
+    *
+    * Generators whose run has SIDE EFFECTS (IncrementalScaling's
+    * store updates, RewriteScaling's conf-flipped arms) pass
+    * `warm = false` — a warm-up there would double-apply the update
+    * being measured.
+    */
+  def measured(spark: org.apache.spark.sql.SparkSession,
+      listener: TaskMetricsListener, warm: Boolean = true)(
+      run: => Long): (Long, Double) = {
+    if (warm) run
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+    listener.reset()
+    val t0 = System.nanoTime()
+    val result = run
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+    (result, sec)
+  }
 
   /** Ownership predicate for a tier's rows. */
   def tier(name: String): String => Boolean =

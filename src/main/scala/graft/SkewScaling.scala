@@ -74,15 +74,7 @@ object SkewScaling {
     val out = new StringBuilder
     def measure(name: String, extra: Map[String, Any] = Map.empty)(
         run: => Long): Unit = {
-      run // warm (JIT/codegen); metrics from the measured run only
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
-      listener.reset()
-      val t0 = System.nanoTime()
-      val result = run
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
+      val (result, sec) = ScalingLog.measured(spark, listener)(run)
       val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
       val line = s"""{"tier":"skew","case":"$name","result":$result,""" +
         s""""shuffle_write_records":${listener.shuffleWriteRecords},""" +

@@ -292,7 +292,12 @@ object CurationStore {
         // delta REPLACES wholesale (it is itself a fixpoint product,
         // not an append), so its size is bounded by drift since the
         // last compact(), not by update count
-        val base = spark.table(t)
+        // same catalog fallback as labels()/labelJoin(): inside
+        // compact()'s DROP..CREATE window the table is absent — the
+        // diff only needs the base's ROWS, so a file scan is fully
+        // equivalent here and the scheduled update keeps running
+        val base = (if (spark.catalog.tableExists(t)) spark.table(t)
+                    else spark.read.parquet(s"${store.dir}/labels"))
           .select(col(idCol), col("cluster").as("_bc"))
         newLab.join(base, Seq(idCol), "left_outer")
           .filter(col("_bc").isNull || col("_bc") =!= col("cluster"))

@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * rows, graft.StreamScaling — `tier:"streaming"`, graft.SkewScaling
   * — `tier:"skew"`, graft.StreamReplay — `tier:"streaming_replay"`,
   * graft.IncrementalScaling — `tier:"incremental"`,
-  * graft.RewriteScaling — `tier:"rewrite"`)
+  * graft.RewriteScaling — `tier:"rewrite"`,
+  * graft.AsofScaling — `tier:"asof_hotkey"`)
   * owns a slice of the file and rewrites it with read-filter-rewrite;
   * round 9 silently lost the streaming rows in exactly that dance.
   * If a committed tier's rows vanish from a regeneration, `sbt test`
@@ -31,7 +32,8 @@ class ScalingEvidenceSpec extends AnyFunSuite {
   }
 
   for ((tier, minRows) <- Seq("skew" -> 8, "streaming" -> 1,
-      "streaming_replay" -> 8, "incremental" -> 12, "rewrite" -> 4)) {
+      "streaming_replay" -> 8, "incremental" -> 12, "rewrite" -> 4,
+      "asof_hotkey" -> 4)) {
     test(s"""tier "$tier" rows present (>= $minRows)""") {
       val n = lines.count(_.contains(s""""tier":"$tier","""))
       assert(n >= minRows,

@@ -209,11 +209,19 @@ class CurationStoreSpec extends SparkSpec {
       == expect, "labels() must fall back to the files")
     assert(CurationStore.labelJoin(docs.select("doc_id"), bucketed)
       .count() == expect.size, "labelJoin must fall back too")
+    // the scheduled daily update must also keep running inside the
+    // window (its base-diff degrades to the same file scan) — and
+    // still land the correct effective label map
+    CurationStore.update(bucketed,
+      docs.filter(col("doc_id") % 2 === 1), "text")
+    assertFrameEqual(bucketed.labels(spark), store.labels(spark),
+      "update inside the catalog window")
     // the scaladoc's prescribed recovery: re-invoke compact
+    val expect2 = bucketed.labels(spark).collect().map(_.toString).toSet
     val healed = CurationStore.compact(spark, bucketed, 8)
     assert(spark.catalog.tableExists(healed.labelsTable.get))
     assert(healed.labels(spark).collect().map(_.toString).toSet
-      == expect, "re-compaction restores the registered layout")
+      == expect2, "re-compaction restores the registered layout")
   }
 
   test("update survives empty, shingle-less, and pairless batches") {
