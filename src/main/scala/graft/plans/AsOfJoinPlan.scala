@@ -27,7 +27,12 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * window state, no struct churn. Shuffle volume is the same (both
   * plans cluster both sides by key once); the win is the sort/window
   * memory profile and the per-row work, which is what matters when
-  * the window buffer for a hot key stops fitting at 100 TB.
+  * the window buffer for a hot key stops fitting at 100 TB. And when
+  * both sides are STORED bucketed by the key (same count), the scan
+  * partitioning satisfies the exec's distribution requirements
+  * directly: the whole as-of plans with ZERO exchanges — only
+  * per-partition sorts — the quotes/trades serving shape
+  * (AsOfPlanSpec pins it).
   *
   * Semantics (deliberately SQL-flavored, matching DuckDB `ASOF LEFT
   * JOIN` and the q33 oracle): for each left row, the LAST right row

@@ -139,6 +139,40 @@ class AsOfPlanSpec extends SparkSpec {
     assert(e2.getMessage.contains("time 't' type mismatch"))
   }
 
+  test("bucketed-by-key sides plan a ZERO-exchange native as-of") {
+    // the serving-layout composition: when both sides are stored
+    // bucketed by the join key (same count), the exec's
+    // ClusteredDistribution requirements are satisfied by the scan
+    // partitioning itself — only per-partition sorts are inserted.
+    // At 100 TB this is the quotes/trades join with NO shuffle at
+    // query time; the bucketing shuffle was paid once at write time.
+    val wh = java.nio.file.Files
+      .createTempDirectory("asof-bucketed").toString
+    purchases.write.format("parquet").bucketBy(8, "user_id")
+      .option("path", s"$wh/l").mode("overwrite")
+      .saveAsTable("asof_spec_left")
+    clicks.write.format("parquet").bucketBy(8, "user_id")
+      .option("path", s"$wh/r").mode("overwrite")
+      .saveAsTable("asof_spec_right")
+    try {
+      val nat = AsOf.asofJoinNative(spark.table("asof_spec_left"),
+        spark.table("asof_spec_right"), "user_id", "ts")
+      nat.write.format("noop").mode("overwrite").save()
+      val plan = nat.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+        s"bucketed asof must not shuffle:\n$plan")
+      assert(plan.contains("AsOfJoin"))
+      // and it returns the same rows as the unbucketed plan
+      assert(rows(nat.select("event_id", "click_ts")) ==
+        rows(AsOf.asofJoinNative(purchases, clicks, "user_id", "ts")
+          .select("event_id", "click_ts")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_spec_left")
+      spark.sql("DROP TABLE IF EXISTS asof_spec_right")
+    }
+  }
+
   test("physical plan: custom exec, clustered exchanges, no window") {
     val nat = AsOf.asofJoinNative(purchases, clicks, "user_id", "ts")
     nat.write.format("noop").mode("overwrite").save()
