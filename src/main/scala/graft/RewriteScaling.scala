@@ -36,7 +36,10 @@ object RewriteScaling {
 
     def measure(sf: String, name: String, events: Long)(
         run: => Long): Unit = {
-      // warm = false: the run mutates store state (see measured())
+      // warm = false: rollup() is read-only, but each ARM performs
+      // its own warm-up under its conf flag (the flag must be set
+      // when the warm-up plan optimizes, so a shared pre-warm here
+      // would warm the wrong plan for one of the two arms)
       val (result, sec) =
         ScalingLog.measured(spark, listener, warm = false)(run)
       val line =

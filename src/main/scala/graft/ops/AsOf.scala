@@ -77,8 +77,23 @@ object AsOf {
       timeCol: String, tiebreak: Seq[String],
       forward: Boolean): DataFrame = {
     val shims = org.apache.spark.sql.graft.Shims
-    val node = graft.plans.AsOfJoinPlan(shims.logicalPlan(left),
-      shims.logicalPlan(right), keyCol, timeCol, tiebreak, forward)
+    val lPlan = shims.logicalPlan(left)
+    // Built-in Join dedups shared-lineage right attributes in the
+    // analyzer (dedupRight); a custom node gets no such pass. If the
+    // two sides share lineage (e.g. both filter the same frame) a
+    // right payload attribute can keep a LEFT-side exprId — the
+    // exec's output projection binds by exprId against (left ++
+    // right), so the duplicate would bind to the LEFT input position
+    // and silently return the left row's own value. Re-aliasing
+    // every right column mints fresh exprIds, restoring the built-in
+    // join's semantics transparently.
+    val rightDeduped =
+      if (lPlan.outputSet
+          .intersect(shims.logicalPlan(right).outputSet).isEmpty) right
+      else right.select(right.columns.toIndexedSeq
+        .map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
+    val node = graft.plans.AsOfJoinPlan(lPlan,
+      shims.logicalPlan(rightDeduped), keyCol, timeCol, tiebreak, forward)
     node.validateTypes() // fail-fast; the strategy re-checks
     shims.ofRows(left.sparkSession, node)
   }

@@ -93,6 +93,18 @@ object StageSwap {
       remove(fs, next)
       spark.catalog.refreshByPath(dir)
     } else if (!fs.exists(cur) && fs.exists(next)) {
+      // this branch's committed-vs-partial decision is the _SUCCESS
+      // marker — it is only sound while the committer actually writes
+      // one. A deployment that disabled the marker (a common
+      // object-store tuning) would see recover() DESTROY a fully
+      // committed first materialization; fail loudly instead of
+      // guessing.
+      require(spark.sessionState.newHadoopConf().getBoolean(
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+        "StageSwap.recover requires _SUCCESS markers to distinguish " +
+          "a committed first materialization from a partial write — " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
+          "at its default (true) for sessions using staged stores")
       if (fs.exists(new Path(next, "_SUCCESS"))) {
         rename(fs, next, cur)
       } else {

@@ -93,6 +93,19 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     require(dtu.sameType(leftTime.dataType, rightTime.dataType),
       s"asof join: time '$timeCol' type mismatch — " +
         s"left ${leftTime.dataType.sql} vs right ${rightTime.dataType.sql}")
+    // duplicate exprIds between the left output and the right PAYLOAD
+    // would make the exec's output projection bind the payload to the
+    // left input position — silently returning the left row's own
+    // value. [[graft.ops.AsOf]] re-aliases shared-lineage right sides
+    // before building the node; this guards direct constructions.
+    // (Key/time exprId sharing is harmless: those attributes are
+    // projected only against their own side's schema.)
+    require(left.outputSet.intersect(
+        org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(rightPayload)).isEmpty,
+      "asof join: right payload shares expression ids with the left " +
+        "side (shared lineage) — alias the right side's columns " +
+        "before joining")
   }
 
   override def output: Seq[Attribute] =

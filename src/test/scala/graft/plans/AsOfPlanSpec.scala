@@ -124,6 +124,31 @@ class AsOfPlanSpec extends SparkSpec {
     assert(out.toSeq == Seq("a"))
   }
 
+  test("shared-lineage sides: right payload is deduped, not bound to " +
+      "the left input position") {
+    // both sides filter the SAME frame without aliasing, so the
+    // payload column v keeps its exprId on both sides — without the
+    // ops-layer re-alias the exec's output projection would bind the
+    // joined v to the LEFT position and return the left row's own
+    // value (200) instead of the matched right row's (100)
+    val base = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("k", "t", "v")
+    val left = base.filter(col("v") === 200L)
+    val right = base.filter(col("v") === 100L)
+    val out = AsOf.asofJoinNative(left, right, "k", "t").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 200L, "left's own v")
+    assert(out.head.getLong(3) == 100L,
+      "joined payload must carry the RIGHT row's value")
+    // and a direct plan construction without the re-alias still
+    // fails loudly instead of mis-binding
+    val shims = org.apache.spark.sql.graft.Shims
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan(shims.logicalPlan(left),
+        shims.logicalPlan(right), "k", "t").validateTypes()
+    }
+    assert(e.getMessage.contains("shares expression ids"))
+  }
+
   test("key/time type mismatch across sides is an immediate error, " +
       "not silently empty results") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
