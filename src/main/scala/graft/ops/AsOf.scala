@@ -57,10 +57,21 @@ object AsOf {
     * null-time divergence. `tiebreak` names right-side columns (must
     * exist on `right`) ordering ties on (key, time); the LAST in
     * ascending tiebreak order is carried, matching [[asofJoin]].
+    *
+    * Two optional dials complete the family (AsOfJoinPlan scaladoc):
+    * `tolerance` bounds the lookback — a match farther than this many
+    * native time units (µs for timestamps, days for dates, the value
+    * itself for integrals) behind the left time is discarded;
+    * `broadcastRight` plans the tiny-dimension shape — the right side
+    * broadcasts whole and the LEFT side keeps its partitioning (zero
+    * exchanges and zero sorts on the big side).
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, tiebreak: Seq[String] = Nil): DataFrame =
-    native(left, right, keyCol, timeCol, tiebreak, forward = false)
+      timeCol: String, tiebreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
+    native(left, right, keyCol, timeCol, tiebreak, forward = false,
+      tolerance, broadcastRight)
 
   /** NATIVE forward as-of — [[asofJoinForward]]'s semantics (earliest
     * right row with `rightTime >= leftTime`; smallest tiebreak among
@@ -70,12 +81,16 @@ object AsOf {
     */
   def asofJoinNativeForward(left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
-      tiebreak: Seq[String] = Nil): DataFrame =
-    native(left, right, keyCol, timeCol, tiebreak, forward = true)
+      tiebreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
+    native(left, right, keyCol, timeCol, tiebreak, forward = true,
+      tolerance, broadcastRight)
 
   private def native(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, tiebreak: Seq[String],
-      forward: Boolean): DataFrame = {
+      forward: Boolean, tolerance: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame = {
     val shims = org.apache.spark.sql.graft.Shims
     val lPlan = shims.logicalPlan(left)
     // Built-in Join dedups shared-lineage right attributes in the
@@ -93,7 +108,8 @@ object AsOf {
       else right.select(right.columns.toIndexedSeq
         .map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
     val node = graft.plans.AsOfJoinPlan(lPlan,
-      shims.logicalPlan(rightDeduped), keyCol, timeCol, tiebreak, forward)
+      shims.logicalPlan(rightDeduped), keyCol, timeCol, tiebreak,
+      forward, tolerance, broadcastRight)
     node.validateTypes() // fail-fast; the strategy re-checks
     shims.ofRows(left.sparkSession, node)
   }

@@ -4,9 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Native backward AS-OF join — the whole-operator extension point
   * exercised end to end: a custom logical node ([[AsOfJoinPlan]]), a
@@ -43,11 +44,33 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * window composition (whose nulls-first carry would match a
   * null-time right row); AsOfPlanSpec pins both the equality on
   * non-null times and this divergence explicitly.
+  *
+  * Two optional shapes complete the operator family:
+  *
+  *  - `tolerance` BOUNDS the lookback (lookahead in forward mode):
+  *    a match further than `tolerance` from the left time — in the
+  *    time column's native unit (integral value, µs for timestamps,
+  *    days for dates) — is discarded and the left row keeps null
+  *    payloads, the `p.ts - c.ts <= tol` form real attribution joins
+  *    use. Because the walk's candidate is always the NEAREST
+  *    matching right row, the bound is a post-check on it: no earlier
+  *    (farther) row could pass where the nearest failed.
+  *  - `broadcastRight` plans [[BroadcastAsOfJoinExec]] instead: the
+  *    right side broadcasts whole (rates, config epochs — dimensions
+  *    of a few thousand rows), each task builds a per-key time-sorted
+  *    index once and binary-searches it per left row. The LEFT side
+  *    keeps its incoming partitioning — ZERO exchanges and zero
+  *    sorts on the 100 TB side, where the merge walk would pay a
+  *    clustered exchange + sort on both. Wrong tool for a large
+  *    right side by construction (the index lives on every task);
+  *    the merge walk remains the default.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     keyCol: String, timeCol: String,
     tiebreakCols: Seq[String] = Nil,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    tolerance: Option[Long] = None,
+    broadcastRight: Boolean = false) extends BinaryNode {
 
   private def find(side: LogicalPlan, name: String): Attribute = {
     val hits = side.output.filter(_.name == name)
@@ -106,6 +129,13 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
       "asof join: right payload shares expression ids with the left " +
         "side (shared lineage) — alias the right side's columns " +
         "before joining")
+    tolerance.foreach { t =>
+      require(t >= 0, s"asof join: tolerance must be >= 0, got $t")
+      require(AsOfTime.supported(leftTime.dataType),
+        s"asof join: tolerance needs an integral/timestamp/date time " +
+          s"column to measure distance in — '" + timeCol +
+          s"' is ${leftTime.dataType.sql}")
+    }
   }
 
   override def output: Seq[Attribute] =
@@ -136,10 +166,32 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       p.validateTypes()
-      AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftKey, p.leftTime, p.rightKey, p.rightTime,
-        p.rightTiebreak, p.output, p.forward) :: Nil
+      if (p.broadcastRight)
+        BroadcastAsOfJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKey, p.leftTime, p.rightKey, p.rightTime,
+          p.rightTiebreak, p.output, p.forward, p.tolerance) :: Nil
+      else
+        AsOfJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKey, p.leftTime, p.rightKey, p.rightTime,
+          p.rightTiebreak, p.output, p.forward, p.tolerance) :: Nil
     case _ => Nil
+  }
+}
+
+/** Time-distance extraction for the tolerance bound: the time column
+  * read as a long in its own native unit (integral value, µs for
+  * timestamps — both TZ and NTZ store epoch-µs longs — days for
+  * dates). Applied to SINGLE-COLUMN projected rows, position 0.
+  */
+private[plans] object AsOfTime {
+  def supported(dt: DataType): Boolean = extractor(dt) != null
+
+  def extractor(dt: DataType): InternalRow => Long = dt match {
+    case LongType | TimestampType | TimestampNTZType => _.getLong(0)
+    case IntegerType | DateType => _.getInt(0).toLong
+    case ShortType => _.getShort(0).toLong
+    case ByteType => _.getByte(0).toLong
+    case _ => null
   }
 }
 
@@ -157,7 +209,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
     rightTiebreak: Seq[Attribute], output: Seq[Attribute],
-    forward: Boolean = false)
+    forward: Boolean = false, tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   /** FORWARD mode is the time-mirrored walk: sorting both sides by
@@ -194,11 +246,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val out = output
     val (lk, lt, rk, rt) = (leftKey, leftTime, rightKey, rightTime)
     val sign = if (forward) -1 else 1
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
       val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
       val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      // tolerance post-check on the nearest match: the walk's
+      // candidate is the closest matching right row, so distance >
+      // tol on IT means no row passes (validateTypes pinned the type)
+      val timeGet = AsOfTime.extractor(lt.dataType)
+      def withinTol(ltRow: InternalRow, best: InternalRow): Boolean =
+        tol.isEmpty || sign * (timeGet(ltRow) -
+          timeGet(rTimeProj(best))) <= tol.get
       val keyOrd = RowOrdering
         .createNaturalAscendingOrdering(Seq(lk.dataType))
       val timeOrd = RowOrdering
@@ -243,7 +303,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             } else done = true
           }
           joined(l,
-            if (best != null && !ltRow.isNullAt(0)) best else nullRight)
+            if (best != null && !ltRow.isNullAt(0) &&
+              withinTol(ltRow, best)) best else nullRight)
         }
         numOutputRows += 1
         proj(joined)
@@ -253,5 +314,130 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast-right as-of join — the rates/config-epoch enrichment
+  * shape: the right side is a SMALL dimension (its whole history fits
+  * one executor many times over), so instead of clustering and
+  * sorting BOTH sides, the right side rides a broadcast
+  * ([[IdentityBroadcastMode]] — plain row array, no hashed-relation
+  * keying), each task groups it into a per-key time-sorted index
+  * once, and every left row binary-searches its key's history. The
+  * left child keeps its incoming partitioning and ordering: at
+  * 100 TB the enrichment costs ZERO exchanges and zero sorts on the
+  * big side — the property the clustered merge walk cannot offer.
+  *
+  * Semantics are identical to [[AsOfJoinExec]] (AsOfPlanSpec pins
+  * the equality on shared fixtures): backward picks the sorted
+  * run's LAST row at-or-before the left time (ties resolve largest-
+  * tiebreak), forward the FIRST row at-or-after (smallest tiebreak),
+  * nulls never match on either side, `tolerance` discards matches
+  * farther than the bound in the time column's native unit.
+  */
+case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute,
+    rightTiebreak: Seq[Attribute], output: Seq[Attribute],
+    forward: Boolean, tolerance: Option[Long])
+  extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val lOut = left.output
+    val rOut = right.output
+    val out = output
+    val (lk, lt, rk, rt) = (leftKey, leftTime, rightKey, rightTime)
+    val ties = rightTiebreak
+    val fwd = forward
+    val tol = tolerance
+    left.execute().mapPartitions { lIter =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val rSortProj = UnsafeProjection.create(rt +: ties, rOut)
+      val sortOrd = RowOrdering.createNaturalAscendingOrdering(
+        (rt +: ties).map(_.dataType))
+      val timeOrd = RowOrdering
+        .createNaturalAscendingOrdering(Seq(rt.dataType))
+      val timeGet = AsOfTime.extractor(lt.dataType)
+      // per-key (sortKey, timeRow, row) copies, sorted (time, ties)
+      // ASC — built once per task from the broadcast array; null
+      // right keys/times are dropped at build (they never match)
+      val index = new java.util.HashMap[InternalRow,
+        scala.collection.mutable.ArrayBuffer[
+          (InternalRow, InternalRow, InternalRow)]]()
+      bc.value.foreach { r =>
+        val k = rKeyProj(r)
+        if (!k.isNullAt(0) && !rTimeProj(r).isNullAt(0)) {
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[
+              (InternalRow, InternalRow, InternalRow)]()
+            index.put(k.copy(), buf)
+          }
+          buf += ((rSortProj(r).copy(), rTimeProj(r).copy(), r.copy()))
+        }
+      }
+      index.values.forEach(_.sortInPlace()(
+        Ordering.by[(InternalRow, InternalRow, InternalRow),
+          InternalRow](_._1)(sortOrd)))
+      val proj = UnsafeProjection.create(out,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      lIter.map { l =>
+        val lkRow = lKeyProj(l)
+        val ltRow = lTimeProj(l)
+        var m: InternalRow = null
+        if (!lkRow.isNullAt(0) && !ltRow.isNullAt(0)) {
+          val buf = index.get(lkRow)
+          if (buf != null) {
+            // backward: LAST index with t <= lt (ties sorted ASC, so
+            // the last tied row carries the largest tiebreak);
+            // forward: FIRST index with t >= lt (smallest tiebreak)
+            var lo = 0; var hi = buf.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val c = timeOrd.compare(buf(mid)._2, ltRow)
+              if (if (fwd) c >= 0 else c <= 0) {
+                ans = mid
+                if (fwd) hi = mid - 1 else lo = mid + 1
+              } else if (fwd) lo = mid + 1 else hi = mid - 1
+            }
+            if (ans >= 0) {
+              val cand = buf(ans)
+              val ok = tol.isEmpty || {
+                val dist =
+                  if (fwd) timeGet(cand._2) - timeGet(ltRow)
+                  else timeGet(ltRow) - timeGet(cand._2)
+                dist <= tol.get
+              }
+              if (ok) m = cand._3
+            }
+          }
+        }
+        numOutputRows += 1
+        proj(joined(l, if (m != null) m else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }

@@ -1201,9 +1201,86 @@ object Relational {
       |SELECT event_id, user_id, ts, click_ts, click_value
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
 
+  /** q142's attribution join with the lookback BOUNDED to one hour —
+    * the `p.ts - c.ts <= tol` form real attribution joins use (a
+    * click ten days old should not claim a purchase). Same native
+    * merge-walk exec; the bound is a post-check on the nearest match
+    * (no earlier row could pass where the nearest failed), so the
+    * plan is identical to q142's. Tolerance is in the time column's
+    * native unit — µs for these timestamps. The oracle is the
+    * explicit windowed form (DuckDB's ASOF syntax has no tolerance
+    * clause): last click at-or-before the purchase AND within the
+    * hour, ties on (ts) resolved largest-value-last like q142.
+    */
+  val q144 = Q("q144_asof_tolerance",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOf.asofJoinNative(purchases, clicks, "user_id", "ts",
+        tiebreak = Seq("click_value"),
+        tolerance = Some(3600L * 1000000L))
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+      |       WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value FROM events
+      |       WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, p.user_id, p.ts,
+      |  c.ts AS click_ts, c.value AS click_value,
+      |  row_number() OVER (PARTITION BY p.event_id
+      |    ORDER BY c.ts DESC, c.value DESC) AS rn
+      | FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |   AND c.ts >= p.ts - INTERVAL 1 HOUR)
+      |SELECT event_id, user_id, ts, click_ts, click_value
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
+
+  /** Temporal dimension enrichment through the BROADCAST as-of
+    * variant — the rates/config-epoch shape: a tiny versioned
+    * dimension (per-event-type rate epochs, deliberately SPARSE —
+    * only every 4th hour publishes one, so most events really do
+    * look BACK to an earlier epoch and the join is not a disguised
+    * equi-join) enriches the full event stream. `broadcastRight`
+    * plans [[graft.plans.BroadcastAsOfJoinExec]]: the dimension
+    * broadcasts whole, each task binary-searches its per-key sorted
+    * history, and the EVENT side keeps its scan partitioning —
+    * zero exchanges and zero sorts on the 100 TB side (AsOfPlanSpec
+    * pins that plan; the one hash exchange in this query's plan is
+    * the dimension's own groupBy). Events before their type's first
+    * epoch keep a null rate.
+    */
+  val q145 = Q("q145_asof_broadcast_enrich",
+    (s, dir) => {
+      val ev = Registry.events(s, dir)
+      // date_trunc returns TIMESTAMP even on NTZ input — cast back
+      // so both sides' time types match (the operator requires it)
+      val dim = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("ts"))
+        .agg(round(avg("value"), 6).as("rate"))
+        .filter(hour(col("ts")) % 4 === 0)
+      graft.ops.AsOf.asofJoinNative(
+        ev.select("event_id", "event_type", "ts"), dim,
+        "event_type", "ts", broadcastRight = true)
+        .select("event_id", "event_type", "ts", "rate")
+        .orderBy("event_id")
+    },
+    Some("""WITH d AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+      |   round(avg(value), 6) AS rate
+      |  FROM events GROUP BY 1, 2),
+      |d4 AS (SELECT * FROM d WHERE extract(hour FROM ts) % 4 = 0)
+      |SELECT e.event_id, e.event_type, e.ts, d.rate
+      |FROM events e ASOF LEFT JOIN d4 d
+      |  ON e.event_type = d.event_type AND e.ts >= d.ts
+      |ORDER BY e.event_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
       q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105,
-      q122, q130, q142, q143)
+      q122, q130, q142, q143, q144, q145)
 }

@@ -124,6 +124,100 @@ class AsOfPlanSpec extends SparkSpec {
     assert(out.toSeq == Seq("a"))
   }
 
+  test("tolerance bounds the lookback (and the lookahead in forward " +
+      "mode); boundary inclusive; unsupported time types rejected") {
+    val left = Seq((1L, 100L, "l1"), (1L, 10L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 90L, "a"), (1L, 8L, "b"), (2L, 70L, "c"))
+      .toDF("k", "t", "rv")
+    def back(tol: Long) = AsOf.asofJoinNative(left, right, "k", "t",
+        tolerance = Some(tol)).select("lv", "rv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // unbounded: l1 matches a (dist 10), l2 matches b (dist 2),
+    // l3 has only a future right row — no match either way
+    assert(back(1000L) == Map("l1" -> "a", "l2" -> "b", "l3" -> null))
+    // tol 10 keeps dist-10 (inclusive); tol 5 drops it, keeps dist-2
+    assert(back(10L) == Map("l1" -> "a", "l2" -> "b", "l3" -> null))
+    assert(back(5L) == Map("l1" -> null, "l2" -> "b", "l3" -> null))
+    val fwd = AsOf.asofJoinNativeForward(left, right, "k", "t",
+        tolerance = Some(15L)).select("lv", "rv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // forward: l3's next right row is c at dist 20 > 15 — dropped;
+    // l2's next is a at dist 80 — dropped too
+    assert(fwd == Map("l1" -> null, "l2" -> null, "l3" -> null))
+    val fwd20 = AsOf.asofJoinNativeForward(left, right, "k", "t",
+        tolerance = Some(20L)).select("lv", "rv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fwd20("l3") == "c")
+    // a non-measurable time type with a tolerance is an error
+    val sLeft = Seq(("1", "x", "l")).toDF("k", "t", "lv")
+    val sRight = Seq(("1", "a", "r")).toDF("k", "t", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoinNative(sLeft, sRight, "k", "t",
+        tolerance = Some(1L))
+    }
+    assert(e.getMessage.contains("tolerance needs"))
+  }
+
+  test("broadcast-right variant: same rows as the merge walk on the " +
+      "events fixture and the adversarial micro-fixtures") {
+    val viaB = AsOf.asofJoinNative(purchases, clicks, "user_id", "ts",
+      tiebreak = Seq("click_value"), broadcastRight = true)
+      .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    val viaM = AsOf.asofJoinNative(purchases, clicks, "user_id", "ts",
+      tiebreak = Seq("click_value"))
+      .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    assert(rows(viaB) == rows(viaM))
+    // ties/unmatched/empty-group fixture (mirrors the merge-walk test)
+    val left = Seq((1L, 10L, "l1"), (1L, 5L, "l0"), (2L, 7L, "l2"),
+      (3L, 1L, "l3")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "a"), (1L, 5L, "b"), (1L, 9L, "c"),
+      (2L, 8L, "d")).toDF("k", "t", "rv")
+    val out = AsOf.asofJoinNative(left, right, "k", "t",
+        tiebreak = Seq("rv"), broadcastRight = true)
+      .select("k", "t", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(out == Set((1L, 10L, "l1", "c"), (1L, 5L, "l0", "b"),
+      (2L, 7L, "l2", null), (3L, 1L, "l3", null)))
+    // null keys/times on either side never match (same contract)
+    val lN = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c")).toDF("k", "t", "lv")
+    val rN = Seq((Some(1L), Some(4L), "r1"), (Some(1L), None, "rnull"),
+      (None, Some(3L), "rk")).toDF("k", "t", "rv")
+    val nm = AsOf.asofJoinNative(lN, rN, "k", "t",
+        broadcastRight = true).select("lv", "rv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(nm == Map("a" -> "r1", "b" -> null, "c" -> null))
+    // forward + tolerance through the broadcast path
+    val fb = AsOf.asofJoinNativeForward(left, right, "k", "t",
+        tiebreak = Seq("rv"), tolerance = Some(1L),
+        broadcastRight = true)
+      .select("lv", "rv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // l2 (k=2,t=7): next right d at t=8, dist 1 — kept; l1 (t=10):
+    // nothing at-or-after; l0 (t=5): tie at 5, dist 0, smallest
+    // tiebreak a; l3: no key
+    assert(fb == Map("l1" -> null, "l0" -> "a", "l2" -> "d",
+      "l3" -> null))
+  }
+
+  test("broadcast-right plan: zero shuffles, zero sorts, one " +
+      "broadcast exchange — the left side passes through") {
+    val left = Seq((1L, 10L, "l1"), (2L, 7L, "l2")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "a"), (2L, 8L, "d")).toDF("k", "t", "rv")
+    val j = AsOf.asofJoinNative(left, right, "k", "t",
+      broadcastRight = true)
+    j.write.format("noop").mode("overwrite").save()
+    val plan = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"no clustered exchange expected:\n$plan")
+    assert(!plan.contains("Sort "), s"no sort expected:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("shared-lineage sides: right payload is deduped, not bound to " +
       "the left input position") {
     // both sides filter the SAME frame without aliasing, so the
