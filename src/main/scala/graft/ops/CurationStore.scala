@@ -77,6 +77,17 @@ object CurationStore {
       else None
     }
 
+    /** Outstanding delta's total file bytes — read off the listing,
+      * never a job. The broadcast-vs-shuffle decision input. */
+    private[ops] def deltaBytes(s: SparkSession): Long = {
+      val p = new org.apache.hadoop.fs.Path(deltaDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+
     /** The store's effective label map. Plain store: the labels
       * stage. Bucketed store: the base table overridden by the delta
       * (delta rows win; base rows not in the delta pass through) —
@@ -95,12 +106,47 @@ object CurationStore {
       deltaIfAny(s) match {
         case None => base
         case Some(delta) =>
-          base.join(broadcast(delta.select(col(idCol))),
+          base.join(
+              CurationStore.maybeBroadcast(s, this,
+                delta.select(col(idCol))),
               Seq(idCol), "left_anti")
             .unionByName(delta)
       }
     }
   }
+
+  /** Ceiling (bytes of delta parquet) up to which the outstanding
+    * delta rides label reads as a BROADCAST. The delta grows with
+    * drift since the last [[compact]] — unbounded if a caller keeps
+    * folding batches without compacting — and broadcasting an
+    * arbitrarily large frame is a driver/executor OOM, so past this
+    * size the readers degrade to the one-exchange shuffle shape
+    * (correct rows, zero-exchange claim void) instead of failing.
+    * The right response to hitting it is to run [[compact]].
+    */
+  val DeltaBroadcastMaxBytes = "spark.graft.curation.deltaBroadcastMaxBytes"
+  private val deltaBroadcastDefault = 32L * 1024 * 1024
+
+  private[ops] def deltaBroadcastable(s: SparkSession,
+      store: Store): Boolean =
+    store.deltaBytes(s) <= s.conf
+      .get(DeltaBroadcastMaxBytes, deltaBroadcastDefault.toString).toLong
+
+  private def maybeBroadcast(s: SparkSession, store: Store,
+      df: DataFrame): DataFrame =
+    if (deltaBroadcastable(s, store)) broadcast(df) else df
+
+  /** The [[UpdateMarker]] stage map [[update]] and [[compact]] share
+    * — one definition so the two writers' settle/snapshot protocol
+    * cannot drift apart: `labels` is the commit stage (the one a
+    * swap replaces — the delta beside a bucketed base, the whole
+    * labels stage for a plain store), sig/pairs are append-only.
+    */
+  private def stageMap(store: Store): Map[String, String] = Map(
+    "sig" -> s"${store.dir}/signatures",
+    "pairs" -> s"${store.dir}/pairs",
+    "labels" -> (if (store.labelsTable.isDefined) store.deltaDir
+                 else s"${store.dir}/labels"))
 
   /** Deterministic catalog name for `storeDir`'s bucketed labels
     * table (bucketing survives only through the catalog). */
@@ -243,15 +289,13 @@ object CurationStore {
     // store, the delta stage beside the bucketed base for a
     // read-optimized one (the base table is immutable between
     // compactions — the delta carries every label that differs)
-    val commitDir =
-      if (store.labelsTable.isDefined) store.deltaDir else labelsDir
+    val commitDir = stageMap(store)("labels")
     // heal + settle + replay-check + fresh marker: the ONE shared
     // protocol definition ([[UpdateMarker.settle]]); `labels` is the
     // commit stage, sig/pairs are the append-only sides whose
     // partial files a pre-commit crash leaves behind
     if (UpdateMarker.settle(spark, fs, store.dir, "labels",
-        Map("sig" -> sigDir, "pairs" -> pairsDir,
-          "labels" -> commitDir), batchId))
+        stageMap(store), batchId))
       return store // this very batch already applied — no-op
 
     // stage 1 — shingle ONLY the batch, append; the before/after file
@@ -334,13 +378,43 @@ object CurationStore {
     * registration. At cluster scale that registration is the
     * metastore update a maintenance window performs, not part of
     * the data path.
+    *
+    * SINGLE WRITER: compact participates in the [[UpdateMarker]]
+    * protocol like [[update]] — it settles a crashed predecessor at
+    * entry (healing that update's partial appends BEFORE reading the
+    * labels it folds) and holds the in-flight marker for its run, so
+    * simultaneous writer entries collide loudly at the fail-if-exists
+    * marker write. A writer entering LATER (whose settle consumes the
+    * held marker — a marker cannot distinguish crashed from live)
+    * still cannot lose labels: the delta removal below is limited to
+    * the files this run actually read and folded, so a delta swapped
+    * in mid-compaction survives as an outstanding override on the
+    * new base (delta rows are absolute (id, cluster) assignments,
+    * valid over any base).
     */
   def compact(s: SparkSession, store: Store, buckets: Int): Store = {
     require(buckets > 0, "buckets must be positive")
     val labelsDir = s"${store.dir}/labels"
     val fs = new org.apache.hadoop.fs.Path(store.dir)
       .getFileSystem(s.sessionState.newHadoopConf())
+    // compact is a store WRITER and participates in the UpdateMarker
+    // single-writer protocol like update(): settle a crashed
+    // predecessor (update or compact) — healing its partial appends
+    // BEFORE this run reads the labels it folds — then hold the
+    // in-flight marker so simultaneous entries collide loudly at the
+    // fail-if-exists write. (batchId None: compaction is
+    // maintenance, not a batch — it never records `_applied`.)
+    UpdateMarker.settle(s, fs, store.dir, "labels", stageMap(store),
+      batchId = None)
     StageSwap.recover(s, labelsDir)
+    // snapshot the delta files THIS run folds: only these are
+    // removed after the commit. Even if writer discipline is
+    // violated and an update swaps a fresh delta in mid-compact,
+    // that delta's files (new names, wholesale replacement) survive
+    // as an outstanding override on the new base — delta rows are
+    // ABSOLUTE (id, cluster) assignments, valid over any base —
+    // rather than being silently deleted with the folded ones.
+    val foldedDelta = UpdateMarker.listFiles(fs, store.deltaDir)
     val name = tableNameFor(store.dir)
     val staging = s"${name}_staging"
     s.sql(s"DROP TABLE IF EXISTS $staging")
@@ -361,15 +435,20 @@ object CurationStore {
     // one extra exchange — until the re-registration lands
     s.sql(s"DROP TABLE IF EXISTS $name")
     StageSwap.swapIn(s, labelsDir)          // commit point
-    // the delta is folded into the new base — drop it, then point
-    // the store's deterministic table name at the committed files
+    // the FOLDED delta files are now in the new base — drop them
+    // (and the stage dir when nothing newer landed), then point the
+    // store's deterministic table name at the committed files
     // (bucket layout survives only through catalog metadata; the
     // bucket ids ride the part-file names the rename preserved)
-    StageSwap.remove(fs, new org.apache.hadoop.fs.Path(store.deltaDir))
+    foldedDelta.foreach(f =>
+      StageSwap.remove(fs, new org.apache.hadoop.fs.Path(f)))
+    if (UpdateMarker.listFiles(fs, store.deltaDir).isEmpty)
+      StageSwap.remove(fs, new org.apache.hadoop.fs.Path(store.deltaDir))
     val schema = s.read.parquet(labelsDir).schema.toDDL
     s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
       s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
       s"INTO $buckets BUCKETS LOCATION '$labelsDir'")
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     Store(store.dir, store.idCol, Some(name))
   }
 
@@ -397,6 +476,12 @@ object CurationStore {
         val base = s.table(t)
         store.deltaIfAny(s) match {
           case None => corpus.join(base, idCol)
+          case Some(delta) if !deltaBroadcastable(s, store) =>
+            // delta outgrew the broadcast ceiling (compact() is
+            // overdue): the zero-exchange claim is void either way,
+            // so degrade to the one-exchange union shape instead of
+            // OOMing a broadcast (see [[DeltaBroadcastMaxBytes]])
+            corpus.join(store.labels(s), idCol)
           case Some(delta) =>
             corpus.join(base, idCol)
               .join(broadcast(delta.select(col(idCol))),

@@ -325,6 +325,96 @@ class CurationStoreSpec extends SparkSpec {
       "a committed batch's re-run must not re-append signatures")
   }
 
+  test("oversized delta: label reads degrade to the shuffle shape " +
+      "instead of broadcasting an unbounded frame") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("curation-delta-guard").toString
+    val bucketed = CurationStore.compact(spark, CurationStore.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      s"$wh/store"), 8)
+    CurationStore.update(bucketed,
+      docs.filter(col("doc_id") % 2 === 1), "text")
+    assert(bucketed.deltaIfAny(spark).isDefined, "delta expected")
+    val expect = docs.join(store.labels(spark), "doc_id")
+      .select(col("doc_id"), col("cluster"))
+      .collect().map(_.toString).toSet
+    // suppress Spark's own size-based broadcasts so any
+    // BroadcastExchange in the plan can only come from our hints
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a zero ceiling fabricates "delta outgrew the broadcast
+      // budget": both labels() and labelJoin() must drop their
+      // broadcast hints and still return the same rows
+      spark.conf.set(CurationStore.DeltaBroadcastMaxBytes, "0")
+      val j = CurationStore.labelJoin(docs, bucketed)
+        .select(col("doc_id"), col("cluster"))
+      assert(j.collect().map(_.toString).toSet == expect,
+        "guarded shape must return identical rows")
+      val p = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("BroadcastExchange"),
+        s"guard must suppress the delta broadcasts:\n$p")
+      // back under the ceiling the broadcast shape returns
+      spark.conf.set(CurationStore.DeltaBroadcastMaxBytes,
+        (64L * 1024 * 1024).toString)
+      val j2 = CurationStore.labelJoin(docs, bucketed)
+        .select(col("doc_id"), col("cluster"))
+      assert(j2.collect().map(_.toString).toSet == expect)
+      assert(j2.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+    } finally {
+      spark.conf.unset(CurationStore.DeltaBroadcastMaxBytes)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      bucketed.labelsTable
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("compact settles a crashed update's marker and leaves none of " +
+      "its own behind; simultaneous entry still collides") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("curation-compact-marker").toString
+    val dir = s"$wh/store"
+    val bucketed = CurationStore.compact(spark, CurationStore.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir), 8)
+    CurationStore.update(bucketed,
+      docs.filter(col("doc_id") % 2 === 1), "text")
+    val expect = bucketed.labels(spark).collect().map(_.toString).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def listing(stage: String) =
+      UpdateMarker.listFiles(fs, s"$dir/$stage")
+    // fabricate an update that crashed pre-commit: marker snapshots
+    // the current listings, a partial signature append sits beside
+    val marker = UpdateMarker.markerPath(dir)
+    UpdateMarker.write(fs, marker, UpdateMarker.State("b9",
+      Map("sig" -> listing("signatures"), "pairs" -> listing("pairs"),
+        "labels" -> listing("labels_delta"))))
+    val junk = new org.apache.hadoop.fs.Path(
+      s"$dir/signatures/part-junk.parquet")
+    docs.limit(1).select("doc_id").write.mode("overwrite")
+      .parquet(s"$wh/junkfile")
+    fs.rename(new org.apache.hadoop.fs.Path(
+      UpdateMarker.listFiles(fs, s"$wh/junkfile").head), junk)
+    // a live writer holding the marker makes a SIMULTANEOUS entry's
+    // own marker write fail loudly (the documented collision)
+    intercept[IllegalStateException] {
+      UpdateMarker.write(fs, marker, UpdateMarker.State("b10", Map()))
+    }
+    // compact settles the crashed predecessor: partial append
+    // dropped BEFORE the fold, no marker left at exit, labels intact
+    val healed = CurationStore.compact(spark, bucketed, 8)
+    assert(!fs.exists(junk),
+      "crashed update's partial append must be dropped, not folded")
+    assert(!fs.exists(marker), "compact must release the marker")
+    assert(healed.labels(spark).collect().map(_.toString).toSet
+      == expect, "labels unchanged by settle + compaction")
+    healed.labelsTable
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("build leaves no persisted blocks behind") {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
