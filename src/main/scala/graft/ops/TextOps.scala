@@ -197,47 +197,26 @@ object TextOps {
     * signal). Both numerators are EXACT integers — downstream flags
     * compare `k·numerator > n_chars` so no float boundary ever
     * decides a flag. Counting each doc's gram multiset is
-    * partition-local (the doc is the unit); one typed pass emits a
-    * single row per doc, the same hot-path shape as
-    * [[Dedup.shingleRows]] and minhashSignatures — zero shuffles
-    * here, the caller's per-group rollup is the only exchange.
+    * partition-local (the doc is the unit) and runs as the
+    * codegen'd [[graft.functions.RepetitionStats]] expression — one
+    * static call per row INSIDE whole-stage codegen, no Dataset
+    * encoder ser/de, no DeserializeToObject stage break (this was
+    * the batch tier's last typed-lambda kernel). Lengths count CODE
+    * POINTS, agreeing with the DuckDB oracle's `length()` on
+    * supplementary-plane text where the old kernel's UTF-16 count
+    * diverged. Zero shuffles here; the caller's per-group rollup is
+    * the only exchange. Null text coalesces to "" (same zero row
+    * the typed kernel emitted).
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(groupCol), col(textCol))
-      .as[(Long, String, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, grp, text) =>
-          val t = if (text == null) Array.empty[String]
-                  else text.split(" ", -1)
-          def gramChars(k: Int): scala.collection.mutable.HashMap[String, Long] = {
-            val m = new scala.collection.mutable.HashMap[String, Long]
-            var i = 0
-            while (i <= t.length - k) {
-              val g = t.slice(i, i + k).mkString(" ")
-              m.update(g, m.getOrElse(g, 0L) + 1L)
-              i += 1
-            }
-            m
-          }
-          val top2 = if (t.length < 2) 0L
-            else {
-              val m = gramChars(2)
-              val c = m.valuesIterator.max
-              c * m.iterator
-                .collect { case (g, cc) if cc == c => g.length.toLong }
-                .max
-            }
-          val dup3 = if (t.length < 3) 0L
-            else gramChars(3).iterator
-              .collect { case (g, c) if c > 1 => c * g.length }.sum
-          (id, grp, if (text == null) 0L else text.length.toLong,
-            top2, dup3)
-        }
-      }.toDF(idCol, groupCol, "n_chars", "top2_chars", "dup3_chars")
-  }
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).cast("long").as(idCol), col(groupCol),
+        graft.functions.RepetitionStats(
+          coalesce(col(textCol), lit(""))).as("_rs"))
+      .select(col(idCol), col(groupCol),
+        col("_rs.n_chars").as("n_chars"),
+        col("_rs.top2_chars").as("top2_chars"),
+        col("_rs.dup3_chars").as("dup3_chars"))
 
   /** Non-overlapping `w`-word chunks with their 0-based index — the
     * unit of chunk-level (paragraph-style) dedup: (id, idx, md5(chunk

@@ -768,6 +768,37 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((83L, 9L, 20L)))
   }
 
+  test("repetitionStats is a codegen'd expression — no object ser/de, " +
+      "struct computed once — and counts CODE POINTS like the oracle") {
+    // U+1D11E (musical G clef): 2 UTF-16 units, 1 code point — the
+    // case where the old typed kernel's String.length diverged from
+    // DuckDB length(); every count below is in code points
+    val g = "𝄞"
+    val df = Seq((0L, "g", s"$g a $g a $g a")).toDF("doc_id", "source",
+      "text")
+    // n_chars 11 (6 tokens + 5 spaces); "𝄞 a"×3 → top2 = 3·3 = 9
+    // (UTF-16 would say 3·4 = 12); two duplicated 3-grams of 5 code
+    // points each → dup3 = 2·5 + 2·5 = 20
+    val out = TextOps.repetitionStats(df, "doc_id", "source", "text")
+      .collect().map(r =>
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).head
+    assert(out == ((11L, 9L, 20L)))
+    val q = TextOps.repetitionStats(docs, "doc_id", "source", "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject"),
+      s"kernel must stay inside codegen:\n$plan")
+    // "*(N)" prefixes are the WholeStageCodegen stage markers — the
+    // kernel projection must carry one
+    assert("\\*\\(\\d+\\) Project \\[.*repetition_stats".r
+      .findFirstIn(plan).isDefined,
+      s"kernel projection must be codegen-staged:\n$plan")
+    assert("repetition_stats\\(".r.findAllIn(plan).size == 1,
+      s"the struct must be computed once, not per extracted field:\n$plan")
+  }
+
   test("repetitionStats matches a plain-Scala recompute on the corpus") {
     def brute(text: String): (Long, Long, Long) = {
       val t = text.split(" ", -1)
