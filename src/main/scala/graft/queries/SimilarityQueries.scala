@@ -937,8 +937,75 @@ object SimilarityQueries {
     * (the brute-force side exists only as the recall yardstick, the
     * q64 convention).
     */
-  val q136 = {
-    val topDense = 20; val topSparse = 50; val topK = 10
+  // ---- hybrid ANN retrieval: shared fusion kernel -----------------
+  // q136 (recall harness) and q146 (serving shape) run the SAME
+  // IVFPQ-shortlist → RRF fusion; one definition of both the Spark
+  // pipeline and the oracle CTE stack keeps them provably identical.
+  private val hybridTopDense = 20
+  private val hybridTopSparse = 50
+  private val hybridTopK = 10
+
+  /** Shared BM25 top-50 replicated per query id: (qid, doc_id,
+    * rank_sparse). The term query is fixed (q75's kernel); at
+    * serving time each query's own terms would swap in — the fusion
+    * shape is unchanged. */
+  private def hybridSpq(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sparse = TextQueries.bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(hybridTopSparse)
+      .withColumn("rank_sparse", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select("doc_id", "rank_sparse")
+    table(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"))
+      .crossJoin(broadcast(sparse))
+  }
+
+  /** Per-query RRF fusion of a (qid, doc_id, rank_dense) shortlist
+    * with the shared sparse ranking: full outer so docs ranked by
+    * one modality only still surface, then a top-k window over the
+    * ≤ topDense+topSparse rows each query owns. Output (qid, rk,
+    * doc_id, rrf). */
+  private def hybridFuse(dense: org.apache.spark.sql.DataFrame,
+      spq: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    dense.join(spq, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_dense")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_sparse")),
+            lit(0.0)), 6).as("rrf"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("qid")
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rk") <= hybridTopK)
+      .select("qid", "rk", "doc_id", "rrf")
+  }
+
+  /** The IVFPQ dense shortlist (q90's stack) fused — the ANN side
+    * both hybrid queries share. */
+  private def hybridAnnTop(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    hybridFuse(Similarity.ivfPqTopK(table(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        centroidPred = col("vec_id") % 50 === 7,
+        seedPred = col("vec_id") % 10 === 3,
+        queryPred = col("vec_id") % 100 === 0,
+        m = 2, subDim = 32, iters = 2, k = hybridTopDense)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("rank_dense")),
+      hybridSpq(s, dir))
+
+  /** Oracle CTE stack for the ANN-side fusion, ending at
+    * `ta(qid, doc_id, rk, rrf)` — q146 selects from it directly,
+    * q136 appends the brute-force twin and reports recall. */
+  private def hybridAnnCtes: String = {
+    val (topDense, topSparse, topK) =
+      (hybridTopDense, hybridTopSparse, hybridTopK)
     def src(lo: Int, hi: Int) =
       s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
     val (src0, src1) = (src(1, 32), src(33, 64))
@@ -965,50 +1032,62 @@ object SimilarityQueries {
          |  (SELECT vec_id AS cid, embedding AS ce,
          |    ${normSql("embedding")} AS cn FROM embeddings
          |   WHERE vec_id % 50 = 7) c) WHERE rn = 1""")
+    s"""${kmeansCtes(2, src0, "vec_id % 10 = 3", 32, "s0")},
+      |${kmeansCtes(2, src1, "vec_id % 10 = 3", 32, "s1")},
+      |enc0 AS (${enc(src0, "s0c2")}),
+      |enc1 AS (${enc(src1, "s1c2")}),
+      |dt0 AS (${dtab(src0, "s0c2")}),
+      |dt1 AS (${dtab(src1, "s1c2")}),
+      |coarse AS ($coarse),
+      |adc AS (SELECT dt0.qid, e0.vec_id AS doc_id,
+      |  round(dt0.d + dt1.d, 6) AS adc
+      | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+      | JOIN coarse a ON a.vec_id = e0.vec_id
+      | JOIN dt0 ON dt0.cid = e0.cid
+      | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
+      | JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell
+      | WHERE dt0.qid <> e0.vec_id),
+      |dn AS (SELECT qid, doc_id, rank_dense FROM (
+      |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc, doc_id) AS INT) AS rank_dense
+      |  FROM adc) WHERE rank_dense <= $topDense),
+      |${TextQueries.duckBm25Ctes},
+      |sp AS (SELECT doc_id, rank_sparse FROM (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |     ORDER BY score DESC, doc_id) AS INT) AS rank_sparse
+      |  FROM spr) WHERE rank_sparse <= $topSparse),
+      |qids AS (SELECT vec_id AS qid FROM embeddings
+      |  WHERE vec_id % 100 = 0),
+      |spq AS (SELECT q.qid, s.doc_id, s.rank_sparse FROM qids q, sp s),
+      |fa AS (SELECT qid, doc_id,
+      |  round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), 0) +
+      |    coalesce(CAST(1 AS DOUBLE) / (60 + rank_sparse), 0), 6)
+      |    AS rrf
+      | FROM dn FULL JOIN spq USING (qid, doc_id)),
+      |ta AS (SELECT qid, doc_id, rk, rrf FROM (
+      |  SELECT qid, doc_id, rrf, CAST(row_number() OVER (
+      |    PARTITION BY qid
+      |    ORDER BY rrf DESC, doc_id) AS INT) AS rk FROM fa)
+      | WHERE rk <= $topK)""".stripMargin
+  }
+
+  val q136 = {
+    val (topDense, topK) = (hybridTopDense, hybridTopK)
     Q("q136_hybrid_ann_batch",
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val qp = col("vec_id") % 100 === 0
         val w = org.apache.spark.sql.expressions.Window
-        val sparse = TextQueries.bm25Scores(s, dir)
-          .orderBy(col("score").desc, col("doc_id").asc).limit(topSparse)
-          .withColumn("rank_sparse", row_number().over(
-            w.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
-          .select("doc_id", "rank_sparse")
-        val spq = emb.filter(qp).select(col("vec_id").as("qid"))
-          .crossJoin(broadcast(sparse))
-        // per-query fusion of a (qid, doc_id, rank_dense) shortlist
-        // with the shared sparse ranking: full outer so docs ranked
-        // by one modality only still surface, then a top-k window
-        // over the ≤ topDense+topSparse rows each query owns
-        def fuse(dense: org.apache.spark.sql.DataFrame) =
-          dense.join(spq, Seq("qid", "doc_id"), "full_outer")
-            .select(col("qid"), col("doc_id"),
-              round(
-                coalesce(lit(1.0) / (lit(60) + col("rank_dense")),
-                  lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60) + col("rank_sparse")),
-                  lit(0.0)), 6).as("rrf"))
-            .withColumn("rk", row_number().over(
-              w.partitionBy("qid")
-                .orderBy(col("rrf").desc, col("doc_id").asc)))
-            .filter(col("rk") <= topK)
-            .select("qid", "doc_id")
-        val annTop = fuse(Similarity.ivfPqTopK(emb, "vec_id",
-            "embedding",
-            centroidPred = col("vec_id") % 50 === 7,
-            seedPred = col("vec_id") % 10 === 3,
-            queryPred = qp, m = 2, subDim = 32, iters = 2, k = topDense)
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("rank").as("rank_dense")))
-        val bfTop = fuse(Similarity.cosineBruteForce(emb, "vec_id",
-            "embedding", qp, threshold = -1.0)
+        val annTop = hybridAnnTop(s, dir).select("qid", "doc_id")
+        val bfTop = hybridFuse(Similarity.cosineBruteForce(emb,
+            "vec_id", "embedding", qp, threshold = -1.0)
           .withColumn("rank_dense", row_number().over(
             w.partitionBy("qid")
               .orderBy(col("cos").desc, col("vec_id").asc)).cast("int"))
           .filter(col("rank_dense") <= topDense)
           .select(col("qid"), col("vec_id").as("doc_id"),
-            col("rank_dense")))
+            col("rank_dense")),
+          hybridSpq(s, dir)).select("qid", "doc_id")
         bfTop.alias("bf")
           .join(annTop.alias("ap"),
             col("bf.qid") === col("ap.qid") &&
@@ -1019,42 +1098,7 @@ object SimilarityQueries {
               .as("recall"))
           .orderBy("qid")
       },
-      Some(s"""WITH ${kmeansCtes(2, src0, "vec_id % 10 = 3", 32, "s0")},
-        |${kmeansCtes(2, src1, "vec_id % 10 = 3", 32, "s1")},
-        |enc0 AS (${enc(src0, "s0c2")}),
-        |enc1 AS (${enc(src1, "s1c2")}),
-        |dt0 AS (${dtab(src0, "s0c2")}),
-        |dt1 AS (${dtab(src1, "s1c2")}),
-        |coarse AS ($coarse),
-        |adc AS (SELECT dt0.qid, e0.vec_id AS doc_id,
-        |  round(dt0.d + dt1.d, 6) AS adc
-        | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
-        | JOIN coarse a ON a.vec_id = e0.vec_id
-        | JOIN dt0 ON dt0.cid = e0.cid
-        | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
-        | JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell
-        | WHERE dt0.qid <> e0.vec_id),
-        |dn AS (SELECT qid, doc_id, rank_dense FROM (
-        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY adc, doc_id) AS INT) AS rank_dense
-        |  FROM adc) WHERE rank_dense <= $topDense),
-        |${TextQueries.duckBm25Ctes},
-        |sp AS (SELECT doc_id, rank_sparse FROM (
-        |  SELECT doc_id, CAST(row_number() OVER (
-        |     ORDER BY score DESC, doc_id) AS INT) AS rank_sparse
-        |  FROM spr) WHERE rank_sparse <= $topSparse),
-        |qids AS (SELECT vec_id AS qid FROM embeddings
-        |  WHERE vec_id % 100 = 0),
-        |spq AS (SELECT q.qid, s.doc_id, s.rank_sparse FROM qids q, sp s),
-        |fa AS (SELECT qid, doc_id,
-        |  round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), 0) +
-        |    coalesce(CAST(1 AS DOUBLE) / (60 + rank_sparse), 0), 6)
-        |    AS rrf
-        | FROM dn FULL JOIN spq USING (qid, doc_id)),
-        |ta AS (SELECT qid, doc_id FROM (
-        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
-        |    ORDER BY rrf DESC, doc_id) AS rk FROM fa)
-        | WHERE rk <= $topK),
+      Some(s"""WITH $hybridAnnCtes,
         |oa AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
         | FROM embeddings),
         |oq AS (SELECT vec_id, embedding, nrm FROM oa
@@ -1066,7 +1110,7 @@ object SimilarityQueries {
         |    round((${dotSql("q.embedding", "a.embedding")})
         |      / (q.nrm * a.nrm), 6) AS cos
         |   FROM oa a, oq q WHERE q.vec_id <> a.vec_id))
-        | WHERE rank_dense <= $topDense),
+        | WHERE rank_dense <= $hybridTopDense),
         |fb AS (SELECT qid, doc_id,
         |  round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), 0) +
         |    coalesce(CAST(1 AS DOUBLE) / (60 + rank_sparse), 0), 6)
@@ -1075,15 +1119,37 @@ object SimilarityQueries {
         |tb AS (SELECT qid, doc_id FROM (
         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
         |    ORDER BY rrf DESC, doc_id) AS rk FROM fb)
-        | WHERE rk <= $topK)
+        | WHERE rk <= $hybridTopK)
         |SELECT tb.qid, count(ta.doc_id) AS n_hit,
-        | round(CAST(count(ta.doc_id) AS DOUBLE) / $topK, 4) AS recall
+        | round(CAST(count(ta.doc_id) AS DOUBLE) / $hybridTopK, 4)
+        |  AS recall
         |FROM tb LEFT JOIN ta
         | ON ta.qid = tb.qid AND ta.doc_id = tb.doc_id
         |GROUP BY tb.qid ORDER BY tb.qid""".stripMargin))
   }
 
+  /** The query a RAG service actually runs — q136's fusion WITHOUT
+    * the brute-force recall yardstick: IVFPQ shortlist → shared BM25
+    * top-50 → per-query RRF → top-k, emitted as the ranked result
+    * list (qid, rk, doc_id, rrf). q136 stays on the books as the
+    * recall harness that PROVES this fusion against exact search;
+    * this is the serving path it certifies, minus the corpus×query
+    * brute-force pass, its fusion twin and the recall join (12
+    * shuffles vs q136's 15 recorded — the remaining weight is the
+    * PQ trainer stack, i.e. the INDEX BUILD, kept in-plan as in q90;
+    * a deployed service amortizes it across queries). Scale shape: the
+    * corpus-sized passes are the shared PQ trainers/encodes and one
+    * BM25 scan ending in TakeOrderedAndProject; per-query work is
+    * one coarse cell's codes plus bounded windows — no corpus-global
+    * sort anywhere.
+    */
+  val q146 = Q("q146_hybrid_ann_serving",
+    (s, dir) => hybridAnnTop(s, dir).orderBy("qid", "rk"),
+    Some(s"""WITH $hybridAnnCtes
+      |SELECT qid, rk, doc_id, rrf FROM ta
+      |ORDER BY qid, rk""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134, q136)
+    q134, q136, q146)
 }
