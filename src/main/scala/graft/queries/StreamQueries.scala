@@ -506,6 +506,108 @@ object StreamQueries {
     } finally deleteRecursively(storeDir)
   }
 
+  /** Streaming TEMPORAL ENRICHMENT — the as-of semantics as a
+    * stream-side operation: each arriving event is joined to the
+    * latest dimension epoch at its event time (q145's sparse
+    * per-type rate epochs) via `foreachBatch` + the native BATCH
+    * as-of operator in its broadcast-right shape — the q96/q131
+    * composition pattern, and the natural pairing: the micro-batch
+    * (the stream side) keeps its arrival partitioning, the tiny
+    * dimension broadcasts, zero exchanges per batch on the event
+    * side. The dimension is materialized ONCE (persisted) before
+    * the stream starts — the production shape, where epochs are a
+    * slowly-changing table, not a per-batch recompute.
+    *
+    * The corpus arrives as two disjoint event-id halves staged as
+    * separate files (`maxFilesPerTrigger` 1 → two genuine
+    * micro-batches); per-row enrichment against a static dimension
+    * is batch-composition-independent, so the streamed union must
+    * equal the batch as-of on the replayed input — the oracle IS
+    * q145's oracle, and EventStreamSpec pins frame-equality with
+    * q145 directly. Sink is a parquet append; an at-least-once
+    * replay of a crashed batch would re-append (the q131 epoch-id
+    * keyed store is the exactly-once pattern; this query's subject
+    * is the enrichment itself).
+    */
+  val q147 = Q("q147_stream_asof_enrich",
+    (s, dir) => {
+      val raw = Registry.table(s, dir, "events")
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-q147-in")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q147-out")
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-q147-ckpt")
+      val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      def stage(half: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft-q147-$name")
+        try {
+          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator()
+          val it = new scala.collection.Iterator[java.nio.file.Path] {
+            def hasNext = part.hasNext; def next() = part.next()
+          }
+          it.filter(_.toString.endsWith(".parquet")).take(1).foreach(p =>
+            java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet")))
+        } finally deleteRecursively(tmp)
+      }
+      try {
+        val n = raw.count()
+        stage(raw.filter(col("event_id") < lit(n / 2)), "h0")
+        stage(raw.filter(col("event_id") >= lit(n / 2)), "h1")
+        // the static dimension, materialized once in the stream's
+        // UTC-timestamp shape (watermark-capable side must match)
+        val dim = EventTs.toUtcTimestamp(raw)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("ts"))
+          .agg(round(avg("value"), 6).as("rate"))
+          .filter(hour(col("ts")) % 4 === 0)
+          .persist()
+        try {
+          dim.count() // materialize before the stream starts
+          s.conf.set("spark.sql.shuffle.partitions", parts)
+          try {
+            EventTs.toUtcTimestamp(
+                s.readStream.schema(raw.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(inDir.toString))
+              .writeStream
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[
+                   org.apache.spark.sql.Row], id: Long) =>
+                  graft.ops.AsOf.asofJoinNative(
+                      batch.toDF().select("event_id", "event_type",
+                        "ts"),
+                      dim, "event_type", "ts", broadcastRight = true)
+                    .write.mode("append").parquet(outDir.toString)
+              }
+              .option("checkpointLocation", ckptDir.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+              .awaitTermination()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        } finally dim.unpersist()
+        val out = s.read.parquet(outDir.toString)
+          .select(col("event_id"), col("event_type"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("rate"))
+          .orderBy("event_id")
+        // materialize before the finally deletes the sink files
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally
+        Seq(inDir, outDir, ckptDir).foreach(deleteRecursively)
+    },
+    Some("""WITH d AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+      |   round(avg(value), 6) AS rate
+      |  FROM events GROUP BY 1, 2),
+      |d4 AS (SELECT * FROM d WHERE extract(hour FROM ts) % 4 = 0)
+      |SELECT e.event_id, e.event_type, e.ts, d.rate
+      |FROM events e ASOF LEFT JOIN d4 d
+      |  ON e.event_type = d.event_type AND e.ts >= d.ts
+      |ORDER BY e.event_id""".stripMargin))
+
   val qs: Seq[Q] =
-    Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131)
+    Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131, q147)
 }

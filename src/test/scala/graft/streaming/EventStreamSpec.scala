@@ -264,6 +264,20 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamed as-of enrichment equals the batch as-of on the " +
+      "replayed input (q147 == q145, frame-identical)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.StreamQueries.q147.run(spark, dir)
+      .collect().map(_.toString).toSet
+    val batch = graft.queries.Relational.q145.run(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch,
+      s"streamed enrichment diverges from the batch as-of: " +
+        s"extra=${(streamed -- batch).take(3)} " +
+        s"missing=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("mergeBatch tie-break discriminates which columns are null") {
     // (null, x) vs (x, null) must NOT collide: a bare xxhash64 over
     // the payload columns skips null inputs, hashing both rows to the
