@@ -34,6 +34,7 @@ object AsofScaling {
         s"""{"tier":"asof_hotkey","case":"$name","result":$result,""" +
         s""""shuffle_write_records":${listener.shuffleWriteRecords},""" +
         s""""max_task_shuffle_read_records":${listener.maxTaskShuffleReadRecords},""" +
+        s""""max_task_run_ms":${listener.maxTaskRunMillis},""" +
         s""""sec":${f"$sec%.3f"}$extras}"""
       println(s"[asof] $line")
       out.append(line).append('\n')
@@ -55,6 +56,28 @@ object AsofScaling {
       measure(s"window_n$n", Map("rows" -> n))(
         total(graft.ops.AsOf.asofJoin(l, r, "k", "t")))
       measure(s"native_n$n", Map("rows" -> n))(
+        total(graft.ops.AsOf.asofJoinNative(l, r, "k", "t")))
+    }
+
+    // TIME skew: one MONSTER key (8× every other key's rows) among
+    // 32 keys — the case where O(1) memory is already proven but the
+    // monster's serial merge bounds the stage wall-clock. AQE's
+    // skew-join splitting does not apply to a custom exec, so the
+    // honest claim is a measured straggler bound (max_task_run_ms vs
+    // sec), native vs window, not a fix. Mitigation documented on
+    // AsOfJoinExec: pre-split the monster key by time range.
+    def skewSides(n: Long) = {
+      def keyed(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        when(col("id") % 32 < 8, 0L).otherwise(col("id") % 32).as("k"),
+        col("id").as("t"), col("id").as("rid"))
+      (keyed(spark.range(n / 4).toDF("id")).withColumnRenamed("rid", "lid"),
+        keyed(spark.range(n).toDF("id")))
+    }
+    for (n <- Seq(2000000L)) {
+      val (l, r) = skewSides(n)
+      measure(s"window_skew_n$n", Map("rows" -> n))(
+        total(graft.ops.AsOf.asofJoin(l, r, "k", "t")))
+      measure(s"native_skew_n$n", Map("rows" -> n))(
         total(graft.ops.AsOf.asofJoinNative(l, r, "k", "t")))
     }
     ScalingLog.replaceSlice(ScalingLog.tier("asof_hotkey"), out.toString)

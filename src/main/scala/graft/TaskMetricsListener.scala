@@ -16,6 +16,7 @@ class TaskMetricsListener extends SparkListener {
   var shuffleReadBytes = 0L
   var shuffleReadRecords = 0L
   var maxTaskShuffleReadRecords = 0L
+  var maxTaskRunMillis = 0L
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
     val m = te.taskMetrics
@@ -27,12 +28,15 @@ class TaskMetricsListener extends SparkListener {
       shuffleReadRecords += m.shuffleReadMetrics.recordsRead
       maxTaskShuffleReadRecords = math.max(maxTaskShuffleReadRecords,
         m.shuffleReadMetrics.recordsRead)
+      // the TIME-skew signal (the straggler bound a hot key sets on
+      // the whole stage — see AsofScaling's skew tier)
+      maxTaskRunMillis = math.max(maxTaskRunMillis, m.executorRunTime)
     }
   }
 
   def reset(): Unit = synchronized {
     inputRecords = 0; shuffleWriteBytes = 0; shuffleWriteRecords = 0
     shuffleReadBytes = 0; shuffleReadRecords = 0
-    maxTaskShuffleReadRecords = 0
+    maxTaskShuffleReadRecords = 0; maxTaskRunMillis = 0
   }
 }

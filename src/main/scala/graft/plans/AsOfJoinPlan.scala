@@ -204,6 +204,24 @@ private[plans] object AsOfTime {
   * per-key state is a single copied right row (the current best
   * match), so memory is O(1) regardless of key skew — the window
   * alternative buffers the hot key's whole frame.
+  *
+  * KNOWN LIMIT — hot-key TIME skew: O(1) memory does not parallelize
+  * a monster key's WALK; one key's whole history is one task's
+  * serial time, and AQE's OptimizeSkewedJoin only splits the
+  * built-in join execs, never a custom one — the skewed partition
+  * arrives intact. The `asof_hotkey` tier's `*_skew` rows
+  * (SCALING.jsonl, AsofScaling) measure the straggler bound
+  * (max task run ≈ stage wall-clock on an 8×-skewed key, window and
+  * native alike; native's constant factor is the smaller). The
+  * mitigation at 100 TB is a caller-side pre-split of the monster
+  * key BY TIME RANGE: slice the left side into time windows, give
+  * each slice the right rows of its window plus the latest right row
+  * at-or-before the window start (one extra row per slice — it
+  * carries the answer for left rows preceding the slice's first
+  * right row), join slices independently, union. That rewrite is
+  * exact for backward mode and restores parallelism at the cost of
+  * the pre-split's bookkeeping; it is deliberately left to the
+  * caller because the slice boundaries are data-dependent.
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
