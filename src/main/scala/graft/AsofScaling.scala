@@ -57,6 +57,12 @@ object AsofScaling {
         total(graft.ops.AsOf.asofJoin(l, r, "k", "t")))
       measure(s"native_n$n", Map("rows" -> n))(
         total(graft.ops.AsOf.asofJoinNative(l, r, "k", "t")))
+      // the packaged mitigation: same single monster key, pre-split
+      // into 32 time slices — the `result` equality with the two
+      // arms above is the correctness cross-check; the wall-clock
+      // and max_task_run_ms drop is the parallelism restored
+      measure(s"presplit32_n$n", Map("rows" -> n))(
+        total(graft.ops.AsOf.asofJoinNativePresplit(l, r, "k", "t", 32)))
     }
 
     // TIME skew: one MONSTER key (8× every other key's rows) among

@@ -87,6 +87,135 @@ object AsOf {
     native(left, right, keyCol, timeCol, tiebreak, forward = true,
       tolerance, broadcastRight)
 
+  /** Hot-key mitigation — the native as-of with the TIME RANGE
+    * pre-split the operator's scaladoc prescribes, packaged: the one
+    * case the merge walk cannot parallelize is a monster key whose
+    * whole history lands in one task (AQE never splits a custom
+    * exec's partitions). This rewrite restores parallelism EXACTLY:
+    *
+    *  1. slice the LEFT time range into `slices` equal tick windows
+    *     (ticks: native units — µs for timestamps, days for dates,
+    *     the value for integrals);
+    *  2. each right row joins its own slice; clamped below/above
+    *     into the first/last slice (early rows genuinely belong to
+    *     slice 0's lookback; late rows can never match backward);
+    *  3. per (key, slice), the LATEST right row (by time, tiebreak)
+    *     is computed — a parallel per-slice reduction — and carried
+    *     into every later slice over a (key × slice) grid, so a left
+    *     row preceding its slice's first right row still finds the
+    *     true match (the latest right row of any earlier slice);
+    *  4. the native merge walk runs keyed on (key, slice) — the
+    *     monster key is now `slices` independent tasks — and the
+    *     helper columns are dropped.
+    *
+    * Exactness (backward): a left row's true match is either inside
+    * its own slice (present) or the globally-latest right row of an
+    * earlier slice — which is exactly the carried row, because no
+    * later right row separates them. Forward mode mirrors: earliest
+    * right at-or-after, carried from later slices into earlier ones.
+    * `tolerance` composes (it post-checks the nearest candidate,
+    * which the rewrite preserves). AsOfPresplitSpec pins equality
+    * with the plain native join on random and monster-key fixtures;
+    * the `asof_hotkey` tier's `presplit` rows measure the straggler
+    * bound dropping with slice count.
+    *
+    * Costs, stated: one bounded driver read (min/max tick of the
+    * left side), a keys×slices carry grid, and right-side row
+    * duplication of at most one row per (key, nonempty later
+    * slice). A production caller routes ONLY monster keys through
+    * this shape (split the input by a key-frequency sketch, union
+    * the plain join of the rest) — the rewrite is exact either way,
+    * so the routing is purely a cost decision.
+    */
+  def asofJoinNativePresplit(left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, slices: Int,
+      tiebreak: Seq[String] = Nil, forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    val sl = "_asof_sl"; val k2 = "_asof_k2"
+    require(!(left.columns ++ right.columns).exists(
+        c => c == sl || c == k2),
+      s"column names $sl/$k2 are reserved by asofJoinNativePresplit")
+    import org.apache.spark.sql.expressions.Window
+    def tick(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast("timestamp"))
+        case org.apache.spark.sql.types.DateType => unix_date(c)
+        case _ => c.cast("long")
+      }
+    val lTick = tick(col(timeCol), left.schema(timeCol).dataType)
+    val range = left.agg(min(lTick), max(lTick)).head()
+    if (slices == 1 || range.isNullAt(0) || range.getLong(0) == range.getLong(1))
+      return native(left, right, keyCol, timeCol, tiebreak, forward,
+        tolerance, broadcastRight = false)
+    val (mn, mx) = (range.getLong(0), range.getLong(1))
+    // slice width as DRIVER long arithmetic; the per-row division
+    // below keeps its numerator <= the left span, which is exactly
+    // representable as a double (right rows far outside the range
+    // may round, but they clamp into the edge slices either way).
+    // Exactness never needs equal widths — only that the slice map
+    // is deterministic and monotone in the tick, which floor of an
+    // IEEE division by a positive constant is.
+    val width = math.max(1L, (mx - mn) / slices + 1)
+    def sliceOf(t: Column, dt: org.apache.spark.sql.types.DataType) =
+      least(lit(slices - 1L), greatest(lit(0L),
+        floor((tick(t, dt) - lit(mn)) / lit(width))))
+    // the composite key is NULL whenever the real key is (a struct
+    // with a null FIELD is non-null and would make null keys match
+    // each other — the base operator's "null key never matches"
+    // contract must survive the rewrite)
+    def key2(slc: Column) = when(col(keyCol).isNotNull,
+      struct(col(keyCol).as("k"), slc.as("s"))).otherwise(lit(null))
+    val l2 = left
+      .withColumn(sl, sliceOf(col(timeCol), left.schema(timeCol).dataType))
+      .withColumn(k2, key2(col(sl)))
+    val rDt = right.schema(timeCol).dataType
+    val rSliced = right.withColumn(sl, sliceOf(col(timeCol), rDt))
+    // per (key, slice) extreme row — LATEST for backward, EARLIEST
+    // for forward (ties: the row the base operator's convention
+    // would carry)
+    val ord =
+      if (forward) (col(timeCol).asc +: tiebreak.map(col(_).asc))
+      else (col(timeCol).desc +: tiebreak.map(col(_).desc))
+    val extremes = rSliced
+      .withColumn("_asof_rn", row_number().over(
+        Window.partitionBy(col(keyCol), col(sl)).orderBy(ord: _*)))
+      .filter(col("_asof_rn") === 1).drop("_asof_rn")
+    // carry grid: every (key, slice) learns the extreme row of the
+    // nearest nonempty earlier (backward) / later (forward) slice
+    val grid = rSliced.select(col(keyCol)).distinct()
+      .crossJoin(right.sparkSession.range(slices.toLong)
+        .select(col("id").as("_asof_target")))
+    val carryW = Window.partitionBy(col(keyCol))
+      .orderBy(if (forward) col("_asof_target").desc
+               else col("_asof_target").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val payloadCols = right.columns.toIndexedSeq
+    val carried = grid
+      .join(extremes.withColumnRenamed(sl, "_asof_target"),
+        Seq(keyCol, "_asof_target"), "left_outer")
+      .withColumn("_asof_carry", last(
+        when(col(timeCol).isNotNull,
+          struct(payloadCols.filterNot(_ == keyCol).map(col): _*)),
+        ignoreNulls = true).over(carryW))
+      .filter(col("_asof_carry").isNotNull)
+      .select(col(keyCol) +: col("_asof_target").as(sl) +:
+        payloadCols.filterNot(_ == keyCol)
+          .map(c => col(s"_asof_carry.$c").as(c)): _*)
+    val r2 = rSliced.select(payloadCols.map(col) :+ col(sl): _*)
+      .unionByName(carried.select(payloadCols.map(col) :+ col(sl): _*))
+      .withColumn(k2, key2(col(sl)))
+      .drop(keyCol, sl)
+    native(l2, r2, k2, timeCol, tiebreak, forward,
+      tolerance, broadcastRight = false)
+      .drop(k2, sl)
+      .select(left.columns.map(col) ++
+        right.columns.filterNot(c => c == keyCol || c == timeCol)
+          .map(col): _*)
+  }
+
   private def native(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, tiebreak: Seq[String],
       forward: Boolean, tolerance: Option[Long] = None,

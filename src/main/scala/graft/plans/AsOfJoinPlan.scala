@@ -213,15 +213,15 @@ private[plans] object AsOfTime {
   * (SCALING.jsonl, AsofScaling) measure the straggler bound
   * (max task run ≈ stage wall-clock on an 8×-skewed key, window and
   * native alike; native's constant factor is the smaller). The
-  * mitigation at 100 TB is a caller-side pre-split of the monster
-  * key BY TIME RANGE: slice the left side into time windows, give
-  * each slice the right rows of its window plus the latest right row
-  * at-or-before the window start (one extra row per slice — it
-  * carries the answer for left rows preceding the slice's first
-  * right row), join slices independently, union. That rewrite is
-  * exact for backward mode and restores parallelism at the cost of
-  * the pre-split's bookkeeping; it is deliberately left to the
-  * caller because the slice boundaries are data-dependent.
+  * mitigation is PACKAGED as
+  * [[graft.ops.AsOf.asofJoinNativePresplit]]: slice the left time
+  * range, give each slice its own right rows plus the carried
+  * extreme row of the nearest nonempty earlier (later, forward)
+  * slice, and run this exec keyed on (key, slice) — exact in both
+  * directions (AsOfPresplitSpec), parallelism measured in the
+  * `asof_hotkey` tier's `presplit` rows. Routing only monster keys
+  * through it is the caller's cost decision; the rewrite itself is
+  * always exact.
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
