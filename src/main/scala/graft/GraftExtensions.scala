@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ReplaceFirst}
+import graft.functions.{DotProduct, RepetitionStats, ReplaceFirst}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,6 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "dot_product(a, b) takes 2 float-array arguments")
         DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName,
+        "repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "repetition_stats(text) takes 1 string argument")
+        RepetitionStats(args(0))
       }))
   }
 }
