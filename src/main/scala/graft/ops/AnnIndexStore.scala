@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The IVFPQ index as a PERSISTED, SERVABLE, MAINTAINABLE artifact —
+  * the piece the in-plan ANN queries (q84/q90/q136/q146) deliberately
+  * leave on the table: they re-train the quantizers inside every
+  * query plan because that keeps the whole stack inside one oracle
+  * hash, but a deployed retrieval service trains ONCE and amortizes
+  * the index over every query batch. This store is that split,
+  * [[CurationStore]]'s staged-artifact discipline applied to the
+  * vector tier:
+  *
+  *  - [[build]] runs the trainers once and writes three tables under
+  *    one directory: `centroids` (the coarse quantizer, k rows),
+  *    `codebooks` ([[Similarity.pqTrain]]'s m·k codewords), and
+  *    `codes` — the corpus encoded to (id, _c0.._c{m-1}),
+  *    PARTITIONED BY the coarse cell. The cell directories are the
+  *    serving layout: a query batch probing c cells reads c
+  *    partitions of a few-bytes-per-vector table, never the corpus.
+  *  - [[search]] answers a query batch with ZERO training in-plan:
+  *    broadcast the stored centroids (query→cell assignment),
+  *    broadcast per-query distance tables computed from the stored
+  *    codebooks (|Q|·k rows per subspace), and scan ONLY the probed
+  *    cell partitions of `codes` (static partition pruning over the
+  *    bounded probe list). Results are bit-identical to the in-plan
+  *    [[Similarity.ivfPqTopK]] at the same dials: every kernel is
+  *    shared, and parquet round-trips the model doubles exactly
+  *    (AnnIndexStoreSpec pins both the equality and the plan shape).
+  *  - [[add]] folds a NEW vector batch in by encoding it with the
+  *    STORED models — per-row arithmetic, so the appended rows are
+  *    exactly what a full re-encode would produce ([[Similarity
+  *    .pqEncode]]'s contract); the corpus is never re-read and the
+  *    trainers never re-run. The standing ANN-drift caveat applies
+  *    as in q67: codebooks grow stale as the distribution drifts;
+  *    the periodic [[build]] is the re-train, and [[search]] serves
+  *    throughout.
+  *
+  * Crash/re-run discipline for [[add]] (append-only commit, adapted
+  * from the [[UpdateMarker]] swap protocol — the codes table is
+  * partitioned, so listings are recursive, and there is no swap: the
+  * append IS the commit, witnessed by the durable `_applied` record):
+  * a marker written before the append snapshots the codes listing; a
+  * re-run after a crash deletes the partial appended files (not in
+  * the snapshot) unless `_applied` already names the marker's batch
+  * (append finished, marker survived), and a `batchId` makes the
+  * committed-but-unacknowledged replay a detected no-op exactly as in
+  * [[CurationStore.update]]. SINGLE WRITER per index directory: the
+  * fail-if-exists marker write rejects a concurrent add loudly.
+  */
+object AnnIndexStore {
+
+  /** Handle to a built index: three parquet tables under `dir`.
+    * `cell` comes back from partition-directory inference (int for
+    * small centroid ids) — consumers compare it against assignment
+    * output, where Catalyst's implicit cast keeps the join correct
+    * and partition-pruning predicates still bind to the partition
+    * column.
+    */
+  final case class Index(dir: String, idCol: String, m: Int,
+      subDim: Int) {
+    def centroids(s: SparkSession): DataFrame =
+      s.read.parquet(s"$dir/centroids")
+    def codebooks(s: SparkSession): DataFrame =
+      s.read.parquet(s"$dir/codebooks")
+    def codes(s: SparkSession): DataFrame =
+      s.read.parquet(s"$dir/codes")
+  }
+
+  /** Ceiling on the DISTINCT probed cells [[search]] will collect to
+    * the driver for static partition pruning. The probe list is
+    * bounded by the query batch (≤ one cell per query), so the
+    * collect is small by construction — but a caller serving an
+    * unexpectedly huge batch should not turn it into a driver sweep:
+    * past the ceiling the scan falls back to the unpruned codes table
+    * (correct rows, pruning claim void).
+    */
+  val PruneMaxCells = "spark.graft.ann.pruneMaxCells"
+  private val pruneMaxDefault = 1024
+
+  /** Train the quantizers over `emb` and write the full index under
+    * `dir` (overwrite). Dials mirror [[Similarity.ivfPqTopK]]:
+    * `centroidPred` selects the coarse centroid vectors, `seedPred`
+    * the PQ seed vectors, `m`×`subDim` the product decomposition.
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+      centroidPred: Column, seedPred: Column, m: Int, subDim: Int,
+      iters: Int): Index = {
+    val s = emb.sparkSession
+    // same silently-empty-result trap as ivfCells: a predicate
+    // matching nothing would build an index that answers every query
+    // with zero rows — fail loudly instead (same conf opt-out; the
+    // check re-scans the corpus once, which a 100 TB build amortizes
+    // into its training passes anyway)
+    if (s.conf.get("spark.graft.ivf.validateCentroids", "true").toBoolean)
+      require(!emb.filter(centroidPred).isEmpty,
+        "centroidPred matched no rows — the index needs >= 1 cell")
+    // coarse quantizer: the selected centroid rows with their norms —
+    // k rows, the broadcast side of every assignment from here on
+    Similarity.withNorm(emb.filter(centroidPred), vecCol)
+      .select(col(idCol).cast("long").as("cid"), col("_e").as("_ce"),
+        col("_nrm").as("_cn"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // PQ codebooks: one keyed Lloyd loop over the corpus
+    Similarity.pqTrain(emb, idCol, vecCol, seedPred, m, subDim, iters)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val idx = Index(dir, idCol, m, subDim)
+    // the ONE remaining corpus-sized pass: coarse cell + m codes per
+    // vector, written partitioned by cell — the models are re-read
+    // from the store (lineage cut at each boundary, the
+    // CurationStore discipline), so the encode plan starts at tiny
+    // scans, not the trainer chains
+    writeCodes(idx, emb, vecCol, mode = "overwrite")
+    val fs = fsOf(s, dir)
+    UpdateMarker.clear(fs, dir) // rebuild resets protocol state
+    idx
+  }
+
+  /** Assign + encode `emb` against the STORED models and write into
+    * the partitioned codes table. Shared by [[build]] (overwrite) and
+    * [[add]] (append): the per-row arithmetic is identical, which is
+    * the whole incremental-equivalence argument.
+    */
+  private def writeCodes(idx: Index, emb: DataFrame, vecCol: String,
+      mode: String): Unit = {
+    val s = emb.sparkSession
+    val cells = Similarity.assignCosineCells(emb, idx.idCol, vecCol,
+        idx.centroids(s))
+      .select(col(idx.idCol), col("cell"))
+    Similarity.pqEncode(emb, idx.idCol, vecCol, idx.codebooks(s),
+        idx.m, idx.subDim)
+      .join(cells, idx.idCol)
+      .write.mode(mode).partitionBy("cell").parquet(s"${idx.dir}/codes")
+    s.catalog.refreshByPath(s"${idx.dir}/codes")
+  }
+
+  /** Every data file under the partitioned codes table — recursive,
+    * unlike [[UpdateMarker.listFiles]]' flat stage listing. */
+  private def listCodesFiles(fs: FileSystem, dir: String): Set[String] = {
+    val p = new Path(s"$dir/codes")
+    if (!fs.exists(p)) return Set.empty
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toString
+    }
+    out.toSet
+  }
+
+  private def fsOf(s: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Fold a NEW batch of vectors into the index: encode with the
+    * stored models, append to the probed-cell partitions. Ids must be
+    * disjoint from the stored corpus (the high-water contract shared
+    * with [[Dedup.dedupIncremental]] / [[CurationStore.update]]).
+    *
+    * Exactly-once: see the object scaladoc — the append is the
+    * commit; a crashed attempt's partial files are healed on the next
+    * entry, and a `batchId` makes every replay window a detected
+    * no-op. Without one, the committed-but-unacknowledged window is
+    * the caller's re-send risk (double-appended rows).
+    */
+  def add(idx: Index, newEmb: DataFrame, vecCol: String,
+      batchId: Option[String] = None): Index = {
+    require(batchId.forall(_.nonEmpty),
+      "batchId, when defined, must be non-empty")
+    val s = newEmb.sparkSession
+    val fs = fsOf(s, idx.dir)
+    val marker = UpdateMarker.markerPath(idx.dir)
+    // settle a crashed predecessor: _applied naming its batch means
+    // its append finished (writeApplied precedes marker delete);
+    // otherwise delete the partial appended files so this run starts
+    // from the snapshotted state
+    UpdateMarker.read(fs, marker).foreach { prior =>
+      val committed = prior.batchId.nonEmpty &&
+        UpdateMarker.readApplied(fs, idx.dir).contains(prior.batchId)
+      if (!committed) {
+        val snapshot = prior.listings.getOrElse("codes", Set.empty)
+        (listCodesFiles(fs, idx.dir) -- snapshot)
+          .foreach(f => StageSwap.remove(fs, new Path(f)))
+        s.catalog.refreshByPath(s"${idx.dir}/codes")
+      }
+      UpdateMarker.delete(fs, marker)
+    }
+    if (batchId.isDefined &&
+        UpdateMarker.readApplied(fs, idx.dir) == batchId)
+      return idx // this very batch already applied — no-op
+    UpdateMarker.write(fs, marker, UpdateMarker.State(
+      batchId.getOrElse(""),
+      Map("codes" -> listCodesFiles(fs, idx.dir))))
+    writeCodes(idx, newEmb, vecCol, mode = "append")
+    batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
+    UpdateMarker.delete(fs, marker)
+    idx
+  }
+
+  /** Answer a query batch (`qidCol`, `vecCol`) from the stored index
+    * — the serving path: zero training in-plan, the corpus touched
+    * only through the probed cell partitions. Emits (qid, idCol, adc,
+    * rank ≤ k) with [[Similarity.pqRank]]'s deterministic tiebreak,
+    * self-pairs excluded — bit-identical to
+    * [[Similarity.ivfPqTopK]] at the build's dials.
+    *
+    * The probe list (≤ one cell per query) is collected to the driver
+    * and pushed as a static `cell IN (...)` partition filter — the
+    * collect is bounded by the query batch size and guarded by
+    * [[PruneMaxCells]]; a service would keep the same list in memory
+    * as routing state. Static pruning beats relying on runtime DPP
+    * here because the probe side is already driver-local and tiny.
+    */
+  def search(s: SparkSession, idx: Index, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cents = idx.centroids(s)
+    val qcells = Similarity.assignCosineCells(queries, qidCol, vecCol,
+        cents)
+      .select(col(qidCol).as("qid"), col("cell").as("_qcell"))
+    val dts = Similarity.pqDistTables(queries, qidCol, vecCol,
+      idx.codebooks(s), idx.m, idx.subDim)
+    val maxCells = s.conf.get(PruneMaxCells, pruneMaxDefault.toString)
+      .toInt
+    // bounded driver materialization: distinct probed cells, capped —
+    // the same k·d-scale collect class as the centroid tables
+    val probed = qcells.select(col("_qcell")).distinct()
+      .limit(maxCells + 1).collect().map(_.getLong(0)).toSeq
+    val scan = idx.codes(s)
+    val pruned =
+      if (probed.size <= maxCells)
+        scan.filter(col("cell").isInCollection(probed))
+      else scan // probe list outgrew the ceiling: correct, unpruned
+    val cand = pruned.join(broadcast(qcells),
+      col("cell") === col("_qcell") && col("qid") =!= col(idx.idCol))
+    val joined = dts.zipWithIndex.foldLeft(cand) {
+      case (acc, (dt, j)) =>
+        acc.join(broadcast(dt), acc(s"_c$j") === dt(s"_cid$j") &&
+          acc("qid") === dt(s"_qid$j"))
+    }
+    Similarity.pqRank(joined, idx.idCol, idx.m, k)
+  }
+
+  // ---- session-lifetime index per corpus directory ----------------
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** The q90 dials — ONE definition shared by the memoized store and
+    * the q148/q149 oracles' expectations. */
+  private val Centroids: Column = col("vec_id") % 50 === 7
+  private val Seeds: Column = col("vec_id") % 10 === 3
+  private val M = 2
+  private val SubDim = 32
+  private val Iters = 2
+
+  /** Deterministic local index directory for `dataDir` (the
+    * [[CurationStore.storeDirFor]] scheme, separate root). */
+  def indexDirFor(dataDir: String, suffix: String = ""): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    "target/ann-index/" +
+      dataDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
+      s"-$digest$suffix"
+  }
+
+  /** The memoized index for the `embeddings` corpus at `dataDir`:
+    * built on first access per JVM at the q90 dials, then served by
+    * every consumer query in the session — the trainers run once per
+    * corpus, not once per query batch.
+    */
+  def forCorpus(s: SparkSession, dataDir: String): Index =
+    built.computeIfAbsent(dataDir, d =>
+      build(s.read.parquet(s"$d/embeddings.parquet"), "vec_id",
+        "embedding", indexDirFor(d), Centroids, Seeds, M, SubDim, Iters))
+
+  /** Rebuild `dataDir`'s index unconditionally (the q149 surface —
+    * build cost stays honestly measured in the bench battery even
+    * when consumers ride the memoized index).
+    */
+  def rebuildForCorpus(s: SparkSession, dataDir: String): Index = {
+    val idx = build(s.read.parquet(s"$dataDir/embeddings.parquet"),
+      "vec_id", "embedding", indexDirFor(dataDir), Centroids, Seeds,
+      M, SubDim, Iters)
+    built.put(dataDir, idx)
+    idx
+  }
+}

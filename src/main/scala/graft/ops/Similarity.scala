@@ -162,6 +162,18 @@ object Similarity {
         .get("spark.graft.ivf.validateCentroids", "true").toBoolean)
       require(!cents.isEmpty,
         "centroidPred matched no rows — IVF needs at least one centroid")
+    assignCosineCells(emb, idCol, vecCol, cents)
+  }
+
+  /** [[ivfCells]]' max-cosine argmax against an EXPLICIT centroid
+    * frame (cid, _ce, _cn) — in-memory or re-read from a persisted
+    * index ([[AnnIndexStore]]): parquet round-trips doubles exactly,
+    * so assignments are bit-identical either way. Emits one
+    * (id, _e, _nrm, cell) row per input vector.
+    */
+  def assignCosineCells(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val base = withNorm(emb, vecCol).select(col(idCol), col("_e"), col("_nrm"))
     val cos = round(dot(col("_e"), col("_ce")) / (col("_nrm") * col("_cn")), 6)
     // argmax = max of (cos, -cid) lexicographically: highest rounded
     // cos, centroid-id ascending on ties — identical semantics to a
@@ -626,13 +638,36 @@ object Similarity {
   private def pqSub(emb: DataFrame, idCol: String, vecCol: String,
       seedPred: Column, queryPred: Column, m: Int, subDim: Int,
       iters: Int): (DataFrame, Seq[DataFrame]) = {
+    val cents = pqTrain(emb, idCol, vecCol, seedPred, m, subDim, iters)
+    (pqEncode(emb, idCol, vecCol, cents, m, subDim),
+      pqDistTables(emb.filter(queryPred), idCol, vecCol, cents, m, subDim))
+  }
+
+  /** Exploded (id, _sj, _e-slice) rows — the keyed-subspace frame the
+    * PQ trainer, encoder and distance-table builder all derive from.
+    */
+  private def pqSubRows(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame = {
     val slices = (0 until m).map(j =>
       struct(lit(j).as("_sj"),
         slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
           .as("_se")))
-    val subRows = emb
-      .select(col(idCol), explode(array(slices: _*)).as("_s"))
+    emb.select(col(idCol), explode(array(slices: _*)).as("_s"))
       .select(col(idCol), col("_s._sj").as("_sj"), col("_s._se").as("_e"))
+  }
+
+  /** Train all `m` PQ sub-codebooks in one keyed Lloyd loop and
+    * return the (tiny, driver-materialized) codebook frame
+    * (_sj, cid, _ce) — the model artifact a persisted index stores
+    * ([[AnnIndexStore]]) and [[pqEncode]]/[[pqDistTables]] consume.
+    * Bit-compatible with `m` independent [[kmeansFit]] runs (same
+    * seeds, same (dist, cid) tiebreak, same rounded means), so
+    * results stay in lockstep with the q84/q90 oracles' per-subspace
+    * recomputation.
+    */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+      seedPred: Column, m: Int, subDim: Int, iters: Int): DataFrame = {
+    val subRows = pqSubRows(emb, idCol, vecCol, m, subDim)
     var cents = subRows.filter(seedPred)
       .select(col("_sj"), col(idCol).cast("long").as("cid"),
         col("_e").as("_ce"))
@@ -648,23 +683,45 @@ object Similarity {
         .select(col("_sj"), col("cid"),
           transform(col("_pv"), x => x.getField("val")).as("_ce")))
     }
-    val codes = assignEuclidKeyed(subRows, cents, idCol)
+    cents
+  }
+
+  /** Encode every vector against `codebooks` (the [[pqTrain]] frame,
+    * in-memory or re-read from storage — exact doubles either way):
+    * one partial-aggregate assignment pass over the exploded subspace
+    * rows, one groupBy pivot to the wide (id, _c0.._c{m-1}) frame.
+    * Per-row independent, so encoding a NEW batch with stored
+    * codebooks appends exactly the rows a full re-encode would —
+    * the incremental-index contract [[AnnIndexStore.add]] relies on.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame =
+    assignEuclidKeyed(pqSubRows(emb, idCol, vecCol, m, subDim),
+        codebooks, idCol)
       .groupBy(col(idCol))
       .agg(max(when(col("_sj") === 0, col("cid"))).as("_c0"),
         (1 until m).map(j =>
           max(when(col("_sj") === j, col("cid"))).as(s"_c$j")): _*)
+
+  /** Per-subspace broadcastable ADC distance tables
+    * (_qidj, _cidj, _dj) for the `queries` frame against `codebooks`
+    * — the per-batch serving work: |Q|·k rows per subspace, computed
+    * from the query vectors alone (the corpus is never touched).
+    */
+  def pqDistTables(queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int): Seq[DataFrame] = {
     val dist = round(dot(col("_q"), col("_q")) -
       lit(2.0) * dot(col("_q"), col("_ce")) +
       dot(col("_ce"), col("_ce")), 6)
-    val dtAll = materializeSmall(subRows.filter(queryPred)
-      .select(col("_sj"), col(idCol).as("_qid"), col("_e").as("_q"))
-      .join(broadcast(cents), "_sj")
-      .select(col("_sj"), col("_qid"), col("cid").as("_cid"),
-        dist.as("_d")))
-    val dts = (0 until m).map(j => dtAll.filter(col("_sj") === j)
+    val dtAll = materializeSmall(
+      pqSubRows(queries, idCol, vecCol, m, subDim)
+        .select(col("_sj"), col(idCol).as("_qid"), col("_e").as("_q"))
+        .join(broadcast(codebooks), "_sj")
+        .select(col("_sj"), col("_qid"), col("cid").as("_cid"),
+          dist.as("_d")))
+    (0 until m).map(j => dtAll.filter(col("_sj") === j)
       .select(col("_qid").as(s"_qid$j"), col("_cid").as(s"_cid$j"),
         col("_d").as(s"_d$j")))
-    (codes, dts)
   }
 
   /** [[assignEuclid]] with the subspace index as an extra key: one
@@ -687,7 +744,7 @@ object Similarity {
   /** Fixed-order ADC sum + per-query ranking tail shared by the PQ
     * search variants. Expects `qid`, the id column and `_d0.._dm-1`.
     */
-  private def pqRank(joined: DataFrame, idCol: String, m: Int,
+  private[ops] def pqRank(joined: DataFrame, idCol: String, m: Int,
       k: Int): DataFrame = {
     val adc = round((0 until m).map(j => col(s"_d$j")).reduce(_ + _), 6)
     val w = org.apache.spark.sql.expressions.Window

@@ -606,32 +606,33 @@ object SimilarityQueries {
         |ORDER BY id""".stripMargin)
     })
 
-  /** IVFPQ ([[graft.ops.Similarity.ivfPqTopK]]): the q32 coarse
-    * quantizer (max-cosine cell per vector, centroids vec_id % 50
-    * = 7) restricts candidates to the query's cell BEFORE the q84
-    * product codes answer the distance — the composed production ANN
-    * stack, hash-checked end to end: coarse assignment, both PQ
-    * trainers, both encodings, distance tables and the in-cell
-    * ranking. Same PQ dials as q84 (2 × 32-dim, seeds % 10 = 3,
-    * queries % 100 = 3, k = 10).
+  /** ONE definition of the IVFPQ stack's DuckDB fragments, shared by
+    * the in-plan query (q90), the hybrid fusions (q136/q146) and the
+    * stored-index consumers (q148/q150) — the oracles cannot drift
+    * apart. `qWhere` filters the query vectors; `trainWhere`
+    * restricts the PQ TRAINER's corpus (q150 trains on the
+    * pre-update vectors) while encoding and the coarse assignment
+    * stay corpus-wide — exactly the stored-index semantics, where
+    * models are frozen at build time but every vector is encoded.
     */
-  val q90 = {
-    def src(lo: Int, hi: Int) =
-      s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
-    val (src0, src1) = (src(1, 32), src(33, 64))
-    def enc(srcj: String, last: String) = singleLine(
+  private object IvfPqSql {
+    def src(lo: Int, hi: Int, where: String = ""): String =
+      s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings" +
+        (if (where.isEmpty) "" else s" WHERE $where") + ")"
+    def enc(srcj: String, last: String): String = singleLine(
       s"""SELECT vec_id, cid FROM (
          | SELECT b.vec_id, c.cid, row_number() OVER (
          |  PARTITION BY b.vec_id
          |  ORDER BY ${distOrder("b.embedding", "c.ce", 32)}, c.cid) AS rn
          | FROM $srcj b, $last c) WHERE rn = 1""")
-    def dtab(srcj: String, last: String) = singleLine(
-      s"""SELECT q.vec_id AS qid, c.cid,
-         | round(${dotSql("q.embedding", "q.embedding", 32)}
-         |  - 2*(${dotSql("q.embedding", "c.ce", 32)})
-         |  + (${dotSql("c.ce", "c.ce", 32)}), 6) AS d
-         |FROM $srcj q, $last c WHERE q.vec_id % 100 = 3""")
-    val coarse = singleLine(
+    def dtab(srcj: String, last: String, qWhere: String): String =
+      singleLine(
+        s"""SELECT q.vec_id AS qid, c.cid,
+           | round(${dotSql("q.embedding", "q.embedding", 32)}
+           |  - 2*(${dotSql("q.embedding", "c.ce", 32)})
+           |  + (${dotSql("c.ce", "c.ce", 32)}), 6) AS d
+           |FROM $srcj q, $last c WHERE q.$qWhere""")
+    val coarse: String = singleLine(
       s"""SELECT vec_id, cid AS cell FROM (
          | SELECT b.vec_id, c.cid, row_number() OVER (
          |  PARTITION BY b.vec_id ORDER BY
@@ -642,20 +643,20 @@ object SimilarityQueries {
          |  (SELECT vec_id AS cid, embedding AS ce,
          |    ${normSql("embedding")} AS cn FROM embeddings
          |   WHERE vec_id % 50 = 7) c) WHERE rn = 1""")
-    Q("q90_ivfpq_ann",
-      (s, dir) => Similarity.ivfPqTopK(table(s, dir, "embeddings"),
-          "vec_id", "embedding",
-          centroidPred = col("vec_id") % 50 === 7,
-          seedPred = col("vec_id") % 10 === 3,
-          queryPred = col("vec_id") % 100 === 3,
-          m = 2, subDim = 32, iters = 2, k = 10)
-        .orderBy("qid", "rank"),
-      Some(s"""WITH ${kmeansCtes(2, src0, "vec_id % 10 = 3", 32, "s0")},
-        |${kmeansCtes(2, src1, "vec_id % 10 = 3", 32, "s1")},
+
+    /** Trainer chains + encodings + distance tables + coarse
+      * assignment + the in-cell ADC rows, ending at
+      * `adc(qid, vec_id, adc)` — callers append their final SELECT.
+      */
+    def ctes(qWhere: String, trainWhere: String = ""): String = {
+      val (src0, src1) = (src(1, 32), src(33, 64))
+      val (t0, t1) = (src(1, 32, trainWhere), src(33, 64, trainWhere))
+      s"""${kmeansCtes(2, t0, "vec_id % 10 = 3", 32, "s0")},
+        |${kmeansCtes(2, t1, "vec_id % 10 = 3", 32, "s1")},
         |enc0 AS (${enc(src0, "s0c2")}),
         |enc1 AS (${enc(src1, "s1c2")}),
-        |dt0 AS (${dtab(src0, "s0c2")}),
-        |dt1 AS (${dtab(src1, "s1c2")}),
+        |dt0 AS (${dtab(src0, "s0c2", qWhere)}),
+        |dt1 AS (${dtab(src1, "s1c2", qWhere)}),
         |coarse AS ($coarse),
         |adc AS (SELECT dt0.qid, e0.vec_id,
         |  round(dt0.d + dt1.d, 6) AS adc
@@ -664,11 +665,36 @@ object SimilarityQueries {
         | JOIN dt0 ON dt0.cid = e0.cid
         | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
         | JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell
-        | WHERE dt0.qid <> e0.vec_id)
+        | WHERE dt0.qid <> e0.vec_id)""".stripMargin
+    }
+
+    /** The q90-shaped final SELECT over [[ctes]]: per-query ADC
+      * ranking, top-`k`, deterministic (adc, vec_id) tiebreak. */
+    def topK(qWhere: String, k: Int, trainWhere: String = ""): String =
+      s"""WITH ${ctes(qWhere, trainWhere)}
         |SELECT qid, vec_id, adc, CAST(row_number() OVER (
         |  PARTITION BY qid ORDER BY adc, vec_id) AS INT) AS rank
-        |FROM adc QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+        |FROM adc QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** IVFPQ ([[graft.ops.Similarity.ivfPqTopK]]): the q32 coarse
+    * quantizer (max-cosine cell per vector, centroids vec_id % 50
+    * = 7) restricts candidates to the query's cell BEFORE the q84
+    * product codes answer the distance — the composed production ANN
+    * stack, hash-checked end to end: coarse assignment, both PQ
+    * trainers, both encodings, distance tables and the in-cell
+    * ranking. Same PQ dials as q84 (2 × 32-dim, seeds % 10 = 3,
+    * queries % 100 = 3, k = 10).
+    */
+  val q90 = Q("q90_ivfpq_ann",
+    (s, dir) => Similarity.ivfPqTopK(table(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        centroidPred = col("vec_id") % 50 === 7,
+        seedPred = col("vec_id") % 10 === 3,
+        queryPred = col("vec_id") % 100 === 3,
+        m = 2, subDim = 32, iters = 2, k = 10)
+      .orderBy("qid", "rank"),
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10)))
 
   /** Nearest-centroid classification confusion matrix
     * ([[graft.ops.Similarity.centroidClassify]]): per-label mean
@@ -1006,50 +1032,11 @@ object SimilarityQueries {
   private def hybridAnnCtes: String = {
     val (topDense, topSparse, topK) =
       (hybridTopDense, hybridTopSparse, hybridTopK)
-    def src(lo: Int, hi: Int) =
-      s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
-    val (src0, src1) = (src(1, 32), src(33, 64))
-    def enc(srcj: String, last: String) = singleLine(
-      s"""SELECT vec_id, cid FROM (
-         | SELECT b.vec_id, c.cid, row_number() OVER (
-         |  PARTITION BY b.vec_id
-         |  ORDER BY ${distOrder("b.embedding", "c.ce", 32)}, c.cid) AS rn
-         | FROM $srcj b, $last c) WHERE rn = 1""")
-    def dtab(srcj: String, last: String) = singleLine(
-      s"""SELECT q.vec_id AS qid, c.cid,
-         | round(${dotSql("q.embedding", "q.embedding", 32)}
-         |  - 2*(${dotSql("q.embedding", "c.ce", 32)})
-         |  + (${dotSql("c.ce", "c.ce", 32)}), 6) AS d
-         |FROM $srcj q, $last c WHERE q.vec_id % 100 = 0""")
-    val coarse = singleLine(
-      s"""SELECT vec_id, cid AS cell FROM (
-         | SELECT b.vec_id, c.cid, row_number() OVER (
-         |  PARTITION BY b.vec_id ORDER BY
-         |   round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6)
-         |    DESC, c.cid) AS rn
-         | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-         |       FROM embeddings) b,
-         |  (SELECT vec_id AS cid, embedding AS ce,
-         |    ${normSql("embedding")} AS cn FROM embeddings
-         |   WHERE vec_id % 50 = 7) c) WHERE rn = 1""")
-    s"""${kmeansCtes(2, src0, "vec_id % 10 = 3", 32, "s0")},
-      |${kmeansCtes(2, src1, "vec_id % 10 = 3", 32, "s1")},
-      |enc0 AS (${enc(src0, "s0c2")}),
-      |enc1 AS (${enc(src1, "s1c2")}),
-      |dt0 AS (${dtab(src0, "s0c2")}),
-      |dt1 AS (${dtab(src1, "s1c2")}),
-      |coarse AS ($coarse),
-      |adc AS (SELECT dt0.qid, e0.vec_id AS doc_id,
-      |  round(dt0.d + dt1.d, 6) AS adc
-      | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
-      | JOIN coarse a ON a.vec_id = e0.vec_id
-      | JOIN dt0 ON dt0.cid = e0.cid
-      | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
-      | JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell
-      | WHERE dt0.qid <> e0.vec_id),
+    s"""${IvfPqSql.ctes("vec_id % 100 = 0")},
       |dn AS (SELECT qid, doc_id, rank_dense FROM (
-      |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
-      |    ORDER BY adc, doc_id) AS INT) AS rank_dense
+      |  SELECT qid, vec_id AS doc_id,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc, vec_id) AS INT) AS rank_dense
       |  FROM adc) WHERE rank_dense <= $topDense),
       |${TextQueries.duckBm25Ctes},
       |sp AS (SELECT doc_id, rank_sparse FROM (
@@ -1149,7 +1136,89 @@ object SimilarityQueries {
       |SELECT qid, rk, doc_id, rrf FROM ta
       |ORDER BY qid, rk""".stripMargin))
 
+  /** Serving from the PERSISTED IVFPQ index
+    * ([[graft.ops.AnnIndexStore]]): the session-memoized index (q90
+    * dials, built once per corpus) answers the q90 query batch with
+    * ZERO training in-plan — stored centroids route each query to
+    * its cell, stored codebooks price the distance tables, and the
+    * scan reads ONLY the probed cell partitions of the codes table
+    * (static partition pruning over the bounded probe list;
+    * AnnIndexStoreSpec pins the pruned-scan plan). Same oracle CTE
+    * stack as q90: the stored-index path is bit-identical to the
+    * in-plan trainer composition, which is precisely the claim a
+    * persisted index must prove.
+    */
+  val q148 = Q("q148_ann_index_serve",
+    (s, dir) => {
+      val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+      val queries = table(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.AnnIndexStore.search(s, idx, queries, "qid",
+          "embedding", k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10)))
+
+  /** The index BUILD surface (the q125 discipline: training cost
+    * stays honestly measured even when consumers ride the memoized
+    * index): rebuild unconditionally, then summarize the artifact —
+    * per coarse cell, the vector count and the number of DISTINCT
+    * (c0, c1) product codes. The oracle recomputes the coarse
+    * assignment and both encodings from the raw corpus, so the hash
+    * pins the trainers, the encodings and the partition layout's
+    * row placement in one go.
+    */
+  val q149 = Q("q149_ann_index_build",
+    (s, dir) => {
+      val idx = graft.ops.AnnIndexStore.rebuildForCorpus(s, dir)
+      idx.codes(s)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_codes"),
+          countDistinct(col("_c0"), col("_c1")).as("n_distinct_codes"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH ${IvfPqSql.ctes("vec_id % 100 = 3")}
+      |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_codes,
+      |  CAST(count(DISTINCT (e0.cid, e1.cid)) AS BIGINT)
+      |    AS n_distinct_codes
+      |FROM coarse a JOIN enc0 e0 ON e0.vec_id = a.vec_id
+      | JOIN enc1 e1 ON e1.vec_id = a.vec_id
+      |GROUP BY a.cell ORDER BY a.cell""".stripMargin))
+
+  /** Incremental index maintenance
+    * ([[graft.ops.AnnIndexStore.add]]): build over the pre-update
+    * corpus (vec_id % 5 != 4 — the centroid and seed slices land
+    * entirely inside it), fold the remaining fifth in as a batch
+    * encoded with the STORED models, then serve a query batch drawn
+    * from the NEW vectors. The oracle trains on the old corpus
+    * (`trainWhere`) but encodes and coarse-assigns corpus-wide —
+    * exactly the frozen-models semantics — so the hash proves
+    * `add(build(old), new)` equals a full encode under the old
+    * models, queries-on-new-vectors included.
+    */
+  val q150 = Q("q150_ann_index_update",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val idx = graft.ops.AnnIndexStore.build(
+        emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+        graft.ops.AnnIndexStore.indexDirFor(dir, "-incr"),
+        centroidPred = col("vec_id") % 50 === 7,
+        seedPred = col("vec_id") % 10 === 3,
+        m = 2, subDim = 32, iters = 2)
+      graft.ops.AnnIndexStore.add(idx,
+        emb.filter(col("vec_id") % 5 === 4), "embedding",
+        batchId = Some("fifth-slice"))
+      val queries = emb.filter(col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.AnnIndexStore.search(s, idx, queries, "qid",
+          "embedding", k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some(IvfPqSql.topK("vec_id % 100 = 4", k = 10,
+      trainWhere = "vec_id % 5 != 4")))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134, q136, q146)
+    q134, q136, q146, q148, q149, q150)
 }

@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.{PlanFacts, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** The persisted IVFPQ index must be a pure MATERIALIZATION of the
+  * in-plan stack (same kernels, frozen to parquet), its serving plan
+  * must actually serve (no training, probed-cell pruning), and its
+  * incremental fold must be exactly the full re-encode under the
+  * stored models — plus the append protocol's crash healing.
+  */
+class AnnIndexStoreSpec extends SparkSpec {
+
+  private val dials = (col("vec_id") % 50 === 7,
+    col("vec_id") % 10 === 3, 2, 32, 2)
+
+  private lazy val emb = sf("embeddings")
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("ann-index").toString
+  private lazy val idx = {
+    val (cp, sp, m, sub, it) = dials
+    AnnIndexStore.build(emb, "vec_id", "embedding", s"$tmp/full",
+      cp, sp, m, sub, it)
+  }
+
+  private def queries = emb.filter(col("vec_id") % 100 === 3)
+    .select(col("vec_id").as("qid"), col("embedding"))
+
+  private def search(i: AnnIndexStore.Index, q: org.apache.spark.sql.DataFrame =
+      queries) = AnnIndexStore.search(spark, i, q, "qid", "embedding", 10)
+
+  private def assertFrameEqual(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    assert(a.count() == b.count(), s"$what: row counts differ")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what: symmetric difference is non-empty")
+  }
+
+  /** The codes table's scan node in an EXECUTED plan (AQE stages
+    * unwrapped). */
+  private def codesScan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.FileSourceScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => s +: nodes(s.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }) ++ p.subqueries.flatMap(nodes)
+    nodes(df.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("codes")) => s
+    }.getOrElse(fail("no codes scan in the serving plan"))
+  }
+
+  /** Does the scan carry a static probed-cell IN-list partition
+    * filter? (The join's `isnotnull(cell)` pushdown and any runtime
+    * DPP subquery don't count — the spec pins the STATIC route.) */
+  private def hasStaticCellIn(
+      scan: org.apache.spark.sql.execution.FileSourceScanExec): Boolean =
+    scan.partitionFilters.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.In => true
+      case _: org.apache.spark.sql.catalyst.expressions.InSet => true
+      case _ => false
+    })
+
+  test("stored-index search is bit-identical to the in-plan ivfPqTopK") {
+    val (cp, sp, m, sub, it) = dials
+    assertFrameEqual(search(idx),
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", cp, sp,
+        col("vec_id") % 100 === 3, m, sub, it, k = 10),
+      "stored vs in-plan")
+  }
+
+  test("serving plan: no trainer, probed-cell partition pruning real") {
+    val df = search(idx)
+    df.collect()
+    val f = PlanFacts.of(df)
+    // the whole Lloyd/encode machinery is absent: the plan is two
+    // shuffles (query-cell argmax, per-query ranking window) over
+    // three scans (codes, centroids, query vectors)
+    assert(f.shuffles <= 2, s"serving plan shuffles ${f.shuffles} > 2")
+    assert(f.scans <= 3, s"serving plan scans ${f.scans} > 3")
+    // pruning is a PLAN property (static IN-list partition filter on
+    // the codes scan) AND an IO fact: the probed cells are a strict
+    // subset, so the scan must touch fewer files than the table holds
+    val scan = codesScan(df)
+    assert(hasStaticCellIn(scan),
+      s"no static probed-cell IN filter on the codes scan " +
+        s"(partitionFilters: ${scan.partitionFilters.mkString(", ")})")
+    val totalFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val read = scan.metrics("numFiles").value
+    assert(read < totalFiles,
+      s"scan read $read of $totalFiles files — pruning had no effect")
+  }
+
+  test("past the PruneMaxCells ceiling the scan degrades, results hold") {
+    val pruned = search(idx).collect().toSeq
+    spark.conf.set(AnnIndexStore.PruneMaxCells, "0")
+    try {
+      val df = search(idx)
+      assert(df.collect().toSeq == pruned,
+        "unpruned fallback changed results")
+      assert(!hasStaticCellIn(codesScan(df)),
+        "ceiling 0 should have dropped the static cell IN filter")
+    } finally spark.conf.unset(AnnIndexStore.PruneMaxCells)
+  }
+
+  test("add() == full re-encode under the stored models; new vectors " +
+      "serve") {
+    val (cp, sp, m, sub, it) = dials
+    val old = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val inc = AnnIndexStore.build(old, "vec_id", "embedding",
+      s"$tmp/inc", cp, sp, m, sub, it)
+    AnnIndexStore.add(inc, batch, "embedding")
+    // expected codes: EVERY vector encoded/assigned under the models
+    // the build froze (trained on `old` only) — the shared kernels
+    // compose it directly
+    val cb = Similarity.pqTrain(old, "vec_id", "embedding", sp, m, sub, it)
+    val cents = inc.centroids(spark)
+    val expected = Similarity.pqEncode(emb, "vec_id", "embedding",
+        cb, m, sub)
+      .join(Similarity.assignCosineCells(emb, "vec_id", "embedding",
+        cents).select(col("vec_id"), col("cell")), "vec_id")
+    assertFrameEqual(
+      inc.codes(spark).withColumn("cell", col("cell").cast("long")),
+      expected, "incremental codes")
+    // a query batch drawn from the NEW vectors answers from the index
+    val newQ = emb.filter(col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    assert(search(inc, newQ).count() > 0, "new vectors not servable")
+  }
+
+  test("append crash is healed; a batchId replay is a detected no-op") {
+    val (cp, sp, m, sub, it) = dials
+    val old = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val st = AnnIndexStore.build(old, "vec_id", "embedding",
+      s"$tmp/crash", cp, sp, m, sub, it)
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val baseCount = st.codes(spark).count()
+    // fabricate the crash: a marker snapshotting the pre-append
+    // listing survives alongside a partial appended file
+    val cellDir = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${st.dir}/codes"))
+      .filter(_.isDirectory).head.getPath
+    val snapshot = {
+      val it2 = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"${st.dir}/codes"), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it2.hasNext) {
+        val f = it2.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath.toString
+      }
+      out.toSet
+    }
+    UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
+      UpdateMarker.State("", Map("codes" -> snapshot)))
+    val junk = new org.apache.hadoop.fs.Path(cellDir,
+      "part-99999-crashed.c000.snappy.parquet")
+    val o = fs.create(junk, true); o.write(Array[Byte](1, 2, 3)); o.close()
+    // the real add settles the crash (junk deleted — a half-appended
+    // parquet would otherwise poison every later scan) and commits
+    AnnIndexStore.add(st, batch, "embedding", batchId = Some("b1"))
+    assert(!fs.exists(junk), "crashed partial file survived settle")
+    val afterFirst = st.codes(spark).count()
+    assert(afterFirst == baseCount + batch.count(),
+      "append missing or doubled after heal")
+    // replaying the SAME batch id must not double-append
+    AnnIndexStore.add(st, batch, "embedding", batchId = Some("b1"))
+    assert(st.codes(spark).count() == afterFirst,
+      "batchId replay re-appended rows")
+  }
+}
