@@ -33,7 +33,9 @@ object Scaling {
       "q137_curated_pack_spans", "q138_gopher_repetition",
       "q139_decontamination", "q140_mixture_temperature",
       "q141_multimodal_pack", "q142_asof_native", "q33_asof_join",
-      "q143_asof_native_forward")
+      "q143_asof_native_forward", "q148_ann_index_serve",
+      "q150_ann_index_update", "q151_hybrid_indexed_serving",
+      "q152_hard_negatives")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.

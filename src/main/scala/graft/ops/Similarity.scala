@@ -756,6 +756,76 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric ("code-to-code") PQ distance tables: the per-subspace
+    * k×k codeword-pair frames (_caj, _cbj, _dj) — size m·k²,
+    * CORPUS-INDEPENDENT, so they broadcast however many vectors act
+    * as queries. This is the shape that makes corpus-wide mining
+    * (every vector a query at once) feasible where the per-query
+    * asymmetric tables ([[pqDistTables]], |Q|·k rows) stop
+    * broadcasting past a few thousand queries. The precision
+    * tradeoff is the textbook SDC-vs-ADC gap: both endpoints
+    * quantized, same rounding discipline as the ADC path.
+    */
+  def pqCodeDistTables(codebooks: DataFrame, m: Int): Seq[DataFrame] = {
+    val d = round(dot(col("_ea"), col("_ea")) -
+      lit(2.0) * dot(col("_ea"), col("_eb")) +
+      dot(col("_eb"), col("_eb")), 6)
+    (0 until m).map { j =>
+      val a = codebooks.filter(col("_sj") === j)
+        .select(col("cid").as(s"_ca$j"), col("_ce").as("_ea"))
+      val b = codebooks.filter(col("_sj") === j)
+        .select(col("cid").as(s"_cb$j"), col("_ce").as("_eb"))
+      materializeSmall(a.crossJoin(b)
+        .select(col(s"_ca$j"), col(s"_cb$j"), d.as(s"_d$j")))
+    }
+  }
+
+  /** Hard-negative mining over a coded corpus — the metric-learning
+    * data op: for EVERY vector, its `k` nearest same-coarse-cell
+    * neighbors carrying a DIFFERENT label (close but wrong = the
+    * negatives a contrastive trainer wants). All-pairs is confined
+    * to each coarse cell (the IVF partitioning is the quadratic
+    * blowup's bound — same-cell pairs only, never corpus²), and the
+    * distance is symmetric-PQ: two code lookups and an add per pair
+    * against the broadcast [[pqCodeDistTables]]. `codedWithCell` is
+    * (idCol, _c0.._c{m-1}, cell) — [[AnnIndexStore]]'s codes table,
+    * so mining runs entirely from the persisted index plus a label
+    * join; the raw vectors are never touched.
+    *
+    * Skew caveat (the [[Dedup]] bucket-cap discipline applies): a
+    * monster cell still pairs quadratically within itself — cap or
+    * re-balance cells upstream if the coarse quantizer is badly
+    * skewed. Emits (id, neg_id, dist, rank ≤ k), rank ties broken
+    * (dist asc, neg_id asc).
+    */
+  def hardNegatives(codedWithCell: DataFrame, idCol: String,
+      labels: DataFrame, labelCol: String, codebooks: DataFrame,
+      m: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cds = pqCodeDistTables(codebooks, m)
+    val base = codedWithCell.join(labels, idCol)
+    def side(p: String) = base.select(
+      col(idCol).as(s"${p}id") +: col(labelCol).as(s"${p}lb") +:
+        col("cell").as(s"${p}cell") +:
+        (0 until m).map(j => col(s"_c$j").as(s"${p}c$j")): _*)
+    val pairs = side("_a").join(side("_b"),
+      col("_acell") === col("_bcell") && col("_aid") =!= col("_bid") &&
+        col("_alb") =!= col("_blb"))
+    val joined = cds.zipWithIndex.foldLeft(pairs) {
+      case (acc, (cd, j)) =>
+        acc.join(broadcast(cd), acc(s"_ac$j") === cd(s"_ca$j") &&
+          acc(s"_bc$j") === cd(s"_cb$j"))
+    }
+    val dist = round((0 until m).map(j => col(s"_d$j")).reduce(_ + _), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dist").asc, col("neg_id").asc)
+    joined
+      .select(col("_aid").as("id"), col("_bid").as("neg_id"),
+        dist.as("dist"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-LSH bucketed cosine: same contract as brute force but the
     * candidate set is restricted to the query's coarse cell.
     */

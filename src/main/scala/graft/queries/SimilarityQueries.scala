@@ -1218,7 +1218,81 @@ object SimilarityQueries {
     Some(IvfPqSql.topK("vec_id % 100 = 4", k = 10,
       trainWhere = "vec_id % 5 != 4")))
 
+  /** The hybrid retrieval a deployed RAG service actually runs: the
+    * q146 fusion with its dense shortlist answered from the
+    * PERSISTED index (q148's store) instead of the in-plan trainer
+    * stack — closing q146's documented residual (the in-plan PQ
+    * build a service amortizes away). The fusion kernel and the
+    * oracle are q146's own ([[hybridFuse]] / [[hybridAnnCtes]]):
+    * the stored index is bit-identical to the in-plan stack, so the
+    * fused ranking is too — only the plan changes, from two Lloyd
+    * trainers + encode to a probed-cell scan of the codes table.
+    */
+  val q151 = Q("q151_hybrid_indexed_serving",
+    (s, dir) => {
+      val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+      val queries = table(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val dense = graft.ops.AnnIndexStore.search(s, idx, queries,
+          "qid", "embedding", k = hybridTopDense)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rank").as("rank_dense"))
+      hybridFuse(dense, hybridSpq(s, dir)).orderBy("qid", "rk")
+    },
+    Some(s"""WITH $hybridAnnCtes
+      |SELECT qid, rk, doc_id, rrf FROM ta
+      |ORDER BY qid, rk""".stripMargin))
+
+  /** Corpus-wide hard-negative mining
+    * ([[graft.ops.Similarity.hardNegatives]]): for EVERY vector, the
+    * 5 nearest same-cell neighbors with a DIFFERENT label — the
+    * contrastive-training data op, run entirely from the persisted
+    * index's codes table plus a label join. Every vector is a query
+    * at once, which is exactly where the asymmetric per-query
+    * distance tables stop broadcasting; the symmetric m·k² codeword
+    * tables don't grow with the corpus at all. The oracle recomputes
+    * encodings, the coarse assignment, the codeword-pair distances
+    * and the per-vector ranking from the raw table.
+    */
+  val q152 = {
+    val cdist = singleLine(
+      s"""SELECT a.cid AS ca, b.cid AS cb,
+         | round((${dotSql("a.ce", "a.ce", 32)})
+         |  - 2*(${dotSql("a.ce", "b.ce", 32)})
+         |  + (${dotSql("b.ce", "b.ce", 32)}), 6) AS d""")
+    Q("q152_hard_negatives",
+      (s, dir) => {
+        val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+        val labels = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+        Similarity.hardNegatives(idx.codes(s), "vec_id", labels,
+            "label", idx.codebooks(s), m = idx.m, k = 5)
+          .orderBy("id", "rank")
+      },
+      Some(s"""WITH ${IvfPqSql.ctes("vec_id % 100 = 3")},
+        |cd0 AS ($cdist FROM s0c2 a, s0c2 b),
+        |cd1 AS ($cdist FROM s1c2 a, s1c2 b),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |pr AS (SELECT a.vec_id AS id, b.vec_id AS neg_id,
+        |  round(cd0.d + cd1.d, 6) AS dist
+        | FROM coarse a JOIN coarse b
+        |  ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        | JOIN enc0 ea ON ea.vec_id = a.vec_id
+        | JOIN enc0 eb ON eb.vec_id = b.vec_id
+        | JOIN enc1 fa ON fa.vec_id = a.vec_id
+        | JOIN enc1 fb ON fb.vec_id = b.vec_id
+        | JOIN cd0 ON cd0.ca = ea.cid AND cd0.cb = eb.cid
+        | JOIN cd1 ON cd1.ca = fa.cid AND cd1.cb = fb.cid
+        | JOIN lab la ON la.vec_id = a.vec_id
+        | JOIN lab lb ON lb.vec_id = b.vec_id
+        | WHERE la.label <> lb.label)
+        |SELECT id, neg_id, dist, CAST(row_number() OVER (
+        |  PARTITION BY id ORDER BY dist, neg_id) AS INT) AS rank
+        |FROM pr QUALIFY rank <= 5 ORDER BY id, rank""".stripMargin))
+  }
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134, q136, q146, q148, q149, q150)
+    q134, q136, q146, q148, q149, q150, q151, q152)
 }
