@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, RepetitionStats, ReplaceFirst}
+import graft.functions.{DotProduct, RepetitionStats, ReplaceFirst, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,6 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "dot_product(a, b) takes 2 float-array arguments")
         DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "unicode_normalize(text[, form]) takes 1 or 2 arguments")
+        val form =
+          if (args.length < 2) "NFC"
+          else {
+            require(args(1).foldable &&
+                args(1).dataType == org.apache.spark.sql.types.StringType,
+              "unicode_normalize form must be a string literal")
+            args(1).eval().toString
+          }
+        UnicodeNormalize(args(0), form)
       }))
     ext.injectFunction((
       new FunctionIdentifier("repetition_stats"),

@@ -2745,11 +2745,44 @@ object TextQueries {
         |FROM ov ORDER BY lang, shard, seq, doc_id""".stripMargin))
   }
 
+  /** Unicode canonicalization
+    * ([[graft.functions.UnicodeNormalize]]): every document pushed
+    * through NFC with a DECOMPOSED diacritic suffix appended — the
+    * corpus fixtures are ASCII (inert under normalization), so the
+    * suffix is what makes the oracle non-trivial: both engines must
+    * compose `e +  ́` → `é` identically, and the per-row md5 pins the
+    * ENTIRE normalized string, not just its length. Counts are code
+    * points on both sides (the q138 discipline). This is the
+    * canonicalization pass that belongs ahead of exact-dedup hashing
+    * and shingling on any multilingual corpus — without it,
+    * composed/decomposed twins of the same visible text hash apart.
+    */
+  val q153 = {
+    val suffix = " Café naïve" // decomposed é, ï
+    Q("q153_unicode_normalize",
+      (s, dir) => {
+        import graft.functions.UnicodeNormalize
+        val aug = concat(col("text"), lit(suffix))
+        table(s, dir, "documents").select(
+            col("doc_id"),
+            md5(UnicodeNormalize(aug)).as("nfc_md5"),
+            length(UnicodeNormalize(aug)).as("nfc_chars"),
+            length(aug).as("raw_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  md5(nfc_normalize(text || '$suffix')) AS nfc_md5,
+        |  CAST(length(nfc_normalize(text || '$suffix')) AS INT)
+        |    AS nfc_chars,
+        |  CAST(length(text || '$suffix') AS INT) AS raw_chars
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135, q137, q138, q139, q140, q141)
+      q135, q137, q138, q139, q140, q141, q153)
 }
