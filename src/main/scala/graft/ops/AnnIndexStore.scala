@@ -203,23 +203,49 @@ object AnnIndexStore {
     * — the serving path: zero training in-plan, the corpus touched
     * only through the probed cell partitions. Emits (qid, idCol, adc,
     * rank ≤ k) with [[Similarity.pqRank]]'s deterministic tiebreak,
-    * self-pairs excluded — bit-identical to
+    * self-pairs excluded — at `nprobe = 1` bit-identical to
     * [[Similarity.ivfPqTopK]] at the build's dials.
     *
-    * The probe list (≤ one cell per query) is collected to the driver
-    * and pushed as a static `cell IN (...)` partition filter — the
-    * collect is bounded by the query batch size and guarded by
+    * `nprobe` is the serving recall dial ([[Similarity.ivfSearch]]'s
+    * q51 semantics): each query probes its `nprobe` nearest cells —
+    * same rounded-cosine + centroid-id ranking as the assignment, so
+    * nprobe=1 reduces to the argmax cell. Raising it multiplies only
+    * the (broadcast) probe list and the probed partitions read,
+    * never the per-cell scan cost — the standard answer to the
+    * cell-boundary recall cliff.
+    *
+    * The probe list (≤ `nprobe` cells per query) is collected to the
+    * driver and pushed as a static `cell IN (...)` partition filter —
+    * the collect is bounded by the query batch size and guarded by
     * [[PruneMaxCells]]; a service would keep the same list in memory
     * as routing state. Static pruning beats relying on runtime DPP
     * here because the probe side is already driver-local and tiny.
     */
   def search(s: SparkSession, idx: Index, queries: DataFrame,
-      qidCol: String, vecCol: String, k: Int): DataFrame = {
+      qidCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
     val cents = idx.centroids(s)
-    val qcells = Similarity.assignCosineCells(queries, qidCol, vecCol,
-        cents)
-      .select(col(qidCol).as("qid"), col("cell").as("_qcell"))
+    val qcells =
+      if (nprobe == 1)
+        Similarity.assignCosineCells(queries, qidCol, vecCol, cents)
+          .select(col(qidCol).as("qid"), col("cell").as("_qcell"))
+      else {
+        // top-nprobe cells per query: the ivfSearch probe ranking
+        // (rounded cos desc, cid asc) over the broadcast centroids
+        val qbase = Similarity.withNorm(queries, vecCol)
+          .select(col(qidCol).as("qid"), col("_e"), col("_nrm"))
+        val qcos = round(Similarity.dot(col("_e"), col("_ce")) /
+          (col("_nrm") * col("_cn")), 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("_qcos").desc, col("cid").asc)
+        qbase.crossJoin(broadcast(cents))
+          .withColumn("_qcos", qcos)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= nprobe)
+          .select(col("qid"), col("cid").as("_qcell"))
+      }
     val dts = Similarity.pqDistTables(queries, qidCol, vecCol,
       idx.codebooks(s), idx.m, idx.subDim)
     val maxCells = s.conf.get(PruneMaxCells, pruneMaxDefault.toString)

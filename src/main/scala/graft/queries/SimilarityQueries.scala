@@ -647,10 +647,32 @@ object SimilarityQueries {
     /** Trainer chains + encodings + distance tables + coarse
       * assignment + the in-cell ADC rows, ending at
       * `adc(qid, vec_id, adc)` — callers append their final SELECT.
+      * `nprobe` > 1 swaps the query-side cell condition from "the
+      * query's own (argmax) cell" to "the query's nprobe nearest
+      * cells" — [[graft.ops.Similarity.ivfSearch]]'s q51 ranking
+      * (rounded cos DESC, cid ASC), which reduces to the argmax at
+      * nprobe = 1.
       */
-    def ctes(qWhere: String, trainWhere: String = ""): String = {
+    def ctes(qWhere: String, trainWhere: String = "",
+        nprobe: Int = 1): String = {
       val (src0, src1) = (src(1, 32), src(33, 64))
       val (t0, t1) = (src(1, 32, trainWhere), src(33, 64, trainWhere))
+      val qprobe = singleLine(
+        s"""SELECT qid, cell FROM (
+           | SELECT q.vec_id AS qid, c.cid AS cell, row_number() OVER (
+           |  PARTITION BY q.vec_id ORDER BY
+           |   round((${dotSql("q.embedding", "c.ce")}) / (q.nrm * c.cn), 6)
+           |    DESC, c.cid) AS rn
+           | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+           |       FROM embeddings WHERE $qWhere) q,
+           |  (SELECT vec_id AS cid, embedding AS ce,
+           |    ${normSql("embedding")} AS cn FROM embeddings
+           |   WHERE vec_id % 50 = 7) c) WHERE rn <= $nprobe""")
+      val (probeCte, qaJoin) =
+        if (nprobe == 1)
+          ("", "JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell")
+        else (s"qprobe AS ($qprobe),\n",
+          "JOIN qprobe qa ON qa.qid = dt0.qid AND qa.cell = a.cell")
       s"""${kmeansCtes(2, t0, "vec_id % 10 = 3", 32, "s0")},
         |${kmeansCtes(2, t1, "vec_id % 10 = 3", 32, "s1")},
         |enc0 AS (${enc(src0, "s0c2")}),
@@ -658,20 +680,21 @@ object SimilarityQueries {
         |dt0 AS (${dtab(src0, "s0c2", qWhere)}),
         |dt1 AS (${dtab(src1, "s1c2", qWhere)}),
         |coarse AS ($coarse),
-        |adc AS (SELECT dt0.qid, e0.vec_id,
+        |${probeCte}adc AS (SELECT dt0.qid, e0.vec_id,
         |  round(dt0.d + dt1.d, 6) AS adc
         | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
         | JOIN coarse a ON a.vec_id = e0.vec_id
         | JOIN dt0 ON dt0.cid = e0.cid
         | JOIN dt1 ON dt1.cid = e1.cid AND dt1.qid = dt0.qid
-        | JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell
+        | $qaJoin
         | WHERE dt0.qid <> e0.vec_id)""".stripMargin
     }
 
     /** The q90-shaped final SELECT over [[ctes]]: per-query ADC
       * ranking, top-`k`, deterministic (adc, vec_id) tiebreak. */
-    def topK(qWhere: String, k: Int, trainWhere: String = ""): String =
-      s"""WITH ${ctes(qWhere, trainWhere)}
+    def topK(qWhere: String, k: Int, trainWhere: String = "",
+        nprobe: Int = 1): String =
+      s"""WITH ${ctes(qWhere, trainWhere, nprobe)}
         |SELECT qid, vec_id, adc, CAST(row_number() OVER (
         |  PARTITION BY qid ORDER BY adc, vec_id) AS INT) AS rank
         |FROM adc QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
@@ -1292,7 +1315,28 @@ object SimilarityQueries {
         |FROM pr QUALIFY rank <= 5 ORDER BY id, rank""".stripMargin))
   }
 
+  /** The serving recall dial ([[graft.ops.AnnIndexStore.search]]'s
+    * `nprobe`, q51's semantics on the persisted index): each query
+    * probes its TWO nearest cells, catching the true neighbors that
+    * sit just across a cell boundary — the standard recall/cost
+    * trade, and on the stored index it multiplies only the probe
+    * list and the partitions read, never the per-cell work. The
+    * oracle swaps the argmax cell condition for the same top-2
+    * ranked probe set.
+    */
+  val q154 = Q("q154_ann_index_nprobe2",
+    (s, dir) => {
+      val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+      val queries = table(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.AnnIndexStore.search(s, idx, queries, "qid",
+          "embedding", k = 10, nprobe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10, nprobe = 2)))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134, q136, q146, q148, q149, q150, q151, q152)
+    q134, q136, q146, q148, q149, q150, q151, q152, q154)
 }

@@ -103,6 +103,27 @@ class AnnIndexStoreSpec extends SparkSpec {
       s"scan read $read of $totalFiles files — pruning had no effect")
   }
 
+  test("nprobe widens the probe set monotonically: distances only " +
+      "improve, partitions read grow but stay pruned") {
+    def kth(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getDouble(2)).max).toMap
+    val p1 = AnnIndexStore.search(spark, idx, queries, "qid",
+      "embedding", 10, nprobe = 1)
+    val p2 = AnnIndexStore.search(spark, idx, queries, "qid",
+      "embedding", 10, nprobe = 2)
+    val (k1, k2) = (kth(p1.collect()), kth(p2.collect()))
+    k2.foreach { case (q, d) =>
+      k1.get(q).foreach(d1 => assert(d <= d1,
+        s"query $q: nprobe=2 kth distance $d worse than nprobe=1 $d1"))
+    }
+    val (f1, f2) = (codesScan(p1).metrics("numFiles").value,
+      codesScan(p2).metrics("numFiles").value)
+    assert(f2 >= f1, "nprobe=2 read fewer partitions than nprobe=1")
+    assert(hasStaticCellIn(codesScan(p2)),
+      "nprobe=2 lost the static probe-list partition filter")
+  }
+
   test("past the PruneMaxCells ceiling the scan degrades, results hold") {
     val pruned = search(idx).collect().toSeq
     spark.conf.set(AnnIndexStore.PruneMaxCells, "0")
