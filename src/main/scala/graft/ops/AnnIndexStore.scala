@@ -37,6 +37,9 @@ import org.apache.spark.sql.functions._
   *    as in q67: codebooks grow stale as the distribution drifts;
   *    the periodic [[build]] is the re-train, and [[search]] serves
   *    throughout.
+  *  - [[compact]] periodically folds the per-add small files back to
+  *    one file per cell (staged swap, crash-safe) — the
+  *    [[CurationStore.compact]] discipline for the vector tier.
   *
   * Crash/re-run discipline for [[add]] (append-only commit, adapted
   * from the [[UpdateMarker]] swap protocol — the codes table is
@@ -165,17 +168,17 @@ object AnnIndexStore {
     * no-op. Without one, the committed-but-unacknowledged window is
     * the caller's re-send risk (double-appended rows).
     */
-  def add(idx: Index, newEmb: DataFrame, vecCol: String,
-      batchId: Option[String] = None): Index = {
-    require(batchId.forall(_.nonEmpty),
-      "batchId, when defined, must be non-empty")
-    val s = newEmb.sparkSession
-    val fs = fsOf(s, idx.dir)
+  /** Settle a crashed writer's marker (add or compact): `_applied`
+    * naming its batch means its append finished (writeApplied
+    * precedes marker delete); otherwise delete the files the crashed
+    * attempt appended beyond its snapshot, so the next writer starts
+    * from the snapshotted state. (A crashed COMPACT's partial output
+    * lives at `codes.next`, never inside `codes`, so its diff here is
+    * empty — [[StageSwap.recover]] owns that healing.)
+    */
+  private def settleWriter(s: SparkSession, fs: FileSystem,
+      idx: Index): Unit = {
     val marker = UpdateMarker.markerPath(idx.dir)
-    // settle a crashed predecessor: _applied naming its batch means
-    // its append finished (writeApplied precedes marker delete);
-    // otherwise delete the partial appended files so this run starts
-    // from the snapshotted state
     UpdateMarker.read(fs, marker).foreach { prior =>
       val committed = prior.batchId.nonEmpty &&
         UpdateMarker.readApplied(fs, idx.dir).contains(prior.batchId)
@@ -187,6 +190,20 @@ object AnnIndexStore {
       }
       UpdateMarker.delete(fs, marker)
     }
+  }
+
+  def add(idx: Index, newEmb: DataFrame, vecCol: String,
+      batchId: Option[String] = None): Index = {
+    require(batchId.forall(_.nonEmpty),
+      "batchId, when defined, must be non-empty")
+    val s = newEmb.sparkSession
+    val fs = fsOf(s, idx.dir)
+    val marker = UpdateMarker.markerPath(idx.dir)
+    // a crashed compact first (aside-copy rollback), then a crashed
+    // add (marker settle reads the codes listing, which must be the
+    // committed layout by then)
+    StageSwap.recover(s, s"${idx.dir}/codes")
+    settleWriter(s, fs, idx)
     if (batchId.isDefined &&
         UpdateMarker.readApplied(fs, idx.dir) == batchId)
       return idx // this very batch already applied — no-op
@@ -195,6 +212,40 @@ object AnnIndexStore {
       Map("codes" -> listCodesFiles(fs, idx.dir))))
     writeCodes(idx, newEmb, vecCol, mode = "append")
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
+    UpdateMarker.delete(fs, marker)
+    idx
+  }
+
+  /** Fold the per-[[add]] small files into a fresh compact codes
+    * table — one file per cell — the maintenance that keeps the
+    * serving scan's file count proportional to CELLS, not to the
+    * number of batches folded since the build (every add writes at
+    * least one new file into each cell it touches; a year of hourly
+    * batches would otherwise put ~10k tiny files in every hot cell's
+    * directory, and open-file overhead would dwarf the scan).
+    * Pure rewrite: rows, partition layout and every consumer result
+    * are unchanged (spec-pinned).
+    *
+    * Crash discipline: the rewrite stages at `codes.next` and
+    * commits through [[StageSwap.swapIn]] — a crash mid-compact
+    * leaves the old layout readable and the next writer's
+    * [[StageSwap.recover]] rolls it back. Holds the single-writer
+    * marker for its run, so a concurrent [[add]] fails loudly at its
+    * marker write (and vice versa).
+    */
+  def compact(s: SparkSession, idx: Index): Index = {
+    val fs = fsOf(s, idx.dir)
+    StageSwap.recover(s, s"${idx.dir}/codes")
+    settleWriter(s, fs, idx)
+    val marker = UpdateMarker.markerPath(idx.dir)
+    UpdateMarker.write(fs, marker, UpdateMarker.State("",
+      Map("codes" -> listCodesFiles(fs, idx.dir))))
+    // one shuffle by cell → each cell's rows land in exactly one
+    // task → the partitioned write emits one file per cell
+    idx.codes(s).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${idx.dir}/codes.next")
+    StageSwap.swapIn(s, s"${idx.dir}/codes")
     UpdateMarker.delete(fs, marker)
     idx
   }

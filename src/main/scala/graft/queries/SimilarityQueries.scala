@@ -1324,6 +1324,12 @@ object SimilarityQueries {
     * oracle swaps the argmax cell condition for the same top-2
     * ranked probe set.
     */
+  /** q148's oracle, shared with the streaming serve (q155): search
+    * is per-query independent, so the streamed union over
+    * micro-batches answers to the same batch-search SQL. */
+  private[queries] def indexServeOracle: Option[String] =
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10))
+
   val q154 = Q("q154_ann_index_nprobe2",
     (s, dir) => {
       val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)

@@ -608,6 +608,78 @@ object StreamQueries {
       |  ON e.event_type = d.event_type AND e.ts >= d.ts
       |ORDER BY e.event_id""".stripMargin))
 
+  /** Streaming ANN serving from the PERSISTED index — the q147
+    * pattern applied to retrieval: the index builds ONCE before the
+    * stream starts (the session-memoized q148 store), then every
+    * micro-batch of query vectors is answered through
+    * [[graft.ops.AnnIndexStore.search]]'s zero-training serving plan
+    * and appended to the sink. Search is per-query independent, so
+    * the streamed union over genuine micro-batches (two files, one
+    * per trigger) is frame-identical to the batch search over the
+    * same query set — q148's oracle checks exactly that, and
+    * StreamAnnSpec pins the equivalence frame-for-frame.
+    */
+  val q155 = Q("q155_stream_ann_serve",
+    (s, dir) => {
+      val emb = Registry.table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-q155-in")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-q155-out")
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-q155-ckpt")
+      val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      def stage(half: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft-q155-$name")
+        try {
+          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator()
+          val it = new scala.collection.Iterator[java.nio.file.Path] {
+            def hasNext = part.hasNext; def next() = part.next()
+          }
+          it.filter(_.toString.endsWith(".parquet")).take(1).foreach(p =>
+            java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet")))
+        } finally deleteRecursively(tmp)
+      }
+      try {
+        // the index is the stream's static side: built (or reused)
+        // before the first trigger, served by every batch
+        val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+        val mid = queries.agg(
+          percentile_approx(col("qid"), lit(0.5), lit(100)))
+          .head().getLong(0)
+        stage(queries.filter(col("qid") <= mid), "h0")
+        stage(queries.filter(col("qid") > mid), "h1")
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        try {
+          s.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inDir.toString)
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                 org.apache.spark.sql.Row], id: Long) =>
+                graft.ops.AnnIndexStore.search(s, idx, batch.toDF(),
+                    "qid", "embedding", k = 10)
+                  .write.mode("append").parquet(outDir.toString)
+            }
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val out = s.read.parquet(outDir.toString).orderBy("qid", "rank")
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally
+        Seq(inDir, outDir, ckptDir).foreach(deleteRecursively)
+    },
+    SimilarityQueries.indexServeOracle)
+
   val qs: Seq[Q] =
-    Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131, q147)
+    Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131, q147, q155)
 }

@@ -162,6 +162,60 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(search(inc, newQ).count() > 0, "new vectors not servable")
   }
 
+  private def codesFiles(dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toString
+    }
+    out.toSet
+  }
+
+  test("compact folds per-add files to one per cell; rows, search " +
+      "unchanged; a crashed compact's leftovers heal") {
+    val (cp, sp, m, sub, it) = dials
+    val old = emb.filter(col("vec_id") % 5 =!= 4)
+    val st = AnnIndexStore.build(old, "vec_id", "embedding",
+      s"$tmp/cpt", cp, sp, m, sub, it)
+    AnnIndexStore.add(st,
+      emb.filter(col("vec_id") % 5 === 4 && col("vec_id") < 250),
+      "embedding")
+    AnnIndexStore.add(st,
+      emb.filter(col("vec_id") % 5 === 4 && col("vec_id") >= 250),
+      "embedding")
+    val cells = st.codes(spark).select("cell").distinct().count()
+    val before = st.codes(spark).collect().map(_.toString).sorted.toSeq
+    val served = AnnIndexStore.search(spark, st, queries, "qid",
+      "embedding", 10).collect().map(_.toString).sorted.toSeq
+    assert(codesFiles(st.dir).size > cells,
+      "adds should have left more files than cells")
+    // fabricate a crashed compact: a partial .next (no _SUCCESS) and
+    // the marker it died holding
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staleNext =
+      new org.apache.hadoop.fs.Path(s"${st.dir}/codes.next/cell=7")
+    fs.mkdirs(staleNext)
+    val o = fs.create(new org.apache.hadoop.fs.Path(staleNext,
+      "part-0-dead.snappy.parquet"), true)
+    o.write(Array[Byte](9)); o.close()
+    UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
+      UpdateMarker.State("", Map("codes" -> codesFiles(st.dir))))
+    AnnIndexStore.compact(spark, st)
+    assert(codesFiles(st.dir).size == cells,
+      s"compact should leave one file per cell " +
+        s"(${codesFiles(st.dir).size} vs $cells)")
+    assert(st.codes(spark).collect().map(_.toString).sorted.toSeq
+      == before, "compact changed the codes rows")
+    assert(AnnIndexStore.search(spark, st, queries, "qid",
+        "embedding", 10).collect().map(_.toString).sorted.toSeq
+      == served, "compact changed search results")
+  }
+
   test("append crash is healed; a batchId replay is a detected no-op") {
     val (cp, sp, m, sub, it) = dials
     val old = emb.filter(col("vec_id") % 5 =!= 4)

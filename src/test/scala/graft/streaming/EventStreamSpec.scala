@@ -278,6 +278,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed ANN serving equals the batch search from the same " +
+      "stored index (q155 == q148, frame-identical)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.StreamQueries.q155.run(spark, dir)
+      .collect().map(_.toString).toSet
+    val batch = graft.queries.SimilarityQueries.q148.run(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch,
+      s"streamed serving diverges from the batch search: " +
+        s"extra=${(streamed -- batch).take(3)} " +
+        s"missing=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("mergeBatch tie-break discriminates which columns are null") {
     // (null, x) vs (x, null) must NOT collide: a bare xxhash64 over
     // the payload columns skips null inputs, hashing both rows to the
