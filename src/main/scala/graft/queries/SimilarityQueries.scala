@@ -1342,7 +1342,75 @@ object SimilarityQueries {
     },
     Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10, nprobe = 2)))
 
+  /** Recall harness for the stored index (the q64/q136 convention:
+    * the exact twin runs IN-PLAN as the yardstick, by construction
+    * the query's heaviest part): per query, how many of the
+    * nprobe=2 stored-index top-10 survive in the exact
+    * squared-euclidean top-10. Serving (q148/q154) never pays this —
+    * the harness exists to measure the recall the PQ/nprobe dials
+    * buy, hash-checked per query against the oracle's own exact
+    * ranking.
+    */
+  val q156 = {
+    val exactDist =
+      s"round((${dotSql("q.embedding", "q.embedding")})" +
+        s" - 2*(${dotSql("q.embedding", "b.embedding")})" +
+        s" + (${dotSql("b.embedding", "b.embedding")}), 6)"
+    Q("q156_ann_index_recall",
+      (s, dir) => {
+        val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 100 === 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val approx = graft.ops.AnnIndexStore.search(s, idx, queries,
+            "qid", "embedding", k = 10, nprobe = 2)
+          .select(col("qid"), col("vec_id"))
+        val base = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("_e"))
+        val q = queries.select(col("qid"),
+          col("embedding").cast("array<double>").as("_q"))
+        val d = round(Similarity.dot(col("_q"), col("_q")) -
+          lit(2.0) * Similarity.dot(col("_q"), col("_e")) +
+          Similarity.dot(col("_e"), col("_e")), 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("_d").asc, col("vec_id").asc)
+        val exact = base.crossJoin(broadcast(q))
+          .filter(col("qid") =!= col("vec_id"))
+          .withColumn("_d", d)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        queries.select("qid").join(hits, Seq("qid"), "left_outer")
+          .select(col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 10.0, 6).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH ${IvfPqSql.ctes("vec_id % 100 = 3", nprobe = 2)},
+        |ap AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc)
+        | WHERE rank <= 10),
+        |ex AS (SELECT qid, vec_id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id, row_number() OVER (
+        |    PARTITION BY q.vec_id ORDER BY $exactDist, b.vec_id) AS rn
+        |  FROM embeddings b,
+        |   (SELECT vec_id, embedding FROM embeddings
+        |    WHERE vec_id % 100 = 3) q
+        |  WHERE q.vec_id <> b.vec_id) WHERE rn <= 10),
+        |hc AS (SELECT qid, CAST(count(*) AS BIGINT) AS hits
+        | FROM ap JOIN ex USING (qid, vec_id) GROUP BY qid)
+        |SELECT q.vec_id AS qid,
+        | CAST(coalesce(hc.hits, 0) AS BIGINT) AS hits,
+        | round(CAST(coalesce(hc.hits, 0) AS BIGINT) / 10.0, 6) AS recall
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3) q
+        |LEFT JOIN hc ON hc.qid = q.vec_id
+        |ORDER BY qid""".stripMargin))
+  }
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134, q136, q146, q148, q149, q150, q151, q152, q154)
+    q134, q136, q146, q148, q149, q150, q151, q152, q154, q156)
 }
