@@ -50,7 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             require(args(1).foldable &&
                 args(1).dataType == org.apache.spark.sql.types.StringType,
               "unicode_normalize form must be a string literal")
-            args(1).eval().toString
+            val v = args(1).eval()
+            require(v != null,
+              "unicode_normalize form must not be NULL")
+            v.toString
           }
         UnicodeNormalize(args(0), form)
       }))

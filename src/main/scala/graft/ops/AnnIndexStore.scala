@@ -50,8 +50,13 @@ import org.apache.spark.sql.functions._
   * the snapshot) unless `_applied` already names the marker's batch
   * (append finished, marker survived), and a `batchId` makes the
   * committed-but-unacknowledged replay a detected no-op exactly as in
-  * [[CurationStore.update]]. SINGLE WRITER per index directory: the
-  * fail-if-exists marker write rejects a concurrent add loudly.
+  * [[CurationStore.update]]. SINGLE WRITER per index directory — the
+  * caller's contract, as for every store here: the fail-if-exists
+  * marker write rejects SIMULTANEOUS entries loudly, but a writer
+  * entering while an earlier writer's long append job is mid-flight
+  * consumes that writer's marker (a marker cannot distinguish
+  * crashed from live — the [[CurationStore.compact]] caveat) and the
+  * interleaved appends corrupt; serialize writers per store.
   */
 object AnnIndexStore {
 
@@ -92,6 +97,16 @@ object AnnIndexStore {
       centroidPred: Column, seedPred: Column, m: Int, subDim: Int,
       iters: Int): Index = {
     val s = emb.sparkSession
+    // a rebuild resets the store wholesale — settle the directory's
+    // previous life FIRST: a crashed compact's aside copy (codes.old)
+    // would otherwise survive the overwrite and a later writer's
+    // recover would roll the FRESH build back to it; a crashed add's
+    // marker would survive and a later writer's settlement would
+    // "heal" the fresh codes against a stale snapshot (deleting all
+    // of them); a stale _applied id could alias a new producer's
+    // restarted batch numbering
+    StageSwap.recover(s, s"$dir/codes")
+    UpdateMarker.clear(fsOf(s, dir), dir)
     // same silently-empty-result trap as ivfCells: a predicate
     // matching nothing would build an index that answers every query
     // with zero rows — fail loudly instead (same conf opt-out; the
@@ -116,8 +131,6 @@ object AnnIndexStore {
     // CurationStore discipline), so the encode plan starts at tiny
     // scans, not the trainer chains
     writeCodes(idx, emb, vecCol, mode = "overwrite")
-    val fs = fsOf(s, dir)
-    UpdateMarker.clear(fs, dir) // rebuild resets protocol state
     idx
   }
 
@@ -168,44 +181,29 @@ object AnnIndexStore {
     * no-op. Without one, the committed-but-unacknowledged window is
     * the caller's re-send risk (double-appended rows).
     */
-  /** Settle a crashed writer's marker (add or compact): `_applied`
-    * naming its batch means its append finished (writeApplied
-    * precedes marker delete); otherwise delete the files the crashed
-    * attempt appended beyond its snapshot, so the next writer starts
-    * from the snapshotted state. (A crashed COMPACT's partial output
-    * lives at `codes.next`, never inside `codes`, so its diff here is
-    * empty — [[StageSwap.recover]] owns that healing.)
+  /** Shared entry for both writers: heal a crashed compact's
+    * half-swap, then settle a crashed predecessor's marker through
+    * the kind-aware append-protocol settlement
+    * ([[UpdateMarker.settleAppend]] — the ONE definition of the
+    * decision table; a compact marker is never healed by file
+    * deletion, an uncommitted add marker is). Returns TRUE when
+    * `batchId` is already applied.
     */
-  private def settleWriter(s: SparkSession, fs: FileSystem,
-      idx: Index): Unit = {
-    val marker = UpdateMarker.markerPath(idx.dir)
-    UpdateMarker.read(fs, marker).foreach { prior =>
-      val committed = prior.batchId.nonEmpty &&
-        UpdateMarker.readApplied(fs, idx.dir).contains(prior.batchId)
-      if (!committed) {
-        val snapshot = prior.listings.getOrElse("codes", Set.empty)
-        (listCodesFiles(fs, idx.dir) -- snapshot)
-          .foreach(f => StageSwap.remove(fs, new Path(f)))
-        s.catalog.refreshByPath(s"${idx.dir}/codes")
-      }
-      UpdateMarker.delete(fs, marker)
-    }
+  private def settleEntry(s: SparkSession, fs: FileSystem, idx: Index,
+      batchId: Option[String]): Boolean = {
+    StageSwap.recover(s, s"${idx.dir}/codes")
+    UpdateMarker.settleAppend(fs, idx.dir, "codes",
+      () => listCodesFiles(fs, idx.dir),
+      () => s.catalog.refreshByPath(s"${idx.dir}/codes"),
+      batchId)
   }
 
   def add(idx: Index, newEmb: DataFrame, vecCol: String,
       batchId: Option[String] = None): Index = {
-    require(batchId.forall(_.nonEmpty),
-      "batchId, when defined, must be non-empty")
     val s = newEmb.sparkSession
     val fs = fsOf(s, idx.dir)
     val marker = UpdateMarker.markerPath(idx.dir)
-    // a crashed compact first (aside-copy rollback), then a crashed
-    // add (marker settle reads the codes listing, which must be the
-    // committed layout by then)
-    StageSwap.recover(s, s"${idx.dir}/codes")
-    settleWriter(s, fs, idx)
-    if (batchId.isDefined &&
-        UpdateMarker.readApplied(fs, idx.dir) == batchId)
+    if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
     UpdateMarker.write(fs, marker, UpdateMarker.State(
       batchId.getOrElse(""),
@@ -229,17 +227,27 @@ object AnnIndexStore {
     * Crash discipline: the rewrite stages at `codes.next` and
     * commits through [[StageSwap.swapIn]] — a crash mid-compact
     * leaves the old layout readable and the next writer's
-    * [[StageSwap.recover]] rolls it back. Holds the single-writer
-    * marker for its run, so a concurrent [[add]] fails loudly at its
-    * marker write (and vice versa).
+    * [[StageSwap.recover]] rolls it back; a crash AFTER the commit
+    * but before the marker delete is safe too, because the marker's
+    * `.swap` stage name tells settlement never to "heal" codes files
+    * for a maintenance writer (the [[UpdateMarker.settleAppend]]
+    * decision table — spec fabricates exactly this window). Holds
+    * the single-writer marker for its run, so a SIMULTANEOUS [[add]]
+    * entry fails loudly at its marker write; the object scaladoc's
+    * live-writer caveat applies as everywhere.
     */
   def compact(s: SparkSession, idx: Index): Index = {
     val fs = fsOf(s, idx.dir)
-    StageSwap.recover(s, s"${idx.dir}/codes")
-    settleWriter(s, fs, idx)
+    settleEntry(s, fs, idx, batchId = None)
     val marker = UpdateMarker.markerPath(idx.dir)
+    // the `.swap` stage name marks this as a MAINTENANCE marker:
+    // compact's partial output lives at codes.next and commits via
+    // StageSwap, so settlement must never "heal" the codes listing
+    // for it — after a committed swap with a crashed marker delete,
+    // every file in the stage is the new live data (the settleAppend
+    // decision table)
     UpdateMarker.write(fs, marker, UpdateMarker.State("",
-      Map("codes" -> listCodesFiles(fs, idx.dir))))
+      Map("codes.swap" -> listCodesFiles(fs, idx.dir))))
     // one shuffle by cell → each cell's rows land in exactly one
     // task → the partitioned write emits one file per cell
     idx.codes(s).repartition(col("cell"))

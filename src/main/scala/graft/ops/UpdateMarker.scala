@@ -128,10 +128,72 @@ object UpdateMarker {
     false
   }
 
+  /** Entry-point settlement for an APPEND-COMMIT store stage (the
+    * [[AnnIndexStore]] protocol) — the dual of [[settle]]'s
+    * swap-commit detection, centralized HERE for the same reason
+    * settle is: the decision table below is correctness-critical and
+    * must not fork per store.
+    *
+    * A swap writer's commitment is visible as listing INEQUALITY on
+    * its commit stage; an append writer's is NOT (a partial append
+    * and a committed one both change the listing), so an append's
+    * commitment is witnessed only by the durable `_applied` record
+    * written before its marker delete. Decision per crashed marker:
+    *
+    *  - marker stage `"$stage.swap"` (a MAINTENANCE writer, e.g.
+    *    compact): its partial output lives at `$stage.next`, never
+    *    inside the stage, and [[StageSwap.recover]] (which the
+    *    caller MUST run before this) already healed it — whether the
+    *    swap committed or rolled back, the stage's files are all
+    *    live data. Settlement only drops the marker; it NEVER
+    *    deletes stage files for this kind. (Deciding "committed vs
+    *    not" by listing equality and healing the diff — the [[settle]]
+    *    rule — would delete the entire freshly-compacted stage after
+    *    a committed swap whose writer died before its marker delete.)
+    *  - marker stage `stage` (an APPEND writer): `_applied` naming
+    *    its batch means the append finished; otherwise heal — drop
+    *    the files beyond the snapshot so the re-run is exactly-once
+    *    by redo.
+    *
+    * `listing` must enumerate the stage's data files RECURSIVELY when
+    * the stage is partitioned (the append store's layout); `healed`
+    * runs after files are dropped (cache invalidation). Returns TRUE
+    * when `batchId` is already applied — the caller returns its
+    * store untouched WITHOUT writing a fresh marker; FALSE when the
+    * caller should write its own marker ([[write]]'s fail-if-exists
+    * guard stays its concurrency backstop) and proceed.
+    */
+  def settleAppend(fs: FileSystem, storeDir: String, stage: String,
+      listing: () => Set[String], healed: () => Unit,
+      batchId: Option[String]): Boolean = {
+    require(batchId.forall(_.nonEmpty),
+      "batchId, when defined, must be non-empty (the empty string is " +
+        "the marker's encoding of 'no idempotence key')")
+    val marker = markerPath(storeDir)
+    read(fs, marker).foreach { prior =>
+      val committed = prior.batchId.nonEmpty &&
+        readApplied(fs, storeDir).contains(prior.batchId)
+      val maintenance = prior.listings.contains(s"$stage.swap")
+      if (!committed && !maintenance) {
+        (listing() -- prior.listings.getOrElse(stage, Set.empty))
+          .foreach(f => StageSwap.remove(fs, new Path(f)))
+        healed()
+      }
+      delete(fs, marker)
+    }
+    batchId.isDefined && readApplied(fs, storeDir) == batchId
+  }
+
   /** Write the in-flight marker, FAILING if one already exists — the
     * single-writer guard: callers settle a crashed predecessor's
     * marker before writing their own, so an existing marker here
-    * means another updater is in flight right now.
+    * means another updater is in flight right now. (Best-effort by
+    * construction: it catches simultaneous ENTRY, not an entry that
+    * lands while an earlier writer's long append job is mid-flight —
+    * the earlier settle consumed that writer's marker, because a
+    * marker cannot distinguish crashed from live. Serializing
+    * writers per store directory remains the caller's contract, as
+    * documented at each store's update/compact.)
     */
   def write(fs: FileSystem, marker: Path, state: State): Unit = {
     val sb = new StringBuilder(s"id\t${state.batchId}\n")

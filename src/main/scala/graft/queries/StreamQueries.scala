@@ -79,6 +79,28 @@ object StreamQueries {
     }
   }
 
+  /** Stage `half` as ONE parquet file named `$name.parquet` inside
+    * `inDir` — the micro-batch fixture the file-source streams
+    * (q147/q155) feed on: with `maxFilesPerTrigger = 1`, one staged
+    * file = one genuine micro-batch.
+    */
+  private def stageHalf(inDir: java.nio.file.Path, half: DataFrame,
+      name: String): Unit = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft-stage-$name")
+    try {
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      scala.util.Using.resource(java.nio.file.Files.list(tmp)) { st =>
+        val it = st.iterator()
+        val sit = new scala.collection.Iterator[java.nio.file.Path] {
+          def hasNext = it.hasNext; def next() = it.next()
+        }
+        sit.filter(_.toString.endsWith(".parquet")).take(1).foreach(p =>
+          java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet")))
+      }
+    } finally deleteRecursively(tmp)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p,
@@ -540,23 +562,10 @@ object StreamQueries {
         .createTempDirectory("graft-q147-ckpt")
       val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      def stage(half: DataFrame, name: String): Unit = {
-        val tmp = java.nio.file.Files
-          .createTempDirectory(s"graft-q147-$name")
-        try {
-          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).iterator()
-          val it = new scala.collection.Iterator[java.nio.file.Path] {
-            def hasNext = part.hasNext; def next() = part.next()
-          }
-          it.filter(_.toString.endsWith(".parquet")).take(1).foreach(p =>
-            java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet")))
-        } finally deleteRecursively(tmp)
-      }
       try {
         val n = raw.count()
-        stage(raw.filter(col("event_id") < lit(n / 2)), "h0")
-        stage(raw.filter(col("event_id") >= lit(n / 2)), "h1")
+        stageHalf(inDir, raw.filter(col("event_id") < lit(n / 2)), "h0")
+        stageHalf(inDir, raw.filter(col("event_id") >= lit(n / 2)), "h1")
         // the static dimension, materialized once in the stream's
         // UTC-timestamp shape (watermark-capable side must match)
         val dim = EventTs.toUtcTimestamp(raw)
@@ -632,19 +641,6 @@ object StreamQueries {
         .createTempDirectory("graft-q155-ckpt")
       val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      def stage(half: DataFrame, name: String): Unit = {
-        val tmp = java.nio.file.Files
-          .createTempDirectory(s"graft-q155-$name")
-        try {
-          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).iterator()
-          val it = new scala.collection.Iterator[java.nio.file.Path] {
-            def hasNext = part.hasNext; def next() = part.next()
-          }
-          it.filter(_.toString.endsWith(".parquet")).take(1).foreach(p =>
-            java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet")))
-        } finally deleteRecursively(tmp)
-      }
       try {
         // the index is the stream's static side: built (or reused)
         // before the first trigger, served by every batch
@@ -652,8 +648,8 @@ object StreamQueries {
         val mid = queries.agg(
           percentile_approx(col("qid"), lit(0.5), lit(100)))
           .head().getLong(0)
-        stage(queries.filter(col("qid") <= mid), "h0")
-        stage(queries.filter(col("qid") > mid), "h1")
+        stageHalf(inDir, queries.filter(col("qid") <= mid), "h0")
+        stageHalf(inDir, queries.filter(col("qid") > mid), "h1")
         s.conf.set("spark.sql.shuffle.partitions", parts)
         try {
           s.readStream.schema(queries.schema)

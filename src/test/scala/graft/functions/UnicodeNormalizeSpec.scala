@@ -70,5 +70,16 @@ class UnicodeNormalizeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("NFX") ||
       e2.getMessage.contains("unicode_normalize"))
+    // a foldable NULL form must be the clear registration error, not
+    // an NPE inside the builder
+    Seq("a").toDF("t").createOrReplaceTempView("un_null_spec")
+    try {
+      val e3 = intercept[Exception] {
+        spark.sql("SELECT unicode_normalize(t, CAST(NULL AS STRING)) " +
+          "FROM un_null_spec").collect()
+      }
+      assert(e3.getMessage.contains("must not be NULL") ||
+        e3.getMessage.contains("unicode_normalize"))
+    } finally spark.catalog.dropTempView("un_null_spec")
   }
 }

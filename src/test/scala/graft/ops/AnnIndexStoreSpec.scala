@@ -216,6 +216,60 @@ class AnnIndexStoreSpec extends SparkSpec {
       == served, "compact changed search results")
   }
 
+  test("a compact that died AFTER its commit but before its marker " +
+      "delete loses nothing: the .swap marker is never healed by " +
+      "file deletion") {
+    val (cp, sp, m, sub, it) = dials
+    val st = AnnIndexStore.build(emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", s"$tmp/postswap", cp, sp, m, sub, it)
+    AnnIndexStore.add(st, emb.filter(col("vec_id") % 5 === 4),
+      "embedding")
+    val preCompact = codesFiles(st.dir)
+    AnnIndexStore.compact(spark, st)
+    val rows = st.codes(spark).collect().map(_.toString).sorted.toSeq
+    // fabricate the window: the compact committed (codes now holds
+    // only the rewritten files) but its marker — snapshotting the
+    // PRE-compact listing — survived the crash
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
+      UpdateMarker.State("", Map("codes.swap" -> preCompact)))
+    // the next writer settles it WITHOUT deleting the (all-new)
+    // compacted files — the naive listing-diff heal would wipe the
+    // entire stage here
+    AnnIndexStore.add(st, emb.filter(col("vec_id") % 100 === 99),
+      "embedding")
+    assert(!fs.exists(UpdateMarker.markerPath(st.dir)))
+    val after = st.codes(spark).collect().map(_.toString).sorted.toSeq
+    assert(rows.forall(after.contains),
+      "settlement deleted committed compacted files")
+  }
+
+  test("build() settles the directory's previous life: a stale add " +
+      "marker cannot wipe a fresh rebuild") {
+    val (cp, sp, m, sub, it) = dials
+    val dir = s"$tmp/rebuild"
+    val st = AnnIndexStore.build(emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", dir, cp, sp, m, sub, it)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed add's marker from the directory's previous life,
+    // snapshotting a listing that shares nothing with a rebuild
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("", Map("codes" -> Set.empty[String])))
+    val st2 = AnnIndexStore.build(emb, "vec_id", "embedding", dir,
+      cp, sp, m, sub, it)
+    assert(!fs.exists(UpdateMarker.markerPath(dir)),
+      "build left the stale marker in place")
+    val n = st2.codes(spark).count()
+    // the very next writer must NOT heal the fresh codes away
+    AnnIndexStore.add(st2,
+      emb.limit(0), "embedding") // empty batch: pure settle entry
+    assert(st2.codes(spark).count() == n,
+      "a post-rebuild writer healed the fresh codes against the " +
+        "stale snapshot")
+  }
+
   test("append crash is healed; a batchId replay is a detected no-op") {
     val (cp, sp, m, sub, it) = dials
     val old = emb.filter(col("vec_id") % 5 =!= 4)
