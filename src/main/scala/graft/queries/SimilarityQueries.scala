@@ -671,16 +671,23 @@ object SimilarityQueries {
       val (probeCte, qaJoin) =
         if (nprobe == 1)
           ("", "JOIN coarse qa ON qa.vec_id = dt0.qid AND qa.cell = a.cell")
-        else (s"qprobe AS ($qprobe),\n",
+        else (s"qprobe AS MATERIALIZED ($qprobe),\n",
           "JOIN qprobe qa ON qa.qid = dt0.qid AND qa.cell = a.cell")
+      // every stage MATERIALIZED — the kmeansCtes discipline: with
+      // the unrolled 32/64-term dot products, DuckDB's default CTE
+      // inlining re-expands each referenced stage into the consuming
+      // plan and the duplicated expression trees bloat the allocator
+      // (nondeterministic OOM once enough of these stacks share the
+      // checker's connection); materializing pins each stage to its
+      // tiny row count
       s"""${kmeansCtes(2, t0, "vec_id % 10 = 3", 32, "s0")},
         |${kmeansCtes(2, t1, "vec_id % 10 = 3", 32, "s1")},
-        |enc0 AS (${enc(src0, "s0c2")}),
-        |enc1 AS (${enc(src1, "s1c2")}),
-        |dt0 AS (${dtab(src0, "s0c2", qWhere)}),
-        |dt1 AS (${dtab(src1, "s1c2", qWhere)}),
-        |coarse AS ($coarse),
-        |${probeCte}adc AS (SELECT dt0.qid, e0.vec_id,
+        |enc0 AS MATERIALIZED (${enc(src0, "s0c2")}),
+        |enc1 AS MATERIALIZED (${enc(src1, "s1c2")}),
+        |dt0 AS MATERIALIZED (${dtab(src0, "s0c2", qWhere)}),
+        |dt1 AS MATERIALIZED (${dtab(src1, "s1c2", qWhere)}),
+        |coarse AS MATERIALIZED ($coarse),
+        |${probeCte}adc AS MATERIALIZED (SELECT dt0.qid, e0.vec_id,
         |  round(dt0.d + dt1.d, 6) AS adc
         | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
         | JOIN coarse a ON a.vec_id = e0.vec_id
@@ -1294,10 +1301,10 @@ object SimilarityQueries {
           .orderBy("id", "rank")
       },
       Some(s"""WITH ${IvfPqSql.ctes("vec_id % 100 = 3")},
-        |cd0 AS ($cdist FROM s0c2 a, s0c2 b),
-        |cd1 AS ($cdist FROM s1c2 a, s1c2 b),
-        |lab AS (SELECT vec_id, label FROM embeddings),
-        |pr AS (SELECT a.vec_id AS id, b.vec_id AS neg_id,
+        |cd0 AS MATERIALIZED ($cdist FROM s0c2 a, s0c2 b),
+        |cd1 AS MATERIALIZED ($cdist FROM s1c2 a, s1c2 b),
+        |lab AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+        |pr AS MATERIALIZED (SELECT a.vec_id AS id, b.vec_id AS neg_id,
         |  round(cd0.d + cd1.d, 6) AS dist
         | FROM coarse a JOIN coarse b
         |  ON a.cell = b.cell AND a.vec_id <> b.vec_id
@@ -1389,18 +1396,18 @@ object SimilarityQueries {
           .orderBy("qid")
       },
       Some(s"""WITH ${IvfPqSql.ctes("vec_id % 100 = 3", nprobe = 2)},
-        |ap AS (SELECT qid, vec_id FROM (
+        |ap AS MATERIALIZED (SELECT qid, vec_id FROM (
         |  SELECT qid, vec_id, row_number() OVER (
         |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc)
         | WHERE rank <= 10),
-        |ex AS (SELECT qid, vec_id FROM (
+        |ex AS MATERIALIZED (SELECT qid, vec_id FROM (
         |  SELECT q.vec_id AS qid, b.vec_id, row_number() OVER (
         |    PARTITION BY q.vec_id ORDER BY $exactDist, b.vec_id) AS rn
         |  FROM embeddings b,
         |   (SELECT vec_id, embedding FROM embeddings
         |    WHERE vec_id % 100 = 3) q
         |  WHERE q.vec_id <> b.vec_id) WHERE rn <= 10),
-        |hc AS (SELECT qid, CAST(count(*) AS BIGINT) AS hits
+        |hc AS MATERIALIZED (SELECT qid, CAST(count(*) AS BIGINT) AS hits
         | FROM ap JOIN ex USING (qid, vec_id) GROUP BY qid)
         |SELECT q.vec_id AS qid,
         | CAST(coalesce(hc.hits, 0) AS BIGINT) AS hits,

@@ -28,6 +28,21 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # DuckDB's allocator fragments the address space hard on this
+    # battery (in-flight peak ~60k memory maps, dominated by the
+    # list-heavy minhash oracles): below the kernel default
+    # vm.max_map_count=65530 the checker fails RANDOM queries with
+    # "Out of Memory Error ... (bad allocation)" despite ~100 GB
+    # free. Warn so a fresh boot gets the sysctl re-applied
+    # (sysctl -w vm.max_map_count=1048576).
+    try:
+        cap = int(open("/proc/sys/vm/max_map_count").read())
+        if cap < 131072:
+            print(f"WARN vm.max_map_count={cap} — the battery peaks "
+                  "near 65k maps; raise it or expect random "
+                  "bad-allocation oracle failures")
+    except OSError:
+        pass
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
