@@ -42,25 +42,28 @@ object AnnIndexScaling {
     spark.sparkContext.addSparkListener(listener)
     val out = new StringBuilder
 
+    // every case mutates store state (warm = false), and every
+    // case's VERIFICATION count runs AFTER the measurement window —
+    // a count() scans the (corpus-sized, however narrow) codes table
+    // and would mis-attribute that read to the maintenance operation
+    // being measured
     def measure(sf: String, name: String, extra: Map[String, Any])(
-        run: => Long): Unit = {
-      // warm = false: every case mutates store state
-      val (result, sec) =
-        ScalingLog.measured(spark, listener, warm = false)(run)
-      val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
-      val line =
-        s"""{"tier":"ann_index","sf":"$sf","case":"$name",""" +
-          s""""result":$result,"input_records":${listener.inputRecords},""" +
-          s""""shuffle_write_records":${listener.shuffleWriteRecords},""" +
-          s""""shuffle_read_records":${listener.shuffleReadRecords},""" +
-          s""""sec":${f"$sec%.3f"}$extras}"""
+        run: => Unit)(verify: => Long): Unit = {
+      val (_, sec) =
+        ScalingLog.measured(spark, listener, warm = false) { run; 0L }
+      // snapshot the window's counters BEFORE the verification scan
+      val counters = ScalingLog.countersOf(listener)
+      val line = ScalingLog.caseLine("ann_index", sf, name, verify,
+        counters, sec, extra)
       println(s"[annidx] $line")
       out.append(line).append('\n')
     }
 
-    val dials = (col("vec_id") % 50 === 7, col("vec_id") % 10 === 3,
-      2, 32, 2)
-    val (cp, sp, m, sub, it) = dials
+    // the ONE dials definition the store itself builds with — the
+    // evidence must describe the index the store serves
+    val d = ops.AnnIndexStore.CorpusDials
+    val (cp, sp, m, sub, it) =
+      (d.centroidPred, d.seedPred, d.m, d.subDim, d.iters)
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val emb = spark.read
         .parquet(s"/root/testdata/$sf/embeddings.parquet")
@@ -81,27 +84,22 @@ object AnnIndexScaling {
       measure(sf, "build_history", Map("vecs" -> nHist)) {
         idx = ops.AnnIndexStore.build(history, "vec_id", "embedding",
           s"$root/store", cp, sp, m, sub, it)
-        idx.codes(spark).count()
-      }
-      // the fold's own write job is the measured work; verifying the
-      // resulting count scans the (corpus-sized, however narrow)
-      // codes table and would mis-attribute that read to the add —
-      // verify AFTER the measurement window
+      }(idx.codes(spark).count())
       measure(sf, "add_batch100", Map("batch" -> 100)) {
         ops.AnnIndexStore.add(idx, batch, "embedding")
-        100L
+      } {
+        val n = idx.codes(spark).count()
+        require(n == nHist + 100, "add did not land the batch")
+        n
       }
-      require(idx.codes(spark).count() == nHist + 100,
-        "add did not land the batch")
       measure(sf, "compact", Map("vecs" -> (nHist + 100))) {
         ops.AnnIndexStore.compact(spark, idx)
-        idx.codes(spark).count()
-      }
+      }(idx.codes(spark).count())
+      var rebuilt: ops.AnnIndexStore.Index = null
       measure(sf, "rebuild_full", Map("vecs" -> (nHist + 100))) {
-        ops.AnnIndexStore.build(emb, "vec_id", "embedding",
-            s"$root/rebuild", cp, sp, m, sub, it)
-          .codes(spark).count()
-      }
+        rebuilt = ops.AnnIndexStore.build(emb, "vec_id", "embedding",
+          s"$root/rebuild", cp, sp, m, sub, it)
+      }(rebuilt.codes(spark).count())
     }
 
     ScalingLog.replaceSlice(ScalingLog.tier("ann_index"), out.toString)

@@ -45,13 +45,8 @@ object IncrementalScaling {
       // warm = false: the run mutates store state (see measured())
       val (result, sec) =
         ScalingLog.measured(spark, listener, warm = false)(run)
-      val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
-      val line =
-        s"""{"tier":"incremental","sf":"$sf","case":"$name",""" +
-          s""""result":$result,"input_records":${listener.inputRecords},""" +
-          s""""shuffle_write_records":${listener.shuffleWriteRecords},""" +
-          s""""shuffle_read_records":${listener.shuffleReadRecords},""" +
-          s""""sec":${f"$sec%.3f"}$extras}"""
+      val line = ScalingLog.caseLine("incremental", sf, name, result,
+        ScalingLog.countersOf(listener), sec, extra)
       println(s"[inc] $line")
       out.append(line).append('\n')
     }

@@ -8,7 +8,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * `tier:"skew"`, [[StreamReplay]] — `tier:"streaming_replay"`,
   * [[IncrementalScaling]] — `tier:"incremental"`,
   * [[RewriteScaling]] — `tier:"rewrite"`,
-  * [[AsofScaling]] — `tier:"asof_hotkey"`).
+  * [[AsofScaling]] — `tier:"asof_hotkey"`,
+  * [[AnnIndexScaling]] — `tier:"ann_index"`).
   *
   * Each generator owns ONE slice, selected by an exact-match
   * predicate; a regeneration keeps every other line byte-identical
@@ -55,6 +56,31 @@ object ScalingLog {
     spark.catalog.clearCache()
     org.apache.spark.sql.graft.Shims.flushListenerBus(spark.sparkContext)
     (result, sec)
+  }
+
+  /** ONE definition of the per-case JSON line the maintenance-tier
+    * generators ([[IncrementalScaling]], [[AnnIndexScaling]]) emit
+    * from the listener's counters — consolidated like [[measured]]:
+    * a field added or a counter corrected must not have per-driver
+    * copies to miss.
+    */
+  /** Counter snapshot for [[caseLine]] — take it BEFORE any
+    * post-measurement verification job runs, or the verification's
+    * reads pollute the emitted numbers. */
+  final case class Counters(input: Long, shuffleWrite: Long,
+      shuffleRead: Long)
+  def countersOf(listener: TaskMetricsListener): Counters =
+    Counters(listener.inputRecords, listener.shuffleWriteRecords,
+      listener.shuffleReadRecords)
+
+  def caseLine(tier: String, sf: String, name: String, result: Long,
+      c: Counters, sec: Double, extra: Map[String, Any]): String = {
+    val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+    s"""{"tier":"$tier","sf":"$sf","case":"$name","result":$result,""" +
+      s""""input_records":${c.input},""" +
+      s""""shuffle_write_records":${c.shuffleWrite},""" +
+      s""""shuffle_read_records":${c.shuffleRead},""" +
+      s""""sec":${f"$sec%.3f"}$extras}"""
   }
 
   /** Ownership predicate for a tier's rows. */

@@ -333,13 +333,16 @@ object AnnIndexStore {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-  /** The q90 dials — ONE definition shared by the memoized store and
-    * the q148/q149 oracles' expectations. */
-  private val Centroids: Column = col("vec_id") % 50 === 7
-  private val Seeds: Column = col("vec_id") % 10 === 3
-  private val M = 2
-  private val SubDim = 32
-  private val Iters = 2
+  /** An index's training dials as one value, so consumers cannot
+    * mix half of one configuration with half of another. */
+  final case class Dials(centroidPred: Column, seedPred: Column,
+      m: Int, subDim: Int, iters: Int)
+
+  /** The q90 dials — ONE definition shared by the memoized store,
+    * the q148/q149 oracles' expectations, and the scaling driver
+    * ([[graft.AnnIndexScaling]]). */
+  val CorpusDials: Dials = Dials(col("vec_id") % 50 === 7,
+    col("vec_id") % 10 === 3, m = 2, subDim = 32, iters = 2)
 
   /** Deterministic local index directory for `dataDir` (the
     * [[CurationStore.storeDirFor]] scheme, separate root). */
@@ -359,18 +362,23 @@ object AnnIndexStore {
     */
   def forCorpus(s: SparkSession, dataDir: String): Index =
     built.computeIfAbsent(dataDir, d =>
-      build(s.read.parquet(s"$d/embeddings.parquet"), "vec_id",
-        "embedding", indexDirFor(d), Centroids, Seeds, M, SubDim, Iters))
+      buildAt(s, d, indexDirFor(d)))
 
   /** Rebuild `dataDir`'s index unconditionally (the q149 surface —
     * build cost stays honestly measured in the bench battery even
     * when consumers ride the memoized index).
     */
   def rebuildForCorpus(s: SparkSession, dataDir: String): Index = {
-    val idx = build(s.read.parquet(s"$dataDir/embeddings.parquet"),
-      "vec_id", "embedding", indexDirFor(dataDir), Centroids, Seeds,
-      M, SubDim, Iters)
+    val idx = buildAt(s, dataDir, indexDirFor(dataDir))
     built.put(dataDir, idx)
     idx
+  }
+
+  private def buildAt(s: SparkSession, dataDir: String,
+      storeDir: String): Index = {
+    val d = CorpusDials
+    build(s.read.parquet(s"$dataDir/embeddings.parquet"), "vec_id",
+      "embedding", storeDir, d.centroidPred, d.seedPred, d.m,
+      d.subDim, d.iters)
   }
 }

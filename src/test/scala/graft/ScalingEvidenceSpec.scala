@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * — `tier:"skew"`, graft.StreamReplay — `tier:"streaming_replay"`,
   * graft.IncrementalScaling — `tier:"incremental"`,
   * graft.RewriteScaling — `tier:"rewrite"`,
-  * graft.AsofScaling — `tier:"asof_hotkey"`)
+  * graft.AsofScaling — `tier:"asof_hotkey"`,
+  * graft.AnnIndexScaling — `tier:"ann_index"`)
   * owns a slice of the file and rewrites it with read-filter-rewrite;
   * round 9 silently lost the streaming rows in exactly that dance.
   * If a committed tier's rows vanish from a regeneration, `sbt test`
@@ -33,7 +34,7 @@ class ScalingEvidenceSpec extends AnyFunSuite {
 
   for ((tier, minRows) <- Seq("skew" -> 8, "streaming" -> 1,
       "streaming_replay" -> 8, "incremental" -> 12, "rewrite" -> 4,
-      "asof_hotkey" -> 4)) {
+      "asof_hotkey" -> 4, "ann_index" -> 8)) {
     test(s"""tier "$tier" rows present (>= $minRows)""") {
       val n = lines.count(_.contains(s""""tier":"$tier","""))
       assert(n >= minRows,
