@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * the analytics-side sibling of `graft.ark.Demo`: one lazy pipeline
   * per stage, every stage an operator the oracle battery already
   * hash-checks individually (q117 → q43 → q121 → q119 → q120, then
-  * the q127/q129 monitoring arc and the q125/q126 serving-layout arc
-  * with its delta-update + compaction loop), with the cross-stage
-  * invariants asserted here because they only exist in composition.
+  * the q127/q129 monitoring arc, the q125/q126 serving-layout arc
+  * with its delta-update + compaction loop, and the q148/q150
+  * retrieval-serving arc over the persisted ANN index), with the
+  * cross-stage invariants asserted here because they only exist in
+  * composition.
   * Run:
   *
   *   sbt -batch "runMain graft.CurationDemo [sfDir]"
@@ -147,6 +149,58 @@ object CurationDemo {
       "through a delta update and re-compaction, joins base-bucketed")
     compacted.labelsTable.foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // 8. the retrieval-serving arc (q148/q150/q154 + compact): build
+    //    the persisted ANN index on "yesterday's" vectors, serve a
+    //    query batch with zero training in-plan, fold today's batch
+    //    in with the STORED models, serve queries drawn from the NEW
+    //    vectors, then compact — the vector-tier maintain-while-
+    //    serving loop
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("curate-annidx").toString
+    val dd = ops.AnnIndexStore.CorpusDials
+    val yesterday = emb.filter(col("vec_id") % 5 =!= 4)
+    val idx = ops.AnnIndexStore.build(yesterday, "vec_id", "embedding",
+      idxDir, dd.centroidPred, dd.seedPred, dd.m, dd.subDim, dd.iters)
+    val oldQ = emb.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val servedIdx = ops.AnnIndexStore
+      .search(spark, idx, oldQ, "qid", "embedding", k = 10)
+    val inPlan = ops.Similarity.ivfPqTopK(yesterday, "vec_id",
+      "embedding", dd.centroidPred, dd.seedPred,
+      col("vec_id") % 100 === 3, dd.m, dd.subDim, dd.iters, k = 10)
+    require(servedIdx.exceptAll(inPlan).isEmpty &&
+        inPlan.exceptAll(servedIdx).isEmpty,
+      "stored-index serving diverged from the in-plan stack")
+    def kth(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy("qid").agg(max("adc").as("m")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kthBefore = kth(servedIdx)
+    ops.AnnIndexStore.add(idx, emb.filter(col("vec_id") % 5 === 4),
+      "embedding", batchId = Some("demo-batch-1"))
+    val afterAdd = ops.AnnIndexStore
+      .search(spark, idx, oldQ, "qid", "embedding", k = 10)
+    kth(afterAdd).foreach { case (q, d) =>
+      kthBefore.get(q).foreach(d0 => require(d <= d0,
+        s"adding candidates worsened query $q: $d > $d0")) }
+    val newQ = emb.filter(col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val newServed = ops.AnnIndexStore
+      .search(spark, idx, newQ, "qid", "embedding", k = 10).count()
+    require(newServed > 0, "new vectors not servable after add")
+    val preCompact = afterAdd.collect().map(_.toString).sorted.toSeq
+    ops.AnnIndexStore.compact(spark, idx)
+    val postCompact = ops.AnnIndexStore
+      .search(spark, idx, oldQ, "qid", "embedding", k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    require(postCompact == preCompact,
+      "compaction changed serving results")
+    log(s"retrieval serving: index built on ${yesterday.count()} " +
+      s"vectors == in-plan stack, batch folded with stored models " +
+      s"($newServed results for new-vector queries), compaction " +
+      "serving-invariant")
 
     log("OK — every stage is the oracle-checked operator, composed")
     spark.stop()
