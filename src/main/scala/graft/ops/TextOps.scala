@@ -317,4 +317,44 @@ object TextOps {
         }
       }.toDF(idCol, "idx", "start", "length", "fp")
   }
+
+  /** The BM25 scoring kernel over PRE-DERIVED frames — ONE
+    * definition shared by the from-corpus path (q75's
+    * `bm25Scores`) and the stored-index path
+    * ([[TextIndexStore.bm25]]), so the two can never drift: `tf` is
+    * (idCol, token, tf) restricted to the query terms, `dl` is
+    * (idCol, dl), `stats` is the one-row (_n, _avgdl). Robertson idf
+    * with the +1 floor computed from tf's per-term doc counts;
+    * per-term contributions pivot into COLUMNS and sum in a fixed
+    * order (a row-wise SUM's addition order is engine-scheduled);
+    * contributions round to 6, the score to 4 — the q75 oracle
+    * discipline. Emits (idCol, score).
+    */
+  def bm25ScoreFrames(tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      idCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        round(log((col("_n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
+          .as("idf"))
+    val contrib = tf.join(broadcast(idf), "token")
+      .join(dl, idCol).crossJoin(broadcast(stats))
+      .select(col(idCol), col("token"),
+        round(col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))), 6)
+          .as("c"))
+    val termCols = terms.map(t =>
+      coalesce(max(when(col("token") === t, col("c"))), lit(0d))
+        .as(s"c_$t"))
+    contrib.groupBy(idCol)
+      .agg(termCols.head, termCols.tail: _*)
+      .select(col(idCol),
+        round(terms.map(t => col(s"c_$t")).reduce(_ + _), 4)
+          .as("score"))
+  }
 }

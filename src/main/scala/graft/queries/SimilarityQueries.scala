@@ -1006,9 +1006,17 @@ object SimilarityQueries {
     * serving time each query's own terms would swap in — the fusion
     * shape is unchanged. */
   private def hybridSpq(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    hybridSpqOf(s, dir, TextQueries.bm25Scores(s, dir))
+
+  /** [[hybridSpq]] over an EXPLICIT (doc_id, score) frame — the
+    * stored-index serving path (q158) feeds the q157 store's scores
+    * through the same ranking/replication. */
+  private def hybridSpqOf(s: org.apache.spark.sql.SparkSession,
+      dir: String, scores: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val sparse = TextQueries.bm25Scores(s, dir)
+    val sparse = scores
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(hybridTopSparse)
       .withColumn("rank_sparse", row_number().over(
@@ -1417,7 +1425,36 @@ object SimilarityQueries {
         |ORDER BY qid""".stripMargin))
   }
 
+  /** The hybrid retrieval with BOTH sides served from persisted
+    * indexes — the full deployment shape: the dense shortlist from
+    * the vector store (q148), the sparse ranking from the text store
+    * (q157), fused by the shared RRF kernel. Neither the raw text
+    * nor any trainer appears in the plan; the corpus is touched only
+    * through the probed cell partitions and the probed terms' row
+    * groups. Same oracle as q146/q151 — both stores are
+    * bit-identical to their in-plan stacks, so the fusion is too.
+    */
+  val q158 = Q("q158_hybrid_stores_serving",
+    (s, dir) => {
+      val aidx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+      val tidx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      val queries = table(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val dense = graft.ops.AnnIndexStore.search(s, aidx, queries,
+          "qid", "embedding", k = hybridTopDense)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rank").as("rank_dense"))
+      val sparse = graft.ops.TextIndexStore.bm25(s, tidx,
+        TextQueries.bm25Terms)
+      hybridFuse(dense, hybridSpqOf(s, dir, sparse))
+        .orderBy("qid", "rk")
+    },
+    Some(s"""WITH $hybridAnnCtes
+      |SELECT qid, rk, doc_id, rrf FROM ta
+      |ORDER BY qid, rk""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134, q136, q146, q148, q149, q150, q151, q152, q154, q156)
+    q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158)
 }

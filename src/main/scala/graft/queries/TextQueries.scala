@@ -811,10 +811,10 @@ object TextQueries {
   /** q75's scored frame (doc_id, score), shared verbatim by the
     * hybrid-fusion query q134 so both rankings come from ONE kernel.
     */
+  private[queries] val bm25Terms = Seq("join", "vector", "stream")
+
   private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-      val terms = Seq("join", "vector", "stream")
-      val k1 = 1.2; val b = 0.75
       val docs = table(s, dir, "documents")
       val dl = docs.select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("bigint").as("dl"))
@@ -822,28 +822,9 @@ object TextQueries {
         (sum("dl") / count(lit(1))).as("_avgdl"))
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-        .filter(col("token").isin(terms: _*))
+        .filter(col("token").isin(bm25Terms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("token"),
-          round(log((col("_n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
-            .as("idf"))
-      val contrib = tf.join(broadcast(idf), "token")
-        .join(dl, "doc_id").crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("token"),
-          round(col("idf") * (col("tf") * (k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))), 6)
-            .as("c"))
-      val termCols = terms.map(t =>
-        coalesce(max(when(col("token") === t, col("c"))), lit(0d))
-          .as(s"c_$t"))
-      val byTerm = contrib.groupBy("doc_id")
-        .agg(termCols.head, termCols.tail: _*)
-      byTerm
-        .select(col("doc_id"),
-          round(col(s"c_${terms(0)}") + col(s"c_${terms(1)}") +
-            col(s"c_${terms(2)}"), 4).as("score"))
+      TextOps.bm25ScoreFrames(tf, dl, stats, "doc_id", bm25Terms)
   }
 
   /** q75's oracle CTE chain up to the per-doc summed score `spr`
@@ -2778,11 +2759,71 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin))
   }
 
+  /** BM25 served from the PERSISTED text index
+    * ([[graft.ops.TextIndexStore]] — the sparse twin of q148's
+    * vector store): the corpus tokenizes once into postings /
+    * doc-lengths / exact counter stages, and the q75 term query
+    * answers from them through the SAME scoring kernel
+    * ([[graft.ops.TextOps.bm25ScoreFrames]]) — same oracle as q75,
+    * because the stored path must be bit-identical to the from-text
+    * path. The postings scan reads only the probed terms' row
+    * groups (token-sorted files, pushed IN filter — spec-pinned).
+    */
+  val q157 = Q("q157_text_index_serve",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      graft.ops.TextIndexStore.bm25(s, idx, bm25Terms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH $duckBm25Ctes
+      |SELECT doc_id, score FROM spr
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
+  /** Incremental text-index maintenance
+    * ([[graft.ops.TextIndexStore.update]]): build over four fifths
+    * of the corpus, fold the last fifth in as a batch, then read the
+    * updated index STATE back as the full-vocabulary per-token
+    * summary (df, total tf — exact BIGINTs). Postings and
+    * doc-lengths are per-document derivations (the appended rows are
+    * exactly a full rebuild's rows for those ids) and the stats
+    * counters fold additively, so the updated index must equal a
+    * from-scratch build over the full corpus — which is what the
+    * oracle recomputes from raw text. Integer-exact on purpose: an
+    * all-scores comparison would ride the 4-decimal rounding
+    * boundary where Spark's BigDecimal(shortest-repr) HALF_UP and
+    * DuckDB's binary-value rounding legitimately disagree (observed
+    * at score 0.99145); the serve path's floating contract is
+    * already pinned by q157's top-20 (the q75 convention), and
+    * TextIndexStoreSpec pins update-vs-rebuild SCORE equality
+    * engine-side where both arms share one rounding.
+    */
+  val q159 = Q("q159_text_index_update",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val idx = graft.ops.TextIndexStore.build(
+        docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        graft.ops.TextIndexStore.indexDirFor(dir, "-incr"))
+      graft.ops.TextIndexStore.update(idx,
+        docs.filter(col("doc_id") % 5 === 4), "text",
+        batchId = Some("fifth-slice"))
+      idx.postings(s).groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+        .orderBy("token")
+    },
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM (SELECT doc_id, token, count(*) AS tf
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |       FROM documents)
+      | GROUP BY doc_id, token)
+      |GROUP BY token ORDER BY token""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135, q137, q138, q139, q140, q141, q153)
+      q135, q137, q138, q139, q140, q141, q153, q157, q159)
 }
