@@ -35,7 +35,8 @@ object Scaling {
       "q141_multimodal_pack", "q142_asof_native", "q33_asof_join",
       "q143_asof_native_forward", "q148_ann_index_serve",
       "q150_ann_index_update", "q151_hybrid_indexed_serving",
-      "q152_hard_negatives")
+      "q152_hard_negatives", "q157_text_index_serve",
+      "q158_hybrid_stores_serving", "q159_text_index_update")
     // arg filter = re-measure a subset (e.g. an anomalous line) without
     // regenerating the whole battery; partial runs print but do NOT
     // overwrite SCALING.jsonl — patch the line by hand.
