@@ -174,15 +174,20 @@ object CurationDemo {
     require(servedIdx.exceptAll(inPlan).isEmpty &&
         inPlan.exceptAll(servedIdx).isEmpty,
       "stored-index serving diverged from the in-plan stack")
-    def kth(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
-      df.groupBy("qid").agg(max("adc").as("m")).collect()
+    // kth-distance monotonicity holds only for queries whose result
+    // was FULL before the add: an under-filled cell legitimately
+    // gains worse-but-valid tail rows when candidates arrive
+    def kthFull(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy("qid")
+        .agg(max("adc").as("m"), count(lit(1)).as("c"))
+        .filter(col("c") === 10).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val kthBefore = kth(servedIdx)
+    val kthBefore = kthFull(servedIdx)
     ops.AnnIndexStore.add(idx, emb.filter(col("vec_id") % 5 === 4),
       "embedding", batchId = Some("demo-batch-1"))
     val afterAdd = ops.AnnIndexStore
       .search(spark, idx, oldQ, "qid", "embedding", k = 10)
-    kth(afterAdd).foreach { case (q, d) =>
+    kthFull(afterAdd).foreach { case (q, d) =>
       kthBefore.get(q).foreach(d0 => require(d <= d0,
         s"adding candidates worsened query $q: $d > $d0")) }
     val newQ = emb.filter(col("vec_id") % 100 === 4)
@@ -201,6 +206,11 @@ object CurationDemo {
       s"vectors == in-plan stack, batch folded with stored models " +
       s"($newServed results for new-vector queries), compaction " +
       "serving-invariant")
+    // the index is a full encoded corpus copy — drop it like the
+    // sibling stages drop their temp artifacts
+    val idxPath = new org.apache.hadoop.fs.Path(idxDir)
+    idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(idxPath, true)
 
     log("OK — every stage is the oracle-checked operator, composed")
     spark.stop()

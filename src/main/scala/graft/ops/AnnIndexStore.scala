@@ -344,16 +344,10 @@ object AnnIndexStore {
   val CorpusDials: Dials = Dials(col("vec_id") % 50 === 7,
     col("vec_id") % 10 === 3, m = 2, subDim = 32, iters = 2)
 
-  /** Deterministic local index directory for `dataDir` (the
-    * [[CurationStore.storeDirFor]] scheme, separate root). */
-  def indexDirFor(dataDir: String, suffix: String = ""): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    "target/ann-index/" +
-      dataDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
-      s"-$digest$suffix"
-  }
+  /** Deterministic local index directory for `dataDir` (the shared
+    * [[StoreDirs]] scheme, separate root). */
+  def indexDirFor(dataDir: String, suffix: String = ""): String =
+    StoreDirs.dirFor("target/ann-index/", dataDir, suffix)
 
   /** The memoized index for the `embeddings` corpus at `dataDir`:
     * built on first access per JVM at the q90 dials, then served by

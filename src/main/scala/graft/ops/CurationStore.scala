@@ -499,18 +499,8 @@ object CurationStore {
   /** Deterministic local store directory for `dataDir` (+ optional
     * suffix for side-by-side stores, e.g. q126's incremental twin).
     */
-  def storeDirFor(dataDir: String, suffix: String = ""): String = {
-    // sanitizing collapses punctuation runs, so distinct corpora
-    // (/data/a-b vs /data/a/b) could alias one subdir and overwrite
-    // each other's staged parquet — a short digest of the FULL path
-    // keeps the name readable and the mapping injective
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    "target/curation-store/" +
-      dataDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
-      s"-$digest$suffix"
-  }
+  def storeDirFor(dataDir: String, suffix: String = ""): String =
+    StoreDirs.dirFor("target/curation-store/", dataDir, suffix)
 
   /** The memoized store for the `documents` corpus at `dataDir`:
     * built (fresh, mode-overwrite) on first access per JVM, then

@@ -31,12 +31,15 @@ import org.apache.spark.sql.functions._
   *
   * [[bm25]] scores any term set from the stored stages through the
   * SAME kernel as the from-corpus path ([[TextOps.bm25ScoreFrames]]
-  * — one definition, so the two cannot drift). Crash/replay
-  * discipline is [[UpdateMarker.settle]]'s swap-commit protocol
-  * verbatim (stats is the commit stage, postings/doclens the
-  * append-only sides healed on a pre-commit crash; `batchId` makes
-  * committed-but-unacknowledged replays detected no-ops). SINGLE
-  * WRITER per store directory — the standing caveat applies.
+  * — one definition, so the two cannot drift); [[compact]] folds
+  * the per-update small files back to the token-sorted layout.
+  * Crash/replay discipline is [[UpdateMarker.settle]]'s swap-commit
+  * protocol verbatim (stats is the commit stage, postings/doclens
+  * the append-only sides healed on a pre-commit crash; `batchId`
+  * makes committed-but-unacknowledged replays detected no-ops;
+  * compact's `.swap` maintenance marker is settled without data-file
+  * healing). SINGLE WRITER per store directory — the standing caveat
+  * applies.
   */
 object TextIndexStore {
 
@@ -54,57 +57,99 @@ object TextIndexStore {
     "doclens" -> s"$dir/doclens",
     "stats" -> s"$dir/stats")
 
-  /** Per-document term frequencies and lengths for one batch of
-    * docs — the only pass that touches text, shared by [[build]]
-    * and [[update]] so the two tokenize identically. */
-  private def derive(docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
-    val tf = docs
+  /** Per-document term frequencies for one batch — the ONLY pass
+    * that touches text: the doc-length is Σ tf over the doc's
+    * postings (the tokenizer keeps empties, so every doc has ≥ 1
+    * token row), and the corpus counters aggregate off the narrow
+    * doclens stage. Shared by [[build]] and [[update]] so the two
+    * tokenize identically.
+    */
+  private def tfRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
       .select(col("token"), col(idCol), col("tf"))
-    val dl = docs.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("bigint").as("dl"))
-    (tf, dl)
+
+  /** (idCol, dl) derived from a postings frame — a columnar read,
+    * never a re-tokenize. */
+  private def dlOf(postings: DataFrame, idCol: String): DataFrame =
+    postings.groupBy(idCol).agg(sum("tf").as("dl"))
+
+  /** Heal the directory's crash state: roll back any
+    * half-swapped stage (a crashed [[compact]] — [[StageSwap]] owns
+    * those), then settle a crashed writer's marker through
+    * [[UpdateMarker.settle]] (maintenance markers are never healed
+    * by file deletion — the `.swap` decision table).
+    */
+  private def settleEntry(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      batchId: Option[String]): Boolean = {
+    StageSwap.recover(s, s"$dir/postings")
+    StageSwap.recover(s, s"$dir/doclens")
+    UpdateMarker.settle(s, fs, dir, "stats", stageMap(dir), batchId)
   }
 
   def build(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Index = {
     val s = docs.sparkSession
-    val (tf, dl) = derive(docs, idCol, textCol)
-    // sorted by token: term-probe row-group pruning (see scaladoc)
-    tf.repartition(col("token")).sortWithinPartitions("token")
+    val fs = new Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    // a rebuild resets the store wholesale — settle the directory's
+    // previous life FIRST (the AnnIndexStore.build discipline): a
+    // crashed update's stats.old would survive the overwrite below
+    // and a later writer's recover would roll the FRESH counters
+    // back to the previous corpus's; a stale marker/_applied could
+    // heal fresh files away or alias a new producer's batch ids
+    for (st <- Seq("postings", "doclens", "stats"))
+      StageSwap.recover(s, s"$dir/$st")
+    UpdateMarker.clear(fs, dir)
+    // the ONE text pass; doclens and the counters are columnar
+    // derivations of the just-written postings (lineage cut at the
+    // store boundary, the AnnIndexStore.writeCodes discipline)
+    tfRows(docs, idCol, textCol)
+      .repartition(col("token")).sortWithinPartitions("token")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    dl.write.mode("overwrite").parquet(s"$dir/doclens")
-    dl.agg(count(lit(1)).as("n"),
-        sum("dl").as("sumdl"))
+    s.catalog.refreshByPath(s"$dir/postings")
+    val idx = Index(dir, idCol)
+    dlOf(idx.postings(s), idCol)
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+    s.catalog.refreshByPath(s"$dir/doclens")
+    idx.doclens(s).agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
-    UpdateMarker.clear(new Path(dir)
-      .getFileSystem(s.sessionState.newHadoopConf()), dir)
-    Index(dir, idCol)
+    idx
   }
 
   /** Fold a new doc batch in: postings/doclens append THEIR rows
     * only (per-document derivations — a full rebuild would produce
     * exactly these rows for these ids), stats fold additively and
-    * commit through the stage swap. Ids must be disjoint from the
-    * stored corpus.
+    * commit through the stage swap. One text pass: the batch's
+    * doclens/counters derive from its just-appended postings files
+    * (before/after listing diff, the [[CurationStore.update]]
+    * trick). Ids must be disjoint from the stored corpus.
     */
   def update(idx: Index, newDocs: DataFrame, textCol: String,
       batchId: Option[String] = None): Index = {
     val s = newDocs.sparkSession
     val fs = new Path(idx.dir)
       .getFileSystem(s.sessionState.newHadoopConf())
-    if (UpdateMarker.settle(s, fs, idx.dir, "stats",
-        stageMap(idx.dir), batchId))
+    if (settleEntry(s, fs, idx.dir, batchId))
       return idx // this very batch already applied — no-op
-    val (tf, dl) = derive(newDocs, idx.idCol, textCol)
-    tf.repartition(col("token")).sortWithinPartitions("token")
-      .write.mode("append").parquet(s"${idx.dir}/postings")
-    dl.write.mode("append").parquet(s"${idx.dir}/doclens")
-    s.catalog.refreshByPath(s"${idx.dir}/postings")
+    val pDir = s"${idx.dir}/postings"
+    val before = UpdateMarker.listFiles(fs, pDir)
+    tfRows(newDocs, idx.idCol, textCol)
+      .repartition(col("token")).sortWithinPartitions("token")
+      .write.mode("append").parquet(pDir)
+    s.catalog.refreshByPath(pDir)
+    val newFiles = (UpdateMarker.listFiles(fs, pDir) -- before).toSeq
+    val batchDl =
+      if (newFiles.isEmpty) // an empty batch appends no files
+        s.emptyDataFrame.select(lit(0L).as(idx.idCol), lit(0L).as("dl"))
+          .limit(0)
+      else dlOf(s.read.parquet(newFiles: _*), idx.idCol)
+    batchDl.write.mode("append").parquet(s"${idx.dir}/doclens")
     s.catalog.refreshByPath(s"${idx.dir}/doclens")
-    val batchStats = dl.agg(count(lit(1)).as("_bn"),
+    val batchStats = batchDl.agg(count(lit(1)).as("_bn"),
       coalesce(sum("dl"), lit(0L)).as("_bsum"))
     idx.stats(s).crossJoin(batchStats)
       .select((col("n") + col("_bn")).as("n"),
@@ -113,6 +158,42 @@ object TextIndexStore {
     StageSwap.swapIn(s, s"${idx.dir}/stats")
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(idx.dir))
+    idx
+  }
+
+  /** Fold the per-[[update]] small files back into token-sorted
+    * postings (and coalesced doclens) — the [[AnnIndexStore.compact]]
+    * maintenance for the sparse tier: each update appends its own
+    * token-sorted files, so probe row-group pruning decays and file
+    * counts grow with batch count until this rewrite. Pure rewrite:
+    * rows and every score are unchanged (spec-pinned). Stages commit
+    * one at a time through [[StageSwap.swapIn]]; the held marker's
+    * `.swap` listings mark it as MAINTENANCE, so a crash at ANY
+    * point — including after a committed stage swap but before the
+    * marker delete — settles without healing a single data file
+    * (the [[UpdateMarker.settle]] decision table; the naive
+    * listing-diff heal would empty the freshly compacted stage).
+    */
+  def compact(s: SparkSession, idx: Index): Index = {
+    val fs = new Path(idx.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    settleEntry(s, fs, idx.dir, batchId = None)
+    val marker = UpdateMarker.markerPath(idx.dir)
+    // settle leaves a held UPDATE-shaped marker; this run's marker
+    // must be the MAINTENANCE kind (a crash of ours must never be
+    // settled by data-file healing) — swap it for the .swap form
+    UpdateMarker.delete(fs, marker)
+    UpdateMarker.write(fs, marker, UpdateMarker.State("", Map(
+      "postings.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/postings"),
+      "doclens.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/doclens"))))
+    idx.postings(s)
+      .repartition(col("token")).sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"${idx.dir}/postings.next")
+    StageSwap.swapIn(s, s"${idx.dir}/postings")
+    idx.doclens(s).coalesce(1)
+      .write.mode("overwrite").parquet(s"${idx.dir}/doclens.next")
+    StageSwap.swapIn(s, s"${idx.dir}/doclens")
+    UpdateMarker.delete(fs, marker)
     idx
   }
 
@@ -138,14 +219,8 @@ object TextIndexStore {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-  def indexDirFor(dataDir: String, suffix: String = ""): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    "target/text-index/" +
-      dataDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
-      s"-$digest$suffix"
-  }
+  def indexDirFor(dataDir: String, suffix: String = ""): String =
+    StoreDirs.dirFor("target/text-index/", dataDir, suffix)
 
   /** The memoized index for the `documents` corpus at `dataDir`:
     * tokenized once per JVM, served by every consumer query. */

@@ -103,7 +103,16 @@ object UpdateMarker {
       // replaced them — listing equality decides commitment
       val committed = files(stages(commitStage)) !=
         prior.listings.getOrElse(commitStage, Set.empty[String])
-      if (!committed) {
+      // a MAINTENANCE writer's marker (listings keyed `<stage>.swap`
+      // — a compact): its rewrites commit through [[StageSwap]] on
+      // stages the commit-stage listing does not witness, and its
+      // partial output lives at `.next`, never inside a stage — so
+      // settlement must NEVER heal stage files for it (after a
+      // committed stage swap with a crashed marker delete, the
+      // listing diff IS the new live data). The [[settleAppend]]
+      // decision table, applied to the swap-commit protocol.
+      val maintenance = prior.listings.keys.exists(_.endsWith(".swap"))
+      if (!committed && !maintenance) {
         // crashed before the commit: drop the partial side-stage
         // appends so the re-run's before/after diffs start clean
         (stages - commitStage).foreach { case (name, dir) =>

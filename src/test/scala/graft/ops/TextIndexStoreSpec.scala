@@ -64,6 +64,64 @@ class TextIndexStoreSpec extends SparkSpec {
     assert(inc.postings(spark).count() == n, "replay re-appended")
   }
 
+  private def files(dir: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    UpdateMarker.listFiles(fs, dir)
+  }
+
+  test("compact folds per-update files; scores unchanged; a crash " +
+      "after a committed stage swap settles without healing data") {
+    val st = TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s"$tmp/cpt")
+    TextIndexStore.update(st,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 250),
+      "text")
+    TextIndexStore.update(st,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") >= 250),
+      "text")
+    val before = files(s"${st.dir}/postings").size
+    val scores = TextIndexStore.bm25(spark, st, terms)
+      .collect().map(_.toString).sorted.toSeq
+    TextIndexStore.compact(spark, st)
+    assert(files(s"${st.dir}/postings").size < before,
+      "compact did not reduce the postings file count")
+    assert(TextIndexStore.bm25(spark, st, terms)
+      .collect().map(_.toString).sorted.toSeq == scores,
+      "compact changed scores")
+    // fabricate the fatal window: compact committed its postings
+    // swap (the stage holds only new files) but died before its
+    // marker delete — settlement must NOT heal the listing diff away
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
+      UpdateMarker.State("", Map(
+        "postings.swap" -> Set.empty[String],
+        "doclens.swap" -> Set.empty[String])))
+    TextIndexStore.update(st, docs.limit(0), "text")
+    assert(TextIndexStore.bm25(spark, st, terms)
+      .collect().map(_.toString).sorted.toSeq == scores,
+      "maintenance-marker settlement deleted committed files")
+  }
+
+  test("build() settles the directory's previous life: a stale " +
+      "stats.old cannot roll a rebuild's counters back") {
+    val dir = s"$tmp/rebuild-settle"
+    TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    // fabricate a crashed update: its pre-swap counters aside copy
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),
+      new org.apache.hadoop.fs.Path(s"$dir/stats.old"))
+    val st = TextIndexStore.build(docs, "doc_id", "text", dir)
+    val fresh = st.stats(spark).collect().toSeq
+    // the next writer's settlement must keep the REBUILT counters
+    TextIndexStore.update(st, docs.limit(0), "text")
+    assert(st.stats(spark).collect().toSeq == fresh,
+      "a stale aside copy rolled the rebuilt counters back")
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
