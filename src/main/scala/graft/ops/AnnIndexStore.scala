@@ -192,11 +192,30 @@ object AnnIndexStore {
   private def settleEntry(s: SparkSession, fs: FileSystem, idx: Index,
       batchId: Option[String]): Boolean = {
     StageSwap.recover(s, s"${idx.dir}/codes")
-    UpdateMarker.settleAppend(fs, idx.dir, "codes",
-      () => listCodesFiles(fs, idx.dir),
-      () => s.catalog.refreshByPath(s"${idx.dir}/codes"),
+    UpdateMarker.settleAppend(fs, idx.dir, appendStages(s, fs, idx),
       batchId)
   }
+
+  /** The append stages every writer of this store snapshots and
+    * settlement heals — the [[UpdateMarker.settleAppend]] contract:
+    * a writer that leaves a stage untouched still snapshots it (its
+    * heal diff is then empty by construction). `codes` is the encode
+    * target; `tombs` is [[delete]]'s append-only tombstone stage.
+    */
+  private def appendStages(s: SparkSession, fs: FileSystem,
+      idx: Index): Map[String, (() => Set[String], () => Unit)] = Map(
+    "codes" -> ((() => listCodesFiles(fs, idx.dir),
+      () => s.catalog.refreshByPath(s"${idx.dir}/codes"))),
+    "tombs" -> ((() => UpdateMarker.listFiles(fs, s"${idx.dir}/tombstones"),
+      () => s.catalog.refreshByPath(s"${idx.dir}/tombstones"))))
+
+  /** Every writer's marker snapshot — both append stages, per the
+    * [[UpdateMarker.settleAppend]] every-writer-snapshots-every-stage
+    * rule. */
+  private def snapshotAll(fs: FileSystem, idx: Index)
+      : Map[String, Set[String]] = Map(
+    "codes" -> listCodesFiles(fs, idx.dir),
+    "tombs" -> UpdateMarker.listFiles(fs, s"${idx.dir}/tombstones"))
 
   def add(idx: Index, newEmb: DataFrame, vecCol: String,
       batchId: Option[String] = None): Index = {
@@ -206,8 +225,7 @@ object AnnIndexStore {
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
     UpdateMarker.write(fs, marker, UpdateMarker.State(
-      batchId.getOrElse(""),
-      Map("codes" -> listCodesFiles(fs, idx.dir))))
+      batchId.getOrElse(""), snapshotAll(fs, idx)))
     writeCodes(idx, newEmb, vecCol, mode = "append")
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, marker)

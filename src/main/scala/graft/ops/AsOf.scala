@@ -146,7 +146,11 @@ object AsOf {
         case _ => c.cast("long")
       }
     val lTick = tick(col(timeCol), left.schema(timeCol).dataType)
-    val range = left.agg(min(lTick), max(lTick)).head()
+    // tick() is IntegerType for DateType inputs (unix_date) — cast
+    // the extremes to long IN the aggregation so the driver read
+    // below is type-stable across every supported time type
+    val range = left.agg(min(lTick).cast("long"),
+      max(lTick).cast("long")).head()
     if (slices == 1 || range.isNullAt(0) || range.getLong(0) == range.getLong(1))
       return native(left, right, keyCol, timeCol, tiebreak, forward,
         tolerance, broadcastRight = false)

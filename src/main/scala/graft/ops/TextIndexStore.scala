@@ -62,12 +62,16 @@ object TextIndexStore {
     * postings (the tokenizer keeps empties, so every doc has ≥ 1
     * token row), and the corpus counters aggregate off the narrow
     * doclens stage. Shared by [[build]] and [[update]] so the two
-    * tokenize identically.
+    * tokenize identically. A NULL text indexes as the empty string
+    * (one empty-token row), so such docs still get a doclens row and
+    * the stats counters keep counting them — matching the
+    * from-corpus kernel, which counts every document.
     */
   private def tfRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode(TextOps.tokens(
+        coalesce(col(textCol), lit("")))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
       .select(col("token"), col(idCol), col("tf"))
 

@@ -348,13 +348,18 @@ object TextOps {
           (col("tf") + lit(k1) *
             (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))), 6)
           .as("c"))
-    val termCols = terms.map(t =>
+    // pivot columns are named POSITIONALLY (c_0..c_n) — embedding
+    // the raw token in the name would break col() resolution for
+    // terms containing '.', '`' etc., reachable through the public
+    // TextIndexStore.bm25(terms) surface
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("token") === t, col("c"))), lit(0d))
-        .as(s"c_$t"))
+        .as(s"c_$i")
+    }
     contrib.groupBy(idCol)
       .agg(termCols.head, termCols.tail: _*)
       .select(col(idCol),
-        round(terms.map(t => col(s"c_$t")).reduce(_ + _), 4)
+        round(terms.indices.map(i => col(s"c_$i")).reduce(_ + _), 4)
           .as("score"))
   }
 }

@@ -164,16 +164,23 @@ object UpdateMarker {
     *    the files beyond the snapshot so the re-run is exactly-once
     *    by redo.
     *
-    * `listing` must enumerate the stage's data files RECURSIVELY when
-    * the stage is partitioned (the append store's layout); `healed`
-    * runs after files are dropped (cache invalidation). Returns TRUE
+    * `stages` maps each append stage the store's writers touch to its
+    * (listing, healed) pair: `listing` must enumerate the stage's
+    * data files RECURSIVELY when the stage is partitioned (the append
+    * store's layout); `healed` runs after files are dropped (cache
+    * invalidation). EVERY writer of the store must snapshot EVERY
+    * stage in its marker (an untouched stage snapshots as its current
+    * listing — the heal diff is then empty by construction), because
+    * settlement heals each stage against the crashed marker's
+    * snapshot for that stage: a missing key reads as an empty
+    * snapshot and the heal would delete the whole stage. Returns TRUE
     * when `batchId` is already applied — the caller returns its
     * store untouched WITHOUT writing a fresh marker; FALSE when the
     * caller should write its own marker ([[write]]'s fail-if-exists
     * guard stays its concurrency backstop) and proceed.
     */
-  def settleAppend(fs: FileSystem, storeDir: String, stage: String,
-      listing: () => Set[String], healed: () => Unit,
+  def settleAppend(fs: FileSystem, storeDir: String,
+      stages: Map[String, (() => Set[String], () => Unit)],
       batchId: Option[String]): Boolean = {
     require(batchId.forall(_.nonEmpty),
       "batchId, when defined, must be non-empty (the empty string is " +
@@ -182,11 +189,16 @@ object UpdateMarker {
     read(fs, marker).foreach { prior =>
       val committed = prior.batchId.nonEmpty &&
         readApplied(fs, storeDir).contains(prior.batchId)
-      val maintenance = prior.listings.contains(s"$stage.swap")
+      val maintenance = prior.listings.keys.exists(_.endsWith(".swap"))
       if (!committed && !maintenance) {
-        (listing() -- prior.listings.getOrElse(stage, Set.empty))
-          .foreach(f => StageSwap.remove(fs, new Path(f)))
-        healed()
+        stages.foreach { case (stage, (listing, healed)) =>
+          val beyond =
+            listing() -- prior.listings.getOrElse(stage, Set.empty)
+          if (beyond.nonEmpty) {
+            beyond.foreach(f => StageSwap.remove(fs, new Path(f)))
+            healed()
+          }
+        }
       }
       delete(fs, marker)
     }
@@ -203,24 +215,38 @@ object UpdateMarker {
     * marker cannot distinguish crashed from live. Serializing
     * writers per store directory remains the caller's contract, as
     * documented at each store's update/compact.)
+    *
+    * The marker itself commits ATOMICALLY: bytes land at a `.tmp`
+    * name and RENAME into place (the atomic commit primitive on
+    * HDFS and local filesystems). A create-then-write at the final
+    * name would open the one crash window the whole protocol can't
+    * survive: a zero-length `_inflight` parses as a marker with no
+    * listings, and settlement would "heal" every stage file against
+    * an EMPTY snapshot — deleting the store's live data from inside
+    * its own crash-safety protocol. [[read]]'s corrupt-marker check
+    * is the second line of the same defense.
     */
   def write(fs: FileSystem, marker: Path, state: State): Unit = {
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"concurrent update detected: in-flight marker $marker " +
+          "already exists (stores support one writer at a time; " +
+          "serialize updates per store directory)")
     val sb = new StringBuilder(s"id\t${state.batchId}\n")
     for ((stage, files) <- state.listings.toSeq.sortBy(_._1);
          f <- files.toSeq.sorted)
       sb.append(s"$stage\t$f\n")
-    val out =
-      try fs.create(marker, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"concurrent update detected: in-flight marker $marker " +
-              "already exists (stores support one writer at a time; " +
-              "serialize updates per store directory)", e)
-      }
+    val tmp = new Path(marker.getParent, marker.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not commit in-flight marker $marker (rename failed — " +
+          "a concurrent writer's marker may have appeared)")
+    }
   }
 
   def read(fs: FileSystem, marker: Path): Option[State] = {
@@ -232,9 +258,17 @@ object UpdateMarker {
         try src.mkString finally src.close()
       } finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    // a marker without its id line is not a marker — refuse to act
+    // on it (a settlement run against garbage listings would "heal"
+    // live data files away). [[write]]'s tmp+rename makes this state
+    // unreachable for our own writers; the check guards truncated
+    // files from a pre-rename store or a foreign writer.
     val id = lines.collectFirst {
       case l if l.startsWith("id\t") => l.stripPrefix("id\t")
-    }.getOrElse("")
+    }.getOrElse(throw new IllegalStateException(
+      s"corrupt in-flight marker $marker (no id line; " +
+        s"${text.length} bytes) — refusing to settle against it; " +
+        "inspect and remove the file manually"))
     val listings = lines.filterNot(_.startsWith("id\t"))
       .map { l =>
         val i = l.indexOf('\t')
@@ -256,13 +290,27 @@ object UpdateMarker {
     * batch (see the replay-window note in the object scaladoc).
     * Overwrite is correct here: the record is a single most-recent
     * id, replaced at each subsequent batch's own commit.
+    *
+    * Committed via tmp + delete + rename so a crash mid-write can
+    * never leave a TRUNCATED id (which would wrongly fail the
+    * replay check and re-fold a committed batch). The instant
+    * between the delete and the rename is safe: the in-flight
+    * marker still exists at this point, and a crash there settles as
+    * "uncommitted" — partial appends healed, batch re-run
+    * exactly-once by redo.
     */
   def writeApplied(fs: FileSystem, storeDir: String,
       batchId: String): Unit = {
-    val out = fs.create(appliedPath(storeDir), true)
+    val dst = appliedPath(storeDir)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(batchId.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"could not commit applied-batch record $dst")
   }
 
   /** Drop both protocol files — called by the stores' [[build]]

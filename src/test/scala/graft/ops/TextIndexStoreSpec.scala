@@ -122,6 +122,31 @@ class TextIndexStoreSpec extends SparkSpec {
       "a stale aside copy rolled the rebuilt counters back")
   }
 
+  test("null-text docs index as one empty-token row (counters count " +
+      "them) and special-character terms score (positional pivot)") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta beta"), (2L, null),
+      (3L, "alpha x.y `q`")).toDF("doc_id", "text")
+    val st = TextIndexStore.build(d, "doc_id", "text", s"$tmp/nulls")
+    // every doc gets a doclens row and the exact counters see all 3 —
+    // the from-corpus kernel counts null-text docs too
+    assert(st.doclens(spark).count() == 3L)
+    assert(st.stats(spark).select("n").head.getLong(0) == 3L)
+    // terms containing '.' and '`' must resolve through the pivot
+    // (column names are positional, not raw-token-derived)
+    val sc = TextIndexStore.bm25(spark, st, Seq("x.y", "`q`", "alpha"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc.contains(3L) && sc(3L) > sc(1L),
+      s"special-char terms did not score doc 3 above doc 1: $sc")
+    // update path tokenizes null text the same way
+    val st2 = TextIndexStore.build(d.filter(col("doc_id") === 1L),
+      "doc_id", "text", s"$tmp/nulls-inc")
+    TextIndexStore.update(st2, d.filter(col("doc_id") =!= 1L), "text")
+    assert(st2.stats(spark).collect().toSeq ==
+      st.stats(spark).collect().toSeq,
+      "update-path counters diverge on null text")
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()

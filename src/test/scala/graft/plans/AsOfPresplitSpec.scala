@@ -112,6 +112,34 @@ class AsOfPresplitSpec extends SparkSpec {
     assert(split.count() > 0)
   }
 
+  test("presplit == plain native on DateType time columns (ticks = " +
+      "days; the driver min/max read must survive the int tick)") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(400), i.toLong))
+      .toDF("k", "d", "lid")
+      .select(col("k"), date_add(lit("2024-01-01").cast("date"),
+        col("d")).as("t"), col("lid"))
+    val right = Seq.tabulate(250)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(400), i.toLong))
+      .toDF("k", "d", "rid")
+      .select(col("k"), date_add(lit("2024-01-01").cast("date"),
+        col("d")).as("t"), col("rid"))
+    for (slices <- Seq(2, 9)) {
+      val split = AsOf.asofJoinNativePresplit(left, right, "k", "t",
+        slices, tiebreak = Seq("rid"))
+      val plain = AsOf.asofJoinNative(left, right, "k", "t",
+        tiebreak = Seq("rid"))
+      assert(rows(split) == rows(plain), s"date backward, slices=$slices")
+    }
+    // tolerance in days composes (native unit for dates)
+    val sparse = right.filter(col("rid") % 11 === 0)
+    assert(rows(AsOf.asofJoinNativePresplit(left, sparse, "k", "t", 5,
+        tolerance = Some(30L))) ==
+      rows(AsOf.asofJoinNative(left, sparse, "k", "t",
+        tolerance = Some(30L))))
+  }
+
   test("reserved helper column names are rejected loudly") {
     val l = Seq((1L, 1L, 1L)).toDF("k", "t", "_asof_sl")
     val r = Seq((1L, 1L, 1L)).toDF("k", "t", "rid")
