@@ -57,6 +57,39 @@ object TextIndexStore {
     "doclens" -> s"$dir/doclens",
     "stats" -> s"$dir/stats")
 
+  /** Hot-token write salt — the text tier's document-frequency
+    * policy (the [[Dedup]] `maxDocFreq` concern, answered at the
+    * LAYOUT level so scores never change): `repartition(token)`
+    * alone puts each token's ENTIRE postings list in one task and
+    * one file, and a stopword's postings are corpus-scale — the hot
+    * token is both the write straggler and a monster row-group any
+    * query containing a common term must scan in one split. Salting
+    * the shuffle key by `hash(id) % salt` bounds the hot token's
+    * task/file fan-in to `salt` ways while keeping files
+    * token-sorted (row-group probe pruning intact — a probed term
+    * now matches row groups in at most `salt` files instead of 1).
+    * Pure layout: rows and every score are byte-identical at any
+    * salt (spec-pinned on a planted-stopword corpus).
+    */
+  val PostingsSalt = "spark.graft.text.postingsSalt"
+  private val postingsSaltDefault = 4
+
+  private def saltOf(s: SparkSession): Int =
+    s.conf.get(PostingsSalt, postingsSaltDefault.toString).toInt
+
+  /** One definition of the postings write layout (build, update and
+    * compact must shuffle identically or the incremental-equivalence
+    * and pure-rewrite arguments break). */
+  private def writePostings(rows: DataFrame, idCol: String,
+      dir: String, mode: String): Unit = {
+    val s = rows.sparkSession
+    rows
+      .repartition(col("token"), pmod(hash(col(idCol)), lit(saltOf(s))))
+      .sortWithinPartitions("token")
+      .write.mode(mode).parquet(dir)
+    s.catalog.refreshByPath(dir)
+  }
+
   /** Per-document term frequencies for one batch — the ONLY pass
     * that touches text: the doc-length is Σ tf over the doc's
     * postings (the tokenizer keeps empties, so every doc has ≥ 1
@@ -111,10 +144,8 @@ object TextIndexStore {
     // the ONE text pass; doclens and the counters are columnar
     // derivations of the just-written postings (lineage cut at the
     // store boundary, the AnnIndexStore.writeCodes discipline)
-    tfRows(docs, idCol, textCol)
-      .repartition(col("token")).sortWithinPartitions("token")
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    s.catalog.refreshByPath(s"$dir/postings")
+    writePostings(tfRows(docs, idCol, textCol), idCol,
+      s"$dir/postings", mode = "overwrite")
     val idx = Index(dir, idCol)
     dlOf(idx.postings(s), idCol)
       .write.mode("overwrite").parquet(s"$dir/doclens")
@@ -141,10 +172,8 @@ object TextIndexStore {
       return idx // this very batch already applied — no-op
     val pDir = s"${idx.dir}/postings"
     val before = UpdateMarker.listFiles(fs, pDir)
-    tfRows(newDocs, idx.idCol, textCol)
-      .repartition(col("token")).sortWithinPartitions("token")
-      .write.mode("append").parquet(pDir)
-    s.catalog.refreshByPath(pDir)
+    writePostings(tfRows(newDocs, idx.idCol, textCol), idx.idCol,
+      pDir, mode = "append")
     val newFiles = (UpdateMarker.listFiles(fs, pDir) -- before).toSeq
     val batchDl =
       if (newFiles.isEmpty) // an empty batch appends no files
@@ -166,7 +195,7 @@ object TextIndexStore {
   }
 
   /** Fold the per-[[update]] small files back into token-sorted
-    * postings (and coalesced doclens) — the [[AnnIndexStore.compact]]
+    * postings (and refolded doclens) — the [[AnnIndexStore.compact]]
     * maintenance for the sparse tier: each update appends its own
     * token-sorted files, so probe row-group pruning decays and file
     * counts grow with batch count until this rewrite. Pure rewrite:
@@ -191,10 +220,19 @@ object TextIndexStore {
       "postings.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/postings"),
       "doclens.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/doclens"))))
     idx.postings(s)
-      .repartition(col("token")).sortWithinPartitions("token")
+      .repartition(col("token"),
+        pmod(hash(col(idx.idCol)), lit(saltOf(s))))
+      .sortWithinPartitions("token")
       .write.mode("overwrite").parquet(s"${idx.dir}/postings.next")
     StageSwap.swapIn(s, s"${idx.dir}/postings")
-    idx.doclens(s).coalesce(1)
+    // doclens is CORPUS-cardinality (one row per document) — a
+    // single-file fold would serialize billions of narrow rows
+    // through one task at scale; repartition by id keeps the fold
+    // parallel and the file count bounded by the shuffle setting.
+    // (The one-row `stats` stage is the only stage where a
+    // single-file shape matters, and it is written that way by the
+    // one-row aggregate itself.)
+    idx.doclens(s).repartition(col(idx.idCol))
       .write.mode("overwrite").parquet(s"${idx.dir}/doclens.next")
     StageSwap.swapIn(s, s"${idx.dir}/doclens")
     UpdateMarker.delete(fs, marker)

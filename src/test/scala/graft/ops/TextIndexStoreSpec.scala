@@ -147,6 +147,45 @@ class TextIndexStoreSpec extends SparkSpec {
       "update-path counters diverge on null text")
   }
 
+  test("hot-token salt bounds the stopword partition: a planted " +
+      "stopword's postings span multiple files, scores salt-invariant") {
+    import spark.implicits._
+    // every doc contains the stopword 'the' plus a per-doc rare token
+    val planted = spark.range(400).select(col("id").as("doc_id"),
+      concat(lit("the common text the "), lit("rare"),
+        col("id").cast("string")).as("text"))
+    // at this toy SF every salted partition is tiny and AQE folds
+    // them back together — disable coalescing to OBSERVE the layout
+    // (at scale the hot partitions are large and never coalesce,
+    // which is exactly when the salt matters)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    val st =
+      try TextIndexStore.build(planted, "doc_id", "text",
+        s"$tmp/stopword")
+      finally spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.enabled")
+    // the hot token's rows land in > 1 file — the write straggler
+    // and the probe's monster row-group are both bounded by the salt
+    val hotFiles = st.postings(spark).filter(col("token") === "the")
+      .select(input_file_name()).distinct().count()
+    assert(hotFiles >= 2,
+      s"stopword postings funneled into $hotFiles file(s)")
+    // salt is pure layout: rows and scores identical at salt=1
+    spark.conf.set(TextIndexStore.PostingsSalt, "1")
+    try {
+      val unsalted = TextIndexStore.build(planted, "doc_id", "text",
+        s"$tmp/stopword-unsalted")
+      assert(TextIndexStore.bm25(spark, st, Seq("the", "rare7"))
+          .collect().map(_.toString).sorted.toSeq ==
+        TextIndexStore.bm25(spark, unsalted, Seq("the", "rare7"))
+          .collect().map(_.toString).sorted.toSeq,
+        "salting changed scores")
+      assert(st.postings(spark).count() ==
+        unsalted.postings(spark).count(), "salting changed rows")
+    } finally spark.conf.unset(TextIndexStore.PostingsSalt)
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
