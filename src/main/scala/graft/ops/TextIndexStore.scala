@@ -13,13 +13,23 @@ import org.apache.spark.sql.functions._
   * tokenizes ONCE into three stages under one directory:
   *
   *  - `postings` (token, idCol, tf) — the full-vocabulary inverted
-  *    rows, append-only, written sorted by token so a term query's
+  *    rows, written sorted by token so a term query's
   *    `token IN (...)` pushes into the parquet scan and row-group
-  *    stats prune the untouched vocabulary. (At cluster scale this
-  *    stage is bucketed BY TOKEN through the catalog — the
-  *    [[CurationStore]] labels discipline — so a term probe reads
-  *    its buckets; locally the store keeps plain sorted parquet and
-  *    the pushed filter, which the spec pins.)
+  *    stats prune the untouched vocabulary. At cluster scale this
+  *    stage is bucketed BY TOKEN through the catalog —
+  *    [[build]]'s `bucketPostings` dial, the [[CurationStore]]
+  *    labels discipline made real for the text tier: a term probe
+  *    prunes to its BUCKETS (SelectedBucketsCount in the scan) and
+  *    the scoring kernel's token-keyed aggregation plans with NO
+  *    exchange on the postings side, because the bucketed scan
+  *    itself reports the token hash distribution. Maintenance and
+  *    the read-optimized layout compose: [[update]] appends batches
+  *    to the plain `postings_delta` stage beside the immutable
+  *    base, readers serve base ∪ delta (exact — batch ids are
+  *    disjoint, so the union never double-counts), [[compact]]
+  *    folds the delta back into a fresh bucketed base. The
+  *    battery's local stores keep plain sorted parquet and the
+  *    pushed filter; the spec pins both layouts.
   *  - `doclens` (idCol, dl) — append-only.
   *  - `stats` (n, sumdl) — ONE row of exact integer counters, the
   *    swap-commit stage: an update folds the batch in additively
@@ -43,19 +53,74 @@ import org.apache.spark.sql.functions._
   */
 object TextIndexStore {
 
-  final case class Index(dir: String, idCol: String) {
+  /** `postingsBuckets` > 0 marks the postings base as BUCKETED BY
+    * TOKEN through the catalog ([[build]]'s dial): bucket layout
+    * survives only as catalog metadata, so the base reads as a table
+    * when registered, with a file-scan fallback inside [[compact]]'s
+    * re-registration window (correct rows, layout property lost —
+    * the [[CurationStore.Store.labels]] discipline). A bucketed
+    * store stays maintainable: [[update]] appends batches to the
+    * plain `postings_delta` stage beside the immutable base, readers
+    * serve base ∪ delta, [[compact]] folds the delta back into a
+    * fresh bucketed base.
+    */
+  final case class Index(dir: String, idCol: String,
+      postingsBuckets: Int = 0) {
+    def postingsTable: Option[String] =
+      if (postingsBuckets > 0) Some(TextIndexStore.tableNameFor(dir))
+      else None
+
+    def deltaDir: String = s"$dir/postings_delta"
+
+    private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] = {
+      val p = new Path(deltaDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p) && UpdateMarker.listFiles(fs, deltaDir).nonEmpty)
+        Some(s.read.parquet(deltaDir))
+      else None
+    }
+
+    /** The postings BASE — the bucketed table when registered, the
+      * files otherwise. Kept separate from [[postings]] so a
+      * no-delta read stays a single table scan (a union node would
+      * forget the bucketing and re-shuffle every token aggregation).
+      */
+    private[ops] def postingsBase(s: SparkSession): DataFrame =
+      postingsTable.filter(s.catalog.tableExists).map(s.table)
+        .getOrElse(s.read.parquet(s"$dir/postings"))
+
+    /** Every postings row: base ∪ outstanding delta. Postings are
+      * per-document derivations with DISJOINT ids across batches, so
+      * the union is exact (no override semantics needed — unlike
+      * [[CurationStore]] labels, nothing in the delta supersedes a
+      * base row). */
     def postings(s: SparkSession): DataFrame =
-      s.read.parquet(s"$dir/postings")
+      deltaIfAny(s) match {
+        case None => postingsBase(s)
+        case Some(d) => postingsBase(s).unionByName(d)
+      }
     def doclens(s: SparkSession): DataFrame =
       s.read.parquet(s"$dir/doclens")
     def stats(s: SparkSession): DataFrame =
       s.read.parquet(s"$dir/stats")
   }
 
-  private def stageMap(dir: String): Map[String, String] = Map(
-    "postings" -> s"$dir/postings",
-    "doclens" -> s"$dir/doclens",
-    "stats" -> s"$dir/stats")
+  /** Deterministic catalog name for `storeDir`'s bucketed postings
+    * table (bucketing survives only through the catalog) — the
+    * [[CurationStore]] naming scheme, separate prefix. */
+  private[ops] def tableNameFor(storeDir: String): String =
+    "graft_postings_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(storeDir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+
+  /** The [[UpdateMarker]] stage map all writers share — the append
+    * target for postings is the DELTA stage on a bucketed store (the
+    * base is immutable between compactions). */
+  private def stageMap(idx: Index): Map[String, String] = Map(
+    "postings" -> (if (idx.postingsBuckets > 0) idx.deltaDir
+                   else s"${idx.dir}/postings"),
+    "doclens" -> s"${idx.dir}/doclens",
+    "stats" -> s"${idx.dir}/stats")
 
   /** Hot-token write salt — the text tier's document-frequency
     * policy (the [[Dedup]] `maxDocFreq` concern, answered at the
@@ -113,22 +178,58 @@ object TextIndexStore {
   private def dlOf(postings: DataFrame, idCol: String): DataFrame =
     postings.groupBy(idCol).agg(sum("tf").as("dl"))
 
-  /** Heal the directory's crash state: roll back any
-    * half-swapped stage (a crashed [[compact]] — [[StageSwap]] owns
-    * those), then settle a crashed writer's marker through
-    * [[UpdateMarker.settle]] (maintenance markers are never healed
-    * by file deletion — the `.swap` decision table).
+  /** Heal the directory's crash state: roll back any half-swapped
+    * stage (a crashed [[compact]] — [[StageSwap]] owns those), ROLL
+    * FORWARD a bucketed compact that committed its postings swap but
+    * died before removing the delta files it folded (the one window
+    * where base ∪ delta would DOUBLE-COUNT rows — the marker's
+    * `fold` listing names exactly the files to finish removing;
+    * commitment is witnessed by the postings listing differing from
+    * the `.swap` snapshot, the [[UpdateMarker.settle]] rule), then
+    * settle a crashed writer's marker through [[UpdateMarker.settle]]
+    * (maintenance markers are never healed by file deletion — the
+    * `.swap` decision table).
     */
   private def settleEntry(s: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem, idx: Index,
       batchId: Option[String]): Boolean = {
+    val dir = idx.dir
     StageSwap.recover(s, s"$dir/postings")
     StageSwap.recover(s, s"$dir/doclens")
-    UpdateMarker.settle(s, fs, dir, "stats", stageMap(dir), batchId)
+    val marker = UpdateMarker.markerPath(dir)
+    UpdateMarker.read(fs, marker)
+      .filter(_.listings.contains("postings.swap")).foreach { prior =>
+        val committed =
+          UpdateMarker.listFiles(fs, s"$dir/postings") !=
+            prior.listings("postings.swap")
+        if (committed) {
+          prior.listings.getOrElse("fold", Set.empty[String])
+            .foreach(f => StageSwap.remove(fs, new Path(f)))
+          if (UpdateMarker.listFiles(fs, idx.deltaDir).isEmpty)
+            StageSwap.remove(fs, new Path(idx.deltaDir))
+          s.catalog.refreshByPath(idx.deltaDir)
+        }
+        // either way the marker is spent: committed → folded files
+        // finished above; uncommitted → recover() already rolled the
+        // half-swap back and the delta is still the live data
+        UpdateMarker.delete(fs, marker)
+      }
+    UpdateMarker.settle(s, fs, dir, "stats", stageMap(idx), batchId)
   }
 
+  /** Run the one text pass over `docs` and write the store under
+    * `dir` (overwrite). `bucketPostings` > 0 writes the postings
+    * base BUCKETED BY TOKEN into that many buckets, registered as an
+    * external catalog table — the cluster-scale serving layout: a
+    * term probe prunes to its buckets (catalog bucket pruning over
+    * the `token IN (...)` predicate) and every token-keyed
+    * aggregation in the scoring kernel plans with NO exchange on the
+    * postings side, because the scan itself reports the token hash
+    * distribution (spec-pinned). The battery's local stores keep
+    * plain sorted parquet and the pushed filter.
+    */
   def build(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Index = {
+      dir: String, bucketPostings: Int = 0): Index = {
     val s = docs.sparkSession
     val fs = new Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
@@ -137,16 +238,24 @@ object TextIndexStore {
     // crashed update's stats.old would survive the overwrite below
     // and a later writer's recover would roll the FRESH counters
     // back to the previous corpus's; a stale marker/_applied could
-    // heal fresh files away or alias a new producer's batch ids
+    // heal fresh files away or alias a new producer's batch ids;
+    // a previous life's delta or catalog entry would shadow the
+    // fresh base
     for (st <- Seq("postings", "doclens", "stats"))
       StageSwap.recover(s, s"$dir/$st")
     UpdateMarker.clear(fs, dir)
+    s.sql(s"DROP TABLE IF EXISTS ${tableNameFor(dir)}")
+    StageSwap.remove(fs, new Path(s"$dir/postings_delta"))
     // the ONE text pass; doclens and the counters are columnar
     // derivations of the just-written postings (lineage cut at the
     // store boundary, the AnnIndexStore.writeCodes discipline)
-    writePostings(tfRows(docs, idCol, textCol), idCol,
-      s"$dir/postings", mode = "overwrite")
-    val idx = Index(dir, idCol)
+    val rows = tfRows(docs, idCol, textCol)
+    if (bucketPostings > 0)
+      writePostingsBucketed(rows, idCol, bucketPostings,
+        tableNameFor(dir), path = s"$dir/postings")
+    else
+      writePostings(rows, idCol, s"$dir/postings", mode = "overwrite")
+    val idx = Index(dir, idCol, bucketPostings)
     dlOf(idx.postings(s), idCol)
       .write.mode("overwrite").parquet(s"$dir/doclens")
     s.catalog.refreshByPath(s"$dir/doclens")
@@ -155,22 +264,42 @@ object TextIndexStore {
     idx
   }
 
+  /** The bucketed postings write — one definition for [[build]]
+    * (directly at the base path) and [[compact]] (staged at `.next`):
+    * bucketBy(token) + sortBy(token) through the catalog, with the
+    * same hot-token salt pre-shuffle as the plain layout (the hot
+    * bucket's files then come from `salt` tasks instead of one
+    * straggler). */
+  private def writePostingsBucketed(rows: DataFrame, idCol: String,
+      buckets: Int, table: String, path: String): Unit = {
+    val s = rows.sparkSession
+    rows
+      .repartition(col("token"), pmod(hash(col(idCol)), lit(saltOf(s))))
+      .write.format("parquet")
+      .bucketBy(buckets, "token").sortBy("token")
+      .option("path", path)
+      .mode("overwrite").saveAsTable(table)
+  }
+
   /** Fold a new doc batch in: postings/doclens append THEIR rows
     * only (per-document derivations — a full rebuild would produce
     * exactly these rows for these ids), stats fold additively and
     * commit through the stage swap. One text pass: the batch's
     * doclens/counters derive from its just-appended postings files
     * (before/after listing diff, the [[CurationStore.update]]
-    * trick). Ids must be disjoint from the stored corpus.
+    * trick). Ids must be disjoint from the stored corpus. On a
+    * BUCKETED store the batch lands in the plain delta stage beside
+    * the immutable base — same rows, deferred layout; [[compact]]
+    * folds it in.
     */
   def update(idx: Index, newDocs: DataFrame, textCol: String,
       batchId: Option[String] = None): Index = {
     val s = newDocs.sparkSession
     val fs = new Path(idx.dir)
       .getFileSystem(s.sessionState.newHadoopConf())
-    if (settleEntry(s, fs, idx.dir, batchId))
+    if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
-    val pDir = s"${idx.dir}/postings"
+    val pDir = stageMap(idx)("postings")
     val before = UpdateMarker.listFiles(fs, pDir)
     writePostings(tfRows(newDocs, idx.idCol, textCol), idx.idCol,
       pDir, mode = "append")
@@ -210,21 +339,62 @@ object TextIndexStore {
   def compact(s: SparkSession, idx: Index): Index = {
     val fs = new Path(idx.dir)
       .getFileSystem(s.sessionState.newHadoopConf())
-    settleEntry(s, fs, idx.dir, batchId = None)
+    settleEntry(s, fs, idx, batchId = None)
     val marker = UpdateMarker.markerPath(idx.dir)
     // settle leaves a held UPDATE-shaped marker; this run's marker
     // must be the MAINTENANCE kind (a crash of ours must never be
-    // settled by data-file healing) — swap it for the .swap form
+    // settled by data-file healing) — swap it for the .swap form.
+    // On a bucketed store the marker additionally lists the delta
+    // files THIS run folds (`fold`): a crash after the committed
+    // postings swap but before the delta removal would otherwise
+    // leave base ∪ delta double-counting those rows forever —
+    // settleEntry's roll-forward finishes the removal from the
+    // listing. Only the folded files are removed (the
+    // [[CurationStore.compact]] rule), so a delta appended by a
+    // discipline-violating concurrent update survives as
+    // outstanding rows over the new base.
     UpdateMarker.delete(fs, marker)
+    val foldedDelta =
+      if (idx.postingsBuckets > 0)
+        UpdateMarker.listFiles(fs, idx.deltaDir)
+      else Set.empty[String]
     UpdateMarker.write(fs, marker, UpdateMarker.State("", Map(
       "postings.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/postings"),
-      "doclens.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/doclens"))))
-    idx.postings(s)
-      .repartition(col("token"),
-        pmod(hash(col(idx.idCol)), lit(saltOf(s))))
-      .sortWithinPartitions("token")
-      .write.mode("overwrite").parquet(s"${idx.dir}/postings.next")
-    StageSwap.swapIn(s, s"${idx.dir}/postings")
+      "doclens.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/doclens"))
+      ++ (if (idx.postingsBuckets > 0) Map("fold" -> foldedDelta)
+          else Map.empty)))
+    if (idx.postingsBuckets > 0) {
+      // stage the folded bucketed base at postings.next through a
+      // throwaway catalog name, then commit via the swap; the real
+      // table entry is dropped BEFORE the commit so stale bucket
+      // metadata can never describe files of a different layout —
+      // readers ride the file-scan fallback (correct rows, one
+      // extra exchange) until the re-registration below lands
+      val name = tableNameFor(idx.dir)
+      val staging = s"${name}_staging"
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      writePostingsBucketed(idx.postings(s), idx.idCol,
+        idx.postingsBuckets, staging, path = s"${idx.dir}/postings.next")
+      s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      StageSwap.swapIn(s, s"${idx.dir}/postings") // commit point
+      foldedDelta.foreach(f => StageSwap.remove(fs, new Path(f)))
+      if (UpdateMarker.listFiles(fs, idx.deltaDir).isEmpty)
+        StageSwap.remove(fs, new Path(idx.deltaDir))
+      s.catalog.refreshByPath(idx.deltaDir)
+      val schema = s.read.parquet(s"${idx.dir}/postings").schema.toDDL
+      s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+        s"CLUSTERED BY (token) SORTED BY (token) " +
+        s"INTO ${idx.postingsBuckets} BUCKETS " +
+        s"LOCATION '${idx.dir}/postings'")
+    } else {
+      idx.postings(s)
+        .repartition(col("token"),
+          pmod(hash(col(idx.idCol)), lit(saltOf(s))))
+        .sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(s"${idx.dir}/postings.next")
+      StageSwap.swapIn(s, s"${idx.dir}/postings")
+    }
     // doclens is CORPUS-cardinality (one row per document) — a
     // single-file fold would serialize billions of narrow rows
     // through one task at scale; repartition by id keeps the fold

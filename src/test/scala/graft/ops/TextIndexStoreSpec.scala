@@ -186,6 +186,121 @@ class TextIndexStoreSpec extends SparkSpec {
     } finally spark.conf.unset(TextIndexStore.PostingsSalt)
   }
 
+  private def planNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => s +: nodes(s.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }) ++ p.subqueries.flatMap(nodes)
+    nodes(df.queryExecution.executedPlan)
+  }
+
+  test("bucketed postings: scores equal the plain layout, the term " +
+      "probe prunes to its buckets, token aggregation plans with " +
+      "zero exchange on the postings side") {
+    val st = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/bucketed", bucketPostings = 8)
+    assert(st.postingsTable.exists(spark.catalog.tableExists),
+      "bucketed base not registered")
+    // bit-identical serving across layouts
+    assertFrameEqual(TextIndexStore.bm25(spark, st, terms),
+      TextIndexStore.bm25(spark, idx, terms), "bucketed vs plain bm25")
+    // the idf shape: token-keyed aggregation straight off the scan —
+    // the bucketed table reports HashPartitioning(token), so the
+    // aggregate needs NO exchange
+    val agg = st.postings(spark)
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nodes = planNodes(agg)
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "token aggregation over the bucketed base shuffled")
+    // and the scan pruned to the probed terms' buckets
+    val scan = nodes.collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.getOrElse(fail("no file scan under the aggregation"))
+    val sel = scan.metadata.getOrElse("SelectedBucketsCount",
+      fail("scan is not bucket-pruned (no SelectedBucketsCount)"))
+    val selected = sel.trim.split(" ")(0).toInt
+    assert(selected < 8, s"term probe read every bucket: $sel")
+  }
+
+  test("bucketed store maintenance: update lands in the delta " +
+      "(scores == rebuild), compact folds it back and restores the " +
+      "zero-exchange layout") {
+    val dir = s"$tmp/bucketed-maint"
+    val st = TextIndexStore.build(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", dir, bucketPostings = 8)
+    TextIndexStore.update(st, docs.filter(col("doc_id") % 3 === 0),
+      "text", Some("b3"))
+    assert(st.deltaIfAny(spark).isDefined, "update did not use the delta")
+    // base ∪ delta serves exactly the full rebuild's scores
+    assertFrameEqual(TextIndexStore.bm25(spark, st, terms),
+      TextIndexStore.bm25(spark, idx, terms), "delta-outstanding bm25")
+    assert(st.stats(spark).collect().toSeq ==
+      idx.stats(spark).collect().toSeq, "counters diverged")
+    TextIndexStore.compact(spark, st)
+    assert(st.deltaIfAny(spark).isEmpty, "compact left the delta")
+    assert(st.postingsTable.exists(spark.catalog.tableExists),
+      "compact did not re-register the bucketed base")
+    assertFrameEqual(TextIndexStore.bm25(spark, st, terms),
+      TextIndexStore.bm25(spark, idx, terms), "post-compact bm25")
+    val nodes = planNodes(st.postings(spark)
+      .groupBy("token").agg(count(lit(1)).as("df")))
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "compact did not restore the zero-exchange token aggregation")
+  }
+
+  test("bucketed compact roll-forward: a crash between the committed " +
+      "postings swap and the delta removal cannot double-count — the " +
+      "next entry finishes the removal; an UNCOMMITTED crash keeps " +
+      "the delta") {
+    val dir = s"$tmp/bucketed-crash"
+    val st = TextIndexStore.build(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", dir, bucketPostings = 4)
+    TextIndexStore.update(st,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), "text")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaFiles = files(st.deltaDir)
+    assert(deltaFiles.nonEmpty)
+    val deltaCount = spark.read.parquet(deltaFiles.toSeq: _*).count()
+    val baseCount = st.postings(spark).count()
+    // UNCOMMITTED window: marker snapshot == current base listing
+    // (the swap never happened) → settlement must keep the delta
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("", Map(
+        "postings.swap" -> files(s"$dir/postings"),
+        "doclens.swap" -> files(s"$dir/doclens"),
+        "fold" -> deltaFiles)))
+    TextIndexStore.update(st, docs.limit(0), "text")
+    // (the empty-batch update may add a zero-row file of its own —
+    // the ORIGINAL delta files and every row must survive)
+    assert(deltaFiles.subsetOf(files(st.deltaDir)),
+      "uncommitted crash settlement destroyed the delta")
+    assert(st.postings(spark).count() == baseCount)
+    // COMMITTED window: marker snapshot differs from the current
+    // base listing (the swap landed — fabricated via a fake name);
+    // the folded delta files must be finished off, or base ∪ delta
+    // double-counts them on every read forever
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("", Map(
+        "postings.swap" -> Set(s"$dir/postings/pre-swap-fake.parquet"),
+        "doclens.swap" -> files(s"$dir/doclens"),
+        "fold" -> deltaFiles)))
+    TextIndexStore.update(st, docs.limit(0), "text")
+    assert(files(st.deltaDir).intersect(deltaFiles).isEmpty,
+      "roll-forward did not remove the folded delta files")
+    // the fabricated base was never actually rewritten, so the read
+    // now sees base alone — delta rows gone exactly once, not twice
+    assert(st.postings(spark).count() == baseCount - deltaCount)
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
