@@ -89,20 +89,75 @@ object TextIndexStore {
       postingsTable.filter(s.catalog.tableExists).map(s.table)
         .getOrElse(s.read.parquet(s"$dir/postings"))
 
-    /** Every postings row: base ∪ outstanding delta. Postings are
-      * per-document derivations with DISJOINT ids across batches, so
-      * the union is exact (no override semantics needed — unlike
-      * [[CurationStore]] labels, nothing in the delta supersedes a
-      * base row). */
+    def tombDir: String = s"$dir/tombstones"
+
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] = {
+      val p = new Path(tombDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
+        Some(s.read.parquet(tombDir))
+      else None
+    }
+
+    /** Drop tombstoned documents' rows from a per-document stage —
+      * how [[TextIndexStore.delete]] serves EXACTLY between
+      * compactions: the deleted docs' postings/doclens rows are
+      * masked at read time (broadcast anti-join while the tombstone
+      * set is small — the [[CurationStore.DeltaBroadcastMaxBytes]]
+      * degrade-don't-OOM rule) and the stats counters were
+      * decremented exactly at delete time, so every score equals a
+      * rebuild without those docs; [[TextIndexStore.compact]] makes
+      * the removal physical and clears the tombstones.
+      */
+    private def masked(s: SparkSession, df: DataFrame): DataFrame =
+      tombstonesIfAny(s) match {
+        case None => df
+        case Some(t) =>
+          val ids = t.select(col(idCol)).distinct()
+          df.join(
+              if (TextIndexStore.tombBroadcastable(s, this)) broadcast(ids)
+              else ids,
+              Seq(idCol), "left_anti")
+            // a USING-column join hoists the key to the front —
+            // restore the stage's column order (consumers compare
+            // frames positionally)
+            .select(df.columns.map(col).toIndexedSeq: _*)
+      }
+
+    /** Every LIVE postings row: (base ∪ outstanding delta) minus
+      * tombstoned docs. Postings are per-document derivations with
+      * DISJOINT ids across batches, so the union is exact (no
+      * override semantics needed — unlike [[CurationStore]] labels,
+      * nothing in the delta supersedes a base row). */
     def postings(s: SparkSession): DataFrame =
-      deltaIfAny(s) match {
+      masked(s, deltaIfAny(s) match {
         case None => postingsBase(s)
         case Some(d) => postingsBase(s).unionByName(d)
-      }
+      })
     def doclens(s: SparkSession): DataFrame =
-      s.read.parquet(s"$dir/doclens")
+      masked(s, s.read.parquet(s"$dir/doclens"))
     def stats(s: SparkSession): DataFrame =
       s.read.parquet(s"$dir/stats")
+  }
+
+  /** Ceiling (bytes of tombstone parquet) up to which the deleted-id
+    * mask rides reads as a BROADCAST; past it readers degrade to the
+    * shuffle anti-join instead of OOMing. Hitting it means
+    * [[compact]] is overdue (compaction makes removals physical and
+    * empties the set). */
+  val TombBroadcastMaxBytes = "spark.graft.text.tombBroadcastMaxBytes"
+  private val tombBroadcastDefault = 32L * 1024 * 1024
+
+  private[ops] def tombBroadcastable(s: SparkSession,
+      idx: Index): Boolean = {
+    val p = new Path(idx.tombDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    bytes <= s.conf
+      .get(TombBroadcastMaxBytes, tombBroadcastDefault.toString).toLong
   }
 
   /** Deterministic catalog name for `storeDir`'s bucketed postings
@@ -120,6 +175,7 @@ object TextIndexStore {
     "postings" -> (if (idx.postingsBuckets > 0) idx.deltaDir
                    else s"${idx.dir}/postings"),
     "doclens" -> s"${idx.dir}/doclens",
+    "tombs" -> idx.tombDir,
     "stats" -> s"${idx.dir}/stats")
 
   /** Hot-token write salt — the text tier's document-frequency
@@ -246,6 +302,7 @@ object TextIndexStore {
     UpdateMarker.clear(fs, dir)
     s.sql(s"DROP TABLE IF EXISTS ${tableNameFor(dir)}")
     StageSwap.remove(fs, new Path(s"$dir/postings_delta"))
+    StageSwap.remove(fs, new Path(s"$dir/tombstones"))
     // the ONE text pass; doclens and the counters are columnar
     // derivations of the just-written postings (lineage cut at the
     // store boundary, the AnnIndexStore.writeCodes discipline)
@@ -299,6 +356,20 @@ object TextIndexStore {
       .getFileSystem(s.sessionState.newHadoopConf())
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
+    // re-adding a DELETED id would collide with its tombstone: the
+    // mask hides rows by id, so the re-added doc's rows would vanish
+    // from every read (and un-tombstoning instead would resurrect
+    // the old rows still physically present). Fail loudly — compact
+    // makes removals physical and clears the set, after which the
+    // id is genuinely free again. The probe is one tiny job against
+    // the tombstone set and only runs while deletions are
+    // outstanding.
+    idx.tombstonesIfAny(s).foreach { t =>
+      require(newDocs.join(t.select(col(idx.idCol)).distinct(),
+          Seq(idx.idCol), "left_semi").isEmpty,
+        "batch re-adds tombstoned ids — run compact() first (removals " +
+          "become physical and the tombstone set clears)")
+    }
     val pDir = stageMap(idx)("postings")
     val before = UpdateMarker.listFiles(fs, pDir)
     writePostings(tfRows(newDocs, idx.idCol, textCol), idx.idCol,
@@ -316,6 +387,63 @@ object TextIndexStore {
     idx.stats(s).crossJoin(batchStats)
       .select((col("n") + col("_bn")).as("n"),
         (col("sumdl") + col("_bsum")).as("sumdl"))
+      .write.mode("overwrite").parquet(s"${idx.dir}/stats.next")
+    StageSwap.swapIn(s, s"${idx.dir}/stats")
+    batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(idx.dir))
+    idx
+  }
+
+  /** Remove documents from the index — the operation a real corpus
+    * needs (recrawl replacement, takedowns, right-to-be-forgotten)
+    * and the inverse of [[update]]'s disjoint-id append. Serving is
+    * EXACT immediately: the doomed ids land in the append-only
+    * `tombstones` stage (reads mask per-document rows against it —
+    * [[Index.masked]]) and the corpus counters are decremented by
+    * the deleted docs' exact doclens contributions through the same
+    * stats swap-commit as [[update]] — so n, avgdl, every idf and
+    * every BM25 score equal a rebuild WITHOUT those docs,
+    * bit-for-bit, before any rewrite happens (spec-pinned; the
+    * physical removal is [[compact]]'s job, which then clears the
+    * tombstones). Ids not currently indexed, or already deleted,
+    * are ignored (the guard also makes a keyless re-run decrement
+    * exactly once). Same crash protocol as update: tombstone
+    * appends are the healed side stages, the stats swap is the
+    * commit, `batchId` makes every replay window a detected no-op.
+    */
+  def delete(idx: Index, ids: DataFrame,
+      batchId: Option[String] = None): Index = {
+    val s = ids.sparkSession
+    val fs = new Path(idx.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (settleEntry(s, fs, idx, batchId))
+      return idx // this very batch already applied — no-op
+    // only CURRENTLY-LIVE ids count: doclens(s) is the masked view,
+    // so an id already tombstoned (or never indexed) contributes
+    // neither a tombstone row nor a counter decrement
+    val doomed = ids.select(col(idx.idCol)).distinct()
+      .join(idx.doclens(s), Seq(idx.idCol), "left_semi")
+    val tDir = idx.tombDir
+    val before = UpdateMarker.listFiles(fs, tDir)
+    doomed.write.mode("append").parquet(tDir)
+    s.catalog.refreshByPath(tDir)
+    val newFiles = (UpdateMarker.listFiles(fs, tDir) -- before).toSeq
+    // decrement by EXACTLY the appended set's doclens rows (read
+    // back from the just-written files — the update() lineage cut),
+    // against the PRE-APPEND doclens view: the fresh tombstones
+    // already mask those rows, so the raw stage is joined here
+    val removed =
+      if (newFiles.isEmpty)
+        s.range(1).select(lit(0L).as("_rn"), lit(0L).as("_rsum"))
+      else
+        s.read.parquet(s"${idx.dir}/doclens")
+          .join(s.read.parquet(newFiles: _*), Seq(idx.idCol),
+            "left_semi")
+          .agg(count(lit(1)).as("_rn"),
+            coalesce(sum("dl"), lit(0L)).as("_rsum"))
+    idx.stats(s).crossJoin(removed)
+      .select((col("n") - col("_rn")).as("n"),
+        (col("sumdl") - col("_rsum")).as("sumdl"))
       .write.mode("overwrite").parquet(s"${idx.dir}/stats.next")
     StageSwap.swapIn(s, s"${idx.dir}/stats")
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
@@ -358,6 +486,14 @@ object TextIndexStore {
       if (idx.postingsBuckets > 0)
         UpdateMarker.listFiles(fs, idx.deltaDir)
       else Set.empty[String]
+    // tombstoned docs: the rewrites below read the MASKED views, so
+    // the removal becomes physical here; the tombstone files this
+    // run absorbed (snapshot — a discipline-violating concurrent
+    // delete's files survive as outstanding masks) clear after the
+    // last stage commits. A crash before the clear is harmless: a
+    // tombstone for a row no longer present masks nothing, and the
+    // next compact clears it.
+    val absorbedTombs = UpdateMarker.listFiles(fs, idx.tombDir)
     UpdateMarker.write(fs, marker, UpdateMarker.State("", Map(
       "postings.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/postings"),
       "doclens.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/doclens"))
@@ -405,6 +541,10 @@ object TextIndexStore {
     idx.doclens(s).repartition(col(idx.idCol))
       .write.mode("overwrite").parquet(s"${idx.dir}/doclens.next")
     StageSwap.swapIn(s, s"${idx.dir}/doclens")
+    absorbedTombs.foreach(f => StageSwap.remove(fs, new Path(f)))
+    if (UpdateMarker.listFiles(fs, idx.tombDir).isEmpty)
+      StageSwap.remove(fs, new Path(idx.tombDir))
+    s.catalog.refreshByPath(idx.tombDir)
     UpdateMarker.delete(fs, marker)
     idx
   }

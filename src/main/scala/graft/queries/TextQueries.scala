@@ -828,16 +828,20 @@ object TextQueries {
   }
 
   /** q75's oracle CTE chain up to the per-doc summed score `spr`
-    * (doc_id, score) — shared with q134's hybrid-fusion oracle.
+    * (doc_id, score) — shared with q134's hybrid-fusion oracle and,
+    * with a corpus predicate, by the delete-then-serve query (q160:
+    * the served store must equal this chain over the corpus WITHOUT
+    * the deleted docs — n, avgdl and every idf shift with them).
     */
-  private[queries] val duckBm25Ctes: String =
-    """dl AS (SELECT doc_id, CAST(len(string_split(text, ' '))
-      |    AS BIGINT) AS dl FROM documents),
+  private[queries] def duckBm25CtesFor(where: String): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""dl AS (SELECT doc_id, CAST(len(string_split(text, ' '))
+      |    AS BIGINT) AS dl FROM documents$w),
       |st AS (SELECT count(*) AS n,
       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-      |       FROM documents)
+      |       FROM documents$w)
       | WHERE token IN ('join', 'vector', 'stream')
       | GROUP BY doc_id, token),
       |idf AS (SELECT token,
@@ -854,6 +858,9 @@ object TextQueries {
       | FROM c GROUP BY doc_id),
       |spr AS (SELECT doc_id, round(c1 + c2 + c3, 4) AS score FROM p)"""
       .stripMargin
+  }
+
+  private[queries] val duckBm25Ctes: String = duckBm25CtesFor("")
 
   val q75 = Q("q75_bm25_search",
     (s, dir) => bm25Scores(s, dir)
@@ -2819,11 +2826,39 @@ object TextQueries {
       | GROUP BY doc_id, token)
       |GROUP BY token ORDER BY token""".stripMargin))
 
+  /** Deletion in the text index ([[graft.ops.TextIndexStore.delete]]
+    * — the takedown/recrawl/right-to-be-forgotten operation): build
+    * over the full corpus, DELETE every seventh doc, serve the q75
+    * term query from the store. Serving is exact BEFORE any rewrite:
+    * reads mask the tombstoned docs and the exact BIGINT counters
+    * were decremented by their doclens contributions, so n, avgdl,
+    * every idf and every score equal a rebuild without those docs —
+    * which is what the oracle recomputes from the raw corpus minus
+    * the deleted slice. TextIndexStoreSpec additionally pins
+    * delete-then-COMPACT == rebuild physically (all three stages)
+    * and the re-add guard.
+    */
+  val q160 = Q("q160_text_index_delete",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val idx = graft.ops.TextIndexStore.build(docs, "doc_id", "text",
+        graft.ops.TextIndexStore.indexDirFor(dir, "-del"))
+      graft.ops.TextIndexStore.delete(idx,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+        batchId = Some("takedown-7-3"))
+      graft.ops.TextIndexStore.bm25(s, idx, bm25Terms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH ${duckBm25CtesFor("doc_id % 7 <> 3")}
+      |SELECT doc_id, score FROM spr
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135, q137, q138, q139, q140, q141, q153, q157, q159)
+      q135, q137, q138, q139, q140, q141, q153, q157, q159, q160)
 }

@@ -301,6 +301,81 @@ class TextIndexStoreSpec extends SparkSpec {
     assert(st.postings(spark).count() == baseCount - deltaCount)
   }
 
+  test("delete serves exactly (== rebuild without the docs) BEFORE " +
+      "compact; delete-then-compact == rebuild physically; re-add " +
+      "guarded; replay a no-op") {
+    val dir = s"$tmp/del"
+    val doomed = docs.filter(col("doc_id") % 7 === 3)
+    val st = TextIndexStore.build(docs, "doc_id", "text", dir)
+    TextIndexStore.delete(st, doomed.select("doc_id"), Some("d1"))
+    val without = TextIndexStore.build(
+      docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text",
+      s"$tmp/del-rebuild")
+    // BEFORE any rewrite: masked reads + exactly-decremented
+    // counters == the rebuild, bit for bit
+    assert(st.stats(spark).collect().toSeq ==
+      without.stats(spark).collect().toSeq, "counters not exact")
+    assertFrameEqual(st.postings(spark), without.postings(spark),
+      "masked postings")
+    assertFrameEqual(st.doclens(spark), without.doclens(spark),
+      "masked doclens")
+    assertFrameEqual(TextIndexStore.bm25(spark, st, terms),
+      TextIndexStore.bm25(spark, without, terms), "served scores")
+    // deleting the same ids again (keyless) decrements nothing —
+    // only live ids count
+    TextIndexStore.delete(st, doomed.select("doc_id"))
+    assert(st.stats(spark).collect().toSeq ==
+      without.stats(spark).collect().toSeq, "double-decrement")
+    // a batchId replay is a detected no-op
+    TextIndexStore.delete(st, doomed.select("doc_id"), Some("d1"))
+    assert(st.stats(spark).collect().toSeq ==
+      without.stats(spark).collect().toSeq)
+    // re-adding a tombstoned id fails loudly until compact
+    val e = intercept[IllegalArgumentException] {
+      TextIndexStore.update(st, doomed.limit(3), "text")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // compact makes the removal physical and clears the tombstones
+    TextIndexStore.compact(spark, st)
+    assert(st.tombstonesIfAny(spark).isEmpty, "tombstones survived")
+    assertFrameEqual(st.postings(spark), without.postings(spark),
+      "physical postings")
+    assertFrameEqual(TextIndexStore.bm25(spark, st, terms),
+      TextIndexStore.bm25(spark, without, terms), "post-compact scores")
+    // the id is free again: re-add restores the full corpus exactly
+    TextIndexStore.update(st, doomed, "text")
+    val full = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/del-full")
+    assert(st.stats(spark).collect().toSeq ==
+      full.stats(spark).collect().toSeq)
+    assertFrameEqual(TextIndexStore.bm25(spark, st, terms),
+      TextIndexStore.bm25(spark, full, terms), "re-added scores")
+  }
+
+  test("delete on a BUCKETED store: serving stays exact with the " +
+      "delta outstanding, compact folds delta AND removals together") {
+    val dir = s"$tmp/del-bucketed"
+    val st = TextIndexStore.build(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", dir, bucketPostings = 8)
+    TextIndexStore.update(st, docs.filter(col("doc_id") % 3 === 0),
+      "text")
+    TextIndexStore.delete(st,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    val without = TextIndexStore.build(
+      docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text",
+      s"$tmp/del-bucketed-rebuild")
+    assert(st.stats(spark).collect().toSeq ==
+      without.stats(spark).collect().toSeq)
+    assertFrameEqual(TextIndexStore.bm25(spark, st, terms),
+      TextIndexStore.bm25(spark, without, terms),
+      "bucketed delete serving")
+    TextIndexStore.compact(spark, st)
+    assert(st.deltaIfAny(spark).isEmpty &&
+      st.tombstonesIfAny(spark).isEmpty)
+    assertFrameEqual(st.postings(spark), without.postings(spark),
+      "bucketed post-compact postings")
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
