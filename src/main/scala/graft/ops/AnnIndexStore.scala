@@ -37,9 +37,14 @@ import org.apache.spark.sql.functions._
   *    as in q67: codebooks grow stale as the distribution drifts;
   *    the periodic [[build]] is the re-train, and [[search]] serves
   *    throughout.
+  *  - [[delete]] removes vectors: tombstones mask every read
+  *    immediately (search excludes them from the next query on) and
+  *    the models stay frozen — the inverse of [[add]] under the
+  *    same append-commit protocol.
   *  - [[compact]] periodically folds the per-add small files back to
-  *    one file per cell (staged swap, crash-safe) — the
-  *    [[CurationStore.compact]] discipline for the vector tier.
+  *    one file per cell and makes deletions physical (staged swap,
+  *    crash-safe) — the [[CurationStore.compact]] discipline for
+  *    the vector tier.
   *
   * Crash/re-run discipline for [[add]] (append-only commit, adapted
   * from the [[UpdateMarker]] swap protocol — the codes table is
@@ -73,8 +78,58 @@ object AnnIndexStore {
       s.read.parquet(s"$dir/centroids")
     def codebooks(s: SparkSession): DataFrame =
       s.read.parquet(s"$dir/codebooks")
-    def codes(s: SparkSession): DataFrame =
-      s.read.parquet(s"$dir/codes")
+
+    def tombDir: String = s"$dir/tombstones"
+
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] = {
+      val p = new Path(tombDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
+        Some(s.read.parquet(tombDir))
+      else None
+    }
+
+    /** The LIVE encoded corpus: the partitioned codes table minus
+      * tombstoned ids ([[AnnIndexStore.delete]] — broadcast
+      * anti-join while the tombstone set is small, shuffle past the
+      * [[AnnIndexStore.TombBroadcastMaxBytes]] ceiling; the
+      * partition-pruning predicates still bind, because the mask is
+      * a join above the pruned scan). Every consumer — [[search]],
+      * the hybrid fusions, the scaling probes — reads through here,
+      * so deletion is one definition, not a per-consumer filter.
+      */
+    def codes(s: SparkSession): DataFrame = {
+      val raw = s.read.parquet(s"$dir/codes")
+      tombstonesIfAny(s) match {
+        case None => raw
+        case Some(t) =>
+          val ids = t.select(col(idCol)).distinct()
+          raw.join(
+              if (AnnIndexStore.tombBroadcastable(s, this)) broadcast(ids)
+              else ids,
+              Seq(idCol), "left_anti")
+            .select(raw.columns.map(col).toIndexedSeq: _*)
+      }
+    }
+  }
+
+  /** Ceiling (bytes of tombstone parquet) up to which the deleted-id
+    * mask rides reads as a BROADCAST; past it the mask degrades to a
+    * shuffle anti-join instead of OOMing. Hitting it means
+    * [[compact]] is overdue. */
+  val TombBroadcastMaxBytes = "spark.graft.ann.tombBroadcastMaxBytes"
+  private val tombBroadcastDefault = 32L * 1024 * 1024
+
+  private[ops] def tombBroadcastable(s: SparkSession,
+      idx: Index): Boolean = {
+    val p = new Path(idx.tombDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    bytes <= s.conf
+      .get(TombBroadcastMaxBytes, tombBroadcastDefault.toString).toLong
   }
 
   /** Ceiling on the DISTINCT probed cells [[search]] will collect to
@@ -107,6 +162,7 @@ object AnnIndexStore {
     // restarted batch numbering
     StageSwap.recover(s, s"$dir/codes")
     UpdateMarker.clear(fsOf(s, dir), dir)
+    StageSwap.remove(fsOf(s, dir), new Path(s"$dir/tombstones"))
     // same silently-empty-result trap as ivfCells: a predicate
     // matching nothing would build an index that answers every query
     // with zero rows — fail loudly instead (same conf opt-out; the
@@ -224,9 +280,64 @@ object AnnIndexStore {
     val marker = UpdateMarker.markerPath(idx.dir)
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
+    // re-adding a DELETED id would collide with its tombstone (the
+    // codes mask hides by id — the re-encoded rows would vanish;
+    // un-tombstoning would resurrect the old rows still on disk):
+    // fail loudly, compact() frees the ids (the TextIndexStore rule)
+    idx.tombstonesIfAny(s).foreach { t =>
+      require(newEmb.join(t.select(col(idx.idCol)).distinct(),
+          Seq(idx.idCol), "left_semi").isEmpty,
+        "batch re-adds tombstoned ids — run compact() first (removals " +
+          "become physical and the tombstone set clears)")
+    }
     UpdateMarker.write(fs, marker, UpdateMarker.State(
       batchId.getOrElse(""), snapshotAll(fs, idx)))
     writeCodes(idx, newEmb, vecCol, mode = "append")
+    batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
+    UpdateMarker.delete(fs, marker)
+    idx
+  }
+
+  /** Remove vectors from the index — the takedown/recrawl operation
+    * for the vector tier, the inverse of [[add]]'s disjoint-id
+    * append. The doomed ids land in the append-only `tombstones`
+    * stage; [[Index.codes]] masks every read against it immediately,
+    * so [[search]] (and every consumer) excludes the deleted vectors
+    * from the next query on, and [[compact]] later makes the removal
+    * physical and clears the set. The MODELS are untouched —
+    * centroids/codebooks are frozen training artifacts, exactly as
+    * under [[add]] (the q67 drift caveat covers both directions;
+    * [[recallProbe]] is the staleness dial) — so the contract is:
+    * after delete-then-compact the codes table equals a re-encode of
+    * the remaining corpus under the stored models, which is
+    * bit-identical to the original codes minus the deleted rows
+    * (per-row arithmetic; spec-pinned, including equality with a
+    * full rebuild when the deleted ids fund no centroid/seed).
+    * Same append-commit crash protocol as [[add]]: the tombstone
+    * append is the commit, witnessed by `_applied`; partial appends
+    * heal; `batchId` makes replays detected no-ops. Ids already
+    * deleted are ignored (re-runs cannot grow the set).
+    */
+  def delete(idx: Index, ids: DataFrame,
+      batchId: Option[String] = None): Index = {
+    val s = ids.sparkSession
+    val fs = fsOf(s, idx.dir)
+    val marker = UpdateMarker.markerPath(idx.dir)
+    if (settleEntry(s, fs, idx, batchId))
+      return idx // this very batch already applied — no-op
+    UpdateMarker.write(fs, marker, UpdateMarker.State(
+      batchId.getOrElse(""), snapshotAll(fs, idx)))
+    // idempotent by construction: only ids NOT already tombstoned
+    // append (computed lazily here, evaluated at the write below —
+    // before the append, so the anti-join sees the prior set)
+    val doomed = ids.select(col(idx.idCol)).distinct()
+    val fresh = idx.tombstonesIfAny(s) match {
+      case None => doomed
+      case Some(t) => doomed.join(t.select(col(idx.idCol)).distinct(),
+        Seq(idx.idCol), "left_anti")
+    }
+    fresh.write.mode("append").parquet(idx.tombDir)
+    s.catalog.refreshByPath(idx.tombDir)
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, marker)
     idx
@@ -266,12 +377,23 @@ object AnnIndexStore {
     // decision table)
     UpdateMarker.write(fs, marker, UpdateMarker.State("",
       Map("codes.swap" -> listCodesFiles(fs, idx.dir))))
+    // tombstoned ids: codes(s) below is the MASKED view, so the
+    // rewrite drops their rows physically; the tombstone files this
+    // run absorbed clear after the commit (snapshot — a
+    // discipline-violating concurrent delete's files survive as
+    // outstanding masks; a crash before the clear leaves harmless
+    // tombstones for rows no longer present, cleared next compact)
+    val absorbedTombs = UpdateMarker.listFiles(fs, idx.tombDir)
     // one shuffle by cell → each cell's rows land in exactly one
     // task → the partitioned write emits one file per cell
     idx.codes(s).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${idx.dir}/codes.next")
     StageSwap.swapIn(s, s"${idx.dir}/codes")
+    absorbedTombs.foreach(f => StageSwap.remove(fs, new Path(f)))
+    if (UpdateMarker.listFiles(fs, idx.tombDir).isEmpty)
+      StageSwap.remove(fs, new Path(idx.tombDir))
+    s.catalog.refreshByPath(idx.tombDir)
     UpdateMarker.delete(fs, marker)
     idx
   }

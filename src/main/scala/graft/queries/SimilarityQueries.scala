@@ -632,14 +632,20 @@ object SimilarityQueries {
            |  - 2*(${dotSql("q.embedding", "c.ce", 32)})
            |  + (${dotSql("c.ce", "c.ce", 32)}), 6) AS d
            |FROM $srcj q, $last c WHERE q.$qWhere""")
-    val coarse: String = singleLine(
+    /** Coarse assignment of the ENCODED corpus (`encWhere` restricts
+      * it — the deletion semantics, where models stay frozen but
+      * deleted vectors leave the index); the centroid side always
+      * selects from the FULL corpus, because centroids are training
+      * artifacts frozen at build time. */
+    def coarse(encWhere: String = ""): String = singleLine(
       s"""SELECT vec_id, cid AS cell FROM (
          | SELECT b.vec_id, c.cid, row_number() OVER (
          |  PARTITION BY b.vec_id ORDER BY
          |   round((${dotSql("b.embedding", "c.ce")}) / (b.nrm * c.cn), 6)
          |    DESC, c.cid) AS rn
          | FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-         |       FROM embeddings) b,
+         |       FROM embeddings${
+              if (encWhere.isEmpty) "" else s" WHERE $encWhere"}) b,
          |  (SELECT vec_id AS cid, embedding AS ce,
          |    ${normSql("embedding")} AS cn FROM embeddings
          |   WHERE vec_id % 50 = 7) c) WHERE rn = 1""")
@@ -654,8 +660,12 @@ object SimilarityQueries {
       * nprobe = 1.
       */
     def ctes(qWhere: String, trainWhere: String = "",
-        nprobe: Int = 1): String = {
-      val (src0, src1) = (src(1, 32), src(33, 64))
+        nprobe: Int = 1, encWhere: String = ""): String = {
+      // `encWhere` restricts the ENCODED corpus only (enc0/enc1 and
+      // the coarse assignment's input): the deletion semantics —
+      // trainers, centroids and the query side stay corpus-wide,
+      // because models are frozen at build time
+      val (src0, src1) = (src(1, 32, encWhere), src(33, 64, encWhere))
       val (t0, t1) = (src(1, 32, trainWhere), src(33, 64, trainWhere))
       val qprobe = singleLine(
         s"""SELECT qid, cell FROM (
@@ -684,9 +694,9 @@ object SimilarityQueries {
         |${kmeansCtes(2, t1, "vec_id % 10 = 3", 32, "s1")},
         |enc0 AS MATERIALIZED (${enc(src0, "s0c2")}),
         |enc1 AS MATERIALIZED (${enc(src1, "s1c2")}),
-        |dt0 AS MATERIALIZED (${dtab(src0, "s0c2", qWhere)}),
-        |dt1 AS MATERIALIZED (${dtab(src1, "s1c2", qWhere)}),
-        |coarse AS MATERIALIZED ($coarse),
+        |dt0 AS MATERIALIZED (${dtab(src(1, 32), "s0c2", qWhere)}),
+        |dt1 AS MATERIALIZED (${dtab(src(33, 64), "s1c2", qWhere)}),
+        |coarse AS MATERIALIZED (${coarse(encWhere)}),
         |${probeCte}adc AS MATERIALIZED (SELECT dt0.qid, e0.vec_id,
         |  round(dt0.d + dt1.d, 6) AS adc
         | FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
@@ -698,10 +708,13 @@ object SimilarityQueries {
     }
 
     /** The q90-shaped final SELECT over [[ctes]]: per-query ADC
-      * ranking, top-`k`, deterministic (adc, vec_id) tiebreak. */
+      * ranking, top-`k`, deterministic (adc, vec_id) tiebreak.
+      * NOTE at nprobe = 1 the query's own cell comes from the
+      * `coarse` CTE, so with an `encWhere` the query slice must lie
+      * inside it (q161 keeps them disjoint by modulus). */
     def topK(qWhere: String, k: Int, trainWhere: String = "",
-        nprobe: Int = 1): String =
-      s"""WITH ${ctes(qWhere, trainWhere, nprobe)}
+        nprobe: Int = 1, encWhere: String = ""): String =
+      s"""WITH ${ctes(qWhere, trainWhere, nprobe, encWhere)}
         |SELECT qid, vec_id, adc, CAST(row_number() OVER (
         |  PARTITION BY qid ORDER BY adc, vec_id) AS INT) AS rank
         |FROM adc QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
@@ -1454,7 +1467,42 @@ object SimilarityQueries {
       |SELECT qid, rk, doc_id, rrf FROM ta
       |ORDER BY qid, rk""".stripMargin))
 
+  /** Deletion in the vector index
+    * ([[graft.ops.AnnIndexStore.delete]]): build at the q90 dials
+    * over the full corpus, DELETE every vec_id ≡ 6 (mod 10), serve
+    * the q148 query batch. Serving is exact from the next query on
+    * — the tombstone mask removes the deleted vectors from every
+    * candidate read while the MODELS stay frozen (centroids and
+    * codebooks are training artifacts, untouched by deletion, the
+    * add() symmetry) — so the result equals an encode of the
+    * remaining corpus under the full-corpus models, which is what
+    * the oracle computes (`encWhere` restricts encoding and coarse
+    * assignment only; trainers stay corpus-wide).
+    * AnnIndexStoreSpec additionally pins delete-then-COMPACT ==
+    * original codes minus the deleted rows, the re-add guard, and
+    * replay no-ops.
+    */
+  val q161 = Q("q161_ann_index_delete",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val d = graft.ops.AnnIndexStore.CorpusDials
+      val idx = graft.ops.AnnIndexStore.build(emb, "vec_id",
+        "embedding", graft.ops.AnnIndexStore.indexDirFor(dir, "-del"),
+        d.centroidPred, d.seedPred, d.m, d.subDim, d.iters)
+      graft.ops.AnnIndexStore.delete(idx,
+        emb.filter(col("vec_id") % 10 === 6).select("vec_id"),
+        batchId = Some("takedown-10-6"))
+      val queries = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.AnnIndexStore.search(s, idx, queries, "qid",
+          "embedding", k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10,
+      encWhere = "vec_id % 10 != 6")))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
-    q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158)
+    q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
+    q161)
 }

@@ -312,4 +312,54 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(st.codes(spark).count() == afterFirst,
       "batchId replay re-appended rows")
   }
+
+  test("delete masks search immediately; delete-then-compact == " +
+      "original codes minus the deleted rows (frozen models); " +
+      "re-add guarded until compact; replay a no-op") {
+    val (cp, sp, m, sub, it) = dials
+    val st = AnnIndexStore.build(emb, "vec_id", "embedding",
+      s"$tmp/del", cp, sp, m, sub, it)
+    val doomPred = col("vec_id") % 10 === 6
+    val doomed = emb.filter(doomPred).select(col("vec_id"))
+    val origRows = st.codes(spark).collect().map(_.toString).toSet
+    val preServe = search(st).collect().map(_.toString).toSet
+    AnnIndexStore.delete(st, doomed, Some("takedown"))
+    // every read is masked from the next query on: no deleted id
+    // among candidates, and the codes view == original minus doomed
+    val res = search(st)
+    assert(res.join(doomed, Seq("vec_id"), "left_semi").isEmpty,
+      "a deleted vector served as a candidate")
+    val maskedRows = st.codes(spark).collect().map(_.toString).toSet
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(maskedRows.subsetOf(origRows) &&
+      origRows.size - maskedRows.size == doomedIds.size,
+      "masked codes view is not original-minus-deleted")
+    // deleting again (keyed replay AND keyless re-run) grows nothing
+    val tombCount = spark.read.parquet(st.tombDir).count()
+    AnnIndexStore.delete(st, doomed, Some("takedown"))
+    AnnIndexStore.delete(st, doomed)
+    assert(spark.read.parquet(st.tombDir).count() == tombCount,
+      "re-delete grew the tombstone set")
+    // re-adding a tombstoned id fails loudly until compact
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.add(st, emb.filter(doomPred).limit(3), "embedding")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // compact makes the removal physical and clears the tombstones;
+    // serving is unchanged by the rewrite
+    val served = search(st).collect().map(_.toString).toSet
+    AnnIndexStore.compact(spark, st)
+    assert(st.tombstonesIfAny(spark).isEmpty, "tombstones survived")
+    assert(st.codes(spark).collect().map(_.toString).toSet == maskedRows,
+      "physical codes differ from the masked view")
+    assert(search(st).collect().map(_.toString).toSet == served,
+      "compact changed serving")
+    // the ids are free again: re-encode under the SAME stored models
+    // restores the original index exactly
+    AnnIndexStore.add(st, emb.filter(doomPred), "embedding")
+    assert(st.codes(spark).collect().map(_.toString).toSet == origRows,
+      "re-add did not restore the original codes")
+    assert(search(st).collect().map(_.toString).toSet == preServe,
+      "re-add did not restore the original serving")
+  }
 }
