@@ -54,9 +54,47 @@ object CurationStore {
     */
   final case class Store(dir: String, idCol: String,
       labelsTable: Option[String] = None) {
+
+    def tombDir: String = s"$dir/tombstones"
+
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(tombDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
+        Some(s.read.parquet(tombDir))
+      else None
+    }
+
+    /** Drop tombstoned docs' rows from a stage view by the named id
+      * column(s) — [[CurationStore.delete]]'s immediate serving
+      * contract: membership of deleted docs disappears from every
+      * read at once (labels, signatures, both endpoints of pairs),
+      * while cluster TOPOLOGY (a bridge doc's transitive merges)
+      * refreshes at the next [[CurationStore.compact]], which
+      * re-resolves components over the physically filtered pairs.
+      * Broadcast while the set is small, shuffle past the
+      * [[CurationStore.TombBroadcastMaxBytes]] ceiling.
+      */
+    private[ops] def tombMask(s: SparkSession, df: DataFrame,
+        onCols: Seq[String]): DataFrame =
+      tombstonesIfAny(s) match {
+        case None => df
+        case Some(t) =>
+          val ids = t.select(col(idCol)).distinct()
+          val masked = onCols.foldLeft(df) { (acc, c) =>
+            val rhs =
+              if (CurationStore.tombBroadcastable(s, this))
+                broadcast(ids.select(col(idCol).as(c)))
+              else ids.select(col(idCol).as(c))
+            acc.join(rhs, Seq(c), "left_anti")
+          }
+          masked.select(df.columns.map(col).toIndexedSeq: _*)
+      }
+
     def signatures(s: SparkSession): DataFrame =
-      s.read.parquet(s"$dir/signatures")
-    def pairs(s: SparkSession): DataFrame = s.read.parquet(s"$dir/pairs")
+      tombMask(s, s.read.parquet(s"$dir/signatures"), Seq(idCol))
+    def pairs(s: SparkSession): DataFrame =
+      tombMask(s, s.read.parquet(s"$dir/pairs"), Seq("a", "b"))
 
     /** Plain-parquet DELTA stage beside a bucketed labels table —
       * how a read-optimized store stays MAINTAINABLE: [[update]]
@@ -103,7 +141,7 @@ object CurationStore {
       // DISTRIBUTION (a plan property), never rows
       val base = labelsTable.filter(s.catalog.tableExists).map(s.table)
         .getOrElse(s.read.parquet(s"$dir/labels"))
-      deltaIfAny(s) match {
+      tombMask(s, deltaIfAny(s) match {
         case None => base
         case Some(delta) =>
           base.join(
@@ -111,8 +149,28 @@ object CurationStore {
                 delta.select(col(idCol))),
               Seq(idCol), "left_anti")
             .unionByName(delta)
-      }
+      }, Seq(idCol))
     }
+  }
+
+  /** Ceiling (bytes of tombstone parquet) up to which the deleted-id
+    * mask rides reads as a BROADCAST; past it the mask degrades to a
+    * shuffle anti-join instead of OOMing ([[DeltaBroadcastMaxBytes]]'
+    * rule for the deletion set — hitting it means [[compact]] is
+    * overdue). */
+  val TombBroadcastMaxBytes = "spark.graft.curation.tombBroadcastMaxBytes"
+  private val tombBroadcastDefault = 32L * 1024 * 1024
+
+  private[ops] def tombBroadcastable(s: SparkSession,
+      store: Store): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(store.tombDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    bytes <= s.conf
+      .get(TombBroadcastMaxBytes, tombBroadcastDefault.toString).toLong
   }
 
   /** Ceiling (bytes of delta parquet) up to which the outstanding
@@ -145,8 +203,48 @@ object CurationStore {
   private def stageMap(store: Store): Map[String, String] = Map(
     "sig" -> s"${store.dir}/signatures",
     "pairs" -> s"${store.dir}/pairs",
+    "tomb" -> store.tombDir,
     "labels" -> (if (store.labelsTable.isDefined) store.deltaDir
                  else s"${store.dir}/labels"))
+
+  /** Shared writer entry: roll back half-swapped stages (compact's
+    * re-resolve swaps signatures and pairs too), ROLL FORWARD a
+    * re-resolve compact that committed its labels swap but died
+    * before removing the delta/tombstone files it folded (a stale
+    * delta row would otherwise OVERRIDE a re-resolved label forever
+    * — the [[TextIndexStore]] roll-forward discipline; commitment is
+    * witnessed by the labels listing differing from the
+    * `labels.swap` snapshot), then settle through
+    * [[UpdateMarker.settle]].
+    */
+  private def settleEntry(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, store: Store,
+      batchId: Option[String]): Boolean = {
+    for (st <- Seq("signatures", "pairs"))
+      StageSwap.recover(spark, s"${store.dir}/$st")
+    StageSwap.recover(spark, s"${store.dir}/labels")
+    val marker = UpdateMarker.markerPath(store.dir)
+    UpdateMarker.read(fs, marker)
+      .filter(_.listings.contains("labels.swap")).foreach { prior =>
+        val committed =
+          UpdateMarker.listFiles(fs, s"${store.dir}/labels") !=
+            prior.listings("labels.swap")
+        if (committed) {
+          (prior.listings.getOrElse("fold", Set.empty[String]) ++
+              prior.listings.getOrElse("tombfold", Set.empty[String]))
+            .foreach(f => StageSwap.remove(fs,
+              new org.apache.hadoop.fs.Path(f)))
+          for (d <- Seq(store.deltaDir, store.tombDir)) {
+            if (UpdateMarker.listFiles(fs, d).isEmpty)
+              StageSwap.remove(fs, new org.apache.hadoop.fs.Path(d))
+            spark.catalog.refreshByPath(d)
+          }
+        }
+        UpdateMarker.delete(fs, marker)
+      }
+    UpdateMarker.settle(spark, fs, store.dir, "labels", stageMap(store),
+      batchId)
+  }
 
   /** Deterministic catalog name for `storeDir`'s bucketed labels
     * table (bucketing survives only through the catalog). */
@@ -199,7 +297,7 @@ object CurationStore {
         val name = tableNameFor(storeDir)
         labelRows.write.format("parquet")
           .bucketBy(bucketLabels, idCol).sortBy(idCol)
-          .option("path", s"$storeDir/labels")
+          .option("path", StoreDirs.catalogSafe(s"$storeDir/labels"))
           .mode("overwrite").saveAsTable(name)
         Some(name)
       } else {
@@ -216,6 +314,8 @@ object CurationStore {
     UpdateMarker.clear(fs, storeDir)
     StageSwap.remove(fs,
       new org.apache.hadoop.fs.Path(s"$storeDir/labels_delta"))
+    StageSwap.remove(fs,
+      new org.apache.hadoop.fs.Path(s"$storeDir/tombstones"))
     Store(storeDir, idCol, table)
   }
 
@@ -291,12 +391,21 @@ object CurationStore {
     // compactions — the delta carries every label that differs)
     val commitDir = stageMap(store)("labels")
     // heal + settle + replay-check + fresh marker: the ONE shared
-    // protocol definition ([[UpdateMarker.settle]]); `labels` is the
-    // commit stage, sig/pairs are the append-only sides whose
-    // partial files a pre-commit crash leaves behind
-    if (UpdateMarker.settle(spark, fs, store.dir, "labels",
-        stageMap(store), batchId))
+    // protocol definition ([[UpdateMarker.settle]] via the store's
+    // [[settleEntry]]); `labels` is the commit stage, sig/pairs/tombs
+    // the append-only sides whose partial files a pre-commit crash
+    // leaves behind
+    if (settleEntry(spark, fs, store, batchId))
       return store // this very batch already applied — no-op
+    // re-adding a DELETED id would collide with its tombstone (masks
+    // hide by id) — fail loudly; compact() frees the ids (the
+    // TextIndexStore/AnnIndexStore rule)
+    store.tombstonesIfAny(spark).foreach { t =>
+      require(newDocs.join(t.select(col(idCol)).distinct(),
+          Seq(idCol), "left_semi").isEmpty,
+        "batch re-adds tombstoned ids — run compact() first (removals " +
+          "become physical and the tombstone set clears)")
+    }
 
     // stage 1 — shingle ONLY the batch, append; the before/after file
     // diff recovers the appended rows as a COLUMNAR READ so no stage
@@ -308,7 +417,10 @@ object CurationStore {
     spark.catalog.refreshByPath(sigDir)
     val sigNewFiles = (files(sigDir) -- sigBefore).toSeq
     val sigNew = spark.read.parquet(sigNewFiles: _*)
-    val sigOld = spark.read.parquet(sigBefore.toSeq: _*)
+    // the stored side is tombstone-masked: a new doc must not pair
+    // with a DELETED doc's signature
+    val sigOld = store.tombMask(spark,
+      spark.read.parquet(sigBefore.toSeq: _*), Seq(idCol))
 
     // stage 2 — the pairs the batch adds, from stored signatures only
     val pairsBefore = files(pairsDir)
@@ -353,6 +465,73 @@ object CurationStore {
     StageSwap.swapIn(spark, commitDir)
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
+    batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
+    store
+  }
+
+  /** Remove documents from the store — the takedown/recrawl
+    * operation for the curation tier, the inverse of [[update]]'s
+    * disjoint-id append. Semantics, stated precisely:
+    *
+    *  - MEMBERSHIP is exact immediately: the doomed ids land in the
+    *    append-only `tombstones` stage, every read masks against it
+    *    (labels/labelJoin/signatures/both pair endpoints), and the
+    *    commit-stage swap drops their label rows physically (the
+    *    whole labels stage on a plain store; the delta beside a
+    *    bucketed base, whose base rows the mask covers). No deleted
+    *    doc appears in any consumer join, pair report or cluster
+    *    from the next query on.
+    *  - TOPOLOGY refreshes at [[compact]]: a deleted BRIDGE doc's
+    *    transitive merges survive in the remaining docs' cluster
+    *    ids until compaction re-resolves components over the
+    *    physically filtered pairs — at which point the store equals
+    *    a rebuild without the deleted docs stage-for-stage
+    *    (spec-pinned at the default unguarded dials, where the LSH
+    *    banding of the remaining signatures yields exactly the
+    *    stored pairs minus those touching deleted docs).
+    *
+    * Crash/replay discipline is [[update]]'s verbatim: tombstone
+    * appends are a healed side stage, the labels swap is the commit,
+    * `batchId` makes every replay window a detected no-op (the
+    * `_applied` record additionally witnesses commitment when the
+    * swap replaced zero files — an empty delta). Ids already deleted
+    * or never stored are ignored.
+    */
+  def delete(store: Store, ids: DataFrame,
+      batchId: Option[String] = None): Store = {
+    val spark = ids.sparkSession
+    val idCol = store.idCol
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (settleEntry(spark, fs, store, batchId))
+      return store // this very batch already applied — no-op
+    // append only ids not already tombstoned (evaluated at the write
+    // below, before the append lands — re-runs cannot grow the set)
+    val doomed = ids.select(col(idCol)).distinct()
+    val fresh = store.tombstonesIfAny(spark) match {
+      case None => doomed
+      case Some(t) => doomed.join(t.select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    }
+    fresh.write.mode("append").parquet(store.tombDir)
+    spark.catalog.refreshByPath(store.tombDir)
+    // commit: swap the stage the settle protocol watches — the
+    // effective labels minus the deleted docs (labels(spark) is
+    // already masked against the just-appended tombstones) on a
+    // plain store, the delta minus the deleted docs beside a
+    // bucketed base
+    val commitDir = stageMap(store)("labels")
+    val staged = store.labelsTable match {
+      case Some(_) =>
+        store.deltaIfAny(spark)
+          .map(d => store.tombMask(spark, d, Seq(idCol)))
+          .getOrElse(spark.read.parquet(s"${store.dir}/labels")
+            .filter(lit(false)))
+      case None => store.labels(spark)
+    }
+    staged.write.mode("overwrite").parquet(s"$commitDir.next")
+    StageSwap.swapIn(spark, commitDir)
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store
@@ -404,9 +583,7 @@ object CurationStore {
     // in-flight marker so simultaneous entries collide loudly at the
     // fail-if-exists write. (batchId None: compaction is
     // maintenance, not a batch — it never records `_applied`.)
-    UpdateMarker.settle(s, fs, store.dir, "labels", stageMap(store),
-      batchId = None)
-    StageSwap.recover(s, labelsDir)
+    settleEntry(s, fs, store, batchId = None)
     // snapshot the delta files THIS run folds: only these are
     // removed after the commit. Even if writer discipline is
     // violated and an update swaps a fresh delta in mid-compact,
@@ -417,13 +594,16 @@ object CurationStore {
     val foldedDelta = UpdateMarker.listFiles(fs, store.deltaDir)
     val name = tableNameFor(store.dir)
     val staging = s"${name}_staging"
+    if (store.tombstonesIfAny(s).isDefined)
+      return compactReResolve(s, fs, store, buckets, foldedDelta,
+        labelsDir, name, staging)
     s.sql(s"DROP TABLE IF EXISTS $staging")
     // stage the EFFECTIVE labels (base ∪ delta, or the plain stage)
     // bucketed at labels.next — the read side is untouched while the
     // write runs, the swap below is the commit
     store.labels(s).write.format("parquet")
       .bucketBy(buckets, store.idCol).sortBy(store.idCol)
-      .option("path", s"$labelsDir.next")
+      .option("path", StoreDirs.catalogSafe(s"$labelsDir.next"))
       .mode("overwrite").saveAsTable(staging)
     s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only; files stay
     // drop the catalog entry BEFORE the file commit: between here
@@ -452,6 +632,91 @@ object CurationStore {
     Store(store.dir, store.idCol, Some(name))
   }
 
+  /** [[compact]]'s deletion-aware path, taken when tombstones are
+    * outstanding: removals become PHYSICAL in every stage and the
+    * cluster topology refreshes — after it the store equals a
+    * rebuild without the deleted docs, stage for stage.
+    *
+    *  1. signatures and pairs rewrite through their own stage swaps
+    *     from the MASKED views (rows of deleted docs dropped);
+    *  2. the components fixpoint re-runs over the REMAINING pairs —
+    *     the step that splits clusters a deleted bridge doc held
+    *     together (reader-side masks alone cannot, which is why the
+    *     delete scaladoc defers topology to here);
+    *  3. the re-resolved labels land as the fresh bucketed base
+    *     (the normal compact's DROP..CREATE catalog discipline);
+    *  4. the folded delta and the absorbed tombstone files clear.
+    *
+    * Crash discipline: the held marker is MAINTENANCE-kind (every
+    * listing keyed `.swap` — settlement never heals these stages'
+    * listing diffs, which after the committed swaps ARE the new
+    * data), ordered so the labels swap commits LAST: [[settleEntry]]
+    * rolls an interrupted run BACK (stage recovers; tombstones and
+    * delta still outstanding, masks still serving, a re-run
+    * completes — the already-swapped sig/pairs rewrites are
+    * idempotent no-ops) and rolls a COMMITTED run FORWARD (the
+    * `fold`/`tombfold` listings finish clearing, so a stale delta
+    * row can never override a re-resolved label and re-deleted ids
+    * can never re-mask).
+    */
+  private def compactReResolve(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, store: Store, buckets: Int,
+      foldedDelta: Set[String], labelsDir: String, name: String,
+      staging: String): Store = {
+    val sigDir = s"${store.dir}/signatures"
+    val pairsDir = s"${store.dir}/pairs"
+    val marker = UpdateMarker.markerPath(store.dir)
+    val absorbedTombs = UpdateMarker.listFiles(fs, store.tombDir)
+    // swap the settle-held update-shaped marker for the maintenance
+    // kind: this run's commits are stage swaps, never appends
+    UpdateMarker.delete(fs, marker)
+    UpdateMarker.write(fs, marker, UpdateMarker.State("", Map(
+      "sig.swap" -> UpdateMarker.listFiles(fs, sigDir),
+      "pairs.swap" -> UpdateMarker.listFiles(fs, pairsDir),
+      "labels.swap" -> UpdateMarker.listFiles(fs, labelsDir),
+      "fold" -> foldedDelta, "tombfold" -> absorbedTombs)))
+    // deletion can legitimately EMPTY a stage (every pair touched a
+    // deleted doc) — zero-file parquet dirs can't infer a schema, so
+    // the rewrites below capture their schemas from the pre-rewrite
+    // views and the CREATE below uses the label frame's own schema
+    val pairsSchema = store.pairs(s).schema
+    // 1. physical removal (masked reads; idempotent on re-run)
+    store.signatures(s)
+      .write.mode("overwrite").parquet(s"$sigDir.next")
+    StageSwap.swapIn(s, sigDir)
+    store.pairs(s)
+      .write.mode("overwrite").parquet(s"$pairsDir.next")
+    StageSwap.swapIn(s, pairsDir)
+    // 2. + 3. re-resolve over the remaining pairs, stage bucketed
+    val fixpoint = Dedup.clusters(
+      s.read.schema(pairsSchema).parquet(pairsDir), "a", "b")
+    val labelRows = fixpoint
+      .select(col("id").as(store.idCol), col("cluster"))
+    val labelSchema = labelRows.schema.toDDL
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    labelRows.write.format("parquet")
+      .bucketBy(buckets, store.idCol).sortBy(store.idCol)
+      .option("path", StoreDirs.catalogSafe(s"$labelsDir.next"))
+      .mode("overwrite").saveAsTable(staging)
+    s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    StageSwap.swapIn(s, labelsDir) // the roll-forward commit witness
+    fixpoint.unpersist()
+    // 4. clear what this run folded; cleanup empty stage dirs
+    (foldedDelta ++ absorbedTombs).foreach(f =>
+      StageSwap.remove(fs, new org.apache.hadoop.fs.Path(f)))
+    for (d <- Seq(store.deltaDir, store.tombDir)) {
+      if (UpdateMarker.listFiles(fs, d).isEmpty)
+        StageSwap.remove(fs, new org.apache.hadoop.fs.Path(d))
+      s.catalog.refreshByPath(d)
+    }
+    s.sql(s"CREATE TABLE $name ($labelSchema) USING parquet " +
+      s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
+      s"INTO $buckets BUCKETS LOCATION '$labelsDir'")
+    UpdateMarker.delete(fs, marker)
+    Store(store.dir, store.idCol, Some(name))
+  }
+
   /** Consumer-side label join that keeps the bucketed store's
     * ZERO-exchange shape even while a delta is outstanding: the big
     * corpus-vs-base join stays exchange-free (both sides bucketed by
@@ -466,6 +731,10 @@ object CurationStore {
   def labelJoin(corpus: DataFrame, store: Store): DataFrame = {
     val s = corpus.sparkSession
     val idCol = store.idCol
+    // deleted docs leave every serving join immediately (the labels()
+    // mask, applied here to the bucketed fast paths too — a broadcast
+    // anti-join preserves the base's bucketed partitioning)
+    def masked(df: DataFrame): DataFrame = store.tombMask(s, df, Seq(idCol))
     store.labelsTable match {
       // the tableExists guard mirrors labels(): inside compact()'s
       // re-registration window the join degrades to the plain-scan
@@ -475,7 +744,7 @@ object CurationStore {
       case Some(t) =>
         val base = s.table(t)
         store.deltaIfAny(s) match {
-          case None => corpus.join(base, idCol)
+          case None => masked(corpus.join(base, idCol))
           case Some(delta) if !deltaBroadcastable(s, store) =>
             // delta outgrew the broadcast ceiling (compact() is
             // overdue): the zero-exchange claim is void either way,
@@ -483,10 +752,10 @@ object CurationStore {
             // OOMing a broadcast (see [[DeltaBroadcastMaxBytes]])
             corpus.join(store.labels(s), idCol)
           case Some(delta) =>
-            corpus.join(base, idCol)
+            masked(corpus.join(base, idCol)
               .join(broadcast(delta.select(col(idCol))),
                 Seq(idCol), "left_anti")
-              .unionByName(corpus.join(broadcast(delta), idCol))
+              .unionByName(corpus.join(broadcast(delta), idCol)))
         }
     }
   }

@@ -334,7 +334,7 @@ object TextIndexStore {
       .repartition(col("token"), pmod(hash(col(idCol)), lit(saltOf(s))))
       .write.format("parquet")
       .bucketBy(buckets, "token").sortBy("token")
-      .option("path", path)
+      .option("path", StoreDirs.catalogSafe(path))
       .mode("overwrite").saveAsTable(table)
   }
 

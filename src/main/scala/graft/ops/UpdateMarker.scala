@@ -100,9 +100,18 @@ object UpdateMarker {
     def files(dir: String): Set[String] = listFiles(fs, dir)
     val sameBatchApplied = read(fs, marker).map { prior =>
       // rollback restored the snapshotted names, a committed swap
-      // replaced them — listing equality decides commitment
+      // replaced them — listing equality decides commitment. The
+      // durable `_applied` record is an INDEPENDENT commit witness
+      // (written only after the swap): it covers the one shape
+      // listing equality cannot — a commit stage whose swap replaced
+      // zero parquet files (e.g. a bucketed store's empty label
+      // delta), where healing the side-stage appends of a batch that
+      // DID commit would throw its rows away while reporting the
+      // batch applied.
       val committed = files(stages(commitStage)) !=
-        prior.listings.getOrElse(commitStage, Set.empty[String])
+          prior.listings.getOrElse(commitStage, Set.empty[String]) ||
+        (prior.batchId.nonEmpty &&
+          readApplied(fs, storeDir).contains(prior.batchId))
       // a MAINTENANCE writer's marker (listings keyed `<stage>.swap`
       // — a compact): its rewrites commit through [[StageSwap]] on
       // stages the commit-stage listing does not witness, and its

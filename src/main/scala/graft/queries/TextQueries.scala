@@ -492,6 +492,20 @@ object TextQueries {
       | UNION SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y)"""
       .stripMargin
 
+  /** [[duckClusterCtes]] over a RESTRICTED corpus — the rebuild-
+    * without-deleted-docs truth q162 compares a delete-then-compact
+    * store against. The corpus appears exactly once in the chain
+    * (the shingle CTE's inner scan); the guard keeps the rewrite
+    * honest if that ever changes.
+    */
+  private def duckClusterCtesFor(where: String): String = {
+    val from = "FROM documents)"
+    require(duckClusterCtes.sliding(from.length).count(_ == from) == 1,
+      "duckClusterCtes corpus scan is no longer unique — " +
+        "parameterize explicitly")
+    duckClusterCtes.replace(from, s"FROM documents WHERE $where)")
+  }
+
   /** Dedup cluster resolution: near-dup candidate PAIRS → connected
     * components via iterative min-label propagation
     * ([[graft.ops.Dedup.clusters]]). One row per clustered doc with
@@ -2838,6 +2852,59 @@ object TextQueries {
     * delete-then-COMPACT == rebuild physically (all three stages)
     * and the re-add guard.
     */
+  /** Deletion in the curation store
+    * ([[graft.ops.CurationStore.delete]] → [[graft.ops.CurationStore
+    * .compact]]): build the three stages over the full corpus,
+    * DELETE every eleventh doc, compact (removals become physical
+    * in every stage and the components fixpoint RE-RESOLVES over
+    * the remaining pairs — the step that splits clusters a deleted
+    * bridge doc held together), then emit the q125 per-stage
+    * summary. The oracle recomputes every stage from the corpus
+    * minus the deleted slice, so the hash IS the proof that
+    * delete-then-compact equals a rebuild without those docs —
+    * membership, pairs AND topology. CurationStoreSpec pins the
+    * stage-by-stage frames, the pre-compact masked serving, the
+    * bridge-split case and the re-add guard.
+    */
+  val q162 = Q("q162_curation_delete",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val st = CurationStore.build(docs, "doc_id", "text",
+        CurationStore.storeDirFor(dir, "-del"))
+      CurationStore.delete(st,
+        docs.filter(col("doc_id") % 11 === 5).select("doc_id"),
+        batchId = Some("takedown-11-5"))
+      val store = CurationStore.compact(s, st, buckets = 8)
+      val remaining = docs.filter(col("doc_id") % 11 =!= 5)
+      val stats = remaining
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(store.signatures(s)
+          .agg(count(lit(1)).as("n_signed"))))
+        .crossJoin(broadcast(store.pairs(s)
+          .agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(store.labels(s)
+          .agg(count(lit(1)).as("n_labeled"),
+            countDistinct("cluster").as("n_clusters"))))
+      stats.withColumn("n_survivors",
+          col("n_docs") - col("n_labeled") + col("n_clusters"))
+        .select("n_docs", "n_signed", "n_pairs", "n_labeled",
+          "n_clusters", "n_survivors")
+    },
+    Some(s"""WITH RECURSIVE ${duckClusterCtesFor("doc_id % 11 <> 5")},
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |c AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 11 <> 5) AS n_docs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_signed,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_labeled,
+      |  (SELECT CAST(count(DISTINCT cluster) AS BIGINT) FROM lab)
+      |    AS n_clusters)
+      |SELECT n_docs, n_signed, n_pairs, n_labeled, n_clusters,
+      | n_docs - n_labeled + n_clusters AS n_survivors
+      |FROM c""".stripMargin))
+
   val q160 = Q("q160_text_index_delete",
     (s, dir) => {
       val docs = table(s, dir, "documents")
@@ -2860,5 +2927,5 @@ object TextQueries {
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135, q137, q138, q139, q140, q141, q153, q157, q159, q160)
+      q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162)
 }

@@ -443,4 +443,123 @@ class CurationStoreSpec extends SparkSpec {
         "left_anti").isEmpty,
       "a cluster's canonical id is missing its own label row")
   }
+
+  test("delete masks membership immediately (labels/sig/pairs/" +
+      "labelJoin); delete-then-compact == rebuild without the docs, " +
+      "stage by stage; re-add guarded; replay a no-op") {
+    val doomPred = col("doc_id") % 11 === 5
+    val doomed = docs.filter(doomPred).select("doc_id")
+    val st = CurationStore.build(docs, "doc_id", "text", s"$tmp-del")
+    CurationStore.delete(st, doomed, Some("takedown"))
+    // membership masks on every read surface
+    for ((df, what) <- Seq(
+        (st.labels(spark).select(col("doc_id")), "labels"),
+        (st.signatures(spark).select(col("doc_id")), "signatures"),
+        (st.pairs(spark).select(col("a").as("doc_id")), "pairs.a"),
+        (st.pairs(spark).select(col("b").as("doc_id")), "pairs.b"),
+        (CurationStore.labelJoin(docs, st).select(col("doc_id")),
+          "labelJoin")))
+      assert(df.join(doomed, Seq("doc_id"), "left_semi").isEmpty,
+        s"$what still serves a deleted doc")
+    // replay (keyed) and re-run (keyless) grow nothing
+    val tombCount = spark.read.parquet(st.tombDir).count()
+    CurationStore.delete(st, doomed, Some("takedown"))
+    CurationStore.delete(st, doomed)
+    assert(spark.read.parquet(st.tombDir).count() == tombCount)
+    // re-adding a tombstoned id fails loudly until compact
+    val e = intercept[IllegalArgumentException] {
+      CurationStore.update(st, docs.filter(doomPred).limit(2), "text")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // an update of genuinely new docs COMPOSES with the outstanding
+    // tombstones: the batch must not pair against deleted signatures
+    val st2 = CurationStore.build(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", s"$tmp-del-compose")
+    CurationStore.delete(st2,
+      docs.filter(col("doc_id") % 3 =!= 0 && doomPred)
+        .select("doc_id"))
+    CurationStore.update(st2,
+      docs.filter(col("doc_id") % 3 === 0 && !doomPred), "text")
+    assert(st2.pairs(spark)
+      .select(col("a").as("doc_id")).union(
+        st2.pairs(spark).select(col("b").as("doc_id")))
+      .join(doomed, Seq("doc_id"), "left_semi").isEmpty,
+      "an update paired new docs against deleted signatures")
+    // compact re-resolves: the store now equals a rebuild WITHOUT
+    // the deleted docs, stage for stage (topology included — any
+    // cluster a deleted bridge doc held together splits here)
+    val compacted = CurationStore.compact(spark, st, buckets = 4)
+    assert(compacted.tombstonesIfAny(spark).isEmpty,
+      "tombstones survived compact")
+    val without = CurationStore.build(docs.filter(!doomPred),
+      "doc_id", "text", s"$tmp-del-rebuild")
+    assertFrameEqual(compacted.signatures(spark),
+      without.signatures(spark), "post-compact signatures")
+    assertFrameEqual(compacted.pairs(spark), without.pairs(spark),
+      "post-compact pairs")
+    assertFrameEqual(compacted.labels(spark), without.labels(spark),
+      "post-compact labels")
+    // the ids are free again after compact
+    CurationStore.update(compacted, docs.filter(doomPred), "text")
+    assertFrameEqual(compacted.signatures(spark),
+      CurationStore.build(docs, "doc_id", "text", s"$tmp-del-full")
+        .signatures(spark),
+      "re-added signatures")
+  }
+
+  test("deleting a BRIDGE doc splits its cluster at compact " +
+      "(planted near-dup chain A~B~C where A,C differ)") {
+    import spark.implicits._
+    // B is A's text followed by C's text: with word-3-gram shingles
+    // J(A,B) = J(B,C) = 0.4 and J(A,C) = 0 (no shared shingle).
+    // 16 one-row bands make the J=0.4 candidates near-certain while
+    // the estimate cut (0.2) still rejects the A~C noise floor.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val c = "one two three four five six"
+    val b = s"$a $c"
+    val planted = Seq((1L, a), (2L, b), (3L, c),
+      (10L, "completely different text here now okay"),
+      (11L, "another unrelated document goes right there"))
+      .toDF("doc_id", "text")
+    val st = CurationStore.build(planted, "doc_id", "text",
+      s"$tmp-bridge", numHashes = 16, numBands = 16, minEst = 0.2)
+    val lab0 = st.labels(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // precondition: the chain is one cluster through B
+    assume(lab0.get(1L).isDefined && lab0.get(3L).isDefined &&
+      lab0(1L) == lab0(3L), s"fixture did not chain: $lab0")
+    val directAC = st.pairs(spark)
+      .filter((col("a") === 1L && col("b") === 3L) ||
+        (col("a") === 3L && col("b") === 1L)).isEmpty
+    assume(directAC, "fixture has a direct A~C pair; bridge test void")
+    CurationStore.delete(st, Seq(2L).toDF("doc_id"))
+    // masked serving still shows the STALE merge (documented: the
+    // topology refreshes at compact)
+    val lab1 = st.labels(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!lab1.contains(2L), "deleted doc still labeled")
+    val compacted = CurationStore.compact(spark, st, buckets = 2)
+    val lab2 = compacted.labels(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!lab2.contains(2L))
+    // the split: A and C no longer share a cluster (here they drop
+    // out of the labels entirely — no pair remains, and labels cover
+    // only paired docs, the store's standing contract)
+    assert(!(lab2.contains(1L) && lab2.contains(3L) &&
+        lab2(1L) == lab2(3L)),
+      s"bridge deletion did not split the cluster: $lab2")
+    // and the store equals a rebuild without the bridge doc: the
+    // remaining corpus has no qualifying pair (A~C share nothing,
+    // the fillers match nothing), so the rebuild's labels are EMPTY
+    // — which is exactly what the re-resolve produced
+    assert(lab2.isEmpty,
+      s"post-compact labels differ from the rebuild's (expected " +
+        s"empty): $lab2")
+    val remainingPairs = Dedup.minhashEstimatePairs(
+        planted.filter(col("doc_id") =!= 2L), "doc_id", "text",
+        numHashes = 16, numBands = 16)
+      .filter(col("est_jaccard") >= 0.2)
+    assert(remainingPairs.isEmpty,
+      "fixture assumption broken: the remaining corpus has pairs")
+  }
 }
