@@ -95,6 +95,32 @@ object AnnIndexScaling {
       measure(sf, "compact", Map("vecs" -> (nHist + 100))) {
         ops.AnnIndexStore.compact(spark, idx)
       }(idx.codes(spark).count())
+      // staleness probe: |sample| × corpus brute-force yardstick +
+      // one stored-index serve — the documented probe-cadence cost
+      // (grows with the corpus, which is why it runs on a sample at
+      // monitoring cadence, never per query)
+      val probeQ = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      measure(sf, "recall_probe", Map("vecs" -> (nHist + 100))) {
+        ops.AnnIndexStore.recallProbe(spark, idx, emb, probeQ,
+          "qid", "embedding", k = 10).collect()
+      }(probeQ.count())
+      // two-stage serve: ADC shortlist + exact re-rank — the
+      // corpus-side cost is ONE scan joined against the broadcast
+      // shortlist, so growth tracks the corpus scan, not a shuffle
+      measure(sf, "refine_serve", Map("shortlist" -> 50)) {
+        ops.AnnIndexStore.searchRefined(spark, idx, emb, probeQ,
+          "qid", "embedding", k = 10, shortlist = 50).collect()
+      }(probeQ.count())
+      // deletion: tombstone append — O(batch), corpus untouched
+      measure(sf, "delete_batch100", Map("batch" -> 100)) {
+        ops.AnnIndexStore.delete(idx,
+          batch.select("vec_id"), batchId = Some(s"del-$sf"))
+      } {
+        val n = idx.codes(spark).count()
+        require(n == nHist, "delete did not mask the batch")
+        n
+      }
       var rebuilt: ops.AnnIndexStore.Index = null
       measure(sf, "rebuild_full", Map("vecs" -> (nHist + 100))) {
         rebuilt = ops.AnnIndexStore.build(emb, "vec_id", "embedding",

@@ -468,6 +468,127 @@ object AnnIndexStore {
     Similarity.pqRank(joined, idx.idCol, idx.m, k)
   }
 
+  /** Exact re-rank REFINE over stored-index serving — the standard
+    * two-stage retrieval (the q116 JL-funnel pattern applied to the
+    * store): [[search]] prices candidates from 2·m bytes of PQ code,
+    * so its top-k can miss true neighbors that its SHORTLIST still
+    * contains; refine fetches the shortlist survivors' ORIGINAL
+    * vectors and re-ranks by exact squared euclidean. Emits
+    * (qid, idCol, dist, rank ≤ k), deterministic (dist, id)
+    * tiebreak. Recall dominance is structural: the refined top-k is
+    * the exact ranking of the shortlist, and the ADC top-k is a
+    * subset of that same shortlist — so against the exact truth,
+    * refine's hits ⊇ ADC's at every (nprobe, shortlist)
+    * (spec-asserted per query). This makes `shortlist` a second
+    * recall dial beside nprobe, one that costs NO extra probed
+    * cells.
+    *
+    * `corpus` must hold (idCol, vecCol) for the indexed vectors —
+    * the store keeps codes, not raw vectors (PQ's compression
+    * contract), so refine joins back to the source table exactly as
+    * a deployed two-stage retrieval does. Scale shape: the corpus is
+    * scanned ONCE and never shuffled — the bounded |Q|·shortlist id
+    * set broadcasts into a semi-join against it, queries broadcast
+    * for the distance eval, and the final per-query window ranks
+    * ≤ shortlist rows per query. Deleted ids never reach the
+    * shortlist ([[search]] masks them), so a stale corpus row for a
+    * deleted id is never fetched.
+    */
+  def searchRefined(s: SparkSession, idx: Index, corpus: DataFrame,
+      queries: DataFrame, qidCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k)")
+    val sl = search(s, idx, queries, qidCol, vecCol, shortlist, nprobe)
+      .select(col("qid"), col(idx.idCol))
+    val base = corpus.select(col(idx.idCol),
+      col(vecCol).cast("array<double>").as("_e"))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast("array<double>").as("_q"))
+    val d = round(Similarity.dot(col("_q"), col("_q")) -
+      lit(2.0) * Similarity.dot(col("_q"), col("_e")) +
+      Similarity.dot(col("_e"), col("_e")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist").asc, col(idx.idCol).asc)
+    base.join(broadcast(sl), idx.idCol)
+      .join(broadcast(q), "qid")
+      .withColumn("dist", d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idx.idCol), col("dist"), col("rank"))
+  }
+
+  /** Index-STALENESS probe — the missing dial in the build → add →
+    * add → … loop: [[add]] encodes new vectors with FROZEN models,
+    * so as the ingested distribution drifts away from the training
+    * snapshot, coarse routing degrades (drifted vectors pile into
+    * whichever stale cell is least far) and the PQ codebooks stop
+    * discriminating (distant vectors saturate to the same
+    * codewords). This probe MEASURES that decay instead of hoping:
+    * it runs the stored-index [[search]] on a query sample and
+    * compares against the exact squared-euclidean top-k over the
+    * CURRENT corpus, emitting ONE row —
+    * (snapshot, n_queries, mean_recall, min_recall) — appended to
+    * the index's `recall_log` stage when `snapshot` is non-empty
+    * (q129's one-row-per-snapshot monitoring discipline, vector
+    * tier). The operational loop reads the log and triggers
+    * [[build]] (the re-train) when mean recall crosses its floor;
+    * the spec's planted-drift fixture shows adds from a shifted
+    * distribution dragging the probe down and a rebuild restoring
+    * it.
+    *
+    * Cost: ONE brute-force pass |sample|·|corpus| (broadcast
+    * queries, partial-aggregate top-k per query — the q27 shape),
+    * which is why it runs on a SAMPLE at probe cadence, never per
+    * query. The probe only reads the store and appends to its own
+    * log stage — it is not a store writer in the
+    * [[UpdateMarker]] sense (the log is advisory monitoring data;
+    * a duplicated append from a crashed probe re-run skews no
+    * serving result).
+    */
+  def recallProbe(s: SparkSession, idx: Index, corpus: DataFrame,
+      queries: DataFrame, qidCol: String, vecCol: String, k: Int = 10,
+      nprobe: Int = 1, snapshot: String = ""): DataFrame = {
+    val approx = search(s, idx, queries, qidCol, vecCol, k, nprobe)
+      .select(col("qid"), col(idx.idCol))
+    val base = corpus.select(col(idx.idCol),
+      col(vecCol).cast("array<double>").as("_e"))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast("array<double>").as("_q"))
+    val d = round(Similarity.dot(col("_q"), col("_q")) -
+      lit(2.0) * Similarity.dot(col("_q"), col("_e")) +
+      Similarity.dot(col("_e"), col("_e")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_d").asc, col(idx.idCol).asc)
+    val exact = base.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col(idx.idCol))
+      .withColumn("_d", d)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col(idx.idCol))
+    val hits = exact.join(approx, Seq("qid", idx.idCol), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("_h"))
+    val row = q.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        (coalesce(col("_h"), lit(0L)) / k.toDouble).as("_r"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg("_r"), 6).as("mean_recall"),
+        round(min("_r"), 6).as("min_recall"))
+      .select(lit(snapshot).as("snapshot"), col("n_queries"),
+        col("mean_recall"), col("min_recall"))
+    if (snapshot.nonEmpty) {
+      row.write.mode("append").parquet(s"${idx.dir}/recall_log")
+      s.catalog.refreshByPath(s"${idx.dir}/recall_log")
+      s.read.parquet(s"${idx.dir}/recall_log")
+        .filter(col("snapshot") === snapshot)
+    } else row
+  }
+
+  /** The probe history — one row per [[recallProbe]] snapshot. */
+  def recallLog(s: SparkSession, idx: Index): DataFrame =
+    s.read.parquet(s"${idx.dir}/recall_log")
+
   // ---- session-lifetime index per corpus directory ----------------
 
   private val built =

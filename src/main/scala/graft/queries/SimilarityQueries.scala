@@ -1501,8 +1501,48 @@ object SimilarityQueries {
     Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10,
       encWhere = "vec_id % 10 != 6")))
 
+  /** Exact re-rank refine on stored-index serving
+    * ([[graft.ops.AnnIndexStore.searchRefined]] — the q116 funnel
+    * applied to the persisted index): the ADC shortlist (top-50 at
+    * nprobe 1) fetches its ORIGINAL vectors from the corpus and
+    * re-ranks by exact squared euclidean, top-10. The oracle
+    * recomputes the whole two-stage funnel — trainer chains, ADC
+    * shortlist, exact re-rank — so the hash pins both stages and
+    * their composition. Recall dominance over plain ADC at the same
+    * nprobe is structural (the refined top-k is the exact ranking
+    * of a superset of the ADC top-k) and AnnIndexStoreSpec asserts
+    * it per query against the exact truth.
+    */
+  val q163 = {
+    val exactDist =
+      s"round((${dotSql("q.embedding", "q.embedding")})" +
+        s" - 2*(${dotSql("q.embedding", "b.embedding")})" +
+        s" + (${dotSql("b.embedding", "b.embedding")}), 6)"
+    Q("q163_ann_index_refine",
+      (s, dir) => {
+        val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 100 === 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        graft.ops.AnnIndexStore.searchRefined(s, idx, emb, queries,
+            "qid", "embedding", k = 10, nprobe = 1, shortlist = 50)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH ${IvfPqSql.ctes("vec_id % 100 = 3")},
+        |sl AS MATERIALIZED (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc)
+        | WHERE rank <= 50)
+        |SELECT qid, vec_id, dist, CAST(row_number() OVER (
+        |  PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rank
+        |FROM (SELECT sl.qid, sl.vec_id, $exactDist AS dist
+        |  FROM sl JOIN embeddings b ON b.vec_id = sl.vec_id
+        |   JOIN embeddings q ON q.vec_id = sl.qid)
+        |QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+  }
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161)
+    q161, q163)
 }

@@ -313,6 +313,108 @@ class AnnIndexStoreSpec extends SparkSpec {
       "batchId replay re-appended rows")
   }
 
+  test("refine dominates plain ADC recall per query at the same " +
+      "nprobe, and equals the exact ranking of the shortlist") {
+    val k = 10
+    val approx = search(idx).select(col("qid"), col("vec_id"))
+    val refined = AnnIndexStore.searchRefined(spark, idx, emb,
+      queries, "qid", "embedding", k, nprobe = 1, shortlist = 50)
+    // exact truth: brute-force squared-euclidean top-k per query
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("_e"))
+    val q = queries.select(col("qid"),
+      col("embedding").cast("array<double>").as("_q"))
+    val d = round(Similarity.dot(col("_q"), col("_q")) -
+      lit(2.0) * Similarity.dot(col("_q"), col("_e")) +
+      Similarity.dot(col("_e"), col("_e")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_d").asc, col("vec_id").asc)
+    val exact = base.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("_d", d).withColumn("_rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") <= k).select("qid", "vec_id")
+    def hitsOf(res: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      exact.join(res.select("qid", "vec_id"), Seq("qid", "vec_id"),
+          "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ha = hitsOf(approx)
+    val hr = hitsOf(refined)
+    val qids = queries.select("qid").collect().map(_.getLong(0))
+    for (qid <- qids)
+      assert(hr.getOrElse(qid, 0L) >= ha.getOrElse(qid, 0L),
+        s"refine lost recall on query $qid: " +
+          s"${hr.getOrElse(qid, 0L)} < ${ha.getOrElse(qid, 0L)}")
+    assert(hr.values.sum >= ha.values.sum)
+    // structural identity: refined top-k == exact ranking of the
+    // ADC shortlist (so every recall gain comes from the re-rank,
+    // not from extra candidates)
+    val sl = AnnIndexStore.search(spark, idx, queries, "qid",
+      "embedding", k = 50).select("qid", "vec_id")
+    val wSl = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_d").asc, col("vec_id").asc)
+    val exactOfShortlist = base.join(sl, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("_d", d).withColumn("_rn",
+        org.apache.spark.sql.functions.row_number().over(wSl))
+      .filter(col("_rn") <= k).select("qid", "vec_id")
+    assertFrameEqual(refined.select("qid", "vec_id"), exactOfShortlist,
+      "refined vs exact-of-shortlist")
+  }
+
+  test("recallProbe measures staleness: adds from a shifted " +
+      "distribution drag recall down, a rebuild restores it, the " +
+      "log keeps one row per snapshot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // CLUSTERED corpus (10 near-identical members per cluster): a
+    // query's true neighbors are its cluster-mates, so a WELL-FIT
+    // index routes them into one cell and recall is high — which is
+    // what makes the stale index's collapse measurable
+    def vecs(ids: Range, offset: Double) = {
+      val centers = ids.map(_ / 10).distinct
+        .map(c => c -> Array.fill(64)(rnd.nextDouble() + offset)).toMap
+      ids.map(i => (i.toLong, centers(i / 10)
+          .map(v => (v + rnd.nextDouble() * 0.01).toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    val baseCorpus = vecs(0 until 400, 0.0)
+    val shifted = vecs(1000 until 1200, 5.0)
+    val all = baseCorpus.unionByName(shifted)
+    val dir = s"$tmp/drift"
+    val (cp, sp, m, sub, it) = dials
+    val st = AnnIndexStore.build(baseCorpus, "vec_id", "embedding",
+      dir, cp, sp, m, sub, it)
+    AnnIndexStore.add(st, shifted, "embedding")
+    // probe with queries drawn from the DRIFTED region against the
+    // CURRENT corpus: frozen models route and price them badly
+    val probeQ = shifted.filter(col("vec_id") % 10 === 1)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val stale = AnnIndexStore.recallProbe(spark, st, all, probeQ,
+      "qid", "embedding", k = 10, snapshot = "after-drift-add")
+      .collect().head
+    val staleRecall = stale.getDouble(2)
+    // re-train over the current corpus (same id-based dials — the
+    // shifted slice now funds centroids and seeds) and re-probe
+    val rebuilt = AnnIndexStore.build(all, "vec_id", "embedding",
+      dir, cp, sp, m, sub, it)
+    val restored = AnnIndexStore.recallProbe(spark, rebuilt, all,
+      probeQ, "qid", "embedding", k = 10, snapshot = "after-rebuild")
+      .collect().head
+    val restoredRecall = restored.getDouble(2)
+    assert(staleRecall < restoredRecall,
+      s"drift did not show: stale=$staleRecall restored=$restoredRecall")
+    assert(restoredRecall - staleRecall >= 0.2,
+      s"drift signal too weak to act on: stale=$staleRecall " +
+        s"restored=$restoredRecall")
+    // the log carries the progression, one row per snapshot
+    val log = AnnIndexStore.recallLog(spark, rebuilt)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(log.keySet == Set("after-drift-add", "after-rebuild"))
+    assert(log("after-rebuild") > log("after-drift-add"))
+  }
+
   test("delete masks search immediately; delete-then-compact == " +
       "original codes minus the deleted rows (frozen models); " +
       "re-add guarded until compact; replay a no-op") {
