@@ -676,6 +676,86 @@ object StreamQueries {
     },
     SimilarityQueries.indexServeOracle)
 
+  /** Streaming maintenance of the TEXT INDEX — the q131 discipline
+    * applied to [[graft.ops.TextIndexStore]]: the store builds over
+    * the first corpus slice in batch, then the remaining slices
+    * arrive as genuine micro-batches and each `foreachBatch` folds
+    * its batch in through [[graft.ops.TextIndexStore.update]] with
+    * the EPOCH ID as the idempotence key, so a micro-batch whose
+    * stats swap committed but whose checkpoint never advanced
+    * no-ops on replay instead of double-counting the exact BIGINT
+    * counters (StreamIndexSpec fabricates that crash and proves
+    * both directions). Shared with the spec, which also needs the
+    * handle for stage-by-stage rebuild comparison.
+    */
+  def streamTextIndex(s: SparkSession, dir: String,
+      storeDir: String): graft.ops.TextIndexStore.Index = {
+    val docs = Registry.table(s, dir, "documents")
+      .select("doc_id", "text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-q164-in")
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-q164-ckpt")
+    val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      (1 until 4).foreach { i =>
+        graft.ark.Ark.writeSingleFile(
+          docs.filter(col("doc_id") % 4 === i),
+          s"$inDir/slice$i.parquet")
+      }
+      // slice 0 seeds the store in batch (an EMPTY seed would start
+      // the exact counters from a null sum); every later slice
+      // arrives through the streaming update path
+      val idx = graft.ops.TextIndexStore.build(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        storeDir)
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[
+               org.apache.spark.sql.Row], epochId: Long) =>
+              graft.ops.TextIndexStore.update(idx, batch.toDF(),
+                "text", batchId = Some(s"epoch-$epochId"))
+              ()
+          }
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      idx
+    } finally Seq(inDir, ckptDir).foreach(deleteRecursively)
+  }
+
+  /** The stream-maintained text index must equal a batch rebuild
+    * BIT-FOR-BIT — postings and doc-lengths are per-document
+    * derivations, the counters fold additively in exact BIGINTs —
+    * so unlike the sketch-bearing q131 this streaming loop carries
+    * q159's FULL DuckDB oracle: the served per-token summary is
+    * hash-checked against a from-scratch recompute over the whole
+    * raw corpus.
+    */
+  val q164 = Q("q164_stream_text_index",
+    (s, dir) => {
+      val idx = streamTextIndex(s, dir,
+        graft.ops.TextIndexStore.indexDirFor(dir, "-stream"))
+      idx.postings(s).groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+        .orderBy("token")
+    },
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM (SELECT doc_id, token, count(*) AS tf
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |       FROM documents)
+      | GROUP BY doc_id, token)
+      |GROUP BY token ORDER BY token""".stripMargin))
+
   val qs: Seq[Q] =
-    Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131, q147, q155)
+    Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131, q147,
+      q155, q164)
 }
