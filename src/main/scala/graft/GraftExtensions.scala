@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // .asofJoinNative) into the merge-walk AsOfJoinExec; a no-op on
     // every other plan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // the operator's SQL front door: a table-valued function over
+    // the same logical node (graft.plans.AsOfSql) — TABLE(...) args
+    // or view-name string literals
+    ext.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(graft.plans.AsOfSql.getClass.getName,
+        "asof_join"),
+      (args: Seq[Expression]) => graft.plans.AsOfSql.build(args)))
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),
