@@ -422,7 +422,45 @@ object AnnIndexStore {
     */
   def search(s: SparkSession, idx: Index, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    searchImpl(s, idx, queries, qidCol, vecCol, k, nprobe, None)
+
+  /** FILTERED serving — top-k among the vectors whose ids are in
+    * `allowed` (one column named `idCol`): the "search within
+    * lang = 'en' / license = permissive / source = wiki" shape every
+    * deployed retrieval service grows, answered as a PRE-filter, not
+    * a post-filter. A post-filter (rank corpus-wide, then drop
+    * disallowed rows) under-fills k whenever a query's neighborhood
+    * is dominated by disallowed vectors — the classic filtered-ANN
+    * failure; here the allowed-id mask lands on the CANDIDATE rows
+    * inside the probed cells (a semi-join between the pruned codes
+    * scan and `allowed`), so the ADC ranking itself runs over
+    * allowed vectors only and k fills whenever the probed cells hold
+    * k allowed members. Results are exactly [[search]]'s semantics
+    * with the index corpus restricted to `allowed` while every MODEL
+    * stays frozen corpus-wide (centroids, codebooks, the query's
+    * probe routing) — the same frozen-models contract as [[delete]],
+    * and the q166 oracle is literally the deletion oracle's
+    * `encWhere` with the predicate flipped to the allowed set.
+    *
+    * Scale shape: the mask joins AFTER partition pruning, so the
+    * scan still reads only probed cells; the filter side ships as a
+    * plain equi-join for Catalyst/AQE to broadcast when small (an
+    * id-list predicate would bloat the plan; a forced broadcast
+    * would OOM on a 10^9-id allow-list — the [[TombBroadcastMaxBytes]]
+    * lesson, left to AQE here because `allowed` is a caller frame
+    * with no on-disk size to inspect). Tombstones still mask through
+    * [[Index.codes]] underneath.
+    */
+  def searchFiltered(s: SparkSession, idx: Index, allowed: DataFrame,
+      queries: DataFrame, qidCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame =
+    searchImpl(s, idx, queries, qidCol, vecCol, k, nprobe,
+      Some(allowed))
+
+  private def searchImpl(s: SparkSession, idx: Index,
+      queries: DataFrame, qidCol: String, vecCol: String, k: Int,
+      nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = idx.centroids(s)
@@ -454,10 +492,18 @@ object AnnIndexStore {
     val probed = qcells.select(col("_qcell")).distinct()
       .limit(maxCells + 1).collect().map(_.getLong(0)).toSeq
     val scan = idx.codes(s)
-    val pruned =
+    val prunedAll =
       if (probed.size <= maxCells)
         scan.filter(col("cell").isInCollection(probed))
       else scan // probe list outgrew the ceiling: correct, unpruned
+    // the allowed-id mask sits ABOVE the pruned scan (pruning
+    // predicates still bind) and BELOW the ranking (pre-filter
+    // semantics: k fills from allowed candidates)
+    val pruned = allowed match {
+      case None => prunedAll
+      case Some(a) => prunedAll.join(
+        a.select(col(idx.idCol)).distinct(), Seq(idx.idCol), "left_semi")
+    }
     val cand = pruned.join(broadcast(qcells),
       col("cell") === col("_qcell") && col("qid") =!= col(idx.idCol))
     val joined = dts.zipWithIndex.foldLeft(cand) {

@@ -1278,9 +1278,47 @@ object Relational {
       |  ON e.event_type = d.event_type AND e.ts >= d.ts
       |ORDER BY e.event_id""".stripMargin))
 
+  /** The native as-of join through its round-14 SQL front door —
+    * q142's attribution join issued as `FROM asof_join(TABLE(...),
+    * TABLE(...), 'user_id', 'ts', 'backward')`
+    * ([[graft.plans.AsOfSql]]), oracled by DuckDB's own `ASOF LEFT
+    * JOIN`: the SQL surface proven against an independent engine's
+    * NATIVE as-of semantics, not just against our DataFrame path
+    * (that equality is AsOfSqlSpec's job). The TVF deliberately
+    * carries no tiebreak dial, so the right side pre-aggregates
+    * clicks to max(value) per (user_id, ts) — ties resolved in the
+    * QUERY, identically on both engines. The physical plan is the
+    * same AsOfJoinExec as q142: two clustered exchanges, one merge
+    * walk, no window, O(1) state per key.
+    */
+  val q165 = Q("q165_asof_sql",
+    (s, dir) => {
+      Registry.events(s, dir).createOrReplaceTempView("q165_events")
+      s.sql("""SELECT event_id, user_id, ts, click_ts, click_value
+        |FROM asof_join(
+        |  TABLE(SELECT event_id, user_id, ts FROM q165_events
+        |        WHERE event_type = 'purchase'),
+        |  TABLE(SELECT user_id, ts, ts AS click_ts,
+        |               max(value) AS click_value
+        |        FROM q165_events WHERE event_type = 'click'
+        |        GROUP BY user_id, ts),
+        |  'user_id', 'ts', 'backward')
+        |ORDER BY event_id""".stripMargin)
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+      |       WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, max(value) AS click_value
+      |      FROM events WHERE event_type = 'click'
+      |      GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+      |       c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q33, q34, q36, q37, q71, q72, q73, q76, q77,
       q80, q81, q87, q88, q89, q93, q94, q97, q98, q103, q104, q105,
-      q122, q130, q142, q143, q144, q145)
+      q122, q130, q142, q143, q144, q145, q165)
 }

@@ -1541,8 +1541,38 @@ object SimilarityQueries {
         |QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
   }
 
+  /** FILTERED stored-index serving
+    * ([[graft.ops.AnnIndexStore.searchFiltered]]): top-10 among the
+    * vectors in an ALLOWED id set (here vec_id % 3 = 0 — the
+    * "license = permissive" slice), the metadata-constrained search
+    * every deployed retrieval service grows. PRE-filter semantics:
+    * the allow mask semi-joins the candidate rows inside the probed
+    * cells, so the ADC ranking runs over allowed vectors only and k
+    * fills whenever the probed cells hold 10 allowed members — a
+    * post-filter would under-fill exactly where the neighborhood is
+    * dominated by disallowed vectors. Models stay frozen
+    * corpus-wide, which is why the oracle is the deletion oracle's
+    * `encWhere` with the predicate flipped to the allowed set;
+    * nprobe = 2 keeps the query-side probe routing corpus-wide in
+    * BOTH engines (the qprobe CTE — queries need not be allowed
+    * themselves).
+    */
+  val q166 = Q("q166_ann_filtered_search",
+    (s, dir) => {
+      val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.AnnIndexStore.searchFiltered(s, idx,
+          emb.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          queries, "qid", "embedding", k = 10, nprobe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10, nprobe = 2,
+      encWhere = "vec_id % 3 = 0")))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163)
+    q161, q163, q166)
 }

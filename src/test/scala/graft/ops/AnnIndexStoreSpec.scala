@@ -464,4 +464,50 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(search(st).collect().map(_.toString).toSet == preServe,
       "re-add did not restore the original serving")
   }
+
+  test("searchFiltered: pre-filter semantics — allowed-only results, " +
+      "degenerate allow == search, tombstones still mask, pruning " +
+      "survives the mask") {
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val res = AnnIndexStore.searchFiltered(spark, idx, allowed,
+      queries, "qid", "embedding", k = 10, nprobe = 2)
+    // every served id is allowed, and the ranking is dense per query
+    assert(res.join(allowed, Seq("vec_id"), "left_anti").isEmpty,
+      "a disallowed vector was served")
+    val badRank = res.groupBy("qid").agg(
+        max("rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(badRank.isEmpty, "rank is not dense per query")
+    // PRE-filter, not post-filter: dropping disallowed ids from the
+    // unfiltered top-10 must lose candidates somewhere that the
+    // pre-filter backfills from deeper in the probed cells
+    val post = AnnIndexStore.search(spark, idx, queries, "qid",
+        "embedding", k = 10, nprobe = 2)
+      .join(allowed, Seq("vec_id"), "left_semi")
+    assert(post.count() < res.count(),
+      "fixture too easy: post-filter lost nothing, the pre-filter " +
+        "distinction is untested at these dials")
+    // the mask is a semi-join ABOVE the pruned scan: the static
+    // probed-cell IN-list still binds to the partition column
+    assert(hasStaticCellIn(codesScan(res)),
+      "allowed-mask broke probed-cell partition pruning")
+    // degenerate allow-list (the whole corpus) is exactly search()
+    assertFrameEqual(
+      AnnIndexStore.searchFiltered(spark, idx, emb.select("vec_id"),
+        queries, "qid", "embedding", k = 10, nprobe = 2),
+      AnnIndexStore.search(spark, idx, queries, "qid", "embedding",
+        k = 10, nprobe = 2),
+      "searchFiltered(all ids) vs search")
+    // deletion composes: a tombstoned id never serves even if allowed
+    val (cp, sp, m, sub, it) = dials
+    val st = AnnIndexStore.build(emb, "vec_id", "embedding",
+      s"$tmp/fdel", cp, sp, m, sub, it)
+    val doomed = res.select("vec_id").distinct().limit(3)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    AnnIndexStore.delete(st, doomed)
+    val masked = AnnIndexStore.searchFiltered(spark, st, allowed,
+      queries, "qid", "embedding", k = 10, nprobe = 2)
+    assert(masked.filter(col("vec_id").isin(doomedIds.toSeq: _*)).isEmpty,
+      "a deleted-but-allowed vector served")
+  }
 }
