@@ -566,6 +566,65 @@ object TextIndexStore {
       terms, k1, b)
   }
 
+  /** FILTERED serving — [[bm25]] restricted to the documents whose
+    * ids are in `allowed` (one column named `idCol`): the
+    * "search within lang = 'en' / source = wiki" shape, the sparse
+    * twin of [[AnnIndexStore.searchFiltered]]. The same frozen-models
+    * contract: n, avgdl and every idf stay CORPUS-WIDE (df is a
+    * collection statistic — the mask restricts the candidate set,
+    * not the model), so an allowed doc's score is bit-identical to
+    * its unfiltered [[bm25]] score. BM25 is per-document independent,
+    * which makes that equality checkable (unlike filtered ANN, where
+    * a pre-filter changes which k fill) — the engine-side point of
+    * the pre-filter is COST: the allowed-id semi-join lands on the
+    * probed postings rows BEFORE the doclens join and the pivot, so
+    * the scoring pipeline processes allowed docs only, while the
+    * idf aggregate still reads just the probed terms' row groups
+    * (token pushdown binds before the mask). AQE picks the
+    * semi-join's build side; a forced broadcast would OOM on a
+    * corpus-scale allow-list (the [[TombBroadcastMaxBytes]] lesson).
+    */
+  def bm25Filtered(s: SparkSession, idx: Index, terms: Seq[String],
+      allowed: DataFrame, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val tfAll = idx.postings(s).filter(col("token").isin(terms: _*))
+      .select(col(idx.idCol), col("token"), col("tf"))
+    val stats = idx.stats(s)
+      .select(col("n").as("_n"),
+        (col("sumdl") / col("n")).as("_avgdl"))
+    val idf = TextOps.bm25Idf(tfAll, stats)
+    val tf = tfAll.join(allowed.select(col(idx.idCol)).distinct(),
+      Seq(idx.idCol), "left_semi")
+    TextOps.bm25ScoreWithIdf(tf, idx.doclens(s), stats, idf,
+      idx.idCol, terms, k1, b)
+  }
+
+  /** Conjunctive (boolean AND) retrieval — the documents containing
+    * EVERY term in `terms`, with the matched terms' total tf:
+    * (idCol, tf_sum). The boolean-retrieval primitive that fronts a
+    * ranked stage in real services ("must contain all query terms,
+    * then rank"); from the stored postings it is ONE aggregate over
+    * the probed terms' rows — the scan reads only those row groups
+    * (token-sorted files / bucketed catalog table, pushed IN filter),
+    * the groupBy key is the doc id (never a corpus-wide hot key:
+    * a doc matches each term once, so group size ≤ |terms|), and the
+    * HAVING is a countDistinct == |terms| post-aggregate. Distinct
+    * because a (id, token) postings row is unique by construction —
+    * countDistinct here is belt-and-braces against a delta overlap
+    * bug, not a semantic need.
+    */
+  def matchAll(s: SparkSession, idx: Index, terms: Seq[String])
+      : DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    idx.postings(s).filter(col("token").isin(terms: _*))
+      .groupBy(col(idx.idCol))
+      .agg(sum("tf").as("tf_sum"),
+        countDistinct(col("token")).as("_nt"))
+      .filter(col("_nt") === terms.distinct.size)
+      .select(col(idx.idCol), col("tf_sum"))
+  }
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =

@@ -335,12 +335,38 @@ object TextOps {
       stats: org.apache.spark.sql.DataFrame,
       idCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75)
-      : org.apache.spark.sql.DataFrame = {
-    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      : org.apache.spark.sql.DataFrame =
+    bm25ScoreWithIdf(tf, dl, stats, bm25Idf(tf, stats), idCol, terms,
+      k1, b)
+
+  /** Robertson idf (+1 floor) per token from `tf`'s per-term doc
+    * counts — (token, idf). Split out of [[bm25ScoreFrames]] so a
+    * FILTERED serve ([[TextIndexStore.bm25Filtered]]) can compute
+    * idf over the CORPUS-WIDE term probe and score only the allowed
+    * docs' rows: df is a collection statistic, and the frozen-models
+    * contract (q166's) says a mask restricts the candidate set, not
+    * the model.
+    */
+  def bm25Idf(tf: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("token"),
         round(log((col("_n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
           .as("idf"))
+
+  /** [[bm25ScoreFrames]]' scoring half with the idf frame supplied
+    * by the caller — the kernel still lives ONCE; the split only
+    * decides which tf population the statistic is computed from.
+    */
+  def bm25ScoreWithIdf(tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      idf: org.apache.spark.sql.DataFrame,
+      idCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
     val contrib = tf.join(broadcast(idf), "token")
       .join(dl, idCol).crossJoin(broadcast(stats))
       .select(col(idCol), col("token"),

@@ -2921,11 +2921,65 @@ object TextQueries {
       |SELECT doc_id, score FROM spr
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** FILTERED BM25 from the persisted text index
+    * ([[graft.ops.TextIndexStore.bm25Filtered]]): top-20 among an
+    * ALLOWED doc set (doc_id % 3 = 0 — the "license = permissive"
+    * slice), the sparse twin of q166's filtered ANN. Frozen-models
+    * contract: n / avgdl / every idf stay corpus-wide — the oracle
+    * is therefore q75's UNMODIFIED CTE chain with the allow
+    * predicate applied to the scored frame, which is exactly what
+    * per-document score independence buys (pre- and post-filter
+    * agree on VALUES; the engine pre-filters for COST — the
+    * allowed-id semi-join lands before the doclens join and pivot,
+    * so only allowed docs flow through scoring). Contrast q160,
+    * whose delete-then-serve oracle recomputes n/avgdl/idf WITHOUT
+    * the deleted docs: deletion changes the collection, a mask does
+    * not.
+    */
+  val q167 = Q("q167_bm25_filtered",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      val allowed = table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0).select("doc_id")
+      graft.ops.TextIndexStore.bm25Filtered(s, idx, bm25Terms, allowed)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH $duckBm25Ctes
+      |SELECT doc_id, score FROM spr WHERE doc_id % 3 = 0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
+  /** Conjunctive (boolean AND) retrieval from the persisted text
+    * index ([[graft.ops.TextIndexStore.matchAll]]): every document
+    * containing ALL three query terms, with the matched terms' total
+    * tf — the must-contain primitive that fronts ranked retrieval.
+    * One aggregate over the probed terms' postings rows; the scan
+    * reads only those row groups (pushed IN filter over the
+    * token-sorted layout), and the group key is the doc id with
+    * group size ≤ |terms| by construction — no corpus-wide hot key
+    * at any scale.
+    */
+  val q168 = Q("q168_text_match_all",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      graft.ops.TextIndexStore.matchAll(s, idx, bm25Terms)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+      |FROM (SELECT doc_id, token, count(*) AS tf
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |            FROM documents)
+      |      WHERE token IN ('join', 'vector', 'stream')
+      |      GROUP BY doc_id, token)
+      |GROUP BY doc_id HAVING count(DISTINCT token) = 3
+      |ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
       q70, q74, q75, q78, q79, q82, q83, q85, q91, q92, q95, q99, q100,
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
-      q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162)
+      q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
+      q167, q168)
 }

@@ -376,6 +376,66 @@ class TextIndexStoreSpec extends SparkSpec {
       "bucketed post-compact postings")
   }
 
+  test("bm25Filtered: frozen corpus-wide idf — allowed docs score " +
+      "bit-identically to the unfiltered serve, UNLIKE a subcorpus " +
+      "rebuild; degenerate allow == bm25; deletes still mask") {
+    val allowed = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val res = TextIndexStore.bm25Filtered(spark, idx, terms, allowed)
+    // per-document independence + frozen models: the filtered serve
+    // IS the unfiltered serve restricted to allowed ids
+    assertFrameEqual(res,
+      TextIndexStore.bm25(spark, idx, terms)
+        .join(allowed, Seq("doc_id"), "left_semi"),
+      "filtered vs post-filtered scores")
+    assert(res.count() > 0, "fixture too easy: no allowed doc scored")
+    // fixture strength for 'frozen': a store REBUILT over just the
+    // allowed subcorpus shifts n/avgdl/idf and must score differently
+    val sub = TextIndexStore.build(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      s"$tmp/allowed-sub")
+    val drift = TextIndexStore.bm25(spark, sub, terms)
+      .withColumnRenamed("score", "sub_score")
+      .join(res, "doc_id")
+      .filter(col("sub_score") =!= col("score"))
+    assert(drift.count() > 0,
+      "fixture too easy: subcorpus stats happen to match corpus-wide")
+    // degenerate allow-list (every doc) is exactly bm25()
+    assertFrameEqual(
+      TextIndexStore.bm25Filtered(spark, idx, terms,
+        docs.select("doc_id")),
+      TextIndexStore.bm25(spark, idx, terms),
+      "bm25Filtered(all ids) vs bm25")
+    // deletion composes: a tombstoned doc never scores even if allowed
+    val st = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/filtered-del")
+    val doomed = res.select("doc_id").limit(3)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    TextIndexStore.delete(st, doomed)
+    val masked = TextIndexStore.bm25Filtered(spark, st, terms, allowed)
+    assert(masked.filter(col("doc_id").isin(doomedIds.toSeq: _*)).isEmpty,
+      "a deleted-but-allowed doc scored")
+  }
+
+  test("matchAll: conjunctive semantics from the postings — equals " +
+      "the from-corpus expectation, partial matches excluded") {
+    val res = TextIndexStore.matchAll(spark, idx, terms)
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val expected = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("tf_sum"),
+        countDistinct("token").as("_nt"))
+      .filter(col("_nt") === terms.size)
+      .select(col("doc_id"), col("tf_sum"))
+    assertFrameEqual(res, expected, "matchAll vs from-corpus")
+    // fixture strength: the AND is doing work — some docs match a
+    // strict subset of the terms and must be excluded
+    val anyMatch = tok.select("doc_id").distinct().count()
+    assert(res.count() > 0, "fixture too easy: no doc matches all terms")
+    assert(res.count() < anyMatch,
+      "fixture too easy: every any-term doc matches all terms")
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
