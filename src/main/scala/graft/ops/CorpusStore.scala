@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE corpus, THREE indexes, ONE epoch — the orchestration layer a
+  * deployed pipeline actually runs. A training-data corpus is served
+  * through three derived artifacts at once: the curation store
+  * (near-dup labels — [[CurationStore]]), the ANN index (dense
+  * retrieval — [[AnnIndexStore]]) and the text index (sparse
+  * retrieval — [[TextIndexStore]]). Maintaining them separately
+  * invites the classic split-brain: a recrawl batch folded into the
+  * text index but not the ANN index serves documents one modality
+  * can see and the other cannot. This object makes the corpus
+  * transaction a single call: [[ingest]] / [[delete]] apply one
+  * batch to all three stores under ONE caller-chosen batch id.
+  *
+  * Cross-store exactly-once rides each store's OWN epoch discipline
+  * (`settleEntry` + `_applied` markers): there is deliberately no
+  * global two-phase commit — on a shared-nothing cluster the
+  * coordinator can die between any two store calls, so the contract
+  * is CONVERGENCE UNDER REPLAY, not atomicity. A crash mid-ingest
+  * leaves a prefix of the stores at the new epoch; re-issuing the
+  * SAME call with the SAME batchId no-ops on the stores that
+  * already folded it and applies it to the rest — after any number
+  * of crashes and replays, all three stores converge on exactly-once
+  * semantics per store (spec-fabricated: CorpusStoreSpec applies a
+  * batch to one store directly, then replays the transaction).
+  * The fixed application order (curation → ann → text) makes the
+  * crash states enumerable, nothing more; any order converges.
+  *
+  * Scale: this layer adds NO data movement of its own — each call is
+  * exactly the three per-store calls, whose shuffle shapes are
+  * measured separately (SCALING tiers `incremental` / `ann_index`);
+  * the batch frame is analyzed once per store (three jobs over the
+  * same input — at 100 TB batch sizes, persist the batch before
+  * calling if recomputing its lineage is expensive).
+  */
+object CorpusStore {
+
+  /** Handles to the three per-modality stores over one corpus.
+    * `idCol` is shared — the whole point: one id space, so deletes
+    * and ingests address all three stores with the same keys.
+    */
+  final case class Stores(curation: CurationStore.Store,
+      ann: AnnIndexStore.Index, text: TextIndexStore.Index) {
+    def idCol: String = curation.idCol
+  }
+
+  /** Build all three stores from one corpus frame carrying the id,
+    * the raw text and the embedding. Per-store dials keep their own
+    * defaults; layout knobs (label buckets, postings buckets) are
+    * surfaced because they are the cluster-scale serving story.
+    */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      vecCol: String, dir: String,
+      annDials: AnnIndexStore.Dials = AnnIndexStore.CorpusDials,
+      bucketLabels: Int = 0, bucketPostings: Int = 0): Stores = {
+    val cur = CurationStore.build(corpus.select(col(idCol), col(textCol)),
+      idCol, textCol, s"$dir/curation", bucketLabels = bucketLabels)
+    val ann = AnnIndexStore.build(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, s"$dir/ann", annDials.centroidPred,
+      annDials.seedPred, annDials.m, annDials.subDim, annDials.iters)
+    val text = TextIndexStore.build(corpus.select(col(idCol), col(textCol)),
+      idCol, textCol, s"$dir/text", bucketPostings = bucketPostings)
+    Stores(cur, ann, text)
+  }
+
+  /** Fold `batch` (new, disjoint ids — each store's append contract)
+    * into all three stores under ONE batch id. `batchId` is REQUIRED
+    * here even though each store's API makes it optional: without
+    * it a replay after a mid-transaction crash would double-apply
+    * the batch to the stores that already folded it — the exact
+    * failure this layer exists to rule out.
+    */
+  def ingest(st: Stores, batch: DataFrame, textCol: String,
+      vecCol: String, batchId: String): Stores = {
+    require(batchId.nonEmpty, "cross-store ingest requires a batchId")
+    val idCol = st.idCol
+    CurationStore.update(st.curation,
+      batch.select(col(idCol), col(textCol)), textCol,
+      batchId = Some(batchId))
+    AnnIndexStore.add(st.ann, batch.select(col(idCol), col(vecCol)),
+      vecCol, batchId = Some(batchId))
+    TextIndexStore.update(st.text,
+      batch.select(col(idCol), col(textCol)), textCol,
+      batchId = Some(batchId))
+    st
+  }
+
+  /** Tombstone `ids` in all three stores under ONE batch id —
+    * the takedown / right-to-be-forgotten path. Serving is exact
+    * from the next read on in every store (masked reads, exact
+    * counter decrements); [[compact]] makes the removals physical.
+    */
+  def delete(st: Stores, ids: DataFrame, batchId: String): Stores = {
+    require(batchId.nonEmpty, "cross-store delete requires a batchId")
+    CurationStore.delete(st.curation, ids, batchId = Some(batchId))
+    AnnIndexStore.delete(st.ann, ids, batchId = Some(batchId))
+    TextIndexStore.delete(st.text, ids, batchId = Some(batchId))
+    st
+  }
+
+  /** Compact all three stores: removals become physical, deltas fold
+    * into their bases, the curation components fixpoint re-resolves
+    * (the bridge-split step), tombstones clear, ids free for re-add.
+    * Returns fresh handles (curation compaction rewrites the label
+    * topology and may re-register its bucketed table).
+    */
+  def compact(s: SparkSession, st: Stores,
+      labelBuckets: Int = 8): Stores =
+    Stores(CurationStore.compact(s, st.curation, labelBuckets),
+      AnnIndexStore.compact(s, st.ann),
+      TextIndexStore.compact(s, st.text))
+
+  /** Per-store LIVE membership counts — (curation, ann, text), each
+    * the number of live ids the store serves. The operational
+    * consistency probe: after every completed transaction the three
+    * MUST be equal (one corpus), and a persistent mismatch is the
+    * split-brain alarm that says a transaction was left mid-replay.
+    * Counts only — cheap enough to run after every batch; each is
+    * one aggregate over a store's masked membership stage.
+    */
+  def liveCounts(s: SparkSession, st: Stores): (Long, Long, Long) =
+    (st.curation.signatures(s).count(),
+      st.ann.codes(s).count(),
+      st.text.doclens(s).count())
+
+  /** Deterministic local root for a corpus-store triple over
+    * `dataDir` (the shared [[StoreDirs]] scheme, separate root). */
+  def storeDirFor(dataDir: String, suffix: String = ""): String =
+    StoreDirs.dirFor("target/corpus-store/", dataDir, suffix)
+}

@@ -1027,6 +1027,16 @@ object SimilarityQueries {
     * through the same ranking/replication. */
   private def hybridSpqOf(s: org.apache.spark.sql.SparkSession,
       dir: String, scores: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    hybridSpqForQids(scores,
+      table(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid")))
+
+  /** [[hybridSpqOf]] over an EXPLICIT query-id frame — the
+    * cross-store transaction query (q169) serves a different query
+    * slice than the standing % 100 = 0 one. */
+  private def hybridSpqForQids(scores: org.apache.spark.sql.DataFrame,
+      qids: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val sparse = scores
@@ -1035,9 +1045,7 @@ object SimilarityQueries {
       .withColumn("rank_sparse", row_number().over(
         w.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
       .select("doc_id", "rank_sparse")
-    table(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"))
-      .crossJoin(broadcast(sparse))
+    qids.crossJoin(broadcast(sparse))
   }
 
   /** Per-query RRF fusion of a (qid, doc_id, rank_dense) shortlist
@@ -1080,22 +1088,33 @@ object SimilarityQueries {
   /** Oracle CTE stack for the ANN-side fusion, ending at
     * `ta(qid, doc_id, rk, rrf)` — q146 selects from it directly,
     * q136 appends the brute-force twin and reports recall. */
-  private def hybridAnnCtes: String = {
+  private def hybridAnnCtes: String =
+    hybridAnnCtesFor("vec_id % 100 = 0")
+
+  /** [[hybridAnnCtes]] parameterized for a maintained-store serve:
+    * `trainWhere` restricts both PQ trainer chains to the BUILD
+    * subcorpus (frozen models — q150's contract), `encWhere`
+    * restricts the encoded/scored corpus to the live documents
+    * (deletion — q161's), `bm25Where` restricts the sparse side's
+    * collection the same way (text-store deletes SHIFT n/avgdl/idf —
+    * q160's contract, the opposite of q167's frozen mask). */
+  private def hybridAnnCtesFor(qWhere: String, trainWhere: String = "",
+      encWhere: String = "", bm25Where: String = ""): String = {
     val (topDense, topSparse, topK) =
       (hybridTopDense, hybridTopSparse, hybridTopK)
-    s"""${IvfPqSql.ctes("vec_id % 100 = 0")},
+    s"""${IvfPqSql.ctes(qWhere, trainWhere, encWhere = encWhere)},
       |dn AS (SELECT qid, doc_id, rank_dense FROM (
       |  SELECT qid, vec_id AS doc_id,
       |    CAST(row_number() OVER (PARTITION BY qid
       |    ORDER BY adc, vec_id) AS INT) AS rank_dense
       |  FROM adc) WHERE rank_dense <= $topDense),
-      |${TextQueries.duckBm25Ctes},
+      |${TextQueries.duckBm25CtesFor(bm25Where)},
       |sp AS (SELECT doc_id, rank_sparse FROM (
       |  SELECT doc_id, CAST(row_number() OVER (
       |     ORDER BY score DESC, doc_id) AS INT) AS rank_sparse
       |  FROM spr) WHERE rank_sparse <= $topSparse),
       |qids AS (SELECT vec_id AS qid FROM embeddings
-      |  WHERE vec_id % 100 = 0),
+      |  WHERE $qWhere),
       |spq AS (SELECT q.qid, s.doc_id, s.rank_sparse FROM qids q, sp s),
       |fa AS (SELECT qid, doc_id,
       |  round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), 0) +
@@ -1571,8 +1590,75 @@ object SimilarityQueries {
     Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10, nprobe = 2,
       encWhere = "vec_id % 3 = 0")))
 
+  /** The CROSS-STORE corpus transaction ([[graft.ops.CorpusStore]]):
+    * one corpus served through all three derived stores — curation
+    * labels, ANN index, text index — maintained by SHARED-EPOCH
+    * transactions. Build over four fifths, ingest the last fifth
+    * under one batch id, take down every tenth doc under another,
+    * compact, then serve the full retrieval stack from the
+    * maintained stores: hybrid RRF fusion (dense shortlist from the
+    * ANN store — models FROZEN at the 4/5 build, q150's contract;
+    * sparse BM25 from the text store — collection stats tracking the
+    * NET corpus, q159/q160's contract) with each result's near-dup
+    * cluster label attached from the curation store (re-resolved
+    * over the net corpus, q162's contract). The oracle recomputes
+    * all three modalities from the raw tables under exactly those
+    * per-store semantics and fuses them identically — one hash
+    * pinning that three differently-contracted stores stayed
+    * consistent through the same transaction stream. Split-brain
+    * (a batch folded into one store but not another) is the failure
+    * this layer exists to rule out; CorpusStoreSpec fabricates the
+    * mid-transaction crash and proves replay convergence, and
+    * [[graft.ops.CorpusStore.liveCounts]] is the operational probe.
+    * Cost is by construction (the q150 adjudication): the measured
+    * path holds three builds + three folds + three compacts so the
+    * oracle can pin end-to-end semantics; incremental-vs-rebuild
+    * shuffle ratios are the per-store SCALING tiers' evidence.
+    */
+  val q169 = Q("q169_corpus_transaction",
+    (s, dir) => {
+      import graft.ops.{AnnIndexStore, CorpusStore, TextIndexStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val dials = AnnIndexStore.Dials(col("doc_id") % 50 === 7,
+        col("doc_id") % 10 === 3, m = 2, subDim = 32, iters = 2)
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir), annDials = dials)
+      CorpusStore.ingest(st0, corpus.filter(col("doc_id") % 5 === 4),
+        "text", "embedding", "recrawl-5-4")
+      CorpusStore.delete(st0,
+        corpus.filter(col("doc_id") % 10 === 7).select("doc_id"),
+        "takedown-10-7")
+      val st = CorpusStore.compact(s, st0)
+      val queries = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val dense = AnnIndexStore.search(s, st.ann, queries, "qid",
+          "embedding", k = hybridTopDense)
+        .select(col("qid"), col("doc_id"), col("rank").as("rank_dense"))
+      val sparse = TextIndexStore.bm25(s, st.text,
+        TextQueries.bm25Terms)
+      hybridFuse(dense, hybridSpqForQids(sparse, queries.select("qid")))
+        .join(st.curation.labels(s), Seq("doc_id"), "left")
+        .select(col("qid"), col("rk"), col("doc_id"), col("rrf"),
+          col("cluster"))
+        .orderBy("qid", "rk")
+    },
+    Some(s"""WITH RECURSIVE ${
+        TextQueries.duckClusterCtesFor("doc_id % 10 <> 7")},
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |${hybridAnnCtesFor("vec_id % 100 = 3",
+        trainWhere = "vec_id % 5 != 4", encWhere = "vec_id % 10 != 7",
+        bm25Where = "doc_id % 10 <> 7")}
+      |SELECT qid, rk, doc_id, rrf, cluster
+      |FROM ta LEFT JOIN lab USING (doc_id)
+      |ORDER BY qid, rk""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166)
+    q161, q163, q166, q169)
 }

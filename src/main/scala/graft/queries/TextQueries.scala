@@ -498,7 +498,7 @@ object TextQueries {
     * (the shingle CTE's inner scan); the guard keeps the rewrite
     * honest if that ever changes.
     */
-  private def duckClusterCtesFor(where: String): String = {
+  private[queries] def duckClusterCtesFor(where: String): String = {
     val from = "FROM documents)"
     require(duckClusterCtes.sliding(from.length).count(_ == from) == 1,
       "duckClusterCtes corpus scan is no longer unique — " +
