@@ -84,7 +84,8 @@ object PlanFacts {
     "q68_session_window", "q69_stream_left_join",
     "q96_stream_merge_history", "q107_stream_complete_rollup",
     "q131_stream_stats_update", "q147_stream_asof_enrich",
-    "q155_stream_ann_serve", "q164_stream_text_index")
+    "q155_stream_ann_serve", "q164_stream_text_index",
+    "q170_stream_corpus")
 
   /** Queries whose RETURNED frame is driver-composed (LocalTableScan)
     * — the distributed work ran in upstream eager jobs, so the final

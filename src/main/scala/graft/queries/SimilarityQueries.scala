@@ -1615,9 +1615,48 @@ object SimilarityQueries {
     * oracle can pin end-to-end semantics; incremental-vs-rebuild
     * shuffle ratios are the per-store SCALING tiers' evidence.
     */
+  /** Hybrid-with-labels serve from a maintained corpus-store triple:
+    * dense shortlist from the ANN store, sparse BM25 from the text
+    * store, RRF-fused, each result's near-dup cluster label LEFT-
+    * joined from the curation store. Shared by q169 (batch
+    * transactions) and q170 (streamed ingest) — the serving shape is
+    * the same regardless of how the stores were maintained. */
+  private[queries] def corpusFusedServe(
+      s: org.apache.spark.sql.SparkSession,
+      st: graft.ops.CorpusStore.Stores,
+      queries: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dense = graft.ops.AnnIndexStore.search(s, st.ann, queries,
+        "qid", "embedding", k = hybridTopDense)
+      .select(col("qid"), col("doc_id"), col("rank").as("rank_dense"))
+    val sparse = graft.ops.TextIndexStore.bm25(s, st.text,
+      TextQueries.bm25Terms)
+    hybridFuse(dense, hybridSpqForQids(sparse, queries.select("qid")))
+      .join(st.curation.labels(s), Seq("doc_id"), "left")
+      .select(col("qid"), col("rk"), col("doc_id"), col("rrf"),
+        col("cluster"))
+      .orderBy("qid", "rk")
+  }
+
+  /** [[corpusFusedServe]]'s oracle: all three modalities recomputed
+    * from the raw tables under the given per-store semantics and
+    * fused identically. `labelWhere` restricts the cluster chain's
+    * corpus (the curation store's net membership). */
+  private[queries] def corpusServeOracle(qWhere: String,
+      trainWhere: String, encWhere: String, bm25Where: String,
+      labelWhere: String): String =
+    s"""WITH RECURSIVE ${TextQueries.duckClusterCtesFor(labelWhere)},
+      |lab AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach GROUP BY x),
+      |${hybridAnnCtesFor(qWhere, trainWhere, encWhere = encWhere,
+        bm25Where = bm25Where)}
+      |SELECT qid, rk, doc_id, rrf, cluster
+      |FROM ta LEFT JOIN lab USING (doc_id)
+      |ORDER BY qid, rk""".stripMargin
+
   val q169 = Q("q169_corpus_transaction",
     (s, dir) => {
-      import graft.ops.{AnnIndexStore, CorpusStore, TextIndexStore}
+      import graft.ops.{AnnIndexStore, CorpusStore}
       val docs = table(s, dir, "documents")
       val emb = table(s, dir, "embeddings")
       val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
@@ -1635,27 +1674,11 @@ object SimilarityQueries {
       val st = CorpusStore.compact(s, st0)
       val queries = emb.filter(col("vec_id") % 100 === 3)
         .select(col("vec_id").as("qid"), col("embedding"))
-      val dense = AnnIndexStore.search(s, st.ann, queries, "qid",
-          "embedding", k = hybridTopDense)
-        .select(col("qid"), col("doc_id"), col("rank").as("rank_dense"))
-      val sparse = TextIndexStore.bm25(s, st.text,
-        TextQueries.bm25Terms)
-      hybridFuse(dense, hybridSpqForQids(sparse, queries.select("qid")))
-        .join(st.curation.labels(s), Seq("doc_id"), "left")
-        .select(col("qid"), col("rk"), col("doc_id"), col("rrf"),
-          col("cluster"))
-        .orderBy("qid", "rk")
+      corpusFusedServe(s, st, queries)
     },
-    Some(s"""WITH RECURSIVE ${
-        TextQueries.duckClusterCtesFor("doc_id % 10 <> 7")},
-      |lab AS (SELECT x AS doc_id, min(y) AS cluster
-      | FROM reach GROUP BY x),
-      |${hybridAnnCtesFor("vec_id % 100 = 3",
-        trainWhere = "vec_id % 5 != 4", encWhere = "vec_id % 10 != 7",
-        bm25Where = "doc_id % 10 <> 7")}
-      |SELECT qid, rk, doc_id, rrf, cluster
-      |FROM ta LEFT JOIN lab USING (doc_id)
-      |ORDER BY qid, rk""".stripMargin))
+    Some(corpusServeOracle("vec_id % 100 = 3",
+      trainWhere = "vec_id % 5 != 4", encWhere = "vec_id % 10 != 7",
+      bm25Where = "doc_id % 10 <> 7", labelWhere = "doc_id % 10 <> 7")))
 
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,

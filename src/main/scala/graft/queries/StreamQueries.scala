@@ -755,7 +755,87 @@ object StreamQueries {
       | GROUP BY doc_id, token)
       |GROUP BY token ORDER BY token""".stripMargin))
 
+  /** Streaming maintenance of the WHOLE corpus-store triple — the
+    * q164 epoch discipline applied to [[graft.ops.CorpusStore]]: the
+    * seed slice (odd ids — it must contain the coarse-centroid and
+    * PQ-seed rows, which are all odd) builds all three stores in
+    * batch; the even ids arrive as three genuine micro-batches and
+    * each `foreachBatch` folds its batch into ALL THREE stores
+    * through one [[graft.ops.CorpusStore.ingest]] with the EPOCH ID
+    * as the shared idempotence key. A replayed micro-batch (crash
+    * after some stores folded, before the checkpoint advanced)
+    * re-issues the whole cross-store transaction and converges by
+    * the per-store no-op rule — StreamCorpusSpec fabricates exactly
+    * that and proves membership stays split-brain-free. Shared with
+    * the spec for stage-by-stage rebuild comparison.
+    */
+  def streamCorpus(s: SparkSession, dir: String,
+      storeDir: String): graft.ops.CorpusStore.Stores = {
+    val docs = Registry.table(s, dir, "documents")
+    val emb = Registry.table(s, dir, "embeddings")
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("embedding"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft-q170-in")
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-q170-ckpt")
+    val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Seq(0, 2, 4).foreach { i =>
+        graft.ark.Ark.writeSingleFile(
+          corpus.filter(col("doc_id") % 6 === i),
+          s"$inDir/slice$i.parquet")
+      }
+      val st = graft.ops.CorpusStore.build(
+        corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        "embedding", storeDir,
+        annDials = graft.ops.AnnIndexStore.Dials(
+          col("doc_id") % 50 === 7, col("doc_id") % 10 === 3,
+          m = 2, subDim = 32, iters = 2))
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[
+               org.apache.spark.sql.Row], epochId: Long) =>
+              graft.ops.CorpusStore.ingest(st, batch.toDF(), "text",
+                "embedding", s"epoch-$epochId")
+              ()
+          }
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      st
+    } finally Seq(inDir, ckptDir).foreach(deleteRecursively)
+  }
+
+  /** The stream-maintained corpus triple serves the full retrieval
+    * stack exactly as if every batch had been folded offline: hybrid
+    * RRF from the ANN store (models frozen at the odd-id seed build —
+    * the oracle's trainWhere) and the text store (counters tracking
+    * the whole corpus), with curation cluster labels attached — the
+    * q169 serving shape, maintained by a STREAM. One oracle hash
+    * pins all three modalities' streamed maintenance at once.
+    */
+  val q170 = Q("q170_stream_corpus",
+    (s, dir) => {
+      val st = streamCorpus(s, dir,
+        graft.ops.CorpusStore.storeDirFor(dir, "-stream"))
+      val queries = Registry.table(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      SimilarityQueries.corpusFusedServe(s, st, queries)
+    },
+    Some(SimilarityQueries.corpusServeOracle("vec_id % 100 = 3",
+      trainWhere = "vec_id % 2 = 1", encWhere = "",
+      bm25Where = "", labelWhere = "1 = 1")))
+
   val qs: Seq[Q] =
     Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131, q147,
-      q155, q164)
+      q155, q164, q170)
 }
