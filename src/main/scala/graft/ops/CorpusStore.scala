@@ -51,16 +51,24 @@ object CorpusStore {
     * the raw text and the embedding. Per-store dials keep their own
     * defaults; layout knobs (label buckets, postings buckets) are
     * surfaced because they are the cluster-scale serving story.
+    * The default ANN dials are [[AnnIndexStore.CorpusDials]]' moduli
+    * RE-KEYED to `idCol` (the standing dials predicate on `vec_id`
+    * and would not resolve against a differently-keyed corpus frame).
     */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       vecCol: String, dir: String,
-      annDials: AnnIndexStore.Dials = AnnIndexStore.CorpusDials,
+      annDials: Option[AnnIndexStore.Dials] = None,
       bucketLabels: Int = 0, bucketPostings: Int = 0): Stores = {
+    val d = annDials.getOrElse {
+      val c = AnnIndexStore.CorpusDials
+      AnnIndexStore.Dials(col(idCol) % 50 === 7, col(idCol) % 10 === 3,
+        c.m, c.subDim, c.iters)
+    }
     val cur = CurationStore.build(corpus.select(col(idCol), col(textCol)),
       idCol, textCol, s"$dir/curation", bucketLabels = bucketLabels)
     val ann = AnnIndexStore.build(corpus.select(col(idCol), col(vecCol)),
-      idCol, vecCol, s"$dir/ann", annDials.centroidPred,
-      annDials.seedPred, annDials.m, annDials.subDim, annDials.iters)
+      idCol, vecCol, s"$dir/ann", d.centroidPred,
+      d.seedPred, d.m, d.subDim, d.iters)
     val text = TextIndexStore.build(corpus.select(col(idCol), col(textCol)),
       idCol, textCol, s"$dir/text", bucketPostings = bucketPostings)
     Stores(cur, ann, text)
@@ -113,13 +121,24 @@ object CorpusStore {
       AnnIndexStore.compact(s, st.ann),
       TextIndexStore.compact(s, st.text))
 
-  /** Per-store LIVE membership counts — (curation, ann, text), each
-    * the number of live ids the store serves. The operational
-    * consistency probe: after every completed transaction the three
-    * MUST be equal (one corpus), and a persistent mismatch is the
-    * split-brain alarm that says a transaction was left mid-replay.
-    * Counts only — cheap enough to run after every batch; each is
-    * one aggregate over a store's masked membership stage.
+  /** Per-store LIVE membership counts — (curation, ann, text). The
+    * operational split-brain probe: after every completed
+    * transaction `ann == text` EXACTLY (both stores hold one row per
+    * ingested id — codes and doclens), and the curation count equals
+    * the number of SIGNABLE live docs: its membership stage is the
+    * minhash signatures, and a doc shorter than the shingle width
+    * (< 3 tokens) never signs ([[Dedup.minhashSignatures]] emits no
+    * row — such a doc can never LSH-match anything, so the dedup
+    * tier correctly has no record of it). On a corpus where every
+    * doc clears the shingle width all three agree; a curation count
+    * BELOW the others by exactly the short-doc population is
+    * healthy, while `ann != text`, or a curation drift that moves
+    * batch-over-batch without short docs arriving, is the alarm
+    * that a transaction was left mid-replay (CorpusStoreSpec pins
+    * both the three-way equality on a signable corpus and the
+    * short-doc offset). Counts only — cheap enough to run after
+    * every batch; each is one aggregate over a masked membership
+    * stage.
     */
   def liveCounts(s: SparkSession, st: Stores): (Long, Long, Long) =
     (st.curation.signatures(s).count(),

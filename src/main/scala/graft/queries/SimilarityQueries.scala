@@ -1590,31 +1590,6 @@ object SimilarityQueries {
     Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10, nprobe = 2,
       encWhere = "vec_id % 3 = 0")))
 
-  /** The CROSS-STORE corpus transaction ([[graft.ops.CorpusStore]]):
-    * one corpus served through all three derived stores — curation
-    * labels, ANN index, text index — maintained by SHARED-EPOCH
-    * transactions. Build over four fifths, ingest the last fifth
-    * under one batch id, take down every tenth doc under another,
-    * compact, then serve the full retrieval stack from the
-    * maintained stores: hybrid RRF fusion (dense shortlist from the
-    * ANN store — models FROZEN at the 4/5 build, q150's contract;
-    * sparse BM25 from the text store — collection stats tracking the
-    * NET corpus, q159/q160's contract) with each result's near-dup
-    * cluster label attached from the curation store (re-resolved
-    * over the net corpus, q162's contract). The oracle recomputes
-    * all three modalities from the raw tables under exactly those
-    * per-store semantics and fuses them identically — one hash
-    * pinning that three differently-contracted stores stayed
-    * consistent through the same transaction stream. Split-brain
-    * (a batch folded into one store but not another) is the failure
-    * this layer exists to rule out; CorpusStoreSpec fabricates the
-    * mid-transaction crash and proves replay convergence, and
-    * [[graft.ops.CorpusStore.liveCounts]] is the operational probe.
-    * Cost is by construction (the q150 adjudication): the measured
-    * path holds three builds + three folds + three compacts so the
-    * oracle can pin end-to-end semantics; incremental-vs-rebuild
-    * shuffle ratios are the per-store SCALING tiers' evidence.
-    */
   /** Hybrid-with-labels serve from a maintained corpus-store triple:
     * dense shortlist from the ANN store, sparse BM25 from the text
     * store, RRF-fused, each result's near-dup cluster label LEFT-
@@ -1654,18 +1629,41 @@ object SimilarityQueries {
       |FROM ta LEFT JOIN lab USING (doc_id)
       |ORDER BY qid, rk""".stripMargin
 
+  /** The CROSS-STORE corpus transaction ([[graft.ops.CorpusStore]]):
+    * one corpus served through all three derived stores — curation
+    * labels, ANN index, text index — maintained by SHARED-EPOCH
+    * transactions. Build over four fifths, ingest the last fifth
+    * under one batch id, take down every tenth doc under another,
+    * compact, then serve the full retrieval stack from the
+    * maintained stores: hybrid RRF fusion (dense shortlist from the
+    * ANN store — models FROZEN at the 4/5 build, q150's contract;
+    * sparse BM25 from the text store — collection stats tracking the
+    * NET corpus, q159/q160's contract) with each result's near-dup
+    * cluster label attached from the curation store (re-resolved
+    * over the net corpus, q162's contract). The oracle recomputes
+    * all three modalities from the raw tables under exactly those
+    * per-store semantics and fuses them identically — one hash
+    * pinning that three differently-contracted stores stayed
+    * consistent through the same transaction stream. Split-brain
+    * (a batch folded into one store but not another) is the failure
+    * this layer exists to rule out; CorpusStoreSpec fabricates the
+    * mid-transaction crash and proves replay convergence, and
+    * [[graft.ops.CorpusStore.liveCounts]] is the operational probe.
+    * Cost is by construction (the q150 adjudication): the measured
+    * path holds three builds + three folds + three compacts so the
+    * oracle can pin end-to-end semantics; incremental-vs-rebuild
+    * shuffle ratios are the per-store SCALING tiers' evidence.
+    */
   val q169 = Q("q169_corpus_transaction",
     (s, dir) => {
-      import graft.ops.{AnnIndexStore, CorpusStore}
+      import graft.ops.CorpusStore
       val docs = table(s, dir, "documents")
       val emb = table(s, dir, "embeddings")
       val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(docs("doc_id"), col("text"), col("embedding"))
-      val dials = AnnIndexStore.Dials(col("doc_id") % 50 === 7,
-        col("doc_id") % 10 === 3, m = 2, subDim = 32, iters = 2)
       val st0 = CorpusStore.build(
         corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
-        "embedding", CorpusStore.storeDirFor(dir), annDials = dials)
+        "embedding", CorpusStore.storeDirFor(dir))
       CorpusStore.ingest(st0, corpus.filter(col("doc_id") % 5 === 4),
         "text", "embedding", "recrawl-5-4")
       CorpusStore.delete(st0,

@@ -765,9 +765,11 @@ object StreamQueries {
     * as the shared idempotence key. A replayed micro-batch (crash
     * after some stores folded, before the checkpoint advanced)
     * re-issues the whole cross-store transaction and converges by
-    * the per-store no-op rule — StreamCorpusSpec fabricates exactly
-    * that and proves membership stays split-brain-free. Shared with
-    * the spec for stage-by-stage rebuild comparison.
+    * the per-store no-op rule. StreamCorpusSpec proves that claim on
+    * its OWN inline copy of this loop (crash injection needs hooks
+    * inside the batch body that the battery path deliberately does
+    * not carry) — keep the epoch keying and slicing here and there
+    * in sync.
     */
   def streamCorpus(s: SparkSession, dir: String,
       storeDir: String): graft.ops.CorpusStore.Stores = {
@@ -788,10 +790,7 @@ object StreamQueries {
       }
       val st = graft.ops.CorpusStore.build(
         corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        "embedding", storeDir,
-        annDials = graft.ops.AnnIndexStore.Dials(
-          col("doc_id") % 50 === 7, col("doc_id") % 10 === 3,
-          m = 2, subDim = 32, iters = 2))
+        "embedding", storeDir)
       s.conf.set("spark.sql.shuffle.partitions", parts)
       try {
         s.readStream.schema(corpus.schema)

@@ -39,7 +39,7 @@ class CorpusStoreSpec extends SparkSpec {
     val base = corpus.filter(col("doc_id") % 5 =!= 4)
     val batch = corpus.filter(col("doc_id") % 5 === 4)
     val st = CorpusStore.build(base, "doc_id", "text", "embedding",
-      s"$tmp/cs", annDials = dials)
+      s"$tmp/cs", annDials = Some(dials))
     val n0 = base.count()
     assert(CorpusStore.liveCounts(spark, st) == ((n0, n0, n0)),
       "stores disagree on membership right after build")
@@ -124,5 +124,26 @@ class CorpusStoreSpec extends SparkSpec {
       "embedding", k = 10)
     assert(!(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty),
       "fixture too easy: frozen-model serving equals a net rebuild")
+  }
+
+  test("liveCounts: a sub-shingle-width doc counts in ann and text " +
+      "but never signs — the documented healthy offset, not " +
+      "split-brain (and the default dials re-key to idCol)") {
+    import spark.implicits._
+    val tiny = spark.range(60).select(col("id").as("doc_id"),
+      // id 2 is shorter than the shingle width (2 tokens < k = 3):
+      // it can never LSH-match anything, so the curation store
+      // rightly has no record of it
+      when(col("id") === 2, "hello world")
+        .otherwise(concat(lit("tok"), col("id"),
+          lit(" alpha beta gamma"))).as("text"),
+      transform(sequence(lit(0), lit(63)),
+        j => (col("id") * j % 7).cast("float") / 7f).as("embedding"))
+    // default dials: CorpusDials' moduli re-keyed to doc_id —
+    // centroid rows (7, 57) and seed rows (3, 13, ...) exist
+    val st = CorpusStore.build(tiny, "doc_id", "text", "embedding",
+      s"$tmp/tiny")
+    assert(CorpusStore.liveCounts(spark, st) == ((59L, 60L, 60L)),
+      "expected the curation count one short of ann/text")
   }
 }

@@ -45,7 +45,7 @@ class StreamCorpusSpec extends SparkSpec {
         s"$inDir/slice$i.parquet")
     }
     val st = CorpusStore.build(seed, "doc_id", "text", "embedding",
-      tempDir("corpus-replay-st"), annDials = dials)
+      tempDir("corpus-replay-st"), annDials = Some(dials))
 
     val stage = new java.util.concurrent.atomic.AtomicInteger(0)
     def run(): Unit =
