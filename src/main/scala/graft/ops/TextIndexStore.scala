@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * the corpus tokenization per query batch. A deployed service
   * tokenizes ONCE into three stages under one directory:
   *
-  *  - `postings` (token, idCol, tf) — the full-vocabulary inverted
-  *    rows, written sorted by token so a term query's
-  *    `token IN (...)` pushes into the parquet scan and row-group
-  *    stats prune the untouched vocabulary. At cluster scale this
+  *  - `postings` (token, idCol, tf, positions) — the
+  *    full-vocabulary POSITIONAL inverted rows, written sorted by
+  *    token so a term query's `token IN (...)` pushes into the
+  *    parquet scan and row-group stats prune the untouched
+  *    vocabulary; the sorted 0-based occurrence positions power
+  *    [[phraseMatch]] and cost one int per token occurrence that
+  *    bm25/matchAll scans never read (columnar pruning). At cluster scale this
   *    stage is bucketed BY TOKEN through the catalog —
   *    [[build]]'s `bucketPostings` dial, the [[CurationStore]]
   *    labels discipline made real for the text tier: a term probe
@@ -211,23 +214,34 @@ object TextIndexStore {
     s.catalog.refreshByPath(dir)
   }
 
-  /** Per-document term frequencies for one batch — the ONLY pass
-    * that touches text: the doc-length is Σ tf over the doc's
-    * postings (the tokenizer keeps empties, so every doc has ≥ 1
-    * token row), and the corpus counters aggregate off the narrow
-    * doclens stage. Shared by [[build]] and [[update]] so the two
-    * tokenize identically. A NULL text indexes as the empty string
-    * (one empty-token row), so such docs still get a doclens row and
-    * the stats counters keep counting them — matching the
+  /** Per-document term frequencies AND positions for one batch — the
+    * ONLY pass that touches text: the doc-length is Σ tf over the
+    * doc's postings (the tokenizer keeps empties, so every doc has
+    * ≥ 1 token row), and the corpus counters aggregate off the
+    * narrow doclens stage. Shared by [[build]] and [[update]] so the
+    * two tokenize identically. A NULL text indexes as the empty
+    * string (one empty-token row), so such docs still get a doclens
+    * row and the stats counters keep counting them — matching the
     * from-corpus kernel, which counts every document.
+    *
+    * The postings are POSITIONAL: each row carries the token's
+    * 0-based occurrence positions, SORTED so the row is a
+    * deterministic function of the document (collect_list order is
+    * shuffle-scheduled — without the sort, update == rebuild would
+    * hold semantically but not bit-for-bit). This is the standard
+    * inverted-index trade: one int per token OCCURRENCE (≈ doubles
+    * postings bytes) buys phrase/proximity queries ([[phraseMatch]]);
+    * bm25/matchAll readers never deserialize the column (columnar
+    * projection prunes it), so scoring scans stay narrow.
     */
   private def tfRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs
-      .select(col(idCol), explode(TextOps.tokens(
-        coalesce(col(textCol), lit("")))).as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-      .select(col("token"), col(idCol), col("tf"))
+      .select(col(idCol), posexplode(TextOps.tokens(
+        coalesce(col(textCol), lit("")))).as(Seq("pos", "token")))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("token"), col(idCol), col("tf"), col("positions"))
 
   /** (idCol, dl) derived from a postings frame — a columnar read,
     * never a re-tokenize. */
@@ -623,6 +637,33 @@ object TextIndexStore {
         countDistinct(col("token")).as("_nt"))
       .filter(col("_nt") === terms.distinct.size)
       .select(col(idx.idCol), col("tf_sum"))
+  }
+
+  /** Exact PHRASE retrieval from the positional postings — the
+    * documents containing `phrase` as CONSECUTIVE tokens, with the
+    * occurrence count: (idCol, hits). Slot i of the phrase
+    * contributes its term's occurrence positions shifted back by i
+    * (`start = pos - i`), and a phrase occurrence is a (doc, start)
+    * every slot agrees on — |phrase| − 1 equi-joins on (id, start)
+    * over the PROBED terms' rows only (the scan reads just those
+    * terms' row groups, the matchAll pruning), each join keyed by
+    * (doc, position) so no corpus-wide hot key exists at any scale.
+    * Duplicate terms in the phrase ("batch batch") work unchanged:
+    * the same postings row feeds both slots at different shifts.
+    * Tombstones mask through [[Index.postings]] underneath.
+    */
+  def phraseMatch(s: SparkSession, idx: Index, phrase: Seq[String])
+      : DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val probed = idx.postings(s)
+      .filter(col("token").isin(phrase.distinct: _*))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      probed.filter(col("token") === t)
+        .select(col(idx.idCol), explode(col("positions")).as("_p"))
+        .select(col(idx.idCol), (col("_p") - i).as("start"))
+    }
+    slots.reduce((a, b) => a.join(b, Seq(idx.idCol, "start")))
+      .groupBy(col(idx.idCol)).agg(count(lit(1)).as("hits"))
   }
 
   // ---- session-lifetime store per corpus directory ----------------

@@ -2974,6 +2974,42 @@ object TextQueries {
       |GROUP BY doc_id HAVING count(DISTINCT token) = 3
       |ORDER BY doc_id""".stripMargin))
 
+  /** Exact PHRASE retrieval from the positional text index
+    * ([[graft.ops.TextIndexStore.phraseMatch]]): the documents
+    * containing "small query line" as consecutive tokens, with the
+    * occurrence count — the quoted-query primitive a boolean AND
+    * cannot express (its bigram prefix matches MORE docs than the
+    * phrase, which is the spec's fixture-strength check). Slot i
+    * contributes its term's stored positions shifted back by i, and
+    * an occurrence is a (doc, start) all slots agree on —
+    * |phrase| − 1 joins keyed by (doc, position) over the probed
+    * terms' row groups only. The oracle re-derives positions in
+    * DuckDB via zipped unnest (token, ordinal) and runs the same
+    * shifted-join chain.
+    */
+  val q171 = {
+    val phrase = Seq("small", "query", "line")
+    val slotCtes = phrase.zipWithIndex.map { case (t, i) =>
+      s"s$i AS (SELECT doc_id, pos - $i AS start FROM tp WHERE token = '$t')"
+    }.mkString(",\n|")
+    val joins = (1 until phrase.size)
+      .map(i => s"JOIN s$i USING (doc_id, start)").mkString(" ")
+    Q("q171_phrase_match",
+      (s, dir) => {
+        val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+        graft.ops.TextIndexStore.phraseMatch(s, idx, phrase)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tp AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS token,
+        |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        | FROM documents),
+        |$slotCtes
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM s0 $joins
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -2981,5 +3017,5 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168)
+      q167, q168, q171)
 }

@@ -436,6 +436,50 @@ class TextIndexStoreSpec extends SparkSpec {
       "fixture too easy: every any-term doc matches all terms")
   }
 
+  test("phraseMatch: consecutive-token semantics from the stored " +
+      "positions — equals the from-corpus expectation, the bigram " +
+      "prefix matches strictly more docs, duplicate-term phrases " +
+      "and deletes compose") {
+    val phrase = Seq("small", "query", "line")
+    val res = TextIndexStore.phraseMatch(spark, idx, phrase)
+    // from-corpus expectation via the same slot-shift formulation
+    // over a fresh tokenize (the store must agree with raw text)
+    val tp = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      tp.filter(col("token") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    val expected = slots.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    assertFrameEqual(res, expected, "phraseMatch vs from-corpus")
+    assert(res.count() > 0, "fixture too easy: phrase absent")
+    // the phrase is doing work beyond a boolean AND: its bigram
+    // prefix matches strictly more docs
+    val bigram = TextIndexStore.phraseMatch(spark, idx,
+      phrase.take(2))
+    assert(bigram.count() > res.count(),
+      "fixture too easy: bigram docs == trigram docs")
+    // duplicate-term phrase: same postings row feeds both slots
+    import spark.implicits._
+    val d = Seq((1L, "go batch batch stop"), (2L, "go batch stop"))
+      .toDF("doc_id", "text")
+    val st = TextIndexStore.build(d, "doc_id", "text", s"$tmp/phrase")
+    val dup = TextIndexStore.phraseMatch(spark, st,
+        Seq("batch", "batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == Map(1L -> 1L), s"duplicate-term phrase: $dup")
+    // deletion composes: a tombstoned doc never matches
+    val doomed = res.select("doc_id").limit(1)
+    val doomedId = doomed.head().getLong(0)
+    val st2 = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/phrase-del")
+    TextIndexStore.delete(st2, doomed)
+    assert(TextIndexStore.phraseMatch(spark, st2, phrase)
+      .filter(col("doc_id") === doomedId).isEmpty,
+      "a deleted doc phrase-matched")
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
