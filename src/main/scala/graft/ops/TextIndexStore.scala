@@ -666,6 +666,36 @@ object TextIndexStore {
       .groupBy(col(idx.idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** ORDERED PROXIMITY retrieval — [[phraseMatch]] generalized by a
+    * per-step `slop`: the documents where the terms occur in order
+    * with at most `slop` − 1 other tokens between consecutive terms
+    * (slop = 1 IS the exact phrase — spec-pinned identity), with the
+    * count of distinct term-position chains: (idCol, hits). The
+    * "terms near each other, in order" primitive between matchAll's
+    * bag-of-words and phraseMatch's exact adjacency. Each step is an
+    * equi-join on the doc id with the gap bound as a post-join range
+    * predicate — candidate pairs per doc are bounded by the probed
+    * terms' in-doc tf product, never corpus-scale, and the scan
+    * still reads only the probed terms' row groups.
+    */
+  def proximityMatch(s: SparkSession, idx: Index, terms: Seq[String],
+      slop: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(slop >= 1, "slop must be >= 1 (1 = exact phrase)")
+    val probed = idx.postings(s)
+      .filter(col("token").isin(terms.distinct: _*))
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      probed.filter(col("token") === t)
+        .select(col(idx.idCol), explode(col("positions")).as(s"_p$i"))
+    }
+    val chained = slots.zipWithIndex.tail.foldLeft(slots.head) {
+      case (acc, (slot, i)) =>
+        acc.join(slot, Seq(idx.idCol))
+          .filter((col(s"_p$i") - col(s"_p${i - 1}")).between(1, slop))
+    }
+    chained.groupBy(col(idx.idCol)).agg(count(lit(1)).as("hits"))
+  }
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =

@@ -3010,6 +3010,43 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Ordered PROXIMITY retrieval from the positional index
+    * ([[graft.ops.TextIndexStore.proximityMatch]], slop = 3): the
+    * documents where "small", "query", "line" occur in order with at
+    * most two other tokens between consecutive terms — the primitive
+    * between matchAll's bag-of-words and q171's exact adjacency
+    * (10 docs at this corpus vs the phrase's 5: the slop is doing
+    * observable work). Each step is a doc-keyed join with the gap
+    * bound as a range predicate; candidate pairs per doc are bounded
+    * by the probed terms' in-doc tf product.
+    */
+  val q172 = {
+    val terms = Seq("small", "query", "line"); val slop = 3
+    val slotCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"t$i AS (SELECT doc_id, pos AS p$i FROM tp WHERE token = '$t')"
+    }.mkString(",\n|")
+    val joins = (1 until terms.size)
+      .map(i => s"JOIN t$i USING (doc_id)").mkString(" ")
+    val gaps = (1 until terms.size)
+      .map(i => s"p$i - p${i - 1} BETWEEN 1 AND $slop")
+      .mkString(" AND ")
+    Q("q172_proximity_match",
+      (s, dir) => {
+        val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+        graft.ops.TextIndexStore.proximityMatch(s, idx, terms, slop)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tp AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS token,
+        |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        | FROM documents),
+        |$slotCtes
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM t0 $joins
+        |WHERE $gaps
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3017,5 +3054,5 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168, q171)
+      q167, q168, q171, q172)
 }

@@ -480,6 +480,35 @@ class TextIndexStoreSpec extends SparkSpec {
       "a deleted doc phrase-matched")
   }
 
+  test("proximityMatch: slop = 1 IS the exact phrase; a wider slop " +
+      "admits strictly more docs; equals the from-corpus expectation") {
+    val phrase = Seq("small", "query", "line")
+    assertFrameEqual(
+      TextIndexStore.proximityMatch(spark, idx, phrase, slop = 1),
+      TextIndexStore.phraseMatch(spark, idx, phrase),
+      "proximity(slop=1) vs phrase")
+    val loose = TextIndexStore.proximityMatch(spark, idx, phrase,
+      slop = 3)
+    assert(loose.count() >
+        TextIndexStore.phraseMatch(spark, idx, phrase).count(),
+      "fixture too easy: slop admitted nothing new")
+    // from-corpus expectation via the same chain over a fresh
+    // tokenize
+    val tp = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      tp.filter(col("token") === t)
+        .select(col("doc_id"), col("pos").as(s"_p$i"))
+    }
+    val expected = slots.zipWithIndex.tail
+      .foldLeft(slots.head) { case (acc, (slot, i)) =>
+        acc.join(slot, Seq("doc_id"))
+          .filter((col(s"_p$i") - col(s"_p${i - 1}")).between(1, 3))
+      }
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    assertFrameEqual(loose, expected, "proximity vs from-corpus")
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
@@ -498,5 +527,11 @@ class TextIndexStoreSpec extends SparkSpec {
     assert(scan.metadata.get("PushedFilters")
         .exists(f => f.contains("In(token") || f.contains("token#")),
       s"term probe not pushed: ${scan.metadata.get("PushedFilters")}")
+    // the positional column is dead weight for SCORING and must be
+    // pruned out of the scan — the "one int per occurrence" cost is
+    // paid only by phrase/proximity reads
+    assert(scan.metadata.get("ReadSchema")
+        .exists(rs => !rs.contains("positions")),
+      s"bm25 scan reads positions: ${scan.metadata.get("ReadSchema")}")
   }
 }
