@@ -327,16 +327,19 @@ object AnnIndexStore {
       return idx // this very batch already applied — no-op
     UpdateMarker.write(fs, marker, UpdateMarker.State(
       batchId.getOrElse(""), snapshotAll(fs, idx)))
-    // idempotent by construction: only ids NOT already tombstoned
-    // append (computed lazily here, evaluated at the write below —
-    // before the append, so the anti-join sees the prior set)
+    // idempotent by construction, and only CURRENTLY-LIVE ids count:
+    // codes(s) is the masked view, so an id already tombstoned — or
+    // NEVER INDEXED (a takedown arriving before ingest, a typo'd id)
+    // — contributes no tombstone row. Tombstoning a never-stored id
+    // would permanently block a later add() of that id behind the
+    // re-add guard although no stale rows exist to resurrect (the
+    // [[TextIndexStore.delete]] rule). Computed lazily here,
+    // evaluated at the write below — before the append, so the join
+    // sees the prior set.
     val doomed = ids.select(col(idx.idCol)).distinct()
-    val fresh = idx.tombstonesIfAny(s) match {
-      case None => doomed
-      case Some(t) => doomed.join(t.select(col(idx.idCol)).distinct(),
-        Seq(idx.idCol), "left_anti")
-    }
-    fresh.write.mode("append").parquet(idx.tombDir)
+      .join(idx.codes(s).select(col(idx.idCol)), Seq(idx.idCol),
+        "left_semi")
+    doomed.write.mode("append").parquet(idx.tombDir)
     s.catalog.refreshByPath(idx.tombDir)
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, marker)

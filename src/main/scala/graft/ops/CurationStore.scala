@@ -506,15 +506,21 @@ object CurationStore {
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (settleEntry(spark, fs, store, batchId))
       return store // this very batch already applied — no-op
-    // append only ids not already tombstoned (evaluated at the write
-    // below, before the append lands — re-runs cannot grow the set)
+    // append only CURRENTLY-STORED ids: signatures(spark) is the
+    // masked membership stage, so an id already tombstoned — or
+    // NEVER STORED (a takedown arriving before ingest, a typo'd id)
+    // — contributes no tombstone row. Tombstoning a never-stored id
+    // would permanently block a later update() of that id behind the
+    // re-add guard although no stale rows exist to resurrect (the
+    // [[TextIndexStore.delete]] rule; a signable-width doc always
+    // has a signatures row, and a sub-shingle-width doc has no rows
+    // in ANY stage, so skipping its tombstone masks nothing away).
+    // Evaluated at the write below, before the append lands —
+    // re-runs cannot grow the set.
     val doomed = ids.select(col(idCol)).distinct()
-    val fresh = store.tombstonesIfAny(spark) match {
-      case None => doomed
-      case Some(t) => doomed.join(t.select(col(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-    }
-    fresh.write.mode("append").parquet(store.tombDir)
+      .join(store.signatures(spark).select(col(idCol)), Seq(idCol),
+        "left_semi")
+    doomed.write.mode("append").parquet(store.tombDir)
     spark.catalog.refreshByPath(store.tombDir)
     // commit: swap the stage the settle protocol watches — the
     // effective labels minus the deleted docs (labels(spark) is
@@ -627,7 +633,8 @@ object CurationStore {
     val schema = s.read.parquet(labelsDir).schema.toDDL
     s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
       s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
-      s"INTO $buckets BUCKETS LOCATION '$labelsDir'")
+      s"INTO $buckets BUCKETS " +
+      s"LOCATION '${StoreDirs.catalogSafe(labelsDir)}'")
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     Store(store.dir, store.idCol, Some(name))
   }
@@ -712,7 +719,8 @@ object CurationStore {
     }
     s.sql(s"CREATE TABLE $name ($labelSchema) USING parquet " +
       s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
-      s"INTO $buckets BUCKETS LOCATION '$labelsDir'")
+      s"INTO $buckets BUCKETS " +
+      s"LOCATION '${StoreDirs.catalogSafe(labelsDir)}'")
     UpdateMarker.delete(fs, marker)
     Store(store.dir, store.idCol, Some(name))
   }

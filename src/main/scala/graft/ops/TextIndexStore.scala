@@ -536,7 +536,7 @@ object TextIndexStore {
       s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
         s"CLUSTERED BY (token) SORTED BY (token) " +
         s"INTO ${idx.postingsBuckets} BUCKETS " +
-        s"LOCATION '${idx.dir}/postings'")
+        s"LOCATION '${StoreDirs.catalogSafe(s"${idx.dir}/postings")}'")
     } else {
       idx.postings(s)
         .repartition(col("token"),

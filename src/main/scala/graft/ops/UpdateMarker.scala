@@ -236,7 +236,13 @@ object UpdateMarker {
     * is the second line of the same defense.
     */
   def write(fs: FileSystem, marker: Path, state: State): Unit = {
-    if (fs.exists(marker))
+    // the single-writer guard must be an ATOMIC claim, not a
+    // check-then-act: two concurrent writers both passing an
+    // fs.exists() check would write the same tmp and both rename
+    // successfully on a local filesystem (POSIX rename overwrites),
+    // silently interleaving their appends and swaps. createNewFile
+    // is the atomic create-if-absent primitive on HDFS and local.
+    if (!fs.createNewFile(marker))
       throw new IllegalStateException(
         s"concurrent update detected: in-flight marker $marker " +
           "already exists (stores support one writer at a time; " +
@@ -245,21 +251,41 @@ object UpdateMarker {
     for ((stage, files) <- state.listings.toSeq.sortBy(_._1);
          f <- files.toSeq.sorted)
       sb.append(s"$stage\t$f\n")
-    val tmp = new Path(marker.getParent, marker.getName + ".tmp")
+    // content commits by renaming a UNIQUE tmp over our own claim
+    // (unique so a crashed predecessor's tmp can never be renamed by
+    // someone else's commit). Local rename replaces the zero-length
+    // claim atomically; HDFS refuses to overwrite — delete our claim
+    // and retry, and if an interloper stole the name inside that
+    // gap, fail loudly rather than corrupt (they own the store now).
+    val tmp = new Path(marker.getParent, marker.getName + ".tmp-" +
+      java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, marker)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"could not commit in-flight marker $marker (rename failed — " +
-          "a concurrent writer's marker may have appeared)")
+      fs.delete(marker, false)
+      if (!fs.rename(tmp, marker)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"could not commit in-flight marker $marker (rename failed " +
+            "twice — a concurrent writer claimed the store)")
+      }
     }
   }
 
   def read(fs: FileSystem, marker: Path): Option[State] = {
     if (!fs.exists(marker)) return None
+    // a ZERO-LENGTH marker is [[write]]'s claim whose writer died
+    // before the content rename — provably pre-mutation (stores
+    // mutate only after write() returns), so the claim is safely
+    // spent: clear it and report no marker. Distinct from the
+    // non-empty-but-corrupt case below, which could be a truncated
+    // real marker and must fail loudly.
+    if (fs.getFileStatus(marker).getLen == 0) {
+      StageSwap.remove(fs, marker)
+      return None
+    }
     val in = fs.open(marker)
     val text =
       try {

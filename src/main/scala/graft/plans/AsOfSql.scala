@@ -90,8 +90,8 @@ object AsOfSql {
       else {
         val e = args(5)
         require(e.foldable &&
-            e.dataType == org.apache.spark.sql.types.LongType ||
-            e.dataType == org.apache.spark.sql.types.IntegerType,
+            (e.dataType == org.apache.spark.sql.types.LongType ||
+              e.dataType == org.apache.spark.sql.types.IntegerType),
           "asof_join: tolerance must be an integer literal")
         Some(e.eval().toString.toLong)
       }

@@ -2840,18 +2840,6 @@ object TextQueries {
       | GROUP BY doc_id, token)
       |GROUP BY token ORDER BY token""".stripMargin))
 
-  /** Deletion in the text index ([[graft.ops.TextIndexStore.delete]]
-    * — the takedown/recrawl/right-to-be-forgotten operation): build
-    * over the full corpus, DELETE every seventh doc, serve the q75
-    * term query from the store. Serving is exact BEFORE any rewrite:
-    * reads mask the tombstoned docs and the exact BIGINT counters
-    * were decremented by their doclens contributions, so n, avgdl,
-    * every idf and every score equal a rebuild without those docs —
-    * which is what the oracle recomputes from the raw corpus minus
-    * the deleted slice. TextIndexStoreSpec additionally pins
-    * delete-then-COMPACT == rebuild physically (all three stages)
-    * and the re-add guard.
-    */
   /** Deletion in the curation store
     * ([[graft.ops.CurationStore.delete]] → [[graft.ops.CurationStore
     * .compact]]): build the three stages over the full corpus,
@@ -2905,6 +2893,18 @@ object TextQueries {
       | n_docs - n_labeled + n_clusters AS n_survivors
       |FROM c""".stripMargin))
 
+  /** Deletion in the text index ([[graft.ops.TextIndexStore.delete]]
+    * — the takedown/recrawl/right-to-be-forgotten operation): build
+    * over the full corpus, DELETE every seventh doc, serve the q75
+    * term query from the store. Serving is exact BEFORE any rewrite:
+    * reads mask the tombstoned docs and the exact BIGINT counters
+    * were decremented by their doclens contributions, so n, avgdl,
+    * every idf and every score equal a rebuild without those docs —
+    * which is what the oracle recomputes from the raw corpus minus
+    * the deleted slice. TextIndexStoreSpec additionally pins
+    * delete-then-COMPACT == rebuild physically (all three stages)
+    * and the re-add guard.
+    */
   val q160 = Q("q160_text_index_delete",
     (s, dir) => {
       val docs = table(s, dir, "documents")

@@ -442,6 +442,19 @@ class AnnIndexStoreSpec extends SparkSpec {
     AnnIndexStore.delete(st, doomed)
     assert(spark.read.parquet(st.tombDir).count() == tombCount,
       "re-delete grew the tombstone set")
+    // deleting a NEVER-STORED id is a no-op: no tombstone row, and a
+    // later add of that id is not blocked behind the re-add guard
+    import spark.implicits._
+    val phantomId = 999999999L
+    AnnIndexStore.delete(st, Seq(phantomId).toDF("vec_id"))
+    assert(spark.read.parquet(st.tombDir).count() == tombCount,
+      "a never-stored id grew the tombstone set")
+    AnnIndexStore.add(st,
+      emb.filter(col("vec_id") % 10 === 1).limit(1)
+        .withColumn("vec_id", lit(phantomId)), "embedding")
+    assert(st.codes(spark).filter(col("vec_id") === phantomId)
+      .count() == 1, "phantom-delete blocked a later add")
+    AnnIndexStore.delete(st, Seq(phantomId).toDF("vec_id"))
     // re-adding a tombstoned id fails loudly until compact
     val e = intercept[IllegalArgumentException] {
       AnnIndexStore.add(st, emb.filter(doomPred).limit(3), "embedding")

@@ -466,6 +466,19 @@ class CurationStoreSpec extends SparkSpec {
     CurationStore.delete(st, doomed, Some("takedown"))
     CurationStore.delete(st, doomed)
     assert(spark.read.parquet(st.tombDir).count() == tombCount)
+    // deleting a NEVER-STORED id is a no-op: no tombstone row, and a
+    // later update() of that id is not blocked by the re-add guard
+    import spark.implicits._
+    val phantomId = 999999999L
+    CurationStore.delete(st, Seq(phantomId).toDF("doc_id"))
+    assert(spark.read.parquet(st.tombDir).count() == tombCount,
+      "a never-stored id grew the tombstone set")
+    CurationStore.update(st,
+      Seq((phantomId, "phantom arrives after its takedown notice"))
+        .toDF("doc_id", "text"), "text")
+    assert(st.signatures(spark).filter(col("doc_id") === phantomId)
+      .count() == 1, "phantom-delete blocked a later update")
+    CurationStore.delete(st, Seq(phantomId).toDF("doc_id"))
     // re-adding a tombstoned id fails loudly until compact
     val e = intercept[IllegalArgumentException] {
       CurationStore.update(st, docs.filter(doomPred).limit(2), "text")

@@ -7,10 +7,14 @@ import org.apache.hadoop.fs.Path
   * review found that a non-atomic marker write could leave a
   * zero-length `_inflight` which settlement would then parse as a
   * marker with NO listings and "heal" every live data file away —
-  * data loss inside the crash-safety protocol itself. This spec pins
-  * the two closures: markers commit by tmp+rename (no partial state
-  * at the final name), and a garbage marker fails LOUDLY instead of
-  * settling.
+  * data loss inside the crash-safety protocol itself; the round-14
+  * review found the atomic-write fix had traded away the
+  * single-writer guard (an exists() check-then-act instead of an
+  * atomic claim). This spec pins the closures of both: write()
+  * claims the marker atomically (createNewFile) and commits content
+  * by unique-tmp + rename; a zero-length marker is a PRE-MUTATION
+  * claim, spent safely without healing; non-empty garbage fails
+  * LOUDLY instead of settling.
   */
 class UpdateMarkerSpec extends SparkSpec {
 
@@ -20,41 +24,62 @@ class UpdateMarkerSpec extends SparkSpec {
     .getFileSystem(spark.sessionState.newHadoopConf())
 
   test("write commits atomically and round-trips; a second writer " +
-      "fails loudly at the existing marker") {
+      "fails loudly at the existing marker (atomic claim, not a " +
+      "check-then-act)") {
     val dir = s"$tmp/a"
     fs.mkdirs(new Path(dir))
     val marker = UpdateMarker.markerPath(dir)
     val state = UpdateMarker.State("b-7",
       Map("codes" -> Set(s"$dir/codes/p1.parquet", s"$dir/codes/p2.parquet")))
     UpdateMarker.write(fs, marker, state)
-    assert(!fs.exists(new Path(marker.getParent,
-      marker.getName + ".tmp")), "tmp file left behind")
+    assert(!fs.listStatus(new Path(dir)).exists(
+        _.getPath.getName.startsWith("_inflight.tmp")),
+      "tmp file left behind")
     assert(UpdateMarker.read(fs, marker).contains(state))
     val e = intercept[IllegalStateException] {
       UpdateMarker.write(fs, marker, state)
     }
     assert(e.getMessage.contains("concurrent"))
+    // the claim is atomic even when the first writer died BEFORE its
+    // content rename: a bare zero-length claim still excludes a
+    // second write()
+    UpdateMarker.delete(fs, marker)
+    assert(fs.createNewFile(marker))
+    val e2 = intercept[IllegalStateException] {
+      UpdateMarker.write(fs, marker, state)
+    }
+    assert(e2.getMessage.contains("concurrent"))
     UpdateMarker.delete(fs, marker)
   }
 
-  test("a zero-length / garbage marker refuses to settle instead of " +
-      "healing live data against empty listings") {
+  test("a zero-length marker is a pre-mutation claim — spent safely " +
+      "(no healing); a non-empty garbage marker refuses to settle") {
     val dir = s"$tmp/b"
     fs.mkdirs(new Path(dir))
     val marker = UpdateMarker.markerPath(dir)
-    for (bytes <- Seq(Array.empty[Byte], "garbage\n".getBytes("UTF-8"))) {
-      val out = fs.create(marker, true)
-      try out.write(bytes) finally out.close()
-      val e = intercept[IllegalStateException] {
-        UpdateMarker.read(fs, marker)
-      }
-      assert(e.getMessage.contains("corrupt"))
-      // the append-protocol settlement path fails the same way —
-      // it must never reach the heal step
-      intercept[IllegalStateException] {
-        UpdateMarker.settleAppend(fs, dir,
-          Map("codes" -> ((() => Set.empty[String], () => ()))), None)
-      }
+    // zero-length = a writer died inside write(), before any store
+    // mutation: read() clears the claim and reports no marker, and
+    // the settlement paths proceed without healing anything
+    fs.create(marker, true).close()
+    assert(UpdateMarker.read(fs, marker).isEmpty)
+    assert(!fs.exists(marker), "spent claim not cleared")
+    var healed = false
+    fs.create(marker, true).close()
+    UpdateMarker.settleAppend(fs, dir,
+      Map("codes" -> ((() => Set("phantom.parquet"),
+        () => { healed = true }))), None)
+    assert(!healed, "a pre-mutation claim healed stage files")
+    assert(!fs.exists(marker))
+    // NON-EMPTY garbage could be a truncated real marker: fail loudly
+    val out = fs.create(marker, true)
+    try out.write("garbage\n".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] {
+      UpdateMarker.read(fs, marker)
+    }
+    assert(e.getMessage.contains("corrupt"))
+    intercept[IllegalStateException] {
+      UpdateMarker.settleAppend(fs, dir,
+        Map("codes" -> ((() => Set.empty[String], () => ()))), None)
     }
     UpdateMarker.delete(fs, marker)
   }
