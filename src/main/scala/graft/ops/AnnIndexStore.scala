@@ -81,13 +81,8 @@ object AnnIndexStore {
 
     def tombDir: String = s"$dir/tombstones"
 
-    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] = {
-      val p = new Path(tombDir)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
-        Some(s.read.parquet(tombDir))
-      else None
-    }
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
+      Tombstones.ifAny(s, tombDir)
 
     /** The LIVE encoded corpus: the partitioned codes table minus
       * tombstoned ids ([[AnnIndexStore.delete]] — broadcast
@@ -98,19 +93,10 @@ object AnnIndexStore {
       * the hybrid fusions, the scaling probes — reads through here,
       * so deletion is one definition, not a per-consumer filter.
       */
-    def codes(s: SparkSession): DataFrame = {
-      val raw = s.read.parquet(s"$dir/codes")
-      tombstonesIfAny(s) match {
-        case None => raw
-        case Some(t) =>
-          val ids = t.select(col(idCol)).distinct()
-          raw.join(
-              if (AnnIndexStore.tombBroadcastable(s, this)) broadcast(ids)
-              else ids,
-              Seq(idCol), "left_anti")
-            .select(raw.columns.map(col).toIndexedSeq: _*)
-      }
-    }
+    def codes(s: SparkSession): DataFrame =
+      Tombstones.mask(s, s.read.parquet(s"$dir/codes"), idCol, tombDir,
+        AnnIndexStore.TombBroadcastMaxBytes,
+        AnnIndexStore.tombBroadcastDefault, Seq(idCol))
   }
 
   /** Ceiling (bytes of tombstone parquet) up to which the deleted-id
@@ -118,19 +104,12 @@ object AnnIndexStore {
     * shuffle anti-join instead of OOMing. Hitting it means
     * [[compact]] is overdue. */
   val TombBroadcastMaxBytes = "spark.graft.ann.tombBroadcastMaxBytes"
-  private val tombBroadcastDefault = 32L * 1024 * 1024
+  private[ops] val tombBroadcastDefault = 32L * 1024 * 1024
 
   private[ops] def tombBroadcastable(s: SparkSession,
-      idx: Index): Boolean = {
-    val p = new Path(idx.tombDir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val bytes =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).toSeq.filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    bytes <= s.conf
-      .get(TombBroadcastMaxBytes, tombBroadcastDefault.toString).toLong
-  }
+      idx: Index): Boolean =
+    Tombstones.broadcastable(s, idx.tombDir, TombBroadcastMaxBytes,
+      tombBroadcastDefault)
 
   /** Ceiling on the DISTINCT probed cells [[search]] will collect to
     * the driver for static partition pruning. The probe list is

@@ -57,13 +57,8 @@ object CurationStore {
 
     def tombDir: String = s"$dir/tombstones"
 
-    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(tombDir)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
-        Some(s.read.parquet(tombDir))
-      else None
-    }
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
+      Tombstones.ifAny(s, tombDir)
 
     /** Drop tombstoned docs' rows from a stage view by the named id
       * column(s) — [[CurationStore.delete]]'s immediate serving
@@ -77,19 +72,9 @@ object CurationStore {
       */
     private[ops] def tombMask(s: SparkSession, df: DataFrame,
         onCols: Seq[String]): DataFrame =
-      tombstonesIfAny(s) match {
-        case None => df
-        case Some(t) =>
-          val ids = t.select(col(idCol)).distinct()
-          val masked = onCols.foldLeft(df) { (acc, c) =>
-            val rhs =
-              if (CurationStore.tombBroadcastable(s, this))
-                broadcast(ids.select(col(idCol).as(c)))
-              else ids.select(col(idCol).as(c))
-            acc.join(rhs, Seq(c), "left_anti")
-          }
-          masked.select(df.columns.map(col).toIndexedSeq: _*)
-      }
+      Tombstones.mask(s, df, idCol, tombDir,
+        CurationStore.TombBroadcastMaxBytes,
+        CurationStore.tombBroadcastDefault, onCols)
 
     def signatures(s: SparkSession): DataFrame =
       tombMask(s, s.read.parquet(s"$dir/signatures"), Seq(idCol))
@@ -159,19 +144,12 @@ object CurationStore {
     * rule for the deletion set — hitting it means [[compact]] is
     * overdue). */
   val TombBroadcastMaxBytes = "spark.graft.curation.tombBroadcastMaxBytes"
-  private val tombBroadcastDefault = 32L * 1024 * 1024
+  private[ops] val tombBroadcastDefault = 32L * 1024 * 1024
 
   private[ops] def tombBroadcastable(s: SparkSession,
-      store: Store): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(store.tombDir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val bytes =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).toSeq.filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    bytes <= s.conf
-      .get(TombBroadcastMaxBytes, tombBroadcastDefault.toString).toLong
-  }
+      store: Store): Boolean =
+    Tombstones.broadcastable(s, store.tombDir, TombBroadcastMaxBytes,
+      tombBroadcastDefault)
 
   /** Ceiling (bytes of delta parquet) up to which the outstanding
     * delta rides label reads as a BROADCAST. The delta grows with

@@ -94,38 +94,24 @@ object TextIndexStore {
 
     def tombDir: String = s"$dir/tombstones"
 
-    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] = {
-      val p = new Path(tombDir)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
-        Some(s.read.parquet(tombDir))
-      else None
-    }
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
+      Tombstones.ifAny(s, tombDir)
 
     /** Drop tombstoned documents' rows from a per-document stage —
       * how [[TextIndexStore.delete]] serves EXACTLY between
       * compactions: the deleted docs' postings/doclens rows are
-      * masked at read time (broadcast anti-join while the tombstone
-      * set is small — the [[CurationStore.DeltaBroadcastMaxBytes]]
-      * degrade-don't-OOM rule) and the stats counters were
-      * decremented exactly at delete time, so every score equals a
-      * rebuild without those docs; [[TextIndexStore.compact]] makes
-      * the removal physical and clears the tombstones.
+      * masked at read time (the shared [[Tombstones.mask]] —
+      * broadcast anti-join while the set is small, the
+      * degrade-don't-OOM rule past [[TombBroadcastMaxBytes]]) and
+      * the stats counters were decremented exactly at delete time,
+      * so every score equals a rebuild without those docs;
+      * [[TextIndexStore.compact]] makes the removal physical and
+      * clears the tombstones.
       */
     private def masked(s: SparkSession, df: DataFrame): DataFrame =
-      tombstonesIfAny(s) match {
-        case None => df
-        case Some(t) =>
-          val ids = t.select(col(idCol)).distinct()
-          df.join(
-              if (TextIndexStore.tombBroadcastable(s, this)) broadcast(ids)
-              else ids,
-              Seq(idCol), "left_anti")
-            // a USING-column join hoists the key to the front —
-            // restore the stage's column order (consumers compare
-            // frames positionally)
-            .select(df.columns.map(col).toIndexedSeq: _*)
-      }
+      Tombstones.mask(s, df, idCol, tombDir,
+        TextIndexStore.TombBroadcastMaxBytes,
+        TextIndexStore.tombBroadcastDefault, Seq(idCol))
 
     /** Every LIVE postings row: (base ∪ outstanding delta) minus
       * tombstoned docs. Postings are per-document derivations with
@@ -149,19 +135,12 @@ object TextIndexStore {
     * [[compact]] is overdue (compaction makes removals physical and
     * empties the set). */
   val TombBroadcastMaxBytes = "spark.graft.text.tombBroadcastMaxBytes"
-  private val tombBroadcastDefault = 32L * 1024 * 1024
+  private[ops] val tombBroadcastDefault = 32L * 1024 * 1024
 
   private[ops] def tombBroadcastable(s: SparkSession,
-      idx: Index): Boolean = {
-    val p = new Path(idx.tombDir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val bytes =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).toSeq.filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    bytes <= s.conf
-      .get(TombBroadcastMaxBytes, tombBroadcastDefault.toString).toLong
-  }
+      idx: Index): Boolean =
+    Tombstones.broadcastable(s, idx.tombDir, TombBroadcastMaxBytes,
+      tombBroadcastDefault)
 
   /** Deterministic catalog name for `storeDir`'s bucketed postings
     * table (bucketing survives only through the catalog) — the

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE definition of the tombstone read-side machinery all three
+  * persisted stores share ([[CurationStore]], [[AnnIndexStore]],
+  * [[TextIndexStore]]): the stage probe, the broadcast-or-shuffle
+  * size decision, and the masking anti-join. Centralized for the
+  * same reason [[UpdateMarker.settle]] is — the protocol must not
+  * fork per store (the round-14 review found exactly that drift:
+  * one store restricted deletes to live ids while the other two
+  * tombstoned never-stored ids). Each store keeps only what is
+  * genuinely its own: the tombstone directory layout, its conf key,
+  * and WHICH columns of which stages mask.
+  */
+private[ops] object Tombstones {
+
+  /** The store's tombstoned ids, when the stage exists and holds
+    * committed files. */
+  def ifAny(s: SparkSession, tombDir: String): Option[DataFrame] = {
+    val p = new Path(tombDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
+      Some(s.read.parquet(tombDir))
+    else None
+  }
+
+  /** Broadcast-or-shuffle decision by ON-DISK tombstone bytes (a
+    * file-listing read, no job): below the ceiling the deleted-id
+    * mask rides reads as a broadcast; past it readers degrade to the
+    * shuffle anti-join instead of OOMing — the degrade-don't-OOM
+    * rule. Hitting the ceiling means compact() is overdue
+    * (compaction makes removals physical and empties the set). */
+  def broadcastable(s: SparkSession, tombDir: String,
+      confKey: String, defaultBytes: Long): Boolean = {
+    val p = new Path(tombDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    bytes <= s.conf.get(confKey, defaultBytes.toString).toLong
+  }
+
+  /** Drop tombstoned ids' rows from a stage view, matching the
+    * store's `idCol` against each of `onCols` in turn (a pairs stage
+    * masks both endpoints): broadcast anti-join while the set is
+    * small, shuffle past the ceiling; the stage's column order is
+    * restored afterwards (consumers compare frames positionally).
+    * A mask is a join ABOVE the stage scan, so pushed filters and
+    * partition/bucket pruning on the stage still bind.
+    */
+  def mask(s: SparkSession, df: DataFrame, idCol: String,
+      tombDir: String, confKey: String, defaultBytes: Long,
+      onCols: Seq[String]): DataFrame =
+    ifAny(s, tombDir) match {
+      case None => df
+      case Some(t) =>
+        val ids = t.select(col(idCol)).distinct()
+        val bc = broadcastable(s, tombDir, confKey, defaultBytes)
+        val masked = onCols.foldLeft(df) { (acc, c) =>
+          val rhs = ids.select(col(idCol).as(c))
+          acc.join(if (bc) broadcast(rhs) else rhs, Seq(c), "left_anti")
+        }
+        masked.select(df.columns.map(col).toIndexedSeq: _*)
+    }
+}
