@@ -142,6 +142,11 @@ object AnnIndexStore {
     StageSwap.recover(s, s"$dir/codes")
     UpdateMarker.clear(fsOf(s, dir), dir)
     StageSwap.remove(fsOf(s, dir), new Path(s"$dir/tombstones"))
+    // the recall log too: its rows are probes of the PREVIOUS life's
+    // corpus/models — surviving a rebuild they would pollute the
+    // staleness history the operational loop reads (a post-rebuild
+    // trend would start from the stale corpus's decayed recall)
+    StageSwap.remove(fsOf(s, dir), new Path(s"$dir/recall_log"))
     // same silently-empty-result trap as ivfCells: a predicate
     // matching nothing would build an index that answers every query
     // with zero rows — fail loudly instead (same conf opt-out; the
@@ -227,6 +232,32 @@ object AnnIndexStore {
   private def settleEntry(s: SparkSession, fs: FileSystem, idx: Index,
       batchId: Option[String]): Boolean = {
     StageSwap.recover(s, s"${idx.dir}/codes")
+    // ROLL FORWARD a compact that committed its codes swap but died
+    // before clearing the tombstones it absorbed (the TextIndexStore
+    // `fold` rule): those tombstones' removals are already physical,
+    // yet left in place they keep blocking add() of their ids via the
+    // re-add guard — and keep paying the mask anti-join — until a
+    // NEXT compact happens to run. The marker's `tombs.absorbed`
+    // listing names exactly the files to finish removing; commitment
+    // is witnessed by the codes listing differing from the `.swap`
+    // snapshot (a rolled-back swap restores the snapshotted names).
+    val marker = UpdateMarker.markerPath(idx.dir)
+    UpdateMarker.read(fs, marker)
+      .filter(_.listings.contains("codes.swap")).foreach { prior =>
+        val committed = listCodesFiles(fs, idx.dir) !=
+          prior.listings("codes.swap")
+        if (committed) {
+          prior.listings.getOrElse("tombs.absorbed", Set.empty[String])
+            .foreach(f => StageSwap.remove(fs, new Path(f)))
+          if (UpdateMarker.listFiles(fs, idx.tombDir).isEmpty)
+            StageSwap.remove(fs, new Path(idx.tombDir))
+          s.catalog.refreshByPath(idx.tombDir)
+        }
+        // either way the marker is spent: committed → the clear
+        // finished above; uncommitted → recover() rolled the
+        // half-swap back and the tombstones still mask live rows
+        UpdateMarker.delete(fs, marker)
+      }
     UpdateMarker.settleAppend(fs, idx.dir, appendStages(s, fs, idx),
       batchId)
   }
@@ -357,15 +388,19 @@ object AnnIndexStore {
     // for it — after a committed swap with a crashed marker delete,
     // every file in the stage is the new live data (the settleAppend
     // decision table)
-    UpdateMarker.write(fs, marker, UpdateMarker.State("",
-      Map("codes.swap" -> listCodesFiles(fs, idx.dir))))
     // tombstoned ids: codes(s) below is the MASKED view, so the
     // rewrite drops their rows physically; the tombstone files this
     // run absorbed clear after the commit (snapshot — a
     // discipline-violating concurrent delete's files survive as
-    // outstanding masks; a crash before the clear leaves harmless
-    // tombstones for rows no longer present, cleared next compact)
+    // outstanding masks). The marker lists the absorbed files so a
+    // crash between the committed swap and the clear ROLLS FORWARD
+    // at the next writer's settlement ([[settleEntry]]) instead of
+    // leaving tombstones that block their ids' re-add until another
+    // compact.
     val absorbedTombs = UpdateMarker.listFiles(fs, idx.tombDir)
+    UpdateMarker.write(fs, marker, UpdateMarker.State("",
+      Map("codes.swap" -> listCodesFiles(fs, idx.dir),
+        "tombs.absorbed" -> absorbedTombs)))
     // one shuffle by cell → each cell's rows land in exactly one
     // task → the partitioned write emits one file per cell
     idx.codes(s).repartition(col("cell"))

@@ -30,9 +30,16 @@ object StoreDirs {
     * warehouse-vs-cwd relative-resolution split in the class doc):
     * scheme-less relative paths absolutize against the process cwd —
     * matching what the Hadoop Path API would resolve them to — while
-    * URIs and absolute paths pass through untouched.
+    * URIs and absolute paths pass through untouched. URI detection
+    * matches any RFC-3986 scheme followed by a slash — Hadoop's
+    * `Path.toString` emits SINGLE-slash scheme URIs (`file:/tmp/x`),
+    * which a `"://"` substring test would misread as relative and
+    * mangle into `/cwd/file:/tmp/x`.
     */
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:/".r
+
   def catalogSafe(path: String): String =
-    if (path.contains("://") || path.startsWith("/")) path
+    if (path.startsWith("/") ||
+        SchemePrefix.findPrefixOf(path).isDefined) path
     else new java.io.File(path).getAbsolutePath
 }

@@ -274,15 +274,40 @@ object UpdateMarker {
     }
   }
 
+  /** Age past which a zero-length marker is judged a CRASHED writer's
+    * claim rather than a live writer inside [[write]]'s
+    * createNewFile → content-rename window. That window is
+    * microseconds of local work; a minute of grace is orders of
+    * magnitude above it, while a genuinely crashed claim only delays
+    * the next writer's settlement by the same minute. Without the
+    * grace, a second writer entering between a LIVE writer's claim
+    * and its content rename would clear the claim and both writers
+    * would proceed — the atomic-claim guard silently weakened to
+    * simultaneous-entry detection.
+    */
+  private[ops] val ClaimGraceMs = 60000L
+
   def read(fs: FileSystem, marker: Path): Option[State] = {
     if (!fs.exists(marker)) return None
     // a ZERO-LENGTH marker is [[write]]'s claim whose writer died
     // before the content rename — provably pre-mutation (stores
     // mutate only after write() returns), so the claim is safely
-    // spent: clear it and report no marker. Distinct from the
+    // spent: clear it and report no marker. But only once it has
+    // AGED past [[ClaimGraceMs]] — a younger claim could belong to a
+    // writer alive inside write()'s claim-to-rename window, and
+    // clearing it would let this caller proceed concurrently. Fail
+    // loudly instead, same as write()'s own guard. Distinct from the
     // non-empty-but-corrupt case below, which could be a truncated
-    // real marker and must fail loudly.
-    if (fs.getFileStatus(marker).getLen == 0) {
+    // real marker and must also fail loudly.
+    val st = fs.getFileStatus(marker)
+    if (st.getLen == 0) {
+      if (System.currentTimeMillis() - st.getModificationTime <
+          ClaimGraceMs)
+        throw new IllegalStateException(
+          s"concurrent update detected: zero-length marker $marker " +
+            "is younger than the claim grace period — a live writer " +
+            "may be mid-claim (retry after it ages out, or serialize " +
+            "updates per store directory)")
       StageSwap.remove(fs, marker)
       return None
     }

@@ -245,6 +245,42 @@ class AnnIndexStoreSpec extends SparkSpec {
       "settlement deleted committed compacted files")
   }
 
+  test("a compact crash between the committed codes swap and the " +
+      "tombstone clear ROLLS FORWARD: settlement finishes the clear " +
+      "and the deleted ids are immediately re-addable") {
+    val (cp, sp, m, sub, it) = dials
+    val doomedPred = col("vec_id") % 100 === 42
+    val st = AnnIndexStore.build(emb, "vec_id", "embedding",
+      s"$tmp/rollfwd", cp, sp, m, sub, it)
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    AnnIndexStore.delete(st, emb.filter(doomedPred).select("vec_id"))
+    // replay compact's steps up to the crash point: marker written
+    // (codes.swap snapshot + the absorbed tombstone listing), rewrite
+    // staged and COMMITTED through the swap — then die before the
+    // tombstone clear and the marker delete
+    val preCompact = codesFiles(st.dir)
+    val absorbed = UpdateMarker.listFiles(fs, st.tombDir)
+    assert(absorbed.nonEmpty, "fixture: no tombstones to absorb")
+    UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
+      UpdateMarker.State("", Map("codes.swap" -> preCompact,
+        "tombs.absorbed" -> absorbed)))
+    st.codes(spark).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${st.dir}/codes.next")
+    StageSwap.swapIn(spark, s"${st.dir}/codes")
+    // crash here. The next writer's settlement must roll the clear
+    // forward (the removal is already physical), not leave tombstones
+    // that block the ids' re-add until another compact
+    val reAdd = emb.filter(doomedPred)
+    AnnIndexStore.add(st, reAdd, "embedding")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(st.tombDir)),
+      "absorbed tombstones survived the roll-forward")
+    assert(!fs.exists(UpdateMarker.markerPath(st.dir)))
+    assert(st.codes(spark).filter(doomedPred).count() == reAdd.count(),
+      "re-added ids are not live (a stale tombstone still masks them)")
+  }
+
   test("build() settles the directory's previous life: a stale add " +
       "marker cannot wipe a fresh rebuild") {
     val (cp, sp, m, sub, it) = dials
@@ -364,8 +400,9 @@ class AnnIndexStoreSpec extends SparkSpec {
   }
 
   test("recallProbe measures staleness: adds from a shifted " +
-      "distribution drag recall down, a rebuild restores it, the " +
-      "log keeps one row per snapshot") {
+      "distribution drag recall down, a rebuild restores it, and " +
+      "the rebuild starts a FRESH log (old-corpus probes would " +
+      "pollute the staleness history)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     // CLUSTERED corpus (10 near-identical members per cluster): a
@@ -408,11 +445,15 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(restoredRecall - staleRecall >= 0.2,
       s"drift signal too weak to act on: stale=$staleRecall " +
         s"restored=$restoredRecall")
-    // the log carries the progression, one row per snapshot
+    // a rebuild resets the store wholesale, the log included: its
+    // rows probed the PREVIOUS life's corpus/models, and surviving
+    // they would skew the trend the operational loop reads — the new
+    // life's history starts at the post-rebuild snapshot only
     val log = AnnIndexStore.recallLog(spark, rebuilt)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    assert(log.keySet == Set("after-drift-add", "after-rebuild"))
-    assert(log("after-rebuild") > log("after-drift-add"))
+    assert(log.keySet == Set("after-rebuild"),
+      "recall_log survived the rebuild (stale-corpus probes pollute " +
+        "the staleness history)")
   }
 
   test("delete masks search immediately; delete-then-compact == " +

@@ -53,18 +53,32 @@ class UpdateMarkerSpec extends SparkSpec {
   }
 
   test("a zero-length marker is a pre-mutation claim — spent safely " +
-      "(no healing); a non-empty garbage marker refuses to settle") {
+      "once AGED (no healing), held while young (a live writer may " +
+      "be mid-claim); a non-empty garbage marker refuses to settle") {
     val dir = s"$tmp/b"
     fs.mkdirs(new Path(dir))
     val marker = UpdateMarker.markerPath(dir)
-    // zero-length = a writer died inside write(), before any store
-    // mutation: read() clears the claim and reports no marker, and
-    // the settlement paths proceed without healing anything
+    def age(): Unit = fs.setTimes(marker,
+      System.currentTimeMillis() - 2 * UpdateMarker.ClaimGraceMs, -1)
+    // a FRESH zero-length claim could be a LIVE writer between its
+    // createNewFile and its content rename — read() must NOT spend
+    // it (a settlement that cleared it would let both writers
+    // proceed); it fails loudly like write()'s own guard
     fs.create(marker, true).close()
+    val eLive = intercept[IllegalStateException] {
+      UpdateMarker.read(fs, marker)
+    }
+    assert(eLive.getMessage.contains("concurrent"))
+    assert(fs.exists(marker), "a live claim was spent")
+    // aged past the grace period = a writer died inside write(),
+    // before any store mutation: read() clears the claim and reports
+    // no marker, and the settlement paths proceed without healing
+    age()
     assert(UpdateMarker.read(fs, marker).isEmpty)
     assert(!fs.exists(marker), "spent claim not cleared")
     var healed = false
     fs.create(marker, true).close()
+    age()
     UpdateMarker.settleAppend(fs, dir,
       Map("codes" -> ((() => Set("phantom.parquet"),
         () => { healed = true }))), None)
