@@ -42,9 +42,25 @@ import org.apache.spark.sql.functions._
   *    the models stay frozen — the inverse of [[add]] under the
   *    same append-commit protocol.
   *  - [[compact]] periodically folds the per-add small files back to
-  *    one file per cell and makes deletions physical (staged swap,
-  *    crash-safe) — the [[CurationStore.compact]] discipline for
-  *    the vector tier.
+  *    one file per cell and makes deletions physical — the
+  *    [[CurationStore.compact]] discipline for the vector tier.
+  *
+  * READER ISOLATION ([[StoreVersions]] — the Iceberg-lite layer):
+  * every maintained stage lives in an immutable VERSION directory and
+  * the store's `_manifest` names the current one per stage. A reader
+  * resolves the manifest ONCE at plan time ([[Index.pin]] — every
+  * serving entry point pins internally), so a query planned before a
+  * concurrent [[compact]]/[[build]] collects its results from the
+  * pinned snapshot's files, which retention keeps alive for
+  * [[StoreVersions.RetainVersions]] further maintenance cycles. The
+  * commit of a destructive rewrite is ONE atomic manifest flip —
+  * compact's fresh codes AND its cleared tombstones commit together,
+  * so no reader can observe rewritten codes with stale tombstones (or
+  * the reverse), and [[build]]'s re-train flips models + codes +
+  * tombstones as one snapshot: search serves THROUGH the rebuild.
+  * [[add]]/[[delete]] append INSIDE the current version (append-only
+  * — invisible to already-planned readers, no isolation needed) and
+  * commit through the durable `_applied` record as before.
   *
   * Crash/re-run discipline for [[add]] (append-only commit, adapted
   * from the [[UpdateMarker]] swap protocol — the codes table is
@@ -55,34 +71,42 @@ import org.apache.spark.sql.functions._
   * the snapshot) unless `_applied` already names the marker's batch
   * (append finished, marker survived), and a `batchId` makes the
   * committed-but-unacknowledged replay a detected no-op exactly as in
-  * [[CurationStore.update]]. SINGLE WRITER per index directory — the
+  * [[CurationStore.update]]. A crashed [[compact]]/[[build]] needs no
+  * adjudication at all: its uncommitted version dirs are numbered
+  * above the manifest and swept at the next writer's entry
+  * ([[StoreVersions.sweepOrphans]]) — flip-last means an interrupted
+  * maintenance either fully committed or left no trace a reader or
+  * writer can observe. SINGLE WRITER per index directory — the
   * caller's contract, as for every store here: the fail-if-exists
   * marker write rejects SIMULTANEOUS entries loudly, but a writer
   * entering while an earlier writer's long append job is mid-flight
   * consumes that writer's marker (a marker cannot distinguish
-  * crashed from live — the [[CurationStore.compact]] caveat) and the
-  * interleaved appends corrupt; serialize writers per store.
+  * crashed from live) and the interleaved appends corrupt; serialize
+  * writers per store.
   */
 object AnnIndexStore {
 
-  /** Handle to a built index: three parquet tables under `dir`.
-    * `cell` comes back from partition-directory inference (int for
-    * small centroid ids) — consumers compare it against assignment
-    * output, where Catalyst's implicit cast keeps the join correct
-    * and partition-pruning predicates still bind to the partition
-    * column.
-    */
-  final case class Index(dir: String, idCol: String, m: Int,
-      subDim: Int) {
-    def centroids(s: SparkSession): DataFrame =
-      s.read.parquet(s"$dir/centroids")
-    def codebooks(s: SparkSession): DataFrame =
-      s.read.parquet(s"$dir/codebooks")
+  /** The versioned stages (the `recall_log` is deliberately outside:
+    * advisory monitoring appends, reset wholesale by [[build]]). */
+  private val Stages =
+    Seq("centroids", "codebooks", "codes", "tombstones")
 
-    def tombDir: String = s"$dir/tombstones"
+  /** One resolved snapshot of the store — all four stages from a
+    * SINGLE manifest read, so a composite plan can never mix
+    * versions (new codes with stale tombstones, rewritten codes
+    * under old models). Holding a Snapshot pins its files for the
+    * retention window.
+    */
+  final case class Snapshot(idCol: String, m: Int, subDim: Int,
+      centroidsPath: String, codebooksPath: String, codesPath: String,
+      tombsPath: String) {
+    def centroids(s: SparkSession): DataFrame =
+      s.read.parquet(centroidsPath)
+    def codebooks(s: SparkSession): DataFrame =
+      s.read.parquet(codebooksPath)
 
     private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
-      Tombstones.ifAny(s, tombDir)
+      Tombstones.ifAny(s, tombsPath)
 
     /** The LIVE encoded corpus: the partitioned codes table minus
       * tombstoned ids ([[AnnIndexStore.delete]] — broadcast
@@ -94,9 +118,46 @@ object AnnIndexStore {
       * so deletion is one definition, not a per-consumer filter.
       */
     def codes(s: SparkSession): DataFrame =
-      Tombstones.mask(s, s.read.parquet(s"$dir/codes"), idCol, tombDir,
+      Tombstones.mask(s, s.read.parquet(codesPath), idCol, tombsPath,
         AnnIndexStore.TombBroadcastMaxBytes,
         AnnIndexStore.tombBroadcastDefault, Seq(idCol))
+  }
+
+  /** Handle to a built index. Stage data is resolved through the
+    * store manifest per call; `cell` comes back from
+    * partition-directory inference (int for small centroid ids) —
+    * consumers compare it against assignment output, where Catalyst's
+    * implicit cast keeps the join correct and partition-pruning
+    * predicates still bind to the partition column.
+    */
+  final case class Index(dir: String, idCol: String, m: Int,
+      subDim: Int) {
+
+    /** Resolve all stages from ONE manifest read — the reader's
+      * snapshot pin (see the object scaladoc). */
+    def pin(s: SparkSession): Snapshot = {
+      val fs = AnnIndexStore.fsOf(s, dir)
+      val m0 = StoreVersions.read(fs, dir)
+      def p(stage: String): String = m0.get(stage)
+        .map(v => s"$dir/$stage/$v")
+        .getOrElse(throw new IllegalStateException(
+          s"index at $dir has no committed '$stage' stage — build() " +
+            "it first (pre-versioning layouts are reset by build)"))
+      Snapshot(idCol, m, subDim, p("centroids"), p("codebooks"),
+        p("codes"), p("tombstones"))
+    }
+
+    def centroids(s: SparkSession): DataFrame = pin(s).centroids(s)
+    def codebooks(s: SparkSession): DataFrame = pin(s).codebooks(s)
+
+    /** The current tombstones stage directory (resolved). */
+    def tombDir(s: SparkSession): String = pin(s).tombsPath
+
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
+      pin(s).tombstonesIfAny(s)
+
+    /** The LIVE encoded corpus ([[Snapshot.codes]], freshly pinned). */
+    def codes(s: SparkSession): DataFrame = pin(s).codes(s)
   }
 
   /** Ceiling (bytes of tombstone parquet) up to which the deleted-id
@@ -108,7 +169,7 @@ object AnnIndexStore {
 
   private[ops] def tombBroadcastable(s: SparkSession,
       idx: Index): Boolean =
-    Tombstones.broadcastable(s, idx.tombDir, TombBroadcastMaxBytes,
+    Tombstones.broadcastable(s, idx.tombDir(s), TombBroadcastMaxBytes,
       tombBroadcastDefault)
 
   /** Ceiling on the DISTINCT probed cells [[search]] will collect to
@@ -123,7 +184,11 @@ object AnnIndexStore {
   private val pruneMaxDefault = 1024
 
   /** Train the quantizers over `emb` and write the full index under
-    * `dir` (overwrite). Dials mirror [[Similarity.ivfPqTopK]]:
+    * `dir` as a fresh SNAPSHOT, committed by one manifest flip — an
+    * index already serving from `dir` keeps serving the old snapshot
+    * until the flip, and pinned readers keep their files through
+    * retention (the re-train story: [[search]] serves THROUGH the
+    * rebuild). Dials mirror [[Similarity.ivfPqTopK]]:
     * `centroidPred` selects the coarse centroid vectors, `seedPred`
     * the PQ seed vectors, `m`×`subDim` the product decomposition.
     */
@@ -131,22 +196,26 @@ object AnnIndexStore {
       centroidPred: Column, seedPred: Column, m: Int, subDim: Int,
       iters: Int): Index = {
     val s = emb.sparkSession
-    // a rebuild resets the store wholesale — settle the directory's
-    // previous life FIRST: a crashed compact's aside copy (codes.old)
-    // would otherwise survive the overwrite and a later writer's
-    // recover would roll the FRESH build back to it; a crashed add's
-    // marker would survive and a later writer's settlement would
-    // "heal" the fresh codes against a stale snapshot (deleting all
-    // of them); a stale _applied id could alias a new producer's
-    // restarted batch numbering
-    StageSwap.recover(s, s"$dir/codes")
-    UpdateMarker.clear(fsOf(s, dir), dir)
-    StageSwap.remove(fsOf(s, dir), new Path(s"$dir/tombstones"))
+    val fs = fsOf(s, dir)
+    // settle the directory's previous life. A VERSIONED previous
+    // life keeps its committed snapshot (that is the serve-through-
+    // rebuild contract) and only sheds crashed writers' orphan
+    // version dirs; a PRE-VERSIONING or foreign layout (stage data
+    // directly at the stage roots) is reset wholesale — its files
+    // would alias version resolution. Stale markers/_applied go
+    // either way: a rebuild resets batch-id lineage (streaming
+    // epochs restart at 0), and a crashed add's marker would "heal"
+    // fresh files against a stale snapshot.
+    if (StoreVersions.read(fs, dir).isEmpty)
+      for (st <- Stages ++ Seq("codes.next", "codes.old"))
+        StageSwap.remove(fs, new Path(s"$dir/$st"))
+    else StoreVersions.sweepOrphans(fs, dir, Stages)
+    UpdateMarker.clear(fs, dir)
     // the recall log too: its rows are probes of the PREVIOUS life's
     // corpus/models — surviving a rebuild they would pollute the
     // staleness history the operational loop reads (a post-rebuild
     // trend would start from the stale corpus's decayed recall)
-    StageSwap.remove(fsOf(s, dir), new Path(s"$dir/recall_log"))
+    StageSwap.remove(fs, new Path(s"$dir/recall_log"))
     // same silently-empty-result trap as ivfCells: a predicate
     // matching nothing would build an index that answers every query
     // with zero rows — fail loudly instead (same conf opt-out; the
@@ -157,45 +226,55 @@ object AnnIndexStore {
         "centroidPred matched no rows — the index needs >= 1 cell")
     // coarse quantizer: the selected centroid rows with their norms —
     // k rows, the broadcast side of every assignment from here on
+    val cV = StoreVersions.next(fs, dir, "centroids")
     Similarity.withNorm(emb.filter(centroidPred), vecCol)
       .select(col(idCol).cast("long").as("cid"), col("_e").as("_ce"),
         col("_nrm").as("_cn"))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(cV)
     // PQ codebooks: one keyed Lloyd loop over the corpus
+    val bV = StoreVersions.next(fs, dir, "codebooks")
     Similarity.pqTrain(emb, idCol, vecCol, seedPred, m, subDim, iters)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
-    val idx = Index(dir, idCol, m, subDim)
+      .write.mode("overwrite").parquet(bV)
     // the ONE remaining corpus-sized pass: coarse cell + m codes per
     // vector, written partitioned by cell — the models are re-read
-    // from the store (lineage cut at each boundary, the
-    // CurationStore discipline), so the encode plan starts at tiny
-    // scans, not the trainer chains
-    writeCodes(idx, emb, vecCol, mode = "overwrite")
-    idx
+    // from the just-written version dirs (lineage cut at each
+    // boundary, the CurationStore discipline), so the encode plan
+    // starts at tiny scans, not the trainer chains
+    val kV = StoreVersions.next(fs, dir, "codes")
+    encodeTo(s, emb, idCol, vecCol, cV, bV, m, subDim, kV,
+      mode = "overwrite")
+    val tV = StoreVersions.nextEmpty(fs, dir, "tombstones")
+    StoreVersions.flip(fs, dir, Map("centroids" -> cV,
+      "codebooks" -> bV, "codes" -> kV, "tombstones" -> tV))
+    StoreVersions.gc(s, fs, dir, Stages)
+    Index(dir, idCol, m, subDim)
   }
 
-  /** Assign + encode `emb` against the STORED models and write into
-    * the partitioned codes table. Shared by [[build]] (overwrite) and
-    * [[add]] (append): the per-row arithmetic is identical, which is
-    * the whole incremental-equivalence argument.
+  /** Assign + encode `emb` against the models at the given version
+    * paths and write into `target`. Shared by [[build]] (a fresh
+    * codes version) and [[add]] (append into the CURRENT version):
+    * the per-row arithmetic is identical, which is the whole
+    * incremental-equivalence argument.
     */
-  private def writeCodes(idx: Index, emb: DataFrame, vecCol: String,
-      mode: String): Unit = {
-    val s = emb.sparkSession
-    val cells = Similarity.assignCosineCells(emb, idx.idCol, vecCol,
-        idx.centroids(s))
-      .select(col(idx.idCol), col("cell"))
-    Similarity.pqEncode(emb, idx.idCol, vecCol, idx.codebooks(s),
-        idx.m, idx.subDim)
-      .join(cells, idx.idCol)
-      .write.mode(mode).partitionBy("cell").parquet(s"${idx.dir}/codes")
-    s.catalog.refreshByPath(s"${idx.dir}/codes")
+  private def encodeTo(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, centroidsPath: String, codebooksPath: String,
+      m: Int, subDim: Int, target: String, mode: String): Unit = {
+    val cells = Similarity.assignCosineCells(emb, idCol, vecCol,
+        s.read.parquet(centroidsPath))
+      .select(col(idCol), col("cell"))
+    Similarity.pqEncode(emb, idCol, vecCol,
+        s.read.parquet(codebooksPath), m, subDim)
+      .join(cells, idCol)
+      .write.mode(mode).partitionBy("cell").parquet(target)
+    s.catalog.refreshByPath(target)
   }
 
-  /** Every data file under the partitioned codes table — recursive,
-    * unlike [[UpdateMarker.listFiles]]' flat stage listing. */
-  private def listCodesFiles(fs: FileSystem, dir: String): Set[String] = {
-    val p = new Path(s"$dir/codes")
+  /** Every data file under a partitioned codes version dir —
+    * recursive, unlike [[UpdateMarker.listFiles]]' flat stage
+    * listing. */
+  private def listCodesFiles(fs: FileSystem,
+      codesPath: String): Set[String] = {
+    val p = new Path(codesPath)
     if (!fs.exists(p)) return Set.empty
     val it = fs.listFiles(p, true)
     val out = scala.collection.mutable.Set.empty[String]
@@ -207,8 +286,50 @@ object AnnIndexStore {
     out.toSet
   }
 
-  private def fsOf(s: SparkSession, dir: String): FileSystem =
+  private[ops] def fsOf(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Shared entry for the append writers and compact: sweep crashed
+    * maintenance writers' orphan version dirs (flip-last — nothing
+    * else of theirs can exist), then settle a crashed predecessor's
+    * marker through the kind-aware append-protocol settlement
+    * ([[UpdateMarker.settleAppend]] — the ONE definition of the
+    * decision table; a compact's `.swap` marker is never healed by
+    * file deletion, an uncommitted add marker is). Returns TRUE when
+    * `batchId` is already applied.
+    */
+  private def settleEntry(s: SparkSession, fs: FileSystem, idx: Index,
+      batchId: Option[String]): Boolean = {
+    StoreVersions.sweepOrphans(fs, idx.dir, Stages)
+    UpdateMarker.settleAppend(fs, idx.dir, appendStages(s, fs, idx),
+      batchId)
+  }
+
+  /** The append stages every writer of this store snapshots and
+    * settlement heals — the [[UpdateMarker.settleAppend]] contract:
+    * a writer that leaves a stage untouched still snapshots it (its
+    * heal diff is then empty by construction). `codes` is the encode
+    * target; `tombs` is [[delete]]'s append-only tombstone stage.
+    * Listings resolve the CURRENT versions — the same resolution a
+    * crashed predecessor snapshotted, because appends never flip.
+    */
+  private def appendStages(s: SparkSession, fs: FileSystem,
+      idx: Index): Map[String, (() => Set[String], () => Unit)] = {
+    val snap = idx.pin(s)
+    Map(
+      "codes" -> ((() => listCodesFiles(fs, snap.codesPath),
+        () => s.catalog.refreshByPath(snap.codesPath))),
+      "tombs" -> ((() => UpdateMarker.listFiles(fs, snap.tombsPath),
+        () => s.catalog.refreshByPath(snap.tombsPath))))
+  }
+
+  /** Every writer's marker snapshot — both append stages, per the
+    * [[UpdateMarker.settleAppend]] every-writer-snapshots-every-stage
+    * rule. */
+  private def snapshotAll(fs: FileSystem, snap: Snapshot)
+      : Map[String, Set[String]] = Map(
+    "codes" -> listCodesFiles(fs, snap.codesPath),
+    "tombs" -> UpdateMarker.listFiles(fs, snap.tombsPath))
 
   /** Fold a NEW batch of vectors into the index: encode with the
     * stored models, append to the probed-cell partitions. Ids must be
@@ -221,68 +342,6 @@ object AnnIndexStore {
     * no-op. Without one, the committed-but-unacknowledged window is
     * the caller's re-send risk (double-appended rows).
     */
-  /** Shared entry for both writers: heal a crashed compact's
-    * half-swap, then settle a crashed predecessor's marker through
-    * the kind-aware append-protocol settlement
-    * ([[UpdateMarker.settleAppend]] — the ONE definition of the
-    * decision table; a compact marker is never healed by file
-    * deletion, an uncommitted add marker is). Returns TRUE when
-    * `batchId` is already applied.
-    */
-  private def settleEntry(s: SparkSession, fs: FileSystem, idx: Index,
-      batchId: Option[String]): Boolean = {
-    StageSwap.recover(s, s"${idx.dir}/codes")
-    // ROLL FORWARD a compact that committed its codes swap but died
-    // before clearing the tombstones it absorbed (the TextIndexStore
-    // `fold` rule): those tombstones' removals are already physical,
-    // yet left in place they keep blocking add() of their ids via the
-    // re-add guard — and keep paying the mask anti-join — until a
-    // NEXT compact happens to run. The marker's `tombs.absorbed`
-    // listing names exactly the files to finish removing; commitment
-    // is witnessed by the codes listing differing from the `.swap`
-    // snapshot (a rolled-back swap restores the snapshotted names).
-    val marker = UpdateMarker.markerPath(idx.dir)
-    UpdateMarker.read(fs, marker)
-      .filter(_.listings.contains("codes.swap")).foreach { prior =>
-        val committed = listCodesFiles(fs, idx.dir) !=
-          prior.listings("codes.swap")
-        if (committed) {
-          prior.listings.getOrElse("tombs.absorbed", Set.empty[String])
-            .foreach(f => StageSwap.remove(fs, new Path(f)))
-          if (UpdateMarker.listFiles(fs, idx.tombDir).isEmpty)
-            StageSwap.remove(fs, new Path(idx.tombDir))
-          s.catalog.refreshByPath(idx.tombDir)
-        }
-        // either way the marker is spent: committed → the clear
-        // finished above; uncommitted → recover() rolled the
-        // half-swap back and the tombstones still mask live rows
-        UpdateMarker.delete(fs, marker)
-      }
-    UpdateMarker.settleAppend(fs, idx.dir, appendStages(s, fs, idx),
-      batchId)
-  }
-
-  /** The append stages every writer of this store snapshots and
-    * settlement heals — the [[UpdateMarker.settleAppend]] contract:
-    * a writer that leaves a stage untouched still snapshots it (its
-    * heal diff is then empty by construction). `codes` is the encode
-    * target; `tombs` is [[delete]]'s append-only tombstone stage.
-    */
-  private def appendStages(s: SparkSession, fs: FileSystem,
-      idx: Index): Map[String, (() => Set[String], () => Unit)] = Map(
-    "codes" -> ((() => listCodesFiles(fs, idx.dir),
-      () => s.catalog.refreshByPath(s"${idx.dir}/codes"))),
-    "tombs" -> ((() => UpdateMarker.listFiles(fs, s"${idx.dir}/tombstones"),
-      () => s.catalog.refreshByPath(s"${idx.dir}/tombstones"))))
-
-  /** Every writer's marker snapshot — both append stages, per the
-    * [[UpdateMarker.settleAppend]] every-writer-snapshots-every-stage
-    * rule. */
-  private def snapshotAll(fs: FileSystem, idx: Index)
-      : Map[String, Set[String]] = Map(
-    "codes" -> listCodesFiles(fs, idx.dir),
-    "tombs" -> UpdateMarker.listFiles(fs, s"${idx.dir}/tombstones"))
-
   def add(idx: Index, newEmb: DataFrame, vecCol: String,
       batchId: Option[String] = None): Index = {
     val s = newEmb.sparkSession
@@ -290,19 +349,22 @@ object AnnIndexStore {
     val marker = UpdateMarker.markerPath(idx.dir)
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
+    val snap = idx.pin(s)
     // re-adding a DELETED id would collide with its tombstone (the
     // codes mask hides by id — the re-encoded rows would vanish;
     // un-tombstoning would resurrect the old rows still on disk):
     // fail loudly, compact() frees the ids (the TextIndexStore rule)
-    idx.tombstonesIfAny(s).foreach { t =>
+    snap.tombstonesIfAny(s).foreach { t =>
       require(newEmb.join(t.select(col(idx.idCol)).distinct(),
           Seq(idx.idCol), "left_semi").isEmpty,
         "batch re-adds tombstoned ids — run compact() first (removals " +
           "become physical and the tombstone set clears)")
     }
     UpdateMarker.write(fs, marker, UpdateMarker.State(
-      batchId.getOrElse(""), snapshotAll(fs, idx)))
-    writeCodes(idx, newEmb, vecCol, mode = "append")
+      batchId.getOrElse(""), snapshotAll(fs, snap)))
+    encodeTo(s, newEmb, idx.idCol, vecCol, snap.centroidsPath,
+      snap.codebooksPath, idx.m, idx.subDim, snap.codesPath,
+      mode = "append")
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, marker)
     idx
@@ -311,16 +373,16 @@ object AnnIndexStore {
   /** Remove vectors from the index — the takedown/recrawl operation
     * for the vector tier, the inverse of [[add]]'s disjoint-id
     * append. The doomed ids land in the append-only `tombstones`
-    * stage; [[Index.codes]] masks every read against it immediately,
-    * so [[search]] (and every consumer) excludes the deleted vectors
-    * from the next query on, and [[compact]] later makes the removal
-    * physical and clears the set. The MODELS are untouched —
-    * centroids/codebooks are frozen training artifacts, exactly as
-    * under [[add]] (the q67 drift caveat covers both directions;
-    * [[recallProbe]] is the staleness dial) — so the contract is:
-    * after delete-then-compact the codes table equals a re-encode of
-    * the remaining corpus under the stored models, which is
-    * bit-identical to the original codes minus the deleted rows
+    * stage; [[Snapshot.codes]] masks every read against it
+    * immediately, so [[search]] (and every consumer) excludes the
+    * deleted vectors from the next query on, and [[compact]] later
+    * makes the removal physical and clears the set. The MODELS are
+    * untouched — centroids/codebooks are frozen training artifacts,
+    * exactly as under [[add]] (the q67 drift caveat covers both
+    * directions; [[recallProbe]] is the staleness dial) — so the
+    * contract is: after delete-then-compact the codes table equals a
+    * re-encode of the remaining corpus under the stored models, which
+    * is bit-identical to the original codes minus the deleted rows
     * (per-row arithmetic; spec-pinned, including equality with a
     * full rebuild when the deleted ids fund no centroid/seed).
     * Same append-commit crash protocol as [[add]]: the tombstone
@@ -335,8 +397,9 @@ object AnnIndexStore {
     val marker = UpdateMarker.markerPath(idx.dir)
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
+    val snap = idx.pin(s)
     UpdateMarker.write(fs, marker, UpdateMarker.State(
-      batchId.getOrElse(""), snapshotAll(fs, idx)))
+      batchId.getOrElse(""), snapshotAll(fs, snap)))
     // idempotent by construction, and only CURRENTLY-LIVE ids count:
     // codes(s) is the masked view, so an id already tombstoned — or
     // NEVER INDEXED (a takedown arriving before ingest, a typo'd id)
@@ -347,70 +410,60 @@ object AnnIndexStore {
     // evaluated at the write below — before the append, so the join
     // sees the prior set.
     val doomed = ids.select(col(idx.idCol)).distinct()
-      .join(idx.codes(s).select(col(idx.idCol)), Seq(idx.idCol),
+      .join(snap.codes(s).select(col(idx.idCol)), Seq(idx.idCol),
         "left_semi")
-    doomed.write.mode("append").parquet(idx.tombDir)
-    s.catalog.refreshByPath(idx.tombDir)
+    doomed.write.mode("append").parquet(snap.tombsPath)
+    s.catalog.refreshByPath(snap.tombsPath)
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, marker)
     idx
   }
 
   /** Fold the per-[[add]] small files into a fresh compact codes
-    * table — one file per cell — the maintenance that keeps the
+    * version — one file per cell — the maintenance that keeps the
     * serving scan's file count proportional to CELLS, not to the
     * number of batches folded since the build (every add writes at
     * least one new file into each cell it touches; a year of hourly
     * batches would otherwise put ~10k tiny files in every hot cell's
     * directory, and open-file overhead would dwarf the scan).
-    * Pure rewrite: rows, partition layout and every consumer result
-    * are unchanged (spec-pinned).
+    * Pure rewrite for live rows; tombstoned rows become physically
+    * absent and the tombstone set clears — BOTH in ONE atomic
+    * manifest flip, so no reader can observe the rewritten codes
+    * with the stale tombstones (double-masking is harmless, but the
+    * reverse — old codes with cleared tombstones — would resurrect
+    * deleted rows; the flip makes both orderings impossible).
     *
-    * Crash discipline: the rewrite stages at `codes.next` and
-    * commits through [[StageSwap.swapIn]] — a crash mid-compact
-    * leaves the old layout readable and the next writer's
-    * [[StageSwap.recover]] rolls it back; a crash AFTER the commit
-    * but before the marker delete is safe too, because the marker's
-    * `.swap` stage name tells settlement never to "heal" codes files
-    * for a maintenance writer (the [[UpdateMarker.settleAppend]]
-    * decision table — spec fabricates exactly this window). Holds
-    * the single-writer marker for its run, so a SIMULTANEOUS [[add]]
-    * entry fails loudly at its marker write; the object scaladoc's
-    * live-writer caveat applies as everywhere.
+    * Crash discipline: flip-last. A crash before the flip leaves the
+    * old snapshot serving and orphan version dirs for the next
+    * entry's sweep; a crash after the flip but before the marker
+    * delete is settled by dropping the `.swap` maintenance marker
+    * (never healed by file deletion — the [[UpdateMarker
+    * .settleAppend]] decision table). Holds the single-writer marker
+    * for its run, so a SIMULTANEOUS [[add]] entry fails loudly at
+    * its marker write; the object scaladoc's live-writer caveat
+    * applies as everywhere.
     */
   def compact(s: SparkSession, idx: Index): Index = {
     val fs = fsOf(s, idx.dir)
     settleEntry(s, fs, idx, batchId = None)
+    val snap = idx.pin(s)
     val marker = UpdateMarker.markerPath(idx.dir)
     // the `.swap` stage name marks this as a MAINTENANCE marker:
-    // compact's partial output lives at codes.next and commits via
-    // StageSwap, so settlement must never "heal" the codes listing
-    // for it — after a committed swap with a crashed marker delete,
-    // every file in the stage is the new live data (the settleAppend
-    // decision table)
-    // tombstoned ids: codes(s) below is the MASKED view, so the
-    // rewrite drops their rows physically; the tombstone files this
-    // run absorbed clear after the commit (snapshot — a
-    // discipline-violating concurrent delete's files survive as
-    // outstanding masks). The marker lists the absorbed files so a
-    // crash between the committed swap and the clear ROLLS FORWARD
-    // at the next writer's settlement ([[settleEntry]]) instead of
-    // leaving tombstones that block their ids' re-add until another
-    // compact.
-    val absorbedTombs = UpdateMarker.listFiles(fs, idx.tombDir)
+    // compact's output lives in fresh version dirs and commits via
+    // the manifest flip, so settlement must never "heal" codes files
+    // for it (the settleAppend decision table)
     UpdateMarker.write(fs, marker, UpdateMarker.State("",
-      Map("codes.swap" -> listCodesFiles(fs, idx.dir),
-        "tombs.absorbed" -> absorbedTombs)))
+      Map("codes.swap" -> listCodesFiles(fs, snap.codesPath))))
     // one shuffle by cell → each cell's rows land in exactly one
-    // task → the partitioned write emits one file per cell
-    idx.codes(s).repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"${idx.dir}/codes.next")
-    StageSwap.swapIn(s, s"${idx.dir}/codes")
-    absorbedTombs.foreach(f => StageSwap.remove(fs, new Path(f)))
-    if (UpdateMarker.listFiles(fs, idx.tombDir).isEmpty)
-      StageSwap.remove(fs, new Path(idx.tombDir))
-    s.catalog.refreshByPath(idx.tombDir)
+    // task → the partitioned write emits one file per cell; the
+    // MASKED view drops tombstoned rows physically
+    val kV = StoreVersions.next(fs, idx.dir, "codes")
+    snap.codes(s).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(kV)
+    val tV = StoreVersions.nextEmpty(fs, idx.dir, "tombstones")
+    StoreVersions.flip(fs, idx.dir,
+      Map("codes" -> kV, "tombstones" -> tV)) // THE commit
+    StoreVersions.gc(s, fs, idx.dir, Stages)
     UpdateMarker.delete(fs, marker)
     idx
   }
@@ -440,7 +493,7 @@ object AnnIndexStore {
   def search(s: SparkSession, idx: Index, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int,
       nprobe: Int = 1): DataFrame =
-    searchImpl(s, idx, queries, qidCol, vecCol, k, nprobe, None)
+    searchImpl(s, idx.pin(s), queries, qidCol, vecCol, k, nprobe, None)
 
   /** FILTERED serving — top-k among the vectors whose ids are in
     * `allowed` (one column named `idCol`): the "search within
@@ -467,20 +520,20 @@ object AnnIndexStore {
     * would OOM on a 10^9-id allow-list — the [[TombBroadcastMaxBytes]]
     * lesson, left to AQE here because `allowed` is a caller frame
     * with no on-disk size to inspect). Tombstones still mask through
-    * [[Index.codes]] underneath.
+    * [[Snapshot.codes]] underneath.
     */
   def searchFiltered(s: SparkSession, idx: Index, allowed: DataFrame,
       queries: DataFrame, qidCol: String, vecCol: String, k: Int,
       nprobe: Int = 1): DataFrame =
-    searchImpl(s, idx, queries, qidCol, vecCol, k, nprobe,
+    searchImpl(s, idx.pin(s), queries, qidCol, vecCol, k, nprobe,
       Some(allowed))
 
-  private def searchImpl(s: SparkSession, idx: Index,
+  private def searchImpl(s: SparkSession, snap: Snapshot,
       queries: DataFrame, qidCol: String, vecCol: String, k: Int,
       nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
-    val cents = idx.centroids(s)
+    val cents = snap.centroids(s)
     val qcells =
       if (nprobe == 1)
         Similarity.assignCosineCells(queries, qidCol, vecCol, cents)
@@ -501,14 +554,14 @@ object AnnIndexStore {
           .select(col("qid"), col("cid").as("_qcell"))
       }
     val dts = Similarity.pqDistTables(queries, qidCol, vecCol,
-      idx.codebooks(s), idx.m, idx.subDim)
+      snap.codebooks(s), snap.m, snap.subDim)
     val maxCells = s.conf.get(PruneMaxCells, pruneMaxDefault.toString)
       .toInt
     // bounded driver materialization: distinct probed cells, capped —
     // the same k·d-scale collect class as the centroid tables
     val probed = qcells.select(col("_qcell")).distinct()
       .limit(maxCells + 1).collect().map(_.getLong(0)).toSeq
-    val scan = idx.codes(s)
+    val scan = snap.codes(s)
     val prunedAll =
       if (probed.size <= maxCells)
         scan.filter(col("cell").isInCollection(probed))
@@ -519,16 +572,17 @@ object AnnIndexStore {
     val pruned = allowed match {
       case None => prunedAll
       case Some(a) => prunedAll.join(
-        a.select(col(idx.idCol)).distinct(), Seq(idx.idCol), "left_semi")
+        a.select(col(snap.idCol)).distinct(), Seq(snap.idCol),
+        "left_semi")
     }
     val cand = pruned.join(broadcast(qcells),
-      col("cell") === col("_qcell") && col("qid") =!= col(idx.idCol))
+      col("cell") === col("_qcell") && col("qid") =!= col(snap.idCol))
     val joined = dts.zipWithIndex.foldLeft(cand) {
       case (acc, (dt, j)) =>
         acc.join(broadcast(dt), acc(s"_c$j") === dt(s"_cid$j") &&
           acc("qid") === dt(s"_qid$j"))
     }
-    Similarity.pqRank(joined, idx.idCol, idx.m, k)
+    Similarity.pqRank(joined, snap.idCol, snap.m, k)
   }
 
   /** Exact re-rank REFINE over stored-index serving — the standard
@@ -603,7 +657,13 @@ object AnnIndexStore {
     * Cost: ONE brute-force pass |sample|·|corpus| (broadcast
     * queries, partial-aggregate top-k per query — the q27 shape),
     * which is why it runs on a SAMPLE at probe cadence, never per
-    * query. The probe only reads the store and appends to its own
+    * query. Once corpus scale makes even sample-cadence brute force
+    * expensive, the exact arm can instead ride [[searchRefined]] at
+    * a LARGE shortlist (exact ranking of a generous candidate set —
+    * recall against it lower-bounds true recall, no cross join); the
+    * brute-force arm here stays the reference semantics because the
+    * battery's corpora price it at well under a probe's budget.
+    * The probe only reads the store and appends to its own
     * log stage — it is not a store writer in the
     * [[UpdateMarker]] sense (the log is advisory monitoring data;
     * a duplicated append from a crashed probe re-run skews no

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Reader-isolation snapshots for the persisted stores — the
+  * Iceberg-lite step the swap-in-place protocol cannot provide: under
+  * [[StageSwap]] a maintenance commit RENAMES the live stage away, so
+  * a reader whose plan resolved the stage's files before the swap
+  * (Spark pins a parquet scan's file listing at DataFrame creation)
+  * collects FileNotFound — or, with two swap-committed stages, a mix
+  * of old and new. A deployed service serves WHILE maintaining; this
+  * module makes that safe:
+  *
+  *  - every maintained stage's data lives in an immutable VERSION
+  *    directory (`<store>/<stage>/v-00001/...`); data files, once a
+  *    version is committed, are never renamed or rewritten — only
+  *    eventually deleted by [[gc]] after their retention lapses;
+  *  - ONE manifest file per store (`<store>/_manifest`, a line per
+  *    stage naming its current version) is the single mutable commit
+  *    point: a writer stages its new version dirs completely, then
+  *    FLIPS the manifest atomically ([[flip]] — unique tmp +
+  *    overwrite-rename through the `FileContext` API, the rename
+  *    primitive that is atomic-with-overwrite on both HDFS and local
+  *    filesystems). Readers resolve the manifest once at plan time
+  *    ([[resolve]]/the stores' `pin`) and keep file-level stability
+  *    for as long as retention holds;
+  *  - a MULTI-stage maintenance commit (compact's postings + doclens
+  *    + delta-fold + tombstone-clear) is ONE flip — atomic across
+  *    stages, which structurally removes the mixed-stage and
+  *    roll-forward windows the in-place protocol had to close with
+  *    per-file fold listings;
+  *  - crash recovery collapses to "flip last": the manifest only ever
+  *    names fully-written versions, so an interrupted writer leaves
+  *    nothing but orphan version dirs NUMBERED ABOVE the manifest's
+  *    current, swept by the next writer's entry ([[sweepOrphans]] —
+  *    safe under the stores' standing single-writer contract). No
+  *    rollback, no `_SUCCESS` adjudication, no commit-stage listing
+  *    diff is needed for versioned stages.
+  *
+  * Retention: [[gc]] keeps the current version plus the
+  * [[RetainVersions]] most recent prior versions per stage (default
+  * 1). A reader is isolated for as long as its pinned versions
+  * survive — i.e. across at least one subsequent maintenance cycle;
+  * a reader older than the retention window can fail at collect
+  * exactly as an expired Iceberg snapshot does. Raise the dial where
+  * long-running readers overlap frequent maintenance.
+  *
+  * The [[UpdateMarker]] protocol is unchanged on top of this: markers
+  * still serialize writers and heal APPEND stages (appends land
+  * inside the current version dir and are invisible to
+  * already-planned readers, so they need no versioning), `_applied`
+  * still witnesses append commits, and `settle`'s listing-diff
+  * commitment test keeps working verbatim because a flipped commit
+  * stage resolves to a DIFFERENT directory whose listing cannot equal
+  * the pre-flip snapshot.
+  */
+object StoreVersions {
+
+  /** Prior versions kept per stage for in-flight readers. */
+  val RetainVersions = "spark.graft.store.retainVersions"
+  private val retainDefault = 1
+
+  private val VerName = "^v-(\\d{5})$".r
+
+  def manifestPath(storeDir: String): Path =
+    new Path(s"$storeDir/_manifest")
+
+  /** The manifest's stage → version-name map; empty when the store
+    * has never committed one (legacy layout or never built). */
+  def read(fs: FileSystem, storeDir: String): Map[String, String] = {
+    val p = manifestPath(storeDir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text =
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.mkString finally src.close()
+      } finally in.close()
+    text.split("\n").toSeq.filter(_.contains("\t")).map { l =>
+      val i = l.indexOf('\t')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+  }
+
+  /** Full path of `stage`'s current version — loud when the store has
+    * no committed manifest (the store must be built first). */
+  def resolve(fs: FileSystem, storeDir: String, stage: String): String =
+    read(fs, storeDir).get(stage)
+      .map(v => s"$storeDir/$stage/$v")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version for stage '$stage' under $storeDir — " +
+          "the store has no manifest (build it first; pre-versioning " +
+          "layouts are reset by build)"))
+
+  private def verNum(name: String): Option[Int] = name match {
+    case VerName(n) => Some(n.toInt)
+    case _ => None
+  }
+
+  /** All version dirs of a stage, (number, path), ascending. */
+  private def versions(fs: FileSystem, storeDir: String,
+      stage: String): Seq[(Int, Path)] = {
+    val root = new Path(s"$storeDir/$stage")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => verNum(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1)
+  }
+
+  /** Path for the NEXT (uncommitted) version of `stage` — max
+    * existing + 1, also past the manifest's current in case older
+    * dirs were GC'd. The caller writes it completely, then commits
+    * through [[flip]]; a crash before the flip leaves it as an
+    * orphan for [[sweepOrphans]].
+    */
+  def next(fs: FileSystem, storeDir: String, stage: String): String = {
+    val onDisk = versions(fs, storeDir, stage).lastOption
+      .map(_._1).getOrElse(0)
+    val current = read(fs, storeDir).get(stage)
+      .flatMap(verNum).getOrElse(0)
+    f"$storeDir/$stage/v-${math.max(onDisk, current) + 1}%05d"
+  }
+
+  /** Create an EMPTY committed-shape version (a cleared tombstone or
+    * delta stage): a directory with no data files. */
+  def nextEmpty(fs: FileSystem, storeDir: String,
+      stage: String): String = {
+    val p = next(fs, storeDir, stage)
+    require(fs.mkdirs(new Path(p)), s"mkdirs $p failed")
+    p
+  }
+
+  /** THE commit: merge `updates` (stage → full version path) over the
+    * current manifest and replace it atomically. Everything named
+    * must be fully written — after the rename returns, every new
+    * reader resolves the new versions, and no crash state can show a
+    * partial flip (rename is all-or-nothing).
+    */
+  def flip(fs: FileSystem, storeDir: String,
+      updates: Map[String, String]): Unit = {
+    val merged = read(fs, storeDir) ++
+      updates.map { case (st, path) => st -> new Path(path).getName }
+    merged.keys.foreach { st =>
+      require(verNum(merged(st)).isDefined,
+        s"flip of '$st' to non-version name '${merged(st)}'")
+    }
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (st, v) => s"$st\t$v" }.mkString("", "\n", "\n")
+    val dst = manifestPath(storeDir)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp-" +
+      java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext.rename(OVERWRITE) is the atomic-replace primitive
+    // on HDFS and local — a plain FileSystem.rename refuses an
+    // existing destination on HDFS, and delete-then-rename would open
+    // a no-manifest window that breaks every concurrent reader
+    FileContext.getFileContext(dst.toUri, fs.getConf)
+      .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Drop version dirs numbered ABOVE the manifest's current — the
+    * debris of writers that died before their flip. Runs at every
+    * writer's entry; safe because writers are serialized per store
+    * (the standing single-writer contract — a live writer's staged
+    * version can never be observed by another writer's sweep).
+    */
+  def sweepOrphans(fs: FileSystem, storeDir: String,
+      stages: Seq[String]): Unit = {
+    val m = read(fs, storeDir)
+    for (stage <- stages; cur <- m.get(stage).flatMap(verNum);
+         (n, p) <- versions(fs, storeDir, stage) if n > cur)
+      StageSwap.remove(fs, p)
+  }
+
+  /** Retention GC: per stage, drop versions below the current beyond
+    * the [[RetainVersions]] most recent. Folded into compact (and
+    * the stores' high-frequency single-stage flips) so retained
+    * versions never accumulate unboundedly.
+    */
+  def gc(s: SparkSession, fs: FileSystem, storeDir: String,
+      stages: Seq[String]): Unit = {
+    val retain = s.conf.get(RetainVersions, retainDefault.toString).toInt
+    val m = read(fs, storeDir)
+    for (stage <- stages; cur <- m.get(stage).flatMap(verNum)) {
+      val below = versions(fs, storeDir, stage).filter(_._1 < cur)
+      below.dropRight(retain).foreach { case (_, p) =>
+        StageSwap.remove(fs, p)
+      }
+    }
+  }
+}

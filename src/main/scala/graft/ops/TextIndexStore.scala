@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *    parquet scan and row-group stats prune the untouched
   *    vocabulary; the sorted 0-based occurrence positions power
   *    [[phraseMatch]] and cost one int per token occurrence that
-  *    bm25/matchAll scans never read (columnar pruning). At cluster scale this
-  *    stage is bucketed BY TOKEN through the catalog —
+  *    bm25/matchAll scans never read (columnar pruning). At cluster
+  *    scale this stage is bucketed BY TOKEN through the catalog —
   *    [[build]]'s `bucketPostings` dial, the [[CurationStore]]
   *    labels discipline made real for the text tier: a term probe
   *    prunes to its BUCKETS (SelectedBucketsCount in the scan) and
@@ -34,68 +34,85 @@ import org.apache.spark.sql.functions._
   *    battery's local stores keep plain sorted parquet and the
   *    pushed filter; the spec pins both layouts.
   *  - `doclens` (idCol, dl) — append-only.
-  *  - `stats` (n, sumdl) — ONE row of exact integer counters, the
-  *    swap-commit stage: an update folds the batch in additively
-  *    (disjoint-id contract), and because both counters are exact
-  *    BIGINTs the updated stats equal a full rebuild's EXACTLY —
-  *    idf and avgdl follow, so incremental maintenance is
-  *    bit-identical to rebuilding (q159 pins it through the full
-  *    oracle).
+  *  - `stats` (n, sumdl) — ONE row of exact integer counters: an
+  *    update folds the batch in additively (disjoint-id contract),
+  *    and because both counters are exact BIGINTs the updated stats
+  *    equal a full rebuild's EXACTLY — idf and avgdl follow, so
+  *    incremental maintenance is bit-identical to rebuilding (q159
+  *    pins it through the full oracle).
+  *
+  * READER ISOLATION ([[StoreVersions]] — the Iceberg-lite layer):
+  * all five stages (the three above plus `postings_delta` and
+  * `tombstones`) live in immutable VERSION directories named by the
+  * store's `_manifest`. Every serving entry point pins ONE manifest
+  * read ([[Index.pin]]) so a composite plan (postings + doclens +
+  * stats) can never mix versions, and a reader planned before a
+  * concurrent [[compact]]/[[update]]/[[build]] collects from its
+  * pinned snapshot's files (retention keeps them for
+  * [[StoreVersions.RetainVersions]] further maintenance cycles).
+  * Commits are flip-last: [[update]]/[[delete]] append postings/
+  * doclens/tombstone rows INSIDE current versions (append-only —
+  * invisible to already-planned readers) and commit by flipping the
+  * one-row stats stage to its next version; [[compact]] commits its
+  * folded postings + refolded doclens + CLEARED delta + CLEARED
+  * tombstones in ONE atomic flip — which structurally removes the
+  * base∪delta double-count window the in-place protocol had to
+  * close with a per-file fold listing, and the
+  * stale-tombstones-over-new-base window with it.
   *
   * [[bm25]] scores any term set from the stored stages through the
   * SAME kernel as the from-corpus path ([[TextOps.bm25ScoreFrames]]
-  * — one definition, so the two cannot drift); [[compact]] folds
-  * the per-update small files back to the token-sorted layout.
-  * Crash/replay discipline is [[UpdateMarker.settle]]'s swap-commit
-  * protocol verbatim (stats is the commit stage, postings/doclens
-  * the append-only sides healed on a pre-commit crash; `batchId`
-  * makes committed-but-unacknowledged replays detected no-ops;
-  * compact's `.swap` maintenance marker is settled without data-file
-  * healing). SINGLE WRITER per store directory — the standing caveat
-  * applies.
+  * — one definition, so the two cannot drift). Crash/replay
+  * discipline is [[UpdateMarker.settle]]'s protocol with the flip as
+  * the commit (stats is the commit stage — a flipped stats stage
+  * resolves to a different directory, so the listing-diff commitment
+  * test works verbatim; postings/doclens are the append-only sides
+  * healed on a pre-commit crash; `batchId` makes
+  * committed-but-unacknowledged replays detected no-ops; compact's
+  * `.swap` maintenance marker is settled without data-file healing,
+  * and its uncommitted version dirs are swept at the next entry).
+  * SINGLE WRITER per store directory — the standing caveat applies.
   */
 object TextIndexStore {
 
-  /** `postingsBuckets` > 0 marks the postings base as BUCKETED BY
-    * TOKEN through the catalog ([[build]]'s dial): bucket layout
-    * survives only as catalog metadata, so the base reads as a table
-    * when registered, with a file-scan fallback inside [[compact]]'s
-    * re-registration window (correct rows, layout property lost —
-    * the [[CurationStore.Store.labels]] discipline). A bucketed
-    * store stays maintainable: [[update]] appends batches to the
-    * plain `postings_delta` stage beside the immutable base, readers
-    * serve base ∪ delta, [[compact]] folds the delta back into a
-    * fresh bucketed base.
+  private val Stages = Seq("postings", "postings_delta", "doclens",
+    "stats", "tombstones")
+
+  /** One resolved snapshot of the store — all five stages from a
+    * SINGLE manifest read (see the reader-isolation story in the
+    * object scaladoc). Holding a Snapshot pins its files for the
+    * retention window.
     */
-  final case class Index(dir: String, idCol: String,
-      postingsBuckets: Int = 0) {
+  final case class Snapshot(dir: String, idCol: String,
+      postingsBuckets: Int, postingsPath: String, deltaPath: String,
+      doclensPath: String, statsPath: String, tombsPath: String) {
+
     def postingsTable: Option[String] =
       if (postingsBuckets > 0) Some(TextIndexStore.tableNameFor(dir))
       else None
 
-    def deltaDir: String = s"$dir/postings_delta"
-
     private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] = {
-      val p = new Path(deltaDir)
+      val p = new Path(deltaPath)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p) && UpdateMarker.listFiles(fs, deltaDir).nonEmpty)
-        Some(s.read.parquet(deltaDir))
+      if (fs.exists(p) && UpdateMarker.listFiles(fs, deltaPath).nonEmpty)
+        Some(s.read.parquet(deltaPath))
       else None
     }
 
-    /** The postings BASE — the bucketed table when registered, the
-      * files otherwise. Kept separate from [[postings]] so a
-      * no-delta read stays a single table scan (a union node would
-      * forget the bucketing and re-shuffle every token aggregation).
+    /** The postings BASE — the bucketed table when registered AND
+      * still pointing at this snapshot's version (a compact/rebuild
+      * re-registers the name at its new version; a reader pinned to
+      * the prior one must not follow it into a mixed-version plan),
+      * the pinned files otherwise. Kept separate from [[postings]]
+      * so a no-delta read stays a single table scan (a union node
+      * would forget the bucketing and re-shuffle every token
+      * aggregation).
       */
     private[ops] def postingsBase(s: SparkSession): DataFrame =
-      postingsTable.filter(s.catalog.tableExists).map(s.table)
-        .getOrElse(s.read.parquet(s"$dir/postings"))
-
-    def tombDir: String = s"$dir/tombstones"
-
-    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
-      Tombstones.ifAny(s, tombDir)
+      postingsTable.filter(n => s.catalog.tableExists(n) &&
+          TextIndexStore.tableLocationMatches(s, n, postingsPath))
+        .map(s.table)
+        .getOrElse(s.read.parquet(postingsPath))
 
     /** Drop tombstoned documents' rows from a per-document stage —
       * how [[TextIndexStore.delete]] serves EXACTLY between
@@ -109,7 +126,7 @@ object TextIndexStore {
       * clears the tombstones.
       */
     private def masked(s: SparkSession, df: DataFrame): DataFrame =
-      Tombstones.mask(s, df, idCol, tombDir,
+      Tombstones.mask(s, df, idCol, tombsPath,
         TextIndexStore.TombBroadcastMaxBytes,
         TextIndexStore.tombBroadcastDefault, Seq(idCol))
 
@@ -124,9 +141,56 @@ object TextIndexStore {
         case Some(d) => postingsBase(s).unionByName(d)
       })
     def doclens(s: SparkSession): DataFrame =
-      masked(s, s.read.parquet(s"$dir/doclens"))
+      masked(s, s.read.parquet(doclensPath))
     def stats(s: SparkSession): DataFrame =
-      s.read.parquet(s"$dir/stats")
+      s.read.parquet(statsPath)
+
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
+      Tombstones.ifAny(s, tombsPath)
+  }
+
+  /** Handle to a built store; stage data resolves through the
+    * manifest per call. `postingsBuckets` > 0 marks the postings
+    * base as BUCKETED BY TOKEN through the catalog ([[build]]'s
+    * dial).
+    */
+  final case class Index(dir: String, idCol: String,
+      postingsBuckets: Int = 0) {
+
+    /** Resolve all stages from ONE manifest read — the reader's
+      * snapshot pin. */
+    def pin(s: SparkSession): Snapshot = {
+      val fs = new Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val m0 = StoreVersions.read(fs, dir)
+      def p(stage: String): String = m0.get(stage)
+        .map(v => s"$dir/$stage/$v")
+        .getOrElse(throw new IllegalStateException(
+          s"text index at $dir has no committed '$stage' stage — " +
+            "build() it first (pre-versioning layouts are reset by " +
+            "build)"))
+      Snapshot(dir, idCol, postingsBuckets, p("postings"),
+        p("postings_delta"), p("doclens"), p("stats"), p("tombstones"))
+    }
+
+    def postingsTable: Option[String] =
+      if (postingsBuckets > 0) Some(TextIndexStore.tableNameFor(dir))
+      else None
+
+    /** The current delta stage directory (resolved). */
+    def deltaDir(s: SparkSession): String = pin(s).deltaPath
+
+    /** The current tombstones stage directory (resolved). */
+    def tombDir(s: SparkSession): String = pin(s).tombsPath
+
+    private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] =
+      pin(s).deltaIfAny(s)
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
+      pin(s).tombstonesIfAny(s)
+
+    def postings(s: SparkSession): DataFrame = pin(s).postings(s)
+    def doclens(s: SparkSession): DataFrame = pin(s).doclens(s)
+    def stats(s: SparkSession): DataFrame = pin(s).stats(s)
   }
 
   /** Ceiling (bytes of tombstone parquet) up to which the deleted-id
@@ -139,7 +203,7 @@ object TextIndexStore {
 
   private[ops] def tombBroadcastable(s: SparkSession,
       idx: Index): Boolean =
-    Tombstones.broadcastable(s, idx.tombDir, TombBroadcastMaxBytes,
+    Tombstones.broadcastable(s, idx.tombDir(s), TombBroadcastMaxBytes,
       tombBroadcastDefault)
 
   /** Deterministic catalog name for `storeDir`'s bucketed postings
@@ -150,15 +214,31 @@ object TextIndexStore {
       .digest(storeDir.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
-  /** The [[UpdateMarker]] stage map all writers share — the append
-    * target for postings is the DELTA stage on a bucketed store (the
-    * base is immutable between compactions). */
-  private def stageMap(idx: Index): Map[String, String] = Map(
-    "postings" -> (if (idx.postingsBuckets > 0) idx.deltaDir
-                   else s"${idx.dir}/postings"),
-    "doclens" -> s"${idx.dir}/doclens",
-    "tombs" -> idx.tombDir,
-    "stats" -> s"${idx.dir}/stats")
+  /** Does the registered table still point at `path`? The guard that
+    * keeps a pinned reader off a table whose location a concurrent
+    * compact/rebuild has already moved to a newer version. */
+  private[ops] def tableLocationMatches(s: SparkSession, name: String,
+      path: String): Boolean =
+    try {
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      new Path(meta.location).toUri.getPath ==
+        new Path(StoreDirs.catalogSafe(path)).toUri.getPath
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The [[UpdateMarker]] stage map all writers share, RESOLVED to
+    * the current versions — the append target for postings is the
+    * DELTA stage on a bucketed store (the base is immutable between
+    * compactions). */
+  private def stageMap(s: SparkSession, idx: Index): Map[String, String] = {
+    val snap = idx.pin(s)
+    Map(
+      "postings" -> (if (idx.postingsBuckets > 0) snap.deltaPath
+                     else snap.postingsPath),
+      "doclens" -> snap.doclensPath,
+      "tombs" -> snap.tombsPath,
+      "stats" -> snap.statsPath)
+  }
 
   /** Hot-token write salt — the text tier's document-frequency
     * policy (the [[Dedup]] `maxDocFreq` concern, answered at the
@@ -227,114 +307,124 @@ object TextIndexStore {
   private def dlOf(postings: DataFrame, idCol: String): DataFrame =
     postings.groupBy(idCol).agg(sum("tf").as("dl"))
 
-  /** Heal the directory's crash state: roll back any half-swapped
-    * stage (a crashed [[compact]] — [[StageSwap]] owns those), ROLL
-    * FORWARD a bucketed compact that committed its postings swap but
-    * died before removing the delta files it folded (the one window
-    * where base ∪ delta would DOUBLE-COUNT rows — the marker's
-    * `fold` listing names exactly the files to finish removing;
-    * commitment is witnessed by the postings listing differing from
-    * the `.swap` snapshot, the [[UpdateMarker.settle]] rule), then
+  /** Writer entry: sweep crashed maintenance writers' orphan version
+    * dirs (flip-last — nothing else of theirs can exist), then
     * settle a crashed writer's marker through [[UpdateMarker.settle]]
-    * (maintenance markers are never healed by file deletion — the
-    * `.swap` decision table).
+    * (the stats stage's listing decides commitment — a flipped
+    * commit resolves to a different directory, so the listing-diff
+    * rule works verbatim; maintenance markers are never healed by
+    * file deletion — the `.swap` decision table).
     */
-  private def settleEntry(s: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, idx: Index,
+  private def settleEntry(s: SparkSession, fs: FileSystem, idx: Index,
       batchId: Option[String]): Boolean = {
-    val dir = idx.dir
-    StageSwap.recover(s, s"$dir/postings")
-    StageSwap.recover(s, s"$dir/doclens")
-    val marker = UpdateMarker.markerPath(dir)
-    UpdateMarker.read(fs, marker)
-      .filter(_.listings.contains("postings.swap")).foreach { prior =>
-        val committed =
-          UpdateMarker.listFiles(fs, s"$dir/postings") !=
-            prior.listings("postings.swap")
-        if (committed) {
-          prior.listings.getOrElse("fold", Set.empty[String])
-            .foreach(f => StageSwap.remove(fs, new Path(f)))
-          if (UpdateMarker.listFiles(fs, idx.deltaDir).isEmpty)
-            StageSwap.remove(fs, new Path(idx.deltaDir))
-          s.catalog.refreshByPath(idx.deltaDir)
-        }
-        // either way the marker is spent: committed → folded files
-        // finished above; uncommitted → recover() already rolled the
-        // half-swap back and the delta is still the live data
-        UpdateMarker.delete(fs, marker)
-      }
-    UpdateMarker.settle(s, fs, dir, "stats", stageMap(idx), batchId)
+    StoreVersions.sweepOrphans(fs, idx.dir, Stages)
+    UpdateMarker.settle(s, fs, idx.dir, "stats", stageMap(s, idx),
+      batchId)
   }
 
   /** Run the one text pass over `docs` and write the store under
-    * `dir` (overwrite). `bucketPostings` > 0 writes the postings
-    * base BUCKETED BY TOKEN into that many buckets, registered as an
-    * external catalog table — the cluster-scale serving layout: a
-    * term probe prunes to its buckets (catalog bucket pruning over
-    * the `token IN (...)` predicate) and every token-keyed
-    * aggregation in the scoring kernel plans with NO exchange on the
-    * postings side, because the scan itself reports the token hash
-    * distribution (spec-pinned). The battery's local stores keep
-    * plain sorted parquet and the pushed filter.
+    * `dir` as a fresh SNAPSHOT, committed by one manifest flip — a
+    * store already serving from `dir` keeps serving the old snapshot
+    * until the flip, and pinned readers keep their files through
+    * retention (bm25 serves THROUGH the rebuild). `bucketPostings`
+    * > 0 writes the postings base BUCKETED BY TOKEN into that many
+    * buckets, registered as an external catalog table — the
+    * cluster-scale serving layout: a term probe prunes to its
+    * buckets (catalog bucket pruning over the `token IN (...)`
+    * predicate) and every token-keyed aggregation in the scoring
+    * kernel plans with NO exchange on the postings side, because the
+    * scan itself reports the token hash distribution (spec-pinned).
+    * The battery's local stores keep plain sorted parquet and the
+    * pushed filter.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       dir: String, bucketPostings: Int = 0): Index = {
     val s = docs.sparkSession
     val fs = new Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
-    // a rebuild resets the store wholesale — settle the directory's
-    // previous life FIRST (the AnnIndexStore.build discipline): a
-    // crashed update's stats.old would survive the overwrite below
-    // and a later writer's recover would roll the FRESH counters
-    // back to the previous corpus's; a stale marker/_applied could
-    // heal fresh files away or alias a new producer's batch ids;
-    // a previous life's delta or catalog entry would shadow the
-    // fresh base
-    for (st <- Seq("postings", "doclens", "stats"))
-      StageSwap.recover(s, s"$dir/$st")
+    // settle the directory's previous life (the AnnIndexStore.build
+    // discipline): a VERSIONED previous life keeps its committed
+    // snapshot — serve-through-rebuild — shedding only orphan
+    // version dirs; a PRE-VERSIONING or foreign layout is reset
+    // wholesale. Stale markers/_applied clear either way (a rebuild
+    // resets batch-id lineage; a crashed update's marker would
+    // "heal" fresh files against a stale snapshot).
+    if (StoreVersions.read(fs, dir).isEmpty)
+      for (st <- Stages ++ Seq("postings.next", "postings.old",
+          "doclens.next", "doclens.old", "stats.next", "stats.old"))
+        StageSwap.remove(fs, new Path(s"$dir/$st"))
+    else StoreVersions.sweepOrphans(fs, dir, Stages)
     UpdateMarker.clear(fs, dir)
-    s.sql(s"DROP TABLE IF EXISTS ${tableNameFor(dir)}")
-    StageSwap.remove(fs, new Path(s"$dir/postings_delta"))
-    StageSwap.remove(fs, new Path(s"$dir/tombstones"))
     // the ONE text pass; doclens and the counters are columnar
-    // derivations of the just-written postings (lineage cut at the
-    // store boundary, the AnnIndexStore.writeCodes discipline)
+    // derivations of the just-written postings version (lineage cut
+    // at the store boundary, the AnnIndexStore discipline)
     val rows = tfRows(docs, idCol, textCol)
+    val pV = StoreVersions.next(fs, dir, "postings")
     if (bucketPostings > 0)
-      writePostingsBucketed(rows, idCol, bucketPostings,
-        tableNameFor(dir), path = s"$dir/postings")
+      writePostingsBucketedStaged(rows, idCol, bucketPostings,
+        tableNameFor(dir), path = pV)
     else
-      writePostings(rows, idCol, s"$dir/postings", mode = "overwrite")
-    val idx = Index(dir, idCol, bucketPostings)
-    dlOf(idx.postings(s), idCol)
-      .write.mode("overwrite").parquet(s"$dir/doclens")
-    s.catalog.refreshByPath(s"$dir/doclens")
-    idx.doclens(s).agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    idx
+      writePostings(rows, idCol, pV, mode = "overwrite")
+    val dV = StoreVersions.next(fs, dir, "doclens")
+    dlOf(s.read.parquet(pV), idCol)
+      .write.mode("overwrite").parquet(dV)
+    val sV = StoreVersions.next(fs, dir, "stats")
+    s.read.parquet(dV).agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      .write.mode("overwrite").parquet(sV)
+    val deltaV = StoreVersions.nextEmpty(fs, dir, "postings_delta")
+    val tV = StoreVersions.nextEmpty(fs, dir, "tombstones")
+    StoreVersions.flip(fs, dir, Map("postings" -> pV,
+      "postings_delta" -> deltaV, "doclens" -> dV, "stats" -> sV,
+      "tombstones" -> tV))
+    if (bucketPostings > 0)
+      registerBucketedTable(s, tableNameFor(dir), pV, bucketPostings)
+    StoreVersions.gc(s, fs, dir, Stages)
+    Index(dir, idCol, bucketPostings)
   }
 
-  /** The bucketed postings write — one definition for [[build]]
-    * (directly at the base path) and [[compact]] (staged at `.next`):
-    * bucketBy(token) + sortBy(token) through the catalog, with the
-    * same hot-token salt pre-shuffle as the plain layout (the hot
-    * bucket's files then come from `salt` tasks instead of one
-    * straggler). */
-  private def writePostingsBucketed(rows: DataFrame, idCol: String,
-      buckets: Int, table: String, path: String): Unit = {
+  /** The bucketed postings write — one definition for [[build]] and
+    * [[compact]], both writing a FRESH postings version:
+    * bucketBy(token) + sortBy(token) through a THROWAWAY staging
+    * catalog name (dropped immediately — metadata only; the data
+    * files stay at `path`), with the same hot-token salt pre-shuffle
+    * as the plain layout (the hot bucket's files then come from
+    * `salt` tasks instead of one straggler). The REAL table name is
+    * registered at `path` only after the manifest flip commits it
+    * ([[registerBucketedTable]]) so no reader can resolve the name
+    * into an uncommitted version. */
+  private def writePostingsBucketedStaged(rows: DataFrame,
+      idCol: String, buckets: Int, table: String, path: String): Unit = {
     val s = rows.sparkSession
+    val staging = s"${table}_staging"
+    s.sql(s"DROP TABLE IF EXISTS $staging")
     rows
       .repartition(col("token"), pmod(hash(col(idCol)), lit(saltOf(s))))
       .write.format("parquet")
       .bucketBy(buckets, "token").sortBy("token")
       .option("path", StoreDirs.catalogSafe(path))
-      .mode("overwrite").saveAsTable(table)
+      .mode("overwrite").saveAsTable(staging)
+    s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only
+  }
+
+  /** (Re-)register the real bucketed table name at a COMMITTED
+    * postings version. Readers between the drop and the create ride
+    * the manifest-resolved file scan (correct rows, layout property
+    * lost — the [[CurationStore.Store.labels]] discipline). */
+  private def registerBucketedTable(s: SparkSession, name: String,
+      path: String, buckets: Int): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val schema = s.read.parquet(path).schema.toDDL
+    s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+      s"CLUSTERED BY (token) SORTED BY (token) " +
+      s"INTO $buckets BUCKETS " +
+      s"LOCATION '${StoreDirs.catalogSafe(path)}'")
   }
 
   /** Fold a new doc batch in: postings/doclens append THEIR rows
     * only (per-document derivations — a full rebuild would produce
-    * exactly these rows for these ids), stats fold additively and
-    * commit through the stage swap. One text pass: the batch's
+    * exactly these rows for these ids) INSIDE their current
+    * versions, stats fold additively into a NEXT version and COMMIT
+    * through the manifest flip. One text pass: the batch's
     * doclens/counters derive from its just-appended postings files
     * (before/after listing diff, the [[CurationStore.update]]
     * trick). Ids must be disjoint from the stored corpus. On a
@@ -349,6 +439,7 @@ object TextIndexStore {
       .getFileSystem(s.sessionState.newHadoopConf())
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
+    val snap = idx.pin(s)
     // re-adding a DELETED id would collide with its tombstone: the
     // mask hides rows by id, so the re-added doc's rows would vanish
     // from every read (and un-tombstoning instead would resurrect
@@ -357,13 +448,14 @@ object TextIndexStore {
     // id is genuinely free again. The probe is one tiny job against
     // the tombstone set and only runs while deletions are
     // outstanding.
-    idx.tombstonesIfAny(s).foreach { t =>
+    snap.tombstonesIfAny(s).foreach { t =>
       require(newDocs.join(t.select(col(idx.idCol)).distinct(),
           Seq(idx.idCol), "left_semi").isEmpty,
         "batch re-adds tombstoned ids — run compact() first (removals " +
           "become physical and the tombstone set clears)")
     }
-    val pDir = stageMap(idx)("postings")
+    val pDir = if (idx.postingsBuckets > 0) snap.deltaPath
+               else snap.postingsPath
     val before = UpdateMarker.listFiles(fs, pDir)
     writePostings(tfRows(newDocs, idx.idCol, textCol), idx.idCol,
       pDir, mode = "append")
@@ -373,15 +465,19 @@ object TextIndexStore {
         s.emptyDataFrame.select(lit(0L).as(idx.idCol), lit(0L).as("dl"))
           .limit(0)
       else dlOf(s.read.parquet(newFiles: _*), idx.idCol)
-    batchDl.write.mode("append").parquet(s"${idx.dir}/doclens")
-    s.catalog.refreshByPath(s"${idx.dir}/doclens")
+    batchDl.write.mode("append").parquet(snap.doclensPath)
+    s.catalog.refreshByPath(snap.doclensPath)
     val batchStats = batchDl.agg(count(lit(1)).as("_bn"),
       coalesce(sum("dl"), lit(0L)).as("_bsum"))
-    idx.stats(s).crossJoin(batchStats)
+    val sV = StoreVersions.next(fs, idx.dir, "stats")
+    snap.stats(s).crossJoin(batchStats)
       .select((col("n") + col("_bn")).as("n"),
         (col("sumdl") + col("_bsum")).as("sumdl"))
-      .write.mode("overwrite").parquet(s"${idx.dir}/stats.next")
-    StageSwap.swapIn(s, s"${idx.dir}/stats")
+      .write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV)) // THE commit
+    // the stats stage flips at every update/delete — GC it here, not
+    // only at compact, or tiny one-file versions accumulate per batch
+    StoreVersions.gc(s, fs, idx.dir, Seq("stats"))
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(idx.dir))
     idx
@@ -392,17 +488,18 @@ object TextIndexStore {
     * and the inverse of [[update]]'s disjoint-id append. Serving is
     * EXACT immediately: the doomed ids land in the append-only
     * `tombstones` stage (reads mask per-document rows against it —
-    * [[Index.masked]]) and the corpus counters are decremented by
-    * the deleted docs' exact doclens contributions through the same
-    * stats swap-commit as [[update]] — so n, avgdl, every idf and
-    * every BM25 score equal a rebuild WITHOUT those docs,
-    * bit-for-bit, before any rewrite happens (spec-pinned; the
-    * physical removal is [[compact]]'s job, which then clears the
-    * tombstones). Ids not currently indexed, or already deleted,
-    * are ignored (the guard also makes a keyless re-run decrement
-    * exactly once). Same crash protocol as update: tombstone
-    * appends are the healed side stages, the stats swap is the
-    * commit, `batchId` makes every replay window a detected no-op.
+    * [[Snapshot.postings]]/[[Snapshot.doclens]]) and the corpus
+    * counters are decremented by the deleted docs' exact doclens
+    * contributions through the same stats flip-commit as [[update]]
+    * — so n, avgdl, every idf and every BM25 score equal a rebuild
+    * WITHOUT those docs, bit-for-bit, before any rewrite happens
+    * (spec-pinned; the physical removal is [[compact]]'s job, which
+    * then clears the tombstones). Ids not currently indexed, or
+    * already deleted, are ignored (the guard also makes a keyless
+    * re-run decrement exactly once). Same crash protocol as update:
+    * tombstone appends are the healed side stages, the stats flip is
+    * the commit, `batchId` makes every replay window a detected
+    * no-op.
     */
   def delete(idx: Index, ids: DataFrame,
       batchId: Option[String] = None): Index = {
@@ -411,16 +508,17 @@ object TextIndexStore {
       .getFileSystem(s.sessionState.newHadoopConf())
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
+    val snap = idx.pin(s)
     // only CURRENTLY-LIVE ids count: doclens(s) is the masked view,
     // so an id already tombstoned (or never indexed) contributes
     // neither a tombstone row nor a counter decrement
     val doomed = ids.select(col(idx.idCol)).distinct()
-      .join(idx.doclens(s), Seq(idx.idCol), "left_semi")
-    val tDir = idx.tombDir
-    val before = UpdateMarker.listFiles(fs, tDir)
-    doomed.write.mode("append").parquet(tDir)
-    s.catalog.refreshByPath(tDir)
-    val newFiles = (UpdateMarker.listFiles(fs, tDir) -- before).toSeq
+      .join(snap.doclens(s), Seq(idx.idCol), "left_semi")
+    val before = UpdateMarker.listFiles(fs, snap.tombsPath)
+    doomed.write.mode("append").parquet(snap.tombsPath)
+    s.catalog.refreshByPath(snap.tombsPath)
+    val newFiles =
+      (UpdateMarker.listFiles(fs, snap.tombsPath) -- before).toSeq
     // decrement by EXACTLY the appended set's doclens rows (read
     // back from the just-written files — the update() lineage cut),
     // against the PRE-APPEND doclens view: the fresh tombstones
@@ -429,16 +527,18 @@ object TextIndexStore {
       if (newFiles.isEmpty)
         s.range(1).select(lit(0L).as("_rn"), lit(0L).as("_rsum"))
       else
-        s.read.parquet(s"${idx.dir}/doclens")
+        s.read.parquet(snap.doclensPath)
           .join(s.read.parquet(newFiles: _*), Seq(idx.idCol),
             "left_semi")
           .agg(count(lit(1)).as("_rn"),
             coalesce(sum("dl"), lit(0L)).as("_rsum"))
-    idx.stats(s).crossJoin(removed)
+    val sV = StoreVersions.next(fs, idx.dir, "stats")
+    snap.stats(s).crossJoin(removed)
       .select((col("n") - col("_rn")).as("n"),
         (col("sumdl") - col("_rsum")).as("sumdl"))
-      .write.mode("overwrite").parquet(s"${idx.dir}/stats.next")
-    StageSwap.swapIn(s, s"${idx.dir}/stats")
+      .write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV)) // THE commit
+    StoreVersions.gc(s, fs, idx.dir, Seq("stats"))
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(idx.dir))
     idx
@@ -449,13 +549,17 @@ object TextIndexStore {
     * maintenance for the sparse tier: each update appends its own
     * token-sorted files, so probe row-group pruning decays and file
     * counts grow with batch count until this rewrite. Pure rewrite:
-    * rows and every score are unchanged (spec-pinned). Stages commit
-    * one at a time through [[StageSwap.swapIn]]; the held marker's
-    * `.swap` listings mark it as MAINTENANCE, so a crash at ANY
-    * point — including after a committed stage swap but before the
-    * marker delete — settles without healing a single data file
-    * (the [[UpdateMarker.settle]] decision table; the naive
-    * listing-diff heal would empty the freshly compacted stage).
+    * rows and every score are unchanged (spec-pinned). ALL FOUR
+    * rewritten/cleared stages — folded postings, refolded doclens,
+    * the emptied delta and the emptied tombstones — commit in ONE
+    * manifest flip: no crash state or reader can observe the folded
+    * base together with the old delta (the double-count the
+    * in-place protocol closed with a per-file `fold` listing) or
+    * rewritten stages with stale tombstones. A crash before the
+    * flip leaves the old snapshot serving and orphans for the next
+    * entry's sweep; after it, only the `.swap` maintenance marker
+    * remains, settled without data-file healing (the
+    * [[UpdateMarker.settle]] decision table).
     */
   def compact(s: SparkSession, idx: Index): Index = {
     val fs = new Path(idx.dir)
@@ -465,64 +569,28 @@ object TextIndexStore {
     // settle leaves a held UPDATE-shaped marker; this run's marker
     // must be the MAINTENANCE kind (a crash of ours must never be
     // settled by data-file healing) — swap it for the .swap form.
-    // On a bucketed store the marker additionally lists the delta
-    // files THIS run folds (`fold`): a crash after the committed
-    // postings swap but before the delta removal would otherwise
-    // leave base ∪ delta double-counting those rows forever —
-    // settleEntry's roll-forward finishes the removal from the
-    // listing. Only the folded files are removed (the
-    // [[CurationStore.compact]] rule), so a delta appended by a
-    // discipline-violating concurrent update survives as
-    // outstanding rows over the new base.
     UpdateMarker.delete(fs, marker)
-    val foldedDelta =
-      if (idx.postingsBuckets > 0)
-        UpdateMarker.listFiles(fs, idx.deltaDir)
-      else Set.empty[String]
-    // tombstoned docs: the rewrites below read the MASKED views, so
-    // the removal becomes physical here; the tombstone files this
-    // run absorbed (snapshot — a discipline-violating concurrent
-    // delete's files survive as outstanding masks) clear after the
-    // last stage commits. A crash before the clear is harmless: a
-    // tombstone for a row no longer present masks nothing, and the
-    // next compact clears it.
-    val absorbedTombs = UpdateMarker.listFiles(fs, idx.tombDir)
+    val snap = idx.pin(s)
     UpdateMarker.write(fs, marker, UpdateMarker.State("", Map(
-      "postings.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/postings"),
-      "doclens.swap" -> UpdateMarker.listFiles(fs, s"${idx.dir}/doclens"))
-      ++ (if (idx.postingsBuckets > 0) Map("fold" -> foldedDelta)
-          else Map.empty)))
+      "postings.swap" -> UpdateMarker.listFiles(fs, snap.postingsPath),
+      "doclens.swap" -> UpdateMarker.listFiles(fs, snap.doclensPath))))
+    // the rewrites below read the MASKED views, so tombstoned docs'
+    // removal becomes physical here; the delta folds into the base
+    val pV = StoreVersions.next(fs, idx.dir, "postings")
     if (idx.postingsBuckets > 0) {
-      // stage the folded bucketed base at postings.next through a
-      // throwaway catalog name, then commit via the swap; the real
-      // table entry is dropped BEFORE the commit so stale bucket
-      // metadata can never describe files of a different layout —
-      // readers ride the file-scan fallback (correct rows, one
-      // extra exchange) until the re-registration below lands
-      val name = tableNameFor(idx.dir)
-      val staging = s"${name}_staging"
-      s.sql(s"DROP TABLE IF EXISTS $staging")
-      writePostingsBucketed(idx.postings(s), idx.idCol,
-        idx.postingsBuckets, staging, path = s"${idx.dir}/postings.next")
-      s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      StageSwap.swapIn(s, s"${idx.dir}/postings") // commit point
-      foldedDelta.foreach(f => StageSwap.remove(fs, new Path(f)))
-      if (UpdateMarker.listFiles(fs, idx.deltaDir).isEmpty)
-        StageSwap.remove(fs, new Path(idx.deltaDir))
-      s.catalog.refreshByPath(idx.deltaDir)
-      val schema = s.read.parquet(s"${idx.dir}/postings").schema.toDDL
-      s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
-        s"CLUSTERED BY (token) SORTED BY (token) " +
-        s"INTO ${idx.postingsBuckets} BUCKETS " +
-        s"LOCATION '${StoreDirs.catalogSafe(s"${idx.dir}/postings")}'")
+      writePostingsBucketedStaged(snap.postings(s), idx.idCol,
+        idx.postingsBuckets, tableNameFor(idx.dir), path = pV)
+      // drop the REAL name before the flip: the old table points at
+      // the outgoing version, and a post-flip reader following it
+      // would mix versions; between drop and re-register, readers
+      // ride the manifest-resolved file scan
+      s.sql(s"DROP TABLE IF EXISTS ${tableNameFor(idx.dir)}")
     } else {
-      idx.postings(s)
+      snap.postings(s)
         .repartition(col("token"),
           pmod(hash(col(idx.idCol)), lit(saltOf(s))))
         .sortWithinPartitions("token")
-        .write.mode("overwrite").parquet(s"${idx.dir}/postings.next")
-      StageSwap.swapIn(s, s"${idx.dir}/postings")
+        .write.mode("overwrite").parquet(pV)
     }
     // doclens is CORPUS-cardinality (one row per document) — a
     // single-file fold would serialize billions of narrow rows
@@ -530,14 +598,20 @@ object TextIndexStore {
     // parallel and the file count bounded by the shuffle setting.
     // (The one-row `stats` stage is the only stage where a
     // single-file shape matters, and it is written that way by the
-    // one-row aggregate itself.)
-    idx.doclens(s).repartition(col(idx.idCol))
-      .write.mode("overwrite").parquet(s"${idx.dir}/doclens.next")
-    StageSwap.swapIn(s, s"${idx.dir}/doclens")
-    absorbedTombs.foreach(f => StageSwap.remove(fs, new Path(f)))
-    if (UpdateMarker.listFiles(fs, idx.tombDir).isEmpty)
-      StageSwap.remove(fs, new Path(idx.tombDir))
-    s.catalog.refreshByPath(idx.tombDir)
+    // one-row aggregate itself — and compact does not touch it:
+    // the counters are already exact.)
+    val dV = StoreVersions.next(fs, idx.dir, "doclens")
+    snap.doclens(s).repartition(col(idx.idCol))
+      .write.mode("overwrite").parquet(dV)
+    val deltaV = StoreVersions.nextEmpty(fs, idx.dir, "postings_delta")
+    val tV = StoreVersions.nextEmpty(fs, idx.dir, "tombstones")
+    StoreVersions.flip(fs, idx.dir, Map("postings" -> pV,
+      "postings_delta" -> deltaV, "doclens" -> dV,
+      "tombstones" -> tV)) // THE commit
+    if (idx.postingsBuckets > 0)
+      registerBucketedTable(s, tableNameFor(idx.dir), pV,
+        idx.postingsBuckets)
+    StoreVersions.gc(s, fs, idx.dir, Stages)
     UpdateMarker.delete(fs, marker)
     idx
   }
@@ -545,17 +619,19 @@ object TextIndexStore {
   /** Score every stored document against `terms` — (idCol, score),
     * the q75 contract, from the stored stages only: the corpus text
     * is never touched, the postings scan reads the probed terms'
-    * row groups, and the scoring math is the shared kernel.
+    * row groups, and the scoring math is the shared kernel. All
+    * three stages come from ONE pinned snapshot.
     */
   def bm25(s: SparkSession, idx: Index, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val tf = idx.postings(s).filter(col("token").isin(terms: _*))
+    val snap = idx.pin(s)
+    val tf = snap.postings(s).filter(col("token").isin(terms: _*))
       .select(col(idx.idCol), col("token"), col("tf"))
-    val stats = idx.stats(s)
+    val stats = snap.stats(s)
       .select(col("n").as("_n"),
         (col("sumdl") / col("n")).as("_avgdl"))
-    TextOps.bm25ScoreFrames(tf, idx.doclens(s), stats, idx.idCol,
+    TextOps.bm25ScoreFrames(tf, snap.doclens(s), stats, idx.idCol,
       terms, k1, b)
   }
 
@@ -581,15 +657,16 @@ object TextIndexStore {
       allowed: DataFrame, k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val tfAll = idx.postings(s).filter(col("token").isin(terms: _*))
+    val snap = idx.pin(s)
+    val tfAll = snap.postings(s).filter(col("token").isin(terms: _*))
       .select(col(idx.idCol), col("token"), col("tf"))
-    val stats = idx.stats(s)
+    val stats = snap.stats(s)
       .select(col("n").as("_n"),
         (col("sumdl") / col("n")).as("_avgdl"))
     val idf = TextOps.bm25Idf(tfAll, stats)
     val tf = tfAll.join(allowed.select(col(idx.idCol)).distinct(),
       Seq(idx.idCol), "left_semi")
-    TextOps.bm25ScoreWithIdf(tf, idx.doclens(s), stats, idf,
+    TextOps.bm25ScoreWithIdf(tf, snap.doclens(s), stats, idf,
       idx.idCol, terms, k1, b)
   }
 
@@ -629,7 +706,7 @@ object TextIndexStore {
     * (doc, position) so no corpus-wide hot key exists at any scale.
     * Duplicate terms in the phrase ("batch batch") work unchanged:
     * the same postings row feeds both slots at different shifts.
-    * Tombstones mask through [[Index.postings]] underneath.
+    * Tombstones mask through [[Snapshot.postings]] underneath.
     */
   def phraseMatch(s: SparkSession, idx: Index, phrase: Seq[String])
       : DataFrame = {

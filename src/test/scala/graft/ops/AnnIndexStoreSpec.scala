@@ -88,16 +88,7 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(hasStaticCellIn(scan),
       s"no static probed-cell IN filter on the codes scan " +
         s"(partitionFilters: ${scan.partitionFilters.mkString(", ")})")
-    val totalFiles = {
-      val p = new org.apache.hadoop.fs.Path(s"${idx.dir}/codes")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      }
-      n
-    }
+    val totalFiles = codesFiles(idx.dir).size
     val read = scan.metrics("numFiles").value
     assert(read < totalFiles,
       s"scan read $read of $totalFiles files — pruning had no effect")
@@ -162,9 +153,14 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(search(inc, newQ).count() > 0, "new vectors not servable")
   }
 
+  /** Data files of the CURRENT codes version (manifest-resolved —
+    * retained prior versions are the isolation layer, not the
+    * serving layout). */
   private def codesFiles(dir: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(
+      StoreVersions.resolve(fs, dir, "codes"))
     val it = fs.listFiles(p, true)
     val out = scala.collection.mutable.Set.empty[String]
     while (it.hasNext) {
@@ -193,19 +189,22 @@ class AnnIndexStoreSpec extends SparkSpec {
       "embedding", 10).collect().map(_.toString).sorted.toSeq
     assert(codesFiles(st.dir).size > cells,
       "adds should have left more files than cells")
-    // fabricate a crashed compact: a partial .next (no _SUCCESS) and
-    // the marker it died holding
+    // fabricate a crashed compact: a partial UNFLIPPED version dir
+    // (flip-last — the manifest never saw it) and the `.swap` marker
+    // it died holding
     val fs = new org.apache.hadoop.fs.Path(st.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val staleNext =
-      new org.apache.hadoop.fs.Path(s"${st.dir}/codes.next/cell=7")
-    fs.mkdirs(staleNext)
-    val o = fs.create(new org.apache.hadoop.fs.Path(staleNext,
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"${st.dir}/codes/v-99999/cell=7")
+    fs.mkdirs(orphan)
+    val o = fs.create(new org.apache.hadoop.fs.Path(orphan,
       "part-0-dead.snappy.parquet"), true)
     o.write(Array[Byte](9)); o.close()
     UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
-      UpdateMarker.State("", Map("codes" -> codesFiles(st.dir))))
+      UpdateMarker.State("", Map("codes.swap" -> codesFiles(st.dir))))
     AnnIndexStore.compact(spark, st)
+    assert(!fs.exists(orphan.getParent),
+      "crashed compact's orphan version dir survived the sweep")
     assert(codesFiles(st.dir).size == cells,
       s"compact should leave one file per cell " +
         s"(${codesFiles(st.dir).size} vs $cells)")
@@ -245,40 +244,49 @@ class AnnIndexStoreSpec extends SparkSpec {
       "settlement deleted committed compacted files")
   }
 
-  test("a compact crash between the committed codes swap and the " +
-      "tombstone clear ROLLS FORWARD: settlement finishes the clear " +
-      "and the deleted ids are immediately re-addable") {
+  test("compact's manifest flip commits the rewritten codes AND the " +
+      "tombstone clear ATOMICALLY: a pre-flip crash leaves the old " +
+      "snapshot fully intact, and after any completed compact the " +
+      "deleted ids are immediately re-addable — no window where " +
+      "cleared tombstones meet old codes or vice versa") {
     val (cp, sp, m, sub, it) = dials
     val doomedPred = col("vec_id") % 100 === 42
     val st = AnnIndexStore.build(emb, "vec_id", "embedding",
-      s"$tmp/rollfwd", cp, sp, m, sub, it)
+      s"$tmp/flip", cp, sp, m, sub, it)
     val fs = new org.apache.hadoop.fs.Path(st.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     AnnIndexStore.delete(st, emb.filter(doomedPred).select("vec_id"))
-    // replay compact's steps up to the crash point: marker written
-    // (codes.swap snapshot + the absorbed tombstone listing), rewrite
-    // staged and COMMITTED through the swap — then die before the
-    // tombstone clear and the marker delete
-    val preCompact = codesFiles(st.dir)
-    val absorbed = UpdateMarker.listFiles(fs, st.tombDir)
-    assert(absorbed.nonEmpty, "fixture: no tombstones to absorb")
+    val preManifest = StoreVersions.read(fs, st.dir)
+    val masked = st.codes(spark).count()
+    // replay compact's steps up to the crash point: marker written,
+    // BOTH new version dirs fully staged — then die BEFORE the flip
     UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
-      UpdateMarker.State("", Map("codes.swap" -> preCompact,
-        "tombs.absorbed" -> absorbed)))
+      UpdateMarker.State("", Map("codes.swap" -> codesFiles(st.dir))))
     st.codes(spark).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"${st.dir}/codes.next")
-    StageSwap.swapIn(spark, s"${st.dir}/codes")
-    // crash here. The next writer's settlement must roll the clear
-    // forward (the removal is already physical), not leave tombstones
-    // that block the ids' re-add until another compact
+      .parquet(StoreVersions.next(fs, st.dir, "codes"))
+    StoreVersions.nextEmpty(fs, st.dir, "tombstones")
+    // crash here: the manifest never moved, so readers and the next
+    // writer still see the OLD snapshot — tombstones still masking,
+    // re-add still (correctly) guarded
+    assert(StoreVersions.read(fs, st.dir) == preManifest,
+      "staging moved the manifest before the flip")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.add(st, emb.filter(doomedPred), "embedding")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    assert(st.codes(spark).count() == masked,
+      "pre-flip crash changed the served corpus")
+    // the interrupted compact's staged versions were swept at the
+    // add's entry; a REAL compact then commits codes + cleared
+    // tombstones in one flip and the ids are free immediately
+    AnnIndexStore.compact(spark, st)
+    assert(st.tombstonesIfAny(spark).isEmpty,
+      "tombstones survived the committed flip")
     val reAdd = emb.filter(doomedPred)
     AnnIndexStore.add(st, reAdd, "embedding")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(st.tombDir)),
-      "absorbed tombstones survived the roll-forward")
-    assert(!fs.exists(UpdateMarker.markerPath(st.dir)))
     assert(st.codes(spark).filter(doomedPred).count() == reAdd.count(),
-      "re-added ids are not live (a stale tombstone still masks them)")
+      "re-added ids are not live after the atomic clear")
   }
 
   test("build() settles the directory's previous life: a stale add " +
@@ -316,23 +324,14 @@ class AnnIndexStoreSpec extends SparkSpec {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val baseCount = st.codes(spark).count()
     // fabricate the crash: a marker snapshotting the pre-append
-    // listing survives alongside a partial appended file
-    val cellDir = fs.listStatus(
-      new org.apache.hadoop.fs.Path(s"${st.dir}/codes"))
+    // listing survives alongside a partial appended file (inside the
+    // CURRENT codes version — appends never leave it)
+    val curCodes = new org.apache.hadoop.fs.Path(
+      StoreVersions.resolve(fs, st.dir, "codes"))
+    val cellDir = fs.listStatus(curCodes)
       .filter(_.isDirectory).head.getPath
-    val snapshot = {
-      val it2 = fs.listFiles(
-        new org.apache.hadoop.fs.Path(s"${st.dir}/codes"), true)
-      val out = scala.collection.mutable.Set.empty[String]
-      while (it2.hasNext) {
-        val f = it2.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          out += f.getPath.toString
-      }
-      out.toSet
-    }
     UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
-      UpdateMarker.State("", Map("codes" -> snapshot)))
+      UpdateMarker.State("", Map("codes" -> codesFiles(st.dir))))
     val junk = new org.apache.hadoop.fs.Path(cellDir,
       "part-99999-crashed.c000.snappy.parquet")
     val o = fs.create(junk, true); o.write(Array[Byte](1, 2, 3)); o.close()
@@ -478,17 +477,17 @@ class AnnIndexStoreSpec extends SparkSpec {
       origRows.size - maskedRows.size == doomedIds.size,
       "masked codes view is not original-minus-deleted")
     // deleting again (keyed replay AND keyless re-run) grows nothing
-    val tombCount = spark.read.parquet(st.tombDir).count()
+    val tombCount = spark.read.parquet(st.tombDir(spark)).count()
     AnnIndexStore.delete(st, doomed, Some("takedown"))
     AnnIndexStore.delete(st, doomed)
-    assert(spark.read.parquet(st.tombDir).count() == tombCount,
+    assert(spark.read.parquet(st.tombDir(spark)).count() == tombCount,
       "re-delete grew the tombstone set")
     // deleting a NEVER-STORED id is a no-op: no tombstone row, and a
     // later add of that id is not blocked behind the re-add guard
     import spark.implicits._
     val phantomId = 999999999L
     AnnIndexStore.delete(st, Seq(phantomId).toDF("vec_id"))
-    assert(spark.read.parquet(st.tombDir).count() == tombCount,
+    assert(spark.read.parquet(st.tombDir(spark)).count() == tombCount,
       "a never-stored id grew the tombstone set")
     AnnIndexStore.add(st,
       emb.filter(col("vec_id") % 10 === 1).limit(1)

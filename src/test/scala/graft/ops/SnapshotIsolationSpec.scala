@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-15 headline: a reader DataFrame planned BEFORE a
+  * concurrent maintenance run must collect correct results from its
+  * pinned snapshot AFTER the maintenance committed — the
+  * serve-while-maintaining contract [[StoreVersions]] provides.
+  * Under the old in-place swap protocol these collects threw
+  * FileNotFound (the swap renamed the live stage away and deleted
+  * the aside copy at commit); with versioned stages + the manifest
+  * flip, the pinned version's files survive for
+  * [[StoreVersions.RetainVersions]] further maintenance cycles.
+  */
+class SnapshotIsolationSpec extends SparkSpec {
+
+  private val terms = Seq("join", "vector", "stream")
+  private lazy val docs = sf("documents").select("doc_id", "text")
+  private lazy val emb = sf("embeddings")
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("snap-iso").toString
+
+  private def annQueries = emb.filter(col("vec_id") % 100 === 3)
+    .select(col("vec_id").as("qid"), col("embedding"))
+
+  test("TEXT: a bm25 reader held across a concurrent compact (a " +
+      "destructive rewrite of every stage it scans) collects the " +
+      "pinned snapshot's exact scores") {
+    val st = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/text-compact")
+    TextIndexStore.update(st,
+      docs.limit(0), "text") // prove maintenance entry composes
+    val expected = TextIndexStore.bm25(spark, st, terms)
+      .collect().map(_.toString).sorted.toSeq
+    // plan the reader NOW (pins the manifest + file listings) ...
+    val pinned = TextIndexStore.bm25(spark, st, terms)
+    // ... then compact underneath it: postings and doclens are
+    // rewritten into new versions and the old ones drop to retained
+    TextIndexStore.compact(spark, st)
+    assert(pinned.collect().map(_.toString).sorted.toSeq == expected,
+      "pinned reader did not serve its snapshot across the compact")
+    // and a reader planned AFTER the compact sees the same scores
+    // (compact is a pure rewrite)
+    assert(TextIndexStore.bm25(spark, st, terms)
+      .collect().map(_.toString).sorted.toSeq == expected)
+  }
+
+  test("TEXT: a reader held across a DELETE + COMPACT serves the " +
+      "PRE-DELETE corpus (its snapshot), while new readers see the " +
+      "deletion — at a retention that spans the chain") {
+    spark.conf.set(StoreVersions.RetainVersions, "4")
+    try {
+      val st = TextIndexStore.build(docs, "doc_id", "text",
+        s"$tmp/text-del")
+      val expected = TextIndexStore.bm25(spark, st, terms)
+        .collect().map(_.toString).sorted.toSeq
+      val pinned = TextIndexStore.bm25(spark, st, terms)
+      val doomed = docs.filter(col("doc_id") % 7 === 3)
+      TextIndexStore.delete(st, doomed.select("doc_id"))
+      TextIndexStore.compact(spark, st)
+      assert(pinned.collect().map(_.toString).sorted.toSeq == expected,
+        "pinned reader leaked the concurrent deletion")
+      val after = TextIndexStore.bm25(spark, st, terms)
+        .collect().map(_.toString).sorted.toSeq
+      assert(after != expected && after.size < expected.size,
+        "fixture: the deletion should change fresh reads")
+    } finally spark.conf.unset(StoreVersions.RetainVersions)
+  }
+
+  test("TEXT bucketed: the pinned reader survives compact's table " +
+      "re-registration (the catalog points at the new version; the " +
+      "pin does not follow it)") {
+    val st = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/text-bucketed", bucketPostings = 4)
+    val expected = TextIndexStore.bm25(spark, st, terms)
+      .collect().map(_.toString).sorted.toSeq
+    val pinned = TextIndexStore.bm25(spark, st, terms)
+    TextIndexStore.update(st,
+      docs.limit(0), "text")
+    TextIndexStore.compact(spark, st)
+    assert(pinned.collect().map(_.toString).sorted.toSeq == expected,
+      "pinned bucketed reader broke across the re-registration")
+  }
+
+  test("ANN: a search reader held across delete + compact serves " +
+      "the pre-delete snapshot; held across a REBUILD it serves the " +
+      "old index (search serves THROUGH the re-train)") {
+    val d = AnnIndexStore.CorpusDials
+    val st = AnnIndexStore.build(emb, "vec_id", "embedding",
+      s"$tmp/ann", d.centroidPred, d.seedPred, d.m, d.subDim, d.iters)
+    val expected = AnnIndexStore.search(spark, st, annQueries, "qid",
+      "embedding", 10).collect().map(_.toString).sorted.toSeq
+    val pinned = AnnIndexStore.search(spark, st, annQueries, "qid",
+      "embedding", 10)
+    AnnIndexStore.delete(st,
+      emb.filter(col("vec_id") % 10 === 6).select("vec_id"))
+    AnnIndexStore.compact(spark, st)
+    assert(pinned.collect().map(_.toString).sorted.toSeq == expected,
+      "pinned search leaked the concurrent delete/compact")
+    // fresh reads see the deletion
+    val after = AnnIndexStore.search(spark, st, annQueries, "qid",
+      "embedding", 10)
+    assert(after.filter(col("vec_id") % 10 === 6).isEmpty,
+      "fresh reads should exclude the deleted vectors")
+    // and across a REBUILD on a different corpus: the pinned reader
+    // keeps the old snapshot (models + codes flip as ONE), new
+    // readers serve the new index
+    val pinned2 = AnnIndexStore.search(spark, st, annQueries, "qid",
+      "embedding", 10)
+    val expected2 = pinned2.collect().map(_.toString).sorted.toSeq
+    AnnIndexStore.build(emb.filter(col("vec_id") % 10 =!= 6),
+      "vec_id", "embedding", st.dir, d.centroidPred, d.seedPred,
+      d.m, d.subDim, d.iters)
+    assert(pinned2.collect().map(_.toString).sorted.toSeq == expected2,
+      "pinned search broke across the rebuild")
+  }
+
+  test("retention bounds the disk: after two maintenance cycles the " +
+      "oldest version is GC'd (a pin older than retention expires, " +
+      "the Iceberg contract)") {
+    val st = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/text-gc")
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = StoreVersions.resolve(fs, st.dir, "postings")
+    TextIndexStore.compact(spark, st)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(v1)),
+      "one cycle should RETAIN the prior version for in-flight " +
+        "readers")
+    TextIndexStore.compact(spark, st)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(v1)),
+      "two cycles should GC the expired version")
+  }
+
+  test("StoreVersions: flip merges over the current manifest " +
+      "atomically; sweepOrphans removes only above-current; gc " +
+      "keeps current + retain below") {
+    val dir = s"$tmp/unit"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    def mk(stage: String, n: Int): Unit = fs.mkdirs(
+      new org.apache.hadoop.fs.Path(f"$dir/$stage/v-$n%05d"))
+    mk("a", 1); mk("b", 1)
+    StoreVersions.flip(fs, dir,
+      Map("a" -> s"$dir/a/v-00001", "b" -> s"$dir/b/v-00001"))
+    assert(StoreVersions.read(fs, dir) ==
+      Map("a" -> "v-00001", "b" -> "v-00001"))
+    // a partial update flips only its stages; the rest carry over
+    mk("a", 2)
+    StoreVersions.flip(fs, dir, Map("a" -> s"$dir/a/v-00002"))
+    assert(StoreVersions.read(fs, dir) ==
+      Map("a" -> "v-00002", "b" -> "v-00001"))
+    assert(StoreVersions.resolve(fs, dir, "a") == s"$dir/a/v-00002")
+    // next() skips past both on-disk and manifest numbering
+    assert(StoreVersions.next(fs, dir, "a") == s"$dir/a/v-00003")
+    // orphans: only ABOVE the current version is swept
+    mk("a", 7)
+    StoreVersions.sweepOrphans(fs, dir, Seq("a", "b"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/a/v-00007")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/a/v-00001")),
+      "sweep must never touch retained prior versions")
+    // gc: current + retain(=1) prior survive, older die
+    mk("a", 3); mk("a", 4)
+    StoreVersions.flip(fs, dir, Map("a" -> s"$dir/a/v-00004"))
+    StoreVersions.gc(spark, fs, dir, Seq("a", "b"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/a/v-00001")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/a/v-00002")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/a/v-00003")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/a/v-00004")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/b/v-00001")),
+      "gc of a stage with no priors must keep its current")
+    // a resolve against a never-built store is loud
+    intercept[IllegalStateException] {
+      StoreVersions.resolve(fs, s"$tmp/absent", "a")
+    }
+  }
+}

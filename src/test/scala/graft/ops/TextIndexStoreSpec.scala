@@ -70,8 +70,15 @@ class TextIndexStoreSpec extends SparkSpec {
     UpdateMarker.listFiles(fs, dir)
   }
 
+  /** Data files of a stage's CURRENT version (manifest-resolved). */
+  private def stageFiles(storeDir: String, stage: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    files(StoreVersions.resolve(fs, storeDir, stage))
+  }
+
   test("compact folds per-update files; scores unchanged; a crash " +
-      "after a committed stage swap settles without healing data") {
+      "after the committed flip settles without healing data") {
     val st = TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", s"$tmp/cpt")
     TextIndexStore.update(st,
@@ -80,18 +87,18 @@ class TextIndexStoreSpec extends SparkSpec {
     TextIndexStore.update(st,
       docs.filter(col("doc_id") % 2 === 1 && col("doc_id") >= 250),
       "text")
-    val before = files(s"${st.dir}/postings").size
+    val before = stageFiles(st.dir, "postings").size
     val scores = TextIndexStore.bm25(spark, st, terms)
       .collect().map(_.toString).sorted.toSeq
     TextIndexStore.compact(spark, st)
-    assert(files(s"${st.dir}/postings").size < before,
+    assert(stageFiles(st.dir, "postings").size < before,
       "compact did not reduce the postings file count")
     assert(TextIndexStore.bm25(spark, st, terms)
       .collect().map(_.toString).sorted.toSeq == scores,
       "compact changed scores")
-    // fabricate the fatal window: compact committed its postings
-    // swap (the stage holds only new files) but died before its
-    // marker delete — settlement must NOT heal the listing diff away
+    // fabricate the fatal window: compact committed its flip but
+    // died before its marker delete — settlement must NOT heal the
+    // listing diff away (the `.swap` maintenance kind)
     val fs = new org.apache.hadoop.fs.Path(st.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
@@ -104,22 +111,31 @@ class TextIndexStoreSpec extends SparkSpec {
       "maintenance-marker settlement deleted committed files")
   }
 
-  test("build() settles the directory's previous life: a stale " +
-      "stats.old cannot roll a rebuild's counters back") {
+  test("build() settles the directory's previous life: a crashed " +
+      "update's unflipped stats version and stale marker cannot " +
+      "touch a rebuild's counters") {
     val dir = s"$tmp/rebuild-settle"
-    TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0),
+    val st0 = TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", dir)
-    // fabricate a crashed update: its pre-swap counters aside copy
+    // fabricate a crashed update: its next-version counters were
+    // fully staged but never flipped, and its marker survived
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),
-      new org.apache.hadoop.fs.Path(s"$dir/stats.old"))
+    import spark.implicits._
+    Seq((999999L, 999999L)).toDF("n", "sumdl").write
+      .parquet(StoreVersions.next(fs, dir, "stats"))
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("", Map(
+        "stats" -> stageFiles(dir, "stats"))))
     val st = TextIndexStore.build(docs, "doc_id", "text", dir)
     val fresh = st.stats(spark).collect().toSeq
+    assert(fresh != Seq(org.apache.spark.sql.Row(999999L, 999999L)),
+      "the orphan staged counters leaked into the rebuild")
     // the next writer's settlement must keep the REBUILT counters
     TextIndexStore.update(st, docs.limit(0), "text")
     assert(st.stats(spark).collect().toSeq == fresh,
-      "a stale aside copy rolled the rebuilt counters back")
+      "a stale crashed-update artifact rolled the rebuilt counters " +
+        "back")
   }
 
   test("null-text docs index as one empty-token row (counters count " +
@@ -256,10 +272,10 @@ class TextIndexStoreSpec extends SparkSpec {
       "compact did not restore the zero-exchange token aggregation")
   }
 
-  test("bucketed compact roll-forward: a crash between the committed " +
-      "postings swap and the delta removal cannot double-count — the " +
-      "next entry finishes the removal; an UNCOMMITTED crash keeps " +
-      "the delta") {
+  test("bucketed compact commits the folded base AND the cleared " +
+      "delta in ONE flip: no crash state can double-count — a " +
+      "pre-flip crash keeps base ∪ delta serving exactly; the " +
+      "committed flip swaps to folded-base-only atomically") {
     val dir = s"$tmp/bucketed-crash"
     val st = TextIndexStore.build(docs.filter(col("doc_id") < 300),
       "doc_id", "text", dir, bucketPostings = 4)
@@ -267,38 +283,37 @@ class TextIndexStoreSpec extends SparkSpec {
       docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), "text")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val deltaFiles = files(st.deltaDir)
+    val deltaFiles = stageFiles(dir, "postings_delta")
     assert(deltaFiles.nonEmpty)
-    val deltaCount = spark.read.parquet(deltaFiles.toSeq: _*).count()
     val baseCount = st.postings(spark).count()
-    // UNCOMMITTED window: marker snapshot == current base listing
-    // (the swap never happened) → settlement must keep the delta
+    val preManifest = StoreVersions.read(fs, dir)
+    // fabricate a compact that died BEFORE its flip: the folded base
+    // and the empty delta are fully staged as next versions, the
+    // `.swap` marker survives — under the old two-commit protocol
+    // this was the double-count window (committed base + live delta)
     UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
       UpdateMarker.State("", Map(
-        "postings.swap" -> files(s"$dir/postings"),
-        "doclens.swap" -> files(s"$dir/doclens"),
-        "fold" -> deltaFiles)))
+        "postings.swap" -> stageFiles(dir, "postings"),
+        "doclens.swap" -> stageFiles(dir, "doclens"))))
+    st.postings(spark).write
+      .parquet(StoreVersions.next(fs, dir, "postings"))
+    StoreVersions.nextEmpty(fs, dir, "postings_delta")
+    // crash here: the manifest never moved, so base ∪ delta still
+    // serves exactly — no row appears twice and none is lost
+    assert(StoreVersions.read(fs, dir) == preManifest,
+      "staging moved the manifest before the flip")
     TextIndexStore.update(st, docs.limit(0), "text")
-    // (the empty-batch update may add a zero-row file of its own —
-    // the ORIGINAL delta files and every row must survive)
-    assert(deltaFiles.subsetOf(files(st.deltaDir)),
-      "uncommitted crash settlement destroyed the delta")
-    assert(st.postings(spark).count() == baseCount)
-    // COMMITTED window: marker snapshot differs from the current
-    // base listing (the swap landed — fabricated via a fake name);
-    // the folded delta files must be finished off, or base ∪ delta
-    // double-counts them on every read forever
-    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
-      UpdateMarker.State("", Map(
-        "postings.swap" -> Set(s"$dir/postings/pre-swap-fake.parquet"),
-        "doclens.swap" -> files(s"$dir/doclens"),
-        "fold" -> deltaFiles)))
-    TextIndexStore.update(st, docs.limit(0), "text")
-    assert(files(st.deltaDir).intersect(deltaFiles).isEmpty,
-      "roll-forward did not remove the folded delta files")
-    // the fabricated base was never actually rewritten, so the read
-    // now sees base alone — delta rows gone exactly once, not twice
-    assert(st.postings(spark).count() == baseCount - deltaCount)
+    assert(deltaFiles.subsetOf(stageFiles(dir, "postings_delta")),
+      "pre-flip crash settlement destroyed the delta")
+    assert(st.postings(spark).count() == baseCount,
+      "pre-flip crash changed the served postings")
+    // a REAL compact then commits folded base + emptied delta in one
+    // flip: same rows, delta gone — atomically, so no reader
+    // ordering can ever see both the fold and the delta
+    TextIndexStore.compact(spark, st)
+    assert(st.deltaIfAny(spark).isEmpty, "compact left the delta")
+    assert(st.postings(spark).count() == baseCount,
+      "the atomic fold changed the served postings")
   }
 
   test("delete serves exactly (== rebuild without the docs) BEFORE " +
