@@ -9,7 +9,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * [[IncrementalScaling]] — `tier:"incremental"`,
   * [[RewriteScaling]] — `tier:"rewrite"`,
   * [[AsofScaling]] — `tier:"asof_hotkey"`,
-  * [[AnnIndexScaling]] — `tier:"ann_index"`).
+  * [[AnnIndexScaling]] — `tier:"ann_index"`,
+  * [[TopKScaling]] — `tier:"text_topk"`).
   *
   * Each generator owns ONE slice, selected by an exact-match
   * predicate; a regeneration keeps every other line byte-identical

@@ -76,16 +76,17 @@ import org.apache.spark.sql.functions._
 object TextIndexStore {
 
   private val Stages = Seq("postings", "postings_delta", "doclens",
-    "stats", "tombstones")
+    "stats", "tombstones", "postings_meta")
 
-  /** One resolved snapshot of the store — all five stages from a
+  /** One resolved snapshot of the store — all six stages from a
     * SINGLE manifest read (see the reader-isolation story in the
     * object scaladoc). Holding a Snapshot pins its files for the
     * retention window.
     */
   final case class Snapshot(dir: String, idCol: String,
       postingsBuckets: Int, postingsPath: String, deltaPath: String,
-      doclensPath: String, statsPath: String, tombsPath: String) {
+      doclensPath: String, statsPath: String, tombsPath: String,
+      metaPath: String) {
 
     def postingsTable: Option[String] =
       if (postingsBuckets > 0) Some(TextIndexStore.tableNameFor(dir))
@@ -170,7 +171,8 @@ object TextIndexStore {
             "build() it first (pre-versioning layouts are reset by " +
             "build)"))
       Snapshot(dir, idCol, postingsBuckets, p("postings"),
-        p("postings_delta"), p("doclens"), p("stats"), p("tombstones"))
+        p("postings_delta"), p("doclens"), p("stats"), p("tombstones"),
+        p("postings_meta"))
     }
 
     def postingsTable: Option[String] =
@@ -237,6 +239,7 @@ object TextIndexStore {
                      else snap.postingsPath),
       "doclens" -> snap.doclensPath,
       "tombs" -> snap.tombsPath,
+      "meta" -> snap.metaPath,
       "stats" -> snap.statsPath)
   }
 
@@ -307,6 +310,34 @@ object TextIndexStore {
   private def dlOf(postings: DataFrame, idCol: String): DataFrame =
     postings.groupBy(idCol).agg(sum("tf").as("dl"))
 
+  /** Per-(token, FILE) postings metadata — the block-max statistics
+    * [[bm25TopK]]'s pruning reads instead of the postings themselves:
+    * `df_part` (exact doc count in the file — Σ over files = the
+    * term's df), `max_tf` and `min_dl` (together they bound the
+    * file's best possible BM25 contribution for the term at ANY
+    * query-time (k1, b), since the saturation fraction is increasing
+    * in tf and decreasing in dl). Derived by reading the just-written
+    * files back with their file identity ([[input_file_name]]) and
+    * joining the batch's doclens — one narrow doc-keyed join per
+    * maintenance batch (batch-sized at [[update]]; the one
+    * postings-cardinality pass at [[build]]/[[compact]] rides the
+    * build's amortization argument). A metadata row is a pure
+    * function of its file's rows, so update == rebuild composes
+    * file-by-file.
+    */
+  private def metaOf(s: SparkSession, files: Seq[String],
+      dl: DataFrame, idCol: String): DataFrame =
+    if (files.isEmpty)
+      s.range(0).select(lit("").as("token"), lit("").as("file"),
+        lit(0L).as("df_part"), lit(0L).as("max_tf"), lit(0L).as("min_dl"))
+    else
+      s.read.parquet(files: _*)
+        .withColumn("file", input_file_name())
+        .join(dl.select(col(idCol), col("dl")), idCol)
+        .groupBy("token", "file")
+        .agg(count(lit(1)).as("df_part"), max("tf").as("max_tf"),
+          min("dl").as("min_dl"))
+
   /** Writer entry: sweep crashed maintenance writers' orphan version
     * dirs (flip-last — nothing else of theirs can exist), then
     * settle a crashed writer's marker through [[UpdateMarker.settle]]
@@ -371,11 +402,15 @@ object TextIndexStore {
     val sV = StoreVersions.next(fs, dir, "stats")
     s.read.parquet(dV).agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
       .write.mode("overwrite").parquet(sV)
+    val mV = StoreVersions.next(fs, dir, "postings_meta")
+    metaOf(s, UpdateMarker.listFiles(fs, pV).toSeq,
+        s.read.parquet(dV), idCol)
+      .write.mode("overwrite").parquet(mV)
     val deltaV = StoreVersions.nextEmpty(fs, dir, "postings_delta")
     val tV = StoreVersions.nextEmpty(fs, dir, "tombstones")
     StoreVersions.flip(fs, dir, Map("postings" -> pV,
       "postings_delta" -> deltaV, "doclens" -> dV, "stats" -> sV,
-      "tombstones" -> tV))
+      "tombstones" -> tV, "postings_meta" -> mV))
     if (bucketPostings > 0)
       registerBucketedTable(s, tableNameFor(dir), pV, bucketPostings)
     StoreVersions.gc(s, fs, dir, Stages)
@@ -467,6 +502,13 @@ object TextIndexStore {
       else dlOf(s.read.parquet(newFiles: _*), idx.idCol)
     batchDl.write.mode("append").parquet(snap.doclensPath)
     s.catalog.refreshByPath(snap.doclensPath)
+    // block-max metadata for exactly the appended files (a metadata
+    // row is a per-file derivation, so the append composes)
+    if (newFiles.nonEmpty) {
+      metaOf(s, newFiles, batchDl, idx.idCol)
+        .write.mode("append").parquet(snap.metaPath)
+      s.catalog.refreshByPath(snap.metaPath)
+    }
     val batchStats = batchDl.agg(count(lit(1)).as("_bn"),
       coalesce(sum("dl"), lit(0L)).as("_bsum"))
     val sV = StoreVersions.next(fs, idx.dir, "stats")
@@ -603,11 +645,18 @@ object TextIndexStore {
     val dV = StoreVersions.next(fs, idx.dir, "doclens")
     snap.doclens(s).repartition(col(idx.idCol))
       .write.mode("overwrite").parquet(dV)
+    // fresh block-max metadata over the folded base (delete makes
+    // the old rows stale-but-valid upper bounds — a superset's max
+    // only loosens pruning; here they tighten back to exact)
+    val mV = StoreVersions.next(fs, idx.dir, "postings_meta")
+    metaOf(s, UpdateMarker.listFiles(fs, pV).toSeq,
+        s.read.parquet(dV), idx.idCol)
+      .write.mode("overwrite").parquet(mV)
     val deltaV = StoreVersions.nextEmpty(fs, idx.dir, "postings_delta")
     val tV = StoreVersions.nextEmpty(fs, idx.dir, "tombstones")
     StoreVersions.flip(fs, idx.dir, Map("postings" -> pV,
       "postings_delta" -> deltaV, "doclens" -> dV,
-      "tombstones" -> tV)) // THE commit
+      "tombstones" -> tV, "postings_meta" -> mV)) // THE commit
     if (idx.postingsBuckets > 0)
       registerBucketedTable(s, tableNameFor(idx.dir), pV,
         idx.postingsBuckets)
@@ -668,6 +717,182 @@ object TextIndexStore {
       Seq(idx.idCol), "left_semi")
     TextOps.bm25ScoreWithIdf(tf, snap.doclens(s), stats, idf,
       idx.idCol, terms, k1, b)
+  }
+
+  /** Ceiling on the (token, file) metadata rows [[bm25TopK]] will
+    * collect to the driver for its pruning arithmetic — bounded by
+    * |probed terms| × files-per-term, which compaction keeps small;
+    * past the ceiling the serve falls back to the unpruned full
+    * scoring (correct rows, pruning claim void — the
+    * [[AnnIndexStore.PruneMaxCells]] discipline).
+    */
+  val TopKMetaMaxRows = "spark.graft.text.topkMetaMaxRows"
+  private val topkMetaMaxDefault = 65536
+
+  /** [[bm25TopK]]'s driver-side pruning decision, split out so the
+    * spec can pin that the block-skip is REAL (files excluded,
+    * essential set smaller than the query) without reaching into the
+    * serve's plan. `theta` is the proven lower bound on the k-th
+    * best full score; `allowedFiles` are the candidate-generation
+    * blocks that survived the per-file bound test out of
+    * `probedFiles` total for the essential terms.
+    */
+  private[graft] final case class TopKDecision(essential: Seq[String],
+      theta: Double, allowedFiles: Seq[String], probedFiles: Int)
+
+  /** Exact top-k BM25 serving with MaxScore/block-max pruning — the
+    * answer to "one common term makes [[bm25]] score the whole
+    * corpus": a top-k serve does not need a score for every document
+    * containing ANY query term, only for documents that could beat
+    * the k-th best. From the stored per-(token, file) bounds
+    * ([[metaOf]] — written with the postings, read INSTEAD of them):
+    *
+    *  1. per-term upper bounds `ub(t) = idf(t) · maxFrac(t)` come
+    *     from the metadata (idf from the exact per-file df sums when
+    *     no tombstones are outstanding, from the probe scan
+    *     otherwise — a delete leaves the stored bounds a valid
+    *     SUPERSET bound, but df must be live-exact for scoring);
+    *  2. a THRESHOLD θ = the k-th best score among documents
+    *     containing the top-impact term, scored from that term's
+    *     postings alone (partial scores lower-bound full scores, so
+    *     θ lower-bounds the true k-th best);
+    *  3. the ESSENTIAL terms are the minimal impact-ordered prefix
+    *     whose complement's Σub < θ — a document matching only
+    *     non-essential terms cannot reach θ (MaxScore), so
+    *     candidates are generated from essential postings only: the
+    *     common term's corpus-scale postings are never scanned for
+    *     candidacy when its ub keeps it non-essential;
+    *  4. BLOCK-MAX skip: an essential term's file is skipped when
+    *     its per-file bound plus every other term's ub stays under θ
+    *     — a document all of whose essential matches sit in skipped
+    *     blocks is bounded below θ by the triangle over its best
+    *     block (per-term thresholds, so multi-essential queries stay
+    *     exact);
+    *  5. the surviving candidates (plus step 2's, already known) are
+    *     scored EXACTLY through the shared kernel and the top-k
+    *     returned — bit-identical rows to `bm25().orderBy(score
+    *     desc, id).limit(k)` (spec-pinned; a small ε absorbs the
+    *     kernel's contribution rounding on the bound side only).
+    *
+    * What shrinks and what cannot: candidate generation reads only
+    * the essential terms' surviving blocks (the SCALING row's
+    * measured collapse), and the scoring pipeline — the doclens
+    * join, pivot and aggregation that dominate [[bm25]] — processes
+    * candidate rows only. The one irreducible corpus-scale touch is
+    * the exact-completion scan (candidates' tf for EVERY query term
+    * rides a token-pushdown scan of the probed row groups, then a
+    * semi-join): columnar scans have no per-document skip pointers,
+    * so exactness costs one pass over the probed row groups — the
+    * same single pass plain [[bm25]] makes, with none of its
+    * downstream volume.
+    */
+  def bm25TopK(s: SparkSession, idx: Index, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    val dterms = terms.distinct
+    val snap = idx.pin(s)
+    val statsF = snap.stats(s).select(col("n").as("_n"),
+      (col("sumdl") / col("n")).as("_avgdl"))
+    val st0 = statsF.head()
+    val avgdl = st0.getDouble(1)
+    def fullTf = snap.postings(s)
+      .filter(col("token").isin(dterms: _*))
+      .select(col(idx.idCol), col("token"), col("tf"))
+    def topKOf(scores: DataFrame): DataFrame =
+      scores.orderBy(col("score").desc, col(idx.idCol).asc).limit(k)
+    def fullTopK(idf: DataFrame): DataFrame =
+      topKOf(TextOps.bm25ScoreWithIdf(fullTf, snap.doclens(s), statsF,
+        idf, idx.idCol, dterms, k1, b))
+    val maxMeta = s.conf.get(TopKMetaMaxRows,
+      topkMetaMaxDefault.toString).toInt
+    val metaRows = s.read.parquet(snap.metaPath)
+      .filter(col("token").isin(dterms: _*))
+      .limit(maxMeta + 1).collect()
+    if (metaRows.length > maxMeta) // ceiling: correct, unpruned
+      return fullTopK(TextOps.bm25Idf(fullTf, statsF))
+    // exact idf — the metadata df sums when no deletes are
+    // outstanding, the masked probe otherwise (same kernel
+    // expression either way, so scores stay bit-identical)
+    val idfF =
+      if (snap.tombstonesIfAny(s).isEmpty) {
+        import s.implicits._
+        TextOps.bm25IdfOfDf(
+          metaRows.groupBy(_.getString(0)).view
+            .mapValues(_.map(_.getLong(2)).sum).toSeq.toDF("token", "df"),
+          statsF)
+      } else TextOps.bm25Idf(fullTf, statsF)
+    decisionOf(s, snap, idfF, metaRows, dterms, k, k1, b, avgdl) match {
+      case None => fullTopK(idfF) // fewer than k matches: no bound
+      case Some(d) =>
+        val cand1 = snap.postings(s)
+          .filter(col("token") === d.essential.head)
+          .select(col(idx.idCol))
+        val candE =
+          if (d.allowedFiles.isEmpty) cand1
+          else s.read.parquet(d.allowedFiles: _*)
+            .filter(col("token").isin(d.essential: _*))
+            .select(col(idx.idCol))
+            .unionByName(cand1)
+        topKOf(TextOps.bm25ScoreWithIdf(
+          fullTf.join(candE.distinct(), Seq(idx.idCol), "left_semi"),
+          snap.doclens(s), statsF, idfF, idx.idCol, dterms, k1, b))
+    }
+  }
+
+  /** Steps 1–4 of [[bm25TopK]] (driver arithmetic over the collected
+    * metadata + one partial-scoring job for θ) — None when fewer
+    * than k documents match the top-impact term, where no threshold
+    * exists and the caller serves unpruned. `eps` absorbs the
+    * kernel's round-to-6 contribution / round-to-4 score steps: a
+    * pruned document's true score is provably below θ − ε with ε
+    * well above the worst accumulated rounding.
+    */
+  private[graft] def decisionOf(s: SparkSession, snap: Snapshot,
+      idfF: DataFrame, metaRows: Array[org.apache.spark.sql.Row],
+      dterms: Seq[String], k: Int, k1: Double, b: Double,
+      avgdl: Double): Option[TopKDecision] = {
+    val eps = 1e-3
+    val idfMap = idfF.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def frac(maxTf: Long, minDl: Long): Double =
+      (k1 + 1) * maxTf /
+        (maxTf + k1 * (1 - b + b * minDl / avgdl))
+    val fileUb = metaRows.toSeq.map { r =>
+      (r.getString(0), r.getString(1),
+        idfMap.getOrElse(r.getString(0), 0.0) *
+          frac(r.getLong(3), r.getLong(4)))
+    }
+    val ub = dterms.map(t => t ->
+      fileUb.filter(_._1 == t).map(_._3).maxOption.getOrElse(0.0)).toMap
+    val sorted = dterms.sortBy(t => (-ub(t), t))
+    val t1 = sorted.head
+    // θ: k-th best PARTIAL score from the top-impact term alone —
+    // partial ≤ full, so this lower-bounds the true k-th best
+    val t1tf = snap.postings(s).filter(col("token") === t1)
+      .select(col(snap.idCol), col("token"), col("tf"))
+    val statsF = snap.stats(s).select(col("n").as("_n"),
+      (col("sumdl") / col("n")).as("_avgdl"))
+    val part = TextOps.bm25ScoreWithIdf(t1tf, snap.doclens(s), statsF,
+        idfF, snap.idCol, Seq(t1), k1, b)
+      .orderBy(col("score").desc, col(snap.idCol).asc)
+      .limit(k).collect()
+    if (part.length < k) return None
+    val theta = part.last.getDouble(1)
+    // essential prefix: smallest prefix whose complement's Σub < θ
+    val e = (1 to sorted.size).find { j =>
+      sorted.drop(j).map(ub).sum + eps < theta
+    }.getOrElse(sorted.size)
+    val essential = sorted.take(e)
+    val totalUb = dterms.map(ub).sum
+    // block-max: keep (t, f) iff its bound plus EVERY other term's
+    // ub could still reach θ
+    val probed = fileUb.filter(x => essential.contains(x._1))
+    val allowed = probed.filter { case (t, _, u) =>
+      u + (totalUb - ub(t)) + eps >= theta
+    }.map(_._2).distinct
+    Some(TopKDecision(essential, theta, allowed,
+      probed.map(_._2).distinct.size))
   }
 
   /** Conjunctive (boolean AND) retrieval — the documents containing

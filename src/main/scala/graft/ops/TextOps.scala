@@ -350,8 +350,19 @@ object TextOps {
   def bm25Idf(tf: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
+    bm25IdfOfDf(tf.groupBy("token").agg(count(lit(1)).as("df")), stats)
+
+  /** The idf arithmetic alone, from a pre-computed (token, df) frame
+    * — split from [[bm25Idf]] so [[TextIndexStore.bm25TopK]] can
+    * feed df from the stored per-file postings metadata (no probe
+    * scan) while keeping the EXACT Spark expression and rounding the
+    * scoring kernel uses (a driver-side reimplementation would risk
+    * a last-ulp divergence from `round(log(...), 6)`).
+    */
+  def bm25IdfOfDf(df: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.crossJoin(broadcast(stats))
       .select(col("token"),
         round(log((col("_n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
           .as("idf"))

@@ -3047,6 +3047,27 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Top-k BM25 serving with MaxScore/block-max pruning
+    * ([[graft.ops.TextIndexStore.bm25TopK]], k = 15): the stored
+    * per-(token, file) bounds route candidate generation through the
+    * essential terms' surviving blocks only, and the exact
+    * completion re-scores just the candidates — the oracle is the
+    * BRUTE-FORCE q75 chain's ordered top-15, because the pruned
+    * serve's contract is bit-identical rows (scores, tie order and
+    * all; TextIndexStoreSpec pins the equality through
+    * update/delete/compact and pins that the pruning actually
+    * excludes blocks on a planted-stopword corpus).
+    */
+  val q173 = Q("q173_bm25_topk",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      graft.ops.TextIndexStore.bm25TopK(s, idx, bm25Terms, k = 15)
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some(s"""WITH $duckBm25Ctes
+      |SELECT doc_id, score FROM spr
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3054,5 +3075,5 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168, q171, q172)
+      q167, q168, q171, q172, q173)
 }
