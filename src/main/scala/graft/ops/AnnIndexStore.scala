@@ -62,18 +62,21 @@ import org.apache.spark.sql.functions._
   * — invisible to already-planned readers, no isolation needed) and
   * commit through the durable `_applied` record as before.
   *
-  * Crash/re-run discipline for [[add]] (append-only commit, adapted
-  * from the [[UpdateMarker]] swap protocol — the codes table is
-  * partitioned, so listings are recursive, and there is no swap: the
-  * append IS the commit, witnessed by the durable `_applied` record):
-  * a marker written before the append snapshots the codes listing; a
-  * re-run after a crash deletes the partial appended files (not in
-  * the snapshot) unless `_applied` already names the marker's batch
-  * (append finished, marker survived), and a `batchId` makes the
-  * committed-but-unacknowledged replay a detected no-op exactly as in
-  * [[CurationStore.update]]. A crashed [[compact]]/[[build]] needs no
-  * adjudication at all: its uncommitted version dirs are numbered
-  * above the manifest and swept at the next writer's entry
+  * Crash/re-run discipline for [[add]]/[[delete]] is the
+  * [[TextIndexStore]] flip-commit protocol, adopted wholesale when
+  * the exact live-row counter landed: appends go INSIDE the current
+  * codes/tombstone versions, and the one-row `stats` stage (the live
+  * vector count, folded additively) flips to its next version as THE
+  * commit — giving [[UpdateMarker.settle]]'s listing-diff rule a
+  * commit witness the bare append never had (the codes table is
+  * partitioned, so its listings are recursive — settle's
+  * `recursiveStages`). A crash before the flip heals the partial
+  * appends at the next entry; after it, the batch is committed with
+  * its counter already exact, and a `batchId` makes the
+  * committed-but-unacknowledged replay a detected no-op exactly as
+  * in [[CurationStore.update]]. A crashed [[compact]]/[[build]]
+  * needs no adjudication at all: its uncommitted version dirs are
+  * numbered above the manifest and swept at the next writer's entry
   * ([[StoreVersions.sweepOrphans]]) — flip-last means an interrupted
   * maintenance either fully committed or left no trace a reader or
   * writer can observe. SINGLE WRITER per index directory — the
@@ -89,9 +92,9 @@ object AnnIndexStore {
   /** The versioned stages (the `recall_log` is deliberately outside:
     * advisory monitoring appends, reset wholesale by [[build]]). */
   private val Stages =
-    Seq("centroids", "codebooks", "codes", "tombstones")
+    Seq("centroids", "codebooks", "codes", "tombstones", "stats")
 
-  /** One resolved snapshot of the store — all four stages from a
+  /** One resolved snapshot of the store — all five stages from a
     * SINGLE manifest read, so a composite plan can never mix
     * versions (new codes with stale tombstones, rewritten codes
     * under old models). Holding a Snapshot pins its files for the
@@ -99,11 +102,19 @@ object AnnIndexStore {
     */
   final case class Snapshot(idCol: String, m: Int, subDim: Int,
       centroidsPath: String, codebooksPath: String, codesPath: String,
-      tombsPath: String) {
+      tombsPath: String, statsPath: String) {
     def centroids(s: SparkSession): DataFrame =
       s.read.parquet(centroidsPath)
     def codebooks(s: SparkSession): DataFrame =
       s.read.parquet(codebooksPath)
+
+    /** ONE row of exact counters — `n`, the LIVE vector count,
+      * maintained additively through every [[AnnIndexStore.add]] /
+      * [[AnnIndexStore.delete]] flip (the [[TextIndexStore]] stats
+      * discipline applied to the vector tier), so a membership probe
+      * ([[AnnIndexStore.liveCount]], [[CorpusStore.liveCounts]]) is
+      * a one-row metadata read, never a masked stage scan. */
+    def stats(s: SparkSession): DataFrame = s.read.parquet(statsPath)
 
     private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
       Tombstones.ifAny(s, tombsPath)
@@ -144,7 +155,7 @@ object AnnIndexStore {
           s"index at $dir has no committed '$stage' stage — build() " +
             "it first (pre-versioning layouts are reset by build)"))
       Snapshot(idCol, m, subDim, p("centroids"), p("codebooks"),
-        p("codes"), p("tombstones"))
+        p("codes"), p("tombstones"), p("stats"))
     }
 
     def centroids(s: SparkSession): DataFrame = pin(s).centroids(s)
@@ -243,9 +254,16 @@ object AnnIndexStore {
     val kV = StoreVersions.next(fs, dir, "codes")
     encodeTo(s, emb, idCol, vecCol, cV, bV, m, subDim, kV,
       mode = "overwrite")
+    // exact live-row counter off the just-written codes version (a
+    // zero-column count — row-group metadata cost), maintained
+    // additively by add/delete from here on
+    val sV = StoreVersions.next(fs, dir, "stats")
+    s.read.parquet(kV).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(sV)
     val tV = StoreVersions.nextEmpty(fs, dir, "tombstones")
     StoreVersions.flip(fs, dir, Map("centroids" -> cV,
-      "codebooks" -> bV, "codes" -> kV, "tombstones" -> tV))
+      "codebooks" -> bV, "codes" -> kV, "tombstones" -> tV,
+      "stats" -> sV))
     StoreVersions.gc(s, fs, dir, Stages)
     Index(dir, idCol, m, subDim)
   }
@@ -269,67 +287,56 @@ object AnnIndexStore {
     s.catalog.refreshByPath(target)
   }
 
-  /** Every data file under a partitioned codes version dir —
-    * recursive, unlike [[UpdateMarker.listFiles]]' flat stage
-    * listing. */
-  private def listCodesFiles(fs: FileSystem,
-      codesPath: String): Set[String] = {
-    val p = new Path(codesPath)
-    if (!fs.exists(p)) return Set.empty
-    val it = fs.listFiles(p, true)
-    val out = scala.collection.mutable.Set.empty[String]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet"))
-        out += f.getPath.toString
-    }
-    out.toSet
-  }
-
   private[ops] def fsOf(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
 
-  /** Shared entry for the append writers and compact: sweep crashed
-    * maintenance writers' orphan version dirs (flip-last — nothing
-    * else of theirs can exist), then settle a crashed predecessor's
-    * marker through the kind-aware append-protocol settlement
-    * ([[UpdateMarker.settleAppend]] — the ONE definition of the
-    * decision table; a compact's `.swap` marker is never healed by
-    * file deletion, an uncommitted add marker is). Returns TRUE when
-    * `batchId` is already applied.
+  /** The [[UpdateMarker.settle]] stage map for this store's writers,
+    * resolved to the CURRENT versions. `stats` is the flip-commit
+    * stage (its one-row counter version flips at every add/delete —
+    * the [[TextIndexStore]] protocol, which this store adopted when
+    * the counter landed: the flip gives settlement a commit witness
+    * the bare append never had); `codes`/`tombs` are the append-only
+    * sides healed on a pre-commit crash. `codes` is PARTITIONED, so
+    * its listings are recursive ([[UpdateMarker.listFilesRecursive]]
+    * via settle's `recursiveStages`).
+    */
+  private def stageMap(s: SparkSession, idx: Index): Map[String, String] = {
+    val snap = idx.pin(s)
+    Map("codes" -> snap.codesPath, "tombs" -> snap.tombsPath,
+      "stats" -> snap.statsPath)
+  }
+
+  /** Writer entry: sweep crashed maintenance writers' orphan version
+    * dirs (flip-last — nothing else of theirs can exist), then
+    * settle a crashed writer's marker through [[UpdateMarker.settle]]
+    * (the stats stage's listing decides commitment — a flipped
+    * commit resolves to a different directory, so the listing-diff
+    * rule works verbatim; maintenance `.swap` markers are never
+    * healed by file deletion). Returns TRUE when `batchId` is
+    * already applied; FALSE after writing this writer's fresh marker.
     */
   private def settleEntry(s: SparkSession, fs: FileSystem, idx: Index,
       batchId: Option[String]): Boolean = {
     StoreVersions.sweepOrphans(fs, idx.dir, Stages)
-    UpdateMarker.settleAppend(fs, idx.dir, appendStages(s, fs, idx),
-      batchId)
+    UpdateMarker.settle(s, fs, idx.dir, "stats", stageMap(s, idx),
+      batchId, recursiveStages = Set("codes"))
   }
 
-  /** The append stages every writer of this store snapshots and
-    * settlement heals — the [[UpdateMarker.settleAppend]] contract:
-    * a writer that leaves a stage untouched still snapshots it (its
-    * heal diff is then empty by construction). `codes` is the encode
-    * target; `tombs` is [[delete]]'s append-only tombstone stage.
-    * Listings resolve the CURRENT versions — the same resolution a
-    * crashed predecessor snapshotted, because appends never flip.
-    */
-  private def appendStages(s: SparkSession, fs: FileSystem,
-      idx: Index): Map[String, (() => Set[String], () => Unit)] = {
-    val snap = idx.pin(s)
-    Map(
-      "codes" -> ((() => listCodesFiles(fs, snap.codesPath),
-        () => s.catalog.refreshByPath(snap.codesPath))),
-      "tombs" -> ((() => UpdateMarker.listFiles(fs, snap.tombsPath),
-        () => s.catalog.refreshByPath(snap.tombsPath))))
+  /** Flip the one-row stats counter to `n + delta` — the COMMIT of
+    * an [[add]]/[[delete]]: appends before it heal on a crash (the
+    * stats listing still matches the marker's snapshot), appends
+    * after it are committed (the flipped stage resolves to a
+    * different directory). The high-frequency single-stage GC keeps
+    * tiny counter versions from accumulating per batch. */
+  private def flipStats(s: SparkSession, fs: FileSystem, idx: Index,
+      snap: Snapshot, delta: DataFrame): Unit = {
+    val sV = StoreVersions.next(fs, idx.dir, "stats")
+    snap.stats(s).crossJoin(delta)
+      .select((col("n") + col("_dn")).as("n"))
+      .write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV)) // THE commit
+    StoreVersions.gc(s, fs, idx.dir, Seq("stats"))
   }
-
-  /** Every writer's marker snapshot — both append stages, per the
-    * [[UpdateMarker.settleAppend]] every-writer-snapshots-every-stage
-    * rule. */
-  private def snapshotAll(fs: FileSystem, snap: Snapshot)
-      : Map[String, Set[String]] = Map(
-    "codes" -> listCodesFiles(fs, snap.codesPath),
-    "tombs" -> UpdateMarker.listFiles(fs, snap.tombsPath))
 
   /** Fold a NEW batch of vectors into the index: encode with the
     * stored models, append to the probed-cell partitions. Ids must be
@@ -346,7 +353,6 @@ object AnnIndexStore {
       batchId: Option[String] = None): Index = {
     val s = newEmb.sparkSession
     val fs = fsOf(s, idx.dir)
-    val marker = UpdateMarker.markerPath(idx.dir)
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
     val snap = idx.pin(s)
@@ -360,13 +366,21 @@ object AnnIndexStore {
         "batch re-adds tombstoned ids — run compact() first (removals " +
           "become physical and the tombstone set clears)")
     }
-    UpdateMarker.write(fs, marker, UpdateMarker.State(
-      batchId.getOrElse(""), snapshotAll(fs, snap)))
+    val before = UpdateMarker.listFilesRecursive(fs, snap.codesPath)
     encodeTo(s, newEmb, idx.idCol, vecCol, snap.centroidsPath,
       snap.codebooksPath, idx.m, idx.subDim, snap.codesPath,
       mode = "append")
+    // the counter folds in EXACTLY the appended files' rows (read
+    // back off the listing diff — the TextIndexStore lineage cut)
+    val newFiles =
+      (UpdateMarker.listFilesRecursive(fs, snap.codesPath) -- before)
+        .toSeq
+    val added =
+      if (newFiles.isEmpty) s.range(1).select(lit(0L).as("_dn"))
+      else s.read.parquet(newFiles: _*).agg(count(lit(1)).as("_dn"))
+    flipStats(s, fs, idx, snap, added)
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
-    UpdateMarker.delete(fs, marker)
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(idx.dir))
     idx
   }
 
@@ -394,12 +408,9 @@ object AnnIndexStore {
       batchId: Option[String] = None): Index = {
     val s = ids.sparkSession
     val fs = fsOf(s, idx.dir)
-    val marker = UpdateMarker.markerPath(idx.dir)
     if (settleEntry(s, fs, idx, batchId))
       return idx // this very batch already applied — no-op
     val snap = idx.pin(s)
-    UpdateMarker.write(fs, marker, UpdateMarker.State(
-      batchId.getOrElse(""), snapshotAll(fs, snap)))
     // idempotent by construction, and only CURRENTLY-LIVE ids count:
     // codes(s) is the masked view, so an id already tombstoned — or
     // NEVER INDEXED (a takedown arriving before ingest, a typo'd id)
@@ -412,10 +423,20 @@ object AnnIndexStore {
     val doomed = ids.select(col(idx.idCol)).distinct()
       .join(snap.codes(s).select(col(idx.idCol)), Seq(idx.idCol),
         "left_semi")
+    val before = UpdateMarker.listFiles(fs, snap.tombsPath)
     doomed.write.mode("append").parquet(snap.tombsPath)
     s.catalog.refreshByPath(snap.tombsPath)
+    // decrement by EXACTLY the appended tombstone rows (distinct
+    // live ids by construction — one counter unit each)
+    val newFiles =
+      (UpdateMarker.listFiles(fs, snap.tombsPath) -- before).toSeq
+    val removed =
+      if (newFiles.isEmpty) s.range(1).select(lit(0L).as("_dn"))
+      else s.read.parquet(newFiles: _*)
+        .agg((lit(0L) - count(lit(1))).as("_dn"))
+    flipStats(s, fs, idx, snap, removed)
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
-    UpdateMarker.delete(fs, marker)
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(idx.dir))
     idx
   }
 
@@ -446,14 +467,17 @@ object AnnIndexStore {
   def compact(s: SparkSession, idx: Index): Index = {
     val fs = fsOf(s, idx.dir)
     settleEntry(s, fs, idx, batchId = None)
-    val snap = idx.pin(s)
     val marker = UpdateMarker.markerPath(idx.dir)
-    // the `.swap` stage name marks this as a MAINTENANCE marker:
-    // compact's output lives in fresh version dirs and commits via
-    // the manifest flip, so settlement must never "heal" codes files
-    // for it (the settleAppend decision table)
+    // settle leaves a held UPDATE-shaped marker; this run's marker
+    // must be the MAINTENANCE kind — compact's output lives in fresh
+    // version dirs and commits via the manifest flip, so settlement
+    // must never "heal" codes files for it (the `.swap` decision
+    // table) — swap it for the .swap form.
+    UpdateMarker.delete(fs, marker)
+    val snap = idx.pin(s)
     UpdateMarker.write(fs, marker, UpdateMarker.State("",
-      Map("codes.swap" -> listCodesFiles(fs, snap.codesPath))))
+      Map("codes.swap" ->
+        UpdateMarker.listFilesRecursive(fs, snap.codesPath))))
     // one shuffle by cell → each cell's rows land in exactly one
     // task → the partitioned write emits one file per cell; the
     // MASKED view drops tombstoned rows physically
@@ -711,6 +735,15 @@ object AnnIndexStore {
   /** The probe history — one row per [[recallProbe]] snapshot. */
   def recallLog(s: SparkSession, idx: Index): DataFrame =
     s.read.parquet(s"${idx.dir}/recall_log")
+
+  /** The LIVE vector count as a one-row metadata read — the exact
+    * counter every add/delete maintains through its commit flip, so
+    * the operational membership probe ([[CorpusStore.liveCounts]])
+    * never scans the masked codes stage. Spec-pinned equal to
+    * `codes(s).count()` through build/add/delete/compact/replay.
+    */
+  def liveCount(s: SparkSession, idx: Index): Long =
+    idx.pin(s).stats(s).head().getLong(0)
 
   // ---- session-lifetime index per corpus directory ----------------
 

@@ -70,6 +70,25 @@ object UpdateMarker {
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
   }
 
+  /** All data files of a PARTITIONED stage directory — recursive,
+    * because a `partitionBy` write nests its files under partition
+    * subdirectories where the flat [[listFiles]] cannot see them
+    * (an [[AnnIndexStore]] codes stage). Snapshot and heal must use
+    * the same listing shape or settlement would judge every
+    * partitioned append invisible. */
+  def listFilesRecursive(fs: FileSystem, dir: String): Set[String] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return Set.empty
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toString
+    }
+    out.toSet
+  }
+
   /** ONE definition of the entry-point settlement both stores run —
     * the whole pre-update protocol (heal the commit stage, settle a
     * crashed predecessor's marker, durable `_applied` replay check,
@@ -89,7 +108,8 @@ object UpdateMarker {
     */
   def settle(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
       storeDir: String, commitStage: String,
-      stages: Map[String, String], batchId: Option[String]): Boolean = {
+      stages: Map[String, String], batchId: Option[String],
+      recursiveStages: Set[String] = Set.empty): Boolean = {
     require(batchId.forall(_.nonEmpty),
       "batchId, when defined, must be non-empty (the empty string is " +
         "the marker's encoding of 'no idempotence key')")
@@ -97,7 +117,12 @@ object UpdateMarker {
     // stage before reading it, or the listings below see a half-swap
     StageSwap.recover(spark, stages(commitStage))
     val marker = markerPath(storeDir)
-    def files(dir: String): Set[String] = listFiles(fs, dir)
+    // stages named in `recursiveStages` are PARTITIONED append
+    // targets: their snapshot and heal must list recursively or the
+    // nested data files are invisible to both
+    def files(stage: String, dir: String): Set[String] =
+      if (recursiveStages(stage)) listFilesRecursive(fs, dir)
+      else listFiles(fs, dir)
     val sameBatchApplied = read(fs, marker).map { prior =>
       // rollback restored the snapshotted names, a committed swap
       // replaced them — listing equality decides commitment. The
@@ -108,7 +133,7 @@ object UpdateMarker {
       // delta), where healing the side-stage appends of a batch that
       // DID commit would throw its rows away while reporting the
       // batch applied.
-      val committed = files(stages(commitStage)) !=
+      val committed = files(commitStage, stages(commitStage)) !=
           prior.listings.getOrElse(commitStage, Set.empty[String]) ||
         (prior.batchId.nonEmpty &&
           readApplied(fs, storeDir).contains(prior.batchId))
@@ -125,7 +150,7 @@ object UpdateMarker {
         // crashed before the commit: drop the partial side-stage
         // appends so the re-run's before/after diffs start clean
         (stages - commitStage).foreach { case (name, dir) =>
-          (files(dir) -- prior.listings.getOrElse(name,
+          (files(name, dir) -- prior.listings.getOrElse(name,
               Set.empty[String]))
             .foreach(f => StageSwap.remove(fs, new Path(f)))
           spark.catalog.refreshByPath(dir)
@@ -142,7 +167,7 @@ object UpdateMarker {
         (batchId.isDefined && readApplied(fs, storeDir) == batchId))
       return true
     write(fs, marker, State(batchId.getOrElse(""),
-      stages.map { case (n, d) => n -> files(d) }))
+      stages.map { case (n, d) => n -> files(n, d) }))
     false
   }
 

@@ -330,8 +330,14 @@ class AnnIndexStoreSpec extends SparkSpec {
       StoreVersions.resolve(fs, st.dir, "codes"))
     val cellDir = fs.listStatus(curCodes)
       .filter(_.isDirectory).head.getPath
+    // the marker a real crashed add leaves: every stage snapshotted,
+    // commitment judged by the (un-flipped) stats listing
     UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
-      UpdateMarker.State("", Map("codes" -> codesFiles(st.dir))))
+      UpdateMarker.State("", Map("codes" -> codesFiles(st.dir),
+        "tombs" -> UpdateMarker.listFiles(fs,
+          StoreVersions.resolve(fs, st.dir, "tombstones")),
+        "stats" -> UpdateMarker.listFiles(fs,
+          StoreVersions.resolve(fs, st.dir, "stats")))))
     val junk = new org.apache.hadoop.fs.Path(cellDir,
       "part-99999-crashed.c000.snappy.parquet")
     val o = fs.create(junk, true); o.write(Array[Byte](1, 2, 3)); o.close()
@@ -346,6 +352,54 @@ class AnnIndexStoreSpec extends SparkSpec {
     AnnIndexStore.add(st, batch, "embedding", batchId = Some("b1"))
     assert(st.codes(spark).count() == afterFirst,
       "batchId replay re-appended rows")
+  }
+
+  test("exact live-row counter: liveCount == codes count through " +
+      "build/add/delete/compact, a healed crash, and a batchId " +
+      "replay — membership probes are one-row metadata reads") {
+    val (cp, sp, m, sub, it) = dials
+    val old = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val st = AnnIndexStore.build(old, "vec_id", "embedding",
+      s"$tmp/counter", cp, sp, m, sub, it)
+    def probe(): Long = AnnIndexStore.liveCount(spark, st)
+    def truth(): Long = st.codes(spark).count()
+    assert(probe() == truth(), "counter wrong after build")
+    AnnIndexStore.add(st, batch, "embedding", batchId = Some("c1"))
+    assert(probe() == truth(), "counter wrong after add")
+    // a crashed add (marker + partial file, stats un-flipped) heals
+    // to a no-op: the counter must stay consistent with the healed
+    // codes stage
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val curCodes = new org.apache.hadoop.fs.Path(
+      StoreVersions.resolve(fs, st.dir, "codes"))
+    val cellDir = fs.listStatus(curCodes)
+      .filter(_.isDirectory).head.getPath
+    UpdateMarker.write(fs, UpdateMarker.markerPath(st.dir),
+      UpdateMarker.State("", Map("codes" -> codesFiles(st.dir),
+        "tombs" -> UpdateMarker.listFiles(fs,
+          StoreVersions.resolve(fs, st.dir, "tombstones")),
+        "stats" -> UpdateMarker.listFiles(fs,
+          StoreVersions.resolve(fs, st.dir, "stats")))))
+    val junk = new org.apache.hadoop.fs.Path(cellDir,
+      "part-99998-crashed.c000.snappy.parquet")
+    val o = fs.create(junk, true); o.write(Array[Byte](9)); o.close()
+    val doomed = emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+    AnnIndexStore.delete(st, doomed, batchId = Some("c2"))
+    assert(!fs.exists(junk), "crashed partial file survived settle")
+    assert(probe() == truth(), "counter wrong after heal + delete")
+    // replays fold the counter exactly once
+    AnnIndexStore.delete(st, doomed, batchId = Some("c2"))
+    assert(probe() == truth(), "counter drifted on delete replay")
+    // ids already tombstoned (keyless re-run) decrement nothing
+    AnnIndexStore.delete(st, doomed)
+    assert(probe() == truth(), "re-deleting tombstoned ids drifted")
+    AnnIndexStore.compact(spark, st)
+    assert(probe() == truth(), "counter wrong after compact")
+    assert(probe() ==
+      old.count() + batch.count() - doomed.distinct().count(),
+      "counter does not match the arithmetic truth")
   }
 
   test("refine dominates plain ADC recall per query at the same " +
