@@ -136,14 +136,17 @@ object CorpusStore {
     * batch-over-batch without short docs arriving, is the alarm
     * that a transaction was left mid-replay (CorpusStoreSpec pins
     * both the three-way equality on a signable corpus and the
-    * short-doc offset). Counts only — cheap enough to run after
-    * every batch; each is one aggregate over a masked membership
-    * stage.
+    * short-doc offset). THREE METADATA READS, not scans: each store
+    * maintains an exact one-row live counter through its own commit
+    * (the ann/text stats flip IS their commit; curation folds its
+    * counter under the live marker and recomputes at crash
+    * settlement), so the probe costs nothing at any corpus scale —
+    * run it after every batch.
     */
   def liveCounts(s: SparkSession, st: Stores): (Long, Long, Long) =
-    (st.curation.signatures(s).count(),
-      st.ann.codes(s).count(),
-      st.text.doclens(s).count())
+    (CurationStore.liveCount(s, st.curation),
+      AnnIndexStore.liveCount(s, st.ann),
+      TextIndexStore.liveCount(s, st.text))
 
   /** Deterministic local root for a corpus-store triple over
     * `dataDir` (the shared [[StoreDirs]] scheme, separate root). */

@@ -172,6 +172,60 @@ object CurationStore {
       df: DataFrame): DataFrame =
     if (deltaBroadcastable(s, store)) broadcast(df) else df
 
+  // ---- exact live-membership counter ------------------------------
+  //
+  // One row (`n`) at `$dir/stats`: the LIVE signable-doc count — the
+  // number of rows a masked signatures scan would return — so the
+  // operational membership probe ([[liveCount]],
+  // [[CorpusStore.liveCounts]]) is a metadata read, never a stage
+  // scan. Unlike [[TextIndexStore]]/[[AnnIndexStore]] (where the
+  // stats version flip IS the commit), this store commits through
+  // the labels [[StageSwap]], so the counter cannot ride the commit
+  // atomically. The discipline instead:
+  //  - happy path: [[update]]/[[delete]] fold the batch's exact
+  //    delta into a fresh stats swap AFTER the labels commit;
+  //  - any crash: the writer's live marker doubles as the evidence
+  //    the counter may lag its store — [[settleEntry]] plants a
+  //    durable `stats_stale` sentinel BEFORE adjudicating, then
+  //    recomputes the counter from the settled masked signatures
+  //    (exact by definition) and clears the sentinel. A crash inside
+  //    that recovery leaves the sentinel, so [[liveCount]] degrades
+  //    to the exact slow path (count masked signatures) rather than
+  //    ever serving a stale number.
+
+  private def statsDir(store: Store): String = s"${store.dir}/stats"
+  private def staleSentinel(store: Store) =
+    new org.apache.hadoop.fs.Path(s"${store.dir}/stats_stale")
+
+  /** Swap a fresh one-row counter in at `$dir/stats` (write-to-next
+    * + [[StageSwap.swapIn]] — a crash mid-swap never destroys the
+    * prior counter, and the sentinel discipline above covers the
+    * value's currency). */
+  private def writeStats(spark: SparkSession, store: Store,
+      n: Long): Unit = {
+    spark.range(1).select(lit(n).as("n"))
+      .write.mode("overwrite").parquet(s"${statsDir(store)}.next")
+    StageSwap.swapIn(spark, statsDir(store))
+  }
+
+  private def readStats(spark: SparkSession, store: Store): Long =
+    spark.read.parquet(statsDir(store)).head().getLong(0)
+
+  /** The LIVE signable-doc count. One-row metadata read whenever the
+    * counter is proven current (every completed writer call leaves
+    * it exact); the exact slow path — a masked signatures count —
+    * only while a `stats_stale` sentinel from an unsettled crash is
+    * outstanding. Spec-pinned equal to `signatures(s).count()`
+    * through build/update/delete/compact, crash healing and batchId
+    * replay. */
+  def liveCount(s: SparkSession, store: Store): Long = {
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(staleSentinel(store)))
+      store.signatures(s).count()
+    else readStats(s, store)
+  }
+
   /** The [[UpdateMarker]] stage map [[update]] and [[compact]] share
     * — one definition so the two writers' settle/snapshot protocol
     * cannot drift apart: `labels` is the commit stage (the one a
@@ -201,7 +255,15 @@ object CurationStore {
     for (st <- Seq("signatures", "pairs"))
       StageSwap.recover(spark, s"${store.dir}/$st")
     StageSwap.recover(spark, s"${store.dir}/labels")
+    StageSwap.recover(spark, statsDir(store))
     val marker = UpdateMarker.markerPath(store.dir)
+    // a predecessor's marker (or an unfinished recovery's sentinel)
+    // means the exact counter may lag the store — make the staleness
+    // DURABLE before touching anything, recompute after settlement
+    val counterSuspect = fs.exists(staleSentinel(store)) ||
+      UpdateMarker.read(fs, marker).isDefined
+    if (counterSuspect && !fs.exists(staleSentinel(store)))
+      fs.create(staleSentinel(store), true).close()
     UpdateMarker.read(fs, marker)
       .filter(_.listings.contains("labels.swap")).foreach { prior =>
         val committed =
@@ -220,8 +282,19 @@ object CurationStore {
         }
         UpdateMarker.delete(fs, marker)
       }
-    UpdateMarker.settle(spark, fs, store.dir, "labels", stageMap(store),
-      batchId)
+    val applied = UpdateMarker.settle(spark, fs, store.dir, "labels",
+      stageMap(store), batchId)
+    if (counterSuspect) {
+      // settlement is done (healed or rolled forward) — the masked
+      // signatures ARE the live membership now; recompute the exact
+      // counter from them and clear the sentinel. A crash anywhere
+      // in here leaves the sentinel, and liveCount stays exact via
+      // its slow path until the next writer re-runs this block.
+      writeStats(spark, store,
+        store.signatures(spark).count())
+      StageSwap.remove(fs, staleSentinel(store))
+    }
+    applied
   }
 
   /** Deterministic catalog name for `storeDir`'s bucketed labels
@@ -294,7 +367,19 @@ object CurationStore {
       new org.apache.hadoop.fs.Path(s"$storeDir/labels_delta"))
     StageSwap.remove(fs,
       new org.apache.hadoop.fs.Path(s"$storeDir/tombstones"))
-    Store(storeDir, idCol, table)
+    val store = Store(storeDir, idCol, table)
+    // exact live counter seeded from the fresh signatures (no
+    // tombstones exist — unmasked count is the live membership);
+    // previous-life staleness state dies with the rebuild
+    StageSwap.remove(fs, staleSentinel(store))
+    StageSwap.remove(fs,
+      new org.apache.hadoop.fs.Path(s"${statsDir(store)}.old"))
+    StageSwap.remove(fs,
+      new org.apache.hadoop.fs.Path(s"${statsDir(store)}.next"))
+    spark.read.parquet(s"$storeDir/signatures")
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(statsDir(store))
+    store
   }
 
   /** Incrementally fold a NEW batch of docs into an existing store —
@@ -440,7 +525,15 @@ object CurationStore {
     }
     staged.write.mode("overwrite").parquet(s"$commitDir.next")
     fixpoint.unpersist()
+    // the exact-counter fold: nOld read before the swap, the batch's
+    // signable-doc count off the appended signature files (one row
+    // per doc). Applied AFTER the commit under the live marker — a
+    // crash between leaves the marker, and settleEntry's sentinel
+    // recompute restores exactness before anyone trusts the counter
+    val nOld = readStats(spark, store)
+    val dn = sigNew.count()
     StageSwap.swapIn(spark, commitDir)
+    writeStats(spark, store, nOld + dn)
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
@@ -498,8 +591,16 @@ object CurationStore {
     val doomed = ids.select(col(idCol)).distinct()
       .join(store.signatures(spark).select(col(idCol)), Seq(idCol),
         "left_semi")
+    val tombBefore = UpdateMarker.listFiles(fs, store.tombDir)
     doomed.write.mode("append").parquet(store.tombDir)
     spark.catalog.refreshByPath(store.tombDir)
+    // the counter decrement is EXACTLY the appended tombstone rows,
+    // read back off the listing diff — re-evaluating `doomed` now
+    // would see the just-masked signatures and count zero
+    val tombNew =
+      (UpdateMarker.listFiles(fs, store.tombDir) -- tombBefore).toSeq
+    val dn = if (tombNew.isEmpty) 0L
+      else spark.read.parquet(tombNew: _*).count()
     // commit: swap the stage the settle protocol watches — the
     // effective labels minus the deleted docs (labels(spark) is
     // already masked against the just-appended tombstones) on a
@@ -515,7 +616,11 @@ object CurationStore {
       case None => store.labels(spark)
     }
     staged.write.mode("overwrite").parquet(s"$commitDir.next")
+    val nOld = readStats(spark, store)
     StageSwap.swapIn(spark, commitDir)
+    // exact-counter fold after the commit, under the live marker —
+    // the same crash discipline as update()'s
+    writeStats(spark, store, nOld - dn)
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store

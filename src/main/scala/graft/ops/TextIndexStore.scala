@@ -977,6 +977,15 @@ object TextIndexStore {
     chained.groupBy(col(idx.idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** The LIVE document count as a one-row metadata read — the exact
+    * `n` counter every update/delete folds through its stats
+    * flip-commit, so the operational membership probe
+    * ([[CorpusStore.liveCounts]]) never scans the doclens stage.
+    * Exact by the same argument as the BM25 `n` it shares: the flip
+    * IS the commit, so a committed batch's counter is always in. */
+  def liveCount(s: SparkSession, idx: Index): Long =
+    idx.pin(s).stats(s).select(col("n")).head().getLong(0)
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =

@@ -303,6 +303,72 @@ class CurationStoreSpec extends SparkSpec {
       "a completed update must clean its marker up")
   }
 
+  test("exact live-membership counter: liveCount == masked signature " +
+      "count through build/update/delete/compact, stays exact via the " +
+      "stale-sentinel slow path while a crash is unsettled, and is " +
+      "recomputed at settlement") {
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("curation-counter").toString
+    val st = CurationStore.build(evens, "doc_id", "text", dir)
+    def probe(): Long = CurationStore.liveCount(spark, st)
+    def truth(): Long = st.signatures(spark).count()
+    assert(probe() == truth(), "counter wrong after build")
+    CurationStore.update(st, odds, "text", batchId = Some("k1"))
+    assert(probe() == truth(), "counter wrong after update")
+    val doomed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    CurationStore.delete(st, doomed, batchId = Some("k2"))
+    assert(probe() == truth(), "counter wrong after delete")
+    // batchId replays must not re-fold the counter
+    CurationStore.delete(st, doomed, batchId = Some("k2"))
+    assert(probe() == truth(), "counter drifted on delete replay")
+    // keyless re-delete of already-tombstoned ids decrements nothing
+    CurationStore.delete(st, doomed)
+    assert(probe() == truth(), "re-deleting tombstoned ids drifted")
+
+    // sentinel slow path: with `stats_stale` planted (a crash died
+    // inside counter recovery) and the durable counter fabricated
+    // WRONG, liveCount must ignore the stale file and count the
+    // masked signatures instead — exact at every instant
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/stats_stale"),
+      true).close()
+    spark.range(1).select(lit(-999L).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/stats.next")
+    StageSwap.swapIn(spark, s"$dir/stats")
+    assert(probe() == truth(),
+      "sentinel slow path served the stale counter")
+
+    // crash fabrication: a died update left its marker and a partial
+    // signature append; the next writer's settlement must heal the
+    // append, recompute the counter exactly, and clear the sentinel
+    def listing(stage: String) =
+      UpdateMarker.listFiles(fs, s"$dir/$stage")
+    val preTruth = truth()
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("", Map(
+        "sig" -> listing("signatures"), "pairs" -> listing("pairs"),
+        "tomb" -> listing("tombstones"),
+        "labels" -> listing("labels"))))
+    Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 11 === 5)
+          .withColumn("doc_id", col("doc_id") + 1000000),
+        "doc_id", "text", 16)
+      .write.mode("append").parquet(s"$dir/signatures")
+    spark.catalog.refreshByPath(s"$dir/signatures")
+    CurationStore.compact(spark, st, buckets = 4)
+    assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/stats_stale")),
+      "stale sentinel survived a completed settlement")
+    assert(CurationStore.liveCount(spark, st) == preTruth,
+      "counter not restored to the healed membership at settlement")
+    assert(CurationStore.liveCount(spark, st) ==
+      st.signatures(spark).count(),
+      "counter != masked signatures after crash settlement")
+  }
+
   test("committed label swap with a stale marker: same batchId is a no-op") {
     val evens = docs.filter(col("doc_id") % 2 === 0)
     val odds = docs.filter(col("doc_id") % 2 === 1)
