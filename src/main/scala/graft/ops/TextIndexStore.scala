@@ -977,6 +977,71 @@ object TextIndexStore {
     chained.groupBy(col(idx.idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** QUORUM (boolean "at least m of n") retrieval — [[matchAll]]'s
+    * HAVING relaxed from == |terms| to >= `m`: every document
+    * containing at least `m` DISTINCT query terms, with the match
+    * breadth and the matched terms' total tf:
+    * (idCol, matched_terms, tf_sum). The standard middle ground
+    * between AND (too strict for long queries) and OR (too loose) —
+    * m = |terms| IS matchAll and m = 1 IS the OR, both spec-pinned
+    * identities. Same scale shape as matchAll: one aggregate over
+    * the probed terms' postings rows, pruned scan, doc-id group key
+    * with group size ≤ |terms|.
+    */
+  def matchAtLeast(s: SparkSession, idx: Index, terms: Seq[String],
+      m: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(m >= 1 && m <= terms.distinct.size,
+      s"m must be in [1, ${terms.distinct.size}]")
+    idx.postings(s).filter(col("token").isin(terms.distinct: _*))
+      .groupBy(col(idx.idCol))
+      .agg(countDistinct(col("token")).as("matched_terms"),
+        sum("tf").as("tf_sum"))
+      .filter(col("matched_terms") >= m)
+      .select(col(idx.idCol), col("matched_terms"), col("tf_sum"))
+  }
+
+  /** UNORDERED window proximity — the documents where all `terms`
+    * (distinct required) co-occur within a span of at most `window`
+    * tokens IN ANY ORDER: some choice of one occurrence position per
+    * term has max(pos) − min(pos) ≤ `window`. Returns the count of
+    * qualifying position tuples: (idCol, hits). The order-free
+    * complement of [[proximityMatch]] ("these concepts mentioned
+    * together", not "this phrase-ish sequence") — for TWO distinct
+    * terms the identity `window(a,b,w) == ordered(a,b,w) +
+    * ordered(b,a,w)` is spec-pinned, which is exactly the
+    * "unordered = both orders" law. Scale shape is
+    * [[proximityMatch]]'s: doc-keyed joins over the probed terms'
+    * row groups only, candidate tuples per doc bounded by the
+    * in-doc tf product — and the span bound is applied PAIRWISE at
+    * every join step (max−min ≤ w over a tuple ⟺ every pair is
+    * ≤ w apart), so intermediates are pruned as they form instead
+    * of materializing the full tf product before one final filter.
+    */
+  def proximityWindow(s: SparkSession, idx: Index,
+      terms: Seq[String], window: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size,
+      "window proximity takes DISTINCT terms (order carries no " +
+        "meaning, so a repeated term adds nothing)")
+    require(window >= terms.size - 1,
+      s"window must be >= ${terms.size - 1} (the tightest span " +
+        s"${terms.size} distinct terms can occupy)")
+    val probed = idx.postings(s)
+      .filter(col("token").isin(terms: _*))
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      probed.filter(col("token") === t)
+        .select(col(idx.idCol), explode(col("positions")).as(s"_p$i"))
+    }
+    val joined = slots.zipWithIndex.tail.foldLeft(slots.head) {
+      case (acc, (slot, i)) =>
+        val pairwise = (0 until i).map(j =>
+          abs(col(s"_p$i") - col(s"_p$j")) <= window).reduce(_ && _)
+        acc.join(slot, Seq(idx.idCol)).filter(pairwise)
+    }
+    joined.groupBy(col(idx.idCol)).agg(count(lit(1)).as("hits"))
+  }
+
   /** The LIVE document count as a one-row metadata read — the exact
     * `n` counter every update/delete folds through its stats
     * flip-commit, so the operational membership probe

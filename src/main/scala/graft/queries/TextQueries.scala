@@ -3068,6 +3068,69 @@ object TextQueries {
       |SELECT doc_id, score FROM spr
       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin))
 
+  /** Quorum retrieval from the persisted text index
+    * ([[graft.ops.TextIndexStore.matchAtLeast]], m = 2 of 3): every
+    * document containing at least two of the three query terms, with
+    * the match breadth and matched-term tf — the standard middle
+    * ground between q168's AND (too strict for long queries) and a
+    * plain OR (too loose). Same aggregate/pruning shape as q168; the
+    * HAVING is relaxed to >= m, and m = |terms| reduces to matchAll
+    * exactly (spec-pinned).
+    */
+  val q174 = Q("q174_match_quorum",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      graft.ops.TextIndexStore.matchAtLeast(s, idx, bm25Terms, m = 2)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CAST(count(DISTINCT token) AS BIGINT) AS matched_terms,
+      |  CAST(sum(tf) AS BIGINT) AS tf_sum
+      |FROM (SELECT doc_id, token, count(*) AS tf
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |            FROM documents)
+      |      WHERE token IN ('join', 'vector', 'stream')
+      |      GROUP BY doc_id, token)
+      |GROUP BY doc_id HAVING count(DISTINCT token) >= 2
+      |ORDER BY doc_id""".stripMargin))
+
+  /** UNORDERED window proximity from the positional index
+    * ([[graft.ops.TextIndexStore.proximityWindow]], window = 6): the
+    * documents where "small", "query", "line" co-occur within a
+    * six-token span in ANY order, with the qualifying-tuple count —
+    * the order-free complement of q172 ("these concepts together",
+    * not "this sequence"); at this corpus it matches docs the
+    * ordered chain cannot (reversed mentions), which is the dial
+    * doing observable work. The span bound is applied pairwise at
+    * each doc-keyed join step, pruning intermediates as they form;
+    * the oracle runs the same position joins in DuckDB with the
+    * greatest−least span predicate (equivalent to pairwise-all).
+    */
+  val q175 = {
+    val terms = Seq("small", "query", "line"); val window = 6
+    val slotCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"t$i AS (SELECT doc_id, pos AS p$i FROM tp WHERE token = '$t')"
+    }.mkString(",\n|")
+    val joins = (1 until terms.size)
+      .map(i => s"JOIN t$i USING (doc_id)").mkString(" ")
+    val ps = terms.indices.map(i => s"p$i").mkString(", ")
+    Q("q175_window_proximity",
+      (s, dir) => {
+        val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+        graft.ops.TextIndexStore.proximityWindow(s, idx, terms, window)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tp AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS token,
+        |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        | FROM documents),
+        |$slotCtes
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM t0 $joins
+        |WHERE greatest($ps) - least($ps) <= $window
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3075,5 +3138,5 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168, q171, q172, q173)
+      q167, q168, q171, q172, q173, q174, q175)
 }

@@ -524,6 +524,65 @@ class TextIndexStoreSpec extends SparkSpec {
     assertFrameEqual(loose, expected, "proximity vs from-corpus")
   }
 
+  test("matchAtLeast: m = |terms| IS matchAll, m = 1 IS the OR, the " +
+      "quorum shrinks monotonically in m, and the middle tier does " +
+      "observable work") {
+    val ts = Seq("join", "vector", "stream")
+    assertFrameEqual(
+      TextIndexStore.matchAtLeast(spark, idx, ts, m = 3)
+        .select("doc_id", "tf_sum"),
+      TextIndexStore.matchAll(spark, idx, ts),
+      "quorum(m=n) vs matchAll")
+    // m = 1 is the union of per-term postings docs (boolean OR)
+    val orDocs = idx.postings(spark)
+      .filter(col("token").isin(ts: _*))
+      .select("doc_id").distinct()
+    assertFrameEqual(
+      TextIndexStore.matchAtLeast(spark, idx, ts, m = 1)
+        .select("doc_id"),
+      orDocs, "quorum(m=1) vs OR")
+    val c1 = TextIndexStore.matchAtLeast(spark, idx, ts, 1).count()
+    val c2 = TextIndexStore.matchAtLeast(spark, idx, ts, 2).count()
+    val c3 = TextIndexStore.matchAtLeast(spark, idx, ts, 3).count()
+    assert(c1 >= c2 && c2 >= c3, "quorum not monotone in m")
+    assert(c1 > c2 && c2 > c3,
+      "fixture too easy: every tier equal — terms co-occur everywhere")
+  }
+
+  test("proximityWindow: unordered = both orders for two terms " +
+      "(hits equality per doc), contains the ordered chain for " +
+      "three, and admits reversed mentions the ordered chain cannot") {
+    val w = 6
+    // two-term law: |pa − pb| <= w  ⟺  ordered a→b or b→a with the
+    // same bound — hit counts must agree doc-for-doc, not just rows
+    val ab = TextIndexStore.proximityMatch(spark, idx,
+      Seq("small", "query"), slop = w)
+      .select(col("doc_id"), col("hits").as("h1"))
+    val ba = TextIndexStore.proximityMatch(spark, idx,
+      Seq("query", "small"), slop = w)
+      .select(col("doc_id"), col("hits").as("h2"))
+    val both = ab.join(ba, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("h1"), lit(0L)) + coalesce(col("h2"), lit(0L)))
+          .as("hits"))
+    assertFrameEqual(
+      TextIndexStore.proximityWindow(spark, idx,
+        Seq("small", "query"), window = w),
+      both, "window vs sum of both orders")
+    // three-term containment: an ordered slop-w chain spans <= 2w,
+    // so its docs are a subset of window(2w); and the fixture must
+    // show the unordered form matching docs the ordered one cannot
+    val terms = Seq("small", "query", "line")
+    val ordered = TextIndexStore.proximityMatch(spark, idx, terms,
+      slop = w).select("doc_id")
+    val window = TextIndexStore.proximityWindow(spark, idx, terms,
+      window = 2 * w).select("doc_id")
+    assert(ordered.exceptAll(window).isEmpty,
+      "ordered chain found a doc outside the covering window")
+    assert(window.exceptAll(ordered).count() > 0,
+      "fixture too easy: no reversed-order mentions in the corpus")
+  }
+
   test("bm25TopK == brute-force top-k EXACTLY (rows, scores, tie " +
       "order) — on the plain corpus, with a planted stopword, " +
       "through update/delete/compact — and the pruning is real: " +
