@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * can see and the other cannot. This object makes the corpus
   * transaction a single call: [[ingest]] / [[delete]] apply one
   * batch to all three stores under ONE caller-chosen batch id.
+  * An optional FOURTH member — the [[StatsStore]] monitoring tier
+  * (per-source counters + sketches), mounted by [[build]]'s
+  * `sourceCol` — rides the same batch ids, so a takedown can never
+  * leave the counters describing documents the serving tiers no
+  * longer admit: exact counters decrement at [[delete]], the
+  * touched sources' sketches flip stale-until-[[compact]]
+  * ([[StatsStore.delete]]'s two guarantee classes).
   *
   * Cross-store exactly-once rides each store's OWN epoch discipline
   * (`settleEntry` + `_applied` markers): there is deliberately no
@@ -38,12 +45,22 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStore {
 
-  /** Handles to the three per-modality stores over one corpus.
+  /** Handles to the per-modality stores over one corpus.
     * `idCol` is shared — the whole point: one id space, so deletes
-    * and ingests address all three stores with the same keys.
+    * and ingests address all stores with the same keys.
+    *
+    * `stats` is the OPTIONAL fourth member: the monitoring tier
+    * ([[StatsStore]] — per-source counters + sketches), maintained
+    * under the SAME batchId as the serving stores so a takedown
+    * never leaves the counters describing documents the serving
+    * tiers no longer admit. `sourceCol` names the batch/corpus
+    * column the stats tier groups by; it only matters when `stats`
+    * is set.
     */
   final case class Stores(curation: CurationStore.Store,
-      ann: AnnIndexStore.Index, text: TextIndexStore.Index) {
+      ann: AnnIndexStore.Index, text: TextIndexStore.Index,
+      stats: Option[StatsStore.Store] = None,
+      sourceCol: String = "source") {
     def idCol: String = curation.idCol
   }
 
@@ -58,7 +75,8 @@ object CorpusStore {
   def build(corpus: DataFrame, idCol: String, textCol: String,
       vecCol: String, dir: String,
       annDials: Option[AnnIndexStore.Dials] = None,
-      bucketLabels: Int = 0, bucketPostings: Int = 0): Stores = {
+      bucketLabels: Int = 0, bucketPostings: Int = 0,
+      sourceCol: Option[String] = None): Stores = {
     val d = annDials.getOrElse {
       val c = AnnIndexStore.CorpusDials
       AnnIndexStore.Dials(col(idCol) % 50 === 7, col(idCol) % 10 === 3,
@@ -71,7 +89,13 @@ object CorpusStore {
       d.seedPred, d.m, d.subDim, d.iters)
     val text = TextIndexStore.build(corpus.select(col(idCol), col(textCol)),
       idCol, textCol, s"$dir/text", bucketPostings = bucketPostings)
-    Stores(cur, ann, text)
+    // the optional monitoring tier: per-source counters + sketches
+    // over the same corpus, maintained under the same batch ids from
+    // here on (see [[ingest]]/[[delete]])
+    val stats = sourceCol.map(sc =>
+      StatsStore.build(corpus.select(col(textCol), col(sc)),
+        textCol, sc, s"$dir/stats"))
+    Stores(cur, ann, text, stats, sourceCol.getOrElse("source"))
   }
 
   /** Fold `batch` (new, disjoint ids — each store's append contract)
@@ -93,6 +117,13 @@ object CorpusStore {
     TextIndexStore.update(st.text,
       batch.select(col(idCol), col(textCol)), textCol,
       batchId = Some(batchId))
+    // fourth store, same epoch: the monitoring counters fold the
+    // batch under the same id, so a replayed transaction no-ops here
+    // exactly as in the serving tiers (the batch must carry
+    // `sourceCol` when the stats tier is mounted)
+    st.stats.foreach(x => StatsStore.update(x,
+      batch.select(col(textCol), col(st.sourceCol)), textCol,
+      st.sourceCol, batchId = Some(batchId)))
     st
   }
 
@@ -101,11 +132,23 @@ object CorpusStore {
     * from the next read on in every store (masked reads, exact
     * counter decrements); [[compact]] makes the removals physical.
     */
-  def delete(st: Stores, ids: DataFrame, batchId: String): Stores = {
+  def delete(st: Stores, ids: DataFrame, batchId: String,
+      deletedDocs: Option[DataFrame] = None,
+      textCol: String = "text"): Stores = {
     require(batchId.nonEmpty, "cross-store delete requires a batchId")
+    require(st.stats.isEmpty || deletedDocs.isDefined,
+      "a stats-bearing transaction needs the doomed docs' own rows " +
+        "(text + source) — counters are multiset aggregates, so only " +
+        "the docs' content says what to subtract")
     CurationStore.delete(st.curation, ids, batchId = Some(batchId))
     AnnIndexStore.delete(st.ann, ids, batchId = Some(batchId))
     TextIndexStore.delete(st.text, ids, batchId = Some(batchId))
+    // fourth store, same epoch: exact counters decrement, the
+    // touched sources' sketches flip stale-until-compact
+    // ([[StatsStore.delete]]'s contract)
+    st.stats.foreach(x => StatsStore.delete(x,
+      deletedDocs.get.select(col(textCol), col(st.sourceCol)),
+      textCol, st.sourceCol, batchId = Some(batchId)))
     st
   }
 
@@ -115,11 +158,24 @@ object CorpusStore {
     * Returns fresh handles (curation compaction rewrites the label
     * topology and may re-register its bucketed table).
     */
-  def compact(s: SparkSession, st: Stores,
-      labelBuckets: Int = 8): Stores =
-    Stores(CurationStore.compact(s, st.curation, labelBuckets),
+  def compact(s: SparkSession, st: Stores, labelBuckets: Int = 8,
+      liveCorpus: Option[DataFrame] = None,
+      textCol: String = "text"): Stores = {
+    require(st.stats.isEmpty || liveCorpus.isDefined,
+      "a stats-bearing transaction compacts its sketch debt by " +
+        "re-deriving from the LIVE corpus — pass it")
+    val out = Stores(CurationStore.compact(s, st.curation, labelBuckets),
       AnnIndexStore.compact(s, st.ann),
-      TextIndexStore.compact(s, st.text))
+      TextIndexStore.compact(s, st.text),
+      st.stats, st.sourceCol)
+    // fourth store: the one full aggregation pass that settles the
+    // sketch debt deletes accrued (stale flags clear, every field
+    // back at its build-fresh guarantee)
+    st.stats.foreach(x => StatsStore.compact(x,
+      liveCorpus.get.select(col(textCol), col(st.sourceCol)),
+      textCol, st.sourceCol))
+    out
+  }
 
   /** Per-store LIVE membership counts — (curation, ann, text). The
     * operational split-brain probe: after every completed
@@ -147,6 +203,24 @@ object CorpusStore {
     (CurationStore.liveCount(s, st.curation),
       AnnIndexStore.liveCount(s, st.ann),
       TextIndexStore.liveCount(s, st.text))
+
+  /** [[liveCounts]] plus the monitoring tier as a FOURTH probe: the
+    * stats store's summed exact per-source `docs` counters (a
+    * broadcast-sized one-row-per-source read). On a stats-bearing
+    * transaction this equals the text/ann count after every
+    * completed batch — the stats tier counts every doc, signable or
+    * not, and [[StatsStore.delete]] decrements it exactly — so a
+    * fourth number drifting from the second/third is the
+    * counters-vs-serving split-brain this tier's membership in the
+    * transaction exists to rule out. None when no stats tier is
+    * mounted.
+    */
+  def liveCountsAll(s: SparkSession, st: Stores)
+      : (Long, Long, Long, Option[Long]) = {
+    val (c, a, t) = liveCounts(s, st)
+    (c, a, t, st.stats.map(_.stats(s)
+      .agg(coalesce(sum("docs"), lit(0L))).head().getLong(0)))
+  }
 
   /** Deterministic local root for a corpus-store triple over
     * `dataDir` (the shared [[StoreDirs]] scheme, separate root). */

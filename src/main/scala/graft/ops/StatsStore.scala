@@ -212,10 +212,14 @@ object StatsStore {
         .as("len_kll"))
   }
 
-  /** Aggregate the whole corpus once, overwriting `storeDir`. */
+  /** Aggregate the whole corpus once, overwriting `storeDir`.
+    * `stale` starts false everywhere: every sketch describes exactly
+    * the corpus it was built from (see [[delete]] for when it
+    * flips). */
   def build(docs: DataFrame, textCol: String, sourceCol: String,
       storeDir: String): Store = {
     aggregate(docs, textCol, sourceCol)
+      .withColumn("stale", lit(false))
       .write.mode("overwrite").parquet(s"$storeDir/stats")
     // a rebuild resets the store wholesale — a stale _applied record
     // from the directory's previous life must not alias a fresh
@@ -290,12 +294,102 @@ object StatsStore {
           .when(col("n.len_kll").isNull, col("o.len_kll"))
           .otherwise(
             kll_sketch_merge_bigint(col("o.len_kll"), col("n.len_kll")))
-          .as("len_kll"))
+          .as("len_kll"),
+        // staleness carries: unioning fresh rows into a sketch that
+        // still contains deleted docs does not un-stale it — only
+        // [[compact]]'s re-derive does. Brand-new sources start clean
+        coalesce(col("o.stale"), lit(false)).as("stale"))
     merged.write.mode("overwrite").parquet(s"$statsDir.next")
     StageSwap.swapIn(spark, statsDir)
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
+    store
+  }
+
+  /** Remove a batch of documents from the monitoring store — the
+    * takedown path for the stats tier, what keeps this store honest
+    * as the FOURTH member of the [[CorpusStore]] transaction. The
+    * two guarantee classes diverge here, deliberately:
+    *
+    *  - EXACT counters (docs, token_occurrences) decrement exactly:
+    *    the deleted docs' own rows are aggregated (the same
+    *    [[aggregate]] kernel as build/update — one pass over the
+    *    batch alone) and subtracted per source, so the counts agree
+    *    with the serving stores' live membership from the next read.
+    *  - SKETCHES (HLL/theta/KLL) cannot subtract — a register-max /
+    *    retained-hash / compacted-quantile union has no inverse —
+    *    so the touched sources' rows are MARKED `stale = true`
+    *    instead: estimates still describe a superset of the live
+    *    corpus (they overcount by at most the deleted docs'
+    *    contribution) until [[compact]] re-derives them. Consumers
+    *    that need the flag read it off [[Store.stats]];
+    *    [[driftReport]]/[[Store.report]] keep working on the
+    *    documented drift-until-compact footing.
+    *
+    * `deletedDocs` must be the REMOVED DOCS' OWN ROWS (text +
+    * source), not ids — stats rows are multiset aggregates, so only
+    * the docs' content says what to subtract. Same multiset caveat
+    * as [[update]]: re-sending a doc double-subtracts; the
+    * transaction layer's batchId is the dedup gate. A source absent
+    * from the store is a contract violation (deleting what was never
+    * counted) and is dropped by the stored-side join rather than
+    * fabricating a negative row.
+    *
+    * Crash/replay discipline is [[update]]'s verbatim: the stats
+    * swap is the commit, `batchId` makes every replay window a
+    * detected no-op.
+    */
+  def delete(store: Store, deletedDocs: DataFrame, textCol: String,
+      sourceCol: String, batchId: Option[String] = None): Store = {
+    val spark = deletedDocs.sparkSession
+    val statsDir = s"${store.dir}/stats"
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (UpdateMarker.settle(spark, fs, store.dir, "stats",
+        Map("stats" -> statsDir), batchId))
+      return store // this very batch already applied — no-op
+    val gone = aggregate(deletedDocs, textCol, sourceCol)
+      .select(col("source").as("_gsrc"), col("docs").as("_gdocs"),
+        col("token_occurrences").as("_gtok"))
+    val merged = store.stats(spark)
+      .join(gone, col("source") <=> col("_gsrc"), "left_outer")
+      .select(col("source"),
+        (col("docs") - coalesce(col("_gdocs"), lit(0L))).as("docs"),
+        (col("token_occurrences") - coalesce(col("_gtok"), lit(0L)))
+          .as("token_occurrences"),
+        col("tok_hll"), col("fp_theta"), col("len_kll"),
+        (col("stale") || col("_gsrc").isNotNull).as("stale"))
+    merged.write.mode("overwrite").parquet(s"$statsDir.next")
+    StageSwap.swapIn(spark, statsDir)
+    batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
+    store
+  }
+
+  /** Re-derive the store from the LIVE corpus — the maintenance that
+    * pays the one full aggregation pass to restore every field to
+    * its build-fresh guarantee: exact counters recomputed, sketches
+    * rebuilt over exactly the live docs, every `stale` flag cleared.
+    * The stats twin of the serving stores' compact (removals become
+    * physical there, sketch debt is settled here); the
+    * [[CorpusStore]] transaction calls it with the corpus it
+    * maintains. Commits through the same settle + swap protocol as
+    * [[update]] (maintenance takes no batchId, like every compact).
+    */
+  def compact(store: Store, liveDocs: DataFrame, textCol: String,
+      sourceCol: String): Store = {
+    val spark = liveDocs.sparkSession
+    val statsDir = s"${store.dir}/stats"
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    UpdateMarker.settle(spark, fs, store.dir, "stats",
+      Map("stats" -> statsDir), batchId = None)
+    aggregate(liveDocs, textCol, sourceCol)
+      .withColumn("stale", lit(false))
+      .write.mode("overwrite").parquet(s"$statsDir.next")
+    StageSwap.swapIn(spark, statsDir)
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store
   }

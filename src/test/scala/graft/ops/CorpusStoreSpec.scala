@@ -126,6 +126,124 @@ class CorpusStoreSpec extends SparkSpec {
       "fixture too easy: frozen-model serving equals a net rebuild")
   }
 
+  test("the stats tier is the FOURTH store of the transaction: " +
+      "ingest/delete under one batchId with replay no-ops, exact " +
+      "counters track serving membership, sketches flip stale on " +
+      "delete, and compact re-derives — equal to a from-scratch " +
+      "build at each field's guarantee class") {
+    val docs = sf("documents")
+    val emb = sf("embeddings")
+    val corpus4 = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("source"),
+        col("embedding"))
+    val base = corpus4.filter(col("doc_id") % 5 =!= 4)
+    val batch = corpus4.filter(col("doc_id") % 5 === 4)
+    val st = CorpusStore.build(base, "doc_id", "text", "embedding",
+      s"$tmp/cs4", annDials = Some(dials), sourceCol = Some("source"))
+    assert(st.stats.isDefined, "sourceCol did not mount the stats tier")
+    val n0 = base.count()
+    assert(CorpusStore.liveCountsAll(spark, st) ==
+      ((n0, n0, n0, Some(n0))),
+      "four-way membership disagrees right after build")
+
+    // per-source, per-guarantee-class comparison helper. KLL is
+    // asserted EXACTLY equal here because at this fixture scale each
+    // source holds far fewer than k = 200 lengths — the sketch
+    // retains every value (no randomized compaction has happened),
+    // so quantiles are exact on both sides; at larger scale this
+    // clause would become the StatsStoreSpec rank-bound instead.
+    def readout(x: StatsStore.Store) = x.stats(spark).select(
+        col("source"), col("docs"), col("token_occurrences"),
+        hll_sketch_estimate(col("tok_hll")).as("_h"),
+        theta_sketch_estimate(col("fp_theta")).cast("long").as("_t"),
+        kll_sketch_get_quantile_bigint(col("len_kll"), lit(0.5))
+          .as("_p50"),
+        kll_sketch_get_quantile_bigint(col("len_kll"), lit(0.95))
+          .as("_p95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    def countersOf(x: StatsStore.Store) = x.stats(spark)
+      .select("source", "docs", "token_occurrences")
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // fabricate the mid-transaction crash with the FOURTH store the
+    // one that already folded: the replay must no-op there and apply
+    // to the serving three
+    StatsStore.update(st.stats.get,
+      batch.select(col("text"), col("source")), "text", "source",
+      batchId = Some("b1"))
+    CorpusStore.ingest(st, batch, "text", "embedding", "b1")
+    val n1 = corpus4.count()
+    assert(CorpusStore.liveCountsAll(spark, st) ==
+      ((n1, n1, n1, Some(n1))),
+      "replayed ingest did not converge the four stores")
+    CorpusStore.ingest(st, batch, "text", "embedding", "b1")
+    assert(CorpusStore.liveCountsAll(spark, st) ==
+      ((n1, n1, n1, Some(n1))),
+      "batchId replay re-applied somewhere (stats double-fold?)")
+    // the maintained stats tier == a from-scratch build, field for
+    // field (no deletes yet: every class is at full strength)
+    val freshFull = StatsStore.build(
+      corpus4.select(col("text"), col("source")), "text", "source",
+      s"$tmp/stats-fresh-full")
+    assert(readout(st.stats.get) == readout(freshFull),
+      "maintained stats tier != from-scratch build after ingest")
+
+    // the takedown needs the doomed docs' ROWS for the stats tier —
+    // ids alone must fail loudly, not silently skip the counters
+    val doomedIds = corpus4.filter(col("doc_id") % 10 === 6)
+      .select("doc_id")
+    val doomedDocs = corpus4.filter(col("doc_id") % 10 === 6)
+    intercept[IllegalArgumentException] {
+      CorpusStore.delete(st, doomedIds, "d0")
+    }
+    CorpusStore.delete(st, doomedIds, "d1", Some(doomedDocs))
+    val net = corpus4.filter(col("doc_id") % 10 =!= 6)
+    val n2 = net.count()
+    assert(CorpusStore.liveCountsAll(spark, st) ==
+      ((n2, n2, n2, Some(n2))),
+      "exact counters did not track the takedown")
+    CorpusStore.delete(st, doomedIds, "d1", Some(doomedDocs))
+    assert(CorpusStore.liveCountsAll(spark, st) ==
+      ((n2, n2, n2, Some(n2))),
+      "delete replay decremented twice")
+
+    // guarantee classes diverge mid-debt: counters EXACTLY equal a
+    // net rebuild; exactly the touched sources are flagged stale
+    // (their sketches still describe the pre-delete superset)
+    val touched = doomedDocs.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    val freshNet = StatsStore.build(
+      net.select(col("text"), col("source")), "text", "source",
+      s"$tmp/stats-fresh-net")
+    // a source the takedown emptied entirely stays as a docs=0 row
+    // (the driftReport "gone dark" visibility rule — a rebuild never
+    // saw it); every still-live source's counters equal the rebuild
+    val (zeroed, live) = countersOf(st.stats.get)
+      .partition { case (_, (d, _)) => d == 0L }
+    assert(live == countersOf(freshNet),
+      "exact counters != net rebuild while sketch debt outstanding")
+    assert(zeroed.keySet == touched -- countersOf(freshNet).keySet,
+      "zeroed rows are not exactly the sources the takedown emptied")
+    assert(zeroed.forall { case (_, (_, t)) => t == 0L },
+      "an emptied source kept token_occurrences")
+    val flagged = st.stats.get.stats(spark).filter(col("stale"))
+      .select("source").collect().map(_.getString(0)).toSet
+    assert(flagged == touched,
+      s"stale flags $flagged != sources touched by the delete $touched")
+    assert(flagged.nonEmpty, "fixture too easy: delete touched nothing")
+
+    // compact settles the sketch debt: stale clears, every field
+    // back at its build-fresh guarantee
+    CorpusStore.compact(spark, st, liveCorpus = Some(net))
+    assert(st.stats.get.stats(spark).filter(col("stale")).isEmpty,
+      "stale flags survived compact")
+    assert(readout(st.stats.get) == readout(freshNet),
+      "compacted stats tier != from-scratch net build")
+  }
+
   test("liveCounts: a sub-shingle-width doc counts in ann and text " +
       "but never signs — the documented healthy offset, not " +
       "split-brain (and the default dials re-key to idCol)") {
