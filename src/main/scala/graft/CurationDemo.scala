@@ -206,6 +206,18 @@ object CurationDemo {
       s"vectors == in-plan stack, batch folded with stored models " +
       s"($newServed results for new-vector queries), compaction " +
       "serving-invariant")
+    // the operational loop's last mile: the advisor reads the
+    // maintenance signals this very pipeline just produced and says
+    // whether action is due — a freshly-compacted index must read
+    // all-ok (file listings + one-row reads; no corpus-sized job)
+    val advice = ops.Advisor.adviseAnn(spark, idx)
+      .select("metric", "action").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}")
+    require(ops.Advisor.adviseAnn(spark, idx)
+        .filter(col("action") =!= "ok").isEmpty,
+      "a freshly-compacted index advised maintenance")
+    log(s"maintenance advisor on the compacted index: " +
+      advice.mkString(", "))
     // the index is a full encoded corpus copy — drop it like the
     // sibling stages drop their temp artifacts
     val idxPath = new org.apache.hadoop.fs.Path(idxDir)

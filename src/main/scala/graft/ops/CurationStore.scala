@@ -611,8 +611,18 @@ object CurationStore {
       case Some(_) =>
         store.deltaIfAny(spark)
           .map(d => store.tombMask(spark, d, Seq(idCol)))
-          .getOrElse(spark.read.parquet(s"${store.dir}/labels")
-            .filter(lit(false)))
+          .getOrElse {
+            // an empty staged delta needs only the labels SCHEMA —
+            // taken from the catalog, which carries it even when a
+            // re-resolve compact emptied the base to ZERO files
+            // (deletion can legitimately empty a stage, the
+            // compactReResolve rule; a raw parquet read of a
+            // zero-file dir cannot infer a schema)
+            store.labelsTable.filter(spark.catalog.tableExists)
+              .map(spark.table)
+              .getOrElse(spark.read.parquet(s"${store.dir}/labels"))
+              .filter(lit(false))
+          }
       case None => store.labels(spark)
     }
     staged.write.mode("overwrite").parquet(s"$commitDir.next")

@@ -1678,8 +1678,65 @@ object SimilarityQueries {
       trainWhere = "vec_id % 5 != 4", encWhere = "vec_id % 10 != 7",
       bm25Where = "doc_id % 10 <> 7", labelWhere = "doc_id % 10 <> 7")))
 
+  /** The maintenance advisor over a full corpus-transaction
+    * lifecycle ([[graft.ops.Advisor.advise]]): build the four-store
+    * quad on a corpus slice, ingest a recrawl, take down a batch,
+    * compact, take down a SECOND batch — then ask the advisor. The
+    * expected advice is fully determined: every signal the compact
+    * just settled reads `ok` (tiny tombstones under the 32 MB
+    * ceilings, exactly one codes file per cell, no outstanding
+    * delta, no probe history in a fresh store dir), and the
+    * post-compact takedown's sketch debt — the one signal with no
+    * grace threshold — advises `compact` on the stats tier. The
+    * oracle IS that expected advice table (a VALUES literal: DuckDB
+    * cannot see the filesystem signals); the adversarial work —
+    * fabricating each overdue condition and asserting its action —
+    * lives in AdvisorSpec. Advisor cost is file listings and one-row
+    * reads; this query's measured cost is the store lifecycle it
+    * advises on.
+    */
+  val q176 = Q("q176_maintenance_advisor",
+    (s, dir) => {
+      import graft.ops.{Advisor, AnnIndexStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("source"),
+          col("embedding"))
+        .filter(col("doc_id") % 20 === 3)
+      val c = AnnIndexStore.CorpusDials
+      val dials = AnnIndexStore.Dials(col("doc_id") % 40 === 3,
+        col("doc_id") % 40 === 23, c.m, c.subDim, c.iters)
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 3 =!= 1), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-advisor"),
+        annDials = Some(dials), sourceCol = Some("source"))
+      CorpusStore.ingest(st0, corpus.filter(col("doc_id") % 3 === 1),
+        "text", "embedding", "adv-recrawl")
+      val d1 = corpus.filter(col("doc_id") % 9 === 0)
+      CorpusStore.delete(st0, d1.select("doc_id"), "adv-takedown-1",
+        Some(d1))
+      val st = CorpusStore.compact(s, st0,
+        liveCorpus = Some(corpus.filter(col("doc_id") % 9 =!= 0)))
+      val d2 = corpus.filter(col("doc_id") % 9 === 3)
+      CorpusStore.delete(st, d2.select("doc_id"), "adv-takedown-2",
+        Some(d2))
+      Advisor.advise(s, st).select("store", "metric", "action")
+        .orderBy("store", "metric")
+    },
+    Some("""SELECT store, metric, action FROM (VALUES
+      | ('ann', 'codes_files_per_cell', 'ok'),
+      | ('ann', 'tombstone_bytes', 'ok'),
+      | ('curation', 'label_delta_bytes', 'ok'),
+      | ('curation', 'tombstone_bytes', 'ok'),
+      | ('stats', 'stale_sources', 'compact'),
+      | ('text', 'postings_delta_bytes', 'ok'),
+      | ('text', 'tombstone_bytes', 'ok'))
+      | AS t(store, metric, action)
+      |ORDER BY store, metric""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166, q169)
+    q161, q163, q166, q169, q176)
 }

@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The advisor must (a) read every signal the stores actually
+  * maintain, (b) advise `ok` on a fresh store, and (c) flip to the
+  * right action when each overdue condition is fabricated — with the
+  * thresholds honored from the same conf dials the stores themselves
+  * degrade on.
+  */
+class AdvisorSpec extends SparkSpec {
+
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("advisor").toString
+  private lazy val corpus = {
+    val docs = sf("documents")
+    val emb = sf("embeddings")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("source"),
+        col("embedding"))
+  }
+  private lazy val dials = AnnIndexStore.Dials(
+    col("doc_id") % 50 === 7, col("doc_id") % 10 === 3,
+    m = 2, subDim = 32, iters = 2)
+
+  private def actions(df: org.apache.spark.sql.DataFrame) =
+    df.select("store", "metric", "action").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+
+  test("fresh quad advises ok everywhere; each fabricated overdue " +
+      "condition flips exactly its row to the advised action") {
+    val st = CorpusStore.build(corpus, "doc_id", "text", "embedding",
+      s"$tmp/adv", annDials = Some(dials), sourceCol = Some("source"))
+    val fresh = actions(Advisor.advise(spark, st))
+    assert(fresh.keySet == Set(
+      ("curation", "tombstone_bytes"), ("curation", "label_delta_bytes"),
+      ("ann", "tombstone_bytes"), ("ann", "codes_files_per_cell"),
+      ("text", "tombstone_bytes"), ("text", "postings_delta_bytes"),
+      ("stats", "stale_sources")),
+      s"unexpected metric set: ${fresh.keySet}")
+    assert(fresh.values.forall(_ == "ok"),
+      s"a fresh quad is not all-ok: $fresh")
+
+    // a takedown plants tombstones in the three serving stores and
+    // sketch debt in the stats tier: with default (32 MB) ceilings
+    // only the stats row flips — debt has no grace threshold
+    val doomed = corpus.filter(col("doc_id") % 10 === 6)
+    CorpusStore.delete(st, doomed.select("doc_id"), "d1",
+      Some(doomed))
+    val afterDelete = actions(Advisor.advise(spark, st))
+    assert(afterDelete(("stats", "stale_sources")) == "compact",
+      "outstanding sketch debt did not advise compact")
+    assert((afterDelete - (("stats", "stale_sources")))
+        .values.forall(_ == "ok"),
+      s"tiny tombstones tripped a 32 MB ceiling: $afterDelete")
+
+    // drop the tombstone ceilings to zero: the three serving rows
+    // flip to compact — the advisor honors the same dials the
+    // stores' masks degrade on
+    val keys = Seq(CurationStore.TombBroadcastMaxBytes,
+      AnnIndexStore.TombBroadcastMaxBytes,
+      TextIndexStore.TombBroadcastMaxBytes)
+    try {
+      keys.foreach(spark.conf.set(_, "0"))
+      val tight = actions(Advisor.advise(spark, st))
+      assert(Seq("curation", "ann", "text").forall(s =>
+          tight((s, "tombstone_bytes")) == "compact"),
+        s"zero ceiling did not advise compact everywhere: $tight")
+    } finally keys.foreach(spark.conf.unset)
+
+    // per-add file growth: an ingest appends ~one file per touched
+    // cell; with the files-per-cell ceiling fabricated below 1 the
+    // codes row advises compact
+    try {
+      spark.conf.set(Advisor.CodesFilesPerCellMax, "0.5")
+      assert(actions(Advisor.adviseAnn(spark, st.ann))(
+          ("ann", "codes_files_per_cell")) == "compact",
+        "files-per-cell past the ceiling did not advise compact")
+    } finally spark.conf.unset(Advisor.CodesFilesPerCellMax)
+
+    // outstanding postings delta — a BUCKETED-layout signal (a plain
+    // store's update appends inside the postings version itself):
+    // an update against the immutable bucketed base lands in the
+    // delta stage, and a zero guard flips the row
+    val batch = corpus.filter(col("doc_id") % 10 === 6)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    intercept[IllegalArgumentException] {
+      // (re-adding the deleted ids must still be guarded — the
+      // fabrication batch uses shifted ids instead)
+      CorpusStore.ingest(st, doomed, "text", "embedding", "i-bad")
+    }
+    CorpusStore.ingest(st, batch, "text", "embedding", "i1")
+    val bText = TextIndexStore.build(
+      corpus.select(col("doc_id"), col("text")), "doc_id", "text",
+      s"$tmp/btext", bucketPostings = 2)
+    assert(actions(Advisor.adviseText(spark, bText))(
+        ("text", "postings_delta_bytes")) == "ok",
+      "fresh bucketed base reported an outstanding delta")
+    TextIndexStore.update(bText, batch.select("doc_id", "text"),
+      "text", batchId = Some("t1"))
+    try {
+      spark.conf.set(Advisor.TextDeltaMaxBytes, "0")
+      assert(actions(Advisor.adviseText(spark, bText))(
+          ("text", "postings_delta_bytes")) == "compact",
+        "outstanding text delta did not advise compact")
+    } finally spark.conf.unset(Advisor.TextDeltaMaxBytes)
+
+    // recall trend: no probe history → no recall row; after a probe
+    // the row appears, and a floor above the measured recall advises
+    // the re-train (rebuild — compaction cannot help a stale model)
+    assert(!actions(Advisor.adviseAnn(spark, st.ann))
+        .contains(("ann", "mean_recall")),
+      "recall row emitted without a probe history")
+    val queries = corpus.filter(col("doc_id") % 100 === 3)
+      .select(col("doc_id").as("qid"), col("embedding"))
+    AnnIndexStore.recallProbe(spark, st.ann,
+      corpus.select(col("doc_id"), col("embedding")), queries,
+      "qid", "embedding", k = 5, snapshot = "s1")
+    // floor pinned on both sides of the measured value so the
+    // assertion tests the COMPARISON, not this fixture's PQ recall:
+    // recall ∈ [0, 1] always, so 0 can never trip and 1.01 must
+    try {
+      spark.conf.set(Advisor.RecallFloor, "0.0")
+      assert(actions(Advisor.adviseAnn(spark, st.ann))(
+          ("ann", "mean_recall")) == "ok",
+        "a floor of zero tripped")
+      spark.conf.set(Advisor.RecallFloor, "1.01")
+      assert(actions(Advisor.adviseAnn(spark, st.ann))(
+          ("ann", "mean_recall")) == "rebuild",
+        "recall under the floor did not advise rebuild")
+    } finally spark.conf.unset(Advisor.RecallFloor)
+
+    // label delta: compact upgrades the curation store to the
+    // bucketed layout; the NEXT ingest stages a delta beside the
+    // immutable base, and a zero guard flips the row
+    val live = corpus.filter(col("doc_id") % 10 =!= 6)
+      .unionByName(batch)
+    val st2 = CorpusStore.compact(spark, st, liveCorpus = Some(live))
+    assert(actions(Advisor.advise(spark, st2))(
+        ("stats", "stale_sources")) == "ok",
+      "compact did not settle the sketch debt")
+    val batch2 = corpus.filter(col("doc_id") % 10 === 2)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+    CorpusStore.ingest(st2, batch2, "text", "embedding", "i2")
+    try {
+      spark.conf.set(CurationStore.DeltaBroadcastMaxBytes, "0")
+      assert(actions(Advisor.adviseCuration(spark, st2.curation))(
+          ("curation", "label_delta_bytes")) == "compact",
+        "outstanding label delta did not advise compact")
+    } finally spark.conf.unset(CurationStore.DeltaBroadcastMaxBytes)
+  }
+}
