@@ -200,14 +200,28 @@ object CurationStore {
   /** Swap a fresh one-row counter in at `$dir/stats` (write-to-next
     * + [[StageSwap.swapIn]] — a crash mid-swap never destroys the
     * prior counter, and the sentinel discipline above covers the
-    * value's currency). */
+    * value's currency). `next` is a LAZY one-row frame (`n`): the
+    * whole fold — prior counter read, batch-delta aggregate, write —
+    * runs as ONE job at the write, never as separate driver actions
+    * (the counter must not tax every update with extra job
+    * round-trips; the bench prices maintenance per batch). */
   private def writeStats(spark: SparkSession, store: Store,
-      n: Long): Unit = {
-    spark.range(1).select(lit(n).as("n"))
-      .write.mode("overwrite").parquet(s"${statsDir(store)}.next")
+      next: DataFrame): Unit = {
+    next.write.mode("overwrite").parquet(s"${statsDir(store)}.next")
     StageSwap.swapIn(spark, statsDir(store))
   }
 
+  /** The stored counter plus a one-row `_dn` delta frame, fused
+    * lazily — [[writeStats]]'s input for the additive fold (a
+    * decrement passes a negated `_dn`). */
+  private def statsPlus(spark: SparkSession, store: Store,
+      delta: DataFrame): DataFrame =
+    spark.read.parquet(statsDir(store)).crossJoin(delta)
+      .select((col("n") + col("_dn")).as("n"))
+
+  /** Eager scalar read of the stored counter — [[liveCount]]'s fast
+    * path only; the writers fold through [[statsPlus]] instead so
+    * maintenance never pays a separate driver action for it. */
   private def readStats(spark: SparkSession, store: Store): Long =
     spark.read.parquet(statsDir(store)).head().getLong(0)
 
@@ -291,7 +305,7 @@ object CurationStore {
       // in here leaves the sentinel, and liveCount stays exact via
       // its slow path until the next writer re-runs this block.
       writeStats(spark, store,
-        store.signatures(spark).count())
+        store.signatures(spark).agg(count(lit(1)).as("n")))
       StageSwap.remove(fs, staleSentinel(store))
     }
     applied
@@ -525,15 +539,16 @@ object CurationStore {
     }
     staged.write.mode("overwrite").parquet(s"$commitDir.next")
     fixpoint.unpersist()
-    // the exact-counter fold: nOld read before the swap, the batch's
+    // the exact-counter fold: prior counter plus the batch's
     // signable-doc count off the appended signature files (one row
-    // per doc). Applied AFTER the commit under the live marker — a
-    // crash between leaves the marker, and settleEntry's sentinel
-    // recompute restores exactness before anyone trusts the counter
-    val nOld = readStats(spark, store)
-    val dn = sigNew.count()
+    // per doc), fused into the single writeStats job. Applied AFTER
+    // the commit under the live marker — a crash between leaves the
+    // marker, and settleEntry's sentinel recompute restores
+    // exactness before anyone trusts the counter
+    val folded = statsPlus(spark, store,
+      sigNew.agg(count(lit(1)).as("_dn")))
     StageSwap.swapIn(spark, commitDir)
-    writeStats(spark, store, nOld + dn)
+    writeStats(spark, store, folded)
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
@@ -599,8 +614,10 @@ object CurationStore {
     // would see the just-masked signatures and count zero
     val tombNew =
       (UpdateMarker.listFiles(fs, store.tombDir) -- tombBefore).toSeq
-    val dn = if (tombNew.isEmpty) 0L
-      else spark.read.parquet(tombNew: _*).count()
+    val dnNeg = if (tombNew.isEmpty)
+        spark.range(1).select(lit(0L).as("_dn"))
+      else spark.read.parquet(tombNew: _*)
+        .agg((count(lit(1)) * -1).as("_dn"))
     // commit: swap the stage the settle protocol watches — the
     // effective labels minus the deleted docs (labels(spark) is
     // already masked against the just-appended tombstones) on a
@@ -626,11 +643,13 @@ object CurationStore {
       case None => store.labels(spark)
     }
     staged.write.mode("overwrite").parquet(s"$commitDir.next")
-    val nOld = readStats(spark, store)
-    StageSwap.swapIn(spark, commitDir)
     // exact-counter fold after the commit, under the live marker —
-    // the same crash discipline as update()'s
-    writeStats(spark, store, nOld - dn)
+    // the same crash discipline as update()'s, fused into the single
+    // writeStats job (the negated tombstone-row count is the delta;
+    // the stats read is lazy but resolves files before its own swap)
+    val folded = statsPlus(spark, store, dnNeg)
+    StageSwap.swapIn(spark, commitDir)
+    writeStats(spark, store, folded)
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store
