@@ -84,7 +84,7 @@ object Advisor {
       32.0 * 1024 * 1024)
     val deltaMax = conf(s, CurationStore.DeltaBroadcastMaxBytes,
       32.0 * 1024 * 1024)
-    val tomb = dirBytes(s, store.tombDir)
+    val tomb = dirBytes(s, store.tombDir(s))
     val delta = store.deltaBytes(s).toDouble
     frame(s, Seq(
       ("curation", "tombstone_bytes", tomb, tombMax,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +31,22 @@ import org.apache.spark.sql.functions._
   * [[compact]] folds the delta back in. The battery's local stores
   * keep plain parquet throughout.
   *
+  * READER ISOLATION ([[StoreVersions]], the [[TextIndexStore]]/
+  * [[AnnIndexStore]] discipline): every maintained stage lives in an
+  * immutable version directory and ONE `_manifest` file names the
+  * current version per stage. Readers resolve the manifest once at
+  * plan time ([[Store.pin]] — every serving entry point pins
+  * internally), so a query planned before a concurrent update,
+  * delete, compact or full rebuild collects from its pinned
+  * snapshot's files; retention keeps prior versions for in-flight
+  * readers. Commit is FLIP-LAST and multi-stage atomic: an update's
+  * label commit and its exact-counter fold land in one manifest
+  * rename, a re-resolve compact's five rewritten stages land in one
+  * — which is what retires this store's old roll-forward machinery
+  * (fold/tombfold listings, the stats staleness sentinel): no crash
+  * point can any longer separate a committed label stage from its
+  * counter or from its cleared delta/tombstones.
+  *
   * Equivalence to the fused (per-query standalone) forms is proven
   * twice: CurationStoreSpec asserts store-fed q50/q121 results are
   * frame-identical to the standalone operators, and the four
@@ -38,27 +55,27 @@ import org.apache.spark.sql.functions._
   */
 object CurationStore {
 
-  /** Handle to a built store: three parquet tables under `dir`.
-    * `signatures`: (idCol, h0..h{n-1}) — one row per doc with ≥1
-    * shingle; `pairs`: (a, b, est_jaccard) ≥ the build's `minEst`;
-    * `labels`: (idCol, cluster) for every doc in any pair, cluster =
-    * component-minimum id.
-    *
-    * `labelsTable` is set when the labels stage was written BUCKETED
-    * by `idCol` ([[build]]'s `bucketLabels` dial): bucket layout only
-    * survives through the catalog (a plain parquet scan of the same
-    * files forgets the hash distribution), so bucketed labels read as
-    * a table and every consumer joining a corpus bucketed the same
-    * way gets a ZERO-exchange label join — the shuffle is paid once
-    * at store-write time, never again per consumer.
+  /** Every versioned stage — the manifest's key set. `signatures`,
+    * `pairs` and `tombstones` are APPEND stages (batch rows land
+    * inside the current version, invisible to already-planned
+    * readers, healed by settlement on a pre-commit crash); `labels`
+    * (plain store) / `labels_delta` (bucketed store) and `stats` are
+    * REPLACE stages whose new versions commit through the flip.
     */
-  final case class Store(dir: String, idCol: String,
-      labelsTable: Option[String] = None) {
+  private[ops] val Stages = Seq("signatures", "pairs", "labels",
+    "labels_delta", "tombstones", "stats")
 
-    def tombDir: String = s"$dir/tombstones"
+  /** One resolved snapshot of the store — all six stages from a
+    * SINGLE manifest read. Holding a Snapshot (or any DataFrame
+    * planned from one) pins its files for the retention window.
+    */
+  final case class Snapshot(dir: String, idCol: String,
+      labelsTable: Option[String], sigPath: String, pairsPath: String,
+      labelsPath: String, deltaPath: String, tombsPath: String,
+      statsPath: String) {
 
     private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
-      Tombstones.ifAny(s, tombDir)
+      Tombstones.ifAny(s, tombsPath)
 
     /** Drop tombstoned docs' rows from a stage view by the named id
       * column(s) — [[CurationStore.delete]]'s immediate serving
@@ -72,38 +89,29 @@ object CurationStore {
       */
     private[ops] def tombMask(s: SparkSession, df: DataFrame,
         onCols: Seq[String]): DataFrame =
-      Tombstones.mask(s, df, idCol, tombDir,
+      Tombstones.mask(s, df, idCol, tombsPath,
         CurationStore.TombBroadcastMaxBytes,
         CurationStore.tombBroadcastDefault, onCols)
 
     def signatures(s: SparkSession): DataFrame =
-      tombMask(s, s.read.parquet(s"$dir/signatures"), Seq(idCol))
+      tombMask(s, s.read.parquet(sigPath), Seq(idCol))
     def pairs(s: SparkSession): DataFrame =
-      tombMask(s, s.read.parquet(s"$dir/pairs"), Seq("a", "b"))
-
-    /** Plain-parquet DELTA stage beside a bucketed labels table —
-      * how a read-optimized store stays MAINTAINABLE: [[update]]
-      * folds each batch's label changes here (rename-swap, same as
-      * the plain store's whole stage), [[compact]] periodically
-      * folds the delta back into a fresh bucketed base. Small by
-      * construction: one row per label that DIFFERS from the base
-      * (new docs + relabels since the last compaction), so it stays
-      * broadcastable between reasonable compaction intervals.
-      */
-    def deltaDir: String = s"$dir/labels_delta"
+      tombMask(s, s.read.parquet(pairsPath), Seq("a", "b"))
+    def stats(s: SparkSession): DataFrame =
+      s.read.parquet(statsPath)
 
     private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(deltaDir)
+      val p = new Path(deltaPath)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p) && UpdateMarker.listFiles(fs, deltaDir).nonEmpty)
-        Some(s.read.parquet(deltaDir))
+      if (fs.exists(p) && UpdateMarker.listFiles(fs, deltaPath).nonEmpty)
+        Some(s.read.parquet(deltaPath))
       else None
     }
 
     /** Outstanding delta's total file bytes — read off the listing,
       * never a job. The broadcast-vs-shuffle decision input. */
     private[ops] def deltaBytes(s: SparkSession): Long = {
-      val p = new org.apache.hadoop.fs.Path(deltaDir)
+      val p = new Path(deltaPath)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(p)) 0L
       else fs.listStatus(p).toSeq.filter(_.isFile)
@@ -111,31 +119,87 @@ object CurationStore {
         .map(_.getLen).sum
     }
 
+    /** The labels BASE — the bucketed catalog table when registered
+      * AND still pointing at this snapshot's version (a compact
+      * re-registers the name at its new version; a reader pinned to
+      * the prior one must not follow it into a mixed-version plan),
+      * the pinned files otherwise. The fallback loses only the
+      * bucket DISTRIBUTION (a plan property), never rows.
+      */
+    private[ops] def labelsBase(s: SparkSession): DataFrame =
+      labelsTable.filter(n => s.catalog.tableExists(n) &&
+          TextIndexStore.tableLocationMatches(s, n, labelsPath))
+        .map(s.table)
+        .getOrElse(s.read.parquet(labelsPath))
+
     /** The store's effective label map. Plain store: the labels
       * stage. Bucketed store: the base table overridden by the delta
       * (delta rows win; base rows not in the delta pass through) —
       * consumers that want the zero-exchange bucketed join shape
-      * should go through [[labelJoin]] instead of joining this
-      * union frame directly.
+      * should go through [[CurationStore.labelJoin]] instead of
+      * joining this union frame directly.
       */
-    def labels(s: SparkSession): DataFrame = {
-      // catalog fallback: inside compact()'s re-registration window
-      // the table is deliberately absent (dropped BEFORE the file
-      // commit so stale bucket metadata can never describe new
-      // files) — reading the files directly loses only the bucket
-      // DISTRIBUTION (a plan property), never rows
-      val base = labelsTable.filter(s.catalog.tableExists).map(s.table)
-        .getOrElse(s.read.parquet(s"$dir/labels"))
+    def labels(s: SparkSession): DataFrame =
       tombMask(s, deltaIfAny(s) match {
-        case None => base
+        case None => labelsBase(s)
         case Some(delta) =>
-          base.join(
+          labelsBase(s).join(
               CurationStore.maybeBroadcast(s, this,
                 delta.select(col(idCol))),
               Seq(idCol), "left_anti")
             .unionByName(delta)
       }, Seq(idCol))
+  }
+
+  /** Handle to a built store. Stage data resolves through the
+    * manifest per call; hold a [[pin]]ned [[Snapshot]] (or the
+    * DataFrames planned from one) for file-level stability across
+    * concurrent maintenance.
+    *
+    * `labelsTable` is set when the labels stage was written BUCKETED
+    * by `idCol` ([[build]]'s `bucketLabels` dial): bucket layout only
+    * survives through the catalog (a plain parquet scan of the same
+    * files forgets the hash distribution), so bucketed labels read as
+    * a table and every consumer joining a corpus bucketed the same
+    * way gets a ZERO-exchange label join — the shuffle is paid once
+    * at store-write time, never again per consumer.
+    */
+  final case class Store(dir: String, idCol: String,
+      labelsTable: Option[String] = None) {
+
+    /** Resolve all six stages from ONE manifest read — the reader's
+      * snapshot pin. */
+    def pin(s: SparkSession): Snapshot = {
+      val fs = new Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val m = StoreVersions.read(fs, dir)
+      def p(stage: String): String = m.get(stage)
+        .map(v => s"$dir/$stage/$v")
+        .getOrElse(throw new IllegalStateException(
+          s"curation store at $dir has no committed '$stage' stage — " +
+            "build() it first (pre-versioning layouts are reset by " +
+            "build)"))
+      Snapshot(dir, idCol, labelsTable, p("signatures"), p("pairs"),
+        p("labels"), p("labels_delta"), p("tombstones"), p("stats"))
     }
+
+    /** The current tombstones stage directory (resolved). */
+    def tombDir(s: SparkSession): String = pin(s).tombsPath
+    /** The current delta stage directory (resolved). */
+    def deltaDir(s: SparkSession): String = pin(s).deltaPath
+
+    private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
+      pin(s).tombstonesIfAny(s)
+    private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] =
+      pin(s).deltaIfAny(s)
+    private[ops] def deltaBytes(s: SparkSession): Long =
+      pin(s).deltaBytes(s)
+    private[ops] def tombMask(s: SparkSession, df: DataFrame,
+        onCols: Seq[String]): DataFrame = pin(s).tombMask(s, df, onCols)
+
+    def signatures(s: SparkSession): DataFrame = pin(s).signatures(s)
+    def pairs(s: SparkSession): DataFrame = pin(s).pairs(s)
+    def labels(s: SparkSession): DataFrame = pin(s).labels(s)
   }
 
   /** Ceiling (bytes of tombstone parquet) up to which the deleted-id
@@ -148,7 +212,7 @@ object CurationStore {
 
   private[ops] def tombBroadcastable(s: SparkSession,
       store: Store): Boolean =
-    Tombstones.broadcastable(s, store.tombDir, TombBroadcastMaxBytes,
+    Tombstones.broadcastable(s, store.tombDir(s), TombBroadcastMaxBytes,
       tombBroadcastDefault)
 
   /** Ceiling (bytes of delta parquet) up to which the outstanding
@@ -164,151 +228,66 @@ object CurationStore {
   private val deltaBroadcastDefault = 32L * 1024 * 1024
 
   private[ops] def deltaBroadcastable(s: SparkSession,
-      store: Store): Boolean =
-    store.deltaBytes(s) <= s.conf
+      snap: Snapshot): Boolean =
+    snap.deltaBytes(s) <= s.conf
       .get(DeltaBroadcastMaxBytes, deltaBroadcastDefault.toString).toLong
 
-  private def maybeBroadcast(s: SparkSession, store: Store,
+  private def maybeBroadcast(s: SparkSession, snap: Snapshot,
       df: DataFrame): DataFrame =
-    if (deltaBroadcastable(s, store)) broadcast(df) else df
+    if (deltaBroadcastable(s, snap)) broadcast(df) else df
 
-  // ---- exact live-membership counter ------------------------------
-  //
-  // One row (`n`) at `$dir/stats`: the LIVE signable-doc count — the
-  // number of rows a masked signatures scan would return — so the
-  // operational membership probe ([[liveCount]],
-  // [[CorpusStore.liveCounts]]) is a metadata read, never a stage
-  // scan. Unlike [[TextIndexStore]]/[[AnnIndexStore]] (where the
-  // stats version flip IS the commit), this store commits through
-  // the labels [[StageSwap]], so the counter cannot ride the commit
-  // atomically. The discipline instead:
-  //  - happy path: [[update]]/[[delete]] fold the batch's exact
-  //    delta into a fresh stats swap AFTER the labels commit;
-  //  - any crash: the writer's live marker doubles as the evidence
-  //    the counter may lag its store — [[settleEntry]] plants a
-  //    durable `stats_stale` sentinel BEFORE adjudicating, then
-  //    recomputes the counter from the settled masked signatures
-  //    (exact by definition) and clears the sentinel. A crash inside
-  //    that recovery leaves the sentinel, so [[liveCount]] degrades
-  //    to the exact slow path (count masked signatures) rather than
-  //    ever serving a stale number.
+  /** The LIVE signable-doc count — the number of rows a masked
+    * signatures scan returns — as ONE metadata read of the one-row
+    * `stats` stage, never a stage scan. The counter is COMMIT-ATOMIC
+    * with the store: every writer folds its exact batch delta into a
+    * fresh stats version and commits it in the SAME manifest flip as
+    * its label commit ([[update]] adds the appended signature-row
+    * count, [[delete]] subtracts the appended tombstone-row count),
+    * so no crash point can separate the committed membership from
+    * its counter — the staleness-sentinel recovery the old
+    * swap-in-place layout needed is structurally gone. Spec-pinned
+    * equal to `signatures(s).count()` through
+    * build/update/delete/compact, crash healing and batchId replay.
+    */
+  def liveCount(s: SparkSession, store: Store): Long =
+    store.pin(s).stats(s).head().getLong(0)
 
-  private def statsDir(store: Store): String = s"${store.dir}/stats"
-  private def staleSentinel(store: Store) =
-    new org.apache.hadoop.fs.Path(s"${store.dir}/stats_stale")
-
-  /** Swap a fresh one-row counter in at `$dir/stats` (write-to-next
-    * + [[StageSwap.swapIn]] — a crash mid-swap never destroys the
-    * prior counter, and the sentinel discipline above covers the
-    * value's currency). `next` is a LAZY one-row frame (`n`): the
-    * whole fold — prior counter read, batch-delta aggregate, write —
-    * runs as ONE job at the write, never as separate driver actions
-    * (the counter must not tax every update with extra job
-    * round-trips; the bench prices maintenance per batch). */
-  private def writeStats(spark: SparkSession, store: Store,
-      next: DataFrame): Unit = {
-    next.write.mode("overwrite").parquet(s"${statsDir(store)}.next")
-    StageSwap.swapIn(spark, statsDir(store))
+  /** The [[UpdateMarker]] stage map all writers share, RESOLVED to
+    * the current versions — one definition so the writers'
+    * settle/snapshot protocol cannot drift apart. `stats` is the
+    * flip-commit stage (its one-row version flips at every
+    * update/delete, giving settlement a commit witness that never
+    * depends on whether the batch changed any label file); `labels`
+    * maps to the replace target (the delta beside a bucketed base,
+    * the whole labels stage for a plain store); sig/pairs/tomb are
+    * the append-only sides whose partial files settlement heals.
+    */
+  private def stageMap(s: SparkSession, store: Store)
+      : Map[String, String] = {
+    val snap = store.pin(s)
+    Map(
+      "sig" -> snap.sigPath,
+      "pairs" -> snap.pairsPath,
+      "tomb" -> snap.tombsPath,
+      "labels" -> (if (store.labelsTable.isDefined) snap.deltaPath
+                   else snap.labelsPath),
+      "stats" -> snap.statsPath)
   }
 
-  /** The stored counter plus a one-row `_dn` delta frame, fused
-    * lazily — [[writeStats]]'s input for the additive fold (a
-    * decrement passes a negated `_dn`). */
-  private def statsPlus(spark: SparkSession, store: Store,
-      delta: DataFrame): DataFrame =
-    spark.read.parquet(statsDir(store)).crossJoin(delta)
-      .select((col("n") + col("_dn")).as("n"))
-
-  /** Eager scalar read of the stored counter — [[liveCount]]'s fast
-    * path only; the writers fold through [[statsPlus]] instead so
-    * maintenance never pays a separate driver action for it. */
-  private def readStats(spark: SparkSession, store: Store): Long =
-    spark.read.parquet(statsDir(store)).head().getLong(0)
-
-  /** The LIVE signable-doc count. One-row metadata read whenever the
-    * counter is proven current (every completed writer call leaves
-    * it exact); the exact slow path — a masked signatures count —
-    * only while a `stats_stale` sentinel from an unsettled crash is
-    * outstanding. Spec-pinned equal to `signatures(s).count()`
-    * through build/update/delete/compact, crash healing and batchId
-    * replay. */
-  def liveCount(s: SparkSession, store: Store): Long = {
-    val fs = new org.apache.hadoop.fs.Path(store.dir)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(staleSentinel(store)))
-      store.signatures(s).count()
-    else readStats(s, store)
-  }
-
-  /** The [[UpdateMarker]] stage map [[update]] and [[compact]] share
-    * — one definition so the two writers' settle/snapshot protocol
-    * cannot drift apart: `labels` is the commit stage (the one a
-    * swap replaces — the delta beside a bucketed base, the whole
-    * labels stage for a plain store), sig/pairs are append-only.
+  /** Writer entry: sweep crashed writers' orphan version dirs
+    * (flip-last — nothing else of theirs can exist), then settle a
+    * crashed writer's marker through [[UpdateMarker.settle]] (the
+    * stats stage's listing decides commitment — a flipped commit
+    * resolves to a different directory, so the listing-diff rule
+    * works verbatim; an uncommitted crash's partial
+    * signature/pair/tombstone appends are healed off the marker's
+    * listings).
     */
-  private def stageMap(store: Store): Map[String, String] = Map(
-    "sig" -> s"${store.dir}/signatures",
-    "pairs" -> s"${store.dir}/pairs",
-    "tomb" -> store.tombDir,
-    "labels" -> (if (store.labelsTable.isDefined) store.deltaDir
-                 else s"${store.dir}/labels"))
-
-  /** Shared writer entry: roll back half-swapped stages (compact's
-    * re-resolve swaps signatures and pairs too), ROLL FORWARD a
-    * re-resolve compact that committed its labels swap but died
-    * before removing the delta/tombstone files it folded (a stale
-    * delta row would otherwise OVERRIDE a re-resolved label forever
-    * — the [[TextIndexStore]] roll-forward discipline; commitment is
-    * witnessed by the labels listing differing from the
-    * `labels.swap` snapshot), then settle through
-    * [[UpdateMarker.settle]].
-    */
-  private def settleEntry(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, store: Store,
-      batchId: Option[String]): Boolean = {
-    for (st <- Seq("signatures", "pairs"))
-      StageSwap.recover(spark, s"${store.dir}/$st")
-    StageSwap.recover(spark, s"${store.dir}/labels")
-    StageSwap.recover(spark, statsDir(store))
-    val marker = UpdateMarker.markerPath(store.dir)
-    // a predecessor's marker (or an unfinished recovery's sentinel)
-    // means the exact counter may lag the store — make the staleness
-    // DURABLE before touching anything, recompute after settlement
-    val counterSuspect = fs.exists(staleSentinel(store)) ||
-      UpdateMarker.read(fs, marker).isDefined
-    if (counterSuspect && !fs.exists(staleSentinel(store)))
-      fs.create(staleSentinel(store), true).close()
-    UpdateMarker.read(fs, marker)
-      .filter(_.listings.contains("labels.swap")).foreach { prior =>
-        val committed =
-          UpdateMarker.listFiles(fs, s"${store.dir}/labels") !=
-            prior.listings("labels.swap")
-        if (committed) {
-          (prior.listings.getOrElse("fold", Set.empty[String]) ++
-              prior.listings.getOrElse("tombfold", Set.empty[String]))
-            .foreach(f => StageSwap.remove(fs,
-              new org.apache.hadoop.fs.Path(f)))
-          for (d <- Seq(store.deltaDir, store.tombDir)) {
-            if (UpdateMarker.listFiles(fs, d).isEmpty)
-              StageSwap.remove(fs, new org.apache.hadoop.fs.Path(d))
-            spark.catalog.refreshByPath(d)
-          }
-        }
-        UpdateMarker.delete(fs, marker)
-      }
-    val applied = UpdateMarker.settle(spark, fs, store.dir, "labels",
-      stageMap(store), batchId)
-    if (counterSuspect) {
-      // settlement is done (healed or rolled forward) — the masked
-      // signatures ARE the live membership now; recompute the exact
-      // counter from them and clear the sentinel. A crash anywhere
-      // in here leaves the sentinel, and liveCount stays exact via
-      // its slow path until the next writer re-runs this block.
-      writeStats(spark, store,
-        store.signatures(spark).agg(count(lit(1)).as("n")))
-      StageSwap.remove(fs, staleSentinel(store))
-    }
-    applied
+  private def settleEntry(spark: SparkSession, fs: FileSystem,
+      store: Store, batchId: Option[String]): Boolean = {
+    StoreVersions.sweepOrphans(fs, store.dir, Stages)
+    UpdateMarker.settle(spark, fs, store.dir, "stats",
+      stageMap(spark, store), batchId)
   }
 
   /** Deterministic catalog name for `storeDir`'s bucketed labels
@@ -318,16 +297,59 @@ object CurationStore {
       .digest(storeDir.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
-  /** Run the three stages over `docs`, overwriting `storeDir`. Dials
-    * mirror the battery's near-dup defaults (q43/q49): 16 hashes in
-    * 4 bands, estimate cut 0.5.
+  /** The bucketed labels write — one definition for [[build]] and
+    * [[compact]], both writing a FRESH labels version: bucketBy +
+    * sortBy through a THROWAWAY staging catalog name (dropped
+    * immediately — metadata only; the data files stay at `path`).
+    * The REAL table name is registered at `path` only after the
+    * manifest flip commits it ([[registerBucketedLabels]]) so no
+    * reader can resolve the name into an uncommitted version. */
+  private def writeBucketedLabelsStaged(rows: DataFrame, idCol: String,
+      buckets: Int, table: String, path: String): Unit = {
+    val s = rows.sparkSession
+    val staging = s"${table}_staging"
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    rows.write.format("parquet")
+      .bucketBy(buckets, idCol).sortBy(idCol)
+      .option("path", StoreDirs.catalogSafe(path))
+      .mode("overwrite").saveAsTable(staging)
+    s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only; files stay
+  }
+
+  /** (Re-)register the real bucketed table name at a COMMITTED
+    * labels version. `schemaDDL` comes from the written frame, not a
+    * re-read — deletion can legitimately empty the stage to zero
+    * files, which a raw parquet read cannot infer a schema from.
+    * Readers between the drop and the create (and after a crash
+    * inside the window) ride the manifest-resolved file scan —
+    * correct rows, layout property lost — until the next [[compact]]
+    * re-registers; the [[Snapshot.labelsBase]] location guard keeps
+    * a pinned reader off a table already moved to a newer version.
+    */
+  private def registerBucketedLabels(s: SparkSession, name: String,
+      path: String, buckets: Int, idCol: String,
+      schemaDDL: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    s.sql(s"CREATE TABLE $name ($schemaDDL) USING parquet " +
+      s"CLUSTERED BY ($idCol) SORTED BY ($idCol) " +
+      s"INTO $buckets BUCKETS " +
+      s"LOCATION '${StoreDirs.catalogSafe(path)}'")
+  }
+
+  /** Run the three stages over `docs` and write the store under
+    * `storeDir` as a fresh SNAPSHOT, committed by one manifest flip
+    * — a store already serving from `storeDir` keeps serving the old
+    * snapshot until the flip, and pinned readers keep their files
+    * through retention (label serving rides THROUGH the rebuild).
+    * Dials mirror the battery's near-dup defaults (q43/q49): 16
+    * hashes in 4 bands, estimate cut 0.5.
     *
     * `bucketLabels` > 0 writes the labels stage `bucketBy` `idCol`
     * into that many buckets (registered as an external catalog table
-    * over `storeDir/labels` — bucketing is catalog metadata). This
-    * is the serving layout for the cluster-scale claim above: with
-    * the corpus bucketed by the same key and count, a consumer's
-    * label join plans with NO exchange on either side
+    * over the committed version — bucketing is catalog metadata).
+    * This is the serving layout for the cluster-scale claim above:
+    * with the corpus bucketed by the same key and count, a
+    * consumer's label join plans with NO exchange on either side
     * (CurationStoreSpec pins the zero-exchange shape). A bucketed
     * store stays MAINTAINABLE: [[update]] folds batches into the
     * plain-parquet delta stage beside the base, [[labelJoin]] keeps
@@ -341,59 +363,64 @@ object CurationStore {
       maxBucketSize: Long = Long.MaxValue,
       bucketLabels: Int = 0): Store = {
     val spark = docs.sparkSession
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // settle the directory's previous life: a VERSIONED previous
+    // life keeps its committed snapshot — serve-through-rebuild —
+    // shedding only orphan version dirs; a PRE-VERSIONING or foreign
+    // layout is reset wholesale. Stale markers/_applied clear either
+    // way (a rebuild resets batch-id lineage; a crashed update's
+    // marker would "heal" fresh files against a stale snapshot).
+    if (StoreVersions.read(fs, storeDir).isEmpty)
+      for (st <- Stages ++ Seq("labels.next", "labels.old",
+          "stats.next", "stats.old", "stats_stale"))
+        StageSwap.remove(fs, new Path(s"$storeDir/$st"))
+    else StoreVersions.sweepOrphans(fs, storeDir, Stages)
+    UpdateMarker.clear(fs, storeDir)
     // stage 1 — signatures: one partition-local pass over the text
     // (the only stage that touches the corpus)
+    val sigV = StoreVersions.next(fs, storeDir, "signatures")
     Dedup.minhashSignatures(docs, idCol, textCol, numHashes)
-      .write.mode("overwrite").parquet(s"$storeDir/signatures")
+      .write.mode("overwrite").parquet(sigV)
     // stage 2 — candidate pairs from the STORED signatures: band
     // bucket self-join + estimate threshold, raw text never re-read
+    val pairsV = StoreVersions.next(fs, storeDir, "pairs")
     Dedup.estimatePairsFromSignatures(
-        spark.read.parquet(s"$storeDir/signatures"),
+        spark.read.parquet(sigV),
         idCol, numHashes, numBands, maxBucketSize)
       .filter(col("est_jaccard") >= minEst)
-      .write.mode("overwrite").parquet(s"$storeDir/pairs")
+      .write.mode("overwrite").parquet(pairsV)
     // stage 3 — cluster labels: the components fixpoint runs ONCE,
     // its write is its materialization, its cache is released here
     val fixpoint = Dedup.clusters(
-      spark.read.parquet(s"$storeDir/pairs"), "a", "b")
+      spark.read.parquet(pairsV), "a", "b")
     val labelRows = fixpoint.select(col("id").as(idCol), col("cluster"))
+    val labelsV = StoreVersions.next(fs, storeDir, "labels")
     val table =
       if (bucketLabels > 0) {
-        val name = tableNameFor(storeDir)
-        labelRows.write.format("parquet")
-          .bucketBy(bucketLabels, idCol).sortBy(idCol)
-          .option("path", StoreDirs.catalogSafe(s"$storeDir/labels"))
-          .mode("overwrite").saveAsTable(name)
-        Some(name)
+        writeBucketedLabelsStaged(labelRows, idCol, bucketLabels,
+          tableNameFor(storeDir), labelsV)
+        Some(tableNameFor(storeDir))
       } else {
-        labelRows.write.mode("overwrite").parquet(s"$storeDir/labels")
+        labelRows.write.mode("overwrite").parquet(labelsV)
         None
       }
+    val labelSchema = labelRows.schema.toDDL
     fixpoint.unpersist()
-    // a rebuild resets the store wholesale — clear any protocol
-    // files from the directory's previous life (stale _applied ids
-    // could alias a fresh producer's restarted batch numbering) and
-    // any label delta (the fresh base already holds every label)
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    UpdateMarker.clear(fs, storeDir)
-    StageSwap.remove(fs,
-      new org.apache.hadoop.fs.Path(s"$storeDir/labels_delta"))
-    StageSwap.remove(fs,
-      new org.apache.hadoop.fs.Path(s"$storeDir/tombstones"))
-    val store = Store(storeDir, idCol, table)
     // exact live counter seeded from the fresh signatures (no
-    // tombstones exist — unmasked count is the live membership);
-    // previous-life staleness state dies with the rebuild
-    StageSwap.remove(fs, staleSentinel(store))
-    StageSwap.remove(fs,
-      new org.apache.hadoop.fs.Path(s"${statsDir(store)}.old"))
-    StageSwap.remove(fs,
-      new org.apache.hadoop.fs.Path(s"${statsDir(store)}.next"))
-    spark.read.parquet(s"$storeDir/signatures")
-      .agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(statsDir(store))
-    store
+    // tombstones exist — unmasked count is the live membership)
+    val statsV = StoreVersions.next(fs, storeDir, "stats")
+    spark.read.parquet(sigV).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(statsV)
+    val deltaV = StoreVersions.nextEmpty(fs, storeDir, "labels_delta")
+    val tombV = StoreVersions.nextEmpty(fs, storeDir, "tombstones")
+    StoreVersions.flip(fs, storeDir, Map("signatures" -> sigV,
+      "pairs" -> pairsV, "labels" -> labelsV, "labels_delta" -> deltaV,
+      "tombstones" -> tombV, "stats" -> statsV))
+    table.foreach(n => registerBucketedLabels(spark, n, labelsV,
+      bucketLabels, idCol, labelSchema))
+    StoreVersions.gc(spark, fs, storeDir, Stages)
+    Store(storeDir, idCol, table)
   }
 
   /** Incrementally fold a NEW batch of docs into an existing store —
@@ -415,12 +442,12 @@ object CurationStore {
     *    — linear in labeled docs + new pairs, independent of corpus
     *    text volume. A new doc bridging two old clusters merges them
     *    correctly because each old cluster id is itself a member
-    *    node. On a plain store the result replaces the labels stage
-    *    via write-to-temp + rename (a crash never leaves a
-    *    half-written stage); on a BUCKETED store the base table is
-    *    immutable and the result lands as the labels-that-differ
-    *    DELTA beside it (same rename-swap), keeping the serving
-    *    layout intact between [[compact]]s.
+    *    node. On a plain store the result lands as a fresh labels
+    *    VERSION; on a BUCKETED store the base table is immutable and
+    *    the result lands as a fresh version of the labels-that-differ
+    *    DELTA beside it, keeping the serving layout intact between
+    *    [[compact]]s. Either way the label commit and the exact
+    *    counter's additive fold ride ONE manifest flip.
     *
     * Equivalence `update(build(old), new) == build(old ∪ new)` is
     * exact at the default unguarded dials and spec-proven
@@ -431,19 +458,19 @@ object CurationStore {
     * `newDocs` ids must be disjoint from the stored corpus (the
     * caller's high-water contract, as in [[Dedup.dedupIncremental]]).
     *
-    * Crash/re-run discipline: the LABEL swap is the update's commit.
-    * An [[UpdateMarker]] written before stage 1 snapshots every
-    * stage's file listing, so a re-run after a crash first deletes
-    * the crashed attempt's partial signature/pair appends (files not
-    * in the snapshot) and rolls back a half-swapped label stage —
-    * making the re-run exactly-once instead of double-appending the
-    * batch's rows. Passing a `batchId` (non-empty — the empty string
-    * is the marker's "no key" encoding) additionally makes a re-run
-    * of an already-COMMITTED batch a detected no-op across EVERY
-    * crash window: the in-flight marker catches a crash before its
-    * own delete, the durable `_applied` record catches a crash
-    * between the delete and the caller's acknowledgment. Without
-    * one, that window is the caller's re-send risk.
+    * Crash/re-run discipline: the manifest flip is the update's
+    * commit. An [[UpdateMarker]] written before stage 1 snapshots
+    * every stage's file listing, so a re-run after a crash first
+    * deletes the crashed attempt's partial signature/pair appends
+    * (files not in the snapshot) — making the re-run exactly-once
+    * instead of double-appending the batch's rows; a crashed
+    * attempt's staged label/stats versions are orphans above the
+    * manifest, swept at entry. Passing a `batchId` (non-empty — the
+    * empty string is the marker's "no key" encoding) additionally
+    * makes a re-run of an already-COMMITTED batch a detected no-op
+    * across EVERY crash window: the in-flight marker catches a crash
+    * before its own delete, the durable `_applied` record catches a
+    * crash after it.
     *
     * SINGLE WRITER per store directory ([[UpdateMarker]] contract):
     * a second concurrent update fails loudly at its marker write.
@@ -455,100 +482,94 @@ object CurationStore {
     val spark = newDocs.sparkSession
     val idCol = store.idCol
     val hconf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(store.dir)
-      .getFileSystem(hconf)
+    val fs = new Path(store.dir).getFileSystem(hconf)
     def files(dir: String): Set[String] =
       UpdateMarker.listFiles(fs, dir)
-    val sigDir = s"${store.dir}/signatures"
-    val pairsDir = s"${store.dir}/pairs"
-    val labelsDir = s"${store.dir}/labels"
-    // the update's COMMIT stage: the whole labels stage for a plain
-    // store, the delta stage beside the bucketed base for a
-    // read-optimized one (the base table is immutable between
-    // compactions — the delta carries every label that differs)
-    val commitDir = stageMap(store)("labels")
     // heal + settle + replay-check + fresh marker: the ONE shared
-    // protocol definition ([[UpdateMarker.settle]] via the store's
-    // [[settleEntry]]); `labels` is the commit stage, sig/pairs/tombs
-    // the append-only sides whose partial files a pre-commit crash
-    // leaves behind
+    // protocol definition ([[UpdateMarker.settle]] via
+    // [[settleEntry]]); sig/pairs/tomb are the append-only sides
+    // whose partial files a pre-commit crash leaves behind
     if (settleEntry(spark, fs, store, batchId))
       return store // this very batch already applied — no-op
+    val snap = store.pin(spark)
     // re-adding a DELETED id would collide with its tombstone (masks
     // hide by id) — fail loudly; compact() frees the ids (the
     // TextIndexStore/AnnIndexStore rule)
-    store.tombstonesIfAny(spark).foreach { t =>
+    snap.tombstonesIfAny(spark).foreach { t =>
       require(newDocs.join(t.select(col(idCol)).distinct(),
           Seq(idCol), "left_semi").isEmpty,
         "batch re-adds tombstoned ids — run compact() first (removals " +
           "become physical and the tombstone set clears)")
     }
 
-    // stage 1 — shingle ONLY the batch, append; the before/after file
-    // diff recovers the appended rows as a COLUMNAR READ so no stage
-    // is ever computed twice (the signature stage is the source of
-    // truth from here on, mirroring build()'s lineage cuts)
-    val sigBefore = files(sigDir)
+    // stage 1 — shingle ONLY the batch, append INSIDE the current
+    // signatures version; the before/after file diff recovers the
+    // appended rows as a COLUMNAR READ so no stage is ever computed
+    // twice (the signature stage is the source of truth from here
+    // on, mirroring build()'s lineage cuts)
+    val sigBefore = files(snap.sigPath)
     Dedup.minhashSignatures(newDocs, idCol, textCol, numHashes)
-      .write.mode("append").parquet(sigDir)
-    spark.catalog.refreshByPath(sigDir)
-    val sigNewFiles = (files(sigDir) -- sigBefore).toSeq
+      .write.mode("append").parquet(snap.sigPath)
+    spark.catalog.refreshByPath(snap.sigPath)
+    val sigNewFiles = (files(snap.sigPath) -- sigBefore).toSeq
     val sigNew = spark.read.parquet(sigNewFiles: _*)
     // the stored side is tombstone-masked: a new doc must not pair
     // with a DELETED doc's signature
-    val sigOld = store.tombMask(spark,
+    val sigOld = snap.tombMask(spark,
       spark.read.parquet(sigBefore.toSeq: _*), Seq(idCol))
 
     // stage 2 — the pairs the batch adds, from stored signatures only
-    val pairsBefore = files(pairsDir)
+    val pairsBefore = files(snap.pairsPath)
     Dedup.estimatePairsForNewBatch(sigNew, sigOld, idCol, numHashes,
         numBands, maxBucketSize)
       .filter(col("est_jaccard") >= minEst)
-      .write.mode("append").parquet(pairsDir)
-    spark.catalog.refreshByPath(pairsDir)
+      .write.mode("append").parquet(snap.pairsPath)
+    spark.catalog.refreshByPath(snap.pairsPath)
     val pairsNew =
-      spark.read.parquet((files(pairsDir) -- pairsBefore).toSeq: _*)
+      spark.read.parquet((files(snap.pairsPath) -- pairsBefore).toSeq: _*)
 
     // stage 3 — fixpoint over stored-labels-as-edges + new pairs:
     // the graph is labeled docs + new pairs, NOT the corpus. The
     // stored side is the store's EFFECTIVE label map (plain stage,
     // or bucketed base overridden by the delta)
-    val edges = store.labels(spark)
+    val edges = snap.labels(spark)
       .select(col(idCol).as("a"), col("cluster").as("b"))
       .unionByName(pairsNew.select(col("a"), col("b")))
     val fixpoint = Dedup.clusters(edges, "a", "b")
     val newLab = fixpoint.select(col("id").as(idCol), col("cluster"))
     val staged = store.labelsTable match {
-      case Some(t) =>
+      case Some(_) =>
         // bucketed store: the base table is immutable — stage only
         // the labels that DIFFER from it (new docs + relabels); the
         // delta REPLACES wholesale (it is itself a fixpoint product,
         // not an append), so its size is bounded by drift since the
         // last compact(), not by update count
-        // same catalog fallback as labels()/labelJoin(): inside
-        // compact()'s DROP..CREATE window the table is absent — the
-        // diff only needs the base's ROWS, so a file scan is fully
-        // equivalent here and the scheduled update keeps running
-        val base = (if (spark.catalog.tableExists(t)) spark.table(t)
-                    else spark.read.parquet(s"${store.dir}/labels"))
+        val base = snap.labelsBase(spark)
           .select(col(idCol), col("cluster").as("_bc"))
         newLab.join(base, Seq(idCol), "left_outer")
           .filter(col("_bc").isNull || col("_bc") =!= col("cluster"))
           .select(col(idCol), col("cluster"))
       case None => newLab
     }
-    staged.write.mode("overwrite").parquet(s"$commitDir.next")
+    // COMMIT — the staged label version plus the exact-counter fold
+    // (prior counter crossJoined with the batch's one-row
+    // signable-doc count off the appended signature files, fused
+    // into the single stats write job), landed by ONE manifest flip:
+    // no crash point separates the committed labels from their
+    // counter
+    val commitStage =
+      if (store.labelsTable.isDefined) "labels_delta" else "labels"
+    val cV = StoreVersions.next(fs, store.dir, commitStage)
+    staged.write.mode("overwrite").parquet(cV)
     fixpoint.unpersist()
-    // the exact-counter fold: prior counter plus the batch's
-    // signable-doc count off the appended signature files (one row
-    // per doc), fused into the single writeStats job. Applied AFTER
-    // the commit under the live marker — a crash between leaves the
-    // marker, and settleEntry's sentinel recompute restores
-    // exactness before anyone trusts the counter
-    val folded = statsPlus(spark, store,
-      sigNew.agg(count(lit(1)).as("_dn")))
-    StageSwap.swapIn(spark, commitDir)
-    writeStats(spark, store, folded)
+    val sV = StoreVersions.next(fs, store.dir, "stats")
+    snap.stats(spark)
+      .crossJoin(sigNew.agg(count(lit(1)).as("_dn")))
+      .select((col("n") + col("_dn")).as("n"))
+      .write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, store.dir,
+      Map(commitStage -> cV, "stats" -> sV))
+    StoreVersions.gc(spark, fs, store.dir, Seq(commitStage, "stats"))
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
@@ -563,7 +584,7 @@ object CurationStore {
     *  - MEMBERSHIP is exact immediately: the doomed ids land in the
     *    append-only `tombstones` stage, every read masks against it
     *    (labels/labelJoin/signatures/both pair endpoints), and the
-    *    commit-stage swap drops their label rows physically (the
+    *    committed label version drops their rows physically (the
     *    whole labels stage on a plain store; the delta beside a
     *    bucketed base, whose base rows the mask covers). No deleted
     *    doc appears in any consumer join, pair report or cluster
@@ -578,20 +599,20 @@ object CurationStore {
     *    stored pairs minus those touching deleted docs).
     *
     * Crash/replay discipline is [[update]]'s verbatim: tombstone
-    * appends are a healed side stage, the labels swap is the commit,
-    * `batchId` makes every replay window a detected no-op (the
-    * `_applied` record additionally witnesses commitment when the
-    * swap replaced zero files — an empty delta). Ids already deleted
+    * appends are a healed side stage, the manifest flip (label
+    * version + decremented counter, atomic) is the commit, `batchId`
+    * makes every replay window a detected no-op. Ids already deleted
     * or never stored are ignored.
     */
   def delete(store: Store, ids: DataFrame,
       batchId: Option[String] = None): Store = {
     val spark = ids.sparkSession
     val idCol = store.idCol
-    val fs = new org.apache.hadoop.fs.Path(store.dir)
+    val fs = new Path(store.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (settleEntry(spark, fs, store, batchId))
       return store // this very batch already applied — no-op
+    val snap = store.pin(spark)
     // append only CURRENTLY-STORED ids: signatures(spark) is the
     // masked membership stage, so an id already tombstoned — or
     // NEVER STORED (a takedown arriving before ingest, a typo'd id)
@@ -604,52 +625,53 @@ object CurationStore {
     // Evaluated at the write below, before the append lands —
     // re-runs cannot grow the set.
     val doomed = ids.select(col(idCol)).distinct()
-      .join(store.signatures(spark).select(col(idCol)), Seq(idCol),
+      .join(snap.signatures(spark).select(col(idCol)), Seq(idCol),
         "left_semi")
-    val tombBefore = UpdateMarker.listFiles(fs, store.tombDir)
-    doomed.write.mode("append").parquet(store.tombDir)
-    spark.catalog.refreshByPath(store.tombDir)
+    val tombBefore = UpdateMarker.listFiles(fs, snap.tombsPath)
+    doomed.write.mode("append").parquet(snap.tombsPath)
+    spark.catalog.refreshByPath(snap.tombsPath)
     // the counter decrement is EXACTLY the appended tombstone rows,
     // read back off the listing diff — re-evaluating `doomed` now
     // would see the just-masked signatures and count zero
     val tombNew =
-      (UpdateMarker.listFiles(fs, store.tombDir) -- tombBefore).toSeq
+      (UpdateMarker.listFiles(fs, snap.tombsPath) -- tombBefore).toSeq
     val dnNeg = if (tombNew.isEmpty)
         spark.range(1).select(lit(0L).as("_dn"))
       else spark.read.parquet(tombNew: _*)
         .agg((count(lit(1)) * -1).as("_dn"))
-    // commit: swap the stage the settle protocol watches — the
-    // effective labels minus the deleted docs (labels(spark) is
-    // already masked against the just-appended tombstones) on a
-    // plain store, the delta minus the deleted docs beside a
-    // bucketed base
-    val commitDir = stageMap(store)("labels")
+    // stage the label version the flip commits: the effective labels
+    // minus the deleted docs (labels(spark) is already masked
+    // against the just-appended tombstones) on a plain store, the
+    // delta minus the deleted docs beside a bucketed base
     val staged = store.labelsTable match {
       case Some(_) =>
-        store.deltaIfAny(spark)
-          .map(d => store.tombMask(spark, d, Seq(idCol)))
+        snap.deltaIfAny(spark)
+          .map(d => snap.tombMask(spark, d, Seq(idCol)))
           .getOrElse {
             // an empty staged delta needs only the labels SCHEMA —
-            // taken from the catalog, which carries it even when a
-            // re-resolve compact emptied the base to ZERO files
-            // (deletion can legitimately empty a stage, the
-            // compactReResolve rule; a raw parquet read of a
-            // zero-file dir cannot infer a schema)
-            store.labelsTable.filter(spark.catalog.tableExists)
-              .map(spark.table)
-              .getOrElse(spark.read.parquet(s"${store.dir}/labels"))
-              .filter(lit(false))
+            // taken from the base (catalog table or pinned files;
+            // the catalog carries it even when a re-resolve compact
+            // emptied the base to ZERO files — deletion can
+            // legitimately empty a stage, and a raw parquet read of
+            // a zero-file dir cannot infer a schema)
+            snap.labelsBase(spark).filter(lit(false))
           }
-      case None => store.labels(spark)
+      case None => snap.labels(spark)
     }
-    staged.write.mode("overwrite").parquet(s"$commitDir.next")
-    // exact-counter fold after the commit, under the live marker —
-    // the same crash discipline as update()'s, fused into the single
-    // writeStats job (the negated tombstone-row count is the delta;
-    // the stats read is lazy but resolves files before its own swap)
-    val folded = statsPlus(spark, store, dnNeg)
-    StageSwap.swapIn(spark, commitDir)
-    writeStats(spark, store, folded)
+    val commitStage =
+      if (store.labelsTable.isDefined) "labels_delta" else "labels"
+    val cV = StoreVersions.next(fs, store.dir, commitStage)
+    staged.write.mode("overwrite").parquet(cV)
+    // COMMIT: label version + decremented exact counter in ONE flip
+    // (the negated tombstone-row count is the delta, fused into the
+    // single stats write job)
+    val sV = StoreVersions.next(fs, store.dir, "stats")
+    snap.stats(spark).crossJoin(dnNeg)
+      .select((col("n") + col("_dn")).as("n"))
+      .write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, store.dir,
+      Map(commitStage -> cV, "stats" -> sV))
+    StoreVersions.gc(spark, fs, store.dir, Seq(commitStage, "stats"))
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store
@@ -663,36 +685,29 @@ object CurationStore {
     * zero-exchange again). Also the upgrade path: compacting a PLAIN
     * store buckets it in place.
     *
-    * Crash discipline: the staged bucketed files commit through the
-    * same [[StageSwap]] rename protocol as every stage write — a
-    * crash mid-compact leaves the old layout readable and a re-run
-    * completes. The catalog entry is dropped BEFORE the file commit
-    * and re-created after it, so no crash point leaves bucket
-    * metadata describing files of a different layout; inside that
-    * window (and after any crash in it) `labels()`/`labelJoin()`
-    * fall back to scanning the files — correct rows, one extra
-    * exchange — and re-invoking `compact` completes the
-    * registration. At cluster scale that registration is the
-    * metastore update a maintenance window performs, not part of
-    * the data path.
+    * Crash discipline: the staged bucketed files land in a fresh
+    * labels version and commit — together with the emptied delta —
+    * by ONE manifest flip; a crash mid-compact leaves the old
+    * snapshot serving and only orphan version dirs behind (swept at
+    * the next writer's entry), and pinned readers serve THROUGH the
+    * compaction from their snapshot's files. The catalog name
+    * re-registers at the committed version only after the flip
+    * ([[registerBucketedLabels]]); a crash inside that window leaves
+    * readers on the manifest-resolved file scan — correct rows, one
+    * extra exchange — until a re-run completes the registration. At
+    * cluster scale that registration is the metastore update a
+    * maintenance window performs, not part of the data path.
     *
     * SINGLE WRITER: compact participates in the [[UpdateMarker]]
     * protocol like [[update]] — it settles a crashed predecessor at
     * entry (healing that update's partial appends BEFORE reading the
     * labels it folds) and holds the in-flight marker for its run, so
     * simultaneous writer entries collide loudly at the fail-if-exists
-    * marker write. A writer entering LATER (whose settle consumes the
-    * held marker — a marker cannot distinguish crashed from live)
-    * still cannot lose labels: the delta removal below is limited to
-    * the files this run actually read and folded, so a delta swapped
-    * in mid-compaction survives as an outstanding override on the
-    * new base (delta rows are absolute (id, cluster) assignments,
-    * valid over any base).
+    * marker write.
     */
   def compact(s: SparkSession, store: Store, buckets: Int): Store = {
     require(buckets > 0, "buckets must be positive")
-    val labelsDir = s"${store.dir}/labels"
-    val fs = new org.apache.hadoop.fs.Path(store.dir)
+    val fs = new Path(store.dir)
       .getFileSystem(s.sessionState.newHadoopConf())
     // compact is a store WRITER and participates in the UpdateMarker
     // single-writer protocol like update(): settle a crashed
@@ -702,51 +717,23 @@ object CurationStore {
     // fail-if-exists write. (batchId None: compaction is
     // maintenance, not a batch — it never records `_applied`.)
     settleEntry(s, fs, store, batchId = None)
-    // snapshot the delta files THIS run folds: only these are
-    // removed after the commit. Even if writer discipline is
-    // violated and an update swaps a fresh delta in mid-compact,
-    // that delta's files (new names, wholesale replacement) survive
-    // as an outstanding override on the new base — delta rows are
-    // ABSOLUTE (id, cluster) assignments, valid over any base —
-    // rather than being silently deleted with the folded ones.
-    val foldedDelta = UpdateMarker.listFiles(fs, store.deltaDir)
+    val snap = store.pin(s)
     val name = tableNameFor(store.dir)
-    val staging = s"${name}_staging"
-    if (store.tombstonesIfAny(s).isDefined)
-      return compactReResolve(s, fs, store, buckets, foldedDelta,
-        labelsDir, name, staging)
-    s.sql(s"DROP TABLE IF EXISTS $staging")
+    if (snap.tombstonesIfAny(s).isDefined)
+      return compactReResolve(s, fs, store, snap, buckets, name)
     // stage the EFFECTIVE labels (base ∪ delta, or the plain stage)
-    // bucketed at labels.next — the read side is untouched while the
-    // write runs, the swap below is the commit
-    store.labels(s).write.format("parquet")
-      .bucketBy(buckets, store.idCol).sortBy(store.idCol)
-      .option("path", StoreDirs.catalogSafe(s"$labelsDir.next"))
-      .mode("overwrite").saveAsTable(staging)
-    s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only; files stay
-    // drop the catalog entry BEFORE the file commit: between here
-    // and the CREATE below no table exists, so stale bucket
-    // metadata can never describe the new files (a crash after the
-    // swap with a CHANGED bucket count would otherwise hand
-    // consumers a false co-partitioning assumption); readers degrade
-    // to the labels()/labelJoin() file-scan fallback — correct rows,
-    // one extra exchange — until the re-registration lands
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    StageSwap.swapIn(s, labelsDir)          // commit point
-    // the FOLDED delta files are now in the new base — drop them
-    // (and the stage dir when nothing newer landed), then point the
-    // store's deterministic table name at the committed files
-    // (bucket layout survives only through catalog metadata; the
-    // bucket ids ride the part-file names the rename preserved)
-    foldedDelta.foreach(f =>
-      StageSwap.remove(fs, new org.apache.hadoop.fs.Path(f)))
-    if (UpdateMarker.listFiles(fs, store.deltaDir).isEmpty)
-      StageSwap.remove(fs, new org.apache.hadoop.fs.Path(store.deltaDir))
-    val schema = s.read.parquet(labelsDir).schema.toDDL
-    s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
-      s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
-      s"INTO $buckets BUCKETS " +
-      s"LOCATION '${StoreDirs.catalogSafe(labelsDir)}'")
+    // bucketed into a fresh labels version — the read side is
+    // untouched while the write runs, the flip below is the commit
+    val effective = snap.labels(s)
+    val labelSchema = effective.schema.toDDL
+    val lV = StoreVersions.next(fs, store.dir, "labels")
+    writeBucketedLabelsStaged(effective, store.idCol, buckets, name, lV)
+    val deltaV = StoreVersions.nextEmpty(fs, store.dir, "labels_delta")
+    StoreVersions.flip(fs, store.dir,
+      Map("labels" -> lV, "labels_delta" -> deltaV)) // commit point
+    registerBucketedLabels(s, name, lV, buckets, store.idCol,
+      labelSchema)
+    StoreVersions.gc(s, fs, store.dir, Stages)
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     Store(store.dir, store.idCol, Some(name))
   }
@@ -756,84 +743,57 @@ object CurationStore {
     * cluster topology refreshes — after it the store equals a
     * rebuild without the deleted docs, stage for stage.
     *
-    *  1. signatures and pairs rewrite through their own stage swaps
-    *     from the MASKED views (rows of deleted docs dropped);
+    *  1. signatures and pairs rewrite into fresh versions from the
+    *     MASKED views (rows of deleted docs dropped);
     *  2. the components fixpoint re-runs over the REMAINING pairs —
     *     the step that splits clusters a deleted bridge doc held
     *     together (reader-side masks alone cannot, which is why the
     *     delete scaladoc defers topology to here);
-    *  3. the re-resolved labels land as the fresh bucketed base
-    *     (the normal compact's DROP..CREATE catalog discipline);
-    *  4. the folded delta and the absorbed tombstone files clear.
+    *  3. the re-resolved labels land as the fresh bucketed base;
+    *  4. the delta and tombstone stages flip to fresh EMPTY versions.
     *
-    * Crash discipline: the held marker is MAINTENANCE-kind (every
-    * listing keyed `.swap` — settlement never heals these stages'
-    * listing diffs, which after the committed swaps ARE the new
-    * data), ordered so the labels swap commits LAST: [[settleEntry]]
-    * rolls an interrupted run BACK (stage recovers; tombstones and
-    * delta still outstanding, masks still serving, a re-run
-    * completes — the already-swapped sig/pairs rewrites are
-    * idempotent no-ops) and rolls a COMMITTED run FORWARD (the
-    * `fold`/`tombfold` listings finish clearing, so a stale delta
-    * row can never override a re-resolved label and re-deleted ids
-    * can never re-mask).
+    * All five stages commit in ONE manifest flip — atomic, which is
+    * what retires the old layout's maintenance-marker ordering and
+    * its fold/tombfold roll-forward: no crash point can pair a
+    * re-resolved base with a stale delta override or a re-deleted
+    * id's mask. The counter does not flip — deletion already
+    * decremented it exactly, and re-resolution changes topology,
+    * never membership.
     */
-  private def compactReResolve(s: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, store: Store, buckets: Int,
-      foldedDelta: Set[String], labelsDir: String, name: String,
-      staging: String): Store = {
-    val sigDir = s"${store.dir}/signatures"
-    val pairsDir = s"${store.dir}/pairs"
-    val marker = UpdateMarker.markerPath(store.dir)
-    val absorbedTombs = UpdateMarker.listFiles(fs, store.tombDir)
-    // swap the settle-held update-shaped marker for the maintenance
-    // kind: this run's commits are stage swaps, never appends
-    UpdateMarker.delete(fs, marker)
-    UpdateMarker.write(fs, marker, UpdateMarker.State("", Map(
-      "sig.swap" -> UpdateMarker.listFiles(fs, sigDir),
-      "pairs.swap" -> UpdateMarker.listFiles(fs, pairsDir),
-      "labels.swap" -> UpdateMarker.listFiles(fs, labelsDir),
-      "fold" -> foldedDelta, "tombfold" -> absorbedTombs)))
+  private def compactReResolve(s: SparkSession, fs: FileSystem,
+      store: Store, snap: Snapshot, buckets: Int,
+      name: String): Store = {
     // deletion can legitimately EMPTY a stage (every pair touched a
     // deleted doc) — zero-file parquet dirs can't infer a schema, so
     // the rewrites below capture their schemas from the pre-rewrite
-    // views and the CREATE below uses the label frame's own schema
-    val pairsSchema = store.pairs(s).schema
-    // 1. physical removal (masked reads; idempotent on re-run)
-    store.signatures(s)
-      .write.mode("overwrite").parquet(s"$sigDir.next")
-    StageSwap.swapIn(s, sigDir)
-    store.pairs(s)
-      .write.mode("overwrite").parquet(s"$pairsDir.next")
-    StageSwap.swapIn(s, pairsDir)
-    // 2. + 3. re-resolve over the remaining pairs, stage bucketed
+    // views and the registration uses the label frame's own schema
+    val pairsSchema = snap.pairs(s).schema
+    // 1. physical removal (masked reads) into fresh versions
+    val sigV = StoreVersions.next(fs, store.dir, "signatures")
+    snap.signatures(s).write.mode("overwrite").parquet(sigV)
+    val pairsV = StoreVersions.next(fs, store.dir, "pairs")
+    snap.pairs(s).write.mode("overwrite").parquet(pairsV)
+    // 2. + 3. re-resolve over the remaining pairs (read off the
+    // staged version — lineage cut without waiting for the commit),
+    // stage bucketed as the fresh base
     val fixpoint = Dedup.clusters(
-      s.read.schema(pairsSchema).parquet(pairsDir), "a", "b")
+      s.read.schema(pairsSchema).parquet(pairsV), "a", "b")
     val labelRows = fixpoint
       .select(col("id").as(store.idCol), col("cluster"))
     val labelSchema = labelRows.schema.toDDL
-    s.sql(s"DROP TABLE IF EXISTS $staging")
-    labelRows.write.format("parquet")
-      .bucketBy(buckets, store.idCol).sortBy(store.idCol)
-      .option("path", StoreDirs.catalogSafe(s"$labelsDir.next"))
-      .mode("overwrite").saveAsTable(staging)
-    s.sql(s"DROP TABLE IF EXISTS $staging") // metadata only
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    StageSwap.swapIn(s, labelsDir) // the roll-forward commit witness
+    val lV = StoreVersions.next(fs, store.dir, "labels")
+    writeBucketedLabelsStaged(labelRows, store.idCol, buckets, name, lV)
     fixpoint.unpersist()
-    // 4. clear what this run folded; cleanup empty stage dirs
-    (foldedDelta ++ absorbedTombs).foreach(f =>
-      StageSwap.remove(fs, new org.apache.hadoop.fs.Path(f)))
-    for (d <- Seq(store.deltaDir, store.tombDir)) {
-      if (UpdateMarker.listFiles(fs, d).isEmpty)
-        StageSwap.remove(fs, new org.apache.hadoop.fs.Path(d))
-      s.catalog.refreshByPath(d)
-    }
-    s.sql(s"CREATE TABLE $name ($labelSchema) USING parquet " +
-      s"CLUSTERED BY (${store.idCol}) SORTED BY (${store.idCol}) " +
-      s"INTO $buckets BUCKETS " +
-      s"LOCATION '${StoreDirs.catalogSafe(labelsDir)}'")
-    UpdateMarker.delete(fs, marker)
+    // 4. fresh empty delta + tombstones, committed with everything
+    val deltaV = StoreVersions.nextEmpty(fs, store.dir, "labels_delta")
+    val tombV = StoreVersions.nextEmpty(fs, store.dir, "tombstones")
+    StoreVersions.flip(fs, store.dir, Map("signatures" -> sigV,
+      "pairs" -> pairsV, "labels" -> lV, "labels_delta" -> deltaV,
+      "tombstones" -> tombV)) // commit point
+    registerBucketedLabels(s, name, lV, buckets, store.idCol,
+      labelSchema)
+    StoreVersions.gc(s, fs, store.dir, Stages)
+    UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     Store(store.dir, store.idCol, Some(name))
   }
 
@@ -846,37 +806,40 @@ object CurationStore {
     * `corpus.join(store.labels(s), idCol)` (CurationStoreSpec pins
     * both the equality and the exchange count); joining the union
     * frame directly would forget the base's bucketing and re-shuffle
-    * the corpus.
+    * the corpus. Pins ONE snapshot for all its reads.
     */
   def labelJoin(corpus: DataFrame, store: Store): DataFrame = {
     val s = corpus.sparkSession
     val idCol = store.idCol
+    val snap = store.pin(s)
     // deleted docs leave every serving join immediately (the labels()
     // mask, applied here to the bucketed fast paths too — a broadcast
     // anti-join preserves the base's bucketed partitioning)
-    def masked(df: DataFrame): DataFrame = store.tombMask(s, df, Seq(idCol))
+    def masked(df: DataFrame): DataFrame =
+      snap.tombMask(s, df, Seq(idCol))
     store.labelsTable match {
-      // the tableExists guard mirrors labels(): inside compact()'s
-      // re-registration window the join degrades to the plain-scan
-      // shape (one exchange) instead of failing
-      case t if t.filter(s.catalog.tableExists).isEmpty =>
-        corpus.join(store.labels(s), idCol)
-      case Some(t) =>
+      case Some(t) if s.catalog.tableExists(t) &&
+          TextIndexStore.tableLocationMatches(s, t, snap.labelsPath) =>
         val base = s.table(t)
-        store.deltaIfAny(s) match {
+        snap.deltaIfAny(s) match {
           case None => masked(corpus.join(base, idCol))
-          case Some(delta) if !deltaBroadcastable(s, store) =>
+          case Some(_) if !deltaBroadcastable(s, snap) =>
             // delta outgrew the broadcast ceiling (compact() is
             // overdue): the zero-exchange claim is void either way,
             // so degrade to the one-exchange union shape instead of
             // OOMing a broadcast (see [[DeltaBroadcastMaxBytes]])
-            corpus.join(store.labels(s), idCol)
+            corpus.join(snap.labels(s), idCol)
           case Some(delta) =>
             masked(corpus.join(base, idCol)
               .join(broadcast(delta.select(col(idCol))),
                 Seq(idCol), "left_anti")
               .unionByName(corpus.join(broadcast(delta), idCol)))
         }
+      // the location-guard mirrors labelsBase(): a plain store, or
+      // inside compact()'s re-registration window (or pinned behind
+      // a newer version) — the join degrades to the plain-scan shape
+      // (one exchange) instead of failing or mixing versions
+      case _ => corpus.join(snap.labels(s), idCol)
     }
   }
 

@@ -133,9 +133,11 @@ class CurationStoreSpec extends SparkSpec {
     // the delta stage, the base table's files are untouched
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val baseFiles = UpdateMarker.listFiles(fs, s"$wh/store/labels")
+    val basePath = bucketed.pin(spark).labelsPath
+    val baseFiles = UpdateMarker.listFiles(fs, basePath)
     CurationStore.update(bucketed, odds, "text")
-    assert(UpdateMarker.listFiles(fs, s"$wh/store/labels") == baseFiles,
+    assert(bucketed.pin(spark).labelsPath == basePath &&
+        UpdateMarker.listFiles(fs, basePath) == baseFiles,
       "the bucketed base must be immutable under update")
     assert(bucketed.deltaIfAny(spark).exists(_.count() > 0),
       "the batch's label changes must land in the delta")
@@ -167,10 +169,10 @@ class CurationStoreSpec extends SparkSpec {
         docs.join(store.labels(spark), "doc_id")
           .select(col("doc_id"), col("cluster"), col("source")),
         "labelJoin over base+delta")
-      // (b) compaction folds the delta in: dir gone, joins unchanged
+      // (b) compaction folds the delta in: the delta stage flips to
+      // a fresh EMPTY version, joins unchanged
       val compacted = CurationStore.compact(spark, bucketed, 8)
-      assert(!fs.exists(
-        new org.apache.hadoop.fs.Path(compacted.deltaDir)),
+      assert(compacted.deltaIfAny(spark).isEmpty,
         "compaction must clear the folded delta")
       val j2 = CurationStore.labelJoin(
         spark.table("docs_compact_spec"), compacted)
@@ -281,15 +283,20 @@ class CurationStoreSpec extends SparkSpec {
     val crashed = CurationStore.build(evens, "doc_id", "text", dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def listing(stage: String) =
-      UpdateMarker.listFiles(fs, s"$dir/$stage")
+    // the marker a real update writes: every stage's listing at its
+    // PINNED version path (the stageMap shape — including stats, the
+    // flip-commit stage whose unchanged listing marks "uncommitted")
+    val snap = crashed.pin(spark)
+    def files(p: String) = UpdateMarker.listFiles(fs, p)
     UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
       UpdateMarker.State("", Map(
-        "sig" -> listing("signatures"), "pairs" -> listing("pairs"),
-        "labels" -> listing("labels"))))
+        "sig" -> files(snap.sigPath), "pairs" -> files(snap.pairsPath),
+        "tomb" -> files(snap.tombsPath),
+        "labels" -> files(snap.labelsPath),
+        "stats" -> files(snap.statsPath))))
     Dedup.minhashSignatures(odds, "doc_id", "text", 16)
-      .write.mode("append").parquet(s"$dir/signatures")
-    spark.catalog.refreshByPath(s"$dir/signatures")
+      .write.mode("append").parquet(snap.sigPath)
+    spark.catalog.refreshByPath(snap.sigPath)
 
     // re-run the whole update — recovery must drop the partial append
     val rerun = CurationStore.update(crashed, odds, "text")
@@ -304,9 +311,9 @@ class CurationStoreSpec extends SparkSpec {
   }
 
   test("exact live-membership counter: liveCount == masked signature " +
-      "count through build/update/delete/compact, stays exact via the " +
-      "stale-sentinel slow path while a crash is unsettled, and is " +
-      "recomputed at settlement") {
+      "count through build/update/delete/compact, is COMMIT-ATOMIC " +
+      "with the store (a crashed update cannot skew it), and " +
+      "settlement heals the partial append back to equality") {
     val evens = docs.filter(col("doc_id") % 2 === 0)
     val odds = docs.filter(col("doc_id") % 2 === 1)
     val dir = java.nio.file.Files
@@ -327,43 +334,37 @@ class CurationStoreSpec extends SparkSpec {
     CurationStore.delete(st, doomed)
     assert(probe() == truth(), "re-deleting tombstoned ids drifted")
 
-    // sentinel slow path: with `stats_stale` planted (a crash died
-    // inside counter recovery) and the durable counter fabricated
-    // WRONG, liveCount must ignore the stale file and count the
-    // masked signatures instead — exact at every instant
+    // crash fabrication: a died update left its marker and a partial
+    // signature append inside the current signatures version. The
+    // counter flips in the SAME manifest flip as the label commit,
+    // so before settlement it still names the COMMITTED membership
+    // exactly (never a torn fold), even while the raw signature scan
+    // is skewed by the partial append; the next writer's settlement
+    // heals the append and restores scan == counter.
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/stats_stale"),
-      true).close()
-    spark.range(1).select(lit(-999L).as("n"))
-      .write.mode("overwrite").parquet(s"$dir/stats.next")
-    StageSwap.swapIn(spark, s"$dir/stats")
-    assert(probe() == truth(),
-      "sentinel slow path served the stale counter")
-
-    // crash fabrication: a died update left its marker and a partial
-    // signature append; the next writer's settlement must heal the
-    // append, recompute the counter exactly, and clear the sentinel
-    def listing(stage: String) =
-      UpdateMarker.listFiles(fs, s"$dir/$stage")
+    val snap = st.pin(spark)
+    def files(p: String) = UpdateMarker.listFiles(fs, p)
     val preTruth = truth()
     UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
       UpdateMarker.State("", Map(
-        "sig" -> listing("signatures"), "pairs" -> listing("pairs"),
-        "tomb" -> listing("tombstones"),
-        "labels" -> listing("labels"))))
+        "sig" -> files(snap.sigPath), "pairs" -> files(snap.pairsPath),
+        "tomb" -> files(snap.tombsPath),
+        "labels" -> files(snap.labelsPath),
+        "stats" -> files(snap.statsPath))))
     Dedup.minhashSignatures(
         docs.filter(col("doc_id") % 11 === 5)
           .withColumn("doc_id", col("doc_id") + 1000000),
         "doc_id", "text", 16)
-      .write.mode("append").parquet(s"$dir/signatures")
-    spark.catalog.refreshByPath(s"$dir/signatures")
+      .write.mode("append").parquet(snap.sigPath)
+    spark.catalog.refreshByPath(snap.sigPath)
+    assert(truth() > preTruth,
+      "fixture: the partial append must skew the raw scan")
+    assert(probe() == preTruth,
+      "commit-atomic counter skewed by an uncommitted append")
     CurationStore.compact(spark, st, buckets = 4)
-    assert(!fs.exists(
-        new org.apache.hadoop.fs.Path(s"$dir/stats_stale")),
-      "stale sentinel survived a completed settlement")
     assert(CurationStore.liveCount(spark, st) == preTruth,
-      "counter not restored to the healed membership at settlement")
+      "counter not preserved through settlement + compaction")
     assert(CurationStore.liveCount(spark, st) ==
       st.signatures(spark).count(),
       "counter != masked signatures after crash settlement")
@@ -377,10 +378,16 @@ class CurationStoreSpec extends SparkSpec {
     val store = CurationStore.build(evens, "doc_id", "text", dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def listing(stage: String) =
-      UpdateMarker.listFiles(fs, s"$dir/$stage")
-    val pre = Map("sig" -> listing("signatures"),
-      "pairs" -> listing("pairs"), "labels" -> listing("labels"))
+    // pre-update listings at the PINNED version paths (the marker a
+    // real update writes); after the update commits, the flipped
+    // stats stage resolves to a DIFFERENT directory, so the stale
+    // marker's listing-diff reads "committed"
+    val snap = store.pin(spark)
+    def files(p: String) = UpdateMarker.listFiles(fs, p)
+    val pre = Map("sig" -> files(snap.sigPath),
+      "pairs" -> files(snap.pairsPath), "tomb" -> files(snap.tombsPath),
+      "labels" -> files(snap.labelsPath),
+      "stats" -> files(snap.statsPath))
     CurationStore.update(store, odds, "text", batchId = Some("day-3"))
     val sigCount = store.signatures(spark).count()
     // resurrect the marker as if the post-commit delete never ran
@@ -450,16 +457,20 @@ class CurationStoreSpec extends SparkSpec {
     val expect = bucketed.labels(spark).collect().map(_.toString).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def listing(stage: String) =
-      UpdateMarker.listFiles(fs, s"$dir/$stage")
     // fabricate an update that crashed pre-commit: marker snapshots
-    // the current listings, a partial signature append sits beside
+    // the current PINNED listings (the stageMap shape — "labels"
+    // maps to the delta on a bucketed store), a partial signature
+    // append sits inside the current signatures version
+    val snap = bucketed.pin(spark)
+    def files(p: String) = UpdateMarker.listFiles(fs, p)
     val marker = UpdateMarker.markerPath(dir)
     UpdateMarker.write(fs, marker, UpdateMarker.State("b9",
-      Map("sig" -> listing("signatures"), "pairs" -> listing("pairs"),
-        "labels" -> listing("labels_delta"))))
+      Map("sig" -> files(snap.sigPath), "pairs" -> files(snap.pairsPath),
+        "tomb" -> files(snap.tombsPath),
+        "labels" -> files(snap.deltaPath),
+        "stats" -> files(snap.statsPath))))
     val junk = new org.apache.hadoop.fs.Path(
-      s"$dir/signatures/part-junk.parquet")
+      s"${snap.sigPath}/part-junk.parquet")
     docs.limit(1).select("doc_id").write.mode("overwrite")
       .parquet(s"$wh/junkfile")
     fs.rename(new org.apache.hadoop.fs.Path(
@@ -528,16 +539,16 @@ class CurationStoreSpec extends SparkSpec {
       assert(df.join(doomed, Seq("doc_id"), "left_semi").isEmpty,
         s"$what still serves a deleted doc")
     // replay (keyed) and re-run (keyless) grow nothing
-    val tombCount = spark.read.parquet(st.tombDir).count()
+    val tombCount = spark.read.parquet(st.tombDir(spark)).count()
     CurationStore.delete(st, doomed, Some("takedown"))
     CurationStore.delete(st, doomed)
-    assert(spark.read.parquet(st.tombDir).count() == tombCount)
+    assert(spark.read.parquet(st.tombDir(spark)).count() == tombCount)
     // deleting a NEVER-STORED id is a no-op: no tombstone row, and a
     // later update() of that id is not blocked by the re-add guard
     import spark.implicits._
     val phantomId = 999999999L
     CurationStore.delete(st, Seq(phantomId).toDF("doc_id"))
-    assert(spark.read.parquet(st.tombDir).count() == tombCount,
+    assert(spark.read.parquet(st.tombDir(spark)).count() == tombCount,
       "a never-stored id grew the tombstone set")
     CurationStore.update(st,
       Seq((phantomId, "phantom arrives after its takedown notice"))

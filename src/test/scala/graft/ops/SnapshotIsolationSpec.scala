@@ -116,6 +116,58 @@ class SnapshotIsolationSpec extends SparkSpec {
       "pinned search broke across the rebuild")
   }
 
+  test("CURATION: a labels reader held across update + delete + " +
+      "re-resolve compact (every stage rewritten) collects the " +
+      "pinned snapshot; fresh readers see the maintained store") {
+    spark.conf.set(StoreVersions.RetainVersions, "4")
+    try {
+      val st = CurationStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$tmp/cur-plain")
+      val expected = st.labels(spark)
+        .collect().map(_.toString).sorted.toSeq
+      val pinned = st.labels(spark) // plans (and pins) NOW
+      val pinnedSigs = st.signatures(spark)
+      val sigN = pinnedSigs.count()
+      CurationStore.update(st,
+        docs.filter(col("doc_id") % 2 === 1), "text")
+      CurationStore.delete(st,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      CurationStore.compact(spark, st, buckets = 4) // re-resolve path
+      assert(pinned.collect().map(_.toString).sorted.toSeq == expected,
+        "pinned labels leaked the concurrent maintenance")
+      assert(pinnedSigs.count() == sigN,
+        "pinned signatures leaked the concurrent maintenance")
+      val after = st.labels(spark).collect().map(_.toString).sorted.toSeq
+      assert(after != expected, "fixture: maintenance should change " +
+        "fresh reads")
+      assert(st.signatures(spark)
+        .filter(col("doc_id") % 7 === 3).isEmpty,
+        "fresh reads should exclude the deleted docs")
+    } finally spark.conf.unset(StoreVersions.RetainVersions)
+  }
+
+  test("CURATION bucketed: a labelJoin reader held across compact's " +
+      "table re-registration serves its snapshot (the catalog moved " +
+      "to the new version; the pin does not follow it)") {
+    val st0 = CurationStore.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      s"$tmp/cur-bucketed", bucketLabels = 4)
+    val corpus = docs.select("doc_id", "text")
+    val expected = CurationStore.labelJoin(corpus, st0)
+      .collect().map(_.toString).sorted.toSeq
+    val pinned = CurationStore.labelJoin(corpus, st0)
+    CurationStore.update(st0,
+      docs.filter(col("doc_id") % 2 === 1), "text")
+    CurationStore.compact(spark, st0, buckets = 4)
+    assert(pinned.collect().map(_.toString).sorted.toSeq == expected,
+      "pinned labelJoin broke across the re-registration")
+    val after = CurationStore.labelJoin(corpus, st0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after.size > expected.size,
+      "fresh labelJoin should see the folded batch")
+  }
+
   test("retention bounds the disk: after two maintenance cycles the " +
       "oldest version is GC'd (a pin older than retention expires, " +
       "the Iceberg contract)") {
