@@ -177,6 +177,57 @@ object CorpusStore {
     out
   }
 
+  /** Execute the [[Advisor]]'s advice — the operational loop CLOSED:
+    * read the signals, compact exactly the stores whose signals are
+    * overdue, touch nothing else. [[compact]] above is the blanket
+    * maintenance window (everything rewrites, advised or not);
+    * `maintain` is what a scheduler runs after every transaction —
+    * at 100 TB the difference is whether a 2-byte tombstone file
+    * triggers a corpus-wide re-resolve or nothing at all.
+    *
+    *  - `compact` advice executes per store (curation / ann / text /
+    *    stats) through the store's own compact — each under its own
+    *    [[UpdateMarker]] discipline, so a crash mid-maintain replays
+    *    like any other maintenance crash and non-advised stores are
+    *    provably untouched (spec-pinned by manifest equality).
+    *  - `rebuild` advice (the ANN recall floor) is NOT executed: a
+    *    re-train needs the raw corpus and the training dials, which
+    *    the stores deliberately do not persist. It stays in the
+    *    returned readout for the caller's scheduler — the advisor
+    *    tells the operator, the operator owns the re-train.
+    *  - the stats tier's compact re-derives from the LIVE corpus
+    *    ([[StatsStore.compact]]'s contract), so `liveCorpus` is
+    *    required exactly when that store's debt is due.
+    *
+    * Returns the maintained handles and the POST-maintenance advice
+    * readout (every executed action's row back at `ok`; `rebuild`
+    * rows passed through). Cost: the advisor's file listings + the
+    * advised compacts — an all-ok readout costs zero jobs.
+    */
+  def maintain(s: SparkSession, st: Stores, labelBuckets: Int = 8,
+      liveCorpus: Option[DataFrame] = None,
+      textCol: String = "text"): (Stores, DataFrame) = {
+    // the advice frame is ≤ 8 one-row probes — driver-sized by design
+    val due = Advisor.advise(s, st)
+      .filter(col("action") === "compact")
+      .select("store").distinct().collect()
+      .map(_.getString(0)).toSet
+    require(!due("stats") || liveCorpus.isDefined,
+      "the stats tier's sketch debt is due: its compact re-derives " +
+        "from the LIVE corpus — pass it")
+    val out = Stores(
+      if (due("curation")) CurationStore.compact(s, st.curation,
+        labelBuckets) else st.curation,
+      if (due("ann")) AnnIndexStore.compact(s, st.ann) else st.ann,
+      if (due("text")) TextIndexStore.compact(s, st.text) else st.text,
+      st.stats, st.sourceCol)
+    if (due("stats"))
+      st.stats.foreach(x => StatsStore.compact(x,
+        liveCorpus.get.select(col(textCol), col(st.sourceCol)),
+        textCol, st.sourceCol))
+    (out, Advisor.advise(s, out))
+  }
+
   /** Per-store LIVE membership counts — (curation, ann, text). The
     * operational split-brain probe: after every completed
     * transaction `ann == text` EXACTLY (both stores hold one row per

@@ -1678,22 +1678,28 @@ object SimilarityQueries {
       trainWhere = "vec_id % 5 != 4", encWhere = "vec_id % 10 != 7",
       bm25Where = "doc_id % 10 <> 7", labelWhere = "doc_id % 10 <> 7")))
 
-  /** The maintenance advisor over a full corpus-transaction
-    * lifecycle ([[graft.ops.Advisor.advise]]): build the four-store
-    * quad on a corpus slice, ingest a recrawl, take down a batch,
-    * compact, take down a SECOND batch — then ask the advisor. The
-    * expected advice is fully determined: every signal the compact
-    * just settled reads `ok` (tiny tombstones under the 32 MB
-    * ceilings, exactly one codes file per cell, no outstanding
-    * delta, no probe history in a fresh store dir), and the
-    * post-compact takedown's sketch debt — the one signal with no
-    * grace threshold — advises `compact` on the stats tier. The
-    * oracle IS that expected advice table (a VALUES literal: DuckDB
-    * cannot see the filesystem signals); the adversarial work —
-    * fabricating each overdue condition and asserting its action —
-    * lives in AdvisorSpec. Advisor cost is file listings and one-row
-    * reads; this query's measured cost is the store lifecycle it
-    * advises on.
+  /** The maintenance loop over a full corpus-transaction lifecycle,
+    * CLOSED ([[graft.ops.Advisor.advise]] →
+    * [[graft.ops.CorpusStore.maintain]] → advise again): build the
+    * four-store quad on a corpus slice, ingest a recrawl, take down
+    * a batch, compact, take down a SECOND batch — then ask the
+    * advisor, EXECUTE its advice, and ask again. The pre-maintain
+    * advice is fully determined: every signal the compact just
+    * settled reads `ok` (tiny tombstones under the 32 MB ceilings,
+    * exactly one codes file per cell, no outstanding delta, no probe
+    * history in a fresh store dir), and the post-compact takedown's
+    * sketch debt — the one signal with no grace threshold — advises
+    * `compact` on the stats tier. `maintain` then compacts exactly
+    * that tier (the serving stores' manifests provably untouched —
+    * AdvisorSpec pins it) and the post readout is all-`ok`. The
+    * oracle IS that expected before/after table (a VALUES literal:
+    * DuckDB cannot see the filesystem signals); the adversarial work
+    * — fabricating each overdue condition and asserting its action
+    * executes (or, for `rebuild`, passes through) — lives in
+    * AdvisorSpec. Advisor cost is file listings and one-row reads,
+    * and an all-ok maintain costs zero jobs; this query's measured
+    * cost is the store lifecycle it advises on plus the one advised
+    * stats re-derive.
     */
   val q176 = Q("q176_maintenance_advisor",
     (s, dir) => {
@@ -1721,18 +1727,25 @@ object SimilarityQueries {
       val d2 = corpus.filter(col("doc_id") % 9 === 3)
       CorpusStore.delete(st, d2.select("doc_id"), "adv-takedown-2",
         Some(d2))
-      Advisor.advise(s, st).select("store", "metric", "action")
+      val before = Advisor.advise(s, st)
+        .select("store", "metric", "action")
+      val live = corpus.filter(col("doc_id") % 9 =!= 0 &&
+        col("doc_id") % 9 =!= 3)
+      val (_, after) = CorpusStore.maintain(s, st,
+        liveCorpus = Some(live))
+      before.join(after.select(col("store"), col("metric"),
+          col("action").as("action_after")), Seq("store", "metric"))
         .orderBy("store", "metric")
     },
-    Some("""SELECT store, metric, action FROM (VALUES
-      | ('ann', 'codes_files_per_cell', 'ok'),
-      | ('ann', 'tombstone_bytes', 'ok'),
-      | ('curation', 'label_delta_bytes', 'ok'),
-      | ('curation', 'tombstone_bytes', 'ok'),
-      | ('stats', 'stale_sources', 'compact'),
-      | ('text', 'postings_delta_bytes', 'ok'),
-      | ('text', 'tombstone_bytes', 'ok'))
-      | AS t(store, metric, action)
+    Some("""SELECT store, metric, action, action_after FROM (VALUES
+      | ('ann', 'codes_files_per_cell', 'ok', 'ok'),
+      | ('ann', 'tombstone_bytes', 'ok', 'ok'),
+      | ('curation', 'label_delta_bytes', 'ok', 'ok'),
+      | ('curation', 'tombstone_bytes', 'ok', 'ok'),
+      | ('stats', 'stale_sources', 'compact', 'ok'),
+      | ('text', 'postings_delta_bytes', 'ok', 'ok'),
+      | ('text', 'tombstone_bytes', 'ok', 'ok'))
+      | AS t(store, metric, action, action_after)
       |ORDER BY store, metric""".stripMargin))
 
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,

@@ -151,4 +151,73 @@ class AdvisorSpec extends SparkSpec {
         "outstanding label delta did not advise compact")
     } finally spark.conf.unset(CurationStore.DeltaBroadcastMaxBytes)
   }
+
+  test("maintain executes exactly the advised compacts: due stores " +
+      "settle, untouched stores keep their manifests verbatim, and " +
+      "rebuild advice passes through unexecuted") {
+    val st = CorpusStore.build(corpus, "doc_id", "text", "embedding",
+      s"$tmp/maint", annDials = Some(dials), sourceCol = Some("source"))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifests(x: CorpusStore.Stores) = Seq(
+      StoreVersions.read(fs, x.curation.dir),
+      StoreVersions.read(fs, x.ann.dir),
+      StoreVersions.read(fs, x.text.dir))
+    val doomed = corpus.filter(col("doc_id") % 10 === 4)
+    CorpusStore.delete(st, doomed.select("doc_id"), "m1", Some(doomed))
+    val live = corpus.filter(col("doc_id") % 10 =!= 4)
+
+    // only the stats tier's debt is due (tiny tombstones sit under
+    // the 32 MB ceilings): maintain settles it and NOTHING else —
+    // the serving stores' manifests are byte-identical after
+    val servingBefore = manifests(st)
+    val (st1, after1) = CorpusStore.maintain(spark, st,
+      liveCorpus = Some(live))
+    assert(actions(after1)(("stats", "stale_sources")) == "ok",
+      "maintain did not settle the due sketch debt")
+    assert(manifests(st1) == servingBefore,
+      "maintain touched serving stores whose signals were all ok")
+    assert(st1.curation.tombstonesIfAny(spark).isDefined,
+      "fixture: the un-advised tombstones should still be outstanding")
+
+    // drop the tombstone ceilings to zero: all three serving stores
+    // come due, maintain compacts them (removals physical, masks
+    // clear) and the post readout is ok even at the zero ceiling
+    val keys = Seq(CurationStore.TombBroadcastMaxBytes,
+      AnnIndexStore.TombBroadcastMaxBytes,
+      TextIndexStore.TombBroadcastMaxBytes)
+    try {
+      keys.foreach(spark.conf.set(_, "0"))
+      val pre2 = manifests(st1)
+      val (st2, after2) = CorpusStore.maintain(spark, st1,
+        liveCorpus = Some(live))
+      assert(Seq("curation", "ann", "text").forall(n =>
+          actions(after2)((n, "tombstone_bytes")) == "ok"),
+        s"advised compacts did not clear the tombstones: " +
+          s"${actions(after2)}")
+      assert(st2.curation.tombstonesIfAny(spark).isEmpty &&
+          manifests(st2) != pre2,
+        "maintain reported ok without compacting")
+
+      // rebuild advice is surfaced, never executed: with the recall
+      // floor above any possible recall, maintain leaves the ann
+      // manifest alone and the readout still says rebuild
+      val queries = corpus.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("qid"), col("embedding"))
+      AnnIndexStore.recallProbe(spark, st2.ann,
+        live.select(col("doc_id"), col("embedding")), queries,
+        "qid", "embedding", k = 5, snapshot = "m-probe")
+      spark.conf.set(Advisor.RecallFloor, "1.01")
+      val annBefore = StoreVersions.read(fs, st2.ann.dir)
+      val (st3, after3) = CorpusStore.maintain(spark, st2,
+        liveCorpus = Some(live))
+      assert(actions(after3)(("ann", "mean_recall")) == "rebuild",
+        "rebuild advice must pass through the maintain readout")
+      assert(StoreVersions.read(fs, st3.ann.dir) == annBefore,
+        "maintain must not execute a rebuild")
+    } finally {
+      keys.foreach(spark.conf.unset)
+      spark.conf.unset(Advisor.RecallFloor)
+    }
+  }
 }
