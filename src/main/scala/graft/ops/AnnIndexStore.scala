@@ -89,6 +89,13 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndexStore {
 
+  /** The APPEND stages whose file manifests every flip records into
+    * its snapshot entry — [[Index.pinAt]]'s time-travel source
+    * ([[add]] appends codes INSIDE the current version's cell
+    * partitions — recursive listing — and [[delete]] appends
+    * tombstones; models and stats are pure-replace). */
+  private val AppendSnap = Map("codes" -> true, "tombstones" -> false)
+
   /** The versioned stages (the `recall_log` is deliberately outside:
     * advisory monitoring appends, reset wholesale by [[build]]). */
   private val Stages =
@@ -102,7 +109,12 @@ object AnnIndexStore {
     */
   final case class Snapshot(idCol: String, m: Int, subDim: Int,
       centroidsPath: String, codebooksPath: String, codesPath: String,
-      tombsPath: String, statsPath: String) {
+      tombsPath: String, statsPath: String,
+      at: Map[String, Seq[(String, Long)]] = Map.empty) {
+
+    private def tombSrc: Tombstones.Src = at.get("tombstones")
+      .map(Tombstones.Pinned).getOrElse(Tombstones.Live(tombsPath))
+
     def centroids(s: SparkSession): DataFrame =
       s.read.parquet(centroidsPath)
     def codebooks(s: SparkSession): DataFrame =
@@ -117,7 +129,7 @@ object AnnIndexStore {
     def stats(s: SparkSession): DataFrame = s.read.parquet(statsPath)
 
     private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
-      Tombstones.ifAny(s, tombsPath)
+      Tombstones.ifAny(s, tombSrc)
 
     /** The LIVE encoded corpus: the partitioned codes table minus
       * tombstoned ids ([[AnnIndexStore.delete]] — broadcast
@@ -128,10 +140,19 @@ object AnnIndexStore {
       * the hybrid fusions, the scaling probes — reads through here,
       * so deletion is one definition, not a per-consumer filter.
       */
-    def codes(s: SparkSession): DataFrame =
-      Tombstones.mask(s, s.read.parquet(codesPath), idCol, tombsPath,
+    def codes(s: SparkSession): DataFrame = {
+      // a TIME-TRAVEL pin reads the flip-time file manifest (later
+      // adds land inside the same cell partitions); basePath keeps
+      // the cell partition column inferable from explicit leaf files
+      val raw = at.get("codes") match {
+        case Some(files) => s.read.option("basePath", codesPath)
+          .parquet(files.map(_._1): _*)
+        case None => s.read.parquet(codesPath)
+      }
+      Tombstones.mask(s, raw, idCol, tombSrc,
         AnnIndexStore.TombBroadcastMaxBytes,
         AnnIndexStore.tombBroadcastDefault, Seq(idCol))
+    }
   }
 
   /** Handle to a built index. Stage data is resolved through the
@@ -146,9 +167,21 @@ object AnnIndexStore {
 
     /** Resolve all stages from ONE manifest read — the reader's
       * snapshot pin (see the object scaladoc). */
-    def pin(s: SparkSession): Snapshot = {
-      val fs = AnnIndexStore.fsOf(s, dir)
-      val m0 = StoreVersions.read(fs, dir)
+    def pin(s: SparkSession): Snapshot =
+      pinFrom(StoreVersions.read(AnnIndexStore.fsOf(s, dir), dir))
+
+    /** TIME-TRAVEL pin: the index as of flip `seq` of its snapshot
+      * log ([[StoreVersions.readAt]]) — models AND codes of that
+      * epoch together (they flipped as one), serving verbatim while
+      * retention holds and failing at collect once it has lapsed.
+      * Loud when the log has no such entry. */
+    def pinAt(s: SparkSession, seq: Int): Snapshot = {
+      val st = StoreVersions.readAt(AnnIndexStore.fsOf(s, dir), dir,
+        seq)
+      pinFrom(st.versions).copy(at = st.files)
+    }
+
+    private def pinFrom(m0: Map[String, String]): Snapshot = {
       def p(stage: String): String = m0.get(stage)
         .map(v => s"$dir/$stage/$v")
         .getOrElse(throw new IllegalStateException(
@@ -263,7 +296,7 @@ object AnnIndexStore {
     val tV = StoreVersions.nextEmpty(fs, dir, "tombstones")
     StoreVersions.flip(fs, dir, Map("centroids" -> cV,
       "codebooks" -> bV, "codes" -> kV, "tombstones" -> tV,
-      "stats" -> sV))
+      "stats" -> sV), AppendSnap)
     StoreVersions.gc(s, fs, dir, Stages)
     Index(dir, idCol, m, subDim)
   }
@@ -334,7 +367,8 @@ object AnnIndexStore {
     snap.stats(s).crossJoin(delta)
       .select((col("n") + col("_dn")).as("n"))
       .write.mode("overwrite").parquet(sV)
-    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV)) // THE commit
+    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV),
+      AppendSnap) // THE commit
     StoreVersions.gc(s, fs, idx.dir, Seq("stats"))
   }
 
@@ -486,7 +520,7 @@ object AnnIndexStore {
       .write.mode("overwrite").partitionBy("cell").parquet(kV)
     val tV = StoreVersions.nextEmpty(fs, idx.dir, "tombstones")
     StoreVersions.flip(fs, idx.dir,
-      Map("codes" -> kV, "tombstones" -> tV)) // THE commit
+      Map("codes" -> kV, "tombstones" -> tV), AppendSnap) // THE commit
     StoreVersions.gc(s, fs, idx.dir, Stages)
     UpdateMarker.delete(fs, marker)
     idx

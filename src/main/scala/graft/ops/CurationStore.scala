@@ -65,6 +65,12 @@ object CurationStore {
   private[ops] val Stages = Seq("signatures", "pairs", "labels",
     "labels_delta", "tombstones", "stats")
 
+  /** The APPEND stages whose file manifests every flip records into
+    * its snapshot entry — [[Store.pinAt]]'s time-travel source
+    * (labels/delta/stats are pure-replace). */
+  private val AppendSnap = Map("signatures" -> false,
+    "pairs" -> false, "tombstones" -> false)
+
   /** One resolved snapshot of the store — all six stages from a
     * SINGLE manifest read. Holding a Snapshot (or any DataFrame
     * planned from one) pins its files for the retention window.
@@ -72,10 +78,25 @@ object CurationStore {
   final case class Snapshot(dir: String, idCol: String,
       labelsTable: Option[String], sigPath: String, pairsPath: String,
       labelsPath: String, deltaPath: String, tombsPath: String,
-      statsPath: String) {
+      statsPath: String,
+      at: Map[String, Seq[(String, Long)]] = Map.empty) {
+
+    /** An APPEND stage's frame: the live directory normally; the
+      * pinned file manifest on a TIME-TRAVEL pin ([[Store.pinAt]] —
+      * later batches append INSIDE a version dir, so only the
+      * listing captured at flip time serves that epoch exactly). */
+    private def stageRead(s: SparkSession, stage: String,
+        path: String): DataFrame =
+      at.get(stage) match {
+        case Some(files) => s.read.parquet(files.map(_._1): _*)
+        case None => s.read.parquet(path)
+      }
+
+    private def tombSrc: Tombstones.Src = at.get("tombstones")
+      .map(Tombstones.Pinned).getOrElse(Tombstones.Live(tombsPath))
 
     private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
-      Tombstones.ifAny(s, tombsPath)
+      Tombstones.ifAny(s, tombSrc)
 
     /** Drop tombstoned docs' rows from a stage view by the named id
       * column(s) — [[CurationStore.delete]]'s immediate serving
@@ -89,14 +110,14 @@ object CurationStore {
       */
     private[ops] def tombMask(s: SparkSession, df: DataFrame,
         onCols: Seq[String]): DataFrame =
-      Tombstones.mask(s, df, idCol, tombsPath,
+      Tombstones.mask(s, df, idCol, tombSrc,
         CurationStore.TombBroadcastMaxBytes,
         CurationStore.tombBroadcastDefault, onCols)
 
     def signatures(s: SparkSession): DataFrame =
-      tombMask(s, s.read.parquet(sigPath), Seq(idCol))
+      tombMask(s, stageRead(s, "signatures", sigPath), Seq(idCol))
     def pairs(s: SparkSession): DataFrame =
-      tombMask(s, s.read.parquet(pairsPath), Seq("a", "b"))
+      tombMask(s, stageRead(s, "pairs", pairsPath), Seq("a", "b"))
     def stats(s: SparkSession): DataFrame =
       s.read.parquet(statsPath)
 
@@ -169,10 +190,24 @@ object CurationStore {
 
     /** Resolve all six stages from ONE manifest read — the reader's
       * snapshot pin. */
-    def pin(s: SparkSession): Snapshot = {
-      val fs = new Path(dir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      val m = StoreVersions.read(fs, dir)
+    def pin(s: SparkSession): Snapshot =
+      pinFrom(StoreVersions.read(
+        new Path(dir).getFileSystem(s.sessionState.newHadoopConf()),
+        dir))
+
+    /** TIME-TRAVEL pin: the store as of flip `seq` of its snapshot
+      * log ([[StoreVersions.readAt]]) — the historical label map,
+      * signatures and masks together, serving verbatim while
+      * retention holds and failing at collect once it has lapsed.
+      * Loud when the log has no such entry. */
+    def pinAt(s: SparkSession, seq: Int): Snapshot = {
+      val st = StoreVersions.readAt(
+        new Path(dir).getFileSystem(s.sessionState.newHadoopConf()),
+        dir, seq)
+      pinFrom(st.versions).copy(at = st.files)
+    }
+
+    private def pinFrom(m: Map[String, String]): Snapshot = {
       def p(stage: String): String = m.get(stage)
         .map(v => s"$dir/$stage/$v")
         .getOrElse(throw new IllegalStateException(
@@ -416,7 +451,7 @@ object CurationStore {
     val tombV = StoreVersions.nextEmpty(fs, storeDir, "tombstones")
     StoreVersions.flip(fs, storeDir, Map("signatures" -> sigV,
       "pairs" -> pairsV, "labels" -> labelsV, "labels_delta" -> deltaV,
-      "tombstones" -> tombV, "stats" -> statsV))
+      "tombstones" -> tombV, "stats" -> statsV), AppendSnap)
     table.foreach(n => registerBucketedLabels(spark, n, labelsV,
       bucketLabels, idCol, labelSchema))
     StoreVersions.gc(spark, fs, storeDir, Stages)
@@ -568,7 +603,7 @@ object CurationStore {
       .select((col("n") + col("_dn")).as("n"))
       .write.mode("overwrite").parquet(sV)
     StoreVersions.flip(fs, store.dir,
-      Map(commitStage -> cV, "stats" -> sV))
+      Map(commitStage -> cV, "stats" -> sV), AppendSnap)
     StoreVersions.gc(spark, fs, store.dir, Seq(commitStage, "stats"))
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
@@ -670,7 +705,7 @@ object CurationStore {
       .select((col("n") + col("_dn")).as("n"))
       .write.mode("overwrite").parquet(sV)
     StoreVersions.flip(fs, store.dir,
-      Map(commitStage -> cV, "stats" -> sV))
+      Map(commitStage -> cV, "stats" -> sV), AppendSnap)
     StoreVersions.gc(spark, fs, store.dir, Seq(commitStage, "stats"))
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
@@ -730,7 +765,8 @@ object CurationStore {
     writeBucketedLabelsStaged(effective, store.idCol, buckets, name, lV)
     val deltaV = StoreVersions.nextEmpty(fs, store.dir, "labels_delta")
     StoreVersions.flip(fs, store.dir,
-      Map("labels" -> lV, "labels_delta" -> deltaV)) // commit point
+      Map("labels" -> lV, "labels_delta" -> deltaV),
+      AppendSnap) // commit point
     registerBucketedLabels(s, name, lV, buckets, store.idCol,
       labelSchema)
     StoreVersions.gc(s, fs, store.dir, Stages)
@@ -789,7 +825,7 @@ object CurationStore {
     val tombV = StoreVersions.nextEmpty(fs, store.dir, "tombstones")
     StoreVersions.flip(fs, store.dir, Map("signatures" -> sigV,
       "pairs" -> pairsV, "labels" -> lV, "labels_delta" -> deltaV,
-      "tombstones" -> tombV)) // commit point
+      "tombstones" -> tombV), AppendSnap) // commit point
     registerBucketedLabels(s, name, lV, buckets, store.idCol,
       labelSchema)
     StoreVersions.gc(s, fs, store.dir, Stages)

@@ -70,17 +70,7 @@ object StoreVersions {
     * has never committed one (legacy layout or never built). */
   def read(fs: FileSystem, storeDir: String): Map[String, String] = {
     val p = manifestPath(storeDir)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val text =
-      try {
-        val src = scala.io.Source.fromInputStream(in, "UTF-8")
-        try src.mkString finally src.close()
-      } finally in.close()
-    text.split("\n").toSeq.filter(_.contains("\t")).map { l =>
-      val i = l.indexOf('\t')
-      l.substring(0, i) -> l.substring(i + 1)
-    }.toMap
+    if (!fs.exists(p)) Map.empty else parse(slurp(fs, p))
   }
 
   /** Full path of `stage`'s current version — loud when the store has
@@ -131,35 +121,176 @@ object StoreVersions {
     p
   }
 
+  /** One entry of the time-travel log: the stage → version map a
+    * flip committed, plus — for APPEND stages — the exact data-file
+    * listing (path, bytes) inside those versions at flip time.
+    * Version names alone cannot time-travel an append stage (later
+    * batches land INSIDE the same version directory, invisible to
+    * held readers but not to a re-listing); the file manifest can —
+    * the Iceberg idea, at file granularity. Bytes ride along so a
+    * historical read makes the same broadcast-or-shuffle mask
+    * decisions the live store made at that epoch.
+    */
+  final case class SnapshotState(versions: Map[String, String],
+      files: Map[String, Seq[(String, Long)]])
+
   /** THE commit: merge `updates` (stage → full version path) over the
     * current manifest and replace it atomically. Everything named
     * must be fully written — after the rename returns, every new
     * reader resolves the new versions, and no crash state can show a
     * partial flip (rename is all-or-nothing).
+    *
+    * Every flip also records a numbered SNAPSHOT file
+    * (`_snapshots/s-NNNNN`, unique-name rename — no overwrite, so
+    * crash-safe by construction), BEFORE the manifest replace: the
+    * merged manifest plus, for each stage in `appendStages` (name →
+    * recursive listing?), the stage's current data-file manifest —
+    * the time-travel log [[readAt]]/[[snapshots]] serve from. A
+    * crash between the snapshot write and the manifest rename leaves
+    * a snapshot numbered ahead of the live manifest — harmless (it
+    * names fully-written versions; the next flip skips past it), and
+    * [[gc]] bounds the log's length either way.
     */
   def flip(fs: FileSystem, storeDir: String,
-      updates: Map[String, String]): Unit = {
+      updates: Map[String, String],
+      appendStages: Map[String, Boolean] = Map.empty): Unit = {
     val merged = read(fs, storeDir) ++
       updates.map { case (st, path) => st -> new Path(path).getName }
     merged.keys.foreach { st =>
       require(verNum(merged(st)).isDefined,
         s"flip of '$st' to non-version name '${merged(st)}'")
     }
-    val body = merged.toSeq.sortBy(_._1)
+    val manifestBody = merged.toSeq.sortBy(_._1)
       .map { case (st, v) => s"$st\t$v" }.mkString("", "\n", "\n")
-    val dst = manifestPath(storeDir)
-    val tmp = new Path(dst.getParent, dst.getName + ".tmp-" +
-      java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // the append stages' file manifests, listed off the post-merge
+    // version dirs (every writer appends BEFORE its flip). A `#s`
+    // line declares the stage's manifest PRESENT even when it holds
+    // zero files — an empty-at-this-epoch tombstone stage must pin
+    // as "no tombstones", never fall back to the live directory a
+    // later delete appended into.
+    val fileLines = appendStages.toSeq.sortBy(_._1)
+      .flatMap { case (st, rec) =>
+        merged.get(st).toSeq.flatMap { v =>
+          s"#s\t$st" +:
+            listWithSizes(fs, new Path(s"$storeDir/$st/$v"), rec)
+              .map { case (p, len) => s"#f\t$st\t$len\t$p" }
+        }
+      }.mkString("", "\n", if (appendStages.isEmpty) "" else "\n")
+    def writeTmp(body: String): Path = {
+      val tmp = new Path(s"$storeDir/_manifest.tmp-" +
+        java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      tmp
+    }
+    // the snapshot record first (unique next number — the
+    // single-writer contract makes a race on it impossible)
+    val snapDir = new Path(s"$storeDir/_snapshots")
+    fs.mkdirs(snapDir)
+    val nextSeq = snapshotFiles(fs, storeDir).lastOption
+      .map(_._1).getOrElse(0) + 1
+    fs.rename(writeTmp(manifestBody + fileLines),
+      new Path(snapDir, f"s-$nextSeq%05d"))
     // FileContext.rename(OVERWRITE) is the atomic-replace primitive
     // on HDFS and local — a plain FileSystem.rename refuses an
     // existing destination on HDFS, and delete-then-rename would open
     // a no-manifest window that breaks every concurrent reader
+    val dst = manifestPath(storeDir)
     FileContext.getFileContext(dst.toUri, fs.getConf)
-      .rename(tmp, dst, Options.Rename.OVERWRITE)
+      .rename(writeTmp(manifestBody), dst, Options.Rename.OVERWRITE)
+  }
+
+  private def listWithSizes(fs: FileSystem, dir: Path,
+      recursive: Boolean): Seq[(String, Long)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    if (recursive) {
+      val it = fs.listFiles(dir, true)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out += ((f.getPath.toString, f.getLen))
+      }
+      out.toSeq
+    } else fs.listStatus(dir).toSeq.filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen))
+  }
+
+  private def parse(text: String): Map[String, String] =
+    text.split("\n").toSeq
+      .filter(l => l.contains("\t") && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+
+  private def parseState(text: String): SnapshotState = {
+    val lines = text.split("\n").toSeq
+    val declared = lines.filter(_.startsWith("#s\t"))
+      .map(_.substring(3)).toSet
+    val files = lines.filter(_.startsWith("#f\t"))
+      .map(_.split("\t", 4))
+      .collect { case Array(_, st, len, p) => (st, (p, len.toLong)) }
+      .groupBy(_._1).map { case (st, xs) => st -> xs.map(_._2) }
+    SnapshotState(parse(text),
+      declared.map(st => st ->
+        files.getOrElse(st, Seq.empty[(String, Long)])).toMap)
+  }
+
+  private def slurp(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.mkString finally src.close()
+    } finally in.close()
+  }
+
+  private val SnapName = "^s-(\\d{5})$".r
+
+  private def snapshotFiles(fs: FileSystem,
+      storeDir: String): Seq[(Int, Path)] = {
+    val dir = new Path(s"$storeDir/_snapshots")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.filter(_.isFile)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case SnapName(n) => Some(n.toInt -> st.getPath)
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** The store's committed snapshot log, (seq, stage → version),
+    * ascending — one entry per [[flip]], bounded by [[gc]]. The
+    * LAST entry is the live manifest's state (or one ahead of it,
+    * for the crashed-between-writes case the [[flip]] scaladoc
+    * describes). */
+  def snapshots(fs: FileSystem, storeDir: String)
+      : Seq[(Int, Map[String, String])] =
+    snapshotFiles(fs, storeDir)
+      .map { case (n, p) => n -> parse(slurp(fs, p)) }
+
+  /** TIME-TRAVEL resolve: the full [[SnapshotState]] as of snapshot
+    * `seq` — loud when the log has no such entry (never written, or
+    * already [[gc]]'d past). The caller's reads fail at collect if
+    * the named versions' retention has ALSO lapsed, exactly as an
+    * expired Iceberg snapshot does; within retention they serve the
+    * historical store verbatim.
+    */
+  def readAt(fs: FileSystem, storeDir: String,
+      seq: Int): SnapshotState = {
+    val p = new Path(f"$storeDir/_snapshots/s-$seq%05d")
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"no snapshot $seq under $storeDir — never committed, or " +
+          "GC'd past (raise " + RetainVersions + " to keep longer " +
+          "time-travel windows)")
+    parseState(slurp(fs, p))
   }
 
   /** Drop version dirs numbered ABOVE the manifest's current — the
@@ -179,7 +310,11 @@ object StoreVersions {
   /** Retention GC: per stage, drop versions below the current beyond
     * the [[RetainVersions]] most recent. Folded into compact (and
     * the stores' high-frequency single-stage flips) so retained
-    * versions never accumulate unboundedly.
+    * versions never accumulate unboundedly. The snapshot log is
+    * bounded by the same dial — the latest `retain + 1` entries
+    * survive (the live state plus the retained maintenance cycles;
+    * older entries would mostly name GC'd versions anyway, the
+    * expired-snapshot rule).
     */
   def gc(s: SparkSession, fs: FileSystem, storeDir: String,
       stages: Seq[String]): Unit = {
@@ -191,5 +326,14 @@ object StoreVersions {
         StageSwap.remove(fs, p)
       }
     }
+    val snapDir = new Path(s"$storeDir/_snapshots")
+    if (fs.exists(snapDir))
+      fs.listStatus(snapDir).toSeq.filter(_.isFile)
+        .flatMap(st => st.getPath.getName match {
+          case SnapName(n) => Some(n.toInt -> st.getPath)
+          case _ => None
+        })
+        .sortBy(_._1).dropRight(retain + 1)
+        .foreach { case (_, p) => StageSwap.remove(fs, p) }
   }
 }

@@ -78,6 +78,14 @@ object TextIndexStore {
   private val Stages = Seq("postings", "postings_delta", "doclens",
     "stats", "tombstones", "postings_meta")
 
+  /** The APPEND stages whose file manifests every flip records into
+    * its snapshot entry — [[Index.pinAt]]'s time-travel source
+    * (`stats` is the store's only pure-replace stage; everything
+    * else takes in-place appends between maintenance runs). */
+  private val AppendSnap = Map("postings" -> false,
+    "postings_delta" -> false, "doclens" -> false,
+    "tombstones" -> false, "postings_meta" -> false)
+
   /** One resolved snapshot of the store — all six stages from a
     * SINGLE manifest read (see the reader-isolation story in the
     * object scaladoc). Holding a Snapshot pins its files for the
@@ -86,19 +94,40 @@ object TextIndexStore {
   final case class Snapshot(dir: String, idCol: String,
       postingsBuckets: Int, postingsPath: String, deltaPath: String,
       doclensPath: String, statsPath: String, tombsPath: String,
-      metaPath: String) {
+      metaPath: String,
+      at: Map[String, Seq[(String, Long)]] = Map.empty) {
+
+    /** An APPEND stage's frame: the live directory normally; the
+      * pinned file manifest on a TIME-TRAVEL pin ([[Index.pinAt]] —
+      * later batches append INSIDE a version dir, so only the
+      * listing captured at flip time serves that epoch exactly). */
+    private def stageRead(s: SparkSession, stage: String,
+        path: String): DataFrame =
+      at.get(stage) match {
+        case Some(files) => s.read.parquet(files.map(_._1): _*)
+        case None => s.read.parquet(path)
+      }
+
+    private def tombSrc: Tombstones.Src = at.get("tombstones")
+      .map(Tombstones.Pinned).getOrElse(Tombstones.Live(tombsPath))
 
     def postingsTable: Option[String] =
       if (postingsBuckets > 0) Some(TextIndexStore.tableNameFor(dir))
       else None
 
-    private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] = {
-      val p = new Path(deltaPath)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p) && UpdateMarker.listFiles(fs, deltaPath).nonEmpty)
-        Some(s.read.parquet(deltaPath))
-      else None
-    }
+    private[ops] def deltaIfAny(s: SparkSession): Option[DataFrame] =
+      at.get("postings_delta") match {
+        case Some(files) =>
+          if (files.isEmpty) None
+          else Some(s.read.parquet(files.map(_._1): _*))
+        case None =>
+          val p = new Path(deltaPath)
+          val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+          if (fs.exists(p) &&
+              UpdateMarker.listFiles(fs, deltaPath).nonEmpty)
+            Some(s.read.parquet(deltaPath))
+          else None
+      }
 
     /** The postings BASE — the bucketed table when registered AND
       * still pointing at this snapshot's version (a compact/rebuild
@@ -110,10 +139,11 @@ object TextIndexStore {
       * aggregation).
       */
     private[ops] def postingsBase(s: SparkSession): DataFrame =
-      postingsTable.filter(n => s.catalog.tableExists(n) &&
+      postingsTable.filter(n => at.isEmpty &&
+          s.catalog.tableExists(n) &&
           TextIndexStore.tableLocationMatches(s, n, postingsPath))
         .map(s.table)
-        .getOrElse(s.read.parquet(postingsPath))
+        .getOrElse(stageRead(s, "postings", postingsPath))
 
     /** Drop tombstoned documents' rows from a per-document stage —
       * how [[TextIndexStore.delete]] serves EXACTLY between
@@ -127,7 +157,7 @@ object TextIndexStore {
       * clears the tombstones.
       */
     private def masked(s: SparkSession, df: DataFrame): DataFrame =
-      Tombstones.mask(s, df, idCol, tombsPath,
+      Tombstones.mask(s, df, idCol, tombSrc,
         TextIndexStore.TombBroadcastMaxBytes,
         TextIndexStore.tombBroadcastDefault, Seq(idCol))
 
@@ -142,12 +172,12 @@ object TextIndexStore {
         case Some(d) => postingsBase(s).unionByName(d)
       })
     def doclens(s: SparkSession): DataFrame =
-      masked(s, s.read.parquet(doclensPath))
+      masked(s, stageRead(s, "doclens", doclensPath))
     def stats(s: SparkSession): DataFrame =
       s.read.parquet(statsPath)
 
     private[ops] def tombstonesIfAny(s: SparkSession): Option[DataFrame] =
-      Tombstones.ifAny(s, tombsPath)
+      Tombstones.ifAny(s, tombSrc)
   }
 
   /** Handle to a built store; stage data resolves through the
@@ -160,11 +190,28 @@ object TextIndexStore {
 
     /** Resolve all stages from ONE manifest read — the reader's
       * snapshot pin. */
-    def pin(s: SparkSession): Snapshot = {
-      val fs = new Path(dir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      val m0 = StoreVersions.read(fs, dir)
-      def p(stage: String): String = m0.get(stage)
+    def pin(s: SparkSession): Snapshot =
+      pinFrom(StoreVersions.read(
+        new Path(dir).getFileSystem(s.sessionState.newHadoopConf()),
+        dir))
+
+    /** TIME-TRAVEL pin: the index as of flip `seq` of its snapshot
+      * log ([[StoreVersions.readAt]]) — every read off the returned
+      * Snapshot serves the historical store verbatim (append stages
+      * through the file manifest the flip recorded, so batches
+      * folded since are invisible) while the named files' retention
+      * holds, and fails at collect once it has lapsed (the
+      * expired-Iceberg-snapshot rule). Loud when the log has no such
+      * entry. */
+    def pinAt(s: SparkSession, seq: Int): Snapshot = {
+      val st = StoreVersions.readAt(
+        new Path(dir).getFileSystem(s.sessionState.newHadoopConf()),
+        dir, seq)
+      pinFrom(st.versions).copy(at = st.files)
+    }
+
+    private def pinFrom(m: Map[String, String]): Snapshot = {
+      def p(stage: String): String = m.get(stage)
         .map(v => s"$dir/$stage/$v")
         .getOrElse(throw new IllegalStateException(
           s"text index at $dir has no committed '$stage' stage — " +
@@ -410,7 +457,7 @@ object TextIndexStore {
     val tV = StoreVersions.nextEmpty(fs, dir, "tombstones")
     StoreVersions.flip(fs, dir, Map("postings" -> pV,
       "postings_delta" -> deltaV, "doclens" -> dV, "stats" -> sV,
-      "tombstones" -> tV, "postings_meta" -> mV))
+      "tombstones" -> tV, "postings_meta" -> mV), AppendSnap)
     if (bucketPostings > 0)
       registerBucketedTable(s, tableNameFor(dir), pV, bucketPostings)
     StoreVersions.gc(s, fs, dir, Stages)
@@ -516,7 +563,8 @@ object TextIndexStore {
       .select((col("n") + col("_bn")).as("n"),
         (col("sumdl") + col("_bsum")).as("sumdl"))
       .write.mode("overwrite").parquet(sV)
-    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV)) // THE commit
+    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV),
+      AppendSnap) // THE commit
     // the stats stage flips at every update/delete — GC it here, not
     // only at compact, or tiny one-file versions accumulate per batch
     StoreVersions.gc(s, fs, idx.dir, Seq("stats"))
@@ -579,7 +627,8 @@ object TextIndexStore {
       .select((col("n") - col("_rn")).as("n"),
         (col("sumdl") - col("_rsum")).as("sumdl"))
       .write.mode("overwrite").parquet(sV)
-    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV)) // THE commit
+    StoreVersions.flip(fs, idx.dir, Map("stats" -> sV),
+      AppendSnap) // THE commit
     StoreVersions.gc(s, fs, idx.dir, Seq("stats"))
     batchId.foreach(UpdateMarker.writeApplied(fs, idx.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(idx.dir))
@@ -656,7 +705,8 @@ object TextIndexStore {
     val tV = StoreVersions.nextEmpty(fs, idx.dir, "tombstones")
     StoreVersions.flip(fs, idx.dir, Map("postings" -> pV,
       "postings_delta" -> deltaV, "doclens" -> dV,
-      "tombstones" -> tV, "postings_meta" -> mV)) // THE commit
+      "tombstones" -> tV, "postings_meta" -> mV),
+      AppendSnap) // THE commit
     if (idx.postingsBuckets > 0)
       registerBucketedTable(s, tableNameFor(idx.dir), pV,
         idx.postingsBuckets)
@@ -672,15 +722,23 @@ object TextIndexStore {
     * three stages come from ONE pinned snapshot.
     */
   def bm25(s: SparkSession, idx: Index, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Of(s, idx.pin(s), terms, k1, b)
+
+  /** [[bm25]] from an explicitly HELD [[Snapshot]] — the same
+    * serving kernel over a pinned snapshot the caller resolved
+    * (e.g. [[Index.pinAt]]'s time-travel pin: scores as of that
+    * epoch's postings, doclens AND collection stats together, since
+    * they flipped as one). */
+  def bm25Of(s: SparkSession, snap: Snapshot, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val snap = idx.pin(s)
     val tf = snap.postings(s).filter(col("token").isin(terms: _*))
-      .select(col(idx.idCol), col("token"), col("tf"))
+      .select(col(snap.idCol), col("token"), col("tf"))
     val stats = snap.stats(s)
       .select(col("n").as("_n"),
         (col("sumdl") / col("n")).as("_avgdl"))
-    TextOps.bm25ScoreFrames(tf, snap.doclens(s), stats, idx.idCol,
+    TextOps.bm25ScoreFrames(tf, snap.doclens(s), stats, snap.idCol,
       terms, k1, b)
   }
 

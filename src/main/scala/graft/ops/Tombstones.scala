@@ -17,32 +17,54 @@ import org.apache.spark.sql.functions._
   */
 private[ops] object Tombstones {
 
-  /** The store's tombstoned ids, when the stage exists and holds
-    * committed files. */
-  def ifAny(s: SparkSession, tombDir: String): Option[DataFrame] = {
-    val p = new Path(tombDir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(p) && UpdateMarker.listFiles(fs, tombDir).nonEmpty)
-      Some(s.read.parquet(tombDir))
-    else None
+  /** Where a read's tombstone set comes from: the LIVE stage
+    * directory (listed at read time — every current-pin read), or a
+    * PINNED file manifest (a [[StoreVersions]] time-travel
+    * snapshot's listing, path + bytes captured at flip time). The
+    * two make identical mask decisions — `Pinned` just freezes the
+    * listing the `Live` form would have produced at that epoch. */
+  sealed trait Src
+  final case class Live(dir: String) extends Src
+  final case class Pinned(files: Seq[(String, Long)]) extends Src
+
+  private def listing(s: SparkSession,
+      src: Src): Seq[(String, Long)] = src match {
+    case Pinned(files) => files
+    case Live(dir) =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath.toString, st.getLen))
   }
 
-  /** Broadcast-or-shuffle decision by ON-DISK tombstone bytes (a
-    * file-listing read, no job): below the ceiling the deleted-id
-    * mask rides reads as a broadcast; past it readers degrade to the
-    * shuffle anti-join instead of OOMing — the degrade-don't-OOM
-    * rule. Hitting the ceiling means compact() is overdue
-    * (compaction makes removals physical and empties the set). */
-  def broadcastable(s: SparkSession, tombDir: String,
-      confKey: String, defaultBytes: Long): Boolean = {
-    val p = new Path(tombDir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val bytes =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).toSeq.filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    bytes <= s.conf.get(confKey, defaultBytes.toString).toLong
+  /** The store's tombstoned ids, when the source holds committed
+    * files. */
+  def ifAny(s: SparkSession, src: Src): Option[DataFrame] = {
+    val files = listing(s, src)
+    if (files.isEmpty) None
+    else Some(s.read.parquet(files.map(_._1): _*))
   }
+
+  def ifAny(s: SparkSession, tombDir: String): Option[DataFrame] =
+    ifAny(s, Live(tombDir))
+
+  /** Broadcast-or-shuffle decision by ON-DISK tombstone bytes (a
+    * file-listing read — or the pinned listing — no job): below the
+    * ceiling the deleted-id mask rides reads as a broadcast; past it
+    * readers degrade to the shuffle anti-join instead of OOMing —
+    * the degrade-don't-OOM rule. Hitting the ceiling means compact()
+    * is overdue (compaction makes removals physical and empties the
+    * set). */
+  def broadcastable(s: SparkSession, src: Src,
+      confKey: String, defaultBytes: Long): Boolean =
+    listing(s, src).map(_._2).sum <=
+      s.conf.get(confKey, defaultBytes.toString).toLong
+
+  def broadcastable(s: SparkSession, tombDir: String,
+      confKey: String, defaultBytes: Long): Boolean =
+    broadcastable(s, Live(tombDir), confKey, defaultBytes)
 
   /** Drop tombstoned ids' rows from a stage view, matching the
     * store's `idCol` against each of `onCols` in turn (a pairs stage
@@ -53,17 +75,22 @@ private[ops] object Tombstones {
     * partition/bucket pruning on the stage still bind.
     */
   def mask(s: SparkSession, df: DataFrame, idCol: String,
-      tombDir: String, confKey: String, defaultBytes: Long,
+      src: Src, confKey: String, defaultBytes: Long,
       onCols: Seq[String]): DataFrame =
-    ifAny(s, tombDir) match {
+    ifAny(s, src) match {
       case None => df
       case Some(t) =>
         val ids = t.select(col(idCol)).distinct()
-        val bc = broadcastable(s, tombDir, confKey, defaultBytes)
+        val bc = broadcastable(s, src, confKey, defaultBytes)
         val masked = onCols.foldLeft(df) { (acc, c) =>
           val rhs = ids.select(col(idCol).as(c))
           acc.join(if (bc) broadcast(rhs) else rhs, Seq(c), "left_anti")
         }
         masked.select(df.columns.map(col).toIndexedSeq: _*)
     }
+
+  def mask(s: SparkSession, df: DataFrame, idCol: String,
+      tombDir: String, confKey: String, defaultBytes: Long,
+      onCols: Seq[String]): DataFrame =
+    mask(s, df, idCol, Live(tombDir), confKey, defaultBytes, onCols)
 }

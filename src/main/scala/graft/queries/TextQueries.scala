@@ -847,30 +847,34 @@ object TextQueries {
     * the served store must equal this chain over the corpus WITHOUT
     * the deleted docs — n, avgdl and every idf shift with them).
     */
-  private[queries] def duckBm25CtesFor(where: String): String = {
+  private[queries] def duckBm25CtesFor(where: String,
+      suffix: String = ""): String = {
     val w = if (where.isEmpty) "" else s" WHERE $where"
-    s"""dl AS (SELECT doc_id, CAST(len(string_split(text, ' '))
+    val x = suffix
+    s"""dl$x AS (SELECT doc_id, CAST(len(string_split(text, ' '))
       |    AS BIGINT) AS dl FROM documents$w),
-      |st AS (SELECT count(*) AS n,
-      |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |st$x AS (SELECT count(*) AS n,
+      |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl$x),
+      |tf$x AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |       FROM documents$w)
       | WHERE token IN ('join', 'vector', 'stream')
       | GROUP BY doc_id, token),
-      |idf AS (SELECT token,
+      |idf$x AS (SELECT token,
       |  round(ln((n - count(*) + 0.5) / (count(*) + 0.5) + 1), 6) AS idf
-      | FROM tf, st GROUP BY token, n),
-      |c AS (SELECT doc_id, token,
+      | FROM tf$x, st$x GROUP BY token, n),
+      |c$x AS (SELECT doc_id, token,
       |  round(idf * (tf * 2.2) /
       |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS c
-      | FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), st),
-      |p AS (SELECT doc_id,
+      | FROM tf$x JOIN idf$x USING (token) JOIN dl$x USING (doc_id),
+      |   st$x),
+      |p$x AS (SELECT doc_id,
       |  coalesce(max(CASE WHEN token = 'join' THEN c END), 0) AS c1,
       |  coalesce(max(CASE WHEN token = 'vector' THEN c END), 0) AS c2,
       |  coalesce(max(CASE WHEN token = 'stream' THEN c END), 0) AS c3
-      | FROM c GROUP BY doc_id),
-      |spr AS (SELECT doc_id, round(c1 + c2 + c3, 4) AS score FROM p)"""
+      | FROM c$x GROUP BY doc_id),
+      |spr$x AS (SELECT doc_id, round(c1 + c2 + c3, 4) AS score
+      | FROM p$x)"""
       .stripMargin
   }
 
@@ -3131,6 +3135,49 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** TIME-TRAVEL read from the persisted text index
+    * ([[graft.ops.TextIndexStore.Index.pinAt]] over the
+    * [[graft.ops.StoreVersions]] snapshot log): build on two thirds
+    * of the corpus (flip 1 of the log), fold the last third in
+    * ([[graft.ops.TextIndexStore.update]] — flip 2), then serve BOTH
+    * epochs from the one store — `score_then` off the historical pin
+    * (postings, doclens AND collection stats of flip 1 together:
+    * they flipped as one) beside `score_now` off the live manifest,
+    * for the historical top-20. The oracle recomputes the two
+    * epochs' BM25 chains from the raw corpus under the respective
+    * slices — any leak of the folded batch into the historical arm
+    * (a stats row, a doclens row, one posting) moves n/avgdl/idf and
+    * breaks the hash. Retention covers the one-flip lookback by
+    * default; SnapshotIsolationSpec pins the log mechanics, the
+    * lapse rule and the cross-store pinAt surface.
+    */
+  val q177 = Q("q177_snapshot_read",
+    (s, dir) => {
+      import graft.ops.{StoreVersions, TextIndexStore}
+      val docs = table(s, dir, "documents")
+      val idxDir = TextIndexStore.indexDirFor(dir, "-tt")
+      val idx = TextIndexStore.build(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxDir)
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val seq = StoreVersions.snapshots(fs, idxDir).last._1
+      TextIndexStore.update(idx,
+        docs.filter(col("doc_id") % 3 === 0), "text",
+        batchId = Some("tt-fold"))
+      val hist = TextIndexStore.bm25Of(s, idx.pinAt(s, seq), bm25Terms)
+        .select(col("doc_id"), col("score").as("score_then"))
+      val now = TextIndexStore.bm25(s, idx, bm25Terms)
+        .select(col("doc_id"), col("score").as("score_now"))
+      hist.join(now, Seq("doc_id"))
+        .orderBy(col("score_then").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH ${duckBm25CtesFor("doc_id % 3 <> 0", "_a")},
+      |${duckBm25CtesFor("", "_b")}
+      |SELECT doc_id, a.score AS score_then, b.score AS score_now
+      |FROM spr_a a JOIN spr_b b USING (doc_id)
+      |ORDER BY score_then DESC, doc_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3138,5 +3185,5 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168, q171, q172, q173, q174, q175)
+      q167, q168, q171, q172, q173, q174, q175, q177)
 }

@@ -168,14 +168,82 @@ class SnapshotIsolationSpec extends SparkSpec {
       "fresh labelJoin should see the folded batch")
   }
 
+  test("TIME-TRAVEL: pinAt(seq) serves each epoch of the flip log " +
+      "verbatim — historical scores equal what the store served THEN " +
+      "(stats and postings of one flip together), across update and " +
+      "delete; a never-committed seq is loud") {
+    spark.conf.set(StoreVersions.RetainVersions, "4")
+    try {
+      val st = TextIndexStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$tmp/text-tt")
+      val fs = new org.apache.hadoop.fs.Path(st.dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def serve() = TextIndexStore.bm25(spark, st, terms)
+        .collect().map(_.toString).sorted.toSeq
+      def seqNow() = StoreVersions.snapshots(fs, st.dir).last._1
+      val (seq1, at1) = (seqNow(), serve())
+      TextIndexStore.update(st, docs.filter(col("doc_id") % 2 === 1),
+        "text", batchId = Some("tt1"))
+      val (seq2, at2) = (seqNow(), serve())
+      TextIndexStore.delete(st,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      val (seq3, at3) = (seqNow(), serve())
+      assert(seq1 < seq2 && seq2 < seq3, "flip log must grow per flip")
+      assert(at1 != at2 && at2 != at3,
+        "fixture: each epoch should serve differently")
+      def at(seq: Int) = TextIndexStore.bm25Of(spark,
+          st.pinAt(spark, seq), terms)
+        .collect().map(_.toString).sorted.toSeq
+      assert(at(seq1) == at1, "pinAt(build epoch) drifted")
+      assert(at(seq2) == at2, "pinAt(update epoch) drifted")
+      assert(at(seq3) == at3, "pinAt(delete epoch) != live serve")
+      intercept[IllegalStateException] { st.pinAt(spark, 9999) }
+    } finally spark.conf.unset(StoreVersions.RetainVersions)
+  }
+
+  test("TIME-TRAVEL across stores: the curation and ANN pins " +
+      "resolve historical membership (labels before a delete; the " +
+      "exact counter of the pinned epoch)") {
+    spark.conf.set(StoreVersions.RetainVersions, "4")
+    try {
+      val cur = CurationStore.build(docs, "doc_id", "text",
+        s"$tmp/cur-tt")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val curSeq = StoreVersions.snapshots(fs, cur.dir).last._1
+      val labelsThen = cur.labels(spark).count()
+      CurationStore.delete(cur,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"))
+      assert(cur.labels(spark).count() < labelsThen,
+        "fixture: the delete should shrink live labels")
+      assert(cur.pinAt(spark, curSeq).labels(spark).count()
+        == labelsThen, "historical curation pin leaked the delete")
+
+      val d = AnnIndexStore.CorpusDials
+      val ann = AnnIndexStore.build(emb, "vec_id", "embedding",
+        s"$tmp/ann-tt", d.centroidPred, d.seedPred, d.m, d.subDim,
+        d.iters)
+      val annSeq = StoreVersions.snapshots(fs, ann.dir).last._1
+      val nThen = AnnIndexStore.liveCount(spark, ann)
+      AnnIndexStore.delete(ann,
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"))
+      assert(AnnIndexStore.liveCount(spark, ann) < nThen)
+      assert(ann.pinAt(spark, annSeq).stats(spark).head().getLong(0)
+        == nThen, "historical ann counter leaked the delete")
+    } finally spark.conf.unset(StoreVersions.RetainVersions)
+  }
+
   test("retention bounds the disk: after two maintenance cycles the " +
       "oldest version is GC'd (a pin older than retention expires, " +
-      "the Iceberg contract)") {
+      "the Iceberg contract) — and the snapshot LOG is bounded to " +
+      "retain + 1, expired seqs loud") {
     val st = TextIndexStore.build(docs, "doc_id", "text",
       s"$tmp/text-gc")
     val fs = new org.apache.hadoop.fs.Path(st.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val v1 = StoreVersions.resolve(fs, st.dir, "postings")
+    val seq1 = StoreVersions.snapshots(fs, st.dir).last._1
     TextIndexStore.compact(spark, st)
     assert(fs.exists(new org.apache.hadoop.fs.Path(v1)),
       "one cycle should RETAIN the prior version for in-flight " +
@@ -183,6 +251,9 @@ class SnapshotIsolationSpec extends SparkSpec {
     TextIndexStore.compact(spark, st)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(v1)),
       "two cycles should GC the expired version")
+    assert(StoreVersions.snapshots(fs, st.dir).size <= 2,
+      "snapshot log must stay bounded at retain + 1")
+    intercept[IllegalStateException] { st.pinAt(spark, seq1) }
   }
 
   test("StoreVersions: flip merges over the current manifest " +
