@@ -526,6 +526,24 @@ object AnnIndexStore {
     idx
   }
 
+  /** ROLL BACK to snapshot `seq` of the flip log — the undo for a
+    * bad vector batch ([[StoreVersions.rollbackTo]]): models and
+    * stats flip back to that epoch's versions, and the codes files
+    * [[add]] appended since are DELETED surgically off the
+    * snapshot's file manifest. Enters as a writer (settle + marker;
+    * single-writer collision applies) and clears `_applied` so an
+    * undone batch id folds again. Destructive to the undone epochs
+    * by design; retention bounds the reachable `seq`.
+    */
+  def rollback(s: SparkSession, idx: Index, seq: Int): Index = {
+    val fs = fsOf(s, idx.dir)
+    settleEntry(s, fs, idx, batchId = None)
+    StoreVersions.rollbackTo(fs, idx.dir, seq, AppendSnap)
+    StoreVersions.gc(s, fs, idx.dir, Stages)
+    UpdateMarker.clear(fs, idx.dir)
+    idx
+  }
+
   /** Answer a query batch (`qidCol`, `vecCol`) from the stored index
     * — the serving path: zero training in-plan, the corpus touched
     * only through the probed cell partitions. Emits (qid, idCol, adc,

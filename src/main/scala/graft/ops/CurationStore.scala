@@ -833,6 +833,29 @@ object CurationStore {
     Store(store.dir, store.idCol, Some(name))
   }
 
+  /** ROLL BACK to snapshot `seq` of the flip log — the undo for a
+    * bad document batch ([[StoreVersions.rollbackTo]]): the label
+    * map and exact counter flip back to that epoch's versions, and
+    * the signature/pair/tombstone files folded since are DELETED
+    * surgically off the snapshot's file manifest. Enters as a writer
+    * (settle + marker; single-writer collision applies) and clears
+    * `_applied` so an undone batch id folds again. On a bucketed
+    * store the catalog may point past the restored labels version —
+    * reads degrade to the guarded file scan (correct rows, one
+    * exchange) until the next [[compact]] re-registers. Destructive
+    * to the undone epochs by design; retention bounds the reachable
+    * `seq`.
+    */
+  def rollback(s: SparkSession, store: Store, seq: Int): Store = {
+    val fs = new Path(store.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    settleEntry(s, fs, store, batchId = None)
+    StoreVersions.rollbackTo(fs, store.dir, seq, AppendSnap)
+    StoreVersions.gc(s, fs, store.dir, Stages)
+    UpdateMarker.clear(fs, store.dir)
+    store
+  }
+
   /** Consumer-side label join that keeps the bucketed store's
     * ZERO-exchange shape even while a delta is outstanding: the big
     * corpus-vs-base join stays exchange-free (both sides bucketed by

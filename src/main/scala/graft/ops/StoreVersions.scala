@@ -293,6 +293,45 @@ object StoreVersions {
     parseState(slurp(fs, p))
   }
 
+  /** ROLLBACK: make snapshot `seq` the live state again — the undo
+    * for a bad batch, actionable because the log records append
+    * stages at FILE granularity: replace stages flip back to the
+    * snapshot's version dirs (loud if retention already GC'd them),
+    * and append stages DELETE the files folded since (exactly those
+    * beyond the snapshot's manifest — the bad batches' rows, surgically,
+    * with the epoch's own files untouched). The flip records a NEW
+    * log entry, so a rollback is itself a committed, revisitable
+    * epoch (roll-forward by rolling "back" to a later seq's entry is
+    * the same call while its files survive).
+    *
+    * DESTRUCTIVE to the rolled-back epochs by design: readers
+    * holding pins newer than `seq` lose their appended files (unlike
+    * maintenance, which retention protects). A crash mid-delete
+    * re-runs to completion (deletions are idempotent; the flip is
+    * last). Single-writer contract applies — the store wrappers
+    * settle markers and clear `_applied` (a rolled-back batch id
+    * must become foldable again) around this call.
+    */
+  def rollbackTo(fs: FileSystem, storeDir: String,
+      seq: Int, appendStages: Map[String, Boolean]): Unit = {
+    val st = readAt(fs, storeDir, seq)
+    st.versions.foreach { case (stage, v) =>
+      require(fs.exists(new Path(s"$storeDir/$stage/$v")),
+        s"cannot roll back to snapshot $seq: $stage/$v was GC'd " +
+          s"(raise $RetainVersions to keep longer rollback windows)")
+    }
+    for ((stage, rec) <- appendStages; v <- st.versions.get(stage)) {
+      val dir = new Path(s"$storeDir/$stage/$v")
+      val keep = st.files.getOrElse(stage, Seq.empty).map(_._1).toSet
+      listWithSizes(fs, dir, rec).map(_._1).filterNot(keep)
+        .foreach(f => StageSwap.remove(fs, new Path(f)))
+    }
+    flip(fs, storeDir,
+      st.versions.map { case (stage, v) =>
+        stage -> s"$storeDir/$stage/$v"
+      }, appendStages)
+  }
+
   /** Drop version dirs numbered ABOVE the manifest's current — the
     * debris of writers that died before their flip. Runs at every
     * writer's entry; safe because writers are serialized per store

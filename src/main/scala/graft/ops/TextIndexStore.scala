@@ -715,6 +715,34 @@ object TextIndexStore {
     idx
   }
 
+  /** ROLL BACK to snapshot `seq` of the flip log — the undo for a
+    * bad batch ([[StoreVersions.rollbackTo]]): replace stages flip
+    * back to that epoch's versions, and the files batches appended
+    * since are DELETED surgically off the snapshot's file manifest
+    * (the epoch's own rows untouched) — after it the store equals
+    * the epoch stage-for-stage, and serves so (spec-pinned against
+    * the pre-batch scores). Enters as a WRITER (settle + marker,
+    * single-writer collision applies), clears `_applied` (an undone
+    * batch id must fold again — the rollback re-opens it), and
+    * re-registers the bucketed table at the restored version.
+    * Destructive to the undone epochs by design; retention bounds
+    * how far back `seq` can reach.
+    */
+  def rollback(s: SparkSession, idx: Index, seq: Int): Index = {
+    val fs = new Path(idx.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    settleEntry(s, fs, idx, batchId = None)
+    StoreVersions.rollbackTo(fs, idx.dir, seq, AppendSnap)
+    if (idx.postingsBuckets > 0) {
+      val snap = idx.pin(s)
+      registerBucketedTable(s, tableNameFor(idx.dir),
+        snap.postingsPath, idx.postingsBuckets)
+    }
+    StoreVersions.gc(s, fs, idx.dir, Stages)
+    UpdateMarker.clear(fs, idx.dir)
+    idx
+  }
+
   /** Score every stored document against `terms` — (idCol, score),
     * the q75 contract, from the stored stages only: the corpus text
     * is never touched, the postings scan reads the probed terms'

@@ -3178,6 +3178,43 @@ object TextQueries {
       |FROM spr_a a JOIN spr_b b USING (doc_id)
       |ORDER BY score_then DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** ROLLBACK from the persisted text index
+    * ([[graft.ops.TextIndexStore.rollback]] over the
+    * [[graft.ops.StoreVersions]] snapshot log): build on two thirds
+    * of the corpus, fold the last third in under a batch id (the
+    * "bad crawl"), then UNDO it — the manifest flips back to the
+    * build epoch and the folded batch's appended postings/doclens
+    * files are deleted surgically off that epoch's file manifest.
+    * The serve after equals the build-epoch store exactly — which is
+    * what the oracle recomputes from the raw two-thirds corpus: any
+    * residue of the undone batch (one posting row, a doclens row,
+    * the stats fold) moves n/avgdl/idf/score and breaks the hash.
+    * The undone id folds again afterwards (spec-pinned);
+    * SnapshotIsolationSpec pins the cross-store rollback and the
+    * retention-lapse loudness.
+    */
+  val q178 = Q("q178_snapshot_rollback",
+    (s, dir) => {
+      import graft.ops.{StoreVersions, TextIndexStore}
+      val docs = table(s, dir, "documents")
+      val idxDir = TextIndexStore.indexDirFor(dir, "-rb")
+      val idx = TextIndexStore.build(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxDir)
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val seq = StoreVersions.snapshots(fs, idxDir).last._1
+      TextIndexStore.update(idx,
+        docs.filter(col("doc_id") % 3 === 0), "text",
+        batchId = Some("rb-bad-crawl"))
+      TextIndexStore.rollback(s, idx, seq)
+      TextIndexStore.bm25(s, idx, bm25Terms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH ${duckBm25CtesFor("doc_id % 3 <> 0")}
+      |SELECT doc_id, score FROM spr
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3185,5 +3222,5 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168, q171, q172, q173, q174, q175, q177)
+      q167, q168, q171, q172, q173, q174, q175, q177, q178)
 }

@@ -234,6 +234,62 @@ class SnapshotIsolationSpec extends SparkSpec {
     } finally spark.conf.unset(StoreVersions.RetainVersions)
   }
 
+  test("ROLLBACK: the undone batch disappears and the store serves " +
+      "the restored epoch exactly; the undone batchId folds again; " +
+      "rollback reaches across stores; a GC'd target is loud") {
+    spark.conf.set(StoreVersions.RetainVersions, "4")
+    try {
+      // text: build → fold a batch → roll it back → scores restored
+      val st = TextIndexStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$tmp/text-rb")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def serve() = TextIndexStore.bm25(spark, st, terms)
+        .collect().map(_.toString).sorted.toSeq
+      val seq1 = StoreVersions.snapshots(fs, st.dir).last._1
+      val at1 = serve()
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      TextIndexStore.update(st, odds, "text", batchId = Some("rb1"))
+      val at2 = serve()
+      assert(at2 != at1, "fixture: the batch should change scores")
+      // the replay guard holds BEFORE the rollback...
+      TextIndexStore.update(st, odds, "text", batchId = Some("rb1"))
+      assert(serve() == at2, "replay of an applied batch must no-op")
+      TextIndexStore.rollback(spark, st, seq1)
+      assert(serve() == at1,
+        "rollback did not restore the epoch's serving exactly")
+      // ...and the rollback RE-OPENS the batch id: folding it again
+      // is a real fold, landing the same state as the first time
+      TextIndexStore.update(st, odds, "text", batchId = Some("rb1"))
+      assert(serve() == at2, "an undone batch id must fold again")
+
+      // curation: a takedown rolled back — membership and the exact
+      // counter restore together (they flipped as one)
+      val cur = CurationStore.build(docs, "doc_id", "text",
+        s"$tmp/cur-rb")
+      val cSeq = StoreVersions.snapshots(fs, cur.dir).last._1
+      val n1 = CurationStore.liveCount(spark, cur)
+      CurationStore.delete(cur,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"))
+      assert(CurationStore.liveCount(spark, cur) < n1)
+      CurationStore.rollback(spark, cur, cSeq)
+      assert(CurationStore.liveCount(spark, cur) == n1 &&
+          cur.tombstonesIfAny(spark).isEmpty,
+        "curation rollback did not restore membership + counter")
+
+      // a rollback target whose versions retention already GC'd is
+      // loud (default retention; two compacts expire the log)
+      spark.conf.unset(StoreVersions.RetainVersions)
+      val gcSeq = StoreVersions.snapshots(fs, st.dir).last._1
+      TextIndexStore.compact(spark, st)
+      TextIndexStore.compact(spark, st)
+      intercept[IllegalStateException] {
+        TextIndexStore.rollback(spark, st, gcSeq)
+      }
+    } finally spark.conf.unset(StoreVersions.RetainVersions)
+  }
+
   test("retention bounds the disk: after two maintenance cycles the " +
       "oldest version is GC'd (a pin older than retention expires, " +
       "the Iceberg contract) — and the snapshot LOG is bounded to " +
