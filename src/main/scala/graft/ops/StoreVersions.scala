@@ -150,6 +150,19 @@ object StoreVersions {
     * a snapshot numbered ahead of the live manifest — harmless (it
     * names fully-written versions; the next flip skips past it), and
     * [[gc]] bounds the log's length either way.
+    *
+    * Metadata cost: one listing per append stage per flip — the same
+    * O(stage-files) class the append-diff protocol already pays per
+    * batch (the writers' before/after counter diffs and the marker
+    * snapshot), NOT a new asymptotic; and the stage's file count is
+    * itself bounded by advised maintenance (the [[Advisor]]
+    * files-per-cell / delta-bytes ceilings — compaction folds the
+    * per-batch files back down, so listings stay O(cells) between
+    * compactions, never O(batches since build)). If file counts ever
+    * outgrow listing budgets, the designed escape is per-batch
+    * CHAINED version dirs (manifest naming a dir list per stage),
+    * which trades the listings for one more dir per batch — not
+    * needed at current shapes.
     */
   def flip(fs: FileSystem, storeDir: String,
       updates: Map[String, String],
