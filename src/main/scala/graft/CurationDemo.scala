@@ -218,6 +218,34 @@ object CurationDemo {
       "a freshly-compacted index advised maintenance")
     log(s"maintenance advisor on the compacted index: " +
       advice.mkString(", "))
+    // 9. the snapshot log closes the loop operationally: pin the
+    //    compacted epoch, fold a BAD batch, time-travel-read the
+    //    pre-batch state through the pin, then ROLL the batch back —
+    //    serving and the exact counter restore together
+    val fsIdx = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val seqGood = ops.StoreVersions.snapshots(fsIdx, idxDir).last._1
+    val nGood = ops.AnnIndexStore.liveCount(spark, idx)
+    ops.AnnIndexStore.add(idx,
+      emb.filter(col("vec_id") % 50 === 7)
+        .withColumn("vec_id", col("vec_id") + 9000000L),
+      "embedding", batchId = Some("demo-bad-crawl"))
+    require(ops.AnnIndexStore.liveCount(spark, idx) > nGood,
+      "fixture: the bad batch should have landed")
+    require(idx.pinAt(spark, seqGood).stats(spark).head().getLong(0)
+        == nGood,
+      "the time-travel pin must see the pre-batch counter")
+    ops.AnnIndexStore.rollback(spark, idx, seqGood)
+    require(ops.AnnIndexStore.liveCount(spark, idx) == nGood,
+      "rollback did not restore the exact counter")
+    val postRollback = ops.AnnIndexStore
+      .search(spark, idx, oldQ, "qid", "embedding", k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    require(postRollback == postCompact,
+      "rollback did not restore serving exactly")
+    log(s"snapshot log: bad batch folded (counter $nGood -> past), " +
+      s"pre-batch epoch read through pinAt($seqGood), rollback " +
+      "restored serving and the counter exactly")
     // the index is a full encoded corpus copy — drop it like the
     // sibling stages drop their temp artifacts
     val idxPath = new org.apache.hadoop.fs.Path(idxDir)

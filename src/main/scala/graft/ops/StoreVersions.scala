@@ -204,8 +204,10 @@ object StoreVersions {
     fs.mkdirs(snapDir)
     val nextSeq = snapshotFiles(fs, storeDir).lastOption
       .map(_._1).getOrElse(0) + 1
-    fs.rename(writeTmp(manifestBody + fileLines),
-      new Path(snapDir, f"s-$nextSeq%05d"))
+    val snapDst = new Path(snapDir, f"s-$nextSeq%05d")
+    require(fs.rename(writeTmp(manifestBody + fileLines), snapDst),
+      s"snapshot record rename to $snapDst failed — a silent miss " +
+        "here would leave this flip unreachable to time travel")
     // FileContext.rename(OVERWRITE) is the atomic-replace primitive
     // on HDFS and local — a plain FileSystem.rename refuses an
     // existing destination on HDFS, and delete-then-rename would open
@@ -323,7 +325,11 @@ object StoreVersions {
     * re-runs to completion (deletions are idempotent; the flip is
     * last). Single-writer contract applies — the store wrappers
     * settle markers and clear `_applied` (a rolled-back batch id
-    * must become foldable again) around this call.
+    * must become foldable again) around this call; the clear runs
+    * LAST, so a crash between the flip and it leaves `_applied`
+    * naming an already-undone batch — the caller's recovery is to
+    * RE-RUN the rollback to completion (the natural move: it never
+    * saw success), never to trust that window's replay detection.
     */
   def rollbackTo(fs: FileSystem, storeDir: String,
       seq: Int, appendStages: Map[String, Boolean]): Unit = {
