@@ -539,7 +539,10 @@ object AnnIndexStore {
     val fs = fsOf(s, idx.dir)
     settleEntry(s, fs, idx, batchId = None)
     StoreVersions.rollbackTo(fs, idx.dir, seq, AppendSnap)
-    StoreVersions.gc(s, fs, idx.dir, Stages)
+    // deliberately NO gc here: the target snapshot must survive so a
+    // crashed coordinator's RE-RUN of the same rollback converges
+    // (readAt would otherwise be pruned by this very flip's retention
+    // bound); the next normal writer's entry prunes as usual
     UpdateMarker.clear(fs, idx.dir)
     idx
   }

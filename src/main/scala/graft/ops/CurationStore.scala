@@ -851,7 +851,10 @@ object CurationStore {
       .getFileSystem(s.sessionState.newHadoopConf())
     settleEntry(s, fs, store, batchId = None)
     StoreVersions.rollbackTo(fs, store.dir, seq, AppendSnap)
-    StoreVersions.gc(s, fs, store.dir, Stages)
+    // deliberately NO gc here: the target snapshot must survive so a
+    // crashed coordinator's RE-RUN of the same rollback converges
+    // (readAt would otherwise be pruned by this very flip's retention
+    // bound); the next normal writer's entry prunes as usual
     UpdateMarker.clear(fs, store.dir)
     store
   }

@@ -733,12 +733,10 @@ object TextIndexStore {
       .getFileSystem(s.sessionState.newHadoopConf())
     settleEntry(s, fs, idx, batchId = None)
     StoreVersions.rollbackTo(fs, idx.dir, seq, AppendSnap)
-    if (idx.postingsBuckets > 0) {
-      val snap = idx.pin(s)
-      registerBucketedTable(s, tableNameFor(idx.dir),
-        snap.postingsPath, idx.postingsBuckets)
-    }
-    StoreVersions.gc(s, fs, idx.dir, Stages)
+    // deliberately NO gc here: the target snapshot must survive so a
+    // crashed coordinator's RE-RUN of the same rollback converges
+    // (readAt would otherwise be pruned by this very flip's retention
+    // bound); the next normal writer's entry prunes as usual
     UpdateMarker.clear(fs, idx.dir)
     idx
   }

@@ -264,4 +264,61 @@ class CorpusStoreSpec extends SparkSpec {
     assert(CorpusStore.liveCounts(spark, st) == ((59L, 60L, 60L)),
       "expected the curation count one short of ann/text")
   }
+
+  test("transaction rollback: snapshotSeqs captured before an ingest " +
+      "undo it across all four tiers; a replayed rollback converges; " +
+      "the undone batchId folds again") {
+    val base = corpus.filter(col("doc_id") % 4 =!= 3)
+    val batch = corpus.filter(col("doc_id") % 4 === 3)
+    val docs = sf("documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val withSrc = (df: org.apache.spark.sql.DataFrame) =>
+      df.join(src, "doc_id")
+    val st = CorpusStore.build(withSrc(base), "doc_id", "text",
+      "embedding", s"$tmp/rb", annDials = Some(dials),
+      sourceCol = Some("source"))
+    val n0 = base.count()
+    val labels0 = st.curation.labels(spark).collect()
+      .map(_.toString).sorted.toSeq
+    val bm0 = TextIndexStore.bm25(spark, st.text, terms).collect()
+      .map(_.toString).sorted.toSeq
+    def statsReadout() = st.stats.get.stats(spark)
+      .select("source", "docs", "token_occurrences", "stale").collect()
+      .map(_.toString).sorted.toSeq
+    val stats0 = statsReadout()
+
+    val seqs = CorpusStore.snapshotSeqs(spark, st)
+    CorpusStore.ingest(st, withSrc(batch), "text", "embedding",
+      "rb-tx-1")
+    assert(CorpusStore.liveCounts(spark, st) !=
+      ((n0, n0, n0)), "fixture: the ingest should have landed")
+
+    val live = withSrc(base)
+    CorpusStore.rollback(spark, st, seqs, liveCorpus = Some(live))
+    assert(CorpusStore.liveCounts(spark, st) == ((n0, n0, n0)),
+      "rollback did not restore all three serving counters")
+    assert(st.curation.labels(spark).collect()
+        .map(_.toString).sorted.toSeq == labels0,
+      "rollback did not restore the label map")
+    assert(TextIndexStore.bm25(spark, st.text, terms).collect()
+        .map(_.toString).sorted.toSeq == bm0,
+      "rollback did not restore text serving")
+    assert(statsReadout() == stats0,
+      "rollback did not restore the monitoring tier")
+
+    // a coordinator crash mid-rollback replays the SAME call — each
+    // store's rollback re-runs idempotently at its target seq (the
+    // target snapshot deliberately survives the rollback's own flip)
+    CorpusStore.rollback(spark, st, seqs, liveCorpus = Some(live))
+    assert(CorpusStore.liveCounts(spark, st) == ((n0, n0, n0)),
+      "replayed rollback diverged")
+
+    // the rollback re-opened the batch id: the same transaction
+    // folds again for real
+    CorpusStore.ingest(st, withSrc(batch), "text", "embedding",
+      "rb-tx-1")
+    val nAll = corpus.count()
+    assert(CorpusStore.liveCounts(spark, st) == ((nAll, nAll, nAll)),
+      "an undone transaction id must fold again")
+  }
 }
