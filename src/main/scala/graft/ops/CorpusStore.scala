@@ -177,51 +177,50 @@ object CorpusStore {
     out
   }
 
-  /** The three serving stores' CURRENT snapshot-log seqs —
-    * (curation, ann, text). An orchestrator captures this BEFORE a
-    * transaction; [[rollback]] takes it to undo everything the
-    * transaction (and anything after it) folded. One tiny listing
-    * per store, no jobs.
-    */
-  def snapshotSeqs(s: SparkSession, st: Stores): (Int, Int, Int) = {
+  /** The quad's CURRENT snapshot-log seqs. An orchestrator captures
+    * this BEFORE a transaction; [[rollback]] takes it to undo
+    * everything the transaction (and anything after it) folded. One
+    * tiny listing per store, no jobs. */
+  final case class Epochs(curation: Int, ann: Int, text: Int,
+      stats: Option[Int])
+
+  def snapshotSeqs(s: SparkSession, st: Stores): Epochs = {
     def last(dir: String): Int = {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sessionState.newHadoopConf())
       StoreVersions.snapshots(fs, dir).last._1
     }
-    (last(st.curation.dir), last(st.ann.dir), last(st.text.dir))
+    Epochs(last(st.curation.dir), last(st.ann.dir), last(st.text.dir),
+      st.stats.map(x => last(x.dir)))
   }
 
   /** TRANSACTION-LEVEL rollback: undo every batch folded since the
     * [[snapshotSeqs]] capture, across all four tiers — the
-    * bad-crawl-hit-every-store recovery. The three serving stores
-    * roll back through their own snapshot logs
-    * ([[StoreVersions.rollbackTo]] semantics: surgical file deletes
-    * off the flip-time manifests, `_applied` cleared so the undone
-    * ids fold again); the monitoring tier has no file-grain log —
-    * its counters are multiset aggregates — so it RE-DERIVES from
-    * the rolled-back live corpus, exactly as at [[compact]]
-    * (`liveCorpus` required when the tier is mounted).
+    * bad-crawl-hit-every-store recovery. Every tier rolls back
+    * through its own snapshot log ([[StoreVersions.rollbackTo]]
+    * semantics: the serving stores surgically delete the files
+    * folded since off the flip-time manifests; the monitoring tier's
+    * single pure-replace stage flips back — each version holds the
+    * complete per-source row set, so no corpus pass is needed), and
+    * `_applied` clears everywhere so the undone ids fold again.
     *
     * Same convergence-under-replay contract as [[ingest]]/[[delete]]:
     * there is no global two-phase commit — a coordinator crash
     * between per-store rollbacks leaves a prefix undone, and
     * RE-RUNNING the same rollback completes it (each store's
     * rollback is idempotent at its target seq: already-rolled-back
-    * stores delete nothing and re-flip to the same state).
+    * stores delete nothing and re-flip to the same state; the
+    * per-store rollbacks skip gc precisely so the replay still finds
+    * its target snapshot).
     */
-  def rollback(s: SparkSession, st: Stores, seqs: (Int, Int, Int),
-      liveCorpus: Option[DataFrame] = None,
-      textCol: String = "text"): Stores = {
-    require(st.stats.isEmpty || liveCorpus.isDefined,
-      "a stats-bearing transaction re-derives its monitoring tier " +
-        "from the rolled-back LIVE corpus — pass it")
-    CurationStore.rollback(s, st.curation, seqs._1)
-    AnnIndexStore.rollback(s, st.ann, seqs._2)
-    TextIndexStore.rollback(s, st.text, seqs._3)
-    st.stats.foreach(x => StatsStore.compact(x,
-      liveCorpus.get.select(col(textCol), col(st.sourceCol)),
-      textCol, st.sourceCol))
+  def rollback(s: SparkSession, st: Stores, at: Epochs): Stores = {
+    require(st.stats.isEmpty || at.stats.isDefined,
+      "the capture predates the stats tier's mount — roll the " +
+        "monitoring tier forward by StatsStore.compact instead")
+    CurationStore.rollback(s, st.curation, at.curation)
+    AnnIndexStore.rollback(s, st.ann, at.ann)
+    TextIndexStore.rollback(s, st.text, at.text)
+    st.stats.foreach(x => StatsStore.rollback(s, x, at.stats.get))
     st
   }
 

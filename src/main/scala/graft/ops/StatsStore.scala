@@ -67,10 +67,29 @@ object StatsStore {
   val ThetaLgNom = 12
 
   final case class Store(dir: String) {
+
+    private def fsOf(s: SparkSession) =
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+
     /** Raw stats stage: (source, docs, token_occurrences, tok_hll,
       * len_kll) — exact longs + sketch binaries, one row per source.
+      * Resolved through the store manifest ([[StoreVersions]] — the
+      * serving stores' reader-isolation layer, adopted here too):
+      * a reader planned before a concurrent update/compact collects
+      * from its pinned version's files.
       */
-    def stats(s: SparkSession): DataFrame = s.read.parquet(s"$dir/stats")
+    def stats(s: SparkSession): DataFrame = s.read.parquet(
+      StoreVersions.resolve(fsOf(s), dir, "stats"))
+
+    /** TIME-TRAVEL read: the monitoring row set as of flip `seq` of
+      * the snapshot log — drift HISTORY, not just drift (pair with
+      * [[StatsStore.driftReport]] to diff any two epochs). Loud when
+      * the log has no such entry; fails at collect past retention. */
+    def statsAt(s: SparkSession, seq: Int): DataFrame = {
+      val st = StoreVersions.readAt(fsOf(s), dir, seq)
+      s.read.parquet(s"$dir/stats/${st.versions("stats")}")
+    }
 
     /** Human-facing readout: sketches collapsed to estimates. */
     def report(s: SparkSession): DataFrame =
@@ -218,15 +237,25 @@ object StatsStore {
     * flips). */
   def build(docs: DataFrame, textCol: String, sourceCol: String,
       storeDir: String): Store = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // previous-life settle (the serving stores' build discipline): a
+    // versioned life keeps its committed snapshot — readers serve
+    // THROUGH the rebuild — shedding only orphans; a pre-versioning
+    // layout is reset wholesale. Stale markers/_applied clear either
+    // way (streaming epochs restart at 0).
+    if (StoreVersions.read(fs, storeDir).isEmpty)
+      for (st <- Seq("stats", "stats.next", "stats.old"))
+        StageSwap.remove(fs, new org.apache.hadoop.fs.Path(s"$storeDir/$st"))
+    else StoreVersions.sweepOrphans(fs, storeDir, Seq("stats"))
+    UpdateMarker.clear(fs, storeDir)
+    val sV = StoreVersions.next(fs, storeDir, "stats")
     aggregate(docs, textCol, sourceCol)
       .withColumn("stale", lit(false))
-      .write.mode("overwrite").parquet(s"$storeDir/stats")
-    // a rebuild resets the store wholesale — a stale _applied record
-    // from the directory's previous life must not alias a fresh
-    // producer's batch ids (streaming epochs restart at 0)
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-    UpdateMarker.clear(fs, storeDir)
+      .write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, storeDir, Map("stats" -> sV))
+    StoreVersions.gc(spark, fs, storeDir, Seq("stats"))
     Store(storeDir)
   }
 
@@ -260,14 +289,17 @@ object StatsStore {
   def update(store: Store, batch: DataFrame, textCol: String,
       sourceCol: String, batchId: Option[String] = None): Store = {
     val spark = batch.sparkSession
-    val statsDir = s"${store.dir}/stats"
     val fs = new org.apache.hadoop.fs.Path(store.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // heal + settle + replay-check + fresh marker: the ONE shared
     // protocol definition ([[UpdateMarker.settle]]); `stats` is this
-    // store's only (and therefore commit) stage
+    // store's only (and therefore commit) stage, resolved to its
+    // current version — a flipped commit resolves to a DIFFERENT
+    // directory, so the listing-diff rule works verbatim
+    StoreVersions.sweepOrphans(fs, store.dir, Seq("stats"))
     if (UpdateMarker.settle(spark, fs, store.dir, "stats",
-        Map("stats" -> statsDir), batchId))
+        Map("stats" -> StoreVersions.resolve(fs, store.dir, "stats")),
+        batchId))
       return store // this very batch already applied — no-op
     // null-safe join key: a null source is a legal (if unwelcome)
     // group, and plain equality would never match it to its stored
@@ -299,8 +331,10 @@ object StatsStore {
         // still contains deleted docs does not un-stale it — only
         // [[compact]]'s re-derive does. Brand-new sources start clean
         coalesce(col("o.stale"), lit(false)).as("stale"))
-    merged.write.mode("overwrite").parquet(s"$statsDir.next")
-    StageSwap.swapIn(spark, statsDir)
+    val sV = StoreVersions.next(fs, store.dir, "stats")
+    merged.write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, store.dir, Map("stats" -> sV)) // THE commit
+    StoreVersions.gc(spark, fs, store.dir, Seq("stats"))
     // record the committed batch BEFORE dropping the in-flight
     // marker, so at every instant one of the two files names it
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
@@ -344,11 +378,12 @@ object StatsStore {
   def delete(store: Store, deletedDocs: DataFrame, textCol: String,
       sourceCol: String, batchId: Option[String] = None): Store = {
     val spark = deletedDocs.sparkSession
-    val statsDir = s"${store.dir}/stats"
     val fs = new org.apache.hadoop.fs.Path(store.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    StoreVersions.sweepOrphans(fs, store.dir, Seq("stats"))
     if (UpdateMarker.settle(spark, fs, store.dir, "stats",
-        Map("stats" -> statsDir), batchId))
+        Map("stats" -> StoreVersions.resolve(fs, store.dir, "stats")),
+        batchId))
       return store // this very batch already applied — no-op
     val gone = aggregate(deletedDocs, textCol, sourceCol)
       .select(col("source").as("_gsrc"), col("docs").as("_gdocs"),
@@ -361,8 +396,10 @@ object StatsStore {
           .as("token_occurrences"),
         col("tok_hll"), col("fp_theta"), col("len_kll"),
         (col("stale") || col("_gsrc").isNotNull).as("stale"))
-    merged.write.mode("overwrite").parquet(s"$statsDir.next")
-    StageSwap.swapIn(spark, statsDir)
+    val sV = StoreVersions.next(fs, store.dir, "stats")
+    merged.write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, store.dir, Map("stats" -> sV)) // THE commit
+    StoreVersions.gc(spark, fs, store.dir, Seq("stats"))
     batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
     store
@@ -381,16 +418,41 @@ object StatsStore {
   def compact(store: Store, liveDocs: DataFrame, textCol: String,
       sourceCol: String): Store = {
     val spark = liveDocs.sparkSession
-    val statsDir = s"${store.dir}/stats"
     val fs = new org.apache.hadoop.fs.Path(store.dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    StoreVersions.sweepOrphans(fs, store.dir, Seq("stats"))
     UpdateMarker.settle(spark, fs, store.dir, "stats",
-      Map("stats" -> statsDir), batchId = None)
+      Map("stats" -> StoreVersions.resolve(fs, store.dir, "stats")),
+      batchId = None)
+    val sV = StoreVersions.next(fs, store.dir, "stats")
     aggregate(liveDocs, textCol, sourceCol)
       .withColumn("stale", lit(false))
-      .write.mode("overwrite").parquet(s"$statsDir.next")
-    StageSwap.swapIn(spark, statsDir)
+      .write.mode("overwrite").parquet(sV)
+    StoreVersions.flip(fs, store.dir, Map("stats" -> sV))
+    StoreVersions.gc(spark, fs, store.dir, Seq("stats"))
     UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
+    store
+  }
+
+  /** ROLL BACK to snapshot `seq` of the flip log — for this tier the
+    * flip-back alone IS the full undo: the one stage is pure-replace
+    * (each version holds the complete per-source row set), so
+    * restoring its version restores every counter and sketch to that
+    * epoch exactly — no re-derive pass over the corpus. Enters as a
+    * writer (settle + marker; single-writer collision applies) and
+    * clears `_applied` so an undone batch id folds again; no gc (a
+    * replayed rollback must find its target snapshot — the next
+    * normal writer prunes).
+    */
+  def rollback(s: SparkSession, store: Store, seq: Int): Store = {
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    StoreVersions.sweepOrphans(fs, store.dir, Seq("stats"))
+    UpdateMarker.settle(s, fs, store.dir, "stats",
+      Map("stats" -> StoreVersions.resolve(fs, store.dir, "stats")),
+      batchId = None)
+    StoreVersions.rollbackTo(fs, store.dir, seq, Map.empty)
+    UpdateMarker.clear(fs, store.dir)
     store
   }
 

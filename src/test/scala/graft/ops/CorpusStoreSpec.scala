@@ -288,13 +288,13 @@ class CorpusStoreSpec extends SparkSpec {
     val stats0 = statsReadout()
 
     val seqs = CorpusStore.snapshotSeqs(spark, st)
+    assert(seqs.stats.isDefined, "fixture: the stats tier is mounted")
     CorpusStore.ingest(st, withSrc(batch), "text", "embedding",
       "rb-tx-1")
     assert(CorpusStore.liveCounts(spark, st) !=
       ((n0, n0, n0)), "fixture: the ingest should have landed")
 
-    val live = withSrc(base)
-    CorpusStore.rollback(spark, st, seqs, liveCorpus = Some(live))
+    CorpusStore.rollback(spark, st, seqs)
     assert(CorpusStore.liveCounts(spark, st) == ((n0, n0, n0)),
       "rollback did not restore all three serving counters")
     assert(st.curation.labels(spark).collect()
@@ -309,7 +309,7 @@ class CorpusStoreSpec extends SparkSpec {
     // a coordinator crash mid-rollback replays the SAME call — each
     // store's rollback re-runs idempotently at its target seq (the
     // target snapshot deliberately survives the rollback's own flip)
-    CorpusStore.rollback(spark, st, seqs, liveCorpus = Some(live))
+    CorpusStore.rollback(spark, st, seqs)
     assert(CorpusStore.liveCounts(spark, st) == ((n0, n0, n0)),
       "replayed rollback diverged")
 

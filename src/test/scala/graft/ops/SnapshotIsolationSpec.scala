@@ -234,6 +234,35 @@ class SnapshotIsolationSpec extends SparkSpec {
     } finally spark.conf.unset(StoreVersions.RetainVersions)
   }
 
+  test("STATS tier: a held monitoring reader survives an update + " +
+      "re-derive compact; statsAt reads drift HISTORY (the epoch's " +
+      "exact row set)") {
+    spark.conf.set(StoreVersions.RetainVersions, "4")
+    try {
+      val d = sf("documents").select(col("doc_id"), col("text"),
+        col("source"))
+      val st = StatsStore.build(d, "text", "source", s"$tmp/stats-iso")
+      val fs = new org.apache.hadoop.fs.Path(st.dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("source", "docs", "token_occurrences")
+          .collect().map(_.toString).sorted.toSeq
+      val expected = rows(st.stats(spark))
+      val pinned = st.stats(spark) // plans (and pins) NOW
+      val seq1 = StoreVersions.snapshots(fs, st.dir).last._1
+      StatsStore.update(st, d.filter(col("doc_id") % 3 === 0),
+        "text", "source", batchId = Some("iso-1"))
+      StatsStore.compact(st, d.filter(col("doc_id") % 5 =!= 0),
+        "text", "source")
+      assert(rows(pinned) == expected,
+        "held monitoring reader leaked the concurrent maintenance")
+      assert(rows(st.statsAt(spark, seq1)) == expected,
+        "statsAt did not serve the build epoch's exact row set")
+      assert(rows(st.stats(spark)) != expected,
+        "fixture: the maintenance should change fresh reads")
+    } finally spark.conf.unset(StoreVersions.RetainVersions)
+  }
+
   test("ROLLBACK: the undone batch disappears and the store serves " +
       "the restored epoch exactly; the undone batchId folds again; " +
       "rollback reaches across stores; a GC'd target is loud") {

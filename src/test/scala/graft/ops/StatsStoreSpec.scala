@@ -298,12 +298,13 @@ class StatsStoreSpec extends SparkSpec {
       s"p95 $p95Before -> $p95After: shift not visible in KLL")
   }
 
-  // ---- crash/re-run discipline (StageSwap rollback + UpdateMarker) --
+  // ---- crash/re-run discipline (flip-last + UpdateMarker) ----------
 
   private def hfs(dir: String) = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
-  test("crashed update rolls back; the re-run applies the batch exactly once") {
+  test("crashed update's staged version is swept; the re-run applies " +
+      "the batch exactly once") {
     import spark.implicits._
     val evens = docs.filter(col("doc_id") % 2 === 0)
     val odds = docs.filter(col("doc_id") % 2 === 1)
@@ -311,35 +312,27 @@ class StatsStoreSpec extends SparkSpec {
       StatsStore.build(evens, "text", "source", tempStore()),
       odds, "text", "source"))
 
-    // state A — died between the swap's renames: marker written,
-    // merged result staged at .next, stats renamed aside
-    val dirA = tempStore()
-    val stA = StatsStore.build(evens, "text", "source", dirA)
-    val fsA = hfs(dirA)
-    UpdateMarker.write(fsA, UpdateMarker.markerPath(dirA),
-      UpdateMarker.State("",
-        Map("stats" -> UpdateMarker.listFiles(fsA, s"$dirA/stats"))))
-    // the staged content is discarded by rollback, so a placeholder
-    // stands in for the merged frame the crashed run wrote
-    Seq(1).toDF("v").write.parquet(s"$dirA/stats.next")
-    StageSwap.rename(fsA, new org.apache.hadoop.fs.Path(s"$dirA/stats"),
-      new org.apache.hadoop.fs.Path(s"$dirA/stats.old"))
-    assert(collectReport(StatsStore.update(stA, odds, "text", "source"))
-      == expected, "state A re-run must be single-application")
-
-    // state B — swap completed but died before its commit (aside copy
-    // still present): the whole update must revert, then re-apply once
-    val dirB = tempStore()
-    val stB = StatsStore.build(evens, "text", "source", dirB)
-    val fsB = hfs(dirB)
-    UpdateMarker.write(fsB, UpdateMarker.markerPath(dirB),
-      UpdateMarker.State("",
-        Map("stats" -> UpdateMarker.listFiles(fsB, s"$dirB/stats"))))
-    StageSwap.rename(fsB, new org.apache.hadoop.fs.Path(s"$dirB/stats"),
-      new org.apache.hadoop.fs.Path(s"$dirB/stats.old"))
-    Seq(1).toDF("v").write.parquet(s"$dirB/stats")
-    assert(collectReport(StatsStore.update(stB, odds, "text", "source"))
-      == expected, "state B re-run must be single-application")
+    // a crashed writer's ONLY possible uncommitted state under
+    // flip-last: the in-flight marker plus a staged version dir
+    // numbered above the manifest (the flip rename is atomic — the
+    // old layout's two mid-swap states cannot exist). The re-run
+    // must sweep the orphan and apply the batch exactly once.
+    val dir = tempStore()
+    val st = StatsStore.build(evens, "text", "source", dir)
+    val fs = hfs(dir)
+    UpdateMarker.write(fs, UpdateMarker.markerPath(dir),
+      UpdateMarker.State("", Map("stats" -> UpdateMarker.listFiles(fs,
+        StoreVersions.resolve(fs, dir, "stats")))))
+    val orphan = StoreVersions.next(fs, dir, "stats")
+    Seq(1).toDF("v").write.parquet(orphan)
+    val orphanFiles = UpdateMarker.listFiles(fs, orphan)
+    assert(collectReport(StatsStore.update(st, odds, "text", "source"))
+      == expected, "re-run must sweep the orphan and apply once")
+    // the sweep removed the crashed attempt's FILES; the version
+    // NUMBER is legitimately reused by the re-run's own commit
+    assert(orphanFiles.forall(f =>
+        !fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "the crashed attempt's staged files must be swept")
   }
 
   test("committed-but-unacknowledged batch: same batchId re-run is a no-op") {
@@ -348,7 +341,8 @@ class StatsStoreSpec extends SparkSpec {
     val dir = tempStore()
     val st = StatsStore.build(evens, "text", "source", dir)
     val fs = hfs(dir)
-    val preListing = UpdateMarker.listFiles(fs, s"$dir/stats")
+    val preListing = UpdateMarker.listFiles(fs,
+      StoreVersions.resolve(fs, dir, "stats"))
     StatsStore.update(st, odds, "text", "source", Some("batch-7"))
     val expected = collectReport(st)
     // resurrect the marker as if the post-commit delete never ran
