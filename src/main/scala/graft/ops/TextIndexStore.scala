@@ -871,7 +871,36 @@ object TextIndexStore {
     * downstream volume.
     */
   def bm25TopK(s: SparkSession, idx: Index, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKImpl(s, idx, terms, k, k1, b, None)
+
+  /** FILTERED exact top-k — [[bm25TopK]]'s pruning under
+    * [[bm25Filtered]]'s contract: the top `k` among the documents in
+    * `allowed` (one column named `idCol`), scores bit-identical to
+    * the unfiltered [[bm25]] values (n / avgdl / idf stay
+    * CORPUS-WIDE — the mask restricts candidates, never the model),
+    * rows bit-identical to `bm25Filtered(...).orderBy(score desc,
+    * id).limit(k)` (spec-pinned). The pruning arithmetic survives
+    * the mask because every bound only ever OVER-estimates:
+    * per-(token, file) upper bounds valid for the whole corpus are
+    * valid for any subset, while the threshold θ — the one quantity
+    * that must UNDER-estimate — is recomputed from the top-impact
+    * term's ALLOWED postings only (an unallowed high scorer would
+    * inflate θ above the true allowed k-th best and prune documents
+    * the filtered serve must return). Candidate generation semi-joins
+    * the mask before scoring, so the doclens join and pivot process
+    * allowed candidates only — the filtered twin of the serve's
+    * whole point. The mask rides AQE's build-side choice exactly as
+    * in [[bm25Filtered]] (never a forced broadcast).
+    */
+  def bm25TopKFiltered(s: SparkSession, idx: Index,
+      terms: Seq[String], allowed: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKImpl(s, idx, terms, k, k1, b, Some(allowed))
+
+  private def bm25TopKImpl(s: SparkSession, idx: Index,
+      terms: Seq[String], k: Int, k1: Double, b: Double,
+      allowedOpt: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k >= 1, "k must be >= 1")
     val dterms = terms.distinct
@@ -880,14 +909,21 @@ object TextIndexStore {
       (col("sumdl") / col("n")).as("_avgdl"))
     val st0 = statsF.head()
     val avgdl = st0.getDouble(1)
+    val allowedIds = allowedOpt.map(_.select(col(idx.idCol)).distinct())
+    // restrict a doc-keyed frame to the allowed set; identity when
+    // unfiltered (the mask applies to candidates and θ, NEVER to the
+    // idf probe — collection statistics stay corpus-wide)
+    def mask(df: DataFrame): DataFrame =
+      allowedIds.map(a => df.join(a, Seq(idx.idCol), "left_semi"))
+        .getOrElse(df)
     def fullTf = snap.postings(s)
       .filter(col("token").isin(dterms: _*))
       .select(col(idx.idCol), col("token"), col("tf"))
     def topKOf(scores: DataFrame): DataFrame =
       scores.orderBy(col("score").desc, col(idx.idCol).asc).limit(k)
     def fullTopK(idf: DataFrame): DataFrame =
-      topKOf(TextOps.bm25ScoreWithIdf(fullTf, snap.doclens(s), statsF,
-        idf, idx.idCol, dterms, k1, b))
+      topKOf(TextOps.bm25ScoreWithIdf(mask(fullTf), snap.doclens(s),
+        statsF, idf, idx.idCol, dterms, k1, b))
     val maxMeta = s.conf.get(TopKMetaMaxRows,
       topkMetaMaxDefault.toString).toInt
     val metaRows = s.read.parquet(snap.metaPath)
@@ -906,7 +942,8 @@ object TextIndexStore {
             .mapValues(_.map(_.getLong(2)).sum).toSeq.toDF("token", "df"),
           statsF)
       } else TextOps.bm25Idf(fullTf, statsF)
-    decisionOf(s, snap, idfF, metaRows, dterms, k, k1, b, avgdl) match {
+    decisionOf(s, snap, idfF, metaRows, dterms, k, k1, b, avgdl,
+        mask) match {
       case None => fullTopK(idfF) // fewer than k matches: no bound
       case Some(d) =>
         val cand1 = snap.postings(s)
@@ -919,7 +956,8 @@ object TextIndexStore {
             .select(col(idx.idCol))
             .unionByName(cand1)
         topKOf(TextOps.bm25ScoreWithIdf(
-          fullTf.join(candE.distinct(), Seq(idx.idCol), "left_semi"),
+          fullTf.join(mask(candE).distinct(), Seq(idx.idCol),
+            "left_semi"),
           snap.doclens(s), statsF, idfF, idx.idCol, dterms, k1, b))
     }
   }
@@ -935,7 +973,8 @@ object TextIndexStore {
   private[graft] def decisionOf(s: SparkSession, snap: Snapshot,
       idfF: DataFrame, metaRows: Array[org.apache.spark.sql.Row],
       dterms: Seq[String], k: Int, k1: Double, b: Double,
-      avgdl: Double): Option[TopKDecision] = {
+      avgdl: Double,
+      mask: DataFrame => DataFrame = identity): Option[TopKDecision] = {
     val eps = 1e-3
     val idfMap = idfF.collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -952,9 +991,11 @@ object TextIndexStore {
     val sorted = dterms.sortBy(t => (-ub(t), t))
     val t1 = sorted.head
     // θ: k-th best PARTIAL score from the top-impact term alone —
-    // partial ≤ full, so this lower-bounds the true k-th best
-    val t1tf = snap.postings(s).filter(col("token") === t1)
-      .select(col(snap.idCol), col("token"), col("tf"))
+    // partial ≤ full, so this lower-bounds the true k-th best; under
+    // a filter the mask applies HERE (θ must lower-bound the k-th
+    // best ALLOWED score — an unallowed high scorer would inflate it)
+    val t1tf = mask(snap.postings(s).filter(col("token") === t1)
+      .select(col(snap.idCol), col("token"), col("tf")))
     val statsF = snap.stats(s).select(col("n").as("_n"),
       (col("sumdl") / col("n")).as("_avgdl"))
     val part = TextOps.bm25ScoreWithIdf(t1tf, snap.doclens(s), statsF,

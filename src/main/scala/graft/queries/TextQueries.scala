@@ -3135,6 +3135,32 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** FILTERED top-k BM25 with MaxScore/block-max pruning
+    * ([[graft.ops.TextIndexStore.bm25TopKFiltered]], k = 15 within
+    * the doc_id % 3 = 0 slice): q173's pruned serve under q167's
+    * frozen-models mask. Every bound still over-estimates under the
+    * mask (a corpus-wide per-file bound is valid for any subset), and
+    * the one quantity that must UNDER-estimate — the threshold θ —
+    * is recomputed from the top-impact term's ALLOWED postings only,
+    * so an unallowed high scorer can never inflate it and starve the
+    * filtered answer (TextIndexStoreSpec's adversarial low-score
+    * slice pins exactly that). The oracle is q167's brute chain
+    * ordered and cut at k: the contract is rows bit-identical to
+    * `bm25Filtered(...).orderBy(score desc, id).limit(k)`.
+    */
+  val q179 = Q("q179_bm25_topk_filtered",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      val allowed = table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0).select("doc_id")
+      graft.ops.TextIndexStore.bm25TopKFiltered(s, idx, bm25Terms,
+          allowed, k = 15)
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some(s"""WITH $duckBm25Ctes
+      |SELECT doc_id, score FROM spr WHERE doc_id % 3 = 0
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin))
+
   /** TIME-TRAVEL read from the persisted text index
     * ([[graft.ops.TextIndexStore.Index.pinAt]] over the
     * [[graft.ops.StoreVersions]] snapshot log): build on two thirds
@@ -3222,5 +3248,5 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168, q171, q172, q173, q174, q175, q177, q178)
+      q167, q168, q171, q172, q173, q174, q175, q177, q178, q179)
 }

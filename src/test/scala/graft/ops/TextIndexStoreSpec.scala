@@ -678,6 +678,97 @@ class TextIndexStoreSpec extends SparkSpec {
       "k past the match count must serve the full ranked list")
   }
 
+  test("bm25TopKFiltered == bm25Filtered's ordered top-k EXACTLY; " +
+      "scores stay corpus-wide under the mask; θ comes from ALLOWED " +
+      "docs only (an unallowed top scorer must not inflate it and " +
+      "starve the filtered top-k); the block-skip survives the mask") {
+    import spark.implicits._
+    val planted = docs.withColumn("text",
+      concat(col("text"), lit(" the the the")))
+    val qterms = Seq("the", "join", "vector")
+    val k = 20
+    val st = TextIndexStore.build(planted, "doc_id", "text",
+      s"$tmp/topk-filt")
+    def brute(allowed: org.apache.spark.sql.DataFrame, kk: Int) =
+      TextIndexStore.bm25Filtered(spark, st, qterms, allowed)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kk)
+        .collect().toSeq
+    def pruned(allowed: org.apache.spark.sql.DataFrame, kk: Int) =
+      TextIndexStore.bm25TopKFiltered(spark, st, qterms, allowed, kk)
+        .collect().toSeq
+    val allowed = planted.filter(col("doc_id") % 3 === 0)
+      .select("doc_id")
+    assert(pruned(allowed, k) == brute(allowed, k),
+      "filtered top-k diverged from the brute-force filtered chain")
+    // frozen-models contract: every filtered row's score equals its
+    // UNFILTERED bm25 score bit-for-bit (the mask never touches the
+    // model)
+    val filt = TextIndexStore.bm25TopKFiltered(spark, st, qterms,
+      allowed, k).select(col("doc_id"), col("score").as("_f"))
+    val unfiltered = TextIndexStore.bm25(spark, st, qterms)
+    assert(filt.join(unfiltered, "doc_id")
+        .filter(col("_f") =!= col("score")).isEmpty,
+      "a masked doc's score drifted from its unfiltered value")
+    // the θ-inflation adversarial case: allow ONLY documents OUTSIDE
+    // the unfiltered top-k — a θ computed over the whole corpus would
+    // sit above every allowed doc's score and prune the answer away
+    val lowOnly = planted.select("doc_id").exceptAll(
+      TextIndexStore.bm25TopK(spark, st, qterms, k).select("doc_id"))
+    assert(pruned(lowOnly, k) == brute(lowOnly, k),
+      "θ leaked from unallowed docs: the low-score slice was starved")
+    assert(pruned(lowOnly, k).size == k,
+      "the low-score slice has >= k matches; the serve returned fewer")
+    // degenerate shapes: an empty mask serves empty; a mask smaller
+    // than k serves exactly its matching members
+    assert(pruned(planted.filter(col("doc_id") < 0).select("doc_id"),
+      k).isEmpty, "empty allow-list must serve empty")
+    val tiny = planted.filter(col("doc_id") % 97 === 0).select("doc_id")
+    assert(pruned(tiny, 100000) == brute(tiny, 100000),
+      "k past the allowed match count must serve the full ranked list")
+    // the pruning stays REAL under the mask: on the deterministic
+    // multi-file fixture (high-impact head + low-impact update
+    // batches), the masked decision still keeps the stopword
+    // non-essential and still excludes the low-bound blocks
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    def doc(id: Long, body: String) = (id, s"the the the $body")
+    val head = (1L to 50L).map(doc(_, "vector " * 8))
+    val pad = (1000L to 1799L).map(doc(_, filler))
+    val tail1 = (51L to 150L).map(doc(_, s"$filler vector"))
+    val tail2 = (151L to 250L).map(doc(_, s"$filler vector"))
+    val fx = TextIndexStore.build((head ++ pad).toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/topk-filt-blocks")
+    TextIndexStore.update(fx, tail1.toDF("doc_id", "text"), "text")
+    TextIndexStore.update(fx, tail2.toDF("doc_id", "text"), "text")
+    val fxTerms = Seq("the", "vector")
+    val fxAllowed = (head ++ pad ++ tail1 ++ tail2)
+      .map(_._1).filter(_ % 2 == 0).toDF("doc_id")
+    assert(
+      TextIndexStore.bm25TopKFiltered(spark, fx, fxTerms, fxAllowed, 10)
+        .collect().toSeq ==
+      TextIndexStore.bm25Filtered(spark, fx, fxTerms, fxAllowed)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .collect().toSeq,
+      "fixture filtered top-k diverged from brute force")
+    val snap = fx.pin(spark)
+    val statsF = snap.stats(spark).select(col("n").as("_n"),
+      (col("sumdl") / col("n")).as("_avgdl"))
+    val metaRows = spark.read.parquet(snap.metaPath)
+      .filter(col("token").isin(fxTerms: _*)).collect()
+    val idfF = TextOps.bm25Idf(
+      snap.postings(spark).filter(col("token").isin(fxTerms: _*))
+        .select(col("doc_id"), col("token"), col("tf")), statsF)
+    val d = TextIndexStore.decisionOf(spark, snap, idfF, metaRows,
+      fxTerms, 10, 1.2, 0.75, statsF.head().getDouble(1),
+      df => df.join(fxAllowed, Seq("doc_id"), "left_semi"))
+      .getOrElse(fail("no masked decision"))
+    assert(!d.essential.contains("the"),
+      s"the stopword became essential under the mask (${d.essential})")
+    assert(d.allowedFiles.nonEmpty &&
+      d.allowedFiles.size < d.probedFiles,
+      s"masked block-skip excluded nothing " +
+        s"(${d.allowedFiles.size} of ${d.probedFiles} files allowed)")
+  }
+
   test("the term probe pushes into the postings scan") {
     val df = TextIndexStore.bm25(spark, idx, terms)
     df.collect()
