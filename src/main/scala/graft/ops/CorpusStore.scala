@@ -237,35 +237,67 @@ object CorpusStore {
     *    [[UpdateMarker]] discipline, so a crash mid-maintain replays
     *    like any other maintenance crash and non-advised stores are
     *    provably untouched (spec-pinned by manifest equality).
-    *  - `rebuild` advice (the ANN recall floor) is NOT executed: a
-    *    re-train needs the raw corpus and the training dials, which
-    *    the stores deliberately do not persist. It stays in the
-    *    returned readout for the caller's scheduler — the advisor
-    *    tells the operator, the operator owns the re-train.
+    *  - `rebuild` advice (the ANN recall floor) executes ONLY when
+    *    the caller supplies the re-train inputs — `annCorpus` (the
+    *    live id + vector frame) and `annDials` — because a re-train
+    *    needs the raw corpus and the training dials, which the
+    *    stores deliberately do not persist. With both present, the
+    *    advised re-train runs [[AnnIndexStore.build]] in place (the
+    *    build resets the previous life: codes, tombstones AND the
+    *    recall_log, so the post-maintenance readout starts a fresh
+    *    staleness history — the loop is closed end to end, drift →
+    *    advice → re-train → recovered serving, spec-pinned with a
+    *    planted-drift fixture). Without them the row stays in the
+    *    returned readout for the caller's scheduler, exactly as
+    *    before — the advisor tells the operator, and the operator
+    *    either owns the re-train or hands maintain the inputs. A
+    *    rebuild supersedes any `compact` advice on the same store
+    *    (the fresh build has nothing to fold).
     *  - the stats tier's compact re-derives from the LIVE corpus
     *    ([[StatsStore.compact]]'s contract), so `liveCorpus` is
     *    required exactly when that store's debt is due.
     *
     * Returns the maintained handles and the POST-maintenance advice
-    * readout (every executed action's row back at `ok`; `rebuild`
+    * readout (every executed action's row back at `ok`; an executed
+    * rebuild's recall row GONE — the fresh log; unexecuted `rebuild`
     * rows passed through). Cost: the advisor's file listings + the
-    * advised compacts — an all-ok readout costs zero jobs.
+    * advised compacts + (opted-in) the advised re-train — an all-ok
+    * readout costs zero jobs.
     */
   def maintain(s: SparkSession, st: Stores, labelBuckets: Int = 8,
       liveCorpus: Option[DataFrame] = None,
-      textCol: String = "text"): (Stores, DataFrame) = {
+      textCol: String = "text",
+      annCorpus: Option[DataFrame] = None,
+      vecCol: String = "embedding",
+      annDials: Option[AnnIndexStore.Dials] = None)
+      : (Stores, DataFrame) = {
     // the advice frame is ≤ 8 one-row probes — driver-sized by design
-    val due = Advisor.advise(s, st)
-      .filter(col("action") === "compact")
-      .select("store").distinct().collect()
-      .map(_.getString(0)).toSet
+    val advice = Advisor.advise(s, st)
+      .select("store", "action").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val due = advice.collect { case (store, "compact") => store }.toSet
+    val rebuildAnn = advice.contains(("ann", "rebuild")) &&
+      annDials.isDefined
+    require(!rebuildAnn || annCorpus.isDefined,
+      "the ANN re-train is opted in (dials passed) and due: it " +
+        "trains from the LIVE corpus vectors — pass annCorpus")
     require(!due("stats") || liveCorpus.isDefined,
       "the stats tier's sketch debt is due: its compact re-derives " +
         "from the LIVE corpus — pass it")
+    val idc = st.idCol
+    val ann =
+      if (rebuildAnn) {
+        val d = annDials.get
+        AnnIndexStore.build(
+          annCorpus.get.select(col(idc), col(vecCol)), idc, vecCol,
+          st.ann.dir, d.centroidPred, d.seedPred, d.m, d.subDim,
+          d.iters)
+      } else if (due("ann")) AnnIndexStore.compact(s, st.ann)
+      else st.ann
     val out = Stores(
       if (due("curation")) CurationStore.compact(s, st.curation,
         labelBuckets) else st.curation,
-      if (due("ann")) AnnIndexStore.compact(s, st.ann) else st.ann,
+      ann,
       if (due("text")) TextIndexStore.compact(s, st.text) else st.text,
       st.stats, st.sourceCol)
     if (due("stats"))

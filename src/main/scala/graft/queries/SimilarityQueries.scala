@@ -1748,8 +1748,85 @@ object SimilarityQueries {
       | AS t(store, metric, action, action_after)
       |ORDER BY store, metric""".stripMargin))
 
+  /** The drift → advice → RE-TRAIN loop, closed end to end
+    * ([[graft.ops.AnnIndexStore.recallProbe]] →
+    * [[graft.ops.Advisor.advise]] → [[graft.ops.CorpusStore.maintain]]
+    * with the opt-in re-train inputs → advise again): build the
+    * three-store quad on a corpus slice, ingest a DRIFTED recrawl
+    * (same texts under new ids, every embedding shifted +10 per
+    * dimension — far outside the training distribution, so the
+    * frozen coarse/PQ models route and price the new vectors badly),
+    * probe recall with drifted queries, and let the advisor catch it:
+    * the probe's mean recall lands under the default 0.8 floor and
+    * the readout advises `rebuild` — the one action compaction
+    * cannot substitute for. `maintain`, handed the live corpus
+    * vectors and the training dials, EXECUTES the re-train
+    * ([[graft.ops.AnnIndexStore.build]] in place: fresh manifest,
+    * fresh recall log) and touches nothing else. The oracle is the
+    * expected before/after advice table (a VALUES literal — DuckDB
+    * cannot see filesystem signals or run the trainers); the
+    * rebuilt-store recall-recovery arc and manifest/counter pins
+    * live in AdvisorSpec and AnnIndexStoreSpec's planted-drift
+    * fixture. The `absent` marker is the loop's receipt: a rebuild
+    * RESETS the staleness history, so the post-maintenance readout
+    * has no recall row at all until the next probe.
+    */
+  val q180 = Q("q180_maintenance_rebuild",
+    (s, dir) => {
+      import graft.ops.{Advisor, AnnIndexStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+        .filter(col("doc_id") % 20 === 3)
+      val c = AnnIndexStore.CorpusDials
+      val dials = AnnIndexStore.Dials(col("doc_id") % 40 === 3,
+        col("doc_id") % 40 === 23, c.m, c.subDim, c.iters)
+      val st = CorpusStore.build(corpus, "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-rebuild"),
+        annDials = Some(dials))
+      val drifted = corpus
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(10.0f)))
+      CorpusStore.ingest(st, drifted, "text", "embedding",
+        "drifted-recrawl")
+      val live = corpus.unionByName(drifted)
+      // drifted ids are ≡ 3 (mod 20) shifted by 1e6, so ≡ 3 (mod 10):
+      // sample every fifth drifted doc (mod-100 residue 3 of the five
+      // residues the slice occupies)
+      val probeQ = drifted.filter(col("doc_id") % 100 === 3)
+        .select(col("doc_id").as("qid"), col("embedding"))
+      AnnIndexStore.recallProbe(s, st.ann,
+        live.select(col("doc_id"), col("embedding")), probeQ,
+        "qid", "embedding", k = 10, snapshot = "post-drift")
+      val before = Advisor.advise(s, st)
+        .select("store", "metric", "action")
+      val (_, afterF) = CorpusStore.maintain(s, st,
+        annCorpus = Some(live.select(col("doc_id"), col("embedding"))),
+        annDials = Some(dials))
+      val after = afterF.select(col("store"), col("metric"),
+        col("action").as("action_after"))
+      before.join(after, Seq("store", "metric"), "full_outer")
+        .select(col("store"), col("metric"),
+          coalesce(col("action"), lit("absent")).as("action"),
+          coalesce(col("action_after"), lit("absent"))
+            .as("action_after"))
+        .orderBy("store", "metric")
+    },
+    Some("""SELECT store, metric, action, action_after FROM (VALUES
+      | ('ann', 'codes_files_per_cell', 'ok', 'ok'),
+      | ('ann', 'mean_recall', 'rebuild', 'absent'),
+      | ('ann', 'tombstone_bytes', 'ok', 'ok'),
+      | ('curation', 'label_delta_bytes', 'ok', 'ok'),
+      | ('curation', 'tombstone_bytes', 'ok', 'ok'),
+      | ('text', 'postings_delta_bytes', 'ok', 'ok'),
+      | ('text', 'tombstone_bytes', 'ok', 'ok'))
+      | AS t(store, metric, action, action_after)
+      |ORDER BY store, metric""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166, q169, q176)
+    q161, q163, q166, q169, q176, q180)
 }

@@ -153,8 +153,10 @@ class AdvisorSpec extends SparkSpec {
   }
 
   test("maintain executes exactly the advised compacts: due stores " +
-      "settle, untouched stores keep their manifests verbatim, and " +
-      "rebuild advice passes through unexecuted") {
+      "settle, untouched stores keep their manifests verbatim, " +
+      "rebuild advice passes through unexecuted WITHOUT the opt-in " +
+      "inputs — and executes the re-train with them (fresh log, " +
+      "fresh manifest, serving restored over the live corpus)") {
     val st = CorpusStore.build(corpus, "doc_id", "text", "embedding",
       s"$tmp/maint", annDials = Some(dials), sourceCol = Some("source"))
     val fs = new org.apache.hadoop.fs.Path(tmp)
@@ -199,7 +201,8 @@ class AdvisorSpec extends SparkSpec {
           manifests(st2) != pre2,
         "maintain reported ok without compacting")
 
-      // rebuild advice is surfaced, never executed: with the recall
+      // rebuild advice is surfaced, not executed, when the caller
+      // does not hand maintain the re-train inputs: with the recall
       // floor above any possible recall, maintain leaves the ann
       // manifest alone and the readout still says rebuild
       val queries = corpus.filter(col("doc_id") % 100 === 7)
@@ -214,7 +217,38 @@ class AdvisorSpec extends SparkSpec {
       assert(actions(after3)(("ann", "mean_recall")) == "rebuild",
         "rebuild advice must pass through the maintain readout")
       assert(StoreVersions.read(fs, st3.ann.dir) == annBefore,
-        "maintain must not execute a rebuild")
+        "maintain must not execute a rebuild without the opt-in")
+      // dials WITHOUT the corpus is a loud contract error, not a
+      // silent pass-through — half an opt-in is a caller bug
+      intercept[IllegalArgumentException] {
+        CorpusStore.maintain(spark, st3, liveCorpus = Some(live),
+          annDials = Some(dials))
+      }
+      // the opt-in arm: corpus + dials present and the re-train due
+      // — maintain executes AnnIndexStore.build over the live
+      // vectors: a NEW manifest, a FRESH recall log (the stale
+      // history would pollute the new life's trend — so the readout
+      // has no recall row at all), the exact live counter at the
+      // live-corpus count, and serving works
+      val others = Seq(StoreVersions.read(fs, st3.curation.dir),
+        StoreVersions.read(fs, st3.text.dir))
+      val (st4, after4) = CorpusStore.maintain(spark, st3,
+        liveCorpus = Some(live),
+        annCorpus = Some(live.select(col("doc_id"), col("embedding"))),
+        annDials = Some(dials))
+      assert(StoreVersions.read(fs, st4.ann.dir) != annBefore,
+        "opted-in rebuild did not produce a fresh ann manifest")
+      assert(!actions(after4).contains(("ann", "mean_recall")),
+        "the stale recall history leaked into the rebuilt store's " +
+          "readout")
+      assert(Seq(StoreVersions.read(fs, st4.curation.dir),
+          StoreVersions.read(fs, st4.text.dir)) == others,
+        "the ann re-train touched another store's manifest")
+      assert(AnnIndexStore.liveCount(spark, st4.ann) == live.count(),
+        "rebuilt index live counter != live corpus size")
+      assert(AnnIndexStore.search(spark, st4.ann, queries, "qid",
+          "embedding", k = 5).count() > 0,
+        "rebuilt index does not serve")
     } finally {
       keys.foreach(spark.conf.unset)
       spark.conf.unset(Advisor.RecallFloor)
