@@ -737,11 +737,24 @@ object AnnIndexStore {
     * queries, partial-aggregate top-k per query — the q27 shape),
     * which is why it runs on a SAMPLE at probe cadence, never per
     * query. Once corpus scale makes even sample-cadence brute force
-    * expensive, the exact arm can instead ride [[searchRefined]] at
-    * a LARGE shortlist (exact ranking of a generous candidate set —
-    * recall against it lower-bounds true recall, no cross join); the
-    * brute-force arm here stays the reference semantics because the
-    * battery's corpora price it at well under a probe's budget.
+    * expensive, pass `refineShortlist > 0`: the exact arm then rides
+    * the [[searchRefined]] shape instead — the reference list is the
+    * exact re-ranking of a GENEROUS ADC shortlist (`refineShortlist`
+    * candidates probed at `refineNprobe`, default the measured
+    * `nprobe`), the corpus scanned once through a broadcast
+    * semi-join, NO cross join. Direction of the
+    * approximation: a true top-k member survives exact re-ranking
+    * inside any candidate set that contains it, so the refined-arm
+    * recall UPPER-bounds the true recall (spec-pinned dominance) and
+    * equals it exactly when the shortlist covers the probed corpus
+    * (spec-pinned equality). Operationally that makes a refined-arm
+    * FLOOR BREACH conclusive — true recall is at or below it — while
+    * a refined-arm pass is only suggestive (routing drift that
+    * expels true neighbors from every probed cell inflates the
+    * optimistic arm; schedule an occasional brute probe as the
+    * yardstick, the same cadence trade as sampling itself). The
+    * brute-force arm stays the default because the battery's corpora
+    * price it at well under a probe's budget.
     * The probe only reads the store and appends to its own
     * log stage — it is not a store writer in the
     * [[UpdateMarker]] sense (the log is advisory monitoring data;
@@ -750,7 +763,8 @@ object AnnIndexStore {
     */
   def recallProbe(s: SparkSession, idx: Index, corpus: DataFrame,
       queries: DataFrame, qidCol: String, vecCol: String, k: Int = 10,
-      nprobe: Int = 1, snapshot: String = ""): DataFrame = {
+      nprobe: Int = 1, snapshot: String = "",
+      refineShortlist: Int = 0, refineNprobe: Int = 0): DataFrame = {
     val approx = search(s, idx, queries, qidCol, vecCol, k, nprobe)
       .select(col("qid"), col(idx.idCol))
     val base = corpus.select(col(idx.idCol),
@@ -762,12 +776,34 @@ object AnnIndexStore {
       Similarity.dot(col("_e"), col("_e")), 6)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("_d").asc, col(idx.idCol).asc)
-    val exact = base.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col(idx.idCol))
-      .withColumn("_d", d)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("qid"), col(idx.idCol))
+    val exact =
+      if (refineShortlist > 0) {
+        // the refined arm: exact distances over the ADC shortlist's
+        // candidates only (minus self — the brute arm's probe
+        // convention), corpus touched through one broadcast
+        // semi-join, never cross-joined
+        require(refineShortlist >= k,
+          s"refineShortlist ($refineShortlist) must be >= k ($k)")
+        // the reference arm may probe WIDER than the measured arm
+        // (refineNprobe, default = nprobe): generosity here narrows
+        // the optimism gap without touching what is being measured
+        val sl = search(s, idx, queries, qidCol, vecCol,
+            refineShortlist,
+            if (refineNprobe > 0) refineNprobe else nprobe)
+          .select(col("qid"), col(idx.idCol))
+        base.join(broadcast(sl), idx.idCol)
+          .join(broadcast(q), "qid")
+          .filter(col("qid") =!= col(idx.idCol))
+          .withColumn("_d", d)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select(col("qid"), col(idx.idCol))
+      } else base.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col(idx.idCol))
+        .withColumn("_d", d)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("qid"), col(idx.idCol))
     val hits = exact.join(approx, Seq("qid", idx.idCol), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("_h"))
     val row = q.select(col("qid")).distinct()

@@ -509,6 +509,55 @@ class AnnIndexStoreSpec extends SparkSpec {
         "the staleness history)")
   }
 
+  test("recallProbe's refined exact arm: EQUALS the brute arm when " +
+      "the reference shortlist covers the whole corpus, UPPER-bounds " +
+      "it at production dials (a floor breach on the optimistic arm " +
+      "is conclusive), and never cross-joins the corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vecs(ids: Range, offset: Double) = {
+      val centers = ids.map(_ / 10).distinct
+        .map(c => c -> Array.fill(64)(rnd.nextDouble() + offset)).toMap
+      ids.map(i => (i.toLong, centers(i / 10)
+          .map(v => (v + rnd.nextDouble() * 0.01).toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    val baseCorpus = vecs(0 until 400, 0.0)
+    val shifted = vecs(1000 until 1200, 5.0)
+    val all = baseCorpus.unionByName(shifted)
+    val (cp, sp, m, sub, it) = dials
+    val st = AnnIndexStore.build(baseCorpus, "vec_id", "embedding",
+      s"$tmp/refine-probe", cp, sp, m, sub, it)
+    AnnIndexStore.add(st, shifted, "embedding")
+    val probeQ = shifted.filter(col("vec_id") % 10 === 1)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def probe(refineShortlist: Int = 0, refineNprobe: Int = 0) =
+      AnnIndexStore.recallProbe(spark, st, all, probeQ, "qid",
+          "embedding", k = 10, refineShortlist = refineShortlist,
+          refineNprobe = refineNprobe)
+        .collect().head
+    val brute = probe()
+    // equality law: reference arm probing EVERY cell with a
+    // shortlist past the corpus size IS the exact top-k — the probe
+    // row must match the brute arm field for field
+    val covered = probe(refineShortlist = 700, refineNprobe = 1000)
+    assert(covered == brute,
+      s"corpus-covering refined arm diverged from brute force: " +
+        s"$covered vs $brute")
+    // dominance law: at production dials (same nprobe, modest
+    // shortlist) the measured arm's ADC top-k is a subset of the
+    // reference shortlist, so every true hit survives re-ranking —
+    // the optimistic arm reads >= the true recall
+    val optimistic = probe(refineShortlist = 50)
+    assert(optimistic.getDouble(2) >= brute.getDouble(2),
+      s"refined arm read BELOW the brute arm: " +
+        s"${optimistic.getDouble(2)} < ${brute.getDouble(2)}")
+    // and the fixture keeps the law observable: drift holds the true
+    // recall under 1, so the bound has room to act
+    assert(brute.getDouble(2) < 1.0,
+      "fixture too easy: drifted brute recall is already perfect")
+  }
+
   test("delete masks search immediately; delete-then-compact == " +
       "original codes minus the deleted rows (frozen models); " +
       "re-add guarded until compact; replay a no-op") {
