@@ -827,6 +827,22 @@ object AnnIndexStore {
   def recallLog(s: SparkSession, idx: Index): DataFrame =
     s.read.parquet(s"${idx.dir}/recall_log")
 
+  /** Clone the index as of snapshot `seq` into `dstDir` — a fully
+    * independent store ([[StoreVersions.cloneAt]]: replace stages
+    * copied wholesale, codes/tombstones at the flip-time file
+    * manifests, one commit). New lineage: no `_applied` witnesses
+    * and no recall_log come along — the clone's staleness history
+    * starts with its own first probe (the same reset [[build]]
+    * performs, for the same reason: inherited probes describe
+    * another store's serving).
+    */
+  def cloneAt(s: SparkSession, idx: Index, seq: Int,
+      dstDir: String): Index = {
+    StoreVersions.cloneAt(fsOf(s, idx.dir), idx.dir, dstDir, seq,
+      AppendSnap)
+    Index(dstDir, idx.idCol, idx.m, idx.subDim)
+  }
+
   /** The LIVE vector count as a one-row metadata read — the exact
     * counter every add/delete maintains through its commit flip, so
     * the operational membership probe ([[CorpusStore.liveCounts]])

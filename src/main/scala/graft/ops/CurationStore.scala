@@ -859,6 +859,39 @@ object CurationStore {
     store
   }
 
+  /** Clone the store as of snapshot `seq` into `dstDir` — a fully
+    * independent store ([[StoreVersions.cloneAt]]: labels/delta/
+    * stats versions copied wholesale, signatures/pairs/tombstones at
+    * their flip-time file manifests, one commit). On a bucketed
+    * store the copied label files keep their bucket layout (bucket
+    * ids ride the file names) and the catalog table is re-registered
+    * under the clone's own name with the SOURCE table's bucket spec.
+    * New lineage: no `_applied` witnesses come along — batch ids the
+    * source folded after `seq` fold into the clone normally.
+    */
+  def cloneAt(s: SparkSession, store: Store, seq: Int,
+      dstDir: String): Store = {
+    val fs = new Path(store.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    StoreVersions.cloneAt(fs, store.dir, dstDir, seq, AppendSnap)
+    store.labelsTable match {
+      case None => Store(dstDir, store.idCol)
+      case Some(srcName) =>
+        val buckets = s.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(srcName))
+          .bucketSpec.map(_.numBuckets)
+          .getOrElse(throw new IllegalStateException(
+            s"source table $srcName carries no bucket spec"))
+        val name = tableNameFor(dstDir)
+        val out = Store(dstDir, store.idCol, Some(name))
+        val labelsV = out.pin(s).labelsPath
+        registerBucketedLabels(s, name, labelsV, buckets,
+          store.idCol, s.read.parquet(labelsV).schema.toDDL)
+        out
+    }
+  }
+
   /** Consumer-side label join that keeps the bucketed store's
     * ZERO-exchange shape even while a delta is outstanding: the big
     * corpus-vs-base join stays exchange-free (both sides bucketed by

@@ -351,6 +351,69 @@ object StoreVersions {
       }, appendStages)
   }
 
+  /** CLONE/EXPORT: materialize snapshot `seq` of `srcDir` as a
+    * brand-new INDEPENDENT store at `dstDir` — the fork/DR/dev-
+    * fixture op the snapshot log makes cheap and exact. Replace
+    * stages copy their version dirs wholesale; append stages copy
+    * EXACTLY the files the snapshot's manifest names (batches folded
+    * after `seq` never reach the clone — the same file-granularity
+    * idea that powers [[readAt]], applied to a copy instead of a
+    * pin). Every copied stage lands as the clone's `v-00001` and ONE
+    * flip commits them, so the clone's own snapshot log starts at
+    * `s-00001` with fresh file manifests and every store operation
+    * (serve, update, delete, compact, time travel, rollback) works
+    * on it verbatim.
+    *
+    * The clone is a NEW LINEAGE by design: no `_applied` batch
+    * witnesses, markers or advisory logs come along, so re-issuing a
+    * batch id the source already folded WILL fold into the clone
+    * again — the fork's epoch discipline starts fresh (the
+    * documented rollback convention, applied at birth). Loud when
+    * `seq` is GC'd past, when a named version's retention has lapsed
+    * or when `dstDir` already holds a manifest. Data movement: one
+    * file-copy pass over the snapshot's bytes — a distcp-class job
+    * with zero shuffles, driver-looped here because stage file
+    * counts are compaction-bounded (the [[flip]] listing argument);
+    * at genuinely huge stage file counts, lift the same (src, dst)
+    * pair list into a parallelized copy.
+    */
+  def cloneAt(fs: FileSystem, srcDir: String, dstDir: String,
+      seq: Int, appendStages: Map[String, Boolean]): Unit = {
+    val st = readAt(fs, srcDir, seq)
+    require(!fs.exists(manifestPath(dstDir)),
+      s"$dstDir already holds a committed store — clone into a " +
+        "fresh directory")
+    st.versions.foreach { case (stage, v) =>
+      require(fs.exists(new Path(s"$srcDir/$stage/$v")),
+        s"cannot clone snapshot $seq: $stage/$v was GC'd " +
+          s"(raise $RetainVersions to keep longer clone windows)")
+    }
+    val conf = fs.getConf
+    for ((stage, v) <- st.versions) {
+      val srcV = fs.makeQualified(new Path(s"$srcDir/$stage/$v"))
+      val dstV = new Path(s"$dstDir/$stage/v-00001")
+      st.files.get(stage) match {
+        case Some(files) => // append stage: the manifested files only
+          require(fs.mkdirs(dstV), s"mkdirs $dstV failed")
+          for ((f, _) <- files) {
+            val fp = fs.makeQualified(new Path(f))
+            val rel = srcV.toUri.relativize(fp.toUri).getPath
+            require(!rel.startsWith("/") && rel.nonEmpty,
+              s"snapshot file $fp is not under its stage version " +
+                s"$srcV — refusing a cross-stage copy")
+            org.apache.hadoop.fs.FileUtil.copy(fs, fp, fs,
+              new Path(dstV, rel), false, conf)
+          }
+        case None => // replace stage: the whole version dir
+          org.apache.hadoop.fs.FileUtil.copy(fs, srcV, fs, dstV,
+            false, conf)
+      }
+    }
+    flip(fs, dstDir, st.versions.keys
+      .map(stage => stage -> s"$dstDir/$stage/v-00001").toMap,
+      appendStages)
+  }
+
   /** Drop version dirs numbered ABOVE the manifest's current — the
     * debris of writers that died before their flip. Runs at every
     * writer's entry; safe because writers are serialized per store

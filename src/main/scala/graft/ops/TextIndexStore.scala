@@ -1167,6 +1167,31 @@ object TextIndexStore {
     joined.groupBy(col(idx.idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** Clone the index as of snapshot `seq` into `dstDir` — a fully
+    * independent store ([[StoreVersions.cloneAt]]: stats copied
+    * wholesale, every append stage at its flip-time file manifest,
+    * one commit), so the clone serves that epoch's postings, doclens
+    * AND collection stats together and then lives its own life
+    * (update/delete/compact/time-travel all work on it verbatim).
+    * On a bucketed store the clone's postings keep their bucket file
+    * layout through the copy (bucket ids ride the file names), and
+    * the catalog table is re-registered at the clone's location
+    * under the clone's own name. New lineage: no `_applied` batch
+    * witnesses come along — a batch id the source folded after `seq`
+    * folds into the clone normally.
+    */
+  def cloneAt(s: SparkSession, idx: Index, seq: Int,
+      dstDir: String): Index = {
+    val fs = new Path(idx.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    StoreVersions.cloneAt(fs, idx.dir, dstDir, seq, AppendSnap)
+    val out = Index(dstDir, idx.idCol, idx.postingsBuckets)
+    if (idx.postingsBuckets > 0)
+      registerBucketedTable(s, tableNameFor(dstDir),
+        out.pin(s).postingsPath, idx.postingsBuckets)
+    out
+  }
+
   /** The LIVE document count as a one-row metadata read — the exact
     * `n` counter every update/delete folds through its stats
     * flip-commit, so the operational membership probe

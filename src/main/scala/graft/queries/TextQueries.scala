@@ -3241,6 +3241,55 @@ object TextQueries {
       |SELECT doc_id, score FROM spr
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** CLONE/EXPORT of a persisted store at a pinned epoch
+    * ([[graft.ops.TextIndexStore.cloneAt]] over the
+    * [[graft.ops.StoreVersions]] snapshot log): build on two thirds
+    * of the corpus, fold the last third in, then CLONE the build
+    * epoch into a fresh directory — the fork/DR/dev-fixture op.
+    * Append stages copy exactly the flip-time file manifests (the
+    * folded batch's rows live INSIDE the same version dirs, so only
+    * the manifest keeps them out of the copy), replace stages copy
+    * wholesale, and one flip births an independent store whose own
+    * log starts at s-00001. The query serves BOTH stores — the
+    * clone's BM25 (the build epoch verbatim) beside the source's
+    * live serve (the full corpus) — for the clone's top-20; the
+    * oracle recomputes the two chains from the raw corpus under the
+    * respective slices, so one leaked file in the copy (a postings
+    * row, a doclens row, the folded stats) moves n/avgdl/idf and
+    * breaks the hash. Independence both directions, the fresh
+    * lineage rule and the bucketed-table re-registration are
+    * SnapshotIsolationSpec's CLONE matrix.
+    */
+  val q181 = Q("q181_store_clone",
+    (s, dir) => {
+      import graft.ops.{StoreVersions, TextIndexStore}
+      val docs = table(s, dir, "documents")
+      val srcDir = TextIndexStore.indexDirFor(dir, "-clsrc")
+      val idx = TextIndexStore.build(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", srcDir)
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val seq = StoreVersions.snapshots(fs, srcDir).last._1
+      TextIndexStore.update(idx,
+        docs.filter(col("doc_id") % 3 === 0), "text",
+        batchId = Some("clone-fold"))
+      val dstDir = TextIndexStore.indexDirFor(dir, "-cldst")
+      fs.delete(new org.apache.hadoop.fs.Path(dstDir), true)
+      val clone = TextIndexStore.cloneAt(s, idx, seq, dstDir)
+      val cl = TextIndexStore.bm25(s, clone, bm25Terms)
+        .select(col("doc_id"), col("score").as("score_clone"))
+      val src = TextIndexStore.bm25(s, idx, bm25Terms)
+        .select(col("doc_id"), col("score").as("score_src"))
+      cl.join(src, Seq("doc_id"))
+        .orderBy(col("score_clone").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH ${duckBm25CtesFor("doc_id % 3 <> 0", "_a")},
+      |${duckBm25CtesFor("", "_b")}
+      |SELECT doc_id, a.score AS score_clone, b.score AS score_src
+      |FROM spr_a a JOIN spr_b b USING (doc_id)
+      |ORDER BY score_clone DESC, doc_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3248,5 +3297,6 @@ object TextQueries {
       q101, q106, q108, q110, q111, q113, q114, q115, q117, q118, q119,
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
-      q167, q168, q171, q172, q173, q174, q175, q177, q178, q179)
+      q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
+      q181)
 }

@@ -319,6 +319,100 @@ class SnapshotIsolationSpec extends SparkSpec {
     } finally spark.conf.unset(StoreVersions.RetainVersions)
   }
 
+  test("CLONE: cloneAt materializes one snapshot as an INDEPENDENT " +
+      "store — the epoch exact (batches folded since stay out), no " +
+      "propagation in either direction, fresh lineage (the source's " +
+      "batch ids fold again), bucketed layout re-registered, and " +
+      "the dst-occupied / unknown-seq guards are loud") {
+    spark.conf.set(StoreVersions.RetainVersions, "4")
+    try {
+      val st = TextIndexStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$tmp/clone-src")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def serve(ix: TextIndexStore.Index) =
+        TextIndexStore.bm25(spark, ix, terms)
+          .collect().map(_.toString).sorted.toSeq
+      val seq1 = StoreVersions.snapshots(fs, st.dir).last._1
+      val at1 = serve(st)
+      TextIndexStore.update(st, docs.filter(col("doc_id") % 2 === 1),
+        "text", batchId = Some("cl-b1"))
+      val at2 = serve(st)
+      assert(at1 != at2, "fixture: the fold should move the serve")
+      // the clone is the EPOCH: the folded batch's postings/doclens/
+      // stats rows must all be absent (they live inside the same
+      // append version dirs — only the file manifest keeps them out)
+      val clone = TextIndexStore.cloneAt(spark, st, seq1,
+        s"$tmp/clone-dst")
+      assert(serve(clone) == at1,
+        "clone leaked a batch folded after its epoch")
+      // independence, source → clone: a source delete changes the
+      // source, never the clone
+      TextIndexStore.delete(st,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      assert(serve(clone) == at1, "a source delete reached the clone")
+      // fresh lineage + independence, clone → source: the batch id
+      // the SOURCE already folded folds into the clone (no inherited
+      // `_applied`), reproducing the source's pre-delete epoch-2
+      // serve — and the source keeps its own (deleted) state
+      val srcAfterDelete = serve(st)
+      TextIndexStore.update(clone,
+        docs.filter(col("doc_id") % 2 === 1), "text",
+        batchId = Some("cl-b1"))
+      assert(serve(clone) == at2,
+        "the source's batch id did not fold into the fresh lineage")
+      assert(serve(st) == srcAfterDelete,
+        "a clone update reached the source")
+      // the clone lives its own full life: compact preserves serving
+      TextIndexStore.compact(spark, clone)
+      assert(serve(clone) == at2, "clone compact changed serving")
+      // loud guards: occupied destination; never-committed seq
+      intercept[IllegalArgumentException] {
+        TextIndexStore.cloneAt(spark, st, seq1, s"$tmp/clone-dst")
+      }
+      intercept[IllegalStateException] {
+        TextIndexStore.cloneAt(spark, st, 9999, s"$tmp/clone-dst2")
+      }
+      // bucketed store: the copied postings keep their bucket file
+      // layout and the clone's catalog table points at ITS location
+      val bsrc = TextIndexStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$tmp/clone-bsrc", bucketPostings = 2)
+      val bseq = StoreVersions.snapshots(fs, bsrc.dir).last._1
+      val bAt1 = serve(bsrc)
+      TextIndexStore.update(bsrc,
+        docs.filter(col("doc_id") % 2 === 1), "text",
+        batchId = Some("cl-b2"))
+      val bclone = TextIndexStore.cloneAt(spark, bsrc, bseq,
+        s"$tmp/clone-bdst")
+      assert(serve(bclone) == bAt1, "bucketed clone drifted")
+      val bname = bclone.postingsTable.getOrElse(
+        fail("bucketed clone lost its catalog table"))
+      assert(TextIndexStore.tableLocationMatches(spark, bname,
+          bclone.pin(spark).postingsPath),
+        "clone table does not point at the clone's postings")
+      // ANN: the clone's exact counter and codes are the epoch's —
+      // a post-epoch delete in the source never reaches them
+      val d = AnnIndexStore.CorpusDials
+      val ann = AnnIndexStore.build(emb, "vec_id", "embedding",
+        s"$tmp/clone-asrc", d.centroidPred, d.seedPred, d.m, d.subDim,
+        d.iters)
+      val annSeq = StoreVersions.snapshots(fs, ann.dir).last._1
+      val n1 = AnnIndexStore.liveCount(spark, ann)
+      AnnIndexStore.delete(ann,
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"))
+      val aclone = AnnIndexStore.cloneAt(spark, ann, annSeq,
+        s"$tmp/clone-adst")
+      assert(AnnIndexStore.liveCount(spark, aclone) == n1,
+        "ann clone counter != epoch count")
+      assert(aclone.codes(spark).count() == n1,
+        "ann clone codes leaked the source's post-epoch delete")
+      assert(AnnIndexStore.liveCount(spark, ann) < n1,
+        "fixture: the source delete should have landed")
+    } finally spark.conf.unset(StoreVersions.RetainVersions)
+  }
+
   test("retention bounds the disk: after two maintenance cycles the " +
       "oldest version is GC'd (a pin older than retention expires, " +
       "the Iceberg contract) — and the snapshot LOG is bounded to " +
