@@ -246,11 +246,32 @@ object CurationDemo {
     log(s"snapshot log: bad batch folded (counter $nGood -> past), " +
       s"pre-batch epoch read through pinAt($seqGood), rollback " +
       "restored serving and the counter exactly")
-    // the index is a full encoded corpus copy — drop it like the
-    // sibling stages drop their temp artifacts
+    // 10. fork the store: clone the good epoch into a fresh root —
+    //     an independent store serving identically, whose mutations
+    //     never reach the source (the DR/dev-fixture op)
+    val forkDir = s"$idxDir-fork"
+    fsIdx.delete(new org.apache.hadoop.fs.Path(forkDir), true)
+    val seqNow = ops.StoreVersions.snapshots(fsIdx, idxDir).last._1
+    val fork = ops.AnnIndexStore.cloneAt(spark, idx, seqNow, forkDir)
+    require(ops.AnnIndexStore.liveCount(spark, fork) == nGood,
+      "the fork's exact counter != the cloned epoch's")
+    val forkServe = ops.AnnIndexStore
+      .search(spark, fork, oldQ, "qid", "embedding", k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    require(forkServe == postRollback,
+      "the fork does not serve its epoch verbatim")
+    ops.AnnIndexStore.delete(fork,
+      emb.filter(col("vec_id") % 9 === 2).select("vec_id"))
+    require(ops.AnnIndexStore.liveCount(spark, idx) == nGood,
+      "a fork delete reached the source store")
+    log(s"store fork: clone of epoch $seqNow serves verbatim " +
+      s"($nGood vectors), fork mutations isolated from the source")
+    // the index (and its fork) is a full encoded corpus copy — drop
+    // both like the sibling stages drop their temp artifacts
     val idxPath = new org.apache.hadoop.fs.Path(idxDir)
     idxPath.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(idxPath, true)
+    fsIdx.delete(new org.apache.hadoop.fs.Path(forkDir), true)
 
     log("OK — every stage is the oracle-checked operator, composed")
     spark.stop()

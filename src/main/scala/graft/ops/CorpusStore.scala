@@ -224,6 +224,38 @@ object CorpusStore {
     st
   }
 
+  /** TRANSACTION-LEVEL clone: materialize the quad as of one
+    * [[snapshotSeqs]] capture into `dstRoot` — four independent
+    * stores under the standard layout (curation/ann/text/stats), the
+    * fork/DR twin of [[rollback]] that touches NOTHING in the
+    * source. Each tier clones through its own
+    * [[StoreVersions.cloneAt]] (append stages at their flip-time
+    * file manifests, one birth-flip per store), so the clone serves
+    * the captured epochs coherently across modalities — the same
+    * cross-store consistency contract the live quad maintains,
+    * frozen at the capture. The clone's lineages are fresh (no
+    * `_applied` witnesses): replaying the source's post-capture
+    * batches into it is the natural way to roll it forward. A
+    * coordinator crash mid-clone leaves a partial dstRoot with NO
+    * committed manifest for the missing stores — re-running the same
+    * clone into a FRESH dstRoot is the recovery (clone never mutates
+    * the source, so there is nothing to converge).
+    */
+  def cloneAt(s: SparkSession, st: Stores, at: Epochs,
+      dstRoot: String): Stores = {
+    require(st.stats.isEmpty || at.stats.isDefined,
+      "the capture predates the stats tier's mount — capture again " +
+        "with the tier mounted")
+    Stores(
+      CurationStore.cloneAt(s, st.curation, at.curation,
+        s"$dstRoot/curation"),
+      AnnIndexStore.cloneAt(s, st.ann, at.ann, s"$dstRoot/ann"),
+      TextIndexStore.cloneAt(s, st.text, at.text, s"$dstRoot/text"),
+      st.stats.map(x => StatsStore.cloneAt(s, x, at.stats.get,
+        s"$dstRoot/stats")),
+      st.sourceCol)
+  }
+
   /** Execute the [[Advisor]]'s advice — the operational loop CLOSED:
     * read the signals, compact exactly the stores whose signals are
     * overdue, touch nothing else. [[compact]] above is the blanket

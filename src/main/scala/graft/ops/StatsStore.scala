@@ -456,6 +456,20 @@ object StatsStore {
     store
   }
 
+  /** Clone the monitoring tier as of snapshot `seq` into `dstDir` —
+    * one pure-replace stage, so the clone is a wholesale copy of
+    * that epoch's version committed by one flip
+    * ([[StoreVersions.cloneAt]]). New lineage: no `_applied`
+    * witnesses come along.
+    */
+  def cloneAt(s: SparkSession, store: Store, seq: Int,
+      dstDir: String): Store = {
+    val fs = new org.apache.hadoop.fs.Path(store.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    StoreVersions.cloneAt(fs, store.dir, dstDir, seq, Map.empty)
+    Store(dstDir)
+  }
+
   // ---- session-lifetime store per corpus directory (the
   // CurationStore consumer pattern: q127 is the build surface and
   // refreshes the memo, q128 reads the memoized store) -------------

@@ -265,6 +265,57 @@ class CorpusStoreSpec extends SparkSpec {
       "expected the curation count one short of ann/text")
   }
 
+  test("transaction-level clone: the quad as of a capture serves " +
+      "the captured epochs coherently from a fresh root, the source " +
+      "is untouched, and the source's post-capture batch id rolls " +
+      "the clone forward (fresh lineage)") {
+    val docs = sf("documents")
+    val emb = sf("embeddings")
+    val corpusS = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("source"),
+        col("embedding"))
+    val base = corpusS.filter(col("doc_id") % 5 =!= 4)
+    val batch = corpusS.filter(col("doc_id") % 5 === 4)
+    val st = CorpusStore.build(base, "doc_id", "text", "embedding",
+      s"$tmp/clq", annDials = Some(dials), sourceCol = Some("source"))
+    val cap = CorpusStore.snapshotSeqs(spark, st)
+    CorpusStore.ingest(st, batch, "text", "embedding", "cl-b1")
+    val clone = CorpusStore.cloneAt(spark, st, cap, s"$tmp/clq-fork")
+    // membership: every clone tier is at the capture, every source
+    // tier at the folded state — the quad's coherence, frozen
+    val nb = base.count()
+    val nf = nb + batch.count()
+    assert(CorpusStore.liveCountsAll(spark, clone)
+      == ((nb, nb, nb, Some(nb))),
+      "clone tiers disagree with the captured membership")
+    assert(CorpusStore.liveCountsAll(spark, st)
+      == ((nf, nf, nf, Some(nf))),
+      "the clone touched the source's membership")
+    // serving coherence per tier: the clone's LIVE serve equals the
+    // source's historical pin at the captured seq
+    assertFrameEqual(TextIndexStore.bm25(spark, clone.text, terms),
+      TextIndexStore.bm25Of(spark, st.text.pinAt(spark, cap.text),
+        terms), "clone text serve vs pinned epoch")
+    assertFrameEqual(clone.curation.labels(spark),
+      st.curation.pinAt(spark, cap.curation).labels(spark),
+      "clone labels vs pinned epoch")
+    assertFrameEqual(
+      clone.stats.get.stats(spark)
+        .select("source", "docs", "token_occurrences"),
+      st.stats.get.statsAt(spark, cap.stats.get)
+        .select("source", "docs", "token_occurrences"),
+      "clone monitoring rows vs pinned epoch")
+    // fresh lineage: the SAME batch id the source already folded
+    // rolls the clone forward to the source's state
+    CorpusStore.ingest(clone, batch, "text", "embedding", "cl-b1")
+    assert(CorpusStore.liveCountsAll(spark, clone)
+      == ((nf, nf, nf, Some(nf))),
+      "the source's batch id did not fold into the fresh lineage")
+    assertFrameEqual(TextIndexStore.bm25(spark, clone.text, terms),
+      TextIndexStore.bm25(spark, st.text, terms),
+      "rolled-forward clone != source")
+  }
+
   test("transaction rollback: snapshotSeqs captured before an ingest " +
       "undo it across all four tiers; a replayed rollback converges; " +
       "the undone batchId folds again") {
