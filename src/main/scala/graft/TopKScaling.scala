@@ -104,6 +104,69 @@ object TopKScaling {
         snap.postings(spark).filter(col("token").isin(terms: _*))
           .count()
       }
+      // the FILTERED pair (q179's shape): the same serve under a
+      // one-third allow-list — the mask multiplies into the pruning
+      // (θ from allowed docs only), so the pipeline-volume collapse
+      // must survive the filter, not just coexist with it
+      val allowed = docs.filter(col("doc_id") % 3 === 0)
+        .select("doc_id")
+      measure(sf, "bm25_filtered_full_serve",
+          Map("docs" -> nDocs, "k" -> k)) {
+        ops.TextIndexStore.bm25Filtered(spark, st, terms, allowed)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+          .count()
+      }
+      measure(sf, "bm25_topk_filtered_serve",
+          Map("docs" -> nDocs, "k" -> k)) {
+        ops.TextIndexStore.bm25TopKFiltered(spark, st, terms, allowed,
+          k).count()
+      }
+      // what the serve-level shuffle counters blur (both filtered
+      // arms move O(|allowed|) ids through exchanges): the rows that
+      // actually ENTER the scoring pipeline — the doclens join,
+      // pivot and aggregation that dominate at corpus scale. The
+      // filtered-full arm scores every allowed doc bearing any term
+      // (the stopword makes that |allowed|-scale); the filtered
+      // top-k arm scores candidates only
+      def mask(df: org.apache.spark.sql.DataFrame) =
+        df.join(allowed, Seq("doc_id"), "left_semi")
+      val fullTf = snap.postings(spark)
+        .filter(col("token").isin(terms: _*))
+        .select(col("doc_id"), col("token"), col("tf"))
+      measure(sf, "filtered_full_scored_rows",
+          Map("docs" -> nDocs)) {
+        mask(fullTf).count()
+      }
+      // None is a legitimate small-SF outcome: fewer than k ALLOWED
+      // docs match the top-impact term, so no threshold exists and
+      // the serve correctly falls back to full filtered scoring —
+      // recorded as essential = 0 with the fallback's scored rows
+      // (the pruning story begins where the allowed corpus outgrows
+      // k, which sf0.1 shows)
+      ops.TextIndexStore.decisionOf(spark, snap, idfF,
+          metaRows, terms, k, 1.2, 0.75, statsF.head().getDouble(1),
+          mask) match {
+        case Some(df2) =>
+          measure(sf, "filtered_topk_scored_rows",
+              Map("essential" -> df2.essential.size,
+                "allowed_files" -> df2.allowedFiles.size)) {
+            val cand1 = snap.postings(spark)
+              .filter(col("token") === df2.essential.head)
+              .select(col("doc_id"))
+            val candE =
+              if (df2.allowedFiles.isEmpty) cand1
+              else spark.read.parquet(df2.allowedFiles: _*)
+                .filter(col("token").isin(df2.essential: _*))
+                .select(col("doc_id")).unionByName(cand1)
+            fullTf.join(mask(candE).distinct(), Seq("doc_id"),
+              "left_semi").count()
+          }
+        case None =>
+          measure(sf, "filtered_topk_scored_rows",
+              Map("essential" -> 0, "allowed_files" -> 0)) {
+            mask(fullTf).count()
+          }
+      }
     }
 
     ScalingLog.replaceSlice(ScalingLog.tier("text_topk"), out.toString)
