@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.AsOfSql.getClass.getName,
         "asof_join"),
       (args: Seq[Expression]) => graft.plans.AsOfSql.build(args)))
+    // the persisted text index's SQL front door: text_search(dir,
+    // idCol, terms) returns the stored-index BM25 frame; ranking
+    // composes in SQL (ORDER BY score DESC LIMIT k)
+    ext.injectTableFunction((
+      new FunctionIdentifier("text_search"),
+      new ExpressionInfo(graft.plans.TextSearchSql.getClass.getName,
+        "text_search"),
+      (args: Seq[Expression]) => graft.plans.TextSearchSql.build(args)))
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

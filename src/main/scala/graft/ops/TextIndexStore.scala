@@ -1192,6 +1192,25 @@ object TextIndexStore {
     out
   }
 
+  /** Handle for an EXISTING store directory with the bucket layout
+    * detected from the session catalog — the SQL front door's entry
+    * point ([[graft.plans.TextSearchSql]]), where the caller has a
+    * directory string rather than the build-time handle. A
+    * registered postings table restores the bucketed serving shape;
+    * absent (or pointing elsewhere — the standing location guard
+    * applies on the read side), the store serves through the plain
+    * path scan: correct rows either way.
+    */
+  def forDir(s: SparkSession, dir: String, idCol: String): Index = {
+    val buckets =
+      try s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            tableNameFor(dir)))
+        .bucketSpec.map(_.numBuckets).getOrElse(0)
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    Index(dir, idCol, buckets)
+  }
+
   /** The LIVE document count as a one-row metadata read — the exact
     * `n` counter every update/delete folds through its stats
     * flip-commit, so the operational membership probe

@@ -3290,6 +3290,27 @@ object TextQueries {
       |FROM spr_a a JOIN spr_b b USING (doc_id)
       |ORDER BY score_clone DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** The persisted text index's SQL front door
+    * ([[graft.plans.TextSearchSql]], registered as the
+    * `text_search` table-valued function by `GraftExtensions` — the
+    * q165 convention applied to the serving stores): a pure-SQL
+    * consumer ranks the stored-index BM25 frame with ORDER BY/LIMIT,
+    * no Scala handle in sight, against the same brute-force DuckDB
+    * chain that pins q75. One serving kernel, two front doors —
+    * TextSearchSqlSpec pins SQL == DataFrame equality on plain and
+    * bucketed stores and the loud argument errors.
+    */
+  val q182 = Q("q182_text_search_sql",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      s.sql(s"SELECT doc_id, score FROM text_search('${idx.dir}', " +
+        "'doc_id', 'join vector stream') " +
+        "ORDER BY score DESC, doc_id LIMIT 20")
+    },
+    Some(s"""WITH $duckBm25Ctes
+      |SELECT doc_id, score FROM spr
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3298,5 +3319,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181)
+      q181, q182)
 }
