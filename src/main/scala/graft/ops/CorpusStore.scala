@@ -235,24 +235,51 @@ object CorpusStore {
     * cross-store consistency contract the live quad maintains,
     * frozen at the capture. The clone's lineages are fresh (no
     * `_applied` witnesses): replaying the source's post-capture
-    * batches into it is the natural way to roll it forward. A
-    * coordinator crash mid-clone leaves a partial dstRoot with NO
-    * committed manifest for the missing stores — re-running the same
-    * clone into a FRESH dstRoot is the recovery (clone never mutates
-    * the source, so there is nothing to converge).
+    * batches into it is the natural way to roll it forward.
+    *
+    * Convergence under replay — the transaction layer's standing
+    * contract — applies to the clone too: a coordinator crash
+    * mid-clone leaves a PREFIX of the tiers committed (a tier's
+    * birth-flip is its last step, so a committed dst manifest proves
+    * that tier's copy complete), and RE-RUNNING the same call
+    * against the same `dstRoot` skips the committed tiers verbatim
+    * and redoes the uncommitted ones from scratch (half-copied
+    * debris without a manifest is swept before the redo).
+    * Spec-fabricated both ways: a committed prefix, and a torn
+    * manifest-less tier.
     */
   def cloneAt(s: SparkSession, st: Stores, at: Epochs,
       dstRoot: String): Stores = {
     require(st.stats.isEmpty || at.stats.isDefined,
       "the capture predates the stats tier's mount — capture again " +
         "with the tier mounted")
+    val fs = new org.apache.hadoop.fs.Path(dstRoot)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    // resume rule: a committed manifest proves the tier's clone
+    // complete (the flip is last); anything else is debris to sweep
+    def tier[A](sub: String, reopen: => A)(doIt: => A): A = {
+      val dir = s"$dstRoot/$sub"
+      if (fs.exists(StoreVersions.manifestPath(dir))) reopen
+      else {
+        StageSwap.remove(fs, new org.apache.hadoop.fs.Path(dir))
+        doIt
+      }
+    }
     Stores(
-      CurationStore.cloneAt(s, st.curation, at.curation,
-        s"$dstRoot/curation"),
-      AnnIndexStore.cloneAt(s, st.ann, at.ann, s"$dstRoot/ann"),
-      TextIndexStore.cloneAt(s, st.text, at.text, s"$dstRoot/text"),
-      st.stats.map(x => StatsStore.cloneAt(s, x, at.stats.get,
-        s"$dstRoot/stats")),
+      tier("curation", CurationStore.forDir(s, s"$dstRoot/curation",
+          st.curation.idCol))(
+        CurationStore.cloneAt(s, st.curation, at.curation,
+          s"$dstRoot/curation")),
+      tier("ann", AnnIndexStore.Index(s"$dstRoot/ann", st.ann.idCol,
+          st.ann.m, st.ann.subDim))(
+        AnnIndexStore.cloneAt(s, st.ann, at.ann, s"$dstRoot/ann")),
+      tier("text", TextIndexStore.forDir(s, s"$dstRoot/text",
+          st.text.idCol))(
+        TextIndexStore.cloneAt(s, st.text, at.text,
+          s"$dstRoot/text")),
+      st.stats.map(x => tier("stats",
+          StatsStore.Store(s"$dstRoot/stats"))(
+        StatsStore.cloneAt(s, x, at.stats.get, s"$dstRoot/stats"))),
       st.sourceCol)
   }
 

@@ -859,6 +859,25 @@ object CurationStore {
     store
   }
 
+  /** Handle for an EXISTING store directory, the bucketed-labels
+    * catalog table detected from the session catalog (the
+    * [[TextIndexStore.forDir]] convention — re-opening a store
+    * another handle built, e.g. a completed clone tier on a resumed
+    * [[CorpusStore.cloneAt]]). Absent (or pointing elsewhere — the
+    * standing location guard applies at read time), label serving
+    * degrades to the plain path scan: correct rows either way.
+    */
+  def forDir(s: SparkSession, dir: String, idCol: String): Store = {
+    val name = tableNameFor(dir)
+    val hasTable =
+      try {
+        s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    Store(dir, idCol, if (hasTable) Some(name) else None)
+  }
+
   /** Clone the store as of snapshot `seq` into `dstDir` — a fully
     * independent store ([[StoreVersions.cloneAt]]: labels/delta/
     * stats versions copied wholesale, signatures/pairs/tombstones at

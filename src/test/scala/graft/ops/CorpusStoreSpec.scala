@@ -314,6 +314,35 @@ class CorpusStoreSpec extends SparkSpec {
     assertFrameEqual(TextIndexStore.bm25(spark, clone.text, terms),
       TextIndexStore.bm25(spark, st.text, terms),
       "rolled-forward clone != source")
+
+    // convergence under replay, both crash shapes fabricated:
+    // (a) a committed PREFIX — the coordinator died after tier 1's
+    // birth-flip, so the curation tier is complete and the re-run
+    // must skip it VERBATIM while cloning the rest;
+    // (b) a TORN tier — half-copied debris without a manifest, which
+    // the re-run sweeps and redoes from scratch
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cap2 = CorpusStore.snapshotSeqs(spark, st)
+    val root2 = s"$tmp/clq-fork2"
+    CurationStore.cloneAt(spark, st.curation, cap2.curation,
+      s"$root2/curation")
+    val curCommitted = StoreVersions.read(fs, s"$root2/curation")
+    val torn = new org.apache.hadoop.fs.Path(
+      s"$root2/text/postings/v-00001/torn.parquet")
+    fs.mkdirs(torn.getParent)
+    fs.create(torn).close()
+    val clone2 = CorpusStore.cloneAt(spark, st, cap2, root2)
+    assert(StoreVersions.read(fs, s"$root2/curation") == curCommitted,
+      "the resume re-cloned a committed tier")
+    assert(!fs.exists(torn),
+      "the resume did not sweep the torn tier's debris")
+    assert(CorpusStore.liveCountsAll(spark, clone2)
+      == ((nf, nf, nf, Some(nf))),
+      "the resumed clone's tiers disagree with the capture")
+    assertFrameEqual(TextIndexStore.bm25(spark, clone2.text, terms),
+      TextIndexStore.bm25(spark, st.text, terms),
+      "the resumed clone's text tier drifted")
   }
 
   test("transaction rollback: snapshotSeqs captured before an ingest " +
