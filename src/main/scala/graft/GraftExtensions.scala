@@ -37,6 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.TextSearchSql.getClass.getName,
         "text_search"),
       (args: Seq[Expression]) => graft.plans.TextSearchSql.build(args)))
+    // its boolean/positional siblings: quorum-or-AND matching and
+    // exact-phrase / ordered-proximity retrieval
+    ext.injectTableFunction((
+      new FunctionIdentifier("text_match"),
+      new ExpressionInfo(graft.plans.TextSearchSql.getClass.getName,
+        "text_match"),
+      (args: Seq[Expression]) =>
+        graft.plans.TextSearchSql.buildMatch(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("text_phrase"),
+      new ExpressionInfo(graft.plans.TextSearchSql.getClass.getName,
+        "text_phrase"),
+      (args: Seq[Expression]) =>
+        graft.plans.TextSearchSql.buildPhrase(args)))
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

@@ -63,4 +63,71 @@ object TextSearchSql {
       .bm25(s, graft.ops.TextIndexStore.forDir(s, dir, idCol), terms)
       .queryExecution.logical
   }
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable &&
+        (e.dataType == org.apache.spark.sql.types.IntegerType ||
+          e.dataType == org.apache.spark.sql.types.LongType),
+      s"$what must be an integer literal")
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL")
+    v.toString.toInt
+  }
+
+  /** `text_match(storeDir, idCol, terms[, m])` — boolean retrieval
+    * from the stored postings: documents matching at least `m` of
+    * the query terms (default: all of them — conjunctive AND), with
+    * the match breadth and matched-term tf, i.e.
+    * [[graft.ops.TextIndexStore.matchAtLeast]]'s frame. One uniform
+    * (id, matched_terms, tf_sum) schema for every `m`, so the AND
+    * form is just the quorum form at m = |terms| (the store spec's
+    * reduction law).
+    */
+  def buildMatch(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "text_match(storeDir, idCol, terms[, m]) takes 3 or 4 arguments")
+    val dir = strArg(args(0), "store directory")
+    val idCol = strArg(args(1), "id column name")
+    val terms = strArg(args(2), "terms")
+      .split("[,\\s]+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "text_match: terms must be non-empty")
+    val m =
+      if (args.length < 4) terms.distinct.size
+      else intArg(args(3), "text_match: m")
+    val s = SparkSession.active
+    graft.ops.TextIndexStore
+      .matchAtLeast(s, graft.ops.TextIndexStore.forDir(s, dir, idCol),
+        terms, m)
+      .queryExecution.logical
+  }
+
+  /** `text_phrase(storeDir, idCol, phrase[, slop])` — positional
+    * retrieval from the stored index: exact consecutive phrase at
+    * the default slop 0 ([[graft.ops.TextIndexStore.phraseMatch]]),
+    * ordered proximity with at most `slop − 1` other tokens between
+    * consecutive terms past it
+    * ([[graft.ops.TextIndexStore.proximityMatch]] — whose slop = 1
+    * IS the phrase, the store spec's identity, so the two arms meet
+    * at the boundary). Returns (id, hits).
+    */
+  def buildPhrase(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "text_phrase(storeDir, idCol, phrase[, slop]) takes 3 or 4 " +
+        "arguments")
+    val dir = strArg(args(0), "store directory")
+    val idCol = strArg(args(1), "id column name")
+    val phrase = strArg(args(2), "phrase")
+      .split("[,\\s]+").toSeq.filter(_.nonEmpty)
+    require(phrase.nonEmpty, "text_phrase: phrase must be non-empty")
+    val slop = if (args.length < 4) 0
+      else intArg(args(3), "text_phrase: slop")
+    val s = SparkSession.active
+    val idx = graft.ops.TextIndexStore.forDir(s, dir, idCol)
+    val df =
+      if (slop <= 0) graft.ops.TextIndexStore.phraseMatch(s, idx,
+        phrase)
+      else graft.ops.TextIndexStore.proximityMatch(s, idx, phrase,
+        slop)
+    df.queryExecution.logical
+  }
 }

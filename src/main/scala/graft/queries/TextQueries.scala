@@ -3311,6 +3311,60 @@ object TextQueries {
       |SELECT doc_id, score FROM spr
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Quorum retrieval through the SQL door ([[graft.plans
+    * .TextSearchSql.buildMatch]], `text_match` at m = 2 of 3): q174's
+    * semantics with no Scala handle — one uniform
+    * (id, matched_terms, tf_sum) schema whose default m = |terms| is
+    * the conjunctive AND (the reduction law TextSearchSqlSpec pins).
+    * Same DuckDB oracle as q174.
+    */
+  val q183 = Q("q183_text_match_sql",
+    (s, dir) => {
+      val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+      s.sql(s"SELECT * FROM text_match('${idx.dir}', 'doc_id', " +
+        "'join vector stream', 2) ORDER BY doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CAST(count(DISTINCT token) AS BIGINT) AS matched_terms,
+      |  CAST(sum(tf) AS BIGINT) AS tf_sum
+      |FROM (SELECT doc_id, token, count(*) AS tf
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |            FROM documents)
+      |      WHERE token IN ('join', 'vector', 'stream')
+      |      GROUP BY doc_id, token)
+      |GROUP BY doc_id HAVING count(DISTINCT token) >= 2
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Exact-phrase retrieval through the SQL door
+    * ([[graft.plans.TextSearchSql.buildPhrase]], `text_phrase` at
+    * the default slop 0): q171's positional-index semantics from
+    * pure SQL, against the same zipped-unnest DuckDB chain. The
+    * slop dial (ordered proximity) and its slop-1 ≡ phrase boundary
+    * are TextSearchSqlSpec's identities.
+    */
+  val q184 = {
+    val phrase = Seq("small", "query", "line")
+    val slotCtes = phrase.zipWithIndex.map { case (t, i) =>
+      s"s$i AS (SELECT doc_id, pos - $i AS start FROM tp WHERE token = '$t')"
+    }.mkString(",\n|")
+    val joins = (1 until phrase.size)
+      .map(i => s"JOIN s$i USING (doc_id, start)").mkString(" ")
+    Q("q184_text_phrase_sql",
+      (s, dir) => {
+        val idx = graft.ops.TextIndexStore.forCorpus(s, dir)
+        s.sql(s"SELECT * FROM text_phrase('${idx.dir}', 'doc_id', " +
+          "'small query line') ORDER BY doc_id")
+      },
+      Some(s"""WITH tp AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS token,
+        |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        | FROM documents),
+        |$slotCtes
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM s0 $joins
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3319,5 +3373,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182)
+      q181, q182, q183, q184)
 }

@@ -74,4 +74,41 @@ class TextSearchSqlSpec extends SparkSpec {
       eLit.getMessage.toLowerCase.contains("unresolved"),
       s"non-literal error not loud: ${eLit.getMessage}")
   }
+
+  test("text_match == matchAtLeast (default m = AND); text_phrase " +
+      "== phraseMatch at slop 0 and proximityMatch past it; the " +
+      "slop-1 boundary meets the phrase") {
+    val st = TextIndexStore.build(docs, "doc_id", "text",
+      s"$tmp/match")
+    assert(rows(spark.sql(s"SELECT * FROM text_match('${st.dir}', " +
+        "'doc_id', 'join vector stream', 2)")) ==
+      rows(TextIndexStore.matchAtLeast(spark, st, terms, m = 2)),
+      "quorum SQL rows diverged")
+    assert(rows(spark.sql(s"SELECT * FROM text_match('${st.dir}', " +
+        "'doc_id', 'join vector stream')")) ==
+      rows(TextIndexStore.matchAtLeast(spark, st, terms,
+        m = terms.size)),
+      "default-m (AND) SQL rows diverged")
+    val phrase = Seq("small", "query", "line")
+    assert(rows(spark.sql(s"SELECT * FROM text_phrase('${st.dir}', " +
+        "'doc_id', 'small query line')")) ==
+      rows(TextIndexStore.phraseMatch(spark, st, phrase)),
+      "phrase SQL rows diverged")
+    assert(rows(spark.sql(s"SELECT * FROM text_phrase('${st.dir}', " +
+        "'doc_id', 'small query line', 3)")) ==
+      rows(TextIndexStore.proximityMatch(spark, st, phrase, slop = 3)),
+      "proximity SQL rows diverged")
+    // the boundary identity: slop = 1 IS the exact phrase
+    assert(rows(spark.sql(s"SELECT * FROM text_phrase('${st.dir}', " +
+        "'doc_id', 'small query line', 1)")) ==
+      rows(spark.sql(s"SELECT * FROM text_phrase('${st.dir}', " +
+        "'doc_id', 'small query line')")),
+      "slop-1 proximity != exact phrase through the SQL door")
+    val eM = intercept[Exception] {
+      spark.sql(s"SELECT * FROM text_match('${st.dir}', 'doc_id', " +
+        "'a b', 'two')").collect()
+    }
+    assert(eM.getMessage.contains("integer literal"),
+      s"non-integer m not loud: ${eM.getMessage}")
+  }
 }
