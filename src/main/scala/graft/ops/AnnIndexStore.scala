@@ -697,6 +697,38 @@ object AnnIndexStore {
       s"shortlist ($shortlist) must be >= k ($k)")
     val sl = search(s, idx, queries, qidCol, vecCol, shortlist, nprobe)
       .select(col("qid"), col(idx.idCol))
+    refineOf(idx, corpus, queries, sl, qidCol, vecCol, k)
+  }
+
+  /** FILTERED two-stage retrieval — [[searchFiltered]]'s pre-filter
+    * composed with [[searchRefined]]'s exact re-rank: the shortlist
+    * is the allowed-masked ADC ranking (k fills from allowed
+    * candidates inside the probed cells, [[searchFiltered]]'s
+    * contract), and the refine fetches those survivors' original
+    * vectors for the exact ordering. The mask needs no second
+    * application: every shortlist member is allowed by construction,
+    * and the refine only ever re-ranks the shortlist. Same recall
+    * dominance as the unfiltered refine (the filtered ADC top-k is a
+    * subset of the filtered shortlist), same scale shape (corpus
+    * scanned once, broadcast semi-join, never shuffled).
+    */
+  def searchFilteredRefined(s: SparkSession, idx: Index,
+      corpus: DataFrame, allowed: DataFrame, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int, nprobe: Int = 1,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k)")
+    val sl = searchFiltered(s, idx, allowed, queries, qidCol, vecCol,
+      shortlist, nprobe).select(col("qid"), col(idx.idCol))
+    refineOf(idx, corpus, queries, sl, qidCol, vecCol, k)
+  }
+
+  /** The shared exact re-rank stage: shortlist survivors' original
+    * vectors fetched via a broadcast semi-join against the corpus,
+    * exact squared-euclidean, deterministic (dist, id) tiebreak. */
+  private def refineOf(idx: Index, corpus: DataFrame,
+      queries: DataFrame, sl: DataFrame, qidCol: String,
+      vecCol: String, k: Int): DataFrame = {
     val base = corpus.select(col(idx.idCol),
       col(vecCol).cast("array<double>").as("_e"))
     val q = queries.select(col(qidCol).as("qid"),

@@ -1825,8 +1825,50 @@ object SimilarityQueries {
       | AS t(store, metric, action, action_after)
       |ORDER BY store, metric""".stripMargin))
 
+  /** FILTERED two-stage retrieval from the stored index
+    * ([[graft.ops.AnnIndexStore.searchFilteredRefined]]): q166's
+    * pre-filter composed with q163's exact re-rank — the shortlist
+    * is the allowed-masked ADC ranking inside the probed cells, the
+    * refine re-orders those survivors by exact distance. The oracle
+    * composes exactly the same two stages in DuckDB: the
+    * allowed-encoded ADC chain (q166's encWhere) cut at the
+    * shortlist, then the exact-distance re-rank over the raw
+    * embeddings (q163's chain). The serving shape every deployed
+    * metadata-constrained retrieval runs: filter, probe, re-rank.
+    */
+  val q185 = {
+    val exactDist =
+      s"round((${dotSql("q.embedding", "q.embedding")})" +
+        s" - 2*(${dotSql("q.embedding", "b.embedding")})" +
+        s" + (${dotSql("b.embedding", "b.embedding")}), 6)"
+    Q("q185_ann_filtered_refine",
+      (s, dir) => {
+        val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 100 === 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        graft.ops.AnnIndexStore.searchFilteredRefined(s, idx, emb,
+            emb.filter(col("vec_id") % 3 === 0).select("vec_id"),
+            queries, "qid", "embedding", k = 10, nprobe = 2,
+            shortlist = 50)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH ${IvfPqSql.ctes("vec_id % 100 = 3", nprobe = 2,
+          encWhere = "vec_id % 3 = 0")},
+        |sl AS MATERIALIZED (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM adc)
+        | WHERE rank <= 50)
+        |SELECT qid, vec_id, dist, CAST(row_number() OVER (
+        |  PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rank
+        |FROM (SELECT sl.qid, sl.vec_id, $exactDist AS dist
+        |  FROM sl JOIN embeddings b ON b.vec_id = sl.vec_id
+        |   JOIN embeddings q ON q.vec_id = sl.qid)
+        |QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+  }
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166, q169, q176, q180)
+    q161, q163, q166, q169, q176, q180, q185)
 }

@@ -509,6 +509,45 @@ class AnnIndexStoreSpec extends SparkSpec {
         "the staleness history)")
   }
 
+  test("searchFilteredRefined: every result is allowed; with " +
+      "allowed = everything it IS searchRefined; the rows are the " +
+      "exact re-rank of the filtered shortlist") {
+    val allowed = emb.filter(col("vec_id") % 3 === 0)
+      .select("vec_id")
+    val fr = AnnIndexStore.searchFilteredRefined(spark, idx, emb,
+      allowed, queries, "qid", "embedding", k = 10, nprobe = 2,
+      shortlist = 50)
+    assert(fr.join(allowed, Seq("vec_id"), "left_anti").isEmpty,
+      "a disallowed vector leaked through the filtered refine")
+    assertFrameEqual(
+      AnnIndexStore.searchFilteredRefined(spark, idx, emb,
+        emb.select("vec_id"), queries, "qid", "embedding", k = 10,
+        nprobe = 2, shortlist = 50),
+      AnnIndexStore.searchRefined(spark, idx, emb, queries, "qid",
+        "embedding", k = 10, nprobe = 2, shortlist = 50),
+      "allow-everything filtered refine vs plain refine")
+    // exactness against the independent re-rank of the same
+    // filtered shortlist (the refine stage adds nothing but order)
+    val sl = AnnIndexStore.searchFiltered(spark, idx, allowed,
+        queries, "qid", "embedding", k = 50, nprobe = 2)
+      .select("qid", "vec_id")
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("_e"))
+    val q = queries.select(col("qid"),
+      col("embedding").cast("array<double>").as("_q"))
+    val d = round(Similarity.dot(col("_q"), col("_q")) -
+      lit(2.0) * Similarity.dot(col("_q"), col("_e")) +
+      Similarity.dot(col("_e"), col("_e")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_d").asc, col("vec_id").asc)
+    val expected = base.join(sl, "vec_id").join(broadcast(q), "qid")
+      .withColumn("_d", d)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 10).select("qid", "vec_id")
+    assertFrameEqual(fr.select("qid", "vec_id"), expected,
+      "filtered refine vs exact-of-filtered-shortlist")
+  }
+
   test("recallProbe's refined exact arm: EQUALS the brute arm when " +
       "the reference shortlist covers the whole corpus, UPPER-bounds " +
       "it at production dials (a floor breach on the optimistic arm " +
