@@ -957,6 +957,64 @@ object CurationStore {
     }
   }
 
+  /** Screen a NEW batch against the store BEFORE it is ingested —
+    * the ADMISSION-CONTROL read of the dedup tier, the decision a
+    * daily 100 TB crawl makes at the door: per batch doc, is it a
+    * near-dup of something the corpus already holds (`hist_dup`), a
+    * non-canonical member of a near-dup cluster within the batch
+    * itself (`batch_dup`), or new material (`kept`)? One row per
+    * batch doc, `(idCol, status)` — [[Dedup.incrementalDecisions]]
+    * evaluated against the STORE's signatures instead of an ad-hoc
+    * signature frame (q53's operator, served from the persisted
+    * tier).
+    *
+    * Pure READ: nothing is written, no marker is taken — the batch
+    * is signed (one partition-local pass over the batch text alone;
+    * history text is never touched) and LSH-joined against the
+    * stored signatures. The decision frame PINS one snapshot at plan
+    * time ([[Store.signatures]] resolves the manifest once), so it
+    * stays collectible — and keeps answering from the pre-batch
+    * corpus — even after the caller folds the survivors in
+    * (reader-isolation, the store's standing contract).
+    *
+    * Two deliberate exclusions on the history side:
+    *  - TOMBSTONED docs never block re-admission: the signature read
+    *    is tomb-masked, so a taken-down document's content can
+    *    return in a later crawl ([[delete]]'s serving contract,
+    *    extended to admission).
+    *  - The BATCH'S OWN ids are anti-joined out of the history.
+    *    Under the store's id-disjointness contract this is a no-op;
+    *    after a mid-transaction crash it is load-bearing — a replay
+    *    of [[CorpusStore.ingestScreened]] re-screens after some
+    *    tiers already folded the survivors, and without the
+    *    exclusion the batch would match ITSELF in history, admit
+    *    nothing, and leave the remaining tiers empty. With it the
+    *    replayed screen reproduces the original decisions exactly
+    *    (spec-fabricated in CorpusStoreSpec).
+    *
+    * Scale shape is [[Dedup.incrementalDecisions]]' (its scaladoc
+    * carries the analysis): the batch side is one narrow
+    * signature-kernel pass, the store side one narrow scan of the
+    * signature stage — ~100 bytes/doc, orders of magnitude under the
+    * corpus text it stands for — shuffled on (band_idx, band_hash).
+    * The anti-join keys on the batch's id column and follows AQE's
+    * build-side choice (a daily batch is broadcast-sized next to the
+    * corpus signature table).
+    */
+  def screen(s: SparkSession, store: Store, batch: DataFrame,
+      textCol: String, numBands: Int = 4, minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val idCol = store.idCol
+    val sigs = store.signatures(s)
+    val numHashes = sigs.columns.count(_.matches("h\\d+"))
+    require(numHashes > 0,
+      s"store at ${store.dir} has no h* signature columns to screen against")
+    val history = sigs.join(batch.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    Dedup.incrementalDecisions(batch, history, idCol, textCol,
+      numHashes, numBands, minEst, maxBucketSize)
+  }
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =

@@ -3365,6 +3365,32 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Admission-control screening from the PERSISTED dedup tier
+    * ([[graft.ops.CurationStore.screen]]): the store is built over
+    * the history half (even ids) once per run — the q126 build
+    * convention — and the new-batch half (odd ids) is screened
+    * against its stored signatures at the door: `hist_dup` (near-dup
+    * of stored content), `batch_dup` (non-canonical member of a
+    * within-batch cluster) or `kept`. Same decision semantics as the
+    * fused q53 operator — hence the same oracle CTE stack — but the
+    * history side is the tier's tomb-masked signature stage, read
+    * through one pinned snapshot, with the history text never
+    * touched. The screen-specific contracts (tombstoned content
+    * re-admits; a replayed screen after its own fold reproduces its
+    * decisions) are CurationStoreSpec's.
+    */
+  val q186 = Q("q186_dedup_screen",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = CurationStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        CurationStore.storeDirFor(dir, "-screen"))
+      CurationStore.screen(s, store,
+          docs.filter(col("doc_id") % 2 === 1), "text")
+        .orderBy("doc_id")
+    },
+    Some(duckIncrementalSql))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3373,5 +3399,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182, q183, q184)
+      q181, q182, q183, q184, q186)
 }

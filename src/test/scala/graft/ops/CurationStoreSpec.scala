@@ -652,4 +652,62 @@ class CurationStoreSpec extends SparkSpec {
     assert(remainingPairs.isEmpty,
       "fixture assumption broken: the remaining corpus has pairs")
   }
+
+  test("screen against the stored signatures equals the fused " +
+      "incremental operator") {
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val st = CurationStore.build(hist, "doc_id", "text", s"$tmp-screen")
+    // compare MATERIALIZED maps, not exceptAll: the two frames share
+    // the batch's lineage and each embeds a persisted components
+    // fixpoint, a combination whose single exceptAll plan mis-pairs
+    // the re-aliased cached subtrees (collected results are stable
+    // and identical; the one-plan set difference reports all rows)
+    def decided(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromStore = decided(CurationStore.screen(spark, st, batch, "text"))
+    val fused = decided(Dedup.incrementalDecisions(batch,
+      Dedup.minhashSignatures(hist, "doc_id", "text", 16),
+      "doc_id", "text"))
+    assert(fromStore.nonEmpty && fromStore == fused,
+      s"screen decisions drifted from the fused operator: " +
+        s"${(fromStore.toSet -- fused.toSet).take(5)} vs " +
+        s"${(fused.toSet -- fromStore.toSet).take(5)}")
+  }
+
+  test("screen: tombstones un-block re-admission, and a replayed " +
+      "screen after the fold reproduces its own decisions") {
+    import spark.implicits._
+    // near is a (J≈0.86) near-dup of a; 16 one-row bands make the
+    // collision certain at these deterministic md5 signatures
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val near = s"$a iota"
+    val st = CurationStore.build(
+      Seq((2L, a), (4L, "totally different filler content going here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp-screen2", numHashes = 16, numBands = 16,
+      minEst = 0.3)
+    val batch = Seq((11L, near),
+      (13L, "brand new unrelated words entirely fresh"))
+      .toDF("doc_id", "text")
+    def decide() = CurationStore.screen(spark, st, batch, "text",
+        numBands = 16, minEst = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // pre-delete: 11 matches stored 2, 13 is new
+    val d0 = decide()
+    assert(d0 == Map(11L -> "hist_dup", 13L -> "kept"), s"pre: $d0")
+    // take 2 down: its content may return — 11 now screens as kept
+    // (the signature read is tomb-masked)
+    CurationStore.delete(st, Seq(2L).toDF("doc_id"))
+    val d1 = decide()
+    assert(d1 == Map(11L -> "kept", 13L -> "kept"), s"post-delete: $d1")
+    // fold the batch in, then screen the SAME batch again — the
+    // self-exclusion keeps the replayed decisions identical instead
+    // of the batch matching itself in history (the crash-replay
+    // window CorpusStore.ingestScreened stands on)
+    CurationStore.update(st, batch, "text", numHashes = 16,
+      numBands = 16, minEst = 0.3)
+    val d2 = decide()
+    assert(d2 == d1, s"replayed screen drifted: $d2 vs $d1")
+  }
 }
