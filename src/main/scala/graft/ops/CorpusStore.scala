@@ -127,6 +127,61 @@ object CorpusStore {
     st
   }
 
+  /** Dedup-GATED ingest — the admission-controlled daily batch: the
+    * raw batch is screened against the dedup tier's stored
+    * signatures ([[CurationStore.screen]] — `hist_dup` for near-dups
+    * of stored content, `batch_dup` for non-canonical members of
+    * within-batch clusters), and ONLY the `kept` survivors fold into
+    * the tiers under the one batch id. Returns the maintained
+    * handles and the full per-doc decision frame — the quantity an
+    * ingest pipeline logs (and bills crawlers by).
+    *
+    * This closes the loop the reference's fetch-what's-new refresh
+    * gestures at and a 100 TB pipeline cannot run without: raw crawl
+    * batches are dominated by recrawls and boilerplate, and folding
+    * them uncensored would grow every index by the RAW feed while
+    * [[Dedup.dedupIncremental]]'s store tracks the unique corpus.
+    * Here the dedup tier's own signature stage IS that store — one
+    * artifact plays both roles (cluster labels for curation,
+    * admission history for ingest), kept coherent by the same
+    * transaction epochs as everything else.
+    *
+    * Replay convergence (the layer's standing contract) holds
+    * because the screen is defined against the store EXCLUDING the
+    * batch's own ids: a coordinator crash after some tiers folded
+    * the survivors re-runs the screen with those survivors already
+    * in the signature stage, and without the exclusion the batch
+    * would match ITSELF, admit nothing, and leave the remaining
+    * tiers empty — with it the replayed decisions are the original
+    * decisions exactly, each tier no-ops or folds by its own
+    * `_applied` record, and all tiers converge on the same kept set
+    * (spec-fabricated: a tier folds, the coordinator "dies", the
+    * transaction replays).
+    *
+    * The decision frame pins the PRE-ingest snapshot at plan time,
+    * so collecting it after the fold still answers from the corpus
+    * the batch was screened against. Each tier's fold re-evaluates
+    * the `kept` lineage (screen included — its cluster fixpoint is
+    * cached, the LSH join is not): at 100 TB batch sizes, persist
+    * the batch (or materialize the decisions) before calling if
+    * recomputing it is expensive — the same caveat as [[ingest]],
+    * one stage deeper.
+    */
+  def ingestScreened(st: Stores, batch: DataFrame, textCol: String,
+      vecCol: String, batchId: String, numBands: Int = 4,
+      minEst: Double = 0.5, maxBucketSize: Long = Long.MaxValue)
+      : (Stores, DataFrame) = {
+    require(batchId.nonEmpty,
+      "cross-store screened ingest requires a batchId")
+    val s = batch.sparkSession
+    val decisions = CurationStore.screen(s, st.curation, batch,
+      textCol, numBands, minEst, maxBucketSize)
+    val kept = batch.join(
+      decisions.filter(col("status") === "kept").select(col(st.idCol)),
+      Seq(st.idCol), "left_semi")
+    (ingest(st, kept, textCol, vecCol, batchId), decisions)
+  }
+
   /** Tombstone `ids` in all three stores under ONE batch id —
     * the takedown / right-to-be-forgotten path. Serving is exact
     * from the next read on in every store (masked reads, exact

@@ -549,7 +549,7 @@ object TextQueries {
     * definitions as q24/q43, history matching + within-batch
     * clustering mirroring [[graft.ops.Dedup.incrementalDecisions]].
     */
-  private def duckIncrementalSql: String = {
+  private def duckIncrementalCtes: String = {
     val mins = (0 until 16)
       .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
     def bandSel(src: String) = (0 until 4).map { b =>
@@ -557,7 +557,7 @@ object TextQueries {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM $src"
     }.mkString(" UNION ALL ")
-    s"""WITH RECURSIVE sh AS (
+    s"""sh AS (
       |${SqlGen.duckShingleCte}
       |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
       |newsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
@@ -580,17 +580,20 @@ object TextQueries {
       |          UNION SELECT b, a FROM bpairs),
       |reach(x, y) AS (SELECT src, src FROM edges
       | UNION SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
-      |cl AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x)
-      |SELECT d.doc_id,
+      |cl AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x),
+      |dec AS (SELECT d.doc_id,
       | CASE WHEN hm.doc_id IS NOT NULL THEN 'hist_dup'
       |  WHEN cl.cluster IS NOT NULL AND cl.cluster <> d.doc_id
       |   THEN 'batch_dup'
       |  ELSE 'kept' END AS status
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
       |LEFT JOIN histm hm ON hm.doc_id = d.doc_id
-      |LEFT JOIN cl ON cl.doc_id = d.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |LEFT JOIN cl ON cl.doc_id = d.doc_id)""".stripMargin
   }
+
+  private def duckIncrementalSql: String =
+    s"""WITH RECURSIVE $duckIncrementalCtes
+      |SELECT doc_id, status FROM dec ORDER BY doc_id""".stripMargin
 
   /** Incremental near-dedup against a signature store — the daily
     * operation at 100 TB: history (even doc ids) is signatured ONCE
@@ -3391,6 +3394,60 @@ object TextQueries {
     },
     Some(duckIncrementalSql))
 
+  /** Dedup-GATED corpus transaction
+    * ([[graft.ops.CorpusStore.ingestScreened]]): the four-tier quad
+    * is built on the history half, then the new-batch half arrives
+    * as a raw crawl and is admitted THROUGH the screen — only `kept`
+    * survivors fold into curation/ann/text under the one batch id.
+    * The readout is what an ingest pipeline logs: per-status
+    * decision counts (with id ranges) plus the post-transaction live
+    * membership, which must equal history + kept exactly — the
+    * admission gate and the stores' exact live counters agreeing is
+    * the end-to-end contract. Oracle recomputes the decisions from
+    * the raw corpus via the q53 CTE stack and derives the same
+    * counts; crash-replay convergence is CorpusStoreSpec's.
+    */
+  val q187 = Q("q187_gated_ingest",
+    (s, dir) => {
+      import graft.ops.{AnnIndexStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val c = AnnIndexStore.CorpusDials
+      // even-id history: centroid/seed moduli must land on even ids
+      val evenDials = AnnIndexStore.Dials(col("doc_id") % 50 === 8,
+        col("doc_id") % 10 === 4, c.m, c.subDim, c.iters)
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-gated"),
+        annDials = Some(evenDials))
+      val (st, decisions) = CorpusStore.ingestScreened(st0,
+        corpus.filter(col("doc_id") % 2 === 1), "text", "embedding",
+        "gated-odds")
+      val (_, _, live) = CorpusStore.liveCounts(s, st)
+      import s.implicits._
+      decisions.groupBy("status")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .unionByName(Seq(("live", live)).toDF("status", "n")
+          .withColumn("min_id", lit(null).cast("long"))
+          .withColumn("max_id", lit(null).cast("long")))
+        .orderBy("status")
+    },
+    Some(s"""WITH RECURSIVE $duckIncrementalCtes
+      |SELECT * FROM (
+      | SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      | FROM dec GROUP BY status
+      | UNION ALL
+      | SELECT 'live',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |    WHERE doc_id % 2 = 0)
+      |  + (SELECT count(*) FROM dec WHERE status = 'kept'),
+      |  NULL, NULL)
+      |ORDER BY status""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3399,5 +3456,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182, q183, q184, q186)
+      q181, q182, q183, q184, q186, q187)
 }

@@ -265,6 +265,64 @@ class CorpusStoreSpec extends SparkSpec {
       "expected the curation count one short of ann/text")
   }
 
+  test("screened ingest admits exactly the kept survivors, and a " +
+      "replay after a fabricated mid-crash reproduces the original " +
+      "decisions (the self-exclusion) and converges every tier") {
+    val base = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    // even-id base: centroid/seed moduli must land on even ids
+    val evenDials = AnnIndexStore.Dials(
+      col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
+      m = 2, subDim = 32, iters = 2)
+    val st = CorpusStore.build(base, "doc_id", "text", "embedding",
+      s"$tmp/gated", annDials = Some(evenDials))
+    def decided(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("status"))).toMap
+    // the decisions the gate SHOULD make, collected before any fold
+    val expected = decided(
+      CurationStore.screen(spark, st.curation,
+        batch.select(col("doc_id"), col("text")), "text"))
+    val nKept = expected.valuesIterator.count(_ == "kept").toLong
+    assert(expected.valuesIterator.exists(_ == "hist_dup") &&
+      expected.valuesIterator.exists(_ == "batch_dup"),
+      s"fixture carries no dups to gate on: " +
+        s"${expected.values.groupBy(identity).view.mapValues(_.size).toMap}")
+    // fabricate the crash: the curation tier already folded the
+    // survivors under the transaction's id, then the coordinator
+    // died before reaching ann/text
+    val keptRows = {
+      import spark.implicits._
+      batch.join(
+        expected.filter(_._2 == "kept").keys.toSeq.toDF("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    CurationStore.update(st.curation,
+      keptRows.select(col("doc_id"), col("text")), "text",
+      batchId = Some("s1"))
+    // replay the WHOLE transaction: the screen must reproduce the
+    // original decisions (its history excludes the batch's own ids,
+    // so the already-folded survivors don't read as hist_dups) and
+    // the remaining tiers must fold exactly the kept set
+    val (_, decisions) = CorpusStore.ingestScreened(st, batch, "text",
+      "embedding", "s1")
+    assert(decided(decisions) == expected,
+      "replayed screen drifted from the pre-crash decisions")
+    val n = base.count() + nKept
+    val (c, a, t) = CorpusStore.liveCounts(spark, st)
+    assert((a, t) == ((n, n)),
+      s"ann/text hold $a/$t live docs, expected $n")
+    assert(c == Dedup.minhashSignatures(
+        base.unionByName(keptRows), "doc_id", "text", 16).count(),
+      "curation count != signable admitted corpus")
+    // a full second replay is a no-op everywhere
+    val (_, d2) = CorpusStore.ingestScreened(st, batch, "text",
+      "embedding", "s1")
+    assert(decided(d2) == expected &&
+      CorpusStore.liveCounts(spark, st) == ((c, a, t)),
+      "batchId replay re-applied somewhere")
+  }
+
   test("transaction-level clone: the quad as of a capture serves " +
       "the captured epochs coherently from a fresh root, the source " +
       "is untouched, and the source's post-capture batch id rolls " +
