@@ -76,6 +76,16 @@ object IncrementalScaling {
           history, "doc_id", "text", histDir)
         store.labels(spark).count()
       }
+      // admission-control read BEFORE the fold — the daily gate's
+      // own cost shape: the batch signs locally and BROADCASTS its
+      // band rows (the executed plan builds the batch side of every
+      // LSH join), so shuffle stays batch-sized at both corpus
+      // sizes while the corpus-proportional input is the NARROW
+      // signature stage alone — history text never enters the scan
+      measure(sf, "screen_batch100", Map("batch" -> 100)) {
+        ops.CurationStore.screen(spark, store, batch, "text")
+          .filter(col("status") === "kept").count()
+      }
       measure(sf, "update_batch100", Map("batch" -> 100)) {
         ops.CurationStore.update(store, batch, "text")
         store.labels(spark).count()

@@ -698,12 +698,21 @@ object Dedup {
     *   rule that never depends on join order,
     * - `kept`      — everything else (the survivors).
     *
-    * Scale shape: the store side shuffles by (band_idx, band_hash) —
-    * at scale the store would be WRITTEN bucketed by band hash, making
-    * the daily join co-located — and the batch side is typically tiny
-    * relative to the store. Nothing is persisted; the batch signature
-    * kernel's band exchange is shared by the history join and the
-    * within-batch self-join via ReuseExchange where plans align.
+    * Scale shape (measured, not argued — the executed plan and the
+    * SCALING `incremental` tier's `screen_batch100` rows): a daily
+    * batch is broadcast-sized next to the corpus, so the planner
+    * builds the BATCH side of the history LSH join and the store
+    * side is ONE LINEAR SCAN of the narrow signature stage — no
+    * corpus-wide exchange at any corpus size; the corpus-
+    * proportional cost is ~100 bytes/doc of columnar signature
+    * reads, orders of magnitude under the text they stand for.
+    * Should a batch ever outgrow the broadcast ceiling, AQE degrades
+    * the join to a shuffle on (band_idx, band_hash) — THAT regime is
+    * where writing the store bucketed by band hash would co-locate
+    * the join; below it bucketing would remove no exchange. Nothing
+    * is persisted; the batch signature kernel's band exchange is
+    * shared by the history join and the within-batch self-join via
+    * ReuseExchange where plans align.
     */
   def incrementalDecisions(newDocs: DataFrame, sigStore: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 16,
