@@ -51,6 +51,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "text_phrase"),
       (args: Seq[Expression]) =>
         graft.plans.TextSearchSql.buildPhrase(args)))
+    // the persisted ANN index's SQL front door: the dense serving
+    // twin of text_search (queries arrive as a named view — the
+    // batch is itself a relation), plus the pre-filtered form
+    ext.injectTableFunction((
+      new FunctionIdentifier("ann_search"),
+      new ExpressionInfo(graft.plans.AnnSearchSql.getClass.getName,
+        "ann_search"),
+      (args: Seq[Expression]) => graft.plans.AnnSearchSql.build(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("ann_search_filtered"),
+      new ExpressionInfo(graft.plans.AnnSearchSql.getClass.getName,
+        "ann_search_filtered"),
+      (args: Seq[Expression]) =>
+        graft.plans.AnnSearchSql.buildFiltered(args)))
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

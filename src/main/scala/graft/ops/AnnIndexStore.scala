@@ -884,6 +884,27 @@ object AnnIndexStore {
   def liveCount(s: SparkSession, idx: Index): Long =
     idx.pin(s).stats(s).head().getLong(0)
 
+  /** Handle for an EXISTING index directory when the caller has no
+    * `Index` in hand (the SQL front door's entry point, mirroring
+    * [[TextIndexStore.forDir]] / [[CurationStore.forDir]]): the
+    * product-quantization shape is recovered from the committed
+    * codebooks stage itself — `m` = number of distinct subspaces,
+    * `subDim` = codeword width — so a `spark.sql` consumer needs
+    * only the directory. One driver-sized read of the k·m-row
+    * codebooks table (the same class of cost as the serving path's
+    * probe routing); loud when the directory holds no committed
+    * store.
+    */
+  def forDir(s: SparkSession, dir: String, idCol: String): Index = {
+    val head = Index(dir, idCol, m = 1, subDim = 1).pin(s)
+      .codebooks(s)
+      .agg(max(col("_sj")).as("_mj"), first(size(col("_ce"))).as("_w"))
+      .head()
+    require(!head.isNullAt(0),
+      s"index at $dir has an empty codebooks stage")
+    Index(dir, idCol, m = head.getInt(0) + 1, subDim = head.getInt(1))
+  }
+
   // ---- session-lifetime index per corpus directory ----------------
 
   private val built =

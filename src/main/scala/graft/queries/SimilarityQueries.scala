@@ -1867,8 +1867,52 @@ object SimilarityQueries {
         |QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
   }
 
+  /** The ANN index's SQL front door ([[graft.plans.AnnSearchSql]] —
+    * `ann_search` TVF): q148's serve issued from `spark.sql` with
+    * the query batch arriving as a named temp view, against q148's
+    * own oracle — the one-operator-two-front-doors convention
+    * (q165/q182) extended to dense serving. The equality and
+    * loud-error contracts are AnnSearchSqlSpec's; this row keeps the
+    * SQL door itself on the driver's hash gate.
+    */
+  val q188 = Q("q188_ann_search_sql",
+    (s, dir) => {
+      val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+      table(s, dir, "embeddings").filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .createOrReplaceTempView("q188_queries")
+      s.sql(s"SELECT * FROM ann_search('${idx.dir}', 'vec_id', " +
+        "'q188_queries', 'qid', 'embedding', 10) ORDER BY qid, rank")
+    },
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10)))
+
+  /** The filtered dense serve through the SQL door
+    * (`ann_search_filtered` — [[graft.plans.AnnSearchSql]]): q166's
+    * pre-filtered search with the allow-list arriving as a second
+    * named view, against q166's own oracle. A SQL consumer writing
+    * `WHERE vec_id % 3 = 0` over `ann_search`'s output would get the
+    * under-filled post-cut instead; the TVF is how the PRE-filter
+    * semantics (mask inside the probed cells, models frozen) stay
+    * reachable from pure SQL.
+    */
+  val q189 = Q("q189_ann_filtered_sql",
+    (s, dir) => {
+      val idx = graft.ops.AnnIndexStore.forCorpus(s, dir)
+      val emb = table(s, dir, "embeddings")
+      emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .createOrReplaceTempView("q189_queries")
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+        .createOrReplaceTempView("q189_allowed")
+      s.sql(s"SELECT * FROM ann_search_filtered('${idx.dir}', " +
+        "'vec_id', 'q189_queries', 'qid', 'embedding', " +
+        "'q189_allowed', 10, 2) ORDER BY qid, rank")
+    },
+    Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10, nprobe = 2,
+      encWhere = "vec_id % 3 = 0")))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166, q169, q176, q180, q185)
+    q161, q163, q166, q169, q176, q180, q185, q188, q189)
 }
