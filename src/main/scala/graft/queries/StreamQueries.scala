@@ -834,7 +834,113 @@ object StreamQueries {
       trainWhere = "vec_id % 2 = 1", encWhere = "",
       bm25Where = "", labelWhere = "1 = 1")))
 
+  /** STREAMED admission-controlled ingest
+    * ([[graft.ops.CorpusStore.ingestScreened]] inside foreachBatch):
+    * the quad is built on the even-id history, then the odd docs
+    * arrive as a micro-batched crawl feed (three slices, one file
+    * per trigger) and every epoch is screened against EVERYTHING
+    * ADMITTED BEFORE IT — history plus the previous epochs' kept
+    * survivors, which the per-epoch fold placed in the signature
+    * stage — before its own kept docs fold in under the epoch-keyed
+    * batch id. That SEQUENTIAL-admission semantics is the streaming
+    * dedup contract (an epoch-2 near-dup of an epoch-1 survivor is a
+    * `hist_dup`, where q187's one-shot batch would have called it a
+    * `batch_dup`), and the oracle models it exactly: the q53 screen
+    * CTE stack unrolled three times, each stage's history the
+    * previous stage's history plus its kept set
+    * ([[TextQueries.duckScreenStage]]). Readout: per-epoch decision
+    * counts plus the final live membership (history + Σ kept).
+    */
+  val q190 = Q("q190_stream_gated",
+    (s, dir) => {
+      import graft.ops.{AnnIndexStore, CorpusStore}
+      val docs = Registry.table(s, dir, "documents")
+      val emb = Registry.table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val c = AnnIndexStore.CorpusDials
+      val evenDials = AnnIndexStore.Dials(col("doc_id") % 50 === 8,
+        col("doc_id") % 10 === 4, c.m, c.subDim, c.iters)
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-q190-in")
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-q190-ckpt")
+      val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // epoch order = file order: slice0 (%6=1), slice1 (%6=3),
+        // slice2 (%6=5) — written sequentially so the source's
+        // mod-time order matches
+        Seq(1, 3, 5).zipWithIndex.foreach { case (r, i) =>
+          graft.ark.Ark.writeSingleFile(
+            corpus.filter(col("doc_id") % 6 === r),
+            s"$inDir/slice$i.parquet")
+        }
+        val st = CorpusStore.build(
+          corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "embedding", CorpusStore.storeDirFor(dir, "-gatedstream"),
+          annDials = Some(evenDials))
+        val perEpoch =
+          new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        try {
+          s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inDir.toString)
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                 org.apache.spark.sql.Row], epochId: Long) =>
+                val (_, dec) = CorpusStore.ingestScreened(st,
+                  batch.toDF(), "text", "embedding", s"epoch-$epochId")
+                dec.groupBy("status").count().collect().foreach(r =>
+                  perEpoch.synchronized {
+                    perEpoch += ((epochId, r.getString(0),
+                      r.getLong(1)))
+                  })
+                ()
+            }
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val (_, _, live) = CorpusStore.liveCounts(s, st)
+        import s.implicits._
+        perEpoch.toSeq.toDF("epoch", "status", "n")
+          .unionByName(Seq((-1L, "live", live)).toDF("epoch", "status",
+            "n"))
+          .orderBy("epoch", "status")
+      } finally Seq(inDir, ckptDir).foreach(deleteRecursively)
+    },
+    Some {
+      val stages = Seq(1, 3, 5).zipWithIndex.map { case (r, i) =>
+        val hist = if (i == 0) "hist0" else s"hist$i"
+        s"""${if (i > 0)
+            s"hist$i AS MATERIALIZED (SELECT doc_id FROM hist${i - 1} " +
+              s"UNION ALL SELECT doc_id FROM kept_e${i - 1}),"
+          else ""}
+          |${TextQueries.duckScreenStage(s"_e$i", s"doc_id % 6 = $r",
+            hist)}""".stripMargin
+      }.mkString(",\n")
+      val epochCounts = (0 until 3).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS epoch, status,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM dec_e$i GROUP BY status""".stripMargin)
+        .mkString("\n UNION ALL ")
+      s"""WITH RECURSIVE ${TextQueries.duckSigCtes},
+        |hist0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |$stages
+        |SELECT * FROM (
+        | $epochCounts
+        | UNION ALL
+        | SELECT -1, 'live',
+        |  (SELECT count(*) FROM hist2)
+        |  + (SELECT count(*) FROM kept_e2))
+        |ORDER BY epoch, status""".stripMargin
+    })
+
   val qs: Seq[Q] =
     Seq(q38, q40, q41, q58, q66, q68, q69, q96, q107, q131, q147,
-      q155, q164, q170)
+      q155, q164, q170, q190)
 }

@@ -549,47 +549,75 @@ object TextQueries {
     * definitions as q24/q43, history matching + within-batch
     * clustering mirroring [[graft.ops.Dedup.incrementalDecisions]].
     */
-  private def duckIncrementalCtes: String = {
+  /** The shingle + signature CTEs every screen-decision oracle
+    * starts from (`sh`, `sig` — one signature row per signable doc
+    * of the WHOLE documents table). */
+  private[queries] def duckSigCtes: String = {
     val mins = (0 until 16)
       .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")
+    s"""sh AS (
+      |${SqlGen.duckShingleCte}
+      |), sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** One SCREEN STAGE's CTE chain, parameterized so sequential
+    * admission unrolls as repeated stages (q190's streaming oracle):
+    * the batch is `documents WHERE $newWhere`, the history is the
+    * doc_ids of CTE `$histIds`, and every CTE name is suffixed
+    * `$tag` so stages compose in one WITH. Emits `dec$tag`
+    * (doc_id, status — the [[graft.ops.CurationStore.screen]]
+    * semantics) and `kept$tag` (the survivors the NEXT stage's
+    * history absorbs). Requires [[duckSigCtes]] upstream.
+    */
+  private[queries] def duckScreenStage(tag: String, newWhere: String,
+      histIds: String): String = {
     def bandSel(src: String) = (0 until 4).map { b =>
       val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM $src"
     }.mkString(" UNION ALL ")
-    s"""sh AS (
-      |${SqlGen.duckShingleCte}
-      |), sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-      |newsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
-      |histsig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
-      |nband AS (${bandSel("newsig")}),
-      |hband AS (${bandSel("histsig")}),
-      |histm AS (SELECT DISTINCT a AS doc_id FROM (
+    s"""nsig$tag AS MATERIALIZED (SELECT * FROM sig WHERE $newWhere),
+      |hsig$tag AS MATERIALIZED (SELECT g.* FROM sig g JOIN $histIds h USING (doc_id)),
+      |nband$tag AS (${bandSel(s"nsig$tag")}),
+      |hband$tag AS (${bandSel(s"hsig$tag")}),
+      |histm$tag AS (SELECT DISTINCT a AS doc_id FROM (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      |  FROM nband x JOIN hband y ON x.band_idx = y.band_idx
+      |  FROM nband$tag x JOIN hband$tag y ON x.band_idx = y.band_idx
       |   AND x.band_hash = y.band_hash) c
       | JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
       | WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4) >= $clusterMinEst),
-      |bpairs AS (SELECT a, b FROM (
+      |bpairs$tag AS (SELECT a, b FROM (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      |  FROM nband x JOIN nband y ON x.band_idx = y.band_idx
+      |  FROM nband$tag x JOIN nband$tag y ON x.band_idx = y.band_idx
       |   AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id) c
       | JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
       | WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4) >= $clusterMinEst),
-      |edges AS (SELECT a AS src, b AS dst FROM bpairs
-      |          UNION SELECT b, a FROM bpairs),
-      |reach(x, y) AS (SELECT src, src FROM edges
-      | UNION SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
-      |cl AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x),
-      |dec AS (SELECT d.doc_id,
+      |edges$tag AS (SELECT a AS src, b AS dst FROM bpairs$tag
+      |          UNION SELECT b, a FROM bpairs$tag),
+      |reach$tag(x, y) AS (SELECT src, src FROM edges$tag
+      | UNION SELECT r.x, e.dst
+      |  FROM reach$tag r JOIN edges$tag e ON e.src = r.y),
+      |cl$tag AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach$tag GROUP BY x),
+      |dec$tag AS MATERIALIZED (SELECT d.doc_id,
       | CASE WHEN hm.doc_id IS NOT NULL THEN 'hist_dup'
-      |  WHEN cl.cluster IS NOT NULL AND cl.cluster <> d.doc_id
+      |  WHEN cl$tag.cluster IS NOT NULL AND cl$tag.cluster <> d.doc_id
       |   THEN 'batch_dup'
       |  ELSE 'kept' END AS status
-      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-      |LEFT JOIN histm hm ON hm.doc_id = d.doc_id
-      |LEFT JOIN cl ON cl.doc_id = d.doc_id)""".stripMargin
+      |FROM (SELECT doc_id FROM documents WHERE $newWhere) d
+      |LEFT JOIN histm$tag hm ON hm.doc_id = d.doc_id
+      |LEFT JOIN cl$tag ON cl$tag.doc_id = d.doc_id),
+      |kept$tag AS MATERIALIZED (SELECT doc_id FROM dec$tag
+      | WHERE status = 'kept')""".stripMargin
   }
+
+  /** The classic one-batch split (history = even ids, batch = odd),
+    * expressed as one [[duckScreenStage]] — shared by q53, q186 and
+    * q187 (`dec` is the stage's untagged decision CTE). */
+  private def duckIncrementalCtes: String =
+    s"""$duckSigCtes,
+      |hist0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+      |${duckScreenStage("", "doc_id % 2 = 1", "hist0")}""".stripMargin
 
   private def duckIncrementalSql: String =
     s"""WITH RECURSIVE $duckIncrementalCtes
