@@ -1015,6 +1015,28 @@ object CurationStore {
       numHashes, numBands, minEst, maxBucketSize)
   }
 
+  /** [[screen]] with ATTRIBUTION
+    * ([[Dedup.incrementalDecisionsAttributed]]): each decision also
+    * names the document it duplicates — the stored best match for a
+    * `hist_dup` (max estimate, min id on ties), the within-batch
+    * canonical for a `batch_dup`, null for `kept`. Same history
+    * contract as [[screen]] (tomb-masked, batch ids excluded);
+    * dropping `dup_of` recovers [[screen]]'s frame exactly.
+    */
+  def screenAttributed(s: SparkSession, store: Store, batch: DataFrame,
+      textCol: String, numBands: Int = 4, minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val idCol = store.idCol
+    val sigs = store.signatures(s)
+    val numHashes = sigs.columns.count(_.matches("h\\d+"))
+    require(numHashes > 0,
+      s"store at ${store.dir} has no h* signature columns to screen against")
+    val history = sigs.join(batch.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    Dedup.incrementalDecisionsAttributed(batch, history, idCol,
+      textCol, numHashes, numBands, minEst, maxBucketSize)
+  }
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =

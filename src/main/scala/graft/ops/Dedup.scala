@@ -744,6 +744,62 @@ object Dedup {
           .otherwise("kept").as("status"))
   }
 
+  /** [[incrementalDecisions]] with ATTRIBUTION — per batch doc, WHICH
+    * document it duplicates: the per-doc receipt an admission gate
+    * logs (and what a crawler-billing or takedown-provenance pipeline
+    * joins on). One row per new doc, (idCol, status, dup_of):
+    *
+    *  - `hist_dup`  → `dup_of` = the best-matching STORE doc: maximum
+    *    estimate, minimum id on ties — deterministic, never
+    *    join-order-dependent (the same reason the plain operator's
+    *    canonical rule is min-id).
+    *  - `batch_dup` → `dup_of` = the within-batch cluster's canonical
+    *    (minimum-id) member, i.e. the doc the gate keeps in its
+    *    place.
+    *  - `kept`      → `dup_of` null.
+    *
+    * Dropping `dup_of` yields [[incrementalDecisions]]' frame exactly
+    * (spec-pinned): the status logic is shared, only the hist side
+    * keeps its scored pairs long enough to pick a winner (one extra
+    * window over the batch-keyed partitioning of an already-
+    * batch-sized frame — the scale shape is unchanged).
+    */
+  def incrementalDecisionsAttributed(newDocs: DataFrame,
+      sigStore: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val newBands = sigBandRows(
+      minhashSignatures(newDocs, idCol, textCol, numHashes),
+      idCol, numHashes, numBands)
+    val storeBands = sigBandRows(sigStore, idCol, numHashes, numBands)
+    // history matches, winner attributed: max estimate, min id ties
+    val scored = scoreBandPairs(newBands, storeBands, idCol, numHashes,
+        (_, _) => lit(true), maxBucketSize)
+      .filter(col("est_jaccard") >= minEst)
+    val w = Window.partitionBy("a")
+      .orderBy(col("est_jaccard").desc, col("b").asc)
+    val histDup = scored
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("a").as(idCol), col("b").as("_hist_of"))
+    val batchPairs = scoreBandPairs(newBands, newBands, idCol, numHashes,
+        _ < _, maxBucketSize)
+      .filter(col("est_jaccard") >= minEst)
+    val cl = clusters(batchPairs, "a", "b")
+      .select(col("id").as(idCol), col("cluster"))
+    newDocs.select(col(idCol))
+      .join(histDup, Seq(idCol), "left")
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_hist_of").isNotNull, "hist_dup")
+          .when(col("cluster").isNotNull && col(idCol) =!= col("cluster"),
+            "batch_dup")
+          .otherwise("kept").as("status"),
+        when(col("_hist_of").isNotNull, col("_hist_of"))
+          .when(col("cluster").isNotNull && col(idCol) =!= col("cluster"),
+            col("cluster"))
+          .as("dup_of"))
+  }
+
   /** Incremental near-dedup: returns (survivors, updatedStore) —
     * survivor rows of `newDocs` (status `kept` per
     * [[incrementalDecisions]]) and the store with the survivors'

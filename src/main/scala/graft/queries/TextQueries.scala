@@ -569,13 +569,17 @@ object TextQueries {
     * semantics) and `kept$tag` (the survivors the NEXT stage's
     * history absorbs). Requires [[duckSigCtes]] upstream.
     */
+  /** The 4-band LSH band rows of a signature CTE — the oracle-side
+    * twin of [[graft.ops.Dedup.lshBands]] at the battery dials. */
+  private def duckBandSel(src: String): String = (0 until 4).map { b =>
+    val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
+      .mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM $src"
+  }.mkString(" UNION ALL ")
+
   private[queries] def duckScreenStage(tag: String, newWhere: String,
       histIds: String): String = {
-    def bandSel(src: String) = (0 until 4).map { b =>
-      val cat = (b * 4 until (b + 1) * 4).map(i => s"h$i")
-        .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM $src"
-    }.mkString(" UNION ALL ")
+    def bandSel(src: String) = duckBandSel(src)
     s"""nsig$tag AS MATERIALIZED (SELECT * FROM sig WHERE $newWhere),
       |hsig$tag AS MATERIALIZED (SELECT g.* FROM sig g JOIN $histIds h USING (doc_id)),
       |nband$tag AS (${bandSel(s"nsig$tag")}),
@@ -3476,6 +3480,72 @@ object TextQueries {
       |  NULL, NULL)
       |ORDER BY status""".stripMargin))
 
+  /** ATTRIBUTED screening
+    * ([[graft.ops.CurationStore.screenAttributed]]): q186's
+    * admission decisions, each carrying the document it duplicates —
+    * the stored best match (max estimate, min-id ties) for a
+    * `hist_dup`, the within-batch canonical for a `batch_dup`, null
+    * for `kept`. The receipt a crawler-billing or takedown-
+    * provenance pipeline joins on; the oracle recomputes the
+    * argmax-attributed history winner and the cluster canonical in
+    * SQL. Dropping the column recovers q186 exactly (spec-pinned).
+    */
+  val q191 = Q("q191_dedup_attribution",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = CurationStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        CurationStore.storeDirFor(dir, "-attr"))
+      CurationStore.screenAttributed(s, store,
+          docs.filter(col("doc_id") % 2 === 1), "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $duckSigCtes,
+      |hist0 AS MATERIALIZED (SELECT doc_id FROM documents
+      | WHERE doc_id % 2 = 0),
+      |nsig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 2 = 1),
+      |hsig AS MATERIALIZED (SELECT g.* FROM sig g
+      | JOIN hist0 h USING (doc_id)),
+      |nband AS (${duckBandSel("nsig")}),
+      |hband AS (${duckBandSel("hsig")}),
+      |hm AS MATERIALIZED (SELECT doc_id, b AS dup_of FROM (
+      |  SELECT a AS doc_id, b, row_number() OVER (
+      |    PARTITION BY a ORDER BY est DESC, b) AS rn
+      |  FROM (SELECT c.a, c.b,
+      |    round(CAST($duckEstMatches AS DOUBLE) / 16, 4) AS est
+      |   FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |     FROM nband x JOIN hband y ON x.band_idx = y.band_idx
+      |      AND x.band_hash = y.band_hash) c
+      |   JOIN sig sa ON sa.doc_id = c.a
+      |   JOIN sig sb ON sb.doc_id = c.b
+      |   WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4)
+      |     >= $clusterMinEst))
+      | WHERE rn = 1),
+      |bpairs AS (SELECT a, b FROM (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM nband x JOIN nband y ON x.band_idx = y.band_idx
+      |   AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id) c
+      | JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+      | WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4)
+      |   >= $clusterMinEst),
+      |edges AS (SELECT a AS src, b AS dst FROM bpairs
+      |          UNION SELECT b, a FROM bpairs),
+      |reach(x, y) AS (SELECT src, src FROM edges
+      | UNION SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y),
+      |cl AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x)
+      |SELECT d.doc_id,
+      | CASE WHEN hm.doc_id IS NOT NULL THEN 'hist_dup'
+      |  WHEN cl.cluster IS NOT NULL AND cl.cluster <> d.doc_id
+      |   THEN 'batch_dup'
+      |  ELSE 'kept' END AS status,
+      | CASE WHEN hm.doc_id IS NOT NULL THEN hm.dup_of
+      |  WHEN cl.cluster IS NOT NULL AND cl.cluster <> d.doc_id
+      |   THEN cl.cluster END AS dup_of
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN hm ON hm.doc_id = d.doc_id
+      |LEFT JOIN cl ON cl.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3484,5 +3554,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182, q183, q184, q186, q187)
+      q181, q182, q183, q184, q186, q187, q191)
 }

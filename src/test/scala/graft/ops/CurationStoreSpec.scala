@@ -675,6 +675,33 @@ class CurationStoreSpec extends SparkSpec {
         s"${(fused.toSet -- fromStore.toSet).take(5)}")
   }
 
+  test("screenAttributed: dropping dup_of recovers screen exactly; " +
+      "kept iff unattributed; hist winners live in the store, batch " +
+      "canonicals in the batch below their members") {
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val st = CurationStore.build(hist, "doc_id", "text", s"$tmp-attr")
+    val attributed = CurationStore
+      .screenAttributed(spark, st, batch, "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val plain = CurationStore.screen(spark, st, batch, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(attributed.map(t => t._1 -> t._2).toMap == plain,
+      "projection away from dup_of drifted from screen")
+    assert(attributed.exists(_._2 == "hist_dup") &&
+      attributed.exists(_._2 == "batch_dup"), "fixture has no dups")
+    attributed.foreach { case (id, status, dupOf) =>
+      assert((status == "kept") == dupOf.isEmpty,
+        s"doc $id: status $status with dup_of $dupOf")
+      if (status == "hist_dup")
+        assert(dupOf.get % 2 == 0, s"doc $id: hist winner not stored")
+      if (status == "batch_dup")
+        assert(dupOf.get % 2 == 1 && dupOf.get < id,
+          s"doc $id: canonical ${dupOf.get} not a smaller batch id")
+    }
+  }
+
   test("screen: tombstones un-block re-admission, and a replayed " +
       "screen after the fold reproduces its own decisions") {
     import spark.implicits._
