@@ -147,6 +147,30 @@ object CurationDemo {
       "compaction must not change the label map")
     log(s"serving layout: bucketed base + $viaLabels labels maintained " +
       "through a delta update and re-compaction, joins base-bucketed")
+
+    // 7b. the admission gate (q186/q191/q192): a RECRAWL arrives —
+    //     every odd doc again, under fresh ids — and the store's
+    //     stored signatures turn it away at the door: each signable
+    //     recrawl doc screens hist_dup WITH the duplicate named
+    //     (history wins over within-batch clustering, so re-arriving
+    //     near-dup pairs never read as batch_dups); only the
+    //     sub-shingle-width docs — which can never LSH-match — pass
+    val recrawl = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val gate = ops.CurationStore
+      .screenAttributed(spark, compacted, recrawl, "text").collect()
+    val nSignable = ops.Dedup.minhashSignatures(
+      recrawl, "doc_id", "text", 16).count()
+    val nHist = gate.count(_.getString(1) == "hist_dup")
+    require(gate.length == recrawl.count() && nHist == nSignable,
+      s"recrawl gate: $nHist hist_dups of $nSignable signable " +
+        s"(${gate.length} total)")
+    require(gate.filter(_.getString(1) == "hist_dup")
+        .forall(r => !r.isNullAt(2) && r.getLong(2) < 100000L),
+      "a hist_dup's receipt must name a STORED doc")
+    log(s"admission gate: recrawl of ${gate.length} docs rejected " +
+      s"$nHist as attributed hist_dups; only the " +
+      s"${gate.length - nHist} sub-shingle-width docs passed")
     compacted.labelsTable.foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
 

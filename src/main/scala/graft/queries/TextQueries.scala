@@ -3546,6 +3546,48 @@ object TextQueries {
       |LEFT JOIN cl ON cl.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** Per-source ADMISSION report — the gate's operational rollup
+    * (what a crawl operator reads after every batch, and what
+    * crawler billing settles on): the q186 screen decisions joined
+    * back to the batch docs' sources, one row per source with the
+    * decision mix and the admission rate. Composition over the
+    * persisted tier's screen; the oracle recomputes the decisions
+    * via the shared CTE stack and aggregates identically.
+    */
+  val q192 = Q("q192_admission_report",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = CurationStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        CurationStore.storeDirFor(dir, "-admit"))
+      CurationStore.screen(s, store,
+          docs.filter(col("doc_id") % 2 === 1), "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("status") === "kept", 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("status") === "hist_dup", 1L).otherwise(0L))
+            .as("n_hist_dup"),
+          sum(when(col("status") === "batch_dup", 1L).otherwise(0L))
+            .as("n_batch_dup"))
+        .withColumn("admit_rate",
+          round(col("n_kept").cast("double") / col("n"), 4))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE $duckIncrementalCtes
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_kept,
+      | CAST(sum(CASE WHEN status = 'hist_dup' THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_hist_dup,
+      | CAST(sum(CASE WHEN status = 'batch_dup' THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_batch_dup,
+      | round(CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+      |   AS DOUBLE) / count(*), 4) AS admit_rate
+      |FROM dec JOIN documents USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3554,5 +3596,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182, q183, q184, q186, q187, q191)
+      q181, q182, q183, q184, q186, q187, q191, q192)
 }
