@@ -85,7 +85,7 @@ object PlanFacts {
     "q96_stream_merge_history", "q107_stream_complete_rollup",
     "q131_stream_stats_update", "q147_stream_asof_enrich",
     "q155_stream_ann_serve", "q164_stream_text_index",
-    "q170_stream_corpus")
+    "q170_stream_corpus", "q190_stream_gated")
 
   /** Queries whose RETURNED frame is driver-composed (LocalTableScan)
     * — the distributed work ran in upstream eager jobs, so the final
