@@ -169,13 +169,23 @@ object CorpusStore {
     */
   def ingestScreened(st: Stores, batch: DataFrame, textCol: String,
       vecCol: String, batchId: String, numBands: Int = 4,
-      minEst: Double = 0.5, maxBucketSize: Long = Long.MaxValue)
-      : (Stores, DataFrame) = {
+      minEst: Double = 0.5, maxBucketSize: Long = Long.MaxValue,
+      benchmark: Option[DataFrame] = None, benchK: Int = 3,
+      benchMinOverlap: Int = 2): (Stores, DataFrame) = {
     require(batchId.nonEmpty,
       "cross-store screened ingest requires a batchId")
     val s = batch.sparkSession
-    val decisions = CurationStore.screen(s, st.curation, batch,
-      textCol, numBands, minEst, maxBucketSize)
+    // with a benchmark mounted, eval-set leakage is a FOURTH status
+    // (`contaminated`, overriding the dedup statuses) and those docs
+    // never fold — [[CurationStore.screenDecontaminated]]'s contract;
+    // contamination is history-independent so replay is unchanged
+    val decisions = benchmark match {
+      case Some(bench) => CurationStore.screenDecontaminated(s,
+        st.curation, batch, textCol, bench, benchK, benchMinOverlap,
+        numBands, minEst, maxBucketSize)
+      case None => CurationStore.screen(s, st.curation, batch,
+        textCol, numBands, minEst, maxBucketSize)
+    }
     val kept = batch.join(
       decisions.filter(col("status") === "kept").select(col(st.idCol)),
       Seq(st.idCol), "left_semi")

@@ -1037,6 +1037,39 @@ object CurationStore {
       textCol, numHashes, numBands, minEst, maxBucketSize)
   }
 
+  /** [[screen]] with a BENCHMARK-DECONTAMINATION criterion layered
+    * on top — the two rejections a training-data admission gate
+    * actually runs: near-dups of what the corpus already holds, and
+    * documents that would leak the evaluation set into training
+    * (q55's contamination rule — ≥ `minOverlap` shared word-k-gram
+    * shingles with ANY benchmark doc — applied at the door instead
+    * of as a post-hoc audit). `bench` is the benchmark's own
+    * (idCol, textCol) rows. Status precedence: `contaminated`
+    * OVERRIDES every dedup status — an eval document (or a near-copy
+    * of one) must never enter, regardless of whether it also
+    * duplicates something. Duplicates OF a contaminated canonical
+    * stay `batch_dup` (still rejected): the gate never admits a
+    * near-copy of something it just refused. Contamination is
+    * history-independent and deterministic, so the replay contract
+    * is [[screen]]'s unchanged.
+    */
+  def screenDecontaminated(s: SparkSession, store: Store,
+      batch: DataFrame, textCol: String, bench: DataFrame,
+      k: Int = 3, minOverlap: Int = 2, numBands: Int = 4,
+      minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val idCol = store.idCol
+    val flagged = Dedup.contaminationFlags(batch, bench, idCol,
+        textCol, k, minOverlap)
+      .filter(col("flagged")).select(col(idCol))
+      .withColumn("_cont", lit(1))
+    screen(s, store, batch, textCol, numBands, minEst, maxBucketSize)
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_cont").isNotNull, "contaminated")
+          .otherwise(col("status")).as("status"))
+  }
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =

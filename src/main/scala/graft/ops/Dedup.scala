@@ -950,6 +950,32 @@ object Dedup {
     * self-join anywhere. Emits one row per training doc that has ≥ 1
     * shingle: (id, n_shingles, n_contaminated, ratio, flagged).
     */
+  /** [[decontaminate]]'s TWO-FRAME form — contamination flags for a
+    * NEW batch against an explicit benchmark/eval frame, the shape
+    * an ADMISSION gate needs (the benchmark lives outside the batch;
+    * [[decontaminate]]'s single-frame predicate split is the
+    * corpus-audit shape). One row per SHINGLED batch doc:
+    * (idCol, n_shingles, n_contaminated, flagged) with `flagged` =
+    * overlap ≥ `minOverlap`; sub-shingle-width docs emit no row
+    * (they cannot overlap anything — same absence as the
+    * single-frame form). Scale shape identical too: the benchmark's
+    * distinct shingle set broadcasts, the batch side is one linear
+    * pass + one groupBy.
+    */
+  def contaminationFlags(batch: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val benchSh = shingleRows(bench, idCol, textCol, k)
+      .select(col("s")).distinct()
+      .withColumn("_hit", lit(1))
+    shingleRows(widen(batch), idCol, textCol, k)
+      .join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_contaminated"))
+      .withColumn("flagged", col("n_contaminated") >= minOverlap)
+  }
+
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
       benchPred: Column, k: Int = 3, minOverlap: Int = 1): DataFrame = {
     val benchSh = shingleRows(df.filter(benchPred), idCol, textCol, k)

@@ -3588,6 +3588,72 @@ object TextQueries {
       |FROM dec JOIN documents USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** The FULL admission gate: dedup + benchmark decontamination in
+    * one screened transaction
+    * ([[graft.ops.CorpusStore.ingestScreened]] with a benchmark
+    * mounted → [[graft.ops.CurationStore.screenDecontaminated]]).
+    * The eval slice (doc_id % 100 = 7 — q55's convention) must never
+    * enter training: any batch doc sharing ≥ 2 word-3-gram shingles
+    * with it screens `contaminated`, OVERRIDING the dedup statuses,
+    * and only clean `kept` docs fold. Readout is q187's with the
+    * fourth status; the oracle layers the q55 contamination CTE over
+    * the shared decision stack and re-derives the same counts and
+    * the post-transaction live membership.
+    */
+  val q193 = Q("q193_decontaminated_ingest",
+    (s, dir) => {
+      import graft.ops.{AnnIndexStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val c = AnnIndexStore.CorpusDials
+      val evenDials = AnnIndexStore.Dials(col("doc_id") % 50 === 8,
+        col("doc_id") % 10 === 4, c.m, c.subDim, c.iters)
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-decon"),
+        annDials = Some(evenDials))
+      val (st, decisions) = CorpusStore.ingestScreened(st0,
+        corpus.filter(col("doc_id") % 2 === 1), "text", "embedding",
+        "decon-odds",
+        benchmark = Some(docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id"), col("text"))))
+      val (_, _, live) = CorpusStore.liveCounts(s, st)
+      import s.implicits._
+      decisions.groupBy("status")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .unionByName(Seq(("live", live)).toDF("status", "n")
+          .withColumn("min_id", lit(null).cast("long"))
+          .withColumn("max_id", lit(null).cast("long")))
+        .orderBy("status")
+    },
+    Some(s"""WITH RECURSIVE $duckIncrementalCtes,
+      |bsh AS MATERIALIZED (SELECT DISTINCT s FROM sh
+      | WHERE doc_id % 100 = 7),
+      |cont AS MATERIALIZED (SELECT doc_id FROM (
+      |  SELECT t.doc_id,
+      |   sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS nc
+      |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1) t
+      |  LEFT JOIN bsh b USING (s) GROUP BY t.doc_id)
+      | WHERE nc >= 2),
+      |dec2 AS (SELECT d.doc_id,
+      |  CASE WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+      |   ELSE d.status END AS status
+      | FROM dec d LEFT JOIN cont c USING (doc_id))
+      |SELECT * FROM (
+      | SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      | FROM dec2 GROUP BY status
+      | UNION ALL
+      | SELECT 'live',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |    WHERE doc_id % 2 = 0)
+      |  + (SELECT count(*) FROM dec2 WHERE status = 'kept'),
+      |  NULL, NULL)
+      |ORDER BY status""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3596,5 +3662,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182, q183, q184, q186, q187, q191, q192)
+      q181, q182, q183, q184, q186, q187, q191, q192, q193)
 }

@@ -702,6 +702,37 @@ class CurationStoreSpec extends SparkSpec {
     }
   }
 
+  test("screenDecontaminated: contamination overrides every dedup " +
+      "status, clean decisions pass through unchanged") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchText = "secret eval question one two three four five"
+    val st = CurationStore.build(
+      Seq((2L, a), (4L, "totally different filler content going here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp-decon", numHashes = 16, numBands = 16,
+      minEst = 0.3)
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"$a iota"),                       // near-dup of stored 2
+      (13L, benchText),                        // verbatim eval leak
+      (15L, s"$a $benchText"),                 // dup of 2 AND leaked
+      (17L, "brand new unrelated words entirely fresh"))
+      .toDF("doc_id", "text")
+    val d = CurationStore.screenDecontaminated(spark, st, batch,
+        "text", bench, k = 3, minOverlap = 2, numBands = 16,
+        minEst = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(11L -> "hist_dup", 13L -> "contaminated",
+      15L -> "contaminated", 17L -> "kept"), s"decisions: $d")
+    // precedence is real: without the benchmark, 15 is a hist_dup
+    val plain = CurationStore.screen(spark, st, batch, "text",
+        numBands = 16, minEst = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain(15L) == "hist_dup" && plain(13L) == "kept",
+      s"fixture assumption broken: $plain")
+  }
+
   test("screen: tombstones un-block re-admission, and a replayed " +
       "screen after the fold reproduces its own decisions") {
     import spark.implicits._
