@@ -884,6 +884,39 @@ object AnnIndexStore {
   def liveCount(s: SparkSession, idx: Index): Long =
     idx.pin(s).stats(s).head().getLong(0)
 
+  /** SEMANTIC-duplicate flags for a new batch against the stored
+    * index — the SemDeDup-style admission criterion served at query
+    * time (q57 resolves a whole corpus offline; this answers "is
+    * this INCOMING vector semantically already here" per batch, the
+    * third gate of [[CorpusStore.ingestScreened]] beside the lexical
+    * screen and the benchmark filter). One row per query with its
+    * nearest STORED neighbor under the frozen models:
+    * (qidCol, idCol, adc, flagged) where `flagged` = top-1 ADC ≤
+    * `tau` — PQ-approximate squared euclidean, so `tau` is a dial in
+    * ADC units (calibrate against [[recallProbe]]'s exact arm, or
+    * serve through [[searchRefined]] when the boundary must be
+    * exact).
+    *
+    * The batch's OWN ids are excluded from the candidate set (not
+    * just self-pairs): the same replay discipline as
+    * [[CurationStore.screen]] — after a partial fold, a replayed
+    * gate must not match the batch against the copies of itself the
+    * crashed attempt already folded. The exclusion rides the
+    * [[searchFiltered]] pre-filter (allowed = live ids minus the
+    * batch), so the scan still reads only probed cells.
+    */
+  def semanticDups(s: SparkSession, idx: Index, batch: DataFrame,
+      qidCol: String, vecCol: String, tau: Double,
+      nprobe: Int = 1): DataFrame = {
+    val allowed = idx.pin(s).codes(s).select(col(idx.idCol))
+      .join(batch.select(col(qidCol).as(idx.idCol)), Seq(idx.idCol),
+        "left_anti")
+    searchFiltered(s, idx, allowed, batch, qidCol, vecCol, k = 1,
+        nprobe)
+      .select(col("qid").as(qidCol), col(idx.idCol).as("nn_id"),
+        col("adc"), (col("adc") <= tau).as("flagged"))
+  }
+
   /** Handle for an EXISTING index directory when the caller has no
     * `Index` in hand (the SQL front door's entry point, mirroring
     * [[TextIndexStore.forDir]] / [[CurationStore.forDir]]): the

@@ -171,7 +171,8 @@ object CorpusStore {
       vecCol: String, batchId: String, numBands: Int = 4,
       minEst: Double = 0.5, maxBucketSize: Long = Long.MaxValue,
       benchmark: Option[DataFrame] = None, benchK: Int = 3,
-      benchMinOverlap: Int = 2): (Stores, DataFrame) = {
+      benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,
+      semanticNprobe: Int = 1): (Stores, DataFrame) = {
     require(batchId.nonEmpty,
       "cross-store screened ingest requires a batchId")
     val s = batch.sparkSession
@@ -179,12 +180,30 @@ object CorpusStore {
     // (`contaminated`, overriding the dedup statuses) and those docs
     // never fold — [[CurationStore.screenDecontaminated]]'s contract;
     // contamination is history-independent so replay is unchanged
-    val decisions = benchmark match {
+    val lexical = benchmark match {
       case Some(bench) => CurationStore.screenDecontaminated(s,
         st.curation, batch, textCol, bench, benchK, benchMinOverlap,
         numBands, minEst, maxBucketSize)
       case None => CurationStore.screen(s, st.curation, batch,
         textCol, numBands, minEst, maxBucketSize)
+    }
+    // the SEMANTIC gate runs LAST, demoting only would-be-kept docs
+    // to `semantic_dup` ([[AnnIndexStore.semanticDups]] against the
+    // ann tier): every already-rejected doc keeps its more specific
+    // reason, and the flags exclude the batch's own ids so the
+    // replay discipline matches the lexical screen's
+    val decisions = semanticTau match {
+      case None => lexical
+      case Some(tau) =>
+        val flagged = AnnIndexStore.semanticDups(s, st.ann,
+            batch.select(col(st.idCol), col(vecCol)), st.idCol,
+            vecCol, tau, semanticNprobe)
+          .filter(col("flagged")).select(col(st.idCol))
+          .withColumn("_sem", lit(1))
+        lexical.join(flagged, Seq(st.idCol), "left")
+          .select(col(st.idCol),
+            when(col("status") === "kept" && col("_sem").isNotNull,
+              "semantic_dup").otherwise(col("status")).as("status"))
     }
     val kept = batch.join(
       decisions.filter(col("status") === "kept").select(col(st.idCol)),

@@ -1911,8 +1911,74 @@ object SimilarityQueries {
     Some(IvfPqSql.topK("vec_id % 100 = 3", k = 10, nprobe = 2,
       encWhere = "vec_id % 3 = 0")))
 
+  /** The SEMANTIC admission criterion joins the gated transaction
+    * ([[graft.ops.AnnIndexStore.semanticDups]] mounted on
+    * [[graft.ops.CorpusStore.ingestScreened]]): beside the lexical
+    * screen, each would-be-kept batch doc asks the ANN tier whether
+    * its EMBEDDING is already in the corpus — nearest stored
+    * neighbor under the frozen models (nprobe 2, batch ids excluded
+    * from the candidates — the replay discipline) at or under an
+    * ADC threshold demotes it to `semantic_dup`; every
+    * lexically-rejected doc keeps its more specific reason. The %5
+    * split keeps the standard dials' centroid/seed rows inside the
+    * history slice, so the oracle is the shared decision stack plus
+    * the q166-class ADC chain (trainWhere/encWhere = history,
+    * queries = the batch) with the threshold applied to each query's
+    * top-1 — one hash pinning lexical and semantic gates agreeing
+    * through one transaction. τ = 0.9 sits inside the top-1 ADC
+    * distribution at both test SFs (nontrivial split both ways).
+    */
+  val q194 = Q("q194_semantic_gate",
+    (s, dir) => {
+      import graft.ops.CorpusStore
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-semgate"))
+      val (st, decisions) = CorpusStore.ingestScreened(st0,
+        corpus.filter(col("doc_id") % 5 === 4), "text", "embedding",
+        "semgate-fifth", semanticTau = Some(0.9), semanticNprobe = 2)
+      val (_, _, live) = CorpusStore.liveCounts(s, st)
+      import s.implicits._
+      decisions.groupBy("status")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .unionByName(Seq(("live", live)).toDF("status", "n")
+          .withColumn("min_id", lit(null).cast("long"))
+          .withColumn("max_id", lit(null).cast("long")))
+        .orderBy("status")
+    },
+    Some(s"""WITH RECURSIVE ${TextQueries.duckSigCtes},
+      |hist0 AS MATERIALIZED (SELECT doc_id FROM documents
+      | WHERE doc_id % 5 != 4),
+      |${TextQueries.duckScreenStage("", "doc_id % 5 = 4", "hist0")},
+      |${IvfPqSql.ctes("vec_id % 5 = 4", trainWhere = "vec_id % 5 != 4",
+        nprobe = 2, encWhere = "vec_id % 5 != 4")},
+      |sem AS MATERIALIZED (SELECT qid AS doc_id FROM (
+      |  SELECT qid, adc, row_number() OVER (
+      |    PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc)
+      | WHERE rn = 1 AND adc <= 0.9),
+      |dec2 AS (SELECT d.doc_id,
+      |  CASE WHEN d.status = 'kept' AND sm.doc_id IS NOT NULL
+      |   THEN 'semantic_dup' ELSE d.status END AS status
+      | FROM dec d LEFT JOIN sem sm USING (doc_id))
+      |SELECT * FROM (
+      | SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      | FROM dec2 GROUP BY status
+      | UNION ALL
+      | SELECT 'live',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |    WHERE doc_id % 5 != 4)
+      |  + (SELECT count(*) FROM dec2 WHERE status = 'kept'),
+      |  NULL, NULL)
+      |ORDER BY status""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166, q169, q176, q180, q185, q188, q189)
+    q161, q163, q166, q169, q176, q180, q185, q188, q189, q194)
 }

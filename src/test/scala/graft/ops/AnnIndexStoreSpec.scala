@@ -705,4 +705,55 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(masked.filter(col("vec_id").isin(doomedIds.toSeq: _*)).isEmpty,
       "a deleted-but-allowed vector served")
   }
+
+  test("semanticDups: a stored-identical vector flags at adc 0, a " +
+      "far one does not, and the batch never matches ITSELF — even " +
+      "after its own vectors were folded (the replay window)") {
+    import spark.implicits._
+    // the stored corpus carries the dial rows (7 = centroid seed,
+    // 3/13 = PQ seeds) plus distinct base vectors
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 7) % 13 - 6) / 6f)
+    val stored = Seq(3L, 7L, 13L, 20L, 21L, 22L, 23L)
+      .map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val st = AnnIndexStore.build(stored, "vec_id", "embedding",
+      s"$tmp/semdup", col("vec_id") === 7, col("vec_id") % 10 === 3,
+      m = 2, subDim = 32, iters = 2)
+    // batch: 101 duplicates stored 20 exactly; 102 and 103 duplicate
+    // EACH OTHER but nothing stored; 104 is its own vector
+    val batch = Seq((101L, vec(20)), (102L, vec(55)), (103L, vec(55)),
+      (104L, vec(77))).toDF("vec_id", "embedding")
+    def flags(tau: Double) = AnnIndexStore
+      .semanticDups(spark, st, batch, "vec_id", "embedding", tau,
+        nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(3),
+        r.getDouble(2))).toMap
+    // ADC prices the query against the stored vector's PQ
+    // RECONSTRUCTION, so even an identical vector lands at the
+    // quantization error, not 0 — the dial's unit (the scaladoc's
+    // calibration note). The semantics to pin is SEPARATION: the
+    // true duplicate's top-1 adc sits strictly under every
+    // non-duplicate's, and a tau between them flags exactly it.
+    val probe = flags(tau = Double.MaxValue)
+    val dupAdc = probe(101L)._2
+    val othersMin = Seq(102L, 103L, 104L).map(probe(_)._2).min
+    assert(dupAdc < othersMin,
+      s"duplicate not separated: dup adc $dupAdc vs others $probe")
+    val tau = (dupAdc + othersMin) / 2
+    val f = flags(tau)
+    assert(f(101L)._1 && !f(102L)._1 && !f(103L)._1 && !f(104L)._1,
+      s"midpoint tau did not flag exactly the duplicate: $f")
+    // within-batch twins must owe their non-flag to the batch-id
+    // exclusion, not to distance: each IS the other's zero-distance
+    // neighbor, so without the exclusion they would flag at any tau
+    // ≥ their quantization error ≈ dupAdc
+    assert(probe(102L)._2 > dupAdc && probe(103L)._2 > dupAdc,
+      s"twins' nearest STORED neighbor should be far: $probe")
+    // fold the batch (the crashed-coordinator shape), re-flag: the
+    // batch's own folded copies must stay excluded — decisions
+    // reproduce exactly
+    AnnIndexStore.add(st, batch, "embedding", batchId = Some("sem-b1"))
+    assert(flags(tau) == f,
+      "replayed semantic flags drifted after the fold")
+  }
 }
