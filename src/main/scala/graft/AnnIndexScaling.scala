@@ -85,6 +85,18 @@ object AnnIndexScaling {
         idx = ops.AnnIndexStore.build(history, "vec_id", "embedding",
           s"$root/store", cp, sp, m, sub, it)
       }(idx.codes(spark).count())
+      // semantic admission gate BEFORE the fold — the q194 shape:
+      // the batch's ids ride a broadcast DENY anti-join on the
+      // pruned candidates ([[ops.AnnIndexStore.searchExcluding]]),
+      // so shuffle stays batch-sized at both corpus sizes and the
+      // corpus-proportional input is the probed cells' coded rows
+      // alone — never a corpus-minus-batch complement
+      measure(sf, "semantic_batch100", Map("batch" -> 100)) {
+        ops.AnnIndexStore.semanticDups(spark, idx, batch, "vec_id",
+          "embedding", tau = 0.9, nprobe = 2)
+          .filter(col("flagged")).count()
+        ()
+      }(batch.count())
       measure(sf, "add_batch100", Map("batch" -> 100)) {
         ops.AnnIndexStore.add(idx, batch, "embedding")
       } {

@@ -572,7 +572,8 @@ object AnnIndexStore {
   def search(s: SparkSession, idx: Index, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int,
       nprobe: Int = 1): DataFrame =
-    searchImpl(s, idx.pin(s), queries, qidCol, vecCol, k, nprobe, None)
+    searchImpl(s, idx.pin(s), queries, qidCol, vecCol, k, nprobe, None,
+      None)
 
   /** FILTERED serving — top-k among the vectors whose ids are in
     * `allowed` (one column named `idCol`): the "search within
@@ -605,11 +606,37 @@ object AnnIndexStore {
       queries: DataFrame, qidCol: String, vecCol: String, k: Int,
       nprobe: Int = 1): DataFrame =
     searchImpl(s, idx.pin(s), queries, qidCol, vecCol, k, nprobe,
-      Some(allowed))
+      Some(allowed), None)
+
+  /** [[search]] with a DENY-list — top-k among the stored vectors
+    * whose ids are NOT in `deny` (one column named `idCol`). The
+    * complement of [[searchFiltered]]'s allow-list, kept as its own
+    * argument because the two mask shapes scale oppositely: an
+    * allow-list is the caller's slice of the corpus (arbitrarily
+    * large, so its semi-join is left to AQE), while a deny-list is
+    * the "except these few" exclusion — a batch of in-flight ids
+    * ([[semanticDups]]' replay discipline), a per-user suppression
+    * set — that stays BOUNDED at any corpus size. Expressing the
+    * small exclusion as `allowed = corpus \ deny` would pay a full
+    * scan of the codes stage plus a corpus-sized exchange per call
+    * to materialize a complement whose only content is "not these";
+    * here the deny frame lands directly on the pruned candidate
+    * rows as a broadcast anti-join, so the scan still reads only
+    * probed cells and the mask's shuffle footprint is the deny
+    * frame itself. Same frozen-models/pre-filter contract as
+    * [[searchFiltered]] (the mask binds before ranking, so k fills
+    * from admissible candidates); tombstones still mask underneath.
+    */
+  def searchExcluding(s: SparkSession, idx: Index, deny: DataFrame,
+      queries: DataFrame, qidCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame =
+    searchImpl(s, idx.pin(s), queries, qidCol, vecCol, k, nprobe,
+      None, Some(deny))
 
   private def searchImpl(s: SparkSession, snap: Snapshot,
       queries: DataFrame, qidCol: String, vecCol: String, k: Int,
-      nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
+      nprobe: Int, allowed: Option[DataFrame],
+      deny: Option[DataFrame]): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = snap.centroids(s)
@@ -654,7 +681,16 @@ object AnnIndexStore {
         a.select(col(snap.idCol)).distinct(), Seq(snap.idCol),
         "left_semi")
     }
-    val cand = pruned.join(broadcast(qcells),
+    // the deny mask is bounded by contract (see [[searchExcluding]]),
+    // so it broadcasts unconditionally — an anti-join on the pruned
+    // candidates, never a materialized complement of the corpus
+    val masked = deny match {
+      case None => pruned
+      case Some(d) => pruned.join(
+        broadcast(d.select(col(snap.idCol)).distinct()),
+        Seq(snap.idCol), "left_anti")
+    }
+    val cand = masked.join(broadcast(qcells),
       col("cell") === col("_qcell") && col("qid") =!= col(snap.idCol))
     val joined = dts.zipWithIndex.foldLeft(cand) {
       case (acc, (dt, j)) =>
@@ -902,20 +938,21 @@ object AnnIndexStore {
     * [[CurationStore.screen]] — after a partial fold, a replayed
     * gate must not match the batch against the copies of itself the
     * crashed attempt already folded. The exclusion rides the
-    * [[searchFiltered]] pre-filter (allowed = live ids minus the
-    * batch), so the scan still reads only probed cells.
+    * [[searchExcluding]] DENY mask — the batch's ids broadcast into
+    * an anti-join on the pruned candidate rows — so the scan reads
+    * only probed cells and the per-batch mask cost is the batch
+    * frame itself, never a corpus-sized complement (the
+    * `semantic_batch100` SCALING rows pin the shape: batch-sized
+    * shuffle, probed-cells-only input growth across corpus sizes).
     */
   def semanticDups(s: SparkSession, idx: Index, batch: DataFrame,
       qidCol: String, vecCol: String, tau: Double,
-      nprobe: Int = 1): DataFrame = {
-    val allowed = idx.pin(s).codes(s).select(col(idx.idCol))
-      .join(batch.select(col(qidCol).as(idx.idCol)), Seq(idx.idCol),
-        "left_anti")
-    searchFiltered(s, idx, allowed, batch, qidCol, vecCol, k = 1,
-        nprobe)
+      nprobe: Int = 1): DataFrame =
+    searchExcluding(s, idx,
+        batch.select(col(qidCol).as(idx.idCol)), batch, qidCol,
+        vecCol, k = 1, nprobe)
       .select(col("qid").as(qidCol), col(idx.idCol).as("nn_id"),
         col("adc"), (col("adc") <= tau).as("flagged"))
-  }
 
   /** Handle for an EXISTING index directory when the caller has no
     * `Index` in hand (the SQL front door's entry point, mirroring

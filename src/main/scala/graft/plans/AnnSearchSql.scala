@@ -59,7 +59,10 @@ object AnnSearchSql {
       s"$fn: $what must be an integer literal")
     val v = e.eval()
     require(v != null, s"$fn: $what must not be NULL")
-    v.toString.toInt
+    val n = v.toString.toLong
+    require(n >= Int.MinValue && n <= Int.MaxValue,
+      s"$fn: $what out of int range ($n)")
+    n.toInt
   }
 
   /** `ann_search(storeDir, idCol, queriesView, qidCol, vecCol, k[,

@@ -706,6 +706,42 @@ class AnnIndexStoreSpec extends SparkSpec {
       "a deleted-but-allowed vector served")
   }
 
+  test("searchExcluding: equals searchFiltered with the complement " +
+      "allow-list, keeps probed-cell pruning, and scans codes ONCE") {
+    val deny = emb.filter(col("vec_id") % 4 === 1).select("vec_id")
+    val res = AnnIndexStore.searchExcluding(spark, idx, deny,
+      queries, "qid", "embedding", k = 10, nprobe = 2)
+    // semantics: exactly the allow-list complement's serve
+    val complement = emb.select("vec_id")
+      .join(deny, Seq("vec_id"), "left_anti")
+    assertFrameEqual(res,
+      AnnIndexStore.searchFiltered(spark, idx, complement, queries,
+        "qid", "embedding", k = 10, nprobe = 2),
+      "searchExcluding vs searchFiltered(complement)")
+    assert(res.join(deny, Seq("vec_id"), "left_semi").isEmpty,
+      "a denied vector was served")
+    // the mask is an anti-join ABOVE the pruned scan: static
+    // probed-cell pruning still binds, and — the point of the deny
+    // path — the codes stage is scanned exactly once (the complement
+    // formulation pays a second, UNPRUNED scan to materialize
+    // corpus-minus-deny)
+    assert(hasStaticCellIn(codesScan(res)),
+      "deny-mask broke probed-cell partition pruning")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => s +: nodes(s.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }) ++ p.subqueries.flatMap(nodes)
+    val codesScans = nodes(res.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("codes")) => s
+    }
+    assert(codesScans.size == 1,
+      s"deny path scanned codes ${codesScans.size} times (want 1)")
+  }
+
   test("semanticDups: a stored-identical vector flags at adc 0, a " +
       "far one does not, and the batch never matches ITSELF — even " +
       "after its own vectors were folded (the replay window)") {
