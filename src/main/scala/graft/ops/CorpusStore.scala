@@ -173,6 +173,44 @@ object CorpusStore {
       benchmark: Option[DataFrame] = None, benchK: Int = 3,
       benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,
       semanticNprobe: Int = 1): (Stores, DataFrame) = {
+    // one copy of the gate logic: the attributed form's, minus its
+    // receipt columns (the same delegation as
+    // [[Dedup.incrementalDecisions]], for the same drift reason)
+    val (out, dec) = ingestScreenedAttributed(st, batch, textCol,
+      vecCol, batchId, numBands, minEst, maxBucketSize, benchmark,
+      benchK, benchMinOverlap, semanticTau, semanticNprobe)
+    (out, dec.drop("dup_of", "adc"))
+  }
+
+  /** [[ingestScreened]] with ATTRIBUTION — every rejection names its
+    * evidence, the receipt a takedown-provenance or crawler-billing
+    * pipeline joins on. The decision frame carries two extra
+    * columns beside (idCol, status):
+    *
+    *  - `dup_of` — the attributed winner: the stored best lexical
+    *    match for a `hist_dup` (max estimate, min id on ties), the
+    *    within-batch canonical for a `batch_dup`
+    *    ([[CurationStore.screenAttributed]]'s contract), and — the
+    *    semantic axis finally reaching parity with the lexical one —
+    *    the nearest STORED neighbor for a `semantic_dup`
+    *    ([[AnnIndexStore.semanticDups]]' `nn_id`). NULL for `kept`
+    *    and for `contaminated` (that rejection names the benchmark,
+    *    not a document).
+    *  - `adc` — the `semantic_dup` rows' top-1 PQ distance (the
+    *    quantity `tau` gated on, kept so the threshold stays
+    *    auditable per decision); NULL on every other status.
+    *
+    * Dropping both columns recovers [[ingestScreened]]'s frame
+    * exactly — spec-pinned, and structurally guaranteed: the plain
+    * form IS this one with the columns dropped.
+    */
+  def ingestScreenedAttributed(st: Stores, batch: DataFrame,
+      textCol: String, vecCol: String, batchId: String,
+      numBands: Int = 4, minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue,
+      benchmark: Option[DataFrame] = None, benchK: Int = 3,
+      benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,
+      semanticNprobe: Int = 1): (Stores, DataFrame) = {
     require(batchId.nonEmpty,
       "cross-store screened ingest requires a batchId")
     val s = batch.sparkSession
@@ -181,29 +219,37 @@ object CorpusStore {
     // never fold — [[CurationStore.screenDecontaminated]]'s contract;
     // contamination is history-independent so replay is unchanged
     val lexical = benchmark match {
-      case Some(bench) => CurationStore.screenDecontaminated(s,
-        st.curation, batch, textCol, bench, benchK, benchMinOverlap,
+      case Some(bench) => CurationStore.screenDecontaminatedAttributed(
+        s, st.curation, batch, textCol, bench, benchK, benchMinOverlap,
         numBands, minEst, maxBucketSize)
-      case None => CurationStore.screen(s, st.curation, batch,
-        textCol, numBands, minEst, maxBucketSize)
+      case None => CurationStore.screenAttributed(s, st.curation,
+        batch, textCol, numBands, minEst, maxBucketSize)
     }
     // the SEMANTIC gate runs LAST, demoting only would-be-kept docs
     // to `semantic_dup` ([[AnnIndexStore.semanticDups]] against the
     // ann tier): every already-rejected doc keeps its more specific
-    // reason, and the flags exclude the batch's own ids so the
-    // replay discipline matches the lexical screen's
+    // reason (and its lexical attribution), and the flags exclude
+    // the batch's own ids so the replay discipline matches the
+    // lexical screen's
     val decisions = semanticTau match {
-      case None => lexical
+      case None =>
+        lexical.withColumn("adc", lit(null).cast("double"))
       case Some(tau) =>
+        val demoted = col("status") === "kept" &&
+          col("_sem_of").isNotNull
         val flagged = AnnIndexStore.semanticDups(s, st.ann,
             batch.select(col(st.idCol), col(vecCol)), st.idCol,
             vecCol, tau, semanticNprobe)
-          .filter(col("flagged")).select(col(st.idCol))
-          .withColumn("_sem", lit(1))
+          .filter(col("flagged"))
+          .select(col(st.idCol), col("nn_id").as("_sem_of"),
+            col("adc").as("_sem_adc"))
         lexical.join(flagged, Seq(st.idCol), "left")
           .select(col(st.idCol),
-            when(col("status") === "kept" && col("_sem").isNotNull,
-              "semantic_dup").otherwise(col("status")).as("status"))
+            when(demoted, "semantic_dup")
+              .otherwise(col("status")).as("status"),
+            when(demoted, col("_sem_of"))
+              .otherwise(col("dup_of")).as("dup_of"),
+            when(demoted, col("_sem_adc")).as("adc"))
     }
     val kept = batch.join(
       decisions.filter(col("status") === "kept").select(col(st.idCol)),

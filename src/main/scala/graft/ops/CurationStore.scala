@@ -1070,6 +1070,35 @@ object CurationStore {
           .otherwise(col("status")).as("status"))
   }
 
+  /** [[screenDecontaminated]] with ATTRIBUTION — the
+    * [[screenAttributed]] receipt column layered under the
+    * contamination override. A `contaminated` doc's `dup_of` is NULL
+    * (its rejection names the benchmark, not a document — the
+    * decision is against the eval set as a whole, by the same
+    * union-of-shingles rule that drops eval-doc identity); every
+    * dedup status keeps the attributed winner. Dropping `dup_of`
+    * recovers [[screenDecontaminated]]'s frame exactly.
+    */
+  def screenDecontaminatedAttributed(s: SparkSession, store: Store,
+      batch: DataFrame, textCol: String, bench: DataFrame,
+      k: Int = 3, minOverlap: Int = 2, numBands: Int = 4,
+      minEst: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val idCol = store.idCol
+    val flagged = Dedup.contaminationFlags(batch, bench, idCol,
+        textCol, k, minOverlap)
+      .filter(col("flagged")).select(col(idCol))
+      .withColumn("_cont", lit(1))
+    screenAttributed(s, store, batch, textCol, numBands, minEst,
+        maxBucketSize)
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_cont").isNotNull, "contaminated")
+          .otherwise(col("status")).as("status"),
+        when(col("_cont").isNotNull, lit(null))
+          .otherwise(col("dup_of")).as("dup_of"))
+  }
+
   // ---- session-lifetime store per corpus directory ----------------
 
   private val built =

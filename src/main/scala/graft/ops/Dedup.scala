@@ -717,32 +717,15 @@ object Dedup {
   def incrementalDecisions(newDocs: DataFrame, sigStore: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 16,
       numBands: Int = 4, minEst: Double = 0.5,
-      maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    val newBands = sigBandRows(
-      minhashSignatures(newDocs, idCol, textCol, numHashes),
-      idCol, numHashes, numBands)
-    val storeBands = sigBandRows(sigStore, idCol, numHashes, numBands)
-    // history matches: any store doc scoring over the cut
-    val histDup = scoreBandPairs(newBands, storeBands, idCol, numHashes,
-        (_, _) => lit(true), maxBucketSize)
-      .filter(col("est_jaccard") >= minEst)
-      .select(col("a").as(idCol)).distinct()
-      .withColumn("_hist", lit(1))
-    // within-batch clusters over the same scored-pair machinery
-    val batchPairs = scoreBandPairs(newBands, newBands, idCol, numHashes,
-        _ < _, maxBucketSize)
-      .filter(col("est_jaccard") >= minEst)
-    val cl = clusters(batchPairs, "a", "b")
-      .select(col("id").as(idCol), col("cluster"))
-    newDocs.select(col(idCol))
-      .join(histDup, Seq(idCol), "left")
-      .join(cl, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("_hist").isNotNull, "hist_dup")
-          .when(col("cluster").isNotNull && col(idCol) =!= col("cluster"),
-            "batch_dup")
-          .otherwise("kept").as("status"))
-  }
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    // ONE copy of the decision logic: the attributed form's, minus
+    // its receipt column. The spec pins the projection identity, and
+    // the only cost the receipt adds is a window over the
+    // batch-keyed partitioning of an already-batch-sized pair frame
+    // — cheap at any corpus size, and far cheaper than letting two
+    // hand-kept copies of the status rules drift apart.
+    incrementalDecisionsAttributed(newDocs, sigStore, idCol, textCol,
+      numHashes, numBands, minEst, maxBucketSize).drop("dup_of")
 
   /** [[incrementalDecisions]] with ATTRIBUTION — per batch doc, WHICH
     * document it duplicates: the per-doc receipt an admission gate

@@ -1977,8 +1977,61 @@ object SimilarityQueries {
       |  NULL, NULL)
       |ORDER BY status""".stripMargin))
 
+  /** The admission gate's FULL RECEIPT
+    * ([[graft.ops.CorpusStore.ingestScreenedAttributed]]): q194's
+    * gated transaction, but the readout is the per-doc attributed
+    * decision frame — every rejection names its evidence. `dup_of`
+    * carries the lexical argmax winner for `hist_dup`/`batch_dup`
+    * rows (q191's contract) AND — the axis q191 could not reach —
+    * the nearest stored neighbor for a `semantic_dup`; `adc` keeps
+    * the demoted rows' top-1 PQ distance so the τ threshold stays
+    * auditable per decision. The oracle recomputes the lexical
+    * attribution via the q191 CTE stack (the %5 split) and the
+    * semantic argmax via the q166-class ADC chain — nn and distance
+    * both recomputed in SQL, one hash pinning all three columns.
+    * Dropping (dup_of, adc) recovers q194's decision frame exactly
+    * (spec-pinned, and structurally true: the plain gate IS this one
+    * with the columns dropped).
+    */
+  val q195 = Q("q195_gate_attribution",
+    (s, dir) => {
+      import graft.ops.CorpusStore
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-semattr"))
+      val (_, decisions) = CorpusStore.ingestScreenedAttributed(st0,
+        corpus.filter(col("doc_id") % 5 === 4), "text", "embedding",
+        "semattr-fifth", semanticTau = Some(0.9), semanticNprobe = 2)
+      decisions.orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${TextQueries.duckSigCtes},
+      |hist0 AS MATERIALIZED (SELECT doc_id FROM documents
+      | WHERE doc_id % 5 != 4),
+      |${TextQueries.duckScreenStageAttributed("", "doc_id % 5 = 4",
+        "hist0")},
+      |${IvfPqSql.ctes("vec_id % 5 = 4", trainWhere = "vec_id % 5 != 4",
+        nprobe = 2, encWhere = "vec_id % 5 != 4")},
+      |sem AS MATERIALIZED (SELECT qid AS doc_id, vec_id AS nn_id, adc
+      | FROM (
+      |  SELECT qid, vec_id, adc, row_number() OVER (
+      |    PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc)
+      | WHERE rn = 1 AND adc <= 0.9)
+      |SELECT d.doc_id,
+      | CASE WHEN d.status = 'kept' AND sm.doc_id IS NOT NULL
+      |  THEN 'semantic_dup' ELSE d.status END AS status,
+      | CASE WHEN d.status = 'kept' AND sm.doc_id IS NOT NULL
+      |  THEN sm.nn_id ELSE d.dup_of END AS dup_of,
+      | CASE WHEN d.status = 'kept' AND sm.doc_id IS NOT NULL
+      |  THEN sm.adc END AS adc
+      |FROM deca d LEFT JOIN sem sm USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166, q169, q176, q180, q185, q188, q189, q194)
+    q161, q163, q166, q169, q176, q180, q185, q188, q189, q194, q195)
 }

@@ -615,6 +615,58 @@ object TextQueries {
       | WHERE status = 'kept')""".stripMargin
   }
 
+  /** [[duckScreenStage]]'s ATTRIBUTED twin (q191's CTE stack,
+    * parameterized): same batch/history arguments, emits
+    * `deca$tag` (doc_id, status, dup_of) — the stored argmax winner
+    * (max estimate, min id ties) for a `hist_dup`, the within-batch
+    * canonical for a `batch_dup`, NULL for `kept`. Requires
+    * [[duckSigCtes]] upstream. */
+  private[queries] def duckScreenStageAttributed(tag: String,
+      newWhere: String, histIds: String): String = {
+    def bandSel(src: String) = duckBandSel(src)
+    s"""nsig$tag AS MATERIALIZED (SELECT * FROM sig WHERE $newWhere),
+      |hsig$tag AS MATERIALIZED (SELECT g.* FROM sig g JOIN $histIds h USING (doc_id)),
+      |nband$tag AS (${bandSel(s"nsig$tag")}),
+      |hband$tag AS (${bandSel(s"hsig$tag")}),
+      |hm$tag AS MATERIALIZED (SELECT doc_id, b AS dup_of FROM (
+      |  SELECT a AS doc_id, b, row_number() OVER (
+      |    PARTITION BY a ORDER BY est DESC, b) AS rn
+      |  FROM (SELECT c.a, c.b,
+      |    round(CAST($duckEstMatches AS DOUBLE) / 16, 4) AS est
+      |   FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |     FROM nband$tag x JOIN hband$tag y ON x.band_idx = y.band_idx
+      |      AND x.band_hash = y.band_hash) c
+      |   JOIN sig sa ON sa.doc_id = c.a
+      |   JOIN sig sb ON sb.doc_id = c.b
+      |   WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4)
+      |     >= $clusterMinEst))
+      | WHERE rn = 1),
+      |bpairs$tag AS (SELECT a, b FROM (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM nband$tag x JOIN nband$tag y ON x.band_idx = y.band_idx
+      |   AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id) c
+      | JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+      | WHERE round(CAST($duckEstMatches AS DOUBLE) / 16, 4) >= $clusterMinEst),
+      |edges$tag AS (SELECT a AS src, b AS dst FROM bpairs$tag
+      |          UNION SELECT b, a FROM bpairs$tag),
+      |reach$tag(x, y) AS (SELECT src, src FROM edges$tag
+      | UNION SELECT r.x, e.dst
+      |  FROM reach$tag r JOIN edges$tag e ON e.src = r.y),
+      |cl$tag AS (SELECT x AS doc_id, min(y) AS cluster
+      | FROM reach$tag GROUP BY x),
+      |deca$tag AS MATERIALIZED (SELECT d.doc_id,
+      | CASE WHEN hm$tag.doc_id IS NOT NULL THEN 'hist_dup'
+      |  WHEN cl$tag.cluster IS NOT NULL AND cl$tag.cluster <> d.doc_id
+      |   THEN 'batch_dup'
+      |  ELSE 'kept' END AS status,
+      | CASE WHEN hm$tag.doc_id IS NOT NULL THEN hm$tag.dup_of
+      |  WHEN cl$tag.cluster IS NOT NULL AND cl$tag.cluster <> d.doc_id
+      |   THEN cl$tag.cluster END AS dup_of
+      |FROM (SELECT doc_id FROM documents WHERE $newWhere) d
+      |LEFT JOIN hm$tag ON hm$tag.doc_id = d.doc_id
+      |LEFT JOIN cl$tag ON cl$tag.doc_id = d.doc_id)""".stripMargin
+  }
+
   /** The classic one-batch split (history = even ids, batch = odd),
     * expressed as one [[duckScreenStage]] — shared by q53, q186 and
     * q187 (`dec` is the stage's untagged decision CTE). */

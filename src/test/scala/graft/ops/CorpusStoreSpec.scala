@@ -323,6 +323,79 @@ class CorpusStoreSpec extends SparkSpec {
       "batchId replay re-applied somewhere")
   }
 
+  test("ingestScreenedAttributed: every rejection names its " +
+      "evidence — the lexical winner for hist_dups, the nearest " +
+      "stored neighbor + adc for semantic_dups, nulls for kept — " +
+      "and dropping the receipt recovers the plain gate exactly") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 7) % 13 - 6) / 6f)
+    def words(seed: Int): String =
+      (0 until 8).map(i => s"w${seed}x$i").mkString(" ")
+    // stored corpus carries the re-keyed dial rows (7 = centroid,
+    // 3/13 = PQ seeds); texts are pairwise-disjoint word sets
+    val stored = Seq(3L, 7L, 13L, 20L, 21L, 22L, 23L)
+      .map(i => (i, words(i.toInt), vec(i.toInt)))
+      .toDF("doc_id", "text", "embedding")
+    val st = CorpusStore.build(stored, "doc_id", "text", "embedding",
+      s"$tmp/attr")
+    // batch: 101 duplicates stored 20's VECTOR under fresh text
+    // (semantic axis), 105 duplicates stored 21's TEXT under a fresh
+    // vector (lexical axis), 104 is new on both axes
+    // far-vector seeds 55/77 are the AnnIndexStoreSpec semanticDups
+    // fixture's (proven separated under this 2-codeword PQ)
+    val batch = Seq(
+      (101L, words(101), vec(20)),
+      (105L, words(21), vec(55)),
+      (104L, words(104), vec(77))).toDF("doc_id", "text", "embedding")
+    // calibrate tau strictly between the vector-duplicate's
+    // quantization error and every non-duplicate's top-1 (the
+    // semanticDups scaladoc's dial discipline), and capture the
+    // probe's own argmax — the gate's receipt must carry IT
+    val probe = AnnIndexStore.semanticDups(spark, st.ann,
+        batch.select(col("doc_id"), col("embedding")), "doc_id",
+        "embedding", tau = Double.MaxValue, nprobe = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val tau = (probe(101L)._2 +
+      Seq(104L, 105L).map(probe(_)._2).min) / 2
+    assert(probe(101L)._2 < tau,
+      s"fixture not separated under PQ: $probe")
+    val (_, attributed) = CorpusStore.ingestScreenedAttributed(st,
+      batch, "text", "embedding", "attr-1", semanticTau = Some(tau),
+      semanticNprobe = 2)
+    assert(attributed.columns.toSeq ==
+      Seq("doc_id", "status", "dup_of", "adc"),
+      s"receipt columns: ${attributed.columns.toSeq}")
+    val rows = attributed.collect().map(r => r.getLong(0) ->
+      ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(rows(101L)._1 == "semantic_dup" &&
+      rows(101L)._2 == Some(probe(101L)._1) &&
+      rows(101L)._3 == Some(probe(101L)._2),
+      s"semantic receipt drifted from semanticDups' top-1: $rows")
+    assert(rows(101L)._3.exists(_ <= tau),
+      s"semantic_dup carries an adc over its own tau: $rows")
+    assert(rows(105L)._1 == "hist_dup" && rows(105L)._2 == Some(21L)
+        && rows(105L)._3.isEmpty,
+      s"lexical receipt wrong (want stored 21, null adc): $rows")
+    assert(rows(104L) == (("kept", None, None)),
+      s"kept row carries evidence: $rows")
+    // the PLAIN gate is this one minus the receipt — replayed under
+    // the same batchId, so the folds no-op and the decisions must
+    // reproduce column-for-column
+    val (_, plain) = CorpusStore.ingestScreened(st, batch, "text",
+      "embedding", "attr-1", semanticTau = Some(tau),
+      semanticNprobe = 2)
+    assert(plain.columns.toSeq == Seq("doc_id", "status"),
+      s"plain gate leaked receipt columns: ${plain.columns.toSeq}")
+    assert(plain.collect().map(r => r.getLong(0) -> r.getString(1))
+        .toMap == rows.view.mapValues(_._1).toMap,
+      "projection away from the receipt drifted from the plain gate")
+  }
+
   test("transaction-level clone: the quad as of a capture serves " +
       "the captured epochs coherently from a fresh root, the source " +
       "is untouched, and the source's post-capture batch id rolls " +

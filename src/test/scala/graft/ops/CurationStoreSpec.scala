@@ -733,6 +733,42 @@ class CurationStoreSpec extends SparkSpec {
       s"fixture assumption broken: $plain")
   }
 
+  test("screenDecontaminatedAttributed: contaminated rows carry NO " +
+      "dup_of (the rejection names the benchmark), dedup rows keep " +
+      "their winner, dropping dup_of recovers screenDecontaminated") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchText = "secret eval question one two three four five"
+    val st = CurationStore.build(
+      Seq((2L, a), (4L, "totally different filler content going here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp-decattr", numHashes = 16, numBands = 16,
+      minEst = 0.3)
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"$a iota"),                       // near-dup of stored 2
+      (13L, benchText),                        // verbatim eval leak
+      (15L, s"$a $benchText"),                 // dup of 2 AND leaked
+      (17L, "brand new unrelated words entirely fresh"))
+      .toDF("doc_id", "text")
+    val attributed = CurationStore.screenDecontaminatedAttributed(
+        spark, st, batch, "text", bench, k = 3, minOverlap = 2,
+        numBands = 16, minEst = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(attributed == Map(
+      11L -> (("hist_dup", Some(2L))),
+      13L -> (("contaminated", None)),
+      15L -> (("contaminated", None)),
+      17L -> (("kept", None))), s"attributed decisions: $attributed")
+    val plain = CurationStore.screenDecontaminated(spark, st, batch,
+        "text", bench, k = 3, minOverlap = 2, numBands = 16,
+        minEst = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(attributed.view.mapValues(_._1).toMap == plain,
+      "projection away from dup_of drifted from screenDecontaminated")
+  }
+
   test("screen: tombstones un-block re-admission, and a replayed " +
       "screen after the fold reproduces its own decisions") {
     import spark.implicits._
