@@ -168,8 +168,10 @@ object CorpusStore {
     * one stage deeper.
     */
   def ingestScreened(st: Stores, batch: DataFrame, textCol: String,
-      vecCol: String, batchId: String, numBands: Int = 4,
-      minEst: Double = 0.5, maxBucketSize: Long = Long.MaxValue,
+      vecCol: String, batchId: String,
+      numBands: Int = CurationStore.UseStoredDials,
+      minEst: Double = CurationStore.UseStoredDials,
+      maxBucketSize: Long = Long.MaxValue,
       benchmark: Option[DataFrame] = None, benchK: Int = 3,
       benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,
       semanticNprobe: Int = 1): (Stores, DataFrame) = {
@@ -206,7 +208,8 @@ object CorpusStore {
     */
   def ingestScreenedAttributed(st: Stores, batch: DataFrame,
       textCol: String, vecCol: String, batchId: String,
-      numBands: Int = 4, minEst: Double = 0.5,
+      numBands: Int = CurationStore.UseStoredDials,
+      minEst: Double = CurationStore.UseStoredDials,
       maxBucketSize: Long = Long.MaxValue,
       benchmark: Option[DataFrame] = None, benchK: Int = 3,
       benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,

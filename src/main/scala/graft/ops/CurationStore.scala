@@ -63,7 +63,7 @@ object CurationStore {
     * REPLACE stages whose new versions commit through the flip.
     */
   private[ops] val Stages = Seq("signatures", "pairs", "labels",
-    "labels_delta", "tombstones", "stats")
+    "labels_delta", "tombstones", "stats", "dials")
 
   /** The APPEND stages whose file manifests every flip records into
     * its snapshot entry — [[Store.pinAt]]'s time-travel source
@@ -287,6 +287,60 @@ object CurationStore {
   def liveCount(s: SparkSession, store: Store): Long =
     store.pin(s).stats(s).head().getLong(0)
 
+  /** Value meaning "use the store's own persisted dials" for the
+    * screen/update banding parameters — the default everywhere, so a
+    * store built with non-default banding is screened and folded
+    * under ITS criteria, never a hard-coded 4/0.5. Pass an explicit
+    * value to override deliberately (experiments, migrations). */
+  val UseStoredDials: Int = -1
+
+  private def writeDials(fs: FileSystem, dialsV: String,
+      numHashes: Int, numBands: Int, minEst: Double): Unit = {
+    require(fs.mkdirs(new Path(dialsV)), s"mkdirs $dialsV failed")
+    val out = fs.create(new Path(s"$dialsV/dials.tsv"), true)
+    try out.write(s"$numHashes\t$numBands\t$minEst\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The (numHashes, numBands, minEst) this store was [[build]]t
+    * with — one metadata read of the committed `dials` stage, no
+    * jobs. Loud on a pre-dials layout (the caller must then pass
+    * the banding explicitly, or rebuild). */
+  def storedDials(s: SparkSession, store: Store): (Int, Int, Double) = {
+    val fs = new Path(store.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val v = StoreVersions.read(fs, store.dir).getOrElse("dials",
+      throw new IllegalStateException(
+        s"store at ${store.dir} has no committed dials stage " +
+          "(pre-dials layout) — pass numHashes/numBands/minEst " +
+          "explicitly, or rebuild"))
+    val p = new Path(s"${store.dir}/dials/$v/dials.tsv")
+    val in = fs.open(p)
+    val text =
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.mkString finally src.close()
+      } finally in.close()
+    val Array(h, b, e) = text.trim.split("\t")
+    (h.toInt, b.toInt, e.toDouble)
+  }
+
+  /** Resolve a caller's banding arguments against the store's
+    * persisted dials: sentinel ([[UseStoredDials]] / negative)
+    * values take the stored dial, explicit values win — and the
+    * stored read only happens when something is actually deferred,
+    * so explicit-everything callers never require a dials stage
+    * (pre-dials layouts keep working under explicit arguments). */
+  private def resolveBanding(s: SparkSession, store: Store,
+      numBands: Int, minEst: Double): (Int, Double) =
+    if (numBands >= 1 && minEst >= 0) (numBands, minEst)
+    else {
+      val (_, b, e) = storedDials(s, store)
+      (if (numBands >= 1) numBands else b,
+        if (minEst >= 0) minEst else e)
+    }
+
   /** The [[UpdateMarker]] stage map all writers share, RESOLVED to
     * the current versions — one definition so the writers'
     * settle/snapshot protocol cannot drift apart. `stats` is the
@@ -449,9 +503,17 @@ object CurationStore {
       .write.mode("overwrite").parquet(statsV)
     val deltaV = StoreVersions.nextEmpty(fs, storeDir, "labels_delta")
     val tombV = StoreVersions.nextEmpty(fs, storeDir, "tombstones")
+    // the dials stage: the banding this store's pairs/labels were
+    // derived under, committed WITH them so admission reads
+    // ([[screen]]) and incremental folds ([[update]]) default to the
+    // store's own criteria instead of a hard-coded 4/0.5 that may
+    // not be what the store was built with
+    val dialsV = StoreVersions.next(fs, storeDir, "dials")
+    writeDials(fs, dialsV, numHashes, numBands, minEst)
     StoreVersions.flip(fs, storeDir, Map("signatures" -> sigV,
       "pairs" -> pairsV, "labels" -> labelsV, "labels_delta" -> deltaV,
-      "tombstones" -> tombV, "stats" -> statsV), AppendSnap)
+      "tombstones" -> tombV, "stats" -> statsV, "dials" -> dialsV),
+      AppendSnap)
     table.foreach(n => registerBucketedLabels(spark, n, labelsV,
       bucketLabels, idCol, labelSchema))
     StoreVersions.gc(spark, fs, storeDir, Stages)
@@ -511,7 +573,8 @@ object CurationStore {
     * a second concurrent update fails loudly at its marker write.
     */
   def update(store: Store, newDocs: DataFrame, textCol: String,
-      numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
+      numHashes: Int = UseStoredDials, numBands: Int = UseStoredDials,
+      minEst: Double = UseStoredDials,
       maxBucketSize: Long = Long.MaxValue,
       batchId: Option[String] = None): Store = {
     val spark = newDocs.sparkSession
@@ -520,6 +583,18 @@ object CurationStore {
     val fs = new Path(store.dir).getFileSystem(hconf)
     def files(dir: String): Set[String] =
       UpdateMarker.listFiles(fs, dir)
+    // banding defaults come from the store's OWN persisted dials —
+    // a store built with non-default banding must fold batches under
+    // its criteria, not a hard-coded 4/0.5 (explicit args still win)
+    val (numHashesR, numBandsR, minEstR) =
+      if (numHashes >= 1 && numBands >= 1 && minEst >= 0)
+        (numHashes, numBands, minEst)
+      else {
+        val (h, b, e) = storedDials(spark, store)
+        (if (numHashes >= 1) numHashes else h,
+          if (numBands >= 1) numBands else b,
+          if (minEst >= 0) minEst else e)
+      }
     // heal + settle + replay-check + fresh marker: the ONE shared
     // protocol definition ([[UpdateMarker.settle]] via
     // [[settleEntry]]); sig/pairs/tomb are the append-only sides
@@ -527,6 +602,14 @@ object CurationStore {
     if (settleEntry(spark, fs, store, batchId))
       return store // this very batch already applied — no-op
     val snap = store.pin(spark)
+    // numHashes is NOT free to override: the batch's signature rows
+    // append into the stored stage, whose h* schema is fixed —
+    // validate against the actual columns so a mismatch fails here,
+    // not as a silent schema drift inside the stage
+    require(numHashesR == spark.read.parquet(snap.sigPath)
+        .columns.count(_.matches("h\\d+")),
+      s"update numHashes ($numHashesR) != the store's signature " +
+        s"schema — the signature stage's h* width is fixed at build")
     // re-adding a DELETED id would collide with its tombstone (masks
     // hide by id) — fail loudly; compact() frees the ids (the
     // TextIndexStore/AnnIndexStore rule)
@@ -543,7 +626,7 @@ object CurationStore {
     // twice (the signature stage is the source of truth from here
     // on, mirroring build()'s lineage cuts)
     val sigBefore = files(snap.sigPath)
-    Dedup.minhashSignatures(newDocs, idCol, textCol, numHashes)
+    Dedup.minhashSignatures(newDocs, idCol, textCol, numHashesR)
       .write.mode("append").parquet(snap.sigPath)
     spark.catalog.refreshByPath(snap.sigPath)
     val sigNewFiles = (files(snap.sigPath) -- sigBefore).toSeq
@@ -555,9 +638,9 @@ object CurationStore {
 
     // stage 2 — the pairs the batch adds, from stored signatures only
     val pairsBefore = files(snap.pairsPath)
-    Dedup.estimatePairsForNewBatch(sigNew, sigOld, idCol, numHashes,
-        numBands, maxBucketSize)
-      .filter(col("est_jaccard") >= minEst)
+    Dedup.estimatePairsForNewBatch(sigNew, sigOld, idCol, numHashesR,
+        numBandsR, maxBucketSize)
+      .filter(col("est_jaccard") >= minEstR)
       .write.mode("append").parquet(snap.pairsPath)
     spark.catalog.refreshByPath(snap.pairsPath)
     val pairsNew =
@@ -1002,9 +1085,11 @@ object CurationStore {
     * corpus signature table).
     */
   def screen(s: SparkSession, store: Store, batch: DataFrame,
-      textCol: String, numBands: Int = 4, minEst: Double = 0.5,
+      textCol: String, numBands: Int = UseStoredDials,
+      minEst: Double = UseStoredDials,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val idCol = store.idCol
+    val (bandsR, minEstR) = resolveBanding(s, store, numBands, minEst)
     val sigs = store.signatures(s)
     val numHashes = sigs.columns.count(_.matches("h\\d+"))
     require(numHashes > 0,
@@ -1012,7 +1097,7 @@ object CurationStore {
     val history = sigs.join(batch.select(col(idCol)), Seq(idCol),
       "left_anti")
     Dedup.incrementalDecisions(batch, history, idCol, textCol,
-      numHashes, numBands, minEst, maxBucketSize)
+      numHashes, bandsR, minEstR, maxBucketSize)
   }
 
   /** [[screen]] with ATTRIBUTION
@@ -1024,9 +1109,11 @@ object CurationStore {
     * dropping `dup_of` recovers [[screen]]'s frame exactly.
     */
   def screenAttributed(s: SparkSession, store: Store, batch: DataFrame,
-      textCol: String, numBands: Int = 4, minEst: Double = 0.5,
+      textCol: String, numBands: Int = UseStoredDials,
+      minEst: Double = UseStoredDials,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val idCol = store.idCol
+    val (bandsR, minEstR) = resolveBanding(s, store, numBands, minEst)
     val sigs = store.signatures(s)
     val numHashes = sigs.columns.count(_.matches("h\\d+"))
     require(numHashes > 0,
@@ -1034,7 +1121,7 @@ object CurationStore {
     val history = sigs.join(batch.select(col(idCol)), Seq(idCol),
       "left_anti")
     Dedup.incrementalDecisionsAttributed(batch, history, idCol,
-      textCol, numHashes, numBands, minEst, maxBucketSize)
+      textCol, numHashes, bandsR, minEstR, maxBucketSize)
   }
 
   /** [[screen]] with a BENCHMARK-DECONTAMINATION criterion layered
@@ -1055,8 +1142,8 @@ object CurationStore {
     */
   def screenDecontaminated(s: SparkSession, store: Store,
       batch: DataFrame, textCol: String, bench: DataFrame,
-      k: Int = 3, minOverlap: Int = 2, numBands: Int = 4,
-      minEst: Double = 0.5,
+      k: Int = 3, minOverlap: Int = 2,
+      numBands: Int = UseStoredDials, minEst: Double = UseStoredDials,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val idCol = store.idCol
     val flagged = Dedup.contaminationFlags(batch, bench, idCol,
@@ -1081,8 +1168,8 @@ object CurationStore {
     */
   def screenDecontaminatedAttributed(s: SparkSession, store: Store,
       batch: DataFrame, textCol: String, bench: DataFrame,
-      k: Int = 3, minOverlap: Int = 2, numBands: Int = 4,
-      minEst: Double = 0.5,
+      k: Int = 3, minOverlap: Int = 2,
+      numBands: Int = UseStoredDials, minEst: Double = UseStoredDials,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val idCol = store.idCol
     val flagged = Dedup.contaminationFlags(batch, bench, idCol,

@@ -769,6 +769,55 @@ class CurationStoreSpec extends SparkSpec {
       "projection away from dup_of drifted from screenDecontaminated")
   }
 
+  test("screen defaults to the store's PERSISTED dials: a store " +
+      "built with non-default banding screens under its own " +
+      "criteria, a pre-dials layout fails loudly without explicit " +
+      "arguments and still works with them") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val st = CurationStore.build(
+      Seq((2L, a), (4L, "totally different filler content going here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp-dials", numHashes = 16, numBands = 16,
+      minEst = 0.3)
+    assert(CurationStore.storedDials(spark, st) == ((16, 16, 0.3)),
+      "persisted dials do not round-trip")
+    val batch = Seq((11L, s"$a iota"), (17L, "fresh words entirely"))
+      .toDF("doc_id", "text")
+    def decided(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // no banding arguments → the store's own 16/0.3, NOT 4/0.5
+    assert(decided(CurationStore.screen(spark, st, batch, "text")) ==
+      decided(CurationStore.screen(spark, st, batch, "text",
+        numBands = 16, minEst = 0.3)),
+      "default screen drifted from the store's persisted dials")
+    assert(decided(CurationStore.screen(spark, st, batch, "text"))
+        (11L) == "hist_dup",
+      "fixture near-dup not caught under the stored dials")
+    // fabricate a pre-dials layout: drop the dials line from the
+    // manifest (older stores never committed one)
+    val fs = new org.apache.hadoop.fs.Path(st.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mp = graft.ops.StoreVersions.manifestPath(st.dir)
+    val body = {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val legacy = body.split("\n").filterNot(_.startsWith("dials\t"))
+      .mkString("", "\n", "\n")
+    val out = fs.create(mp, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] {
+      CurationStore.screen(spark, st, batch, "text").collect()
+    }
+    assert(e.getMessage.contains("dials"),
+      s"pre-dials failure names the wrong cause: ${e.getMessage}")
+    // explicit arguments never need the dials stage
+    assert(decided(CurationStore.screen(spark, st, batch, "text",
+      numBands = 16, minEst = 0.3))(11L) == "hist_dup")
+  }
+
   test("screen: tombstones un-block re-admission, and a replayed " +
       "screen after the fold reproduces its own decisions") {
     import spark.implicits._
