@@ -880,8 +880,15 @@ object StreamQueries {
           corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
           "embedding", CorpusStore.storeDirFor(dir, "-gatedstream"),
           annDials = Some(evenDials))
+        // keyed by (epoch, status) with PUT semantics, not an append
+        // log: foreachBatch may re-execute a micro-batch (task
+        // failure/retry, checkpoint restart), and the fold below is
+        // idempotent only if a replayed epoch OVERWRITES its rows —
+        // an append would duplicate count rows and corrupt the
+        // readout. The epoch's stale keys clear first so a replay
+        // that (hypothetically) lost a status leaves no orphan.
         val perEpoch =
-          new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+          new scala.collection.mutable.HashMap[(Long, String), Long]
         s.conf.set("spark.sql.shuffle.partitions", parts)
         try {
           s.readStream.schema(corpus.schema)
@@ -893,11 +900,13 @@ object StreamQueries {
                  org.apache.spark.sql.Row], epochId: Long) =>
                 val (_, dec) = CorpusStore.ingestScreened(st,
                   batch.toDF(), "text", "embedding", s"epoch-$epochId")
-                dec.groupBy("status").count().collect().foreach(r =>
-                  perEpoch.synchronized {
-                    perEpoch += ((epochId, r.getString(0),
-                      r.getLong(1)))
-                  })
+                val counts = dec.groupBy("status").count().collect()
+                perEpoch.synchronized {
+                  perEpoch.keys.filter(_._1 == epochId).toSeq
+                    .foreach(perEpoch.remove)
+                  counts.foreach(r =>
+                    perEpoch((epochId, r.getString(0))) = r.getLong(1))
+                }
                 ()
             }
             .option("checkpointLocation", ckptDir.toString)
@@ -907,7 +916,8 @@ object StreamQueries {
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         val (_, _, live) = CorpusStore.liveCounts(s, st)
         import s.implicits._
-        perEpoch.toSeq.toDF("epoch", "status", "n")
+        perEpoch.toSeq.map { case ((e, st0), n) => (e, st0, n) }
+          .toDF("epoch", "status", "n")
           .unionByName(Seq((-1L, "live", live)).toDF("epoch", "status",
             "n"))
           .orderBy("epoch", "status")
