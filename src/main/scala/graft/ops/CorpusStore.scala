@@ -174,13 +174,18 @@ object CorpusStore {
       maxBucketSize: Long = Long.MaxValue,
       benchmark: Option[DataFrame] = None, benchK: Int = 3,
       benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,
-      semanticNprobe: Int = 1): (Stores, DataFrame) = {
+      semanticNprobe: Int = 1,
+      benchmarkStore: Option[BenchmarkStore.Store] = None)
+      : (Stores, DataFrame) = {
     // one copy of the gate logic: the attributed form's, minus its
     // receipt columns (the same delegation as
-    // [[Dedup.incrementalDecisions]], for the same drift reason)
+    // [[Dedup.incrementalDecisions]], for the same drift reason);
+    // `bench_rev` — the versioned gate's provenance column — is NOT
+    // receipt detail and survives the drop
     val (out, dec) = ingestScreenedAttributed(st, batch, textCol,
       vecCol, batchId, numBands, minEst, maxBucketSize, benchmark,
-      benchK, benchMinOverlap, semanticTau, semanticNprobe)
+      benchK, benchMinOverlap, semanticTau, semanticNprobe,
+      benchmarkStore)
     (out, dec.drop("dup_of", "adc"))
   }
 
@@ -213,21 +218,42 @@ object CorpusStore {
       maxBucketSize: Long = Long.MaxValue,
       benchmark: Option[DataFrame] = None, benchK: Int = 3,
       benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,
-      semanticNprobe: Int = 1): (Stores, DataFrame) = {
+      semanticNprobe: Int = 1,
+      benchmarkStore: Option[BenchmarkStore.Store] = None)
+      : (Stores, DataFrame) = {
     require(batchId.nonEmpty,
       "cross-store screened ingest requires a batchId")
+    require(benchmark.isEmpty || benchmarkStore.isEmpty,
+      "pass the benchmark as a raw frame OR a versioned store, " +
+        "not both")
     val s = batch.sparkSession
     // with a benchmark mounted, eval-set leakage is a FOURTH status
     // (`contaminated`, overriding the dedup statuses) and those docs
     // never fold — [[CurationStore.screenDecontaminated]]'s contract;
-    // contamination is history-independent so replay is unchanged
-    val lexical = benchmark match {
-      case Some(bench) => CurationStore.screenDecontaminatedAttributed(
-        s, st.curation, batch, textCol, bench, benchK, benchMinOverlap,
-        numBands, minEst, maxBucketSize)
-      case None => CurationStore.screenAttributed(s, st.curation,
-        batch, textCol, numBands, minEst, maxBucketSize)
+    // contamination is history-independent so replay is unchanged.
+    // The VERSIONED form ([[BenchmarkStore]]) pins one eval revision
+    // per batchId BEFORE any tier folds — so even the benchmark
+    // itself drifting between a crash and its replay cannot move the
+    // decisions — and stamps the decisions with `bench_rev`, the
+    // which-eval-set-gated-batch-N provenance
+    val lexical = (benchmark, benchmarkStore) match {
+      case (Some(bench), _) =>
+        CurationStore.screenDecontaminatedAttributed(
+          s, st.curation, batch, textCol, bench, benchK,
+          benchMinOverlap, numBands, minEst, maxBucketSize)
+      case (None, Some(bs)) =>
+        val pinned = BenchmarkStore.pinForBatch(s, bs, batchId)
+        CurationStore.screenDecontaminatedAttributedShingled(
+            s, st.curation, batch, textCol, pinned.shingles(s),
+            pinned.k, benchMinOverlap, numBands, minEst,
+            maxBucketSize)
+          .withColumn("bench_rev", lit(pinned.seq))
+      case (None, None) => CurationStore.screenAttributed(s,
+        st.curation, batch, textCol, numBands, minEst, maxBucketSize)
     }
+    val revCols =
+      if (lexical.columns.contains("bench_rev")) Seq(col("bench_rev"))
+      else Seq.empty
     // the SEMANTIC gate runs LAST, demoting only would-be-kept docs
     // to `semantic_dup` ([[AnnIndexStore.semanticDups]] against the
     // ann tier): every already-rejected doc keeps its more specific
@@ -236,7 +262,9 @@ object CorpusStore {
     // lexical screen's
     val decisions = semanticTau match {
       case None =>
-        lexical.withColumn("adc", lit(null).cast("double"))
+        lexical.select(Seq(col(st.idCol), col("status"),
+          col("dup_of"), lit(null).cast("double").as("adc")) ++
+          revCols: _*)
       case Some(tau) =>
         val demoted = col("status") === "kept" &&
           col("_sem_of").isNotNull
@@ -247,12 +275,12 @@ object CorpusStore {
           .select(col(st.idCol), col("nn_id").as("_sem_of"),
             col("adc").as("_sem_adc"))
         lexical.join(flagged, Seq(st.idCol), "left")
-          .select(col(st.idCol),
+          .select(Seq(col(st.idCol),
             when(demoted, "semantic_dup")
               .otherwise(col("status")).as("status"),
             when(demoted, col("_sem_of"))
               .otherwise(col("dup_of")).as("dup_of"),
-            when(demoted, col("_sem_adc")).as("adc"))
+            when(demoted, col("_sem_adc")).as("adc")) ++ revCols: _*)
     }
     val kept = batch.join(
       decisions.filter(col("status") === "kept").select(col(st.idCol)),

@@ -1144,18 +1144,11 @@ object CurationStore {
       batch: DataFrame, textCol: String, bench: DataFrame,
       k: Int = 3, minOverlap: Int = 2,
       numBands: Int = UseStoredDials, minEst: Double = UseStoredDials,
-      maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    val idCol = store.idCol
-    val flagged = Dedup.contaminationFlags(batch, bench, idCol,
-        textCol, k, minOverlap)
-      .filter(col("flagged")).select(col(idCol))
-      .withColumn("_cont", lit(1))
-    screen(s, store, batch, textCol, numBands, minEst, maxBucketSize)
-      .join(flagged, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("_cont").isNotNull, "contaminated")
-          .otherwise(col("status")).as("status"))
-  }
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    // one copy of the override logic: the attributed form's, minus
+    // the receipt (the [[Dedup.incrementalDecisions]] delegation)
+    screenDecontaminatedAttributed(s, store, batch, textCol, bench,
+      k, minOverlap, numBands, minEst, maxBucketSize).drop("dup_of")
 
   /** [[screenDecontaminated]] with ATTRIBUTION — the
     * [[screenAttributed]] receipt column layered under the
@@ -1170,10 +1163,28 @@ object CurationStore {
       batch: DataFrame, textCol: String, bench: DataFrame,
       k: Int = 3, minOverlap: Int = 2,
       numBands: Int = UseStoredDials, minEst: Double = UseStoredDials,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    screenDecontaminatedAttributedShingled(s, store, batch, textCol,
+      Dedup.shingleRows(bench.select(col(store.idCol), col(textCol)),
+        store.idCol, textCol, k).select(col("s")),
+      k, minOverlap, numBands, minEst, maxBucketSize)
+
+  /** [[screenDecontaminatedAttributed]] with the benchmark supplied
+    * as a PRE-SHINGLED frame (one `s` column —
+    * [[BenchmarkStore.Pinned.shingles]], the versioned gate's read
+    * path): the eval text is never re-shingled per batch, and a
+    * replayed gate resolving the same pinned revision reproduces its
+    * decisions under benchmark drift. `k` must be the width the
+    * shingle frame was built at (the store carries it).
+    */
+  def screenDecontaminatedAttributedShingled(s: SparkSession,
+      store: Store, batch: DataFrame, textCol: String,
+      benchShingles: DataFrame, k: Int = 3, minOverlap: Int = 2,
+      numBands: Int = UseStoredDials, minEst: Double = UseStoredDials,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val idCol = store.idCol
-    val flagged = Dedup.contaminationFlags(batch, bench, idCol,
-        textCol, k, minOverlap)
+    val flagged = Dedup.contaminationFlagsShingled(batch,
+        benchShingles, idCol, textCol, k, minOverlap)
       .filter(col("flagged")).select(col(idCol))
       .withColumn("_cont", lit(1))
     screenAttributed(s, store, batch, textCol, numBands, minEst,

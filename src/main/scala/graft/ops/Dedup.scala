@@ -947,9 +947,22 @@ object Dedup {
     */
   def contaminationFlags(batch: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, k: Int = 3,
-      minOverlap: Int = 1): DataFrame = {
-    val benchSh = shingleRows(bench, idCol, textCol, k)
-      .select(col("s")).distinct()
+      minOverlap: Int = 1): DataFrame =
+    contaminationFlagsShingled(batch,
+      shingleRows(bench, idCol, textCol, k).select(col("s")),
+      idCol, textCol, k, minOverlap)
+
+  /** [[contaminationFlags]] with the benchmark supplied as a
+    * PRE-SHINGLED frame (one `s` column — [[BenchmarkStore]]'s
+    * persisted revision): the eval text is never re-shingled per
+    * batch, and `k` applies to the BATCH side only (it must match
+    * the width the shingle frame was built at — the store carries
+    * it). Same one-broadcast, one-linear-pass shape.
+    */
+  def contaminationFlagsShingled(batch: DataFrame,
+      benchShingles: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val benchSh = benchShingles.select(col("s")).distinct()
       .withColumn("_hit", lit(1))
     shingleRows(widen(batch), idCol, textCol, k)
       .join(broadcast(benchSh), Seq("s"), "left")

@@ -3706,6 +3706,85 @@ object TextQueries {
       |  NULL, NULL)
       |ORDER BY status""".stripMargin))
 
+  /** q193's decontaminated transaction with the eval set served from
+    * the VERSIONED benchmark store ([[graft.ops.BenchmarkStore]] →
+    * [[graft.ops.CorpusStore.ingestScreened]]'s `benchmarkStore`
+    * door): the eval slice's shingle set is persisted ONCE as a
+    * store revision (the raw-frame form re-shingles and
+    * re-broadcasts the eval text every batch), the gate pins that
+    * revision by batchId before any tier folds — so a replayed
+    * transaction reproduces its decisions even if the benchmark is
+    * revised in between (CorpusStoreSpec fabricates exactly that) —
+    * and every decision carries `bench_rev`, the which-eval-set-
+    * gated-this-batch provenance. Readout is q193's with the
+    * revision column; the store is rebuilt from a clean directory
+    * each run, so the oracle pins `bench_rev = 1`.
+    */
+  val q196 = Q("q196_versioned_benchmark_gate",
+    (s, dir) => {
+      import graft.ops.{AnnIndexStore, BenchmarkStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val c = AnnIndexStore.CorpusDials
+      val evenDials = AnnIndexStore.Dials(col("doc_id") % 50 === 8,
+        col("doc_id") % 10 === 4, c.m, c.subDim, c.iters)
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-vbench"),
+        annDials = Some(evenDials))
+      val bdir = graft.ops.StoreDirs
+        .dirFor("target/benchmark-store/", dir, "")
+      // clean first revision per run — the oracle's bench_rev = 1
+      val fs = new org.apache.hadoop.fs.Path(bdir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+      val bs = BenchmarkStore.build(
+        docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", bdir)
+      val (st, decisions) = CorpusStore.ingestScreened(st0,
+        corpus.filter(col("doc_id") % 2 === 1), "text", "embedding",
+        "vbench-odds", benchmarkStore = Some(bs))
+      val (_, _, live) = CorpusStore.liveCounts(s, st)
+      import s.implicits._
+      decisions.groupBy("status")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"),
+          first("bench_rev").as("bench_rev"))
+        .unionByName(Seq(("live", live)).toDF("status", "n")
+          .withColumn("min_id", lit(null).cast("long"))
+          .withColumn("max_id", lit(null).cast("long"))
+          .withColumn("bench_rev", lit(null).cast("int")))
+        .orderBy("status")
+    },
+    Some(s"""WITH RECURSIVE $duckIncrementalCtes,
+      |bsh AS MATERIALIZED (SELECT DISTINCT s FROM sh
+      | WHERE doc_id % 100 = 7),
+      |cont AS MATERIALIZED (SELECT doc_id FROM (
+      |  SELECT t.doc_id,
+      |   sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS nc
+      |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1) t
+      |  LEFT JOIN bsh b USING (s) GROUP BY t.doc_id)
+      | WHERE nc >= 2),
+      |dec2 AS (SELECT d.doc_id,
+      |  CASE WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+      |   ELSE d.status END AS status
+      | FROM dec d LEFT JOIN cont c USING (doc_id))
+      |SELECT * FROM (
+      | SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |  1 AS bench_rev
+      | FROM dec2 GROUP BY status
+      | UNION ALL
+      | SELECT 'live',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |    WHERE doc_id % 2 = 0)
+      |  + (SELECT count(*) FROM dec2 WHERE status = 'kept'),
+      |  NULL, NULL, NULL)
+      |ORDER BY status""".stripMargin))
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3714,5 +3793,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182, q183, q184, q186, q187, q191, q192, q193)
+      q181, q182, q183, q184, q186, q187, q191, q192, q193, q196)
 }

@@ -396,6 +396,50 @@ class CorpusStoreSpec extends SparkSpec {
       "projection away from the receipt drifted from the plain gate")
   }
 
+  test("versioned benchmark gate: a benchmark REVISION landing " +
+      "between a gated ingest and its replay does not move the " +
+      "decisions (pin-by-batchId), the decisions carry the gating " +
+      "revision, and a NEW transaction pins the new revision") {
+    val base = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val evenDials = AnnIndexStore.Dials(
+      col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
+      m = 2, subDim = 32, iters = 2)
+    val st = CorpusStore.build(base, "doc_id", "text", "embedding",
+      s"$tmp/vbench", annDials = Some(evenDials))
+    val bs = BenchmarkStore.build(
+      sf("documents").filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", s"$tmp/vbench-eval")
+    def decided(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("status"), r.getAs[Int]("bench_rev")))).toMap
+    val (_, d1f) = CorpusStore.ingestScreened(st, batch, "text",
+      "embedding", "vb-1", benchmarkStore = Some(bs))
+    val d1 = decided(d1f)
+    assert(d1.values.exists(_._1 == "contaminated") &&
+      d1.values.exists(_._1 == "kept"),
+      s"fixture not sharp: ${d1.values.map(_._1).groupBy(identity)
+        .view.mapValues(_.size).toMap}")
+    assert(d1.values.forall(_._2 == 1),
+      "first gate did not record revision 1")
+    val counts = CorpusStore.liveCounts(spark, st)
+    // REVISE with the batch's own text: an UNPINNED replay would now
+    // flag every shingled batch doc contaminated — the sharpest
+    // possible drift. The recorded pin must hold the decisions.
+    BenchmarkStore.revise(bs,
+      batch.select(col("doc_id"), col("text")), "doc_id", "text")
+    val (_, d2f) = CorpusStore.ingestScreened(st, batch, "text",
+      "embedding", "vb-1", benchmarkStore = Some(bs))
+    assert(decided(d2f) == d1,
+      "replayed gated decisions drifted under a benchmark revision")
+    assert(CorpusStore.liveCounts(spark, st) == counts,
+      "batchId replay re-applied somewhere")
+    // a NEW transaction is gated by the live (revised) eval set
+    assert(BenchmarkStore.pinForBatch(spark, bs, "vb-2").seq == 2,
+      "a fresh batch did not pin the new revision")
+  }
+
   test("transaction-level clone: the quad as of a capture serves " +
       "the captured epochs coherently from a fresh root, the source " +
       "is untouched, and the source's post-capture batch id rolls " +
