@@ -954,6 +954,69 @@ object AnnIndexStore {
       .select(col("qid").as(qidCol), col(idx.idCol).as("nn_id"),
         col("adc"), (col("adc") <= tau).as("flagged"))
 
+  /** TAU CALIBRATION for the semantic gate — the operational answer
+    * to "what τ for at most x% false semantic rejections".
+    * [[semanticDups]] flags on PQ-approximate distance, so its `tau`
+    * is a dial in ADC units whose meaning drifts with the codebooks;
+    * this readout measures the dial against exact truth on a query
+    * sample ([[recallProbe]]'s cadence discipline — the exact arm is
+    * one |sample|×corpus brute pass, never per query). One row per
+    * query, both arms' top-1 and the gate's verdict under each:
+    *
+    *  - `nn_id`/`adc` — the ADC arm: what [[semanticDups]] would see,
+    *  - `exact_id`/`exact_dist` — the exact squared-euclidean nearest
+    *    stored neighbor ([[recallProbe]]'s brute arm at k = 1; pass
+    *    the index's own live corpus),
+    *  - `margin` = adc − exact_dist: the quantization overshoot at
+    *    this query — the quantity whose sample distribution says how
+    *    far τ sits from the exact boundary,
+    *  - `adc_flag` / `exact_flag` — ≤ τ under each arm,
+    *  - `flip` — `agree`, `false_reject` (ADC would refuse a doc the
+    *    exact gate admits — the admission-loss direction) or
+    *    `false_admit` (ADC admits what the exact gate would refuse —
+    *    the dup-leak direction).
+    *
+    * Filter `flip != 'agree'` and read the margins at the boundary:
+    * lowering τ by the false-reject rows' margin quantile trades
+    * leaks for admissions, and a sample's flip RATE is the gate's
+    * measured error at the current dial. Where the boundary must be
+    * exact rather than calibrated, serve the gate through
+    * [[searchRefined]] instead (the scaladoc trade on
+    * [[semanticDups]]).
+    */
+  def tauCalibration(s: SparkSession, idx: Index, corpus: DataFrame,
+      queries: DataFrame, qidCol: String, vecCol: String, tau: Double,
+      nprobe: Int = 1): DataFrame = {
+    val approx = search(s, idx, queries, qidCol, vecCol, k = 1, nprobe)
+      .select(col("qid"), col(idx.idCol).as("nn_id"), col("adc"))
+    val base = corpus.select(col(idx.idCol),
+      col(vecCol).cast("array<double>").as("_e"))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast("array<double>").as("_q"))
+    val d = round(Similarity.dot(col("_q"), col("_q")) -
+      lit(2.0) * Similarity.dot(col("_q"), col("_e")) +
+      Similarity.dot(col("_e"), col("_e")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_d").asc, col(idx.idCol).asc)
+    val exact = base.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col(idx.idCol))
+      .withColumn("_d", d)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("qid"), col(idx.idCol).as("exact_id"),
+        col("_d").as("exact_dist"))
+    val adcFlag = col("adc") <= tau
+    val exactFlag = col("exact_dist") <= tau
+    approx.join(exact, "qid")
+      .select(col("qid"), col("nn_id"), col("adc"), col("exact_id"),
+        col("exact_dist"),
+        round(col("adc") - col("exact_dist"), 6).as("margin"),
+        adcFlag.as("adc_flag"), exactFlag.as("exact_flag"),
+        when(adcFlag && !exactFlag, "false_reject")
+          .when(!adcFlag && exactFlag, "false_admit")
+          .otherwise("agree").as("flip"))
+  }
+
   /** Handle for an EXISTING index directory when the caller has no
     * `Index` in hand (the SQL front door's entry point, mirroring
     * [[TextIndexStore.forDir]] / [[CurationStore.forDir]]): the

@@ -2030,8 +2030,69 @@ object SimilarityQueries {
       |FROM deca d LEFT JOIN sem sm USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** TAU CALIBRATION for the semantic admission gate
+    * ([[graft.ops.AnnIndexStore.tauCalibration]]): the q194/q195
+    * split (index on the %5-history, the held-out fifth as the query
+    * sample), both arms' top-1 per query — the ADC nearest stored
+    * neighbor the gate actually flags on, and the exact
+    * squared-euclidean nearest the gate WOULD flag on if it weren't
+    * quantized — with the margin between them and the flag flips at
+    * τ = 0.9 (q194's dial). The frame a gate operator reads before
+    * trusting a τ: flip rows are the measured false-reject /
+    * false-admit error at the dial, margins say how far to move it.
+    * Oracle recomputes the ADC arm via the q166-class chain and the
+    * exact arm as a brute-force 64-dim top-1 in SQL.
+    */
+  val q197 = Q("q197_tau_calibration",
+    (s, dir) => {
+      import graft.ops.AnnIndexStore
+      val emb = table(s, dir, "embeddings")
+      val hist = emb.filter(col("vec_id") % 5 =!= 4)
+      val d = AnnIndexStore.CorpusDials
+      val idx = AnnIndexStore.build(hist, "vec_id", "embedding",
+        AnnIndexStore.indexDirFor(dir, "-taucal"), d.centroidPred,
+        d.seedPred, d.m, d.subDim, d.iters)
+      AnnIndexStore.tauCalibration(s, idx, hist,
+          emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding",
+          tau = 0.9, nprobe = 2)
+        .orderBy("qid")
+    },
+    Some {
+      val exactD = s"round(${dotSql("q.embedding", "q.embedding")}" +
+        s" - 2*(${dotSql("q.embedding", "b.embedding")})" +
+        s" + (${dotSql("b.embedding", "b.embedding")}), 6)"
+      s"""WITH ${IvfPqSql.ctes("vec_id % 5 = 4",
+          trainWhere = "vec_id % 5 != 4", nprobe = 2,
+          encWhere = "vec_id % 5 != 4")},
+        |approx AS (SELECT qid, vec_id AS nn_id, adc FROM (
+        |  SELECT qid, vec_id, adc, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc)
+        | WHERE rn = 1),
+        |exact AS (SELECT qid, vec_id AS exact_id, d AS exact_dist
+        | FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id, $exactD AS d,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY $exactD, b.vec_id) AS rn
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id % 5 = 4) q,
+        |       (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id % 5 != 4) b)
+        | WHERE rn = 1)
+        |SELECT a.qid, a.nn_id, a.adc, e.exact_id, e.exact_dist,
+        | round(a.adc - e.exact_dist, 6) AS margin,
+        | a.adc <= 0.9 AS adc_flag, e.exact_dist <= 0.9 AS exact_flag,
+        | CASE WHEN a.adc <= 0.9 AND NOT e.exact_dist <= 0.9
+        |   THEN 'false_reject'
+        |  WHEN NOT a.adc <= 0.9 AND e.exact_dist <= 0.9
+        |   THEN 'false_admit'
+        |  ELSE 'agree' END AS flip
+        |FROM approx a JOIN exact e USING (qid)
+        |ORDER BY a.qid""".stripMargin
+    })
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
-    q161, q163, q166, q169, q176, q180, q185, q188, q189, q194, q195)
+    q161, q163, q166, q169, q176, q180, q185, q188, q189, q194, q195,
+    q197)
 }

@@ -792,4 +792,57 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(flags(tau) == f,
       "replayed semantic flags drifted after the fold")
   }
+
+  test("tauCalibration: on the planted-separation fixture the exact " +
+      "arm finds the true duplicate at distance 0, margins equal the " +
+      "quantization error, and the flip classes land exactly where " +
+      "tau sits relative to the two boundaries") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 7) % 13 - 6) / 6f)
+    val stored = Seq(3L, 7L, 13L, 20L, 21L, 22L, 23L)
+      .map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val st = AnnIndexStore.build(stored, "vec_id", "embedding",
+      s"$tmp/taucal", col("vec_id") === 7, col("vec_id") % 10 === 3,
+      m = 2, subDim = 32, iters = 2)
+    // 101 duplicates stored 21 exactly (vec() is periodic mod 13 in
+    // its seed, so 20 ≡ 7 — 21 is the unique-vector choice); 104 is
+    // far from everything
+    val qs = Seq((101L, vec(21)), (104L, vec(77)))
+      .toDF("vec_id", "embedding")
+    def calib(tau: Double) = AnnIndexStore
+      .tauCalibration(spark, st, stored, qs, "vec_id", "embedding",
+        tau, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("qid") -> r).toMap
+    val probe = calib(Double.MaxValue)
+    // exact arm: the duplicate's true nearest is stored 20 at 0 —
+    // so its margin IS the PQ quantization error (= its adc)
+    val dup = probe(101L)
+    assert(dup.getAs[Long]("exact_id") == 21L &&
+      dup.getAs[Double]("exact_dist") == 0.0,
+      s"exact arm missed the planted duplicate: $dup")
+    assert(dup.getAs[Double]("margin") == dup.getAs[Double]("adc"),
+      s"margin != adc - 0 on the duplicate: $dup")
+    val far = probe(104L)
+    assert(far.getAs[Double]("exact_dist") > 0.0, s"104 not far: $far")
+    // tau between the dup's quantization error and the far query's
+    // exact distance: both arms agree on both queries
+    val dupAdc = dup.getAs[Double]("adc")
+    val mid = (math.max(dupAdc, 0.0) +
+      math.min(far.getAs[Double]("exact_dist"),
+        far.getAs[Double]("adc"))) / 2
+    val agree = calib(mid)
+    assert(agree(101L).getAs[String]("flip") == "agree" &&
+      agree(101L).getAs[Boolean]("adc_flag") &&
+      agree(101L).getAs[Boolean]("exact_flag"), s"mid tau: $agree")
+    assert(agree(104L).getAs[String]("flip") == "agree" &&
+      !agree(104L).getAs[Boolean]("adc_flag") &&
+      !agree(104L).getAs[Boolean]("exact_flag"), s"mid tau: $agree")
+    // tau BELOW the duplicate's quantization error but at/above its
+    // exact distance (0): the ADC arm refuses to flag what the exact
+    // gate would — the false_admit direction, pinned
+    val low = calib(dupAdc / 2)
+    assert(low(101L).getAs[String]("flip") == "false_admit",
+      s"low tau should expose the dup-leak direction: $low")
+  }
 }
