@@ -65,6 +65,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "ann_search_filtered"),
       (args: Seq[Expression]) =>
         graft.plans.AnnSearchSql.buildFiltered(args)))
+    // the admission screen's SQL front door: the dedup tier's
+    // at-the-door decision (and its attributed receipt) from the
+    // persisted signature store, banding from the store's own dials
+    ext.injectTableFunction((
+      new FunctionIdentifier("dedup_screen"),
+      new ExpressionInfo(graft.plans.DedupScreenSql.getClass.getName,
+        "dedup_screen"),
+      (args: Seq[Expression]) =>
+        graft.plans.DedupScreenSql.build(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("dedup_screen_attributed"),
+      new ExpressionInfo(graft.plans.DedupScreenSql.getClass.getName,
+        "dedup_screen_attributed"),
+      (args: Seq[Expression]) =>
+        graft.plans.DedupScreenSql.buildAttributed(args)))
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

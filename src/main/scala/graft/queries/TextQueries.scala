@@ -3785,6 +3785,31 @@ object TextQueries {
       |  NULL, NULL, NULL)
       |ORDER BY status""".stripMargin))
 
+  /** The admission screen through the SQL door
+    * ([[graft.plans.DedupScreenSql]] — the `dedup_screen_attributed`
+    * TVF): q191's decisions-with-receipts answered for a pure
+    * `spark.sql` consumer, the batch arriving as a named view and
+    * the banding coming from the store's own persisted dials (the
+    * SQL door exposes no banding arguments by design — a SQL
+    * consumer can never screen a store under criteria other than
+    * its own). Rides q191's oracle verbatim: the two doors must
+    * produce the same frame, and DedupScreenSqlSpec pins SQL ==
+    * DataFrame row-for-row.
+    */
+  val q198 = Q("q198_dedup_screen_sql",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = CurationStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        CurationStore.storeDirFor(dir, "-screensql"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("q198_batch")
+      s.sql(s"SELECT * FROM dedup_screen_attributed('${store.dir}', " +
+        "'doc_id', 'q198_batch', 'text') ORDER BY doc_id")
+    },
+    q191.oracle)
+
   val qs: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q35, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q53, q55, q59, q60, q61, q63,
@@ -3793,5 +3818,5 @@ object TextQueries {
       q120, q121, q123, q124, q125, q126, q127, q128, q129, q132, q133,
       q135, q137, q138, q139, q140, q141, q153, q157, q159, q160, q162,
       q167, q168, q171, q172, q173, q174, q175, q177, q178, q179,
-      q181, q182, q183, q184, q186, q187, q191, q192, q193, q196)
+      q181, q182, q183, q184, q186, q187, q191, q192, q193, q196, q198)
 }
