@@ -53,6 +53,20 @@ object Advisor {
   val RecallFloor = "spark.graft.advisor.recallFloor"
   private val recallFloorDefault = 0.8
 
+  /** Admission-rate floor for the gate log's LATEST batch: an
+    * admit rate collapsing below it means the crawler is resending
+    * already-held content (recrawl loop) or the gate itself broke —
+    * either way a human look, not a maintenance action, hence
+    * `alert`. */
+  val AdmitRateFloor = "spark.graft.advisor.admitRateFloor"
+  private val admitRateFloorDefault = 0.05
+
+  /** Semantic-dup-rate ceiling for the gate log's LATEST batch: a
+    * spike says τ drifted (see [[AnnIndexStore.tauCalibration]]) or
+    * a near-copy storm is at the door. */
+  val SemanticRateMax = "spark.graft.advisor.semanticRateMax"
+  private val semanticRateMaxDefault = 0.5
+
   private def conf(s: SparkSession, key: String, dflt: Double): Double =
     s.conf.get(key, dflt.toString).toDouble
 
@@ -164,12 +178,40 @@ object Advisor {
       over(stale, 0.0, "compact"))))
   }
 
+  /** ADMISSION-GATE health: the latest gated batch's admit rate vs
+    * its floor and semantic-dup rate vs its ceiling, read off the
+    * curation tier's `gate_log` ([[CorpusStore.ingestScreened]]
+    * appends one row per gated batch). Both breaches advise `alert`
+    * — they are operator alarms (crawler loop, τ drift), not
+    * maintenance the store can run on itself. No rows while the
+    * store has never gated a batch. Cost: one read of the latest
+    * log row — the log is one row per batch, never corpus-sized. */
+  def adviseGate(s: SparkSession,
+      store: CurationStore.Store): DataFrame = {
+    val dir = s"${store.dir}/gate_log"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return frame(s, Seq.empty)
+    val last = s.read.parquet(dir)
+      .orderBy(org.apache.spark.sql.functions.col("seq").desc)
+      .select("admit_rate", "semantic_rate").head()
+    val (admit, sem) = (last.getDouble(0), last.getDouble(1))
+    val floor = conf(s, AdmitRateFloor, admitRateFloorDefault)
+    val semMax = conf(s, SemanticRateMax, semanticRateMaxDefault)
+    frame(s, Seq(
+      ("gate", "admit_rate", admit, floor,
+        if (admit < floor) "alert" else "ok"),
+      ("gate", "semantic_rate", sem, semMax,
+        over(sem, semMax, "alert"))))
+  }
+
   /** The whole transaction's advice — one frame over every mounted
     * store, the readout a deployment runs after each batch. */
   def advise(s: SparkSession, st: CorpusStore.Stores): DataFrame = {
     val three = adviseCuration(s, st.curation)
       .unionByName(adviseAnn(s, st.ann))
       .unionByName(adviseText(s, st.text))
+      .unionByName(adviseGate(s, st.curation))
     st.stats.map(x => three.unionByName(adviseStats(s, x)))
       .getOrElse(three)
   }

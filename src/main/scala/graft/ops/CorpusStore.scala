@@ -84,6 +84,13 @@ object CorpusStore {
     }
     val cur = CurationStore.build(corpus.select(col(idCol), col(textCol)),
       idCol, textCol, s"$dir/curation", bucketLabels = bucketLabels)
+    // a rebuild starts a fresh gate history: inherited admission
+    // rates describe another corpus life (the recall_log rule,
+    // admission tier)
+    StageSwap.remove(
+      new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log")
+        .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log"))
     val ann = AnnIndexStore.build(corpus.select(col(idCol), col(vecCol)),
       idCol, vecCol, s"$dir/ann", d.centroidPred,
       d.seedPred, d.m, d.subDim, d.iters)
@@ -285,7 +292,47 @@ object CorpusStore {
     val kept = batch.join(
       decisions.filter(col("status") === "kept").select(col(st.idCol)),
       Seq(st.idCol), "left_semi")
-    (ingest(st, kept, textCol, vecCol, batchId), decisions)
+    val out = ingest(st, kept, textCol, vecCol, batchId)
+    appendGateLog(s, st.curation.dir, batchId, decisions)
+    (out, decisions)
+  }
+
+  /** GATE HEALTH log — one row per gated batch appended to the
+    * curation tier's `gate_log` ([[AnnIndexStore.recallProbe]]'s
+    * recall_log convention: advisory monitoring data beside the
+    * store, not a store stage — no marker, and a replayed
+    * transaction's duplicate append carries the same reproduced
+    * decisions, so it skews no reading). The row is the decision
+    * mix plus the two rates the [[Advisor]] alarms on: `admit_rate`
+    * collapsing says the crawler is resending the corpus (or the
+    * gate broke); `semantic_rate` spiking says τ drifted or a
+    * near-copy storm is at the door. `seq` orders the log (the
+    * single-writer contract makes the read-increment safe).
+    */
+  private def appendGateLog(s: SparkSession, curationDir: String,
+      batchId: String, decisions: DataFrame): Unit = {
+    val dir = s"$curationDir/gate_log"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val nextSeq =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) 1L
+      else s.read.parquet(dir).agg(coalesce(max(col("seq")), lit(0L)))
+        .head().getLong(0) + 1
+    def n(status: String) =
+      sum(when(col("status") === status, 1L).otherwise(0L))
+    decisions.agg(count(lit(1)).as("n_total"),
+        n("kept").as("n_kept"), n("hist_dup").as("n_hist_dup"),
+        n("batch_dup").as("n_batch_dup"),
+        n("contaminated").as("n_contaminated"),
+        n("semantic_dup").as("n_semantic_dup"))
+      .select(lit(nextSeq).as("seq"), lit(batchId).as("batch_id"),
+        col("n_total"), col("n_kept"), col("n_hist_dup"),
+        col("n_batch_dup"), col("n_contaminated"),
+        col("n_semantic_dup"),
+        round(col("n_kept") / col("n_total"), 4).as("admit_rate"),
+        round(col("n_semantic_dup") / col("n_total"), 4)
+          .as("semantic_rate"))
+      .write.mode("append").parquet(dir)
   }
 
   /** Tombstone `ids` in all three stores under ONE batch id —

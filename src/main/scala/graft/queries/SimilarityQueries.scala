@@ -2090,9 +2090,66 @@ object SimilarityQueries {
         |ORDER BY a.qid""".stripMargin
     })
 
+  /** GATE-HEALTH advisory ([[graft.ops.Advisor.adviseGate]] over the
+    * `gate_log` a gated ingest appends): q194's gated transaction
+    * runs, then the advisor reads the latest log row and judges the
+    * two admission alarms — admit-rate collapse (crawler loop /
+    * broken gate) and semantic-dup spike (τ drift / near-copy
+    * storm). The oracle recomputes both rates from the shared
+    * decision CTE stack and applies the default dials, so the whole
+    * loop — gate → log → advisor threshold row — is hash-pinned.
+    */
+  val q199 = Q("q199_gate_health",
+    (s, dir) => {
+      import graft.ops.{Advisor, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val st0 = CorpusStore.build(
+        corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-gatehealth"))
+      val (st, _) = CorpusStore.ingestScreened(st0,
+        corpus.filter(col("doc_id") % 5 === 4), "text", "embedding",
+        "gatehealth-fifth", semanticTau = Some(0.9),
+        semanticNprobe = 2)
+      Advisor.adviseGate(s, st.curation).orderBy("metric")
+    },
+    Some(s"""WITH RECURSIVE ${TextQueries.duckSigCtes},
+      |hist0 AS MATERIALIZED (SELECT doc_id FROM documents
+      | WHERE doc_id % 5 != 4),
+      |${TextQueries.duckScreenStage("", "doc_id % 5 = 4", "hist0")},
+      |${IvfPqSql.ctes("vec_id % 5 = 4", trainWhere = "vec_id % 5 != 4",
+        nprobe = 2, encWhere = "vec_id % 5 != 4")},
+      |sem AS MATERIALIZED (SELECT qid AS doc_id FROM (
+      |  SELECT qid, adc, row_number() OVER (
+      |    PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc)
+      | WHERE rn = 1 AND adc <= 0.9),
+      |dec2 AS (SELECT d.doc_id,
+      |  CASE WHEN d.status = 'kept' AND sm.doc_id IS NOT NULL
+      |   THEN 'semantic_dup' ELSE d.status END AS status
+      | FROM dec d LEFT JOIN sem sm USING (doc_id)),
+      |rates AS (SELECT
+      |  round(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+      |    * 1.0 / count(*), 4) AS admit,
+      |  round(sum(CASE WHEN status = 'semantic_dup' THEN 1 ELSE 0 END)
+      |    * 1.0 / count(*), 4) AS sem_rate
+      | FROM dec2)
+      |SELECT * FROM (
+      | SELECT 'gate' AS store, 'admit_rate' AS metric,
+      |  admit AS value, CAST(0.05 AS DOUBLE) AS threshold,
+      |  CASE WHEN admit < 0.05 THEN 'alert' ELSE 'ok' END AS action
+      | FROM rates
+      | UNION ALL
+      | SELECT 'gate', 'semantic_rate', sem_rate,
+      |  CAST(0.5 AS DOUBLE),
+      |  CASE WHEN sem_rate > 0.5 THEN 'alert' ELSE 'ok' END
+      | FROM rates)
+      |ORDER BY metric""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
     q161, q163, q166, q169, q176, q180, q185, q188, q189, q194, q195,
-    q197)
+    q197, q199)
 }

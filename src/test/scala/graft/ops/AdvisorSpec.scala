@@ -152,6 +152,57 @@ class AdvisorSpec extends SparkSpec {
     } finally spark.conf.unset(CurationStore.DeltaBroadcastMaxBytes)
   }
 
+  test("gate health: no rows before a gated batch, a healthy batch " +
+      "advises ok, an all-duplicate recrawl collapses admit_rate to " +
+      "alert at the default floor, and the semantic dial is honored " +
+      "on both sides of the measured rate") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 7) % 13 - 6) / 6f)
+    def words(seed: Int): String =
+      (0 until 8).map(i => s"w${seed}x$i").mkString(" ")
+    val stored = Seq(3L, 7L, 13L, 20L, 21L, 22L, 23L)
+      .map(i => (i, words(i.toInt), vec(i.toInt)))
+      .toDF("doc_id", "text", "embedding")
+    val st = CorpusStore.build(stored, "doc_id", "text", "embedding",
+      s"$tmp/gate")
+    assert(actions(Advisor.advise(spark, st)).keys
+        .forall(_._1 != "gate"),
+      "gate rows emitted before any gated batch")
+    // healthy batch: two fresh docs, one text-dup of stored 21 —
+    // admit rate 2/3, well over the 0.05 floor
+    val batch1 = Seq((101L, words(101), vec(55)),
+      (102L, words(21), vec(66)), (103L, words(103), vec(77)))
+      .toDF("doc_id", "text", "embedding")
+    CorpusStore.ingestScreened(st, batch1, "text", "embedding", "g1")
+    val healthy = actions(Advisor.adviseGate(spark, st.curation))
+    assert(healthy == Map(("gate", "admit_rate") -> "ok",
+      ("gate", "semantic_rate") -> "ok"),
+      s"healthy batch not all-ok: $healthy")
+    // the crawler-loop shape: the SAME texts return under new ids —
+    // every doc is a hist_dup of what g1 folded, admit rate 0
+    val batch2 = Seq((201L, words(101), vec(58)),
+      (202L, words(21), vec(69)), (203L, words(103), vec(80)))
+      .toDF("doc_id", "text", "embedding")
+    CorpusStore.ingestScreened(st, batch2, "text", "embedding", "g2")
+    val collapsed = actions(Advisor.adviseGate(spark, st.curation))
+    assert(collapsed(("gate", "admit_rate")) == "alert",
+      s"an all-duplicate batch did not alert: $collapsed")
+    // the semantic dial, pinned on both sides of the measured rate
+    // (0 here — no semantic gate was mounted): a ceiling of -1 must
+    // trip, the default must not (already asserted above)
+    try {
+      spark.conf.set(Advisor.SemanticRateMax, "-1")
+      assert(actions(Advisor.adviseGate(spark, st.curation))(
+          ("gate", "semantic_rate")) == "alert",
+        "a ceiling below the measured semantic rate did not alert")
+    } finally spark.conf.unset(Advisor.SemanticRateMax)
+    // advise() carries the gate rows once the log exists
+    assert(actions(Advisor.advise(spark, st))
+        .contains(("gate", "admit_rate")),
+      "advise() does not union the gate rows")
+  }
+
   test("maintain executes exactly the advised compacts: due stores " +
       "settle, untouched stores keep their manifests verbatim, " +
       "rebuild advice passes through unexecuted WITHOUT the opt-in " +
