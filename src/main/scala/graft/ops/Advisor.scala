@@ -67,6 +67,14 @@ object Advisor {
   val SemanticRateMax = "spark.graft.advisor.semanticRateMax"
   private val semanticRateMaxDefault = 0.5
 
+  /** How many trailing gate-log batches the WINDOWED admission
+    * readings aggregate over ([[adviseGate]]'s `admit_rate_window` /
+    * `semantic_rate_window` rows). The window is what keeps one
+    * healthy batch from silently clearing a standing collapse
+    * alarm. */
+  val GateWindowBatches = "spark.graft.advisor.gateWindowBatches"
+  private val gateWindowDefault = 5
+
   private def conf(s: SparkSession, key: String, dflt: Double): Double =
     s.conf.get(key, dflt.toString).toDouble
 
@@ -179,30 +187,75 @@ object Advisor {
   }
 
   /** ADMISSION-GATE health: the latest gated batch's admit rate vs
-    * its floor and semantic-dup rate vs its ceiling, read off the
-    * curation tier's `gate_log` ([[CorpusStore.ingestScreened]]
-    * appends one row per gated batch). Both breaches advise `alert`
-    * — they are operator alarms (crawler loop, τ drift), not
+    * its floor and semantic-dup rate vs its ceiling, PLUS the same
+    * two rates over the last [[GateWindowBatches]] batches — read
+    * off the curation tier's `gate_log` ([[CorpusStore
+    * .ingestScreened]] appends one row per gated batch). The
+    * windowed rows are the trend alarm the log exists for: a single
+    * healthy batch after an admission-rate collapse must NOT clear
+    * a standing alert (the latest-row rate recovers, the windowed
+    * rate — total kept over total screened across the window, each
+    * batch weighted by its size — stays collapsed until the window
+    * genuinely drains). A `gate_window_batches` row reports how many
+    * batches the window actually held, so a reader can tell a
+    * one-batch "window" from a full one. Both breach kinds advise
+    * `alert` — operator alarms (crawler loop, τ drift), not
     * maintenance the store can run on itself. No rows while the
-    * store has never gated a batch. Cost: one read of the latest
-    * log row — the log is one row per batch, never corpus-sized. */
+    * store has never gated a batch. Null-safe against legacy 0/0
+    * rows (pre-skip-empty-batch logs): rows with `n_total` 0 carry
+    * NULL rates and are excluded from both readings. Cost: one
+    * listing plus one read of at most the window's rows — the seq
+    * IS the file name ([[CorpusStore]]'s gate-log layout), so the
+    * window resolves from the listing without scanning the log. */
   def adviseGate(s: SparkSession,
       store: CurationStore.Store): DataFrame = {
     val dir = s"${store.dir}/gate_log"
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) return frame(s, Seq.empty)
-    val last = s.read.parquet(dir)
-      .orderBy(org.apache.spark.sql.functions.col("seq").desc)
-      .select("admit_rate", "semantic_rate").head()
-    val (admit, sem) = (last.getDouble(0), last.getDouble(1))
+    val window = conf(s, GateWindowBatches,
+      gateWindowDefault.toDouble).toInt
+    require(window >= 1, s"$GateWindowBatches must be >= 1")
+    // resolve the window OFF THE LISTING: seq-named single-file rows
+    // let the last-N read touch exactly N files. Legacy multi-file
+    // logs (pre-named layout) fall back to a whole-dir read — still
+    // one row per batch, never corpus-sized.
+    val SeqFile = "^seq-(\\d{5,})\\.parquet$".r
+    val names = fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    val seqNamed = names.collect { case SeqFile(n) => n.toLong }
+    val log =
+      if (seqNamed.size == names.size && names.nonEmpty)
+        s.read.parquet(seqNamed.sorted.takeRight(window)
+          .map(n => f"$dir/seq-$n%05d.parquet"): _*)
+      else s.read.parquet(dir)
+    val rows = log
+      .filter(org.apache.spark.sql.functions.col("n_total") > 0L)
+      .select("seq", "n_total", "n_kept", "n_semantic_dup")
+      .collect().sortBy(_.getLong(0)).takeRight(window)
+    if (rows.isEmpty) return frame(s, Seq.empty)
+    def rate(kept: Long, total: Long): Double =
+      BigDecimal(kept.toDouble / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val last = rows.last
+    val admit = rate(last.getLong(2), last.getLong(1))
+    val sem = rate(last.getLong(3), last.getLong(1))
+    val wTotal = rows.map(_.getLong(1)).sum
+    val admitW = rate(rows.map(_.getLong(2)).sum, wTotal)
+    val semW = rate(rows.map(_.getLong(3)).sum, wTotal)
     val floor = conf(s, AdmitRateFloor, admitRateFloorDefault)
     val semMax = conf(s, SemanticRateMax, semanticRateMaxDefault)
     frame(s, Seq(
       ("gate", "admit_rate", admit, floor,
         if (admit < floor) "alert" else "ok"),
+      ("gate", "admit_rate_window", admitW, floor,
+        if (admitW < floor) "alert" else "ok"),
+      ("gate", "gate_window_batches", rows.size.toDouble,
+        window.toDouble, "ok"),
       ("gate", "semantic_rate", sem, semMax,
-        over(sem, semMax, "alert"))))
+        over(sem, semMax, "alert")),
+      ("gate", "semantic_rate_window", semW, semMax,
+        over(semW, semMax, "alert"))))
   }
 
   /** The whole transaction's advice — one frame over every mounted

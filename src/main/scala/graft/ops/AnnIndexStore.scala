@@ -976,6 +976,12 @@ object AnnIndexStore {
     *    `false_admit` (ADC admits what the exact gate would refuse —
     *    the dup-leak direction).
     *
+    * The frame is keyed by the EXACT arm (left join): a query whose
+    * probed cells yielded no ANN candidate surfaces with a NULL
+    * `nn_id`/`adc`/`margin` and `adc_flag` false — the gate's actual
+    * behavior on it ([[semanticDups]] only flags found candidates) —
+    * instead of silently vanishing from the calibration.
+    *
     * Filter `flip != 'agree'` and read the margins at the boundary:
     * lowering τ by the false-reject rows' margin quantile trades
     * leaks for admissions, and a sample's flip RATE is the gate's
@@ -1005,9 +1011,16 @@ object AnnIndexStore {
       .filter(col("_rn") === 1)
       .select(col("qid"), col(idx.idCol).as("exact_id"),
         col("_d").as("exact_dist"))
-    val adcFlag = col("adc") <= tau
+    // LEFT join from the exact arm: a query whose probed cells yield
+    // no ANN candidate must SURFACE (NULL adc arm), not vanish — it
+    // is precisely the query where the gate's behavior is most
+    // suspect. The gate's actual behavior on it is "not flagged"
+    // ([[semanticDups]] only flags found candidates), so its
+    // adc_flag reads false and an exact-arm hit under τ reads
+    // `false_admit` — the dup-leak the probe budget caused.
+    val adcFlag = coalesce(col("adc") <= tau, lit(false))
     val exactFlag = col("exact_dist") <= tau
-    approx.join(exact, "qid")
+    exact.join(approx, Seq("qid"), "left")
       .select(col("qid"), col("nn_id"), col("adc"), col("exact_id"),
         col("exact_dist"),
         round(col("adc") - col("exact_dist"), 6).as("margin"),

@@ -40,8 +40,16 @@ import org.apache.spark.sql.functions._
   *
   * Single-writer contract per store directory (build/revise); gate
   * reads and pin records need no marker — `_gate` files are
-  * immutable once written (create-unique + rename-no-overwrite, so
-  * two racing replays of the same batch converge on one record).
+  * immutable once written (the claim is an atomic
+  * create-no-overwrite on the final name — rename would silently
+  * overwrite on local filesystems — so two racing replays of the
+  * same batch converge on one record). Retention honors the records:
+  * [[revise]]'s GC protects every seq a `_gate` record names (its
+  * snapshot AND its shingle version survive any number of later
+  * revisions), so "every historical eval set resolvable" holds for
+  * exactly the history someone still holds a pin on;
+  * [[releaseBatch]] is the bound — drop a settled batch's record and
+  * its revision ages out normally.
   */
 object BenchmarkStore {
 
@@ -106,8 +114,49 @@ object BenchmarkStore {
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     StoreVersions.flip(fs, dir, Map(Stage -> v))
-    StoreVersions.gc(s, fs, dir, Seq(Stage))
+    // retention must never break a recorded gate: every seq a
+    // `_gate` record still names is protected — its snapshot file
+    // AND its shingle version survive any number of later revisions,
+    // so a crashed gated batch's replay re-resolves its pinned eval
+    // set even after retention would have dropped it. The bound is
+    // the caller's: [[releaseBatch]] a settled batch to let its
+    // revision age out.
+    StoreVersions.gc(s, fs, dir, Seq(Stage),
+      keepSeqs = gatePinnedSeqs(fs, dir))
     Store(dir)
+  }
+
+  /** Seqs still named by `_gate` records — the revisions retention
+    * must keep resolvable. Crashed half-written claims (empty or
+    * garbage records) protect nothing: the batch they belong to
+    * fails loudly at [[pinForBatch]] with the remedy in the message.
+    */
+  private def gatePinnedSeqs(fs: FileSystem, dir: String): Set[Int] = {
+    val d = new Path(s"$dir/_gate")
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.contains(".tmp-"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try {
+          val src = scala.io.Source.fromInputStream(in, "UTF-8")
+          try src.mkString.trim.toIntOption finally src.close()
+        } finally in.close()
+      }.toSet
+  }
+
+  /** Drop a SETTLED batch's gate record — the retention release for
+    * [[pinForBatch]]'s pin: once every tier folded the batch (and no
+    * replay can arrive — the caller's epoch discipline knows, this
+    * store cannot), its record no longer needs to hold the pinned
+    * revision against GC. Unreleased records keep their revisions
+    * resolvable forever by design; this call is the bound.
+    */
+  def releaseBatch(s: SparkSession, store: Store,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty, "releaseBatch needs a batchId")
+    val fs = fsOf(s, store.dir)
+    fs.delete(new Path(s"${store.dir}/_gate/$batchId"), false)
   }
 
   /** First revision. A pre-versioning/foreign directory is reset; a
@@ -148,36 +197,54 @@ object BenchmarkStore {
     require(batchId.nonEmpty, "a gate pin needs a batchId")
     val fs = fsOf(s, store.dir)
     val rec = new Path(s"${store.dir}/_gate/$batchId")
-    def recorded(): Option[Int] =
-      if (!fs.exists(rec)) None
-      else {
+    // a claimed-but-empty record is a writer that died between its
+    // create and its one content write — poll briefly for a LIVE
+    // writer's close, then fail loudly with the remedy (the crash
+    // happened at pin time, strictly before any tier folded, so
+    // deleting the record and re-running the batch is safe)
+    def recordedRetry(): Int = {
+      var tries = 0
+      while (tries < 50) {
         val in = fs.open(rec)
-        try {
-          val src = scala.io.Source.fromInputStream(in, "UTF-8")
-          try Some(src.mkString.trim.toInt) finally src.close()
-        } finally in.close()
+        val text =
+          try {
+            val src = scala.io.Source.fromInputStream(in, "UTF-8")
+            try src.mkString finally src.close()
+          } finally in.close()
+        text.trim.toIntOption match {
+          case Some(seq) => return seq
+          case None => Thread.sleep(20); tries += 1
+        }
       }
-    recorded() match {
-      case Some(seq) => store.pinAt(s, seq)
-      case None =>
-        val live = store.pin(s)
-        fs.mkdirs(rec.getParent)
-        // create-unique + rename-NO-overwrite: if a racing replay of
-        // the same batch recorded first, its record wins and we
-        // re-read — both converge on one revision
-        val tmp = new Path(rec.getParent,
-          s"${rec.getName}.tmp-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
+      throw new IllegalStateException(
+        s"gate record $rec exists but holds no revision seq — a " +
+          "claimant died before writing it. The crash preceded " +
+          "every tier fold (pins happen first), so the remedy is: " +
+          "delete the record and re-run the batch; it will re-pin " +
+          "the live revision")
+    }
+    if (fs.exists(rec)) return store.pinAt(s, recordedRetry())
+    val live = store.pin(s)
+    fs.mkdirs(rec.getParent)
+    // the ATOMIC claim is create(rec, overwrite = false) on the
+    // FINAL name: rename-based protocols silently overwrite on
+    // RawLocalFileSystem (POSIX renameTo), so two racing replays
+    // straddling a revise() could each believe they recorded —
+    // the exact divergence this record exists to prevent. A lost
+    // race reads the winner's seq; both replays converge on ONE
+    // revision.
+    val claimed =
+      try {
+        val out = fs.create(rec, false)
         try out.write(s"${live.seq}\n".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        if (fs.rename(tmp, rec)) live
-        else {
-          fs.delete(tmp, false)
-          store.pinAt(s, recorded().getOrElse(throw
-            new IllegalStateException(
-              s"gate record $rec unreadable after a lost rename race")))
-        }
-    }
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          false
+        case _: java.io.IOException if fs.exists(rec) => false
+      }
+    if (claimed) live else store.pinAt(s, recordedRetry())
   }
 }

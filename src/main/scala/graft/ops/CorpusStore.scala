@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ONE corpus, THREE indexes, ONE epoch — the orchestration layer a
@@ -42,6 +42,35 @@ import org.apache.spark.sql.functions._
   * the batch frame is analyzed once per store (three jobs over the
   * same input — at 100 TB batch sizes, persist the batch before
   * calling if recomputing its lineage is expensive).
+  *
+  * ==Multi-writer operations (the lease/queue story)==
+  *
+  * Writer coordination is DETECT-AND-FAIL, not built-in queuing:
+  * each store's [[UpdateMarker]] is an atomic single-writer claim,
+  * so two live writers collide loudly at the second claim — the
+  * deliberate contract for a layer that cannot see the caller's
+  * scheduler. Operationally, a deployment runs TWO recurring writer
+  * roles against one corpus quad — the ingest cadence
+  * ([[ingestScreened]] / [[delete]], batch or `foreachBatch`) and
+  * the maintenance cadence ([[maintain]], typically a cron) — and
+  * the rule is: '''give both roles to one scheduler lane''' (one
+  * cron that runs ingest, then maintain-if-advised), or front the
+  * store with an external lease/queue (a workflow scheduler's mutex,
+  * a ZK/DB lease) so at most one writer role holds the store at a
+  * time. READS need nothing: every serve pins a committed snapshot
+  * and is isolated from any in-flight writer ([[StoreVersions]]).
+  *
+  * What a marker collision means operationally: a writer is LIVE in
+  * that store right now — NOT a crash leftover (every writer entry
+  * settles a crashed predecessor's marker before claiming, so stale
+  * markers self-heal at the next entry). The remedy is to retry
+  * after the holder finishes (the error message says so —
+  * spec-pinned), never to delete the marker by hand: deleting a
+  * live writer's claim re-opens the interleaved-append window the
+  * marker exists to close. A crashed writer needs NO operator
+  * action — the next scheduled run of ANY writer heals and
+  * proceeds; `batchId`s make the healed replay a detected no-op on
+  * stores that already folded.
   */
 object CorpusStore {
 
@@ -234,27 +263,85 @@ object CorpusStore {
       "pass the benchmark as a raw frame OR a versioned store, " +
         "not both")
     val s = batch.sparkSession
-    // with a benchmark mounted, eval-set leakage is a FOURTH status
-    // (`contaminated`, overriding the dedup statuses) and those docs
-    // never fold — [[CurationStore.screenDecontaminated]]'s contract;
-    // contamination is history-independent so replay is unchanged.
-    // The VERSIONED form ([[BenchmarkStore]]) pins one eval revision
-    // per batchId BEFORE any tier folds — so even the benchmark
-    // itself drifting between a crash and its replay cannot move the
-    // decisions — and stamps the decisions with `bench_rev`, the
-    // which-eval-set-gated-batch-N provenance
-    val lexical = (benchmark, benchmarkStore) match {
+    // the VERSIONED benchmark form pins one eval revision per
+    // batchId BEFORE any tier folds — so even the benchmark itself
+    // drifting between a crash and its replay cannot move the
+    // decisions; the pin is the ONLY write before the folds, and the
+    // decision pipeline itself is the shared read-only
+    // [[gateDecisions]] (also behind [[gatePreview]])
+    val decisions = gateDecisions(st, batch, textCol, vecCol,
+      numBands, minEst, maxBucketSize, benchmark, benchK,
+      benchMinOverlap, semanticTau, semanticNprobe,
+      benchmarkStore.map(bs => BenchmarkStore.pinForBatch(s, bs,
+        batchId)))
+    // PERSIST the decision frame for the TRANSACTION'S OWN consumers:
+    // without a cache the screen + semantic pipeline would re-execute
+    // inside every internal consumer — the gate-log counts and each
+    // of the four tier folds' jobs over `kept` (the r16 advice
+    // finding: the gate paid the screen at least twice per batch).
+    // One materialization, batch-sized, MEMORY_AND_DISK; both caches
+    // drop before returning (the cached-block hygiene contract —
+    // UnpersistSpec), so the caller's own consumption recomputes once
+    // — and reproduces the same decisions however late it runs, by
+    // the replay discipline (batch ids anti-joined out of history).
+    val decisionsP = decisions.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = batch.join(
+      decisionsP.filter(col("status") === "kept")
+        .select(col(st.idCol)),
+      Seq(st.idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the gate-log counts run FIRST: one tiny agg materializes the
+    // decision cache before any tier fold touches `kept` (the row
+    // itself still appends only after the folds — see below)
+    val gateCounts = decisionsP.agg(count(lit(1)).as("n_total"),
+      gateN("kept").as("n_kept"), gateN("hist_dup").as("n_hist_dup"),
+      gateN("batch_dup").as("n_batch_dup"),
+      gateN("contaminated").as("n_contaminated"),
+      gateN("semantic_dup").as("n_semantic_dup")).head()
+    val out = ingest(st, kept, textCol, vecCol, batchId)
+    kept.unpersist()
+    appendGateLog(s, st.curation.dir, batchId, gateCounts)
+    decisionsP.unpersist()
+    (out, decisions)
+  }
+
+  private def gateN(status: String): Column =
+    sum(when(col("status") === status, 1L).otherwise(0L))
+
+  /** THE gate's decision pipeline — one copy, shared by the folding
+    * forms ([[ingestScreenedAttributed]], which resolves `pinned`
+    * through the batch-pinning record) and the READ-ONLY preview
+    * ([[gatePreview]], which resolves the live revision). Pure read:
+    * screens against pinned snapshots, records nothing, folds
+    * nothing.
+    *
+    * With a benchmark mounted (raw frame or resolved `pinned`
+    * revision), eval-set leakage is a FOURTH status (`contaminated`,
+    * overriding the dedup statuses) — [[CurationStore
+    * .screenDecontaminated]]'s contract; contamination is
+    * history-independent so replay is unchanged. A `pinned` revision
+    * additionally stamps `bench_rev`, the
+    * which-eval-set-gated-batch-N provenance.
+    */
+  private def gateDecisions(st: Stores, batch: DataFrame,
+      textCol: String, vecCol: String, numBands: Int, minEst: Double,
+      maxBucketSize: Long, benchmark: Option[DataFrame], benchK: Int,
+      benchMinOverlap: Int, semanticTau: Option[Double],
+      semanticNprobe: Int,
+      pinned: Option[BenchmarkStore.Pinned]): DataFrame = {
+    val s = batch.sparkSession
+    val lexical = (benchmark, pinned) match {
       case (Some(bench), _) =>
         CurationStore.screenDecontaminatedAttributed(
           s, st.curation, batch, textCol, bench, benchK,
           benchMinOverlap, numBands, minEst, maxBucketSize)
-      case (None, Some(bs)) =>
-        val pinned = BenchmarkStore.pinForBatch(s, bs, batchId)
+      case (None, Some(p)) =>
         CurationStore.screenDecontaminatedAttributedShingled(
-            s, st.curation, batch, textCol, pinned.shingles(s),
-            pinned.k, benchMinOverlap, numBands, minEst,
+            s, st.curation, batch, textCol, p.shingles(s),
+            p.k, benchMinOverlap, numBands, minEst,
             maxBucketSize)
-          .withColumn("bench_rev", lit(pinned.seq))
+          .withColumn("bench_rev", lit(p.seq))
       case (None, None) => CurationStore.screenAttributed(s,
         st.curation, batch, textCol, numBands, minEst, maxBucketSize)
     }
@@ -267,7 +354,7 @@ object CorpusStore {
     // reason (and its lexical attribution), and the flags exclude
     // the batch's own ids so the replay discipline matches the
     // lexical screen's
-    val decisions = semanticTau match {
+    semanticTau match {
       case None =>
         lexical.select(Seq(col(st.idCol), col("status"),
           col("dup_of"), lit(null).cast("double").as("adc")) ++
@@ -289,12 +376,61 @@ object CorpusStore {
               .otherwise(col("dup_of")).as("dup_of"),
             when(demoted, col("_sem_adc")).as("adc")) ++ revCols: _*)
     }
-    val kept = batch.join(
-      decisions.filter(col("status") === "kept").select(col(st.idCol)),
-      Seq(st.idCol), "left_semi")
-    val out = ingest(st, kept, textCol, vecCol, batchId)
-    appendGateLog(s, st.curation.dir, batchId, decisions)
-    (out, decisions)
+  }
+
+  /** READ-ONLY preview of the FULL three-axis admission gate: the
+    * attributed decision frame [[ingestScreenedAttributed]] would
+    * act on — lexical near-dup (vs history + within batch, with
+    * `dup_of` receipts), benchmark decontamination (against the
+    * store's LIVE revision, stamped `bench_rev`), and the semantic
+    * axis (`semantic_dup` + `adc`) — WITHOUT folding anything,
+    * recording any batch pin, or appending to the gate log. The
+    * what-would-the-gate-do query a crawler operator runs before
+    * committing a batch id; also the engine behind the `gate_preview`
+    * SQL TVF ([[graft.plans.GatePreviewSql]]). Because no pin is
+    * recorded, two previews straddling a [[BenchmarkStore.revise]]
+    * may legitimately see different revisions — the committed gate's
+    * determinism contract starts at [[ingestScreened]]'s batchId.
+    */
+  def gatePreview(st: Stores, batch: DataFrame, textCol: String,
+      vecCol: String,
+      numBands: Int = CurationStore.UseStoredDials,
+      minEst: Double = CurationStore.UseStoredDials,
+      maxBucketSize: Long = Long.MaxValue,
+      benchmark: Option[DataFrame] = None, benchK: Int = 3,
+      benchMinOverlap: Int = 2, semanticTau: Option[Double] = None,
+      semanticNprobe: Int = 1,
+      benchmarkStore: Option[BenchmarkStore.Store] = None)
+      : DataFrame = {
+    require(benchmark.isEmpty || benchmarkStore.isEmpty,
+      "pass the benchmark as a raw frame OR a versioned store, " +
+        "not both")
+    val s = batch.sparkSession
+    gateDecisions(st, batch, textCol, vecCol, numBands, minEst,
+      maxBucketSize, benchmark, benchK, benchMinOverlap, semanticTau,
+      semanticNprobe, benchmarkStore.map(_.pin(s)))
+  }
+
+  /** Handles for an EXISTING corpus-store quad when the caller has
+    * no `Stores` in hand (the SQL front doors' entry point, the
+    * per-tier `forDir` convention lifted to the transaction layer):
+    * curation/ann/text reopen from their committed layouts under
+    * `dir`, the optional stats tier mounts when its directory holds
+    * a committed manifest. `sourceCol` only matters when it does.
+    */
+  def forDir(s: SparkSession, dir: String, idCol: String,
+      sourceCol: String = "source"): Stores = {
+    val statsDir = s"$dir/stats"
+    val fs = new org.apache.hadoop.fs.Path(statsDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Stores(
+      CurationStore.forDir(s, s"$dir/curation", idCol),
+      AnnIndexStore.forDir(s, s"$dir/ann", idCol),
+      TextIndexStore.forDir(s, s"$dir/text", idCol),
+      if (StoreVersions.read(fs, statsDir).nonEmpty)
+        Some(StatsStore.Store(statsDir))
+      else None,
+      sourceCol)
   }
 
   /** GATE HEALTH log — one row per gated batch appended to the
@@ -306,33 +442,77 @@ object CorpusStore {
     * mix plus the two rates the [[Advisor]] alarms on: `admit_rate`
     * collapsing says the crawler is resending the corpus (or the
     * gate broke); `semantic_rate` spiking says τ drifted or a
-    * near-copy storm is at the door. `seq` orders the log (the
-    * single-writer contract makes the read-increment safe).
+    * near-copy storm is at the door. `seq` orders the log and IS the
+    * file name (`seq-NNNNN.parquet`, single-file rows) — the next
+    * seq derives from the directory LISTING, never a Spark job over
+    * the log (the store layer's one-row-read discipline, applied to
+    * the writer; the single-writer contract makes the
+    * list-increment safe). An EMPTY batch (possible via streaming
+    * `foreachBatch`) appends nothing: a 0/0 rate row would carry
+    * NULL rates and poison the advisor readout while saying nothing
+    * about admission — no documents arrived, so no gate decision
+    * happened.
     */
+  private val GateSeqFile = "^seq-(\\d{5,})\\.parquet$".r
+
+  /** Next gate-log seq from the directory LISTING — zero Spark jobs
+    * on the named layout (spec-pinned); only a legacy pre-named
+    * layout ever pays one read, once, after which every append lands
+    * named and lists. */
+  private[ops] def nextGateSeq(s: SparkSession, dir: String): Long = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(dirPath)) 1L
+    else {
+      val names = fs.listStatus(dirPath).toSeq.filter(_.isFile)
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      val seqs = names.collect { case GateSeqFile(n) => n.toLong }
+      if (seqs.size < names.size)
+        s.read.parquet(dir).agg(coalesce(max(col("seq")), lit(0L)))
+          .head().getLong(0) + 1
+      else seqs.maxOption.getOrElse(0L) + 1
+    }
+  }
+
   private def appendGateLog(s: SparkSession, curationDir: String,
-      batchId: String, decisions: DataFrame): Unit = {
+      batchId: String, counts: Row): Unit = {
+    val nTotal = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+    if (nTotal == 0L) return
     val dir = s"$curationDir/gate_log"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val nextSeq =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) 1L
-      else s.read.parquet(dir).agg(coalesce(max(col("seq")), lit(0L)))
-        .head().getLong(0) + 1
-    def n(status: String) =
-      sum(when(col("status") === status, 1L).otherwise(0L))
-    decisions.agg(count(lit(1)).as("n_total"),
-        n("kept").as("n_kept"), n("hist_dup").as("n_hist_dup"),
-        n("batch_dup").as("n_batch_dup"),
-        n("contaminated").as("n_contaminated"),
-        n("semantic_dup").as("n_semantic_dup"))
-      .select(lit(nextSeq).as("seq"), lit(batchId).as("batch_id"),
-        col("n_total"), col("n_kept"), col("n_hist_dup"),
-        col("n_batch_dup"), col("n_contaminated"),
-        col("n_semantic_dup"),
-        round(col("n_kept") / col("n_total"), 4).as("admit_rate"),
-        round(col("n_semantic_dup") / col("n_total"), 4)
-          .as("semantic_rate"))
-      .write.mode("append").parquet(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    val nextSeq = nextGateSeq(s, dir)
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def n(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+    import s.implicits._
+    val row = Seq((nextSeq, batchId, nTotal, n(1), n(2), n(3), n(4),
+        n(5), r4(n(1).toDouble / nTotal), r4(n(5).toDouble / nTotal)))
+      .toDF("seq", "batch_id", "n_total", "n_kept", "n_hist_dup",
+        "n_batch_dup", "n_contaminated", "n_semantic_dup",
+        "admit_rate", "semantic_rate")
+    // single-file append under the seq name: stage to a sibling tmp
+    // dir, move the one part file in, drop the debris — a crash
+    // before the rename leaves only an orphan tmp dir the log's
+    // readers never see
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir.tmp-" + java.util.UUID.randomUUID().toString)
+    row.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath) match {
+        case Seq(one) => one
+        case other => throw new IllegalStateException(
+          s"expected exactly one staged gate-log part file, got " +
+            s"${other.size} under $tmp")
+      }
+    fs.mkdirs(dirPath)
+    val dst = new org.apache.hadoop.fs.Path(dirPath,
+      f"seq-$nextSeq%05d.parquet")
+    require(fs.rename(part, dst), s"gate_log rename to $dst failed")
+    StageSwap.remove(fs, tmp)
+    s.catalog.refreshByPath(dir)
   }
 
   /** Tombstone `ids` in all three stores under ONE batch id —

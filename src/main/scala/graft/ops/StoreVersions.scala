@@ -436,16 +436,32 @@ object StoreVersions {
     * survive (the live state plus the retained maintenance cycles;
     * older entries would mostly name GC'd versions anyway, the
     * expired-snapshot rule).
+    *
+    * `keepSeqs` PROTECTS snapshots a caller holds long-lived pins on
+    * (the [[BenchmarkStore]] gate records): those snapshot files are
+    * never dropped, and neither is any version directory their
+    * manifests name — so a pinned historical read stays resolvable
+    * past any number of later flips, at the cost of exactly the
+    * pinned bytes. The caller owns the bound: an unreleased pin
+    * keeps its versions forever.
     */
   def gc(s: SparkSession, fs: FileSystem, storeDir: String,
-      stages: Seq[String]): Unit = {
+      stages: Seq[String], keepSeqs: Set[Int] = Set.empty): Unit = {
     val retain = s.conf.get(RetainVersions, retainDefault.toString).toInt
     val m = read(fs, storeDir)
+    // stage → version names pinned by the protected snapshots
+    val pinnedVers: Map[String, Set[String]] =
+      if (keepSeqs.isEmpty) Map.empty
+      else snapshotFiles(fs, storeDir)
+        .filter { case (n, _) => keepSeqs.contains(n) }
+        .flatMap { case (_, p) => parse(slurp(fs, p)).toSeq }
+        .groupBy(_._1).map { case (st, xs) => st -> xs.map(_._2).toSet }
     for (stage <- stages; cur <- m.get(stage).flatMap(verNum)) {
+      val keep = pinnedVers.getOrElse(stage, Set.empty)
       val below = versions(fs, storeDir, stage).filter(_._1 < cur)
-      below.dropRight(retain).foreach { case (_, p) =>
-        StageSwap.remove(fs, p)
-      }
+      below.dropRight(retain)
+        .filterNot { case (_, p) => keep.contains(p.getName) }
+        .foreach { case (_, p) => StageSwap.remove(fs, p) }
     }
     val snapDir = new Path(s"$storeDir/_snapshots")
     if (fs.exists(snapDir))
@@ -455,6 +471,7 @@ object StoreVersions {
           case _ => None
         })
         .sortBy(_._1).dropRight(retain + 1)
+        .filterNot { case (n, _) => keepSeqs.contains(n) }
         .foreach { case (_, p) => StageSwap.remove(fs, p) }
   }
 }

@@ -270,8 +270,14 @@ object UpdateMarker {
     if (!fs.createNewFile(marker))
       throw new IllegalStateException(
         s"concurrent update detected: in-flight marker $marker " +
-          "already exists (stores support one writer at a time; " +
-          "serialize updates per store directory)")
+          "already exists. Stores support ONE writer at a time, and " +
+          "every writer entry settles a CRASHED predecessor before " +
+          "claiming — so this marker belongs to a writer that is " +
+          "LIVE right now, not to a crash. Remedy: route every " +
+          "writer of this store (maintain(), ingest, gated ingest, " +
+          "delete, compact) through one scheduler lane or an " +
+          "external lease/queue, and RETRY this operation after the " +
+          "holder finishes; never delete a live marker by hand")
     val sb = new StringBuilder(s"id\t${state.batchId}\n")
     for ((stage, files) <- state.listings.toSeq.sortBy(_._1);
          f <- files.toSeq.sorted)

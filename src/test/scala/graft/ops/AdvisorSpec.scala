@@ -177,7 +177,10 @@ class AdvisorSpec extends SparkSpec {
     CorpusStore.ingestScreened(st, batch1, "text", "embedding", "g1")
     val healthy = actions(Advisor.adviseGate(spark, st.curation))
     assert(healthy == Map(("gate", "admit_rate") -> "ok",
-      ("gate", "semantic_rate") -> "ok"),
+      ("gate", "admit_rate_window") -> "ok",
+      ("gate", "gate_window_batches") -> "ok",
+      ("gate", "semantic_rate") -> "ok",
+      ("gate", "semantic_rate_window") -> "ok"),
       s"healthy batch not all-ok: $healthy")
     // the crawler-loop shape: the SAME texts return under new ids —
     // every doc is a hist_dup of what g1 folded, admit rate 0
@@ -201,6 +204,92 @@ class AdvisorSpec extends SparkSpec {
     assert(actions(Advisor.advise(spark, st))
         .contains(("gate", "admit_rate")),
       "advise() does not union the gate rows")
+  }
+
+  test("gate trend: one healthy batch after a collapse clears the " +
+      "latest-rate row but NOT the windowed alarm; the window dial " +
+      "bounds how far back the trend reads; an empty batch appends " +
+      "no log row and never poisons the readout; the seq path is " +
+      "listing-derived (named single-file rows, zero Spark jobs)") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 7) % 13 - 6) / 6f)
+    def words(seed: Int): String =
+      (0 until 8).map(i => s"t${seed}y$i").mkString(" ")
+    val stored = Seq(3L, 7L, 20L)
+      .map(i => (i, words(i.toInt), vec(i.toInt)))
+      .toDF("doc_id", "text", "embedding")
+    val st = CorpusStore.build(stored, "doc_id", "text", "embedding",
+      s"$tmp/trend")
+    def gate(id: String, rows: Seq[(Long, String, Array[Float])]) =
+      CorpusStore.ingestScreened(st,
+        rows.toDF("doc_id", "text", "embedding"),
+        "text", "embedding", id)
+    // g1 healthy (2 of 3 kept), g2 the collapse (all three are
+    // text-dups of stored/g1 docs — admit 0), g3 ONE fresh doc
+    // (admit 1.0): the latest row recovers, the window must not
+    gate("t1", Seq((101L, words(101), vec(55)),
+      (102L, words(7), vec(66)), (103L, words(103), vec(77))))
+    gate("t2", Seq((201L, words(101), vec(58)),
+      (202L, words(7), vec(69)), (203L, words(103), vec(80))))
+    gate("t3", Seq((301L, words(301), vec(56))))
+    try {
+      // floor 0.5: latest = 1.0 (ok), window-of-5 = (2+0+1)/7 ≈
+      // 0.4286 (alert) — the collapse is still inside the window
+      spark.conf.set(Advisor.AdmitRateFloor, "0.5")
+      val trend = actions(Advisor.adviseGate(spark, st.curation))
+      assert(trend(("gate", "admit_rate")) == "ok",
+        s"latest healthy batch should read ok at floor 0.5: $trend")
+      assert(trend(("gate", "admit_rate_window")) == "alert",
+        "one healthy batch cleared the standing windowed collapse: " +
+          s"$trend")
+      val nBatches = Advisor.adviseGate(spark, st.curation)
+        .filter(col("metric") === "gate_window_batches")
+        .select("value").head().getDouble(0)
+      assert(nBatches == 3.0,
+        s"window should hold the 3 logged batches, got $nBatches")
+      // window dial = 1: only g3 in view — the windowed row clears
+      spark.conf.set(Advisor.GateWindowBatches, "1")
+      val narrow = actions(Advisor.adviseGate(spark, st.curation))
+      assert(narrow(("gate", "admit_rate_window")) == "ok",
+        s"a 1-batch window should read only the healthy g3: $narrow")
+    } finally {
+      spark.conf.unset(Advisor.AdmitRateFloor)
+      spark.conf.unset(Advisor.GateWindowBatches)
+    }
+    // an EMPTY batch (the streaming foreachBatch shape): no log row
+    // appended — a 0/0 rate row would be NULL and poison every later
+    // readout — and the advisor still answers from the real batches
+    val logDir = s"${st.curation.dir}/gate_log"
+    def logFiles() = new java.io.File(logDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val before = logFiles()
+    gate("t-empty", Seq.empty)
+    assert(logFiles() == before,
+      "an empty batch appended a gate-log row")
+    assert(actions(Advisor.adviseGate(spark, st.curation))
+        .contains(("gate", "admit_rate")),
+      "adviseGate broke after an empty gated batch")
+    // the log layout IS the seq: one named single-file row per
+    // non-empty batch, so the writer's next-seq derivation and the
+    // advisor's window resolve from the listing alone
+    assert(before == Seq("seq-00001.parquet", "seq-00002.parquet",
+      "seq-00003.parquet"), s"unexpected gate-log layout: $before")
+    // and the derivation itself runs ZERO Spark jobs on this layout
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(CorpusStore.nextGateSeq(spark, logDir) == 4L,
+        "wrong next seq off the listing")
+      Thread.sleep(300) // listener events post asynchronously
+      assert(jobs.get() == 0,
+        s"the seq readout launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("maintain executes exactly the advised compacts: due stores " +

@@ -844,5 +844,27 @@ class AnnIndexStoreSpec extends SparkSpec {
     val low = calib(dupAdc / 2)
     assert(low(101L).getAs[String]("flip") == "false_admit",
       s"low tau should expose the dup-leak direction: $low")
+    // CANDIDATE-LESS queries must SURFACE, not vanish (the frame is
+    // keyed by the exact arm): delete every stored vector — the ADC
+    // arm's probed cells are all masked empty, so each query row
+    // carries a NULL adc arm, adc_flag false (the gate's actual
+    // behavior: semanticDups only flags found candidates), and a
+    // query under tau on the exact arm reads false_admit — the
+    // dup-leak the empty probe budget caused
+    AnnIndexStore.delete(st, stored.select("vec_id"),
+      batchId = Some("taucal-wipe"))
+    val wiped = AnnIndexStore.tauCalibration(spark, st, stored, qs,
+        "vec_id", "embedding", mid, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(wiped.keySet == Set(101L, 104L),
+      s"candidate-less queries vanished from the calibration: " +
+        s"${wiped.keySet}")
+    assert(wiped(101L).isNullAt(wiped(101L).fieldIndex("adc")) &&
+      wiped(101L).isNullAt(wiped(101L).fieldIndex("nn_id")),
+      s"a candidate-less query should carry a NULL adc arm: $wiped")
+    assert(!wiped(101L).getAs[Boolean]("adc_flag") &&
+      wiped(101L).getAs[String]("flip") == "false_admit",
+      s"the empty-probe dup leak did not surface as false_admit: " +
+        s"${wiped(101L)}")
   }
 }

@@ -396,6 +396,72 @@ class CorpusStoreSpec extends SparkSpec {
       "projection away from the receipt drifted from the plain gate")
   }
 
+  test("gatePreview: the read-only door returns exactly the decision " +
+      "frame the gated ingest acts on — and folds nothing, records " +
+      "no batch pin, appends no gate-log row") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 7) % 13 - 6) / 6f)
+    def words(seed: Int): String =
+      (0 until 8).map(i => s"w${seed}x$i").mkString(" ")
+    val stored = Seq(3L, 7L, 13L, 20L, 21L, 22L, 23L)
+      .map(i => (i, words(i.toInt), vec(i.toInt)))
+      .toDF("doc_id", "text", "embedding")
+    val st = CorpusStore.build(stored, "doc_id", "text", "embedding",
+      s"$tmp/preview")
+    // the attribution fixture: 101 = vector dup of stored 20,
+    // 105 = text dup of stored 21, 104 fresh on both axes
+    val batch = Seq(
+      (101L, words(101), vec(20)),
+      (105L, words(21), vec(55)),
+      (104L, words(104), vec(77))).toDF("doc_id", "text", "embedding")
+    val probe = AnnIndexStore.semanticDups(spark, st.ann,
+        batch.select(col("doc_id"), col("embedding")), "doc_id",
+        "embedding", tau = Double.MaxValue, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tau = (probe(101L) + Seq(104L, 105L).map(probe(_)).min) / 2
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val countsBefore = CorpusStore.liveCounts(spark, st)
+    val previewRows = rowsOf(CorpusStore.gatePreview(st, batch,
+      "text", "embedding", semanticTau = Some(tau),
+      semanticNprobe = 2))
+    // READ-ONLY: nothing folded, nothing logged
+    assert(CorpusStore.liveCounts(spark, st) == countsBefore,
+      "gatePreview folded rows into a tier")
+    assert(!new java.io.File(s"${st.curation.dir}/gate_log").exists(),
+      "gatePreview appended a gate-log row")
+    // the COMMITTED gate, same batch, same store state: the preview
+    // must equal the decision frame the ingest acts on, per-column
+    val (_, attributed) = CorpusStore.ingestScreenedAttributed(st,
+      batch, "text", "embedding", "prev-1", semanticTau = Some(tau),
+      semanticNprobe = 2)
+    assert(previewRows == rowsOf(attributed),
+      "preview drifted from the gated ingest's decision frame")
+    // with a VERSIONED benchmark mounted, the preview stamps the
+    // LIVE revision's bench_rev but records no `_gate` pin — the
+    // determinism contract starts at the committed gate's batchId
+    val bs = BenchmarkStore.build(
+      sf("documents").filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", s"$tmp/preview-eval")
+    val p2 = CorpusStore.gatePreview(st,
+      Seq((301L, words(301), vec(56)))
+        .toDF("doc_id", "text", "embedding"),
+      "text", "embedding", benchmarkStore = Some(bs))
+    assert(p2.columns.contains("bench_rev") &&
+      p2.select("bench_rev").distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(1),
+      "preview did not stamp the live benchmark revision")
+    val gateDir = new java.io.File(s"${bs.dir}/_gate")
+    assert(!gateDir.exists() ||
+      gateDir.listFiles().forall(_.getName.contains(".tmp-")),
+      "gatePreview recorded a batch pin")
+  }
+
   test("versioned benchmark gate: a benchmark REVISION landing " +
       "between a gated ingest and its replay does not move the " +
       "decisions (pin-by-batchId), the decisions carry the gating " +
@@ -438,6 +504,37 @@ class CorpusStoreSpec extends SparkSpec {
     // a NEW transaction is gated by the live (revised) eval set
     assert(BenchmarkStore.pinForBatch(spark, bs, "vb-2").seq == 2,
       "a fresh batch did not pin the new revision")
+    // RETENTION vs the recorded pin: another revision lands — under
+    // bare retain=1 GC, revision 1's shingles AND snapshot would now
+    // be gone and the replay below would die at FileNotFound. The
+    // `_gate` record protects exactly the pinned seq, so a LATE
+    // replay (crash recovered days later) still reproduces.
+    BenchmarkStore.revise(bs,
+      sf("documents").filter(col("doc_id") % 100 === 23)
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+    val (_, d3f) = CorpusStore.ingestScreened(st, batch, "text",
+      "embedding", "vb-1", benchmarkStore = Some(bs))
+    assert(decided(d3f) == d1,
+      "late replay broke once retention passed the pinned revision")
+    // releasing the SETTLED batch is the retention bound: the pin
+    // stops protecting, the next revision ages revision 1 out, and
+    // a historical resolve fails loudly (the expired-snapshot rule)
+    BenchmarkStore.releaseBatch(spark, bs, "vb-1")
+    BenchmarkStore.revise(bs,
+      sf("documents").filter(col("doc_id") % 100 === 31)
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+    intercept[IllegalStateException] { bs.pinAt(spark, 1) }
+    // a claimant that died between its atomic create and its one
+    // content write leaves an EMPTY record: the replay fails loudly
+    // with the remedy in the message (the crash preceded every tier
+    // fold — pins happen first — so delete-and-re-run is safe)
+    val crashed = new java.io.File(s"${bs.dir}/_gate/vb-crashed")
+    crashed.getParentFile.mkdirs()
+    assert(crashed.createNewFile())
+    val e = intercept[IllegalStateException] {
+      BenchmarkStore.pinForBatch(spark, bs, "vb-crashed")
+    }
+    assert(e.getMessage.contains("delete the record"), e.getMessage)
   }
 
   test("transaction-level clone: the quad as of a capture serves " +

@@ -73,6 +73,32 @@ class UnpersistSpec extends SparkSpec {
       TextQueries.q85.run(spark, dir).collect(), "heavyHittersCms")
   }
 
+  test("gated ingest: the internal decision cache drops before the " +
+      "frame returns — only clusters() fixpoint blocks may remain") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val docs = Registry.table(spark, dir, "documents")
+    val emb = Registry.table(spark, dir, "embeddings")
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("embedding"))
+    val st = CorpusStore.build(corpus.filter(col("doc_id") % 5 =!= 4),
+      "doc_id", "text", "embedding",
+      java.nio.file.Files.createTempDirectory("unpersist-gate")
+        .toString + "/quad")
+    val (_, dec) = CorpusStore.ingestScreened(st,
+      corpus.filter(col("doc_id") % 5 === 4), "text", "embedding",
+      "hyg-1")
+    dec.collect()
+    // the decision/kept caches are private to the transaction and
+    // must be gone; clusters() fixpoints are the one documented
+    // exception (the screen and the curation fold each embed one)
+    assert(persistedCount <= 2,
+      s"gated ingest left $persistedCount blocks (max 2 fixpoints)")
+    spark.catalog.clearCache()
+    assert(persistedCount == 0,
+      "blocks survived clearCache after the gated ingest")
+  }
+
   test("clusters: per-round frames are unpersisted, only the fixpoint remains") {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

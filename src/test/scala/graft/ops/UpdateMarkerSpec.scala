@@ -40,6 +40,16 @@ class UpdateMarkerSpec extends SparkSpec {
       UpdateMarker.write(fs, marker, state)
     }
     assert(e.getMessage.contains("concurrent"))
+    // the collision error is the multi-writer OPERATIONAL contract's
+    // front line — it must say what the collision means (a LIVE
+    // writer, not a crash: crashed markers self-heal at entry) and
+    // name the remedy (one scheduler lane / an external lease or
+    // queue, retry after the holder; never hand-delete a live claim)
+    assert(e.getMessage.contains("LIVE"), e.getMessage)
+    assert(e.getMessage.contains("lease/queue"), e.getMessage)
+    assert(e.getMessage.contains("RETRY"), e.getMessage)
+    assert(e.getMessage.contains("never delete a live marker"),
+      e.getMessage)
     // the claim is atomic even when the first writer died BEFORE its
     // content rename: a bare zero-length claim still excludes a
     // second write()
