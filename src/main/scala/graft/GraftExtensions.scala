@@ -80,6 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dedup_screen_attributed"),
       (args: Seq[Expression]) =>
         graft.plans.DedupScreenSql.buildAttributed(args)))
+    // the FULL three-axis gate, read-only: the attributed decision
+    // frame a gated ingest would act on (lexical + decontamination +
+    // semantic), previewed from pure SQL without folding or pinning
+    ext.injectTableFunction((
+      new FunctionIdentifier("gate_preview"),
+      new ExpressionInfo(graft.plans.GatePreviewSql.getClass.getName,
+        "gate_preview"),
+      (args: Seq[Expression]) =>
+        graft.plans.GatePreviewSql.build(args)))
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

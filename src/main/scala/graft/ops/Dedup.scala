@@ -718,14 +718,19 @@ object Dedup {
       idCol: String, textCol: String, numHashes: Int = 16,
       numBands: Int = 4, minEst: Double = 0.5,
       maxBucketSize: Long = Long.MaxValue): DataFrame =
-    // ONE copy of the decision logic: the attributed form's, minus
-    // its receipt column. The spec pins the projection identity, and
-    // the only cost the receipt adds is a window over the
-    // batch-keyed partitioning of an already-batch-sized pair frame
-    // — cheap at any corpus size, and far cheaper than letting two
-    // hand-kept copies of the status rules drift apart.
-    incrementalDecisionsAttributed(newDocs, sigStore, idCol, textCol,
-      numHashes, numBands, minEst, maxBucketSize).drop("dup_of")
+    // ONE copy of the decision logic ([[decisionsImpl]] — scoring,
+    // threshold, canonical rule, status precedence), minus the
+    // receipt column. Only the HIST-EVIDENCE frame differs: the
+    // plain form needs existence (a map-side-deduped distinct of the
+    // matched batch ids — q53's 7-shuffle shape), not the argmax
+    // winner; Catalyst cannot prune the attributed form's ranking
+    // window off a dropped column, so delegating via drop() made
+    // every non-attributed screen pay an extra shuffle+window (the
+    // r16 verdict's q53 regression). The spec still pins
+    // plain == attributed.drop("dup_of").
+    decisionsImpl(newDocs, sigStore, idCol, textCol, numHashes,
+      numBands, minEst, maxBucketSize, attributed = false)
+      .drop("dup_of")
 
   /** [[incrementalDecisions]] with ATTRIBUTION — per batch doc, WHICH
     * document it duplicates: the per-doc receipt an admission gate
@@ -750,20 +755,45 @@ object Dedup {
   def incrementalDecisionsAttributed(newDocs: DataFrame,
       sigStore: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, numBands: Int = 4, minEst: Double = 0.5,
-      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    decisionsImpl(newDocs, sigStore, idCol, textCol, numHashes,
+      numBands, minEst, maxBucketSize, attributed = true)
+
+  /** THE single copy of the incremental decision rules — scoring,
+    * threshold, within-batch canonical (min id), and the status
+    * precedence (history beats batch cluster). `attributed` selects
+    * only the HIST-EVIDENCE frame: the ranked argmax winner when a
+    * `dup_of` receipt is requested, a map-side-deduped existence set
+    * otherwise — the survivors are identical either way (spec-pinned
+    * projection identity), but the existence form shuffles a
+    * one-column pre-aggregated frame instead of ranking the scored
+    * pairs, keeping the plain screen's plan at its 7-shuffle shape.
+    */
+  private def decisionsImpl(newDocs: DataFrame,
+      sigStore: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, numBands: Int, minEst: Double,
+      maxBucketSize: Long, attributed: Boolean): DataFrame = {
     val newBands = sigBandRows(
       minhashSignatures(newDocs, idCol, textCol, numHashes),
       idCol, numHashes, numBands)
     val storeBands = sigBandRows(sigStore, idCol, numHashes, numBands)
-    // history matches, winner attributed: max estimate, min id ties
     val scored = scoreBandPairs(newBands, storeBands, idCol, numHashes,
         (_, _) => lit(true), maxBucketSize)
       .filter(col("est_jaccard") >= minEst)
-    val w = Window.partitionBy("a")
-      .orderBy(col("est_jaccard").desc, col("b").asc)
-    val histDup = scored
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("a").as(idCol), col("b").as("_hist_of"))
+    // history matches; attributed → winner (max estimate, min id on
+    // ties — deterministic, never join-order-dependent), plain →
+    // existence only (`_hist_of` carries the doc's own id as a
+    // non-null marker; the column never survives — the plain public
+    // form drops `dup_of` before returning)
+    val histDup =
+      if (attributed) {
+        val w = Window.partitionBy("a")
+          .orderBy(col("est_jaccard").desc, col("b").asc)
+        scored.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("a").as(idCol), col("b").as("_hist_of"))
+      } else scored.select(col("a").as(idCol)).distinct()
+        .withColumn("_hist_of", col(idCol))
     val batchPairs = scoreBandPairs(newBands, newBands, idCol, numHashes,
         _ < _, maxBucketSize)
       .filter(col("est_jaccard") >= minEst)

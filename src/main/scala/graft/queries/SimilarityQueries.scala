@@ -2008,7 +2008,16 @@ object SimilarityQueries {
         "semattr-fifth", semanticTau = Some(0.9), semanticNprobe = 2)
       decisions.orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE ${TextQueries.duckSigCtes},
+    Some(attributedGateOracle))
+
+  /** The attributed three-axis decision frame's oracle on the %5
+    * split — ONE definition, shared verbatim by q195 (the folding
+    * gate) and q200 (the read-only `gate_preview` SQL door): the
+    * decision pipeline is one copy in the engine
+    * ([[graft.ops.CorpusStore]]'s `gateDecisions`), so its oracle is
+    * one copy here. */
+  private lazy val attributedGateOracle: String =
+    s"""WITH RECURSIVE ${TextQueries.duckSigCtes},
       |hist0 AS MATERIALIZED (SELECT doc_id FROM documents
       | WHERE doc_id % 5 != 4),
       |${TextQueries.duckScreenStageAttributed("", "doc_id % 5 = 4",
@@ -2028,7 +2037,7 @@ object SimilarityQueries {
       | CASE WHEN d.status = 'kept' AND sm.doc_id IS NOT NULL
       |  THEN sm.adc END AS adc
       |FROM deca d LEFT JOIN sem sm USING (doc_id)
-      |ORDER BY d.doc_id""".stripMargin))
+      |ORDER BY d.doc_id""".stripMargin
 
   /** TAU CALIBRATION for the semantic admission gate
     * ([[graft.ops.AnnIndexStore.tauCalibration]]): the q194/q195
@@ -2078,26 +2087,36 @@ object SimilarityQueries {
         |       (SELECT vec_id, embedding FROM embeddings
         |        WHERE vec_id % 5 != 4) b)
         | WHERE rn = 1)
-        |SELECT a.qid, a.nn_id, a.adc, e.exact_id, e.exact_dist,
+        |SELECT e.qid, a.nn_id, a.adc, e.exact_id, e.exact_dist,
         | round(a.adc - e.exact_dist, 6) AS margin,
-        | a.adc <= 0.9 AS adc_flag, e.exact_dist <= 0.9 AS exact_flag,
-        | CASE WHEN a.adc <= 0.9 AND NOT e.exact_dist <= 0.9
+        | coalesce(a.adc <= 0.9, false) AS adc_flag,
+        | e.exact_dist <= 0.9 AS exact_flag,
+        | CASE WHEN coalesce(a.adc <= 0.9, false)
+        |   AND NOT e.exact_dist <= 0.9
         |   THEN 'false_reject'
-        |  WHEN NOT a.adc <= 0.9 AND e.exact_dist <= 0.9
+        |  WHEN NOT coalesce(a.adc <= 0.9, false)
+        |   AND e.exact_dist <= 0.9
         |   THEN 'false_admit'
         |  ELSE 'agree' END AS flip
-        |FROM approx a JOIN exact e USING (qid)
-        |ORDER BY a.qid""".stripMargin
+        |FROM exact e LEFT JOIN approx a USING (qid)
+        |ORDER BY e.qid""".stripMargin
     })
 
   /** GATE-HEALTH advisory ([[graft.ops.Advisor.adviseGate]] over the
     * `gate_log` a gated ingest appends): q194's gated transaction
-    * runs, then the advisor reads the latest log row and judges the
-    * two admission alarms — admit-rate collapse (crawler loop /
+    * runs, then the advisor reads the trailing log window and judges
+    * the two admission alarms — admit-rate collapse (crawler loop /
     * broken gate) and semantic-dup spike (τ drift / near-copy
-    * storm). The oracle recomputes both rates from the shared
-    * decision CTE stack and applies the default dials, so the whole
-    * loop — gate → log → advisor threshold row — is hash-pinned.
+    * storm) — at BOTH readings: the latest batch's rate and the
+    * size-weighted rate over the last `gateWindowBatches` batches
+    * (one healthy batch must not clear a standing collapse — the
+    * windowed rows are that trend alarm; AdvisorSpec fabricates the
+    * collapse-then-one-good-batch sequence). With exactly one gated
+    * batch here the windowed rates equal the latest and the
+    * `gate_window_batches` row reads 1-of-5. The oracle recomputes
+    * the rates from the shared decision CTE stack and applies the
+    * default dials, so the whole loop — gate → log → advisor
+    * threshold rows — is hash-pinned.
     */
   val q199 = Q("q199_gate_health",
     (s, dir) => {
@@ -2141,15 +2160,64 @@ object SimilarityQueries {
       |  CASE WHEN admit < 0.05 THEN 'alert' ELSE 'ok' END AS action
       | FROM rates
       | UNION ALL
+      | SELECT 'gate', 'admit_rate_window', admit,
+      |  CAST(0.05 AS DOUBLE),
+      |  CASE WHEN admit < 0.05 THEN 'alert' ELSE 'ok' END
+      | FROM rates
+      | UNION ALL
+      | SELECT 'gate', 'gate_window_batches', CAST(1 AS DOUBLE),
+      |  CAST(5 AS DOUBLE), 'ok'
+      | UNION ALL
       | SELECT 'gate', 'semantic_rate', sem_rate,
+      |  CAST(0.5 AS DOUBLE),
+      |  CASE WHEN sem_rate > 0.5 THEN 'alert' ELSE 'ok' END
+      | FROM rates
+      | UNION ALL
+      | SELECT 'gate', 'semantic_rate_window', sem_rate,
       |  CAST(0.5 AS DOUBLE),
       |  CASE WHEN sem_rate > 0.5 THEN 'alert' ELSE 'ok' END
       | FROM rates)
       |ORDER BY metric""".stripMargin))
 
+  /** The FULL three-axis gate through its SQL front door, READ-ONLY
+    * ([[graft.plans.GatePreviewSql]] → [[graft.ops.CorpusStore
+    * .gatePreview]]): the q195 corpus quad is built on the %5
+    * history, then a pure-SQL consumer previews the held-out fifth
+    * through `gate_preview(...)` — the attributed decision frame a
+    * gated ingest would act on (statuses, `dup_of` receipts, `adc`),
+    * with NOTHING folded, pinned, or logged. Rides q195's oracle
+    * VERBATIM ([[attributedGateOracle]]): the preview of a batch
+    * must equal the decisions the folding gate computes for the same
+    * batch against the same store state — the two-front-doors
+    * convention (q198 opened the lexical axis; this door opens the
+    * composed gate). τ and nprobe are the TVF's explicit dials
+    * (q194's 0.9 / 2); banding still resolves ONLY from the store's
+    * persisted dials. The read-only contract (no fold, no `_gate`
+    * record, no gate_log row) is spec-pinned in CorpusStoreSpec.
+    */
+  val q200 = Q("q200_gate_preview_sql",
+    (s, dir) => {
+      import graft.ops.CorpusStore
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val root = CorpusStore.storeDirFor(dir, "-gatepreview")
+      CorpusStore.build(
+        corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        "embedding", root)
+      corpus.filter(col("doc_id") % 5 === 4)
+        .createOrReplaceTempView("gate_preview_batch")
+      s.sql(s"""SELECT doc_id, status, dup_of, adc
+        |FROM gate_preview('$root', 'doc_id', 'gate_preview_batch',
+        |                  'text', 'embedding', 0.9, 2)
+        |ORDER BY doc_id""".stripMargin)
+    },
+    Some(attributedGateOracle))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
     q161, q163, q166, q169, q176, q180, q185, q188, q189, q194, q195,
-    q197, q199)
+    q197, q199, q200)
 }

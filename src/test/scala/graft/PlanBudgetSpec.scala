@@ -44,8 +44,9 @@ class PlanBudgetSpec extends SparkSpec {
         "# test session. Re-record: SPARK_GRAFT_PLAN_RECORD=1 sbt\n" +
         "# \"testOnly graft.PlanBudgetSpec\" — then review the diff.\n" +
         "# NOTE: q119/q53 ceilings are HAND-RAISED to their sort-merge\n" +
-        "# shape (4 and 8 shuffles — q53's window since the attributed\n" +
-        "# delegation adds one to its SMJ regime): estimates (child\n" +
+        "# shape (4 and 7 shuffles — q53 back at 7: the plain screen's\n" +
+        "# hist evidence is an existence distinct again, not the\n" +
+        "# attributed argmax window): estimates (child\n" +
         "# size PRODUCTS, no CBO) sit at the broadcast threshold at\n" +
         "# this SF, so the initial plan legitimately flips BHJ<->SMJ\n" +
         "# with byte-level store-file variation. Keep the max when\n" +
