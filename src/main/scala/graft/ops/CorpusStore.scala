@@ -411,6 +411,69 @@ object CorpusStore {
       semanticNprobe, benchmarkStore.map(_.pin(s)))
   }
 
+  /** RETRO-DECONTAMINATION: re-screen the ALREADY-ADMITTED corpus
+    * against the benchmark store's LIVE revision — the audit a
+    * pipeline owes its eval sets every time one grows. The admission
+    * gate ([[ingestScreened]]) protects the door, but a benchmark
+    * REVISION landing after a doc was admitted leaves that doc
+    * contaminated in place; this readout finds every live doc
+    * sharing at least `minOverlap` distinct word-k-grams with the
+    * live eval revision, WITHOUT re-reading any raw text: the
+    * k-grams are reconstructed from the text tier's POSITIONAL
+    * postings (token + positions — the same `split(" ", -1)`
+    * tokenization as [[Dedup]]'s shingles, so the reconstruction is
+    * exact, spec-pinned against a raw-text recompute). Returns
+    * (idCol, n_overlap, bench_rev) for the flagged docs; compose
+    * with [[delete]] under a batchId to quarantine them
+    * transactionally across all four tiers.
+    *
+    * Scale shape: the eval side is tiny and BROADCASTS twice (its
+    * token set, then its shingle set); the corpus side is ONE linear
+    * postings scan for the candidate pre-filter (a doc can only
+    * share a k-gram if every token of it is a benchmark token — the
+    * semi-join keeps non-candidates out of the window entirely),
+    * then the CANDIDATES' postings alone pay the per-doc
+    * position-ordered window and the count-distinct, both keyed by
+    * the doc id. Reads are pinned and masked (tombstoned docs never
+    * resurface); nothing is written.
+    */
+  def retroContamination(s: SparkSession, st: Stores,
+      benchmarkStore: BenchmarkStore.Store,
+      minOverlap: Int = 2): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val idCol = st.idCol
+    val pinned = benchmarkStore.pin(s)
+    val k = pinned.k
+    val evalShingles = pinned.shingles(s)
+    val benchTokens = evalShingles
+      .select(explode(split(col("s"), " ")).as("token")).distinct()
+    val posts = st.text.postings(s)
+      .select(col(idCol), col("token"), col("positions"))
+    val candidates = posts
+      .join(broadcast(benchTokens), Seq("token"), "left_semi")
+      .select(col(idCol)).distinct()
+    val toks = posts.join(candidates, Seq(idCol), "left_semi")
+      .select(col(idCol), col("token"),
+        explode(col("positions")).as("pos"))
+    val docShingles =
+      if (k == 1) toks.select(col(idCol), col("token").as("s"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("pos"))
+        val withLeads = (1 until k).foldLeft(toks)((df, i) =>
+          df.withColumn(s"_t$i", lead(col("token"), i).over(w)))
+        withLeads.filter(col(s"_t${k - 1}").isNotNull)
+          .select(col(idCol), concat_ws(" ",
+            col("token") +: (1 until k).map(i => col(s"_t$i")): _*)
+            .as("s"))
+      }
+    docShingles.join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("s")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumn("bench_rev", lit(pinned.seq))
+  }
+
   /** Handles for an EXISTING corpus-store quad when the caller has
     * no `Stores` in hand (the SQL front doors' entry point, the
     * per-tier `forDir` convention lifted to the transaction layer):

@@ -2215,9 +2215,65 @@ object SimilarityQueries {
     },
     Some(attributedGateOracle))
 
+  /** RETRO-DECONTAMINATION of the admitted corpus
+    * ([[graft.ops.CorpusStore.retroContamination]]): the admission
+    * gate screens arrivals, but a benchmark REVISION landing later
+    * leaves already-admitted docs contaminated in place — this is
+    * the audit that finds them, reconstructing each live doc's
+    * word-3-grams from the text tier's POSITIONAL postings (the raw
+    * text is never re-read; the postings' `split(" ", -1)`
+    * tokenization is the shingle contract's, so the reconstruction
+    * is exact — spec-pinned against a raw-text recompute, including
+    * through a masked delete). Quad on the even half, versioned
+    * benchmark from the %100==6 slice (stored docs — the sharpest
+    * retro case: the eval set contains documents the corpus already
+    * admitted); flagged = ≥2 distinct shared shingles, stamped with
+    * the live revision. Scale shape: eval tokens + shingles
+    * broadcast; one linear postings pass pre-filters candidates (a
+    * shared k-gram needs every token in the eval token set), and
+    * only candidates pay the per-doc position window. The oracle
+    * recomputes from the raw documents table in SQL.
+    */
+  val q201 = Q("q201_retro_contamination",
+    (s, dir) => {
+      import graft.ops.{BenchmarkStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val evenDials = graft.ops.AnnIndexStore.Dials(
+        col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
+        m = 2, subDim = 32, iters = 2)
+      val st = CorpusStore.build(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-retro"),
+        annDials = Some(evenDials))
+      // clean first revision per run — the oracle's bench_rev = 1
+      // (BenchmarkStore.build on a versioned previous life lands as
+      // the NEXT revision by design; q196 sets the same convention)
+      val bdir = CorpusStore.storeDirFor(dir, "-retro-eval")
+      val bfs = new org.apache.hadoop.fs.Path(bdir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+      val bs = BenchmarkStore.build(
+        docs.filter(col("doc_id") % 100 === 6)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", bdir)
+      CorpusStore.retroContamination(s, st, bs, minOverlap = 2)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sh AS (${SqlGen.duckShingleCte}),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 6)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+      | CAST(1 AS INTEGER) AS bench_rev
+      |FROM (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0) t
+      |JOIN bench USING (s)
+      |GROUP BY doc_id HAVING count(*) >= 2
+      |ORDER BY doc_id""".stripMargin))
+
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
     q161, q163, q166, q169, q176, q180, q185, q188, q189, q194, q195,
-    q197, q199, q200)
+    q197, q199, q200, q201)
 }

@@ -537,6 +537,54 @@ class CorpusStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("delete the record"), e.getMessage)
   }
 
+  test("retroContamination: postings-reconstructed shingles equal a " +
+      "raw-text recompute exactly, masked deletes leave the audit, " +
+      "and a quarantine delete of the flagged set comes back clean") {
+    import spark.implicits._
+    val evenDials = AnnIndexStore.Dials(
+      col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
+      m = 2, subDim = 32, iters = 2)
+    val st = CorpusStore.build(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "embedding", s"$tmp/retro",
+      annDials = Some(evenDials))
+    val bs = BenchmarkStore.build(
+      sf("documents").filter(col("doc_id") % 100 === 6)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", s"$tmp/retro-eval")
+    def audit() = CorpusStore.retroContamination(spark, st, bs, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flagged = audit()
+    assert(flagged.nonEmpty && flagged.forall(_._3 == 1),
+      s"fixture not sharp / wrong revision stamp: $flagged")
+    // ground truth from the RAW TEXT — the reconstruction off the
+    // positional postings must reproduce it shingle-for-shingle
+    val sh = Dedup.shingleRows(
+      sf("documents").filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3)
+    val bsh = Dedup.shingleRows(
+      sf("documents").filter(col("doc_id") % 100 === 6),
+      "doc_id", "text", 3).select("s").distinct()
+    val expected = sh.join(bsh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct("s").as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1)).toSet
+    assert(flagged == expected,
+      s"postings reconstruction drifted from raw text:\n" +
+        s"got      ${flagged.toSeq.sorted}\n" +
+        s"expected ${expected.toSeq.sorted}")
+    // a masked delete leaves the audit immediately (no compact run)
+    val victim = flagged.map(_._1).min
+    CorpusStore.delete(st, Seq(victim).toDF("doc_id"), "retro-del")
+    val after = audit()
+    assert(after == flagged.filterNot(_._1 == victim),
+      s"tombstoned doc resurfaced (or others moved): $after")
+    // quarantine the rest transactionally; the audit comes back clean
+    CorpusStore.delete(st,
+      after.map(_._1).toSeq.toDF("doc_id"), "retro-quarantine")
+    assert(audit().isEmpty, "quarantined docs still flagged")
+  }
+
   test("transaction-level clone: the quad as of a capture serves " +
       "the captured epochs coherently from a fresh root, the source " +
       "is untouched, and the source's post-capture batch id rolls " +
