@@ -89,6 +89,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "gate_preview"),
       (args: Seq[Expression]) =>
         graft.plans.GatePreviewSql.build(args)))
+    // the corpus AUDIT readouts' SQL front doors: the
+    // retro-contamination audit against a versioned eval store, the
+    // quad's snapshot-log positions, and the membership diff between
+    // two text-tier epochs
+    ext.injectTableFunction((
+      new FunctionIdentifier("retro_audit"),
+      new ExpressionInfo(graft.plans.CorpusAuditSql.getClass.getName,
+        "retro_audit"),
+      (args: Seq[Expression]) =>
+        graft.plans.CorpusAuditSql.buildAudit(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("corpus_epochs"),
+      new ExpressionInfo(graft.plans.CorpusAuditSql.getClass.getName,
+        "corpus_epochs"),
+      (args: Seq[Expression]) =>
+        graft.plans.CorpusAuditSql.buildEpochs(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("corpus_diff"),
+      new ExpressionInfo(graft.plans.CorpusAuditSql.getClass.getName,
+        "corpus_diff"),
+      (args: Seq[Expression]) =>
+        graft.plans.CorpusAuditSql.buildDiff(args)))
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

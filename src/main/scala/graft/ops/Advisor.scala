@@ -258,8 +258,45 @@ object Advisor {
         over(semW, semMax, "alert"))))
   }
 
+  /** RETRO-AUDIT advisory — is the corpus's last contamination audit
+    * CURRENT against the benchmark store's live revision? The
+    * admission gate screens arrivals, but a benchmark REVISION
+    * landing later leaves already-admitted docs contaminated in
+    * place ([[CorpusStore.retroContamination]]'s reason to exist);
+    * this row says whether anyone has looked since. `value` = the
+    * highest revision a [[CorpusStore.quarantine]] receipt records
+    * (0: never audited), `threshold` = the live revision, action
+    * `audit` whenever the receipt trails the store — including the
+    * never-audited fresh mount, deliberately: an unaudited corpus
+    * with an eval set beside it is exactly the state the audit
+    * exists for. A CLEAN quarantine (nothing flagged) still pins its
+    * receipt, so `ok` is reachable without ever deleting a doc.
+    *
+    * Pure file reads: the benchmark store's manifest + the
+    * quarantine log's markers (one tiny text record per audited
+    * batch) — zero Spark jobs, the advisor discipline.
+    */
+  def adviseRetro(s: SparkSession, st: CorpusStore.Stores,
+      bench: BenchmarkStore.Store): DataFrame = {
+    val live = bench.pin(s).seq
+    val dir = new Path(
+      s"${st.curation.dir}/${CorpusStore.QuarantineSub}")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    val last: Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).toSeq.filter(_.isFile)
+        .map(_.getPath).filter(_.getName.startsWith("batch-"))
+        .flatMap(p => CorpusStore.readSmallFile(fs, p)
+          .drop(1).headOption.flatMap(_.toIntOption))
+        .maxOption.getOrElse(0)
+    frame(s, Seq(("corpus", "retro_audit_rev", last.toDouble,
+      live.toDouble, if (last < live) "audit" else "ok")))
+  }
+
   /** The whole transaction's advice — one frame over every mounted
-    * store, the readout a deployment runs after each batch. */
+    * store, the readout a deployment runs after each batch.
+    * ([[adviseRetro]] rides beside it when a benchmark store is
+    * mounted — it needs the store handle this signature lacks.) */
   def advise(s: SparkSession, st: CorpusStore.Stores): DataFrame = {
     val three = adviseCuration(s, st.curation)
       .unionByName(adviseAnn(s, st.ann))

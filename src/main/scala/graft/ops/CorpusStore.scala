@@ -115,11 +115,15 @@ object CorpusStore {
       idCol, textCol, s"$dir/curation", bucketLabels = bucketLabels)
     // a rebuild starts a fresh gate history: inherited admission
     // rates describe another corpus life (the recall_log rule,
-    // admission tier)
-    StageSwap.remove(
-      new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log")
-        .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf()),
+    // admission tier) — and a fresh QUARANTINE history, for the same
+    // reason: a prior life's audit receipts must not replay into a
+    // corpus that never ran those batches
+    val curFs = new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log")
+      .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
+    StageSwap.remove(curFs,
       new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log"))
+    StageSwap.remove(curFs,
+      new org.apache.hadoop.fs.Path(s"${cur.dir}/$QuarantineSub"))
     val ann = AnnIndexStore.build(corpus.select(col(idCol), col(vecCol)),
       idCol, vecCol, s"$dir/ann", d.centroidPred,
       d.seedPred, d.m, d.subDim, d.iters)
@@ -439,15 +443,58 @@ object CorpusStore {
     */
   def retroContamination(s: SparkSession, st: Stores,
       benchmarkStore: BenchmarkStore.Store,
-      minOverlap: Int = 2): DataFrame = {
-    require(minOverlap >= 1, "minOverlap must be >= 1")
+      minOverlap: Int = 2): DataFrame =
+    retroContaminationAt(s, st, benchmarkStore.pin(s), minOverlap)
+
+  /** [[retroContamination]] against an EXPLICIT benchmark revision —
+    * the form [[quarantine]] pins its audit through (the pin must be
+    * resolved once, before any decision depends on it) and the
+    * audit-at-a-historical-revision readout ([[BenchmarkStore.Store
+    * .pinAt]] supplies historical `Pinned`s while their retention
+    * holds). */
+  def retroContaminationAt(s: SparkSession, st: Stores,
+      pinned: BenchmarkStore.Pinned, minOverlap: Int): DataFrame =
+    auditPostings(s, st.idCol,
+      st.text.postings(s), pinned, minOverlap)
+
+  /** INCREMENTAL audit: [[retroContaminationAt]] restricted to docs
+    * whose membership POSTDATES text-tier snapshot `sinceTextSeq` —
+    * the docs admitted since a previous audit receipt. Sound ONLY
+    * when the benchmark revision is unchanged since that receipt
+    * (the older members were already judged against the same eval
+    * set; [[quarantine]]'s `incremental` dial enforces this by
+    * matching the receipt's recorded revision). This is the audit's
+    * 100 TB answer: the FULL audit's postings pass is linear in the
+    * corpus (measured — the `corpus_audit` SCALING tier), the right
+    * price once per revision; the same-revision re-audit a cadence
+    * runs after every ingest window is DELTA-SIZED here. The
+    * membership lookback rides time-travel retention
+    * ([[StoreVersions.RetainVersions]]): size the dial to cover the
+    * flips between audits.
+    */
+  def retroContaminationSince(s: SparkSession, st: Stores,
+      pinned: BenchmarkStore.Pinned, sinceTextSeq: Int,
+      minOverlap: Int): DataFrame = {
     val idCol = st.idCol
-    val pinned = benchmarkStore.pin(s)
+    val newIds = st.text.doclens(s).select(col(idCol))
+      .join(st.text.pinAt(s, sinceTextSeq).doclens(s)
+        .select(col(idCol)), Seq(idCol), "left_anti")
+    auditPostings(s, idCol,
+      st.text.postings(s).join(newIds, Seq(idCol), "left_semi"),
+      pinned, minOverlap)
+  }
+
+  /** The audit kernel over an arbitrary positional-postings frame —
+    * one copy shared by the full and incremental forms. */
+  private def auditPostings(s: SparkSession, idCol: String,
+      postings: DataFrame, pinned: BenchmarkStore.Pinned,
+      minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
     val k = pinned.k
     val evalShingles = pinned.shingles(s)
     val benchTokens = evalShingles
       .select(explode(split(col("s"), " ")).as("token")).distinct()
-    val posts = st.text.postings(s)
+    val posts = postings
       .select(col(idCol), col("token"), col("positions"))
     val candidates = posts
       .join(broadcast(benchTokens), Seq("token"), "left_semi")
@@ -472,6 +519,206 @@ object CorpusStore {
       .agg(countDistinct(col("s")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
       .withColumn("bench_rev", lit(pinned.seq))
+  }
+
+  /** The quarantine log's directory under the curation tier — one
+    * marker per quarantine batch (`batch-<batchId>`, a text record
+    * naming the pinned audit file and the audited revision) beside
+    * uniquely-named single-file parquet audit frames. The audit
+    * RECEIPT layer: [[Advisor.adviseRetro]] reads the markers,
+    * replays read the pinned frames. */
+  private[ops] val QuarantineSub = "quarantine_log"
+
+  /** TRANSACTIONAL QUARANTINE — [[retroContamination]]'s findings
+    * acted on: audit the live corpus against the benchmark store's
+    * live revision, PIN the flagged frame per `batchId`, then
+    * tombstone the flagged docs across all mounted tiers under that
+    * batchId ([[delete]]'s masked-serving contract — [[compact]]
+    * makes the removals physical). Returns the handles and the
+    * PINNED flagged frame (idCol, n_overlap, bench_rev, batch_id).
+    *
+    * The pin is load-bearing, not bookkeeping: the audit READS the
+    * text tier's postings, so after a crash that folded the delete
+    * into a prefix of the tiers a re-run's re-audit would see the
+    * flagged docs already masked and flag NOTHING — leaving the
+    * remaining tiers permanently unfolded, the split-brain this
+    * layer exists to rule out. So the flagged frame is recorded
+    * FIRST (atomic `create(overwrite = false)` claim on the marker,
+    * the [[BenchmarkStore.pinForBatch]] discipline — racing replays
+    * converge on one winner's audit; a claimant that dies between
+    * staging and claiming leaves only an unreferenced data file),
+    * and every replay of the batchId serves the recorded frame
+    * verbatim while each tier's own `_applied` record makes the
+    * delete fold exactly once.
+    *
+    * A CLEAN audit (nothing flagged) folds no delete but still pins
+    * the receipt — that receipt is what flips [[Advisor.adviseRetro]]
+    * back to `ok`, so "we audited at revision N and found nothing"
+    * is durable operational state, not a silent no-op.
+    *
+    * `docs` (the live docs' own rows — text + source) is required
+    * exactly when the stats tier is mounted, [[delete]]'s contract:
+    * counters are multiset aggregates, so only the doomed docs'
+    * content says what to subtract.
+    */
+  def quarantine(s: SparkSession, st: Stores,
+      benchmarkStore: BenchmarkStore.Store, batchId: String,
+      minOverlap: Int = 2, docs: Option[DataFrame] = None,
+      textCol: String = "text",
+      incremental: Boolean = false): (Stores, DataFrame) = {
+    require(batchId.nonEmpty, "a quarantine needs a batchId")
+    require(st.stats.isEmpty || docs.isDefined,
+      "a stats-bearing quad quarantines with the live docs' own " +
+        "rows (text + source) — counters are multiset aggregates, " +
+        "so only the docs' content says what to subtract")
+    val flagged = quarantinePin(s, st, benchmarkStore, batchId,
+      minOverlap, incremental)
+    if (!flagged.isEmpty) {
+      val ids = flagged.select(col(st.idCol))
+      delete(st, ids, batchId,
+        deletedDocs = docs.map(_.join(ids, Seq(st.idCol), "left_semi")),
+        textCol = textCol)
+    }
+    (st, flagged)
+  }
+
+  /** Claim-or-reuse the quarantine batch's pinned audit frame (see
+    * [[quarantine]]). Package-private so the crash-replay spec can
+    * fabricate the pinned-then-prefix-folded state.
+    *
+    * With `incremental` set, the audit restricts to docs admitted
+    * since the NEWEST receipt recorded at the SAME live revision
+    * ([[retroContaminationSince]]); it falls back to the FULL audit
+    * — silently, because both forms return the same flagged frame —
+    * when no same-revision receipt exists (a revision landed: every
+    * older member must be re-judged) or when the receipt's
+    * membership snapshot has aged out of time-travel retention
+    * ([[StoreVersions.RetainVersions]] — size it to the audit
+    * cadence to keep the delta path).
+    */
+  private[ops] def quarantinePin(s: SparkSession, st: Stores,
+      benchmarkStore: BenchmarkStore.Store, batchId: String,
+      minOverlap: Int, incremental: Boolean = false): DataFrame = {
+    val dir = s"${st.curation.dir}/$QuarantineSub"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    val rec = new org.apache.hadoop.fs.Path(dirPath, s"batch-$batchId")
+    // a claimed-but-empty marker is a writer that died between its
+    // create and its one content write — poll briefly for a LIVE
+    // writer's close, then fail loudly with the remedy (the pin
+    // precedes every tier fold, so re-running the batch is safe)
+    def recorded(): DataFrame = {
+      var tries = 0
+      while (tries < 50) {
+        val lines = readSmallFile(fs, rec)
+        if (lines.nonEmpty) return s.read.parquet(s"$dir/${lines.head}")
+        Thread.sleep(20); tries += 1
+      }
+      throw new IllegalStateException(
+        s"quarantine record $rec exists but names no audit file — a " +
+          "claimant died before writing it. The pin precedes every " +
+          "tier fold, so the remedy is: delete the record and " +
+          "re-run the batch; it will re-audit the live corpus")
+    }
+    if (fs.exists(rec)) return recorded()
+    val pinned = benchmarkStore.pin(s)
+    // the text tier's CURRENT snapshot seq — recorded in the receipt
+    // as the membership watermark a later same-revision incremental
+    // audit diffs against (pre-fold by construction: the pin
+    // precedes the quarantine's own delete flip)
+    val textFs = new org.apache.hadoop.fs.Path(st.text.dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val textSnaps = StoreVersions.snapshots(textFs, st.text.dir)
+    val textSeqNow = textSnaps.last._1
+    val sinceSeq: Option[Int] =
+      if (!incremental) None
+      else {
+        val retained = textSnaps.map(_._1).toSet
+        val receipts =
+          (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq
+           else Seq.empty).filter(_.isFile)
+          .map(_.getPath).filter(_.getName.startsWith("batch-"))
+          .map(p => readSmallFile(fs, p))
+          .collect {
+            case lines if lines.length >= 3 &&
+                lines(1).toIntOption.contains(pinned.seq) &&
+                lines(2).toIntOption.isDefined =>
+              lines(2).toInt
+          }
+        receipts.filter(retained.contains).maxOption
+      }
+    val audit = (sinceSeq match {
+      case Some(seq) =>
+        retroContaminationSince(s, st, pinned, seq, minOverlap)
+      case None => retroContaminationAt(s, st, pinned, minOverlap)
+    }).withColumn("batch_id", lit(batchId))
+    val dataName = s"data-${java.util.UUID.randomUUID()}.parquet"
+    stageSingleFile(audit, fs, dirPath, dataName)
+    val claimed =
+      try {
+        val out = fs.create(rec, false)
+        try out.write(
+          s"$dataName\n${pinned.seq}\n$textSeqNow\n".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          false
+        case _: java.io.IOException if fs.exists(rec) => false
+      }
+    if (claimed) s.read.parquet(s"$dir/$dataName")
+    else {
+      // lost the race: drop our staged audit, serve the winner's —
+      // both replays converge on ONE recorded frame
+      fs.delete(new org.apache.hadoop.fs.Path(dirPath, dataName), false)
+      recorded()
+    }
+  }
+
+  /** Non-empty trimmed lines of a small text record. */
+  private[ops] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    val text =
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.mkString finally src.close()
+      } finally in.close()
+    text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** MEMBERSHIP DIFF between two [[snapshotSeqs]] captures — which
+    * ids ENTERED and which LEFT the corpus between two epochs, the
+    * what-changed-since readout a reproducibility pipeline records
+    * beside every training run ("this run's corpus is last run's
+    * plus these adds minus these takedowns"). Authority is the TEXT
+    * tier's doclens stage — exactly one row per live ingested doc,
+    * the same membership [[liveCounts]] equates with the ANN tier
+    * after every completed transaction (the curation tier sits this
+    * out: sub-shingle-width docs never sign there). Two pinned
+    * masked membership scans + two anti-joins on the id — no raw
+    * text, no postings. Historical pins hold while retention does
+    * ([[StoreVersions.RetainVersions]] — the diff inherits the
+    * time-travel lapse rule and fails loudly past it).
+    */
+  def membershipDiff(s: SparkSession, st: Stores, from: Epochs,
+      to: Epochs): DataFrame =
+    membershipDiffAt(s, st, from.text, to.text)
+
+  /** [[membershipDiff]] at explicit TEXT-tier snapshot seqs — the
+    * membership authority's own log positions, which is what the
+    * `corpus_diff` SQL door takes (a pure-SQL consumer reads them
+    * from `corpus_epochs(...)`). */
+  def membershipDiffAt(s: SparkSession, st: Stores, fromTextSeq: Int,
+      toTextSeq: Int): DataFrame = {
+    val a = st.text.pinAt(s, fromTextSeq).doclens(s).select(col(st.idCol))
+    val b = st.text.pinAt(s, toTextSeq).doclens(s).select(col(st.idCol))
+    b.join(a, Seq(st.idCol), "left_anti")
+      .withColumn("change", lit("added"))
+      .unionByName(
+        a.join(b, Seq(st.idCol), "left_anti")
+          .withColumn("change", lit("removed")))
   }
 
   /** Handles for an EXISTING corpus-store quad when the caller has
@@ -555,27 +802,33 @@ object CorpusStore {
       .toDF("seq", "batch_id", "n_total", "n_kept", "n_hist_dup",
         "n_batch_dup", "n_contaminated", "n_semantic_dup",
         "admit_rate", "semantic_rate")
-    // single-file append under the seq name: stage to a sibling tmp
-    // dir, move the one part file in, drop the debris — a crash
-    // before the rename leaves only an orphan tmp dir the log's
-    // readers never see
+    stageSingleFile(row, fs, dirPath, f"seq-$nextSeq%05d.parquet")
+    s.catalog.refreshByPath(dir)
+  }
+
+  /** Write `df` as ONE parquet file named `name` under `dstDir`:
+    * stage to a sibling tmp dir, move the one part file in, drop the
+    * debris — a crash before the rename leaves only an orphan tmp
+    * dir readers never see. The gate-log and quarantine-log append
+    * primitive. */
+  private def stageSingleFile(df: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dstDir: org.apache.hadoop.fs.Path, name: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$dir.tmp-" + java.util.UUID.randomUUID().toString)
-    row.coalesce(1).write.parquet(tmp.toString)
+      s"$dstDir.tmp-" + java.util.UUID.randomUUID().toString)
+    df.coalesce(1).write.parquet(tmp.toString)
     val part = fs.listStatus(tmp).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath) match {
         case Seq(one) => one
         case other => throw new IllegalStateException(
-          s"expected exactly one staged gate-log part file, got " +
+          s"expected exactly one staged part file, got " +
             s"${other.size} under $tmp")
       }
-    fs.mkdirs(dirPath)
-    val dst = new org.apache.hadoop.fs.Path(dirPath,
-      f"seq-$nextSeq%05d.parquet")
-    require(fs.rename(part, dst), s"gate_log rename to $dst failed")
+    fs.mkdirs(dstDir)
+    val dst = new org.apache.hadoop.fs.Path(dstDir, name)
+    require(fs.rename(part, dst), s"single-file move to $dst failed")
     StageSwap.remove(fs, tmp)
-    s.catalog.refreshByPath(dir)
   }
 
   /** Tombstone `ids` in all three stores under ONE batch id —

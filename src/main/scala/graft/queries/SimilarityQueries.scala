@@ -2234,6 +2234,20 @@ object SimilarityQueries {
     * only candidates pay the per-doc position window. The oracle
     * recomputes from the raw documents table in SQL.
     */
+  /** One oracle constant shared by q201 (DataFrame audit) and q204
+    * (the `retro_audit` SQL door) — one decision-rule copy in the
+    * engine ([[graft.ops.CorpusStore.retroContaminationAt]]), one in
+    * the oracle: the q195/q200 convention. */
+  private lazy val retroAuditOracle: String =
+    s"""WITH sh AS (${SqlGen.duckShingleCte}),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 6)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+      | CAST(1 AS INTEGER) AS bench_rev
+      |FROM (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0) t
+      |JOIN bench USING (s)
+      |GROUP BY doc_id HAVING count(*) >= 2
+      |ORDER BY doc_id""".stripMargin
+
   val q201 = Q("q201_retro_contamination",
     (s, dir) => {
       import graft.ops.{BenchmarkStore, CorpusStore}
@@ -2262,18 +2276,217 @@ object SimilarityQueries {
       CorpusStore.retroContamination(s, st, bs, minOverlap = 2)
         .orderBy("doc_id")
     },
+    Some(retroAuditOracle))
+
+  /** TRANSACTIONAL QUARANTINE ([[graft.ops.CorpusStore.quarantine]])
+    * — q201's audit ACTED ON: the flagged frame is PINNED per
+    * batchId (atomic marker claim, the [[graft.ops.BenchmarkStore
+    * .pinForBatch]] discipline) and the flagged docs tombstone out
+    * of every tier under that one batchId. The pin is load-bearing:
+    * the audit reads the text tier's postings, so after a partial
+    * fold a re-audit would see the flagged docs already masked and
+    * flag nothing — replays must serve the recorded frame
+    * (QuarantineSpec fabricates the crash). Output is the
+    * post-quarantine corpus read honestly off the STORE: every even
+    * doc either `live` (a doclens membership row survives) or
+    * `quarantined` (a pinned-audit row names its overlap count).
+    * The oracle recomputes the flagged set from the raw documents
+    * and diffs it against the even half in SQL.
+    */
+  val q202 = Q("q202_quarantine",
+    (s, dir) => {
+      import graft.ops.{BenchmarkStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val evenDials = graft.ops.AnnIndexStore.Dials(
+        col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
+        m = 2, subDim = 32, iters = 2)
+      val st = CorpusStore.build(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "embedding", CorpusStore.storeDirFor(dir, "-quarantine"),
+        annDials = Some(evenDials))
+      // clean first revision per run (the q201/q196 convention)
+      val bdir = CorpusStore.storeDirFor(dir, "-quarantine-eval")
+      val bfs = new org.apache.hadoop.fs.Path(bdir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+      val bs = BenchmarkStore.build(
+        docs.filter(col("doc_id") % 100 === 6)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", bdir)
+      val (st2, flagged) = CorpusStore.quarantine(s, st, bs,
+        "q202-batch", minOverlap = 2)
+      st2.text.doclens(s).select(col("doc_id"))
+        .withColumn("status", lit("live"))
+        .withColumn("n_overlap", lit(null).cast("long"))
+        .unionByName(flagged.select(col("doc_id"),
+          lit("quarantined").as("status"), col("n_overlap")))
+        .orderBy("doc_id")
+    },
     Some(s"""WITH sh AS (${SqlGen.duckShingleCte}),
-      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 6)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
-      | CAST(1 AS INTEGER) AS bench_rev
-      |FROM (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0) t
-      |JOIN bench USING (s)
-      |GROUP BY doc_id HAVING count(*) >= 2
-      |ORDER BY doc_id""".stripMargin))
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 6),
+      |flagged AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      | FROM (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0) t
+      | JOIN bench USING (s)
+      | GROUP BY doc_id HAVING count(*) >= 2)
+      |SELECT d.doc_id,
+      | CASE WHEN f.doc_id IS NOT NULL
+      |  THEN 'quarantined' ELSE 'live' END AS status,
+      | f.n_overlap
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+      |LEFT JOIN flagged f USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin))
+
+  /** CORPUS MEMBERSHIP DIFF ([[graft.ops.CorpusStore
+    * .membershipDiff]]) — what changed between two [[graft.ops
+    * .CorpusStore.snapshotSeqs]] captures, the
+    * this-run's-corpus-is-last-run's-plus/minus readout a
+    * reproducibility pipeline records beside every training run.
+    * Build on the %5 history (capture e0), ingest the held-out
+    * fifth, then take down %10∈{1,4} — so the span holds an add, a
+    * takedown of OLD content (%10==1) and a takedown of content
+    * added INSIDE the span (%10==4): the diff is NET (those ids
+    * appear nowhere). Authority is the text tier's pinned doclens
+    * membership (two masked membership scans + two anti-joins — no
+    * raw text); the two-flip lookback rides the retention dial
+    * ([[graft.ops.StoreVersions.RetainVersions]] = 2 here,
+    * restored after). The oracle recomputes the net set algebra
+    * from the raw documents table.
+    */
+  val q203 = Q("q203_corpus_diff",
+    (s, dir) => {
+      import graft.ops.{CorpusStore, StoreVersions}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val retainKey = StoreVersions.RetainVersions
+      val prev = s.conf.getOption(retainKey)
+      s.conf.set(retainKey, "2")
+      try {
+        val st = CorpusStore.build(
+          corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+          "embedding", CorpusStore.storeDirFor(dir, "-diff"))
+        val e0 = CorpusStore.snapshotSeqs(s, st)
+        CorpusStore.ingest(st, corpus.filter(col("doc_id") % 5 === 4),
+          "text", "embedding", "diff-b1")
+        CorpusStore.delete(st,
+          docs.filter(col("doc_id") % 10 === 1 ||
+            col("doc_id") % 10 === 4).select("doc_id"), "diff-d1")
+        val e2 = CorpusStore.snapshotSeqs(s, st)
+        CorpusStore.membershipDiff(s, st, e0, e2)
+          .orderBy("change", "doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(retainKey, v)
+        case None => s.conf.unset(retainKey)
+      }
+    },
+    Some(corpusDiffOracle))
+
+  /** One oracle constant shared by q203 (DataFrame diff) and q205
+    * (the `corpus_diff` SQL door) — the net set algebra of the same
+    * build → ingest → takedown lifecycle, recomputed from the raw
+    * documents table. */
+  private lazy val corpusDiffOracle: String =
+    """SELECT doc_id, 'added' AS change FROM documents
+      | WHERE doc_id % 5 = 4 AND doc_id % 10 != 4
+      |UNION ALL
+      |SELECT doc_id, 'removed' AS change FROM documents
+      | WHERE doc_id % 10 = 1
+      |ORDER BY change, doc_id""".stripMargin
+
+  /** The retro-contamination audit through its SQL front door
+    * ([[graft.plans.CorpusAuditSql]] → [[graft.ops.CorpusStore
+    * .retroContamination]]): q201's quad + versioned eval store are
+    * built, then a pure-SQL consumer runs
+    * `retro_audit(root, 'doc_id', evalRoot)` — the same flagged
+    * frame, same kernel, no Scala in the read path. Rides q201's
+    * oracle VERBATIM ([[retroAuditOracle]] — one decision-rule copy
+    * in the engine, one in the oracle; the q198/q200 two-front-doors
+    * convention, applied to the audit). Read-only is spec-pinned
+    * (CorpusAuditSqlSpec: no quarantine receipt lands, the
+    * [[graft.ops.Advisor.adviseRetro]] advisory stays open).
+    */
+  val q204 = Q("q204_retro_audit_sql",
+    (s, dir) => {
+      import graft.ops.{BenchmarkStore, CorpusStore}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val evenDials = graft.ops.AnnIndexStore.Dials(
+        col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
+        m = 2, subDim = 32, iters = 2)
+      val root = CorpusStore.storeDirFor(dir, "-retrosql")
+      CorpusStore.build(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "embedding", root, annDials = Some(evenDials))
+      val bdir = CorpusStore.storeDirFor(dir, "-retrosql-eval")
+      val bfs = new org.apache.hadoop.fs.Path(bdir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+      BenchmarkStore.build(
+        docs.filter(col("doc_id") % 100 === 6)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", bdir)
+      s.sql(s"""SELECT doc_id, n_overlap, bench_rev
+        |FROM retro_audit('$root', 'doc_id', '$bdir')
+        |ORDER BY doc_id""".stripMargin)
+    },
+    Some(retroAuditOracle))
+
+  /** The membership diff through its SQL front door
+    * ([[graft.plans.CorpusAuditSql]] → [[graft.ops.CorpusStore
+    * .membershipDiffAt]]), with the EPOCH CAPTURE itself in SQL:
+    * `corpus_epochs(root, 'doc_id')` reads the text tier's
+    * snapshot-log position before and after q203's
+    * ingest + takedown lifecycle, and `corpus_diff(root, 'doc_id',
+    * from, to)` diffs the span — no Scala in the capture or the
+    * read. Rides q203's oracle VERBATIM ([[corpusDiffOracle]]).
+    * Same retention dial as q203 (two flips of lookback).
+    */
+  val q205 = Q("q205_corpus_diff_sql",
+    (s, dir) => {
+      import graft.ops.{CorpusStore, StoreVersions}
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val retainKey = StoreVersions.RetainVersions
+      val prev = s.conf.getOption(retainKey)
+      s.conf.set(retainKey, "2")
+      try {
+        val root = CorpusStore.storeDirFor(dir, "-diffsql")
+        val st = CorpusStore.build(
+          corpus.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+          "embedding", root)
+        def textSeq(): Int = s.sql(
+            s"SELECT seq FROM corpus_epochs('$root', 'doc_id') " +
+              "WHERE store = 'text'")
+          .head().getInt(0)
+        val fromSeq = textSeq()
+        CorpusStore.ingest(st, corpus.filter(col("doc_id") % 5 === 4),
+          "text", "embedding", "diffsql-b1")
+        CorpusStore.delete(st,
+          docs.filter(col("doc_id") % 10 === 1 ||
+            col("doc_id") % 10 === 4).select("doc_id"), "diffsql-d1")
+        val toSeq = textSeq()
+        s.sql(s"""SELECT doc_id, change
+          |FROM corpus_diff('$root', 'doc_id', $fromSeq, $toSeq)
+          |ORDER BY change, doc_id""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(retainKey, v)
+        case None => s.conf.unset(retainKey)
+      }
+    },
+    Some(corpusDiffOracle))
 
   val qs: Seq[Q] = Seq(q27, q28, q29, q31, q32, q39, q51, q52, q54, q56,
     q57, q62, q64, q65, q67, q84, q86, q90, q102, q109, q112, q116,
     q134, q136, q146, q148, q149, q150, q151, q152, q154, q156, q158,
     q161, q163, q166, q169, q176, q180, q185, q188, q189, q194, q195,
-    q197, q199, q200, q201)
+    q197, q199, q200, q201, q202, q203, q204, q205)
 }

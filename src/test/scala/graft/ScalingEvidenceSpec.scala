@@ -35,7 +35,7 @@ class ScalingEvidenceSpec extends AnyFunSuite {
   for ((tier, minRows) <- Seq("skew" -> 8, "streaming" -> 1,
       "streaming_replay" -> 8, "incremental" -> 12, "rewrite" -> 4,
       "asof_hotkey" -> 4, "ann_index" -> 16, "text_topk" -> 8,
-      "advisor" -> 2, "snapshot" -> 6)) {
+      "advisor" -> 2, "snapshot" -> 6, "corpus_audit" -> 4)) {
     test(s"""tier "$tier" rows present (>= $minRows)""") {
       val n = lines.count(_.contains(s""""tier":"$tier","""))
       assert(n >= minRows,

@@ -721,4 +721,49 @@ class CorpusStoreSpec extends SparkSpec {
     assert(CorpusStore.liveCounts(spark, st) == ((nAll, nAll, nAll)),
       "an undone transaction id must fold again")
   }
+
+  test("membershipDiff: adds and takedowns between two captures, " +
+      "NET across a span (a doc added then deleted inside it " +
+      "appears nowhere), empty at equal epochs") {
+    val retainKey = StoreVersions.RetainVersions
+    val prev = spark.conf.getOption(retainKey)
+    // the diff's lookback rides time-travel retention: two flips
+    // separate e0 from e2 below, so retain 2 prior versions
+    spark.conf.set(retainKey, "2")
+    try {
+      val base = corpus.filter(col("doc_id") % 5 =!= 4)
+      val batch = corpus.filter(col("doc_id") % 5 === 4)
+      val doomed = corpus.filter(col("doc_id") % 10 === 1 ||
+        col("doc_id") % 10 === 4).select("doc_id")
+      val st = CorpusStore.build(base, "doc_id", "text", "embedding",
+        s"$tmp/diff", annDials = Some(dials))
+      val e0 = CorpusStore.snapshotSeqs(spark, st)
+      CorpusStore.ingest(st, batch, "text", "embedding", "diff-b1")
+      val e1 = CorpusStore.snapshotSeqs(spark, st)
+      CorpusStore.delete(st, doomed, "diff-d1")
+      val e2 = CorpusStore.snapshotSeqs(spark, st)
+
+      def diff(a: CorpusStore.Epochs, b: CorpusStore.Epochs) =
+        CorpusStore.membershipDiff(spark, st, a, b).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+      assert(diff(e0, e1) == ids(batch).map((_, "added")),
+        "e0->e1 is exactly the ingested batch")
+      assert(diff(e1, e2) == ids(doomed).map((_, "removed")),
+        "e1->e2 is exactly the takedown")
+      // NET across the span: batch ids deleted inside it (%10==4)
+      // appear nowhere; base ids deleted (%10==1) are removals
+      val netAdded = ids(batch.filter(col("doc_id") % 10 =!= 4))
+      val netRemoved = ids(corpus.filter(col("doc_id") % 10 === 1))
+      assert(diff(e0, e2) == netAdded.map((_, "added")) ++
+        netRemoved.map((_, "removed")),
+        "e0->e2 is not the net membership change")
+      assert(diff(e1, e1).isEmpty, "equal epochs must diff empty")
+    } finally prev match {
+      case Some(v) => spark.conf.set(retainKey, v)
+      case None => spark.conf.unset(retainKey)
+    }
+  }
 }
