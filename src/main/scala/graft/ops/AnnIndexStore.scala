@@ -260,14 +260,6 @@ object AnnIndexStore {
     // staleness history the operational loop reads (a post-rebuild
     // trend would start from the stale corpus's decayed recall)
     StageSwap.remove(fs, new Path(s"$dir/recall_log"))
-    // same silently-empty-result trap as ivfCells: a predicate
-    // matching nothing would build an index that answers every query
-    // with zero rows — fail loudly instead (same conf opt-out; the
-    // check re-scans the corpus once, which a 100 TB build amortizes
-    // into its training passes anyway)
-    if (s.conf.get("spark.graft.ivf.validateCentroids", "true").toBoolean)
-      require(!emb.filter(centroidPred).isEmpty,
-        "centroidPred matched no rows — the index needs >= 1 cell")
     // coarse quantizer: the selected centroid rows with their norms —
     // k rows, the broadcast side of every assignment from here on
     val cV = StoreVersions.next(fs, dir, "centroids")
@@ -275,6 +267,18 @@ object AnnIndexStore {
       .select(col(idCol).cast("long").as("cid"), col("_e").as("_ce"),
         col("_nrm").as("_cn"))
       .write.mode("overwrite").parquet(cV)
+    // same silently-empty-result trap as ivfCells: a predicate
+    // matching nothing would build an index that answers every query
+    // with zero rows — fail loudly instead (same conf opt-out). The
+    // check reads the JUST-WRITTEN k-row centroids version, not the
+    // corpus: the write above already paid the filtered scan, so a
+    // second corpus pass would verify the same rows at corpus price
+    // (at 100 TB, a full extra input scan when the predicate matches
+    // nothing). Failing here leaves an uncommitted orphan version —
+    // swept by the next writer's entry, the standing flip-last rule.
+    if (s.conf.get("spark.graft.ivf.validateCentroids", "true").toBoolean)
+      require(!s.read.parquet(cV).isEmpty,
+        "centroidPred matched no rows — the index needs >= 1 cell")
     // PQ codebooks: one keyed Lloyd loop over the corpus
     val bV = StoreVersions.next(fs, dir, "codebooks")
     Similarity.pqTrain(emb, idCol, vecCol, seedPred, m, subDim, iters)

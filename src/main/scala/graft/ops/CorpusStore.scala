@@ -111,30 +111,41 @@ object CorpusStore {
       AnnIndexStore.Dials(col(idCol) % 50 === 7, col(idCol) % 10 === 3,
         c.m, c.subDim, c.iters)
     }
-    val cur = CurationStore.build(corpus.select(col(idCol), col(textCol)),
-      idCol, textCol, s"$dir/curation", bucketLabels = bucketLabels)
-    // a rebuild starts a fresh gate history: inherited admission
-    // rates describe another corpus life (the recall_log rule,
-    // admission tier) — and a fresh QUARANTINE history, for the same
-    // reason: a prior life's audit receipts must not replay into a
-    // corpus that never ran those batches
-    val curFs = new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log")
-      .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
-    StageSwap.remove(curFs,
-      new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log"))
-    StageSwap.remove(curFs,
-      new org.apache.hadoop.fs.Path(s"${cur.dir}/$QuarantineSub"))
-    val ann = AnnIndexStore.build(corpus.select(col(idCol), col(vecCol)),
-      idCol, vecCol, s"$dir/ann", d.centroidPred,
-      d.seedPred, d.m, d.subDim, d.iters)
-    val text = TextIndexStore.build(corpus.select(col(idCol), col(textCol)),
-      idCol, textCol, s"$dir/text", bucketPostings = bucketPostings)
-    // the optional monitoring tier: per-source counters + sketches
-    // over the same corpus, maintained under the same batch ids from
-    // here on (see [[ingest]]/[[delete]])
-    val stats = sourceCol.map(sc =>
-      StatsStore.build(corpus.select(col(textCol), col(sc)),
-        textCol, sc, s"$dir/stats"))
+    // the four tier builds are independent (disjoint directories, no
+    // cross-reads) — run them CONCURRENTLY ([[TierPar]]): each build
+    // is a chain of small staged jobs separated by driver-side
+    // planning and manifest work, so overlapping the tiers keeps the
+    // executors busy through every tier's driver gaps
+    val (cur, ann, text, stats) = TierPar.par4(
+      {
+        val cur = CurationStore.build(
+          corpus.select(col(idCol), col(textCol)),
+          idCol, textCol, s"$dir/curation", bucketLabels = bucketLabels)
+        // a rebuild starts a fresh gate history: inherited admission
+        // rates describe another corpus life (the recall_log rule,
+        // admission tier) — and a fresh QUARANTINE history, for the
+        // same reason: a prior life's audit receipts must not replay
+        // into a corpus that never ran those batches
+        val curFs = new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log")
+          .getFileSystem(
+            corpus.sparkSession.sessionState.newHadoopConf())
+        StageSwap.remove(curFs,
+          new org.apache.hadoop.fs.Path(s"${cur.dir}/gate_log"))
+        StageSwap.remove(curFs,
+          new org.apache.hadoop.fs.Path(s"${cur.dir}/$QuarantineSub"))
+        cur
+      },
+      AnnIndexStore.build(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, s"$dir/ann", d.centroidPred,
+        d.seedPred, d.m, d.subDim, d.iters),
+      TextIndexStore.build(corpus.select(col(idCol), col(textCol)),
+        idCol, textCol, s"$dir/text", bucketPostings = bucketPostings),
+      // the optional monitoring tier: per-source counters + sketches
+      // over the same corpus, maintained under the same batch ids
+      // from here on (see [[ingest]]/[[delete]])
+      sourceCol.map(sc =>
+        StatsStore.build(corpus.select(col(textCol), col(sc)),
+          textCol, sc, s"$dir/stats")))
     Stores(cur, ann, text, stats, sourceCol.getOrElse("source"))
   }
 
@@ -149,21 +160,26 @@ object CorpusStore {
       vecCol: String, batchId: String): Stores = {
     require(batchId.nonEmpty, "cross-store ingest requires a batchId")
     val idCol = st.idCol
-    CurationStore.update(st.curation,
-      batch.select(col(idCol), col(textCol)), textCol,
-      batchId = Some(batchId))
-    AnnIndexStore.add(st.ann, batch.select(col(idCol), col(vecCol)),
-      vecCol, batchId = Some(batchId))
-    TextIndexStore.update(st.text,
-      batch.select(col(idCol), col(textCol)), textCol,
-      batchId = Some(batchId))
-    // fourth store, same epoch: the monitoring counters fold the
-    // batch under the same id, so a replayed transaction no-ops here
-    // exactly as in the serving tiers (the batch must carry
-    // `sourceCol` when the stats tier is mounted)
-    st.stats.foreach(x => StatsStore.update(x,
-      batch.select(col(textCol), col(st.sourceCol)), textCol,
-      st.sourceCol, batchId = Some(batchId)))
+    // independent per-tier folds, overlapped ([[TierPar]]): each
+    // tier's `_applied` witness makes replay convergence per-tier, so
+    // a crash leaving an arbitrary subset folded recovers exactly as
+    // the sequential prefix did
+    TierPar.par4(
+      CurationStore.update(st.curation,
+        batch.select(col(idCol), col(textCol)), textCol,
+        batchId = Some(batchId)),
+      AnnIndexStore.add(st.ann, batch.select(col(idCol), col(vecCol)),
+        vecCol, batchId = Some(batchId)),
+      TextIndexStore.update(st.text,
+        batch.select(col(idCol), col(textCol)), textCol,
+        batchId = Some(batchId)),
+      // fourth store, same epoch: the monitoring counters fold the
+      // batch under the same id, so a replayed transaction no-ops here
+      // exactly as in the serving tiers (the batch must carry
+      // `sourceCol` when the stats tier is mounted)
+      st.stats.foreach(x => StatsStore.update(x,
+        batch.select(col(textCol), col(st.sourceCol)), textCol,
+        st.sourceCol, batchId = Some(batchId))))
     st
   }
 
@@ -844,15 +860,18 @@ object CorpusStore {
       "a stats-bearing transaction needs the doomed docs' own rows " +
         "(text + source) — counters are multiset aggregates, so only " +
         "the docs' content says what to subtract")
-    CurationStore.delete(st.curation, ids, batchId = Some(batchId))
-    AnnIndexStore.delete(st.ann, ids, batchId = Some(batchId))
-    TextIndexStore.delete(st.text, ids, batchId = Some(batchId))
-    // fourth store, same epoch: exact counters decrement, the
-    // touched sources' sketches flip stale-until-compact
-    // ([[StatsStore.delete]]'s contract)
-    st.stats.foreach(x => StatsStore.delete(x,
-      deletedDocs.get.select(col(textCol), col(st.sourceCol)),
-      textCol, st.sourceCol, batchId = Some(batchId)))
+    // independent per-tier masks, overlapped ([[TierPar]] — the
+    // [[ingest]] argument verbatim)
+    TierPar.par4(
+      CurationStore.delete(st.curation, ids, batchId = Some(batchId)),
+      AnnIndexStore.delete(st.ann, ids, batchId = Some(batchId)),
+      TextIndexStore.delete(st.text, ids, batchId = Some(batchId)),
+      // fourth store, same epoch: exact counters decrement, the
+      // touched sources' sketches flip stale-until-compact
+      // ([[StatsStore.delete]]'s contract)
+      st.stats.foreach(x => StatsStore.delete(x,
+        deletedDocs.get.select(col(textCol), col(st.sourceCol)),
+        textCol, st.sourceCol, batchId = Some(batchId))))
     st
   }
 
@@ -868,17 +887,18 @@ object CorpusStore {
     require(st.stats.isEmpty || liveCorpus.isDefined,
       "a stats-bearing transaction compacts its sketch debt by " +
         "re-deriving from the LIVE corpus — pass it")
-    val out = Stores(CurationStore.compact(s, st.curation, labelBuckets),
+    // independent per-tier compactions, overlapped ([[TierPar]]);
+    // the fourth task is the stats tier's one full aggregation pass
+    // that settles the sketch debt deletes accrued (stale flags
+    // clear, every field back at its build-fresh guarantee)
+    val (cur, ann, text, _) = TierPar.par4(
+      CurationStore.compact(s, st.curation, labelBuckets),
       AnnIndexStore.compact(s, st.ann),
       TextIndexStore.compact(s, st.text),
-      st.stats, st.sourceCol)
-    // fourth store: the one full aggregation pass that settles the
-    // sketch debt deletes accrued (stale flags clear, every field
-    // back at its build-fresh guarantee)
-    st.stats.foreach(x => StatsStore.compact(x,
-      liveCorpus.get.select(col(textCol), col(st.sourceCol)),
-      textCol, st.sourceCol))
-    out
+      st.stats.foreach(x => StatsStore.compact(x,
+        liveCorpus.get.select(col(textCol), col(st.sourceCol)),
+        textCol, st.sourceCol)))
+    Stores(cur, ann, text, st.stats, st.sourceCol)
   }
 
   /** The quad's CURRENT snapshot-log seqs. An orchestrator captures
@@ -1048,7 +1068,12 @@ object CorpusStore {
       "the stats tier's sketch debt is due: its compact re-derives " +
         "from the LIVE corpus — pass it")
     val idc = st.idCol
-    val ann =
+    // the advised per-tier actions are independent (the [[compact]] /
+    // [[build]] tier ops over disjoint directories) — overlapped
+    // ([[TierPar]]); un-advised tiers pass through untouched
+    val (cur2, ann2, text2, _) = TierPar.par4(
+      if (due("curation")) CurationStore.compact(s, st.curation,
+        labelBuckets) else st.curation,
       if (rebuildAnn) {
         val d = annDials.get
         AnnIndexStore.build(
@@ -1056,17 +1081,14 @@ object CorpusStore {
           st.ann.dir, d.centroidPred, d.seedPred, d.m, d.subDim,
           d.iters)
       } else if (due("ann")) AnnIndexStore.compact(s, st.ann)
-      else st.ann
-    val out = Stores(
-      if (due("curation")) CurationStore.compact(s, st.curation,
-        labelBuckets) else st.curation,
-      ann,
+      else st.ann,
       if (due("text")) TextIndexStore.compact(s, st.text) else st.text,
-      st.stats, st.sourceCol)
-    if (due("stats"))
-      st.stats.foreach(x => StatsStore.compact(x,
-        liveCorpus.get.select(col(textCol), col(st.sourceCol)),
-        textCol, st.sourceCol))
+      if (due("stats"))
+        st.stats.foreach(x => StatsStore.compact(x,
+          liveCorpus.get.select(col(textCol), col(st.sourceCol)),
+          textCol, st.sourceCol))
+      else ())
+    val out = Stores(cur2, ann2, text2, st.stats, st.sourceCol)
     (out, Advisor.advise(s, out))
   }
 

@@ -2258,21 +2258,26 @@ object SimilarityQueries {
       val evenDials = graft.ops.AnnIndexStore.Dials(
         col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
         m = 2, subDim = 32, iters = 2)
-      val st = CorpusStore.build(
-        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        "embedding", CorpusStore.storeDirFor(dir, "-retro"),
-        annDials = Some(evenDials))
-      // clean first revision per run — the oracle's bench_rev = 1
-      // (BenchmarkStore.build on a versioned previous life lands as
-      // the NEXT revision by design; q196 sets the same convention)
-      val bdir = CorpusStore.storeDirFor(dir, "-retro-eval")
-      val bfs = new org.apache.hadoop.fs.Path(bdir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
-      val bs = BenchmarkStore.build(
-        docs.filter(col("doc_id") % 100 === 6)
-          .select(col("doc_id"), col("text")),
-        "doc_id", "text", bdir)
+      // the quad and the versioned eval store are independent builds
+      // over disjoint directories — overlapped (TierPar, guide §2.6)
+      val (st, bs) = graft.ops.TierPar.par2(
+        CorpusStore.build(
+          corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "embedding", CorpusStore.storeDirFor(dir, "-retro"),
+          annDials = Some(evenDials)),
+        {
+          // clean first revision per run — the oracle's bench_rev = 1
+          // (BenchmarkStore.build on a versioned previous life lands
+          // as the NEXT revision by design; q196 sets the convention)
+          val bdir = CorpusStore.storeDirFor(dir, "-retro-eval")
+          val bfs = new org.apache.hadoop.fs.Path(bdir)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+          BenchmarkStore.build(
+            docs.filter(col("doc_id") % 100 === 6)
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", bdir)
+        })
       CorpusStore.retroContamination(s, st, bs, minOverlap = 2)
         .orderBy("doc_id")
     },
@@ -2303,19 +2308,24 @@ object SimilarityQueries {
       val evenDials = graft.ops.AnnIndexStore.Dials(
         col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
         m = 2, subDim = 32, iters = 2)
-      val st = CorpusStore.build(
-        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        "embedding", CorpusStore.storeDirFor(dir, "-quarantine"),
-        annDials = Some(evenDials))
-      // clean first revision per run (the q201/q196 convention)
-      val bdir = CorpusStore.storeDirFor(dir, "-quarantine-eval")
-      val bfs = new org.apache.hadoop.fs.Path(bdir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
-      val bs = BenchmarkStore.build(
-        docs.filter(col("doc_id") % 100 === 6)
-          .select(col("doc_id"), col("text")),
-        "doc_id", "text", bdir)
+      // independent builds over disjoint directories — overlapped
+      // (TierPar, the q201 shape)
+      val (st, bs) = graft.ops.TierPar.par2(
+        CorpusStore.build(
+          corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "embedding", CorpusStore.storeDirFor(dir, "-quarantine"),
+          annDials = Some(evenDials)),
+        {
+          // clean first revision per run (the q201/q196 convention)
+          val bdir = CorpusStore.storeDirFor(dir, "-quarantine-eval")
+          val bfs = new org.apache.hadoop.fs.Path(bdir)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+          BenchmarkStore.build(
+            docs.filter(col("doc_id") % 100 === 6)
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", bdir)
+        })
       val (st2, flagged) = CorpusStore.quarantine(s, st, bs,
         "q202-batch", minOverlap = 2)
       st2.text.doclens(s).select(col("doc_id"))
@@ -2421,17 +2431,22 @@ object SimilarityQueries {
         col("doc_id") % 50 === 8, col("doc_id") % 10 === 4,
         m = 2, subDim = 32, iters = 2)
       val root = CorpusStore.storeDirFor(dir, "-retrosql")
-      CorpusStore.build(
-        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        "embedding", root, annDials = Some(evenDials))
       val bdir = CorpusStore.storeDirFor(dir, "-retrosql-eval")
-      val bfs = new org.apache.hadoop.fs.Path(bdir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
-      BenchmarkStore.build(
-        docs.filter(col("doc_id") % 100 === 6)
-          .select(col("doc_id"), col("text")),
-        "doc_id", "text", bdir)
+      // independent builds over disjoint directories — overlapped
+      // (TierPar, the q201 shape)
+      graft.ops.TierPar.par2(
+        CorpusStore.build(
+          corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "embedding", root, annDials = Some(evenDials)),
+        {
+          val bfs = new org.apache.hadoop.fs.Path(bdir)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          bfs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+          BenchmarkStore.build(
+            docs.filter(col("doc_id") % 100 === 6)
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", bdir)
+        })
       s.sql(s"""SELECT doc_id, n_overlap, bench_rev
         |FROM retro_audit('$root', 'doc_id', '$bdir')
         |ORDER BY doc_id""".stripMargin)

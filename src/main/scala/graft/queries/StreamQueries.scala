@@ -783,14 +783,18 @@ object StreamQueries {
     val parts = s.conf.get("spark.graft.stream.shufflePartitions", "8")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      Seq(0, 2, 4).foreach { i =>
-        graft.ark.Ark.writeSingleFile(
-          corpus.filter(col("doc_id") % 6 === i),
-          s"$inDir/slice$i.parquet")
-      }
-      val st = graft.ops.CorpusStore.build(
-        corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        "embedding", storeDir)
+      // the slice writes must stay sequential AMONG THEMSELVES (the
+      // source orders epochs by mod-time), but they are independent
+      // of the quad build — overlapped (TierPar, guide §2.6)
+      val (st, _) = graft.ops.TierPar.par2(
+        graft.ops.CorpusStore.build(
+          corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          "embedding", storeDir),
+        Seq(0, 2, 4).foreach { i =>
+          graft.ark.Ark.writeSingleFile(
+            corpus.filter(col("doc_id") % 6 === i),
+            s"$inDir/slice$i.parquet")
+        })
       s.conf.set("spark.sql.shuffle.partitions", parts)
       try {
         s.readStream.schema(corpus.schema)
@@ -869,17 +873,19 @@ object StreamQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
         // epoch order = file order: slice0 (%6=1), slice1 (%6=3),
-        // slice2 (%6=5) — written sequentially so the source's
-        // mod-time order matches
-        Seq(1, 3, 5).zipWithIndex.foreach { case (r, i) =>
-          graft.ark.Ark.writeSingleFile(
-            corpus.filter(col("doc_id") % 6 === r),
-            s"$inDir/slice$i.parquet")
-        }
-        val st = CorpusStore.build(
-          corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-          "embedding", CorpusStore.storeDirFor(dir, "-gatedstream"),
-          annDials = Some(evenDials))
+        // slice2 (%6=5) — written sequentially AMONG THEMSELVES so
+        // the source's mod-time order matches; independent of the
+        // quad build, so the two overlap (TierPar, guide §2.6)
+        val (st, _) = graft.ops.TierPar.par2(
+          CorpusStore.build(
+            corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            "embedding", CorpusStore.storeDirFor(dir, "-gatedstream"),
+            annDials = Some(evenDials)),
+          Seq(1, 3, 5).zipWithIndex.foreach { case (r, i) =>
+            graft.ark.Ark.writeSingleFile(
+              corpus.filter(col("doc_id") % 6 === r),
+              s"$inDir/slice$i.parquet")
+          })
         // keyed by (epoch, status) with PUT semantics, not an append
         // log: foreachBatch may re-execute a micro-batch (task
         // failure/retry, checkpoint restart), and the fold below is

@@ -3730,20 +3730,26 @@ object TextQueries {
       val c = AnnIndexStore.CorpusDials
       val evenDials = AnnIndexStore.Dials(col("doc_id") % 50 === 8,
         col("doc_id") % 10 === 4, c.m, c.subDim, c.iters)
-      val st0 = CorpusStore.build(
-        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        "embedding", CorpusStore.storeDirFor(dir, "-vbench"),
-        annDials = Some(evenDials))
-      val bdir = graft.ops.StoreDirs
-        .dirFor("target/benchmark-store/", dir, "")
-      // clean first revision per run — the oracle's bench_rev = 1
-      val fs = new org.apache.hadoop.fs.Path(bdir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(bdir), true)
-      val bs = BenchmarkStore.build(
-        docs.filter(col("doc_id") % 100 === 7)
-          .select(col("doc_id"), col("text")),
-        "doc_id", "text", bdir)
+      // the quad and the versioned benchmark store are independent
+      // builds over disjoint directories — overlapped (TierPar,
+      // guide §2.6)
+      val (st0, bs) = graft.ops.TierPar.par2(
+        CorpusStore.build(
+          corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "embedding", CorpusStore.storeDirFor(dir, "-vbench"),
+          annDials = Some(evenDials)),
+        {
+          val bdir = graft.ops.StoreDirs
+            .dirFor("target/benchmark-store/", dir, "")
+          // clean first revision per run — the oracle's bench_rev = 1
+          val fs = new org.apache.hadoop.fs.Path(bdir)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new org.apache.hadoop.fs.Path(bdir), true)
+          BenchmarkStore.build(
+            docs.filter(col("doc_id") % 100 === 7)
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", bdir)
+        })
       val (st, decisions) = CorpusStore.ingestScreened(st0,
         corpus.filter(col("doc_id") % 2 === 1), "text", "embedding",
         "vbench-odds", benchmarkStore = Some(bs))
