@@ -314,12 +314,28 @@ object AnnIndexStore {
   private def encodeTo(s: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, centroidsPath: String, codebooksPath: String,
       m: Int, subDim: Int, target: String, mode: String): Unit = {
-    val cells = Similarity.assignCosineCells(emb, idCol, vecCol,
-        s.read.parquet(centroidsPath))
-      .select(col(idCol), col("cell"))
-    Similarity.pqEncode(emb, idCol, vecCol,
-        s.read.parquet(codebooksPath), m, subDim)
-      .join(cells, idCol)
+    // one pass, ZERO exchanges: cell argmax and the m sub-code
+    // argmins are per-row folds over the (broadcast-sized by
+    // contract) model literals — bit-identical to the join+aggregate
+    // formulation (NearestCodeSpec pins it, ties and zero-norm
+    // included), which paid two extra corpus scans and three
+    // corpus-sized Exchanges (cells groupBy, keyed-subspace groupBy,
+    // pivot groupBy + the id re-join) to compute the same per-row
+    // function. Guide §2.4 (remove shuffles outright) / §1.2 step 1.
+    val (centsLit, nCents) =
+      Similarity.centroidsLiteral(s.read.parquet(centroidsPath))
+    val (cbLit, nCb) =
+      Similarity.codebooksLiteral(s.read.parquet(codebooksPath))
+    val e = col(vecCol).cast("array<double>")
+    // an EMPTY model encodes nothing — the inner-join semantics of
+    // the formulation this replaces (only reachable with centroid
+    // validation opted out)
+    val src = if (nCents == 0L || nCb == 0L) emb.filter(lit(false))
+      else emb
+    val codeCols = (0 until m).map(j => graft.functions.NearestPqCode(
+      slice(e, j * subDim + 1, subDim), lit(j), cbLit).as(s"_c$j"))
+    src.select(col(idCol) +: codeCols :+
+        graft.functions.NearestCosineCell(e, centsLit).as("cell"): _*)
       .write.mode(mode).partitionBy("cell").parquet(target)
     s.catalog.refreshByPath(target)
   }

@@ -345,6 +345,60 @@ object Similarity {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
+  /** Collect a centroid frame (cid, _ce, _cn) into ONE
+    * `array<struct>` literal for [[graft.functions.NearestCosineCell]]
+    * — the zero-shuffle encode path ([[graft.ops.AnnIndexStore]]'s
+    * build/add). The frame is broadcast-sized by the store contract
+    * (it is the broadcast side of every assignment already), so the
+    * driver collect moves the same bytes a broadcast would. Rows are
+    * sorted by cid for stability; the argbest is order-independent
+    * either way (deterministic tie-breaks). Empty frames are the
+    * caller's guard (an empty model must yield an EMPTY encode, the
+    * join formulation's semantics — not a fold over nothing).
+    */
+  private[ops] def centroidsLiteral(cents: DataFrame): (Column, Long) = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val rows = cents.select(col("cid").cast("long"),
+        col("_ce").cast("array<double>"), col("_cn").cast("double"))
+      .collect().sortBy(_.getLong(0))
+    val data = new GenericArrayData(rows.map(r => InternalRow(
+      r.getLong(0), new GenericArrayData(r.getSeq[Double](1).toArray),
+      r.getDouble(2))))
+    val tpe = ArrayType(StructType(Seq(StructField("cid", LongType),
+      StructField("_ce", ArrayType(DoubleType)),
+      StructField("_cn", DoubleType))))
+    (org.apache.spark.sql.graft.Shims.column(Literal(data, tpe)),
+      rows.length.toLong)
+  }
+
+  /** Collect a PQ codebook frame (_sj, cid, _ce) into ONE
+    * `array<struct>` literal for [[graft.functions.NearestPqCode]] —
+    * the codebooks are already driver-materialized every Lloyd
+    * iteration ([[pqTrain]]'s `materializeSmall`), so this adds no new
+    * driver pressure. Same empty-frame caller guard as
+    * [[centroidsLiteral]].
+    */
+  private[ops] def codebooksLiteral(cb: DataFrame): (Column, Long) = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val rows = cb.select(col("_sj").cast("int"),
+        col("cid").cast("long"), col("_ce").cast("array<double>"))
+      .collect().sortBy(r => (r.getInt(0), r.getLong(1)))
+    val data = new GenericArrayData(rows.map(r => InternalRow(
+      r.getInt(0), r.getLong(1),
+      new GenericArrayData(r.getSeq[Double](2).toArray))))
+    val tpe = ArrayType(StructType(Seq(StructField("_sj", IntegerType),
+      StructField("cid", LongType),
+      StructField("_ce", ArrayType(DoubleType)))))
+    (org.apache.spark.sql.graft.Shims.column(Literal(data, tpe)),
+      rows.length.toLong)
+  }
+
   /** Incremental index maintenance — the reference's high-water
     * pattern (fetch only what's new) lifted to ANN: train/keep
     * centroids over HISTORY once, then assign only the NEW batch to
@@ -672,7 +726,20 @@ object Similarity {
       .select(col("_sj"), col(idCol).cast("long").as("cid"),
         col("_e").as("_ce"))
     for (_ <- 1 to iters) {
-      val asg = assignEuclidKeyed(subRows, cents, idCol)
+      // per-row argmin against the codebook LITERAL (the same frame
+      // materializeSmall collects each iteration anyway) instead of
+      // the broadcast-join + keyed groupBy: one corpus-sized Exchange
+      // REMOVED per Lloyd iteration, same assignment bit-for-bit
+      // ([[graft.functions.NearestPqCode]] replicates
+      // `assignEuclidKeyed`'s score and (score, cid) tie-break;
+      // NearestCodeSpec pins the encode equality)
+      val (cbLit, nCb) = codebooksLiteral(cents)
+      // empty seeds assign nothing — the inner-join semantics of the
+      // formulation this replaces
+      val asg = subRows.select(col("_sj"), col(idCol),
+          graft.functions.NearestPqCode(col("_e"), col("_sj"), cbLit)
+            .as("cid"), col("_e"))
+        .filter(lit(nCb > 0))
       val means = asg
         .select(col("_sj"), col("cid"), posexplode(col("_e")).as(Seq("p", "v")))
         .groupBy(col("_sj"), col("cid"), col("p"))
