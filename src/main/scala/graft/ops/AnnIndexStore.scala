@@ -260,29 +260,40 @@ object AnnIndexStore {
     // staleness history the operational loop reads (a post-rebuild
     // trend would start from the stale corpus's decayed recall)
     StageSwap.remove(fs, new Path(s"$dir/recall_log"))
-    // coarse quantizer: the selected centroid rows with their norms —
-    // k rows, the broadcast side of every assignment from here on
+    // The two trainers are INDEPENDENT — the coarse quantizer is a
+    // filtered projection of the corpus, the PQ Lloyd loop reads the
+    // corpus through its own seed — so they run CONCURRENTLY
+    // ([[TierPar]], guide §2.6): the centroid write's scan backfills
+    // the Lloyd loop's driver gaps (each iteration is a collect
+    // separated by planning). Both land in their own staged version
+    // dirs; the encode below depends on both and runs after.
     val cV = StoreVersions.next(fs, dir, "centroids")
-    Similarity.withNorm(emb.filter(centroidPred), vecCol)
-      .select(col(idCol).cast("long").as("cid"), col("_e").as("_ce"),
-        col("_nrm").as("_cn"))
-      .write.mode("overwrite").parquet(cV)
-    // same silently-empty-result trap as ivfCells: a predicate
-    // matching nothing would build an index that answers every query
-    // with zero rows — fail loudly instead (same conf opt-out). The
-    // check reads the JUST-WRITTEN k-row centroids version, not the
-    // corpus: the write above already paid the filtered scan, so a
-    // second corpus pass would verify the same rows at corpus price
-    // (at 100 TB, a full extra input scan when the predicate matches
-    // nothing). Failing here leaves an uncommitted orphan version —
-    // swept by the next writer's entry, the standing flip-last rule.
-    if (s.conf.get("spark.graft.ivf.validateCentroids", "true").toBoolean)
-      require(!s.read.parquet(cV).isEmpty,
-        "centroidPred matched no rows — the index needs >= 1 cell")
-    // PQ codebooks: one keyed Lloyd loop over the corpus
     val bV = StoreVersions.next(fs, dir, "codebooks")
-    Similarity.pqTrain(emb, idCol, vecCol, seedPred, m, subDim, iters)
-      .write.mode("overwrite").parquet(bV)
+    TierPar.par2(
+      {
+        // coarse quantizer: the selected centroid rows with their
+        // norms — k rows, the broadcast side of every assignment
+        Similarity.withNorm(emb.filter(centroidPred), vecCol)
+          .select(col(idCol).cast("long").as("cid"),
+            col("_e").as("_ce"), col("_nrm").as("_cn"))
+          .write.mode("overwrite").parquet(cV)
+        // same silently-empty-result trap as ivfCells: a predicate
+        // matching nothing would build an index that answers every
+        // query with zero rows — fail loudly instead (conf opt-out).
+        // The check reads the JUST-WRITTEN k-row centroids version,
+        // not the corpus: the write above already paid the filtered
+        // scan, so a second corpus pass would verify the same rows
+        // at corpus price. Failing here leaves an uncommitted orphan
+        // version — swept by the next writer's entry (flip-last).
+        if (s.conf.get("spark.graft.ivf.validateCentroids", "true")
+            .toBoolean)
+          require(!s.read.parquet(cV).isEmpty,
+            "centroidPred matched no rows — the index needs >= 1 cell")
+      },
+      // PQ codebooks: one keyed Lloyd loop over the corpus
+      Similarity.pqTrain(emb, idCol, vecCol, seedPred, m, subDim,
+          iters)
+        .write.mode("overwrite").parquet(bV))
     // the ONE remaining corpus-sized pass: coarse cell + m codes per
     // vector, written partitioned by cell — the models are re-read
     // from the just-written version dirs (lineage cut at each

@@ -157,17 +157,24 @@ object CorpusStore {
     * failure this layer exists to rule out.
     */
   def ingest(st: Stores, batch: DataFrame, textCol: String,
-      vecCol: String, batchId: String): Stores = {
+      vecCol: String, batchId: String,
+      screenedNoNewPairs: Boolean = false): Stores = {
     require(batchId.nonEmpty, "cross-store ingest requires a batchId")
     val idCol = st.idCol
     // independent per-tier folds, overlapped ([[TierPar]]): each
     // tier's `_applied` witness makes replay convergence per-tier, so
     // a crash leaving an arbitrary subset folded recovers exactly as
-    // the sequential prefix did
+    // the sequential prefix did.
+    // `screenedNoNewPairs` is the GATED coordinator's certificate
+    // (see [[ingestScreenedAttributed]]): the batch already passed
+    // the screen at the store's own dials with uncapped buckets, so
+    // the curation fold may skip its pair discovery — the screen
+    // proved there is nothing to discover.
     TierPar.par4(
       CurationStore.update(st.curation,
         batch.select(col(idCol), col(textCol)), textCol,
-        batchId = Some(batchId)),
+        batchId = Some(batchId),
+        screenedNoNewPairs = screenedNoNewPairs),
       AnnIndexStore.add(st.ann, batch.select(col(idCol), col(vecCol)),
         vecCol, batchId = Some(batchId)),
       TextIndexStore.update(st.text,
@@ -214,14 +221,15 @@ object CorpusStore {
     * (spec-fabricated: a tier folds, the coordinator "dies", the
     * transaction replays).
     *
-    * The decision frame pins the PRE-ingest snapshot at plan time,
-    * so collecting it after the fold still answers from the corpus
-    * the batch was screened against. Each tier's fold re-evaluates
-    * the `kept` lineage (screen included — its cluster fixpoint is
-    * cached, the LSH join is not): at 100 TB batch sizes, persist
-    * the batch (or materialize the decisions) before calling if
-    * recomputing it is expensive — the same caveat as [[ingest]],
-    * one stage deeper.
+    * The decision frame is MATERIALIZED ONCE (batch-sized temp
+    * parquet, r17): the gate-log counts, every tier fold's `kept`
+    * and the RETURNED frame all read that single evaluation, and the
+    * returned frame is definitively frozen against the PRE-ingest
+    * snapshot the batch was screened against — collecting it after
+    * the fold (or much later) re-executes nothing. The batch frame
+    * itself is still evaluated once per consumer of `kept`'s
+    * semi-join during the transaction (internally persisted), the
+    * same caveat as [[ingest]].
     */
   def ingestScreened(st: Stores, batch: DataFrame, textCol: String,
       vecCol: String, batchId: String,
@@ -289,41 +297,85 @@ object CorpusStore {
     // decisions; the pin is the ONLY write before the folds, and the
     // decision pipeline itself is the shared read-only
     // [[gateDecisions]] (also behind [[gatePreview]])
-    val decisions = gateDecisions(st, batch, textCol, vecCol,
+    val decisions0 = gateDecisions(st, batch, textCol, vecCol,
       numBands, minEst, maxBucketSize, benchmark, benchK,
       benchMinOverlap, semanticTau, semanticNprobe,
       benchmarkStore.map(bs => BenchmarkStore.pinForBatch(s, bs,
         batchId)))
-    // PERSIST the decision frame for the TRANSACTION'S OWN consumers:
-    // without a cache the screen + semantic pipeline would re-execute
-    // inside every internal consumer — the gate-log counts and each
-    // of the four tier folds' jobs over `kept` (the r16 advice
-    // finding: the gate paid the screen at least twice per batch).
-    // One materialization, batch-sized, MEMORY_AND_DISK; both caches
-    // drop before returning (the cached-block hygiene contract —
-    // UnpersistSpec), so the caller's own consumption recomputes once
-    // — and reproduces the same decisions however late it runs, by
-    // the replay discipline (batch ids anti-joined out of history).
-    val decisionsP = decisions.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // MATERIALIZE the decision frame ONCE (write + read back, the
+    // plan-truncation move of guide §3.3/§1.4): the screen + semantic
+    // pipeline is the gate's expensive part, and before this it ran
+    // at least twice per batch — once into a transaction-private
+    // persist (the r16 advice fix) and once more when the CALLER
+    // consumed the returned frame, whose lazy lineage re-evaluated
+    // the whole screen after the internal cache had been dropped (the
+    // cached-block hygiene contract forbids leaking the persist).
+    // A batch-sized parquet write gives every consumer — the gate-log
+    // counts, the four tier folds' `kept`, AND the returned frame —
+    // the same single evaluation, with zero cached blocks after
+    // return, and definitively freezes the PRE-ingest snapshot the
+    // decisions were screened against (the lazy frame only pinned it
+    // at plan time). Temp files are session-scoped (deleted on JVM
+    // exit); every invocation recomputes from the stores, so replay
+    // determinism is untouched.
+    val decisions = materializeTmp(decisions0, "gate-decisions")
     val kept = batch.join(
-      decisionsP.filter(col("status") === "kept")
+      decisions.filter(col("status") === "kept")
         .select(col(st.idCol)),
       Seq(st.idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the gate-log counts run FIRST: one tiny agg materializes the
-    // decision cache before any tier fold touches `kept` (the row
-    // itself still appends only after the folds — see below)
-    val gateCounts = decisionsP.agg(count(lit(1)).as("n_total"),
+    val gateCounts = decisions.agg(count(lit(1)).as("n_total"),
       gateN("kept").as("n_kept"), gateN("hist_dup").as("n_hist_dup"),
       gateN("batch_dup").as("n_batch_dup"),
       gateN("contaminated").as("n_contaminated"),
       gateN("semantic_dup").as("n_semantic_dup")).head()
-    val out = ingest(st, kept, textCol, vecCol, batchId)
+    // the survivors passed the screen AT THE STORE'S OWN DIALS with
+    // uncapped buckets — then the curation fold's pair discovery is
+    // provably empty (any kept↔store or kept↔kept pair scoring
+    // ≥ minEst would have made its doc hist_dup/batch_dup, and the
+    // semantic/contamination axes only SHRINK the kept set), so the
+    // fold may skip it (guide §1.2 step 1: don't compute what you
+    // throw away). Explicit screen dials or a finite bucket cap void
+    // the proof (the fold would resolve DIFFERENT criteria, or the
+    // cap could hide a pair from the screen that the smaller fold-
+    // side join rediscovers) — those fall back to the full fold.
+    val screenedNoNewPairs = numBands == CurationStore.UseStoredDials &&
+      minEst == CurationStore.UseStoredDials &&
+      maxBucketSize == Long.MaxValue
+    val out = ingest(st, kept, textCol, vecCol, batchId,
+      screenedNoNewPairs = screenedNoNewPairs)
     kept.unpersist()
     appendGateLog(s, st.curation.dir, batchId, gateCounts)
-    decisionsP.unpersist()
     (out, decisions)
+  }
+
+  /** Session-scoped temp dirs for [[materializeTmp]], deleted on JVM
+    * exit — within-run intermediates only, never a cross-run cache. */
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tmpHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }))
+    true
+  }
+
+  /** Write `df` to a session-temp parquet dir and return the
+    * read-back (explicit schema, so an all-rejected empty frame
+    * round-trips) — ONE evaluation serves every consumer, and the
+    * returned frame's plan is a file scan instead of the full
+    * pipeline lineage. */
+  private def materializeTmp(df: DataFrame, tag: String): DataFrame = {
+    require(tmpHookInstalled)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    tmpDirs.add(dir)
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.schema(df.schema).parquet(dir.toString)
   }
 
   private def gateN(status: String): Column =

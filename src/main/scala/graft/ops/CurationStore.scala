@@ -471,36 +471,45 @@ object CurationStore {
     val sigV = StoreVersions.next(fs, storeDir, "signatures")
     Dedup.minhashSignatures(docs, idCol, textCol, numHashes)
       .write.mode("overwrite").parquet(sigV)
-    // stage 2 — candidate pairs from the STORED signatures: band
-    // bucket self-join + estimate threshold, raw text never re-read
+    // stages 2+3 (pairs → fixpoint → labels) and the live counter
+    // are independent readers of the just-written signature version —
+    // overlapped ([[TierPar]], guide §2.6): the counter's one tiny
+    // job rides the fixpoint chain's driver gaps
     val pairsV = StoreVersions.next(fs, storeDir, "pairs")
-    Dedup.estimatePairsFromSignatures(
-        spark.read.parquet(sigV),
-        idCol, numHashes, numBands, maxBucketSize)
-      .filter(col("est_jaccard") >= minEst)
-      .write.mode("overwrite").parquet(pairsV)
-    // stage 3 — cluster labels: the components fixpoint runs ONCE,
-    // its write is its materialization, its cache is released here
-    val fixpoint = Dedup.clusters(
-      spark.read.parquet(pairsV), "a", "b")
-    val labelRows = fixpoint.select(col("id").as(idCol), col("cluster"))
     val labelsV = StoreVersions.next(fs, storeDir, "labels")
-    val table =
-      if (bucketLabels > 0) {
-        writeBucketedLabelsStaged(labelRows, idCol, bucketLabels,
-          tableNameFor(storeDir), labelsV)
-        Some(tableNameFor(storeDir))
-      } else {
-        labelRows.write.mode("overwrite").parquet(labelsV)
-        None
-      }
-    val labelSchema = labelRows.schema.toDDL
-    fixpoint.unpersist()
-    // exact live counter seeded from the fresh signatures (no
-    // tombstones exist — unmasked count is the live membership)
     val statsV = StoreVersions.next(fs, storeDir, "stats")
-    spark.read.parquet(sigV).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(statsV)
+    val ((table, labelSchema), _) = TierPar.par2(
+      {
+        // stage 2 — candidate pairs from the STORED signatures: band
+        // bucket self-join + estimate threshold, raw text not re-read
+        Dedup.estimatePairsFromSignatures(
+            spark.read.parquet(sigV),
+            idCol, numHashes, numBands, maxBucketSize)
+          .filter(col("est_jaccard") >= minEst)
+          .write.mode("overwrite").parquet(pairsV)
+        // stage 3 — cluster labels: the components fixpoint runs
+        // ONCE, its write is its materialization, cache released here
+        val fixpoint = Dedup.clusters(
+          spark.read.parquet(pairsV), "a", "b")
+        val labelRows = fixpoint.select(col("id").as(idCol),
+          col("cluster"))
+        val t =
+          if (bucketLabels > 0) {
+            writeBucketedLabelsStaged(labelRows, idCol, bucketLabels,
+              tableNameFor(storeDir), labelsV)
+            Some(tableNameFor(storeDir))
+          } else {
+            labelRows.write.mode("overwrite").parquet(labelsV)
+            None
+          }
+        val ddl = labelRows.schema.toDDL
+        fixpoint.unpersist()
+        (t, ddl)
+      },
+      // exact live counter seeded from the fresh signatures (no
+      // tombstones exist — unmasked count is the live membership)
+      spark.read.parquet(sigV).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(statsV))
     val deltaV = StoreVersions.nextEmpty(fs, storeDir, "labels_delta")
     val tombV = StoreVersions.nextEmpty(fs, storeDir, "tombstones")
     // the dials stage: the banding this store's pairs/labels were
@@ -576,7 +585,8 @@ object CurationStore {
       numHashes: Int = UseStoredDials, numBands: Int = UseStoredDials,
       minEst: Double = UseStoredDials,
       maxBucketSize: Long = Long.MaxValue,
-      batchId: Option[String] = None): Store = {
+      batchId: Option[String] = None,
+      screenedNoNewPairs: Boolean = false): Store = {
     val spark = newDocs.sparkSession
     val idCol = store.idCol
     val hconf = spark.sessionState.newHadoopConf()
@@ -585,9 +595,13 @@ object CurationStore {
       UpdateMarker.listFiles(fs, dir)
     // banding defaults come from the store's OWN persisted dials —
     // a store built with non-default banding must fold batches under
-    // its criteria, not a hard-coded 4/0.5 (explicit args still win)
+    // its criteria, not a hard-coded 4/0.5 (explicit args still win).
+    // The `screenedNoNewPairs` fast fold never scores a pair, so it
+    // skips the dials-stage read outright: its signature width is
+    // resolved (and validated) against the stage schema below.
     val (numHashesR, numBandsR, minEstR) =
-      if (numHashes >= 1 && numBands >= 1 && minEst >= 0)
+      if (screenedNoNewPairs ||
+          (numHashes >= 1 && numBands >= 1 && minEst >= 0))
         (numHashes, numBands, minEst)
       else {
         val (h, b, e) = storedDials(spark, store)
@@ -605,9 +619,13 @@ object CurationStore {
     // numHashes is NOT free to override: the batch's signature rows
     // append into the stored stage, whose h* schema is fixed —
     // validate against the actual columns so a mismatch fails here,
-    // not as a silent schema drift inside the stage
-    require(numHashesR == spark.read.parquet(snap.sigPath)
-        .columns.count(_.matches("h\\d+")),
+    // not as a silent schema drift inside the stage. (Metadata-only
+    // read; on the fast fold this IS the width resolution.)
+    val sigHashes = spark.read.parquet(snap.sigPath)
+      .columns.count(_.matches("h\\d+"))
+    require(sigHashes > 0,
+      s"store at ${store.dir} has no h* signature columns")
+    require(numHashesR < 1 || numHashesR == sigHashes,
       s"update numHashes ($numHashesR) != the store's signature " +
         s"schema — the signature stage's h* width is fixed at build")
     // re-adding a DELETED id would collide with its tombstone (masks
@@ -626,11 +644,38 @@ object CurationStore {
     // twice (the signature stage is the source of truth from here
     // on, mirroring build()'s lineage cuts)
     val sigBefore = files(snap.sigPath)
-    Dedup.minhashSignatures(newDocs, idCol, textCol, numHashesR)
+    Dedup.minhashSignatures(newDocs, idCol, textCol, sigHashes)
       .write.mode("append").parquet(snap.sigPath)
     spark.catalog.refreshByPath(snap.sigPath)
     val sigNewFiles = (files(snap.sigPath) -- sigBefore).toSeq
     val sigNew = spark.read.parquet(sigNewFiles: _*)
+
+    if (screenedNoNewPairs) {
+      // GATED-FOLD FAST PATH — the caller certifies every `newDocs`
+      // row passed [[screen]] against THIS store at the store's own
+      // dials with uncapped buckets. Then stage 2 is provably empty
+      // (a kept↔store or kept↔kept candidate scoring ≥ minEst would
+      // have made its doc hist_dup / batch_dup — the screen and this
+      // fold band identically, and the screen's history ⊇ this
+      // fold's tomb-masked store side), and stage 3's fixpoint over
+      // (stored labels ∪ ∅) re-derives the stored labels verbatim —
+      // so the fold is: signature append (above) + the exact-counter
+      // fold, committed by one stats-only manifest flip. Stage-for-
+      // stage equal to the generic fold (GatedFoldSpec pins it); the
+      // crash/replay discipline (marker heal, `_applied`, flip-last)
+      // is the generic path's verbatim.
+      val sV = StoreVersions.next(fs, store.dir, "stats")
+      snap.stats(spark)
+        .crossJoin(sigNew.agg(count(lit(1)).as("_dn")))
+        .select((col("n") + col("_dn")).as("n"))
+        .write.mode("overwrite").parquet(sV)
+      StoreVersions.flip(fs, store.dir, Map("stats" -> sV), AppendSnap)
+      StoreVersions.gc(spark, fs, store.dir, Seq("stats"))
+      batchId.foreach(UpdateMarker.writeApplied(fs, store.dir, _))
+      UpdateMarker.delete(fs, UpdateMarker.markerPath(store.dir))
+      return store
+    }
+
     // the stored side is tombstone-masked: a new doc must not pair
     // with a DELETED doc's signature
     val sigOld = snap.tombMask(spark,
@@ -638,7 +683,7 @@ object CurationStore {
 
     // stage 2 — the pairs the batch adds, from stored signatures only
     val pairsBefore = files(snap.pairsPath)
-    Dedup.estimatePairsForNewBatch(sigNew, sigOld, idCol, numHashesR,
+    Dedup.estimatePairsForNewBatch(sigNew, sigOld, idCol, sigHashes,
         numBandsR, maxBucketSize)
       .filter(col("est_jaccard") >= minEstR)
       .write.mode("append").parquet(snap.pairsPath)

@@ -446,13 +446,18 @@ object TextIndexStore {
     val dV = StoreVersions.next(fs, dir, "doclens")
     dlOf(s.read.parquet(pV), idCol)
       .write.mode("overwrite").parquet(dV)
+    // the counters and the block-max metadata are independent
+    // derivations of the just-written doclens/postings versions —
+    // overlapped ([[TierPar]], guide §2.6); the flip is the commit
     val sV = StoreVersions.next(fs, dir, "stats")
-    s.read.parquet(dV).agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-      .write.mode("overwrite").parquet(sV)
     val mV = StoreVersions.next(fs, dir, "postings_meta")
-    metaOf(s, UpdateMarker.listFiles(fs, pV).toSeq,
-        s.read.parquet(dV), idCol)
-      .write.mode("overwrite").parquet(mV)
+    TierPar.par2(
+      s.read.parquet(dV).agg(count(lit(1)).as("n"),
+          sum("dl").as("sumdl"))
+        .write.mode("overwrite").parquet(sV),
+      metaOf(s, UpdateMarker.listFiles(fs, pV).toSeq,
+          s.read.parquet(dV), idCol)
+        .write.mode("overwrite").parquet(mV))
     val deltaV = StoreVersions.nextEmpty(fs, dir, "postings_delta")
     val tV = StoreVersions.nextEmpty(fs, dir, "tombstones")
     StoreVersions.flip(fs, dir, Map("postings" -> pV,
@@ -547,22 +552,33 @@ object TextIndexStore {
         s.emptyDataFrame.select(lit(0L).as(idx.idCol), lit(0L).as("dl"))
           .limit(0)
       else dlOf(s.read.parquet(newFiles: _*), idx.idCol)
-    batchDl.write.mode("append").parquet(snap.doclensPath)
-    s.catalog.refreshByPath(snap.doclensPath)
-    // block-max metadata for exactly the appended files (a metadata
-    // row is a per-file derivation, so the append composes)
-    if (newFiles.nonEmpty) {
-      metaOf(s, newFiles, batchDl, idx.idCol)
-        .write.mode("append").parquet(snap.metaPath)
-      s.catalog.refreshByPath(snap.metaPath)
-    }
-    val batchStats = batchDl.agg(count(lit(1)).as("_bn"),
-      coalesce(sum("dl"), lit(0L)).as("_bsum"))
+    // the three derivations of `batchDl` — the doclens append, the
+    // block-max metadata append and the staged counter fold — write
+    // to three disjoint locations with no cross-reads, so they run
+    // CONCURRENTLY ([[TierPar]], guide §2.6); the flip below is
+    // still the one commit, and the marker heal covers each append
+    // independently exactly as it did sequentially
     val sV = StoreVersions.next(fs, idx.dir, "stats")
-    snap.stats(s).crossJoin(batchStats)
-      .select((col("n") + col("_bn")).as("n"),
-        (col("sumdl") + col("_bsum")).as("sumdl"))
-      .write.mode("overwrite").parquet(sV)
+    TierPar.par3(
+      {
+        batchDl.write.mode("append").parquet(snap.doclensPath)
+        s.catalog.refreshByPath(snap.doclensPath)
+      },
+      // block-max metadata for exactly the appended files (a metadata
+      // row is a per-file derivation, so the append composes)
+      if (newFiles.nonEmpty) {
+        metaOf(s, newFiles, batchDl, idx.idCol)
+          .write.mode("append").parquet(snap.metaPath)
+        s.catalog.refreshByPath(snap.metaPath)
+      },
+      {
+        val batchStats = batchDl.agg(count(lit(1)).as("_bn"),
+          coalesce(sum("dl"), lit(0L)).as("_bsum"))
+        snap.stats(s).crossJoin(batchStats)
+          .select((col("n") + col("_bn")).as("n"),
+            (col("sumdl") + col("_bsum")).as("sumdl"))
+          .write.mode("overwrite").parquet(sV)
+      })
     StoreVersions.flip(fs, idx.dir, Map("stats" -> sV),
       AppendSnap) // THE commit
     // the stats stage flips at every update/delete — GC it here, not

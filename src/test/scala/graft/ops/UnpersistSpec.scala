@@ -89,11 +89,13 @@ class UnpersistSpec extends SparkSpec {
       corpus.filter(col("doc_id") % 5 === 4), "text", "embedding",
       "hyg-1")
     dec.collect()
-    // the decision/kept caches are private to the transaction and
-    // must be gone; clusters() fixpoints are the one documented
-    // exception (the screen and the curation fold each embed one)
-    assert(persistedCount <= 2,
-      s"gated ingest left $persistedCount blocks (max 2 fixpoints)")
+    // the kept cache is private to the transaction and must be gone;
+    // the decision frame is file-backed (materialized once — r17),
+    // so only the SCREEN's clusters() fixpoint may remain: the
+    // gated-fold fast path skips the curation fold's fixpoint
+    // entirely (GatedFoldSpec), so the old second block is gone too
+    assert(persistedCount <= 1,
+      s"gated ingest left $persistedCount blocks (max 1 fixpoint)")
     spark.catalog.clearCache()
     assert(persistedCount == 0,
       "blocks survived clearCache after the gated ingest")
