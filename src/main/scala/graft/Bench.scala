@@ -134,7 +134,12 @@ object Bench {
     // reported alongside so the artifact itself shows the noise floor.
     // Controls bracket each pass (start / mid / end) so ambient drift
     // is timestamped inside the artifact, outside the query totals.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
+    // Default 2 (was 3): the round-17 driver's 32-core battery hit its
+    // wall-clock window (BENCH_r17.json rc 124) — warmup + 2 interleaved
+    // passes keeps the min-of-N estimator (interleaving intact) inside
+    // the window; set SPARK_GRAFT_BENCH_REPEAT=3 for the old cadence.
+    // Documented in OPTIMIZATION_r18.md (measurement-methodology note).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     val all = graft.queries.Registry.all
     val (half1, half2) = all.splitAt(all.size / 2)
     val passes = (1 to repeat).map { p =>
@@ -152,8 +157,13 @@ object Bench {
       k -> (if (vs.isEmpty) -1.0 else vs.min) }
     val medians = byQuery.map { case (k, vs) =>
       k -> (if (vs.isEmpty) -1.0 else BenchUtil.med(vs)) }
+    // Per-query values rounded to 4 decimals on the contract line:
+    // raw doubles print ~17 significant digits and the 205-entry map
+    // overran the driver's line capture in round 17 (BENCH_r16/r17_c8
+    // both ended mid-line, `parsed: null`).
     def js(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + BenchUtil.r4(v) }
+        .mkString("{", ",", "}")
     // totals over successful queries only (-1 failure markers excluded)
     val total = results.values.filter(_ >= 0).sum
     val totalMed = medians.values.filter(_ >= 0).sum
@@ -161,8 +171,17 @@ object Bench {
       s"""{"name":"$n","pass":$p,"pos":"$pos","sec":${BenchUtil.r4(s)}}"""
     }.mkString("[", ",", "]")
     val ctlMin = js(ctlSamples.groupBy(_._1).map { case (n, rows) =>
-      n -> BenchUtil.r4(rows.map(_._4).min) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_median":${js(medians)},"total_median":$totalMed,"repeat":$repeat,"controls":$ctlRows,"controls_min":$ctlMin,"sf":"$sfDir"}""")
+      n -> rows.map(_._4).min })
+    // THE contract line (stdout): compact — total, per-query mins,
+    // median total, the ambient-control mins, sf. The per-pass control
+    // samples and the full per-query MEDIAN map (the r17 line-size
+    // overflow: tens of KB the driver's capture truncated mid-line)
+    // go to STDERR as their own labeled JSON lines for the artifact
+    // trail; the stdout line stays well under typical line-capture
+    // limits.
+    System.err.println(s"""{"bench_side":"controls","repeat":$repeat,"controls":$ctlRows}""")
+    System.err.println(s"""{"bench_side":"queries_median","queries_median":${js(medians)}}""")
+    println(s"""{"metric":"total","value":${BenchUtil.r4(total)},"unit":"sec","queries":${js(results)},"total_median":${BenchUtil.r4(totalMed)},"repeat":$repeat,"controls_min":$ctlMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

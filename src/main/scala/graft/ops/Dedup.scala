@@ -454,6 +454,13 @@ object Dedup {
     * in the module whose result outlives the query (UnpersistSpec
     * pins that the rest leave zero cached blocks).
     */
+  /** Round count of the LAST [[clusters]] fixpoint in this JVM —
+    * dev-observability only (the SCALING `dedup_rounds` rows read it;
+    * nothing in a query path does). Propagation runs ≈ graph-diameter
+    * rounds + 1 convergence check, so this is the measured quantity
+    * the deferred pointer-jumping decision needs. */
+  @volatile private[graft] var lastClustersRounds: Int = 0
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected: every edge in both directions, so one join per round
@@ -469,7 +476,9 @@ object Dedup {
       .persist(lvl)
     labels.count() // materialize round 0 before the loop rewires it
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       // min label among neighbors (every node has ≥1 neighbor by
       // construction, so this is an inner-join-complete frame)
       val nmin = edges
@@ -495,6 +504,7 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
+    lastClustersRounds = rounds
     // re-persist WITHOUT the flag column: the returned frame must BE
     // the cached frame (not a projection of it) so a consumer's
     // unpersist() finds its cache entry — the documented contract

@@ -356,14 +356,52 @@ object Similarity {
     * caller's guard (an empty model must yield an EMPTY encode, the
     * join formulation's semantics — not a fold over nothing).
     */
-  private[ops] def centroidsLiteral(cents: DataFrame): (Column, Long) = {
+  /** Ceiling (ROWS per model table) above which the literal-embedded
+    * encode falls back to the broadcast-join formulation: a model
+    * literal is serialized into EVERY task binary, so while the k·d
+    * tables the stores train today are a few KB, an unguarded
+    * `collect()` at 100 TB-scale IVF (k up to 10⁴–10⁵) would embed
+    * tens of MB per task — past this ceiling the old join+aggregate
+    * plan is the right one (the r17 verdict's size-guard item). The
+    * default (32768 rows ≈ 16 MB of doubles at dim 64) stays far
+    * above every battery/spec model and far below the broadcast cap.
+    */
+  val ModelLiteralMaxRows = "spark.graft.ann.modelLiteralMaxRows"
+  private[ops] def literalMaxRows(
+      s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get(ModelLiteralMaxRows, "32768").toInt
+
+  /** [[centroidsLiteral]] behind the row ceiling: None (fall back to
+    * the join formulation) when the table exceeds `maxRows`. The
+    * check is POST-collect (length of the collected array): the model
+    * frame is driver-materialized by every formulation anyway (the
+    * join path broadcasts it; pqTrain collects it per iteration), so
+    * a pre-collect `limit(n+1)` probe would only guard what is
+    * already the status quo — and was MEASURED to cost 2+ extra
+    * incremental-take jobs per call at bench SF (q149 +13%). What the
+    * ceiling actually protects is the LITERAL: embedding the table in
+    * every task binary. */
+  private[ops] def centroidsLiteralOpt(cents: DataFrame,
+      maxRows: Int): Option[(Column, Long)] = {
+    val rows = cents.select(col("cid").cast("long"),
+        col("_ce").cast("array<double>"), col("_cn").cast("double"))
+      .collect()
+    if (rows.length > maxRows) None
+    else Some(centroidsLiteralOf(rows))
+  }
+
+  private[ops] def centroidsLiteral(cents: DataFrame): (Column, Long) =
+    centroidsLiteralOf(cents.select(col("cid").cast("long"),
+      col("_ce").cast("array<double>"), col("_cn").cast("double"))
+      .collect())
+
+  private def centroidsLiteralOf(
+      collected: Array[org.apache.spark.sql.Row]): (Column, Long) = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.sql.types._
-    val rows = cents.select(col("cid").cast("long"),
-        col("_ce").cast("array<double>"), col("_cn").cast("double"))
-      .collect().sortBy(_.getLong(0))
+    val rows = collected.sortBy(_.getLong(0))
     val data = new GenericArrayData(rows.map(r => InternalRow(
       r.getLong(0), new GenericArrayData(r.getSeq[Double](1).toArray),
       r.getDouble(2))))
@@ -381,14 +419,30 @@ object Similarity {
     * driver pressure. Same empty-frame caller guard as
     * [[centroidsLiteral]].
     */
-  private[ops] def codebooksLiteral(cb: DataFrame): (Column, Long) = {
+  /** [[codebooksLiteral]] behind the row ceiling — the
+    * [[centroidsLiteralOpt]] contract (post-collect length check)
+    * for the PQ codebook table. */
+  private[ops] def codebooksLiteralOpt(cb: DataFrame,
+      maxRows: Int): Option[(Column, Long)] = {
+    val rows = cb.select(col("_sj").cast("int"),
+        col("cid").cast("long"), col("_ce").cast("array<double>"))
+      .collect()
+    if (rows.length > maxRows) None
+    else Some(codebooksLiteralOf(rows))
+  }
+
+  private[ops] def codebooksLiteral(cb: DataFrame): (Column, Long) =
+    codebooksLiteralOf(cb.select(col("_sj").cast("int"),
+      col("cid").cast("long"), col("_ce").cast("array<double>"))
+      .collect())
+
+  private def codebooksLiteralOf(
+      collected: Array[org.apache.spark.sql.Row]): (Column, Long) = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.sql.types._
-    val rows = cb.select(col("_sj").cast("int"),
-        col("cid").cast("long"), col("_ce").cast("array<double>"))
-      .collect().sortBy(r => (r.getInt(0), r.getLong(1)))
+    val rows = collected.sortBy(r => (r.getInt(0), r.getLong(1)))
     val data = new GenericArrayData(rows.map(r => InternalRow(
       r.getInt(0), r.getLong(1),
       new GenericArrayData(r.getSeq[Double](2).toArray))))
@@ -725,6 +779,7 @@ object Similarity {
     var cents = subRows.filter(seedPred)
       .select(col("_sj"), col(idCol).cast("long").as("cid"),
         col("_e").as("_ce"))
+    val maxLit = literalMaxRows(emb.sparkSession)
     for (_ <- 1 to iters) {
       // per-row argmin against the codebook LITERAL (the same frame
       // materializeSmall collects each iteration anyway) instead of
@@ -732,14 +787,20 @@ object Similarity {
       // REMOVED per Lloyd iteration, same assignment bit-for-bit
       // ([[graft.functions.NearestPqCode]] replicates
       // `assignEuclidKeyed`'s score and (score, cid) tie-break;
-      // NearestCodeSpec pins the encode equality)
-      val (cbLit, nCb) = codebooksLiteral(cents)
-      // empty seeds assign nothing — the inner-join semantics of the
-      // formulation this replaces
-      val asg = subRows.select(col("_sj"), col(idCol),
-          graft.functions.NearestPqCode(col("_e"), col("_sj"), cbLit)
-            .as("cid"), col("_e"))
-        .filter(lit(nCb > 0))
+      // NearestCodeSpec pins fused == join, boundary included).
+      // Above the [[ModelLiteralMaxRows]] ceiling the literal would
+      // bloat every task binary — fall back to the broadcast-join
+      // formulation, which computes the identical assignment.
+      val asg = codebooksLiteralOpt(cents, maxLit) match {
+        case Some((cbLit, nCb)) =>
+          // empty seeds assign nothing — the inner-join semantics of
+          // the formulation this replaces
+          subRows.select(col("_sj"), col(idCol),
+              graft.functions.NearestPqCode(col("_e"), col("_sj"),
+                cbLit).as("cid"), col("_e"))
+            .filter(lit(nCb > 0))
+        case None => assignEuclidKeyed(subRows, cents, idCol)
+      }
       val means = asg
         .select(col("_sj"), col("cid"), posexplode(col("_e")).as(Seq("p", "v")))
         .groupBy(col("_sj"), col("cid"), col("p"))

@@ -68,4 +68,39 @@ class NearestCodeSpec extends SparkSpec {
     assert(actual.filter(col("doc_id") === 7L)
       .select("cell").head().getAs[Number](0).longValue === 0L)
   }
+
+  test("model-literal row ceiling: over-ceiling build falls back to " +
+      "the join path and encodes identical rows") {
+    import spark.implicits._
+    val dim = 8
+    val rows = (0L until 60L).map { id =>
+      val v =
+        if (id == 7L) Seq.fill(dim)(0.0)
+        else if (id == 30L) vec(20, dim)
+        else vec(id.toInt, dim)
+      (id, v)
+    }
+    val emb = rows.toDF("doc_id", "embedding")
+    def buildAt(suffix: String) = AnnIndexStore.build(emb, "doc_id",
+      "embedding",
+      java.nio.file.Files.createTempDirectory(suffix).toString,
+      centroidPred = col("doc_id") % 10 === 0,
+      seedPred = col("doc_id") % 5 === 1, m = 2, subDim = 4, iters = 2)
+    val lit = buildAt("nearest-lit") // default ceiling: literal path
+    // ceiling of 1 row: every model table (6 centroids, 2·12-codeword
+    // books here) exceeds it, so build/add/pqTrain ALL take the
+    // broadcast-join fallback — the boundary case the size guard
+    // exists for (r17 verdict item 3)
+    spark.conf.set(Similarity.ModelLiteralMaxRows, "1")
+    val joined =
+      try buildAt("nearest-join")
+      finally spark.conf.unset(Similarity.ModelLiteralMaxRows)
+    val a = spark.read.parquet(lit.pin(spark).codesPath)
+      .select("doc_id", "_c0", "_c1", "cell")
+    val b = spark.read.parquet(joined.pin(spark).codesPath)
+      .select("doc_id", "_c0", "_c1", "cell")
+    assert(a.count() === 60L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "over-ceiling fallback encode diverged from the literal path")
+  }
 }
